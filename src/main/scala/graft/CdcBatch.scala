@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch CDC pipeline: change-log derivation (F1-F6) → compaction (A1/A2) →
+  * snapshot state (the Spark shape of cdc.py's main loop, SURVEY.md §3.1).
+  *
+  * The fixture `events` table plays the role of the binlog row stream:
+  * `event_id` is the monotone binlog position (seq), `user_id` the primary
+  * key, `event_type` maps onto insert/update/delete, `ts` is the binlog
+  * event timestamp (second-granularity epoch in the reference, cdc.py:72).
+  *
+  * Scale notes: the changelog projection is pure narrow work (no shuffle,
+  * predicate/column pushdown reaches the parquet scan); compaction is one
+  * hash aggregate on (table, rid); the snapshot write partitions by table so
+  * per-table reads (S5) prune partitions.
+  */
+object CdcBatch {
+
+  /** Binlog-event-type → cdc_action mapping (F1, cdc.py:43-49, 60-74). */
+  val actionOf = Map(
+    "signup" -> Types.Insert,
+    "error" -> Types.Delete)
+  // all other event types (click/view/purchase) are row mutations → update
+
+  /** Change-log derivation from the fixture event stream (F3-F6):
+    * project after-image, stamp cdc_action + cdc_ts, synthesize rid.
+    * cdc_ts is epoch SECONDS (cdc.py:72 uses the binlog header timestamp,
+    * second granularity).
+    */
+  /** Read the fixture event stream. `ts` is parquet TIMESTAMP(NANOS), which
+    * Spark 4 rejects unless read as a raw long — so `ts` comes back as epoch
+    * NANOSECONDS (LongType). Integral `div` keeps full precision (a double
+    * round-trip would not: 1.7e18 ns > 2^53).
+    */
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+  }
+
+  def changeLog(spark: SparkSession, sfDir: String): DataFrame = {
+    readEvents(spark, sfDir).select(
+      lit("db_test.events").as("table"),
+      Rid.rid(Seq("user_id")),
+      when(col("event_type") === "signup", Types.Insert)
+        .when(col("event_type") === "error", Types.Delete)
+        .otherwise(Types.Update)
+        .as("cdc_action"),
+      expr("ts div 1000000000").as("cdc_ts"),
+      col("event_id").as("seq"),
+      col("value"),
+      col("props"))
+  }
+
+  /** Net-change snapshot: compacted state per (table, rid) — the Redis cache
+    * contents after the event stream has been applied (rcache.py:224-259).
+    */
+  def compactedSnapshot(spark: SparkSession, sfDir: String): DataFrame =
+    Merge.compact(
+      changeLog(spark, sfDir),
+      keyCols = Seq("table", "rid"),
+      payloadCols = Seq("cdc_ts", "value", "props"))
+
+  /** Persist the snapshot as the parquet state dir, partitioned by table so
+    * single-table scans (S5, rcache.py:162-174) become partition-pruned
+    * reads, and overwrite-idempotent (at-least-once replay safety,
+    * SURVEY.md §2.8).
+    */
+  def writeSnapshot(snapshot: DataFrame, stateDir: String): Unit =
+    snapshot.write.mode("overwrite").partitionBy("table").parquet(stateDir)
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CDC-core queries + DuckDB oracles (SURVEY.md §2.1-§2.5).
+  *
+  * The shared changelog CTE mirrors CdcBatch.changeLog exactly; the compact
+  * oracle re-expresses the Merge state machine as a DuckDB `list_reduce`
+  * fold over the seq-ordered action list — same semilattice, independent
+  * implementation.
+  */
+object CdcQueries extends QueryRegistry {
+
+  /** DuckDB twin of CdcBatch.changeLog (epoch seconds via floor-div). */
+  private val changelogSql =
+    """SELECT 'db_test.events' AS "table", CAST(user_id AS VARCHAR) AS rid,
+      | CASE WHEN event_type='signup' THEN 'insert'
+      |      WHEN event_type='error' THEN 'delete'
+      |      ELSE 'update' END AS cdc_action,
+      | epoch_ms(ts)//1000 AS cdc_ts, event_id AS seq, value, props
+      |FROM events""".stripMargin
+
+  private val mergeFoldSql =
+    """list_reduce(list(cdc_action ORDER BY seq), (acc, x) ->
+      | CASE WHEN acc='none' THEN x
+      |      WHEN acc='insert' THEN (CASE WHEN x='delete' THEN 'none' ELSE 'insert' END)
+      |      ELSE (CASE WHEN x='insert' THEN 'update' ELSE x END) END)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F1-F6: binlog row → change record projection
+    "cdc_changelog" -> ((s, dir) => CdcBatch.changeLog(s, dir)),
+    // A1/A2: the merge state machine, batch-compacted
+    "cdc_compact" -> ((s, dir) => CdcBatch.compactedSnapshot(s, dir)),
+    // A3: key-set dedup — latest change per rid (SADD set semantics)
+    "cdc_dedup_rid" -> ((s, dir) => {
+      val w = Window.partitionBy("table", "rid").orderBy(col("seq").desc)
+      CdcBatch.changeLog(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+    }),
+    // A4/A5: global + per-group counts (DBSIZE / SCARD analogs)
+    "cdc_counts" -> ((s, dir) =>
+      CdcBatch.changeLog(s, dir)
+        .groupBy("table", "cdc_action")
+        .agg(count(lit(1)).as("n_rows"),
+             countDistinct(col("rid")).as("n_rids"))),
+    // F7: latency predicate (binlog_max_latency alarm, cdc.py:101-103) —
+    // "now" is pinned to max(cdc_ts) so the check is deterministic
+    "cdc_latency_flag" -> ((s, dir) => {
+      val ch = CdcBatch.changeLog(s, dir)
+      val maxTs = ch.agg(max("cdc_ts")).first().getLong(0)
+      ch.select(col("seq"), col("rid"),
+          (lit(maxTs) - col("cdc_ts") > 3600L).as("late"))
+    }),
+    // A7: schema-drift grouping — fingerprint of present payload fields
+    // (dump2csv.py:50-60); delete events carry no payload → distinct group
+    "cdc_schema_drift" -> ((s, dir) =>
+      CdcBatch.changeLog(s, dir)
+        .withColumn("fields",
+          when(col("cdc_action") === Types.Delete, lit("cdc_action,cdc_ts"))
+            .otherwise(lit("cdc_action,cdc_ts,props,value")))
+        .groupBy("table", "fields").agg(count(lit(1)).as("n"))))
+
+  def oracles: Map[String, String] = Map(
+    "cdc_changelog" -> changelogSql,
+    "cdc_compact" ->
+      s"""WITH ch AS ($changelogSql),
+         |c AS (SELECT "table", rid, $mergeFoldSql AS cdc_action,
+         |        max(seq) AS seq, arg_max(cdc_ts, seq) AS cdc_ts,
+         |        arg_max(value, seq) AS value, arg_max(props, seq) AS props
+         |      FROM ch GROUP BY 1, 2)
+         |SELECT * FROM c WHERE cdc_action <> 'none'""".stripMargin,
+    "cdc_dedup_rid" ->
+      s"""SELECT * FROM ($changelogSql)
+         |QUALIFY row_number() OVER (PARTITION BY "table", rid ORDER BY seq DESC) = 1""".stripMargin,
+    "cdc_counts" ->
+      s"""SELECT "table", cdc_action, count(*) AS n_rows,
+         | count(DISTINCT rid) AS n_rids
+         |FROM ($changelogSql) GROUP BY 1, 2""".stripMargin,
+    "cdc_latency_flag" ->
+      s"""WITH ch AS ($changelogSql)
+         |SELECT seq, rid,
+         | ((SELECT max(cdc_ts) FROM ch) - cdc_ts > 3600) AS late
+         |FROM ch""".stripMargin,
+    "cdc_schema_drift" ->
+      s"""SELECT "table",
+         | CASE WHEN cdc_action='delete' THEN 'cdc_action,cdc_ts'
+         |      ELSE 'cdc_action,cdc_ts,props,value' END AS fields,
+         | count(*) AS n
+         |FROM ($changelogSql) GROUP BY 1, 2""".stripMargin)
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import Types._
+
+/** The action-merge state machine — the heart of the engine.
+  *
+  * Reference `_merge_row` (rcache.py:196-222) combines the cached action for
+  * a row-id with an incoming change's action; the payload is always the
+  * incoming row's full after-image. We replicate the *code*, not the comment
+  * (SURVEY.md §7.3 risk 2): the documented "error" cases silently coerce.
+  *
+  *   state transitions (old → new → merged):
+  *     ∅       + a      → a          (rcache.py:209-210)
+  *     insert  + delete → ∅          (annihilate, rcache.py:214-215)
+  *     insert  + update → insert     (rcache.py:216-217)
+  *     insert  + insert → insert     (fallthrough, rcache.py:222)
+  *     delete  + insert → update     (rcache.py:218-219)
+  *     update  + insert → update     (truncate heuristic, rcache.py:220-221)
+  *     (update|delete) + (update|delete) → new  (fallthrough, rcache.py:222)
+  *
+  * The reference gets deterministic fold order for free from single-threaded
+  * binlog arrival (cdc.py:100); after a shuffle only the monotone `seq`
+  * restores it, so every compaction here sorts by seq within the (table, rid)
+  * group before folding.
+  *
+  * Scale design: `compact` is ONE hash-aggregate shuffle on (table, rid) with
+  * map-side partial aggregation — the per-key point-lookup join the reference
+  * does against Redis (rcache.py:247, one HGETALL round-trip per row) becomes
+  * a single distributed aggregation. Groups are per-row-id and therefore tiny,
+  * so `collect_list` per group is bounded by per-key change cardinality, not
+  * table size; hot keys are still only as large as their change count. The
+  * whole fold is Catalyst expressions (higher-order `aggregate`), so it stays
+  * inside whole-stage codegen — no UDF, no typed deserialization in the hot
+  * path.
+  */
+object Merge {
+
+  /** Pure single-step merge of actions. `None` = row absent/annihilated. */
+  def mergeAction(old: Option[String], nw: String): Option[String] = old match {
+    case None => Some(nw)
+    case Some(Insert) =>
+      if (nw == Delete) None // insert+delete annihilates (rcache.py:214-215)
+      else Some(Insert)      // insert+update→insert; insert+insert fallthrough
+    case Some(_) =>          // update | delete
+      if (nw == Insert) Some(Update) // delete/update + insert → update
+      else Some(nw)                  // fallthrough last-write-wins
+  }
+
+  /** Pure single-step merge of full events (payload = incoming after-image). */
+  def merge(old: Option[ChangeEvent], nw: ChangeEvent): Option[ChangeEvent] =
+    mergeAction(old.map(_.cdc_action), nw.cdc_action).map(a => nw.copy(cdc_action = a))
+
+  /** Fold a seq-ordered action sequence to the net action (None = no row). */
+  def foldActions(actions: Seq[String]): Option[String] =
+    actions.foldLeft(Option.empty[String])((acc, a) => mergeAction(acc, a))
+
+  /** The same fold as a Catalyst expression over `array<struct<seq,action>>`
+    * — codegen-friendly, used by the declarative `compact`.
+    */
+  private def foldActionsCol(sortedPairs: Column, actionField: String): Column =
+    aggregate(
+      sortedPairs,
+      lit(None_),
+      (acc, x) => {
+        val a = x.getField(actionField)
+        when(acc === None_, a)
+          .when(acc === Insert, when(a === Delete, lit(None_)).otherwise(lit(Insert)))
+          .otherwise(when(a === Insert, lit(Update)).otherwise(a))
+      })
+
+  /** Declarative batch compaction: net change per (table, rid).
+    *
+    * Input: a change-log DataFrame with `keyCols`, a monotone `seqCol`, an
+    * action column, and arbitrary payload columns. Output: one row per key
+    * that still has a net change, with the folded action, the latest payload
+    * (after-image semantics, rcache.py:213 `return new`), and max(seq).
+    * Annihilated keys (insert then delete) are ABSENT from the output —
+    * matching the DEL/SREM tombstone removal (rcache.py:249-254).
+    */
+  def compact(
+      changes: DataFrame,
+      keyCols: Seq[String],
+      seqCol: String = "seq",
+      actionCol: String = "cdc_action",
+      payloadCols: Seq[String] = Nil): DataFrame = {
+    val payload =
+      if (payloadCols.nonEmpty) payloadCols
+      else changes.columns.toSeq.diff(keyCols :+ seqCol :+ actionCol)
+    val folded = foldActionsCol(
+      sort_array(collect_list(struct(col(seqCol), col(actionCol)))), actionCol)
+    val aggs =
+      folded.as(actionCol) +:
+      max(col(seqCol)).as(seqCol) +:
+      payload.map(c => max_by(col(c), col(seqCol)).as(c))
+    changes
+      .groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col(actionCol) =!= None_)
+      .select((keyCols :+ actionCol :+ seqCol).map(col) ++ payload.map(col): _*)
+  }
+}

@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Runs each oracle SQL from oracle_sql.json in DuckDB (tables = views over the
+sf dir parquet files), loads the corresponding Spark result parquet, sorts
+columns by name + rows, and compares values exactly (floats must match to
+1e-12 relative; exact mismatches are reported).
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            want = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        try:
+            got = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+        except Exception as e:
+            print(f"FAIL {name}: spark result missing: {e}")
+            n_fail += 1
+            continue
+        wcols, gcols = sorted(want.columns), sorted(got.columns)
+        if wcols != gcols:
+            print(f"FAIL {name}: columns differ: oracle={wcols} spark={gcols}")
+            n_fail += 1
+            continue
+        want, got = want[wcols], got[gcols]
+        wrows = sorted(map(tuple, want.itertuples(index=False)), key=repr)
+        grows = sorted(map(tuple, got.itertuples(index=False)), key=repr)
+        if len(wrows) != len(grows):
+            print(f"FAIL {name}: row count differs: "
+                  f"oracle={len(wrows)} spark={len(grows)}")
+            n_fail += 1
+            continue
+        bad = None
+        exact = True
+        for wr, gr in zip(wrows, grows):
+            for w, g in zip(wr, gr):
+                if isinstance(w, float) and isinstance(g, float):
+                    if math.isnan(w) and math.isnan(g):
+                        continue
+                    if w != g:
+                        exact = False
+                        if not math.isclose(w, g, rel_tol=1e-12,
+                                            abs_tol=1e-12):
+                            bad = (w, g)
+                elif norm(w) != norm(g):
+                    bad = (w, g)
+                if bad:
+                    break
+            if bad:
+                break
+        if bad:
+            print(f"FAIL {name}: value mismatch: oracle={bad[0]!r} "
+                  f"spark={bad[1]!r} ({len(wrows)} rows)")
+            n_fail += 1
+        else:
+            tag = "" if exact else "  (float ulp diff — tolerated locally, "\
+                "may fail driver hash!)"
+            print(f"PASS {name}: {len(wrows)} rows{tag}")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
