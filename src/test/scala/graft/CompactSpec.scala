@@ -1,0 +1,54 @@
+package graft
+
+import scala.util.Random
+import Types._
+
+/** The declarative (Catalyst higher-order aggregate) compact must equal the
+  * pure Scala fold on arbitrary shuffled change logs — this pins the
+  * distributed implementation to the reference semantics.
+  */
+class CompactSpec extends SparkSuite {
+
+  test("declarative compact == pure fold on random shuffled changelog") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    val acts = Vector(Insert, Update, Delete)
+    val rows = (0L until 5000L).map { seq =>
+      val rid = (rnd.nextInt(120)).toString
+      (("db.t", rid, acts(rnd.nextInt(3)), 1000L + seq, seq, s"v$seq"))
+    }
+    val shuffled = rnd.shuffle(rows)
+    val df = shuffled.toDF("table", "rid", "cdc_action", "cdc_ts", "seq", "v")
+
+    val got = Merge.compact(df, Seq("table", "rid"))
+      .collect()
+      .map(r => (r.getString(1), (r.getString(2), r.getLong(3), r.getString(5))))
+      .toMap
+
+    // pure model: per rid, sort by seq, fold
+    val want = rows.groupBy(_._2).flatMap { case (rid, rs) =>
+      val sorted = rs.sortBy(_._5)
+      val folded = Merge.foldActions(sorted.map(_._3))
+      folded.map(a => rid -> ((a, sorted.last._5, sorted.last._6)))
+    }
+
+    assert(got === want)
+    // annihilated keys truly absent
+    assert(got.keySet === want.keySet)
+  }
+
+  test("compact drops annihilated keys and keeps latest payload") {
+    import spark.implicits._
+    val df = Seq(
+      ("db.t", "a", Insert, 1L, 1L, "a1"),
+      ("db.t", "a", Delete, 2L, 2L, "a2"),   // a annihilated
+      ("db.t", "b", Insert, 1L, 3L, "b1"),
+      ("db.t", "b", Update, 2L, 4L, "b2"),   // b stays insert, payload b2
+      ("db.t", "c", Update, 1L, 5L, "c1"),
+      ("db.t", "c", Delete, 2L, 6L, "c2")    // c net delete
+    ).toDF("table", "rid", "cdc_action", "cdc_ts", "seq", "v")
+    val out = Merge.compact(df, Seq("table", "rid")).collect()
+      .map(r => r.getString(1) -> ((r.getString(2), r.getString(5)))).toMap
+    assert(out === Map("b" -> ((Insert, "b2")), "c" -> ((Delete, "c2"))))
+  }
+}
