@@ -11,7 +11,8 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 object SparkEntry {
 
   private def registries: Seq[QueryRegistry] = Seq(
-    CdcQueries)
+    CdcQueries,
+    operators.AnalyticsQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

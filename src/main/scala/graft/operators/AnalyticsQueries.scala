@@ -1,0 +1,252 @@
+package graft.operators
+
+import graft.QueryRegistry
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational battery (SURVEY.md §2.10 X6-X8): aggregation, joins of every
+  * strategy, windows, set ops, grouping sets, top-k, JSON extraction.
+  *
+  * Scale design notes (100 TB):
+  * - dimension joins (region, nation, supplier, part at fixed cardinality)
+  *   are explicitly `broadcast()` — no shuffle of the fact table;
+  * - fact-fact joins (lineitem⋈orders) shuffle on the join key once; AQE
+  *   handles skew (`spark.sql.adaptive.*` on by default in Spark 4);
+  * - every aggregate is algebraic (sum/count/avg/min/max) so map-side
+  *   partial aggregation halves shuffle volume;
+  * - float aggregates are rounded on BOTH engine and oracle side because
+  *   summation order differs across partitionings (ulp-level drift).
+  */
+object AnalyticsQueries extends QueryRegistry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // X6: TPC-H Q1-style grouped aggregate battery
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    // X8: broadcast join chain over the dimension hierarchy
+    "q2_join_broadcast" -> ((s, dir) => {
+      val region = t(s, dir, "region")
+      val nation = t(s, dir, "nation")
+      val customer = t(s, dir, "customer")
+      customer
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_customers"),
+             round(sum("c_acctbal"), 2).as("sum_acctbal"))
+    }),
+
+    // X8: fact-fact shuffle join (orders⋈lineitem), one shuffle each side
+    "q3_join_shuffle" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+    }),
+
+    // X8: semi join (EXISTS) — E1/E2 set-membership semantics
+    "q4_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with_orders"))
+    }),
+
+    // X8: anti join (NOT EXISTS) — the reference's retry-residue diff
+    // (dump2csv.py:198-207) as a relational operator
+    "q5_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val big = o.filter(col("o_totalprice") > 150000.0)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without_orders"))
+    }),
+
+    // X7: ranked window — top-3 lineitems per supplier by price
+    "q6_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("l_suppkey", "rk", "l_orderkey", "l_linenumber", "l_extendedprice")
+    }),
+
+    // X7: running windows — cumulative sum + lag per customer order history
+    "q7_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        round(sum("o_totalprice").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running_total"),
+        round(coalesce(lag("o_totalprice", 1).over(w), lit(0.0)), 2)
+          .as("prev_price"))
+    }),
+
+    // X8/E1: set difference — customers that ordered EXCEPT Building segment
+    "q8_set_except" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey").as("custkey")).distinct()
+      val b = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey")).distinct()
+      o.except(b)
+    }),
+
+    // X6: rollup over the region/nation hierarchy
+    "q9_rollup" -> ((s, dir) => {
+      val nation = t(s, dir, "nation")
+      val customer = t(s, dir, "customer")
+      // Spark 4.1's self-join ambiguity check misfires on rollup-after-join
+      // (the Expand node duplicates dataset-id tags); the plan has no actual
+      // self join, so the check is safely disabled for this query.
+      s.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
+      customer
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .select("n_name", "c_acctbal")
+        .rollup("n_name")
+        .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("bal"))
+    }),
+
+    // O3-style global top-k (order + limit, deterministic tiebreak)
+    "q10_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)),
+
+    // X6: exact distinct aggregation
+    "q11_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+             countDistinct(col("l_suppkey")).as("n_supps"))),
+
+    // X5: JSON extraction from the props column (multimodal metadata)
+    "q12_json" -> ((s, dir) =>
+      graft.CdcBatch.readEvents(s, dir)
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"),
+                col("event_type"))
+        .groupBy("event_type")
+        .agg(round(avg("k"), 6).as("avg_k"), max("k").as("max_k"))),
+
+    // X8: 3-way star join — revenue by part brand for one nation's suppliers
+    "q13_star_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val part = t(s, dir, "part")
+      val supp = t(s, dir, "supplier")
+      val nation = t(s, dir, "nation")
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .join(broadcast(supp.join(broadcast(nation),
+          supp("s_nationkey") === nation("n_nationkey"))),
+          li("l_suppkey") === supp("s_suppkey"))
+        .groupBy("n_name", "p_brand")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // X6: cube grouping sets
+    "q14_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))))
+
+  def oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 6) AS avg_qty,
+        | round(avg(l_discount), 6) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q2_join_broadcast" ->
+      """SELECT r_name, count(*) AS n_customers,
+        | round(sum(c_acctbal), 2) AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin,
+    "q3_join_shuffle" ->
+      """SELECT o_orderpriority,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+    "q4_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_with_orders FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1""".stripMargin,
+    "q5_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_without_orders FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 150000.0)
+        |GROUP BY 1""".stripMargin,
+    "q6_window_rank" ->
+      """SELECT l_suppkey, rk, l_orderkey, l_linenumber, l_extendedprice
+        |FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |  row_number() OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+        | FROM lineitem)
+        |WHERE rk <= 3""".stripMargin,
+    "q7_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+        | round(coalesce(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey), 0.0), 2) AS prev_price
+        |FROM orders""".stripMargin,
+    "q8_set_except" ->
+      """SELECT DISTINCT o_custkey AS custkey FROM orders
+        |EXCEPT
+        |SELECT DISTINCT c_custkey AS custkey FROM customer
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    "q9_rollup" ->
+      """SELECT n_name, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name)""".stripMargin,
+    "q10_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q11_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q12_json" ->
+      """SELECT event_type,
+        | round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+        | max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
+    "q13_star_join" ->
+      """SELECT n_name, p_brand,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        | JOIN part ON l_partkey = p_partkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q14_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)
+}
