@@ -12,7 +12,11 @@ object SparkEntry {
 
   private def registries: Seq[QueryRegistry] = Seq(
     CdcQueries,
-    operators.AnalyticsQueries)
+    operators.AnalyticsQueries,
+    operators.DedupQueries,
+    operators.TextQueries,
+    operators.SimilarityQueries,
+    operators.MultimodalQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

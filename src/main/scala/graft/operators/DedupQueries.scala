@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.QueryRegistry
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedup operator family wired to the driver gate (X1/X2). */
+object DedupQueries extends QueryRegistry {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // X1: exact content dedup by hash groupBy. Fixture texts are unique, so
+    // deterministic duplicates are synthesized by re-appending every 50th
+    // doc — the operator must collapse them to one survivor (min doc_id).
+    "dedup_exact_hash" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val withDups = d.union(d.filter(col("doc_id") % 50 === 0))
+      withDups.groupBy(md5(col("text")).as("content_hash"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+    }),
+    // X1: key-based dedup — first doc per (lang, source) partition
+    "dedup_exact_key" -> ((s, dir) =>
+      docs(s, dir).groupBy("lang", "source")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))),
+    // X2: MinHash + banded LSH candidates + exact-Jaccard verification
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      TextDedup.minhashLshPairs(docs(s, dir), "doc_id", "text")),
+    // X2: SimHash fingerprints (near-dups collide on all 16 bits)
+    "dedup_simhash" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextDedup.simhash16(TextDedup.bigramShingles(col("text")))
+          .as("simhash"))),
+    // X2: SimHash bucket groups with >1 member = near-dup clusters
+    "dedup_simhash_dups" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextDedup.simhash16(TextDedup.bigramShingles(col("text")))
+            .as("simhash"))
+        .groupBy("simhash")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"),
+             max("doc_id").as("max_doc"))
+        .filter(col("n_docs") > 1)))
+
+  private val bigramsSql =
+    """SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-1),
+      |   i -> t[i] || ' ' || t[i+1])) AS bg
+      |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)""".stripMargin
+
+  private val simhashSql =
+    s"""SELECT doc_id, array_to_string(list_transform(generate_series(1,16), j ->
+       |  CASE WHEN list_sum(list_transform(bg, s ->
+       |    CASE WHEN substr(md5(s), j, 1) >= '8' THEN 1 ELSE -1 END)) >= 0
+       |  THEN '1' ELSE '0' END), '') AS simhash
+       |FROM ($bigramsSql)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact_hash" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0)
+        |SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        | count(*) AS n_copies
+        |FROM d GROUP BY 1""".stripMargin,
+    "dedup_exact_key" ->
+      """SELECT lang, source, min(doc_id) AS keep_id, count(*) AS n_docs
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH sh AS ($bigramsSql),
+         |mh AS (SELECT doc_id, bg, list_transform(generate_series(0, 15), k ->
+         |    list_min(list_transform(bg, s -> substr(md5(k || ':' || s), 1, 16)))) AS sig
+         |  FROM sh),
+         |bands AS (SELECT doc_id, b,
+         |    md5(sig[4*b+1] || '|' || sig[4*b+2] || '|' || sig[4*b+3] || '|' || sig[4*b+4]) AS bkey
+         |  FROM mh, (SELECT unnest(generate_series(0, 3)) AS b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |ex AS (SELECT doc_id, unnest(bg) AS s FROM sh),
+         |sz AS (SELECT doc_id, len(bg) AS n FROM sh),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i FROM cand c
+         |  JOIN ex ea ON ea.doc_id = c.doc_a
+         |  JOIN ex eb ON eb.doc_id = c.doc_b AND ea.s = eb.s
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+         |FROM inter
+         | JOIN sz sa ON sa.doc_id = doc_a
+         | JOIN sz sb ON sb.doc_id = doc_b
+         |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5""".stripMargin,
+    "dedup_simhash" -> simhashSql,
+    "dedup_simhash_dups" ->
+      s"""SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc,
+         | max(doc_id) AS max_doc
+         |FROM ($simhashSql) GROUP BY 1 HAVING count(*) > 1""".stripMargin)
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling (SURVEY.md §2.10 X5): media payloads are
+  * opaque `binary` columns with a typed metadata struct riding alongside —
+  * the layout a 100 TB training-data lake uses (parquet binary + stats).
+  *
+  * The codec step (image/audio decode) is STUBBED — the container has no
+  * media libraries — with a clearly-marked deterministic fake. Everything
+  * Spark-side is real: the schema, the per-partition batched processing
+  * (`mapPartitions`, the Scala analog of `mapInPandas` batch shape), the
+  * feature-vector output type, and the partitioning behavior.
+  */
+object Multimodal {
+
+  final case class MediaMeta(format: String, width: Int, height: Int)
+  final case class MediaRecord(doc_id: Long, media: Array[Byte], meta: MediaMeta)
+  final case class MediaFeatures(
+      doc_id: Long, format: String, n_bytes: Long, features: Array[Float])
+
+  /** Fixture media table: text bytes stand in for encoded media; metadata
+    * derived deterministically from doc_id.
+    */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet").select(
+      col("doc_id"),
+      col("text").cast("binary").as("media"),
+      struct(
+        when(col("doc_id") % 3 === 0, "jpeg")
+          .when(col("doc_id") % 3 === 1, "png")
+          .otherwise("webp").as("format"),
+        (lit(64) + (col("doc_id") % 8) * 32).cast("int").as("width"),
+        (lit(64) + (col("doc_id") % 5) * 48).cast("int").as("height"))
+        .as("meta"))
+
+  /** STUB decode: a real pipeline would decode `media` with an image/audio
+    * codec here. The fake is a 16-bin byte histogram normalized to [0,1] —
+    * deterministic, shaped like a feature extractor's output, and cheap.
+    */
+  private[operators] def decodeStub(bytes: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](16)
+    var i = 0
+    while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1f; i += 1 }
+    if (bytes.length > 0) {
+      var j = 0
+      while (j < 16) { hist(j) /= bytes.length.toFloat; j += 1 }
+    }
+    hist
+  }
+
+  /** Batched per-partition feature extraction — the Spark-side plumbing a
+    * decode/resize/frame-sample stage needs: one codec context per
+    * partition (not per row), rows streamed through it, typed output.
+    */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition "codec init" would happen here (one per task)
+      it.map { r =>
+        MediaFeatures(r.doc_id, r.meta.format, r.media.length.toLong,
+          decodeStub(r.media))
+      }
+    }
+  }
+
+  /** Frame sampling stub: every nth byte-window as a "frame" — exercises
+    * the explode-to-frames shape (one media row → many frame rows).
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
+    media.select(col("doc_id"), col("meta.format").as("format"),
+      posexplode(
+        transform(
+          sequence(lit(0), (length(col("media")) - frameBytes) / stride),
+          i => substring(col("media"), (i * stride + 1).cast("int"), lit(frameBytes)))))
+      .withColumnRenamed("pos", "frame_no")
+      .withColumnRenamed("col", "frame")
+}

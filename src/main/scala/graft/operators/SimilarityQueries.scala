@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.QueryRegistry
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search operator family wired to the driver gate (X3). */
+object SimilarityQueries extends QueryRegistry {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // X3 baseline: brute-force cosine top-5 for 10 query vectors
+    "sim_topk" -> ((s, dir) =>
+      Similarity.topK(emb(s, dir), col("vec_id") < 10, 5)),
+    // X3 scale path: IVF-bucketed top-3 (search only the query's cell)
+    "sim_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(emb(s, dir), 16, col("vec_id") < 10, 3)),
+    // X2/X3: embedding-cosine near-dup pairs within IVF cells
+    "sim_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(emb(s, dir), 16, 0.4)))
+
+  private val cosSql =
+    "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
+
+  private def cos(a: String, b: String): String =
+    cosSql.format(a, b, a, a, b, b)
+
+  private val vSql = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+
+  private val asnSql =
+    s"""SELECT vec_id, v, cid FROM (
+       |  SELECT a.vec_id, a.v, c.cid,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${cos("a.v", "c.cv")} DESC, c.cid) AS rk
+       |  FROM ($vSql) a, (SELECT vec_id AS cid, v AS cv FROM ($vSql)
+       |                   WHERE vec_id < 16) c)
+       |WHERE rk = 1""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "sim_topk" ->
+      s"""WITH v AS ($vSql),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
+         |p AS (SELECT qid, vec_id, ${cos("qv", "v")} AS sim
+         |      FROM q, v WHERE qid <> vec_id)
+         |SELECT qid, vec_id, round(sim, 6) AS sim, rk FROM (
+         |  SELECT qid, vec_id, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+         |  FROM p)
+         |WHERE rk <= 5""".stripMargin,
+    "sim_ivf_topk" ->
+      s"""WITH asn AS ($asnSql),
+         |q AS (SELECT vec_id AS qid, v AS qv, cid FROM asn WHERE vec_id < 10),
+         |p AS (SELECT q.qid, a.vec_id, ${cos("q.qv", "a.v")} AS sim
+         |      FROM q JOIN asn a USING (cid) WHERE q.qid <> a.vec_id)
+         |SELECT qid, vec_id, round(sim, 6) AS sim, rk FROM (
+         |  SELECT qid, vec_id, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+         |  FROM p)
+         |WHERE rk <= 3""".stripMargin,
+    "sim_neardup" ->
+      s"""WITH asn AS ($asnSql)
+         |SELECT a.vec_id AS va, b.vec_id AS vb,
+         |  round(${cos("a.v", "b.v")}, 6) AS sim
+         |FROM asn a JOIN asn b USING (cid)
+         |WHERE a.vec_id < b.vec_id AND ${cos("a.v", "b.v")} >= 0.4""".stripMargin)
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators (SURVEY.md §2.10 X4): language identification,
+  * quality scoring, token counting, and winnowing document fingerprints.
+  * All are narrow per-row expression work — no shuffle until the final
+  * aggregation, so they scale linearly with input splits.
+  */
+object TextAnalysis {
+
+  /** Per-language stopword/marker profiles for the n-gram-heuristic
+    * language identifier. Real-world lists (most-frequent function words);
+    * scoring = occurrence count of each language's markers.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "la", "les", "des", "et"),
+    "zh" -> Seq("的", "是", "了"))
+
+  /** Score columns (s_en, s_de, ...) = marker occurrence counts. */
+  def langScores(toks: Column): Seq[(String, Column)] =
+    langMarkers.map { case (l, ms) =>
+      l -> size(filter(toks, t => t.isin(ms: _*)))
+    }
+
+  /** Predicted language: max marker score, ties resolved in fixed order
+    * (en > de > es > fr > zh); all-zero → 'unknown'. Deterministic by
+    * construction so the SQL oracle can reproduce it with a CASE chain.
+    */
+  def predictedLang(toks: Column): Column = {
+    val s = langScores(toks).toMap
+    val Seq(en, de, es, fr, zh) = Seq("en", "de", "es", "fr", "zh").map(s)
+    when(en === 0 && de === 0 && es === 0 && fr === 0 && zh === 0, lit("unknown"))
+      .when(en >= greatest(de, es, fr, zh), lit("en"))
+      .when(de >= greatest(es, fr, zh), lit("de"))
+      .when(es >= greatest(fr, zh), lit("es"))
+      .when(fr >= zh, lit("fr"))
+      .otherwise(lit("zh"))
+  }
+
+  /** Winnowing fingerprint (k-gram rolling hash + min-per-window):
+    * word 3-gram md5-prefix hashes, window of 4, distinct kept minima,
+    * fingerprint = md5 of the sorted kept set. Standard document
+    * fingerprinting (Schleimer et al., SIGMOD'03) in pure expressions.
+    */
+  def winnowFingerprint(text: Column): Column = {
+    val t = TextDedup.tokens(text)
+    val kgrams = transform(sequence(lit(1), size(t) - 2), i =>
+      substring(
+        md5(concat_ws(" ",
+          element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))),
+        1, 8))
+    val kept = sort_array(array_distinct(
+      transform(sequence(lit(1), size(kgrams) - 3), p =>
+        array_min(slice(kgrams, p, lit(4))))))
+    struct(
+      substring(md5(concat_ws("", kept)), 1, 16).as("fp"),
+      size(kept).as("n_kept"))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.QueryRegistry
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operator family wired to the driver gate (X4). */
+object TextQueries extends QueryRegistry {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // X4: language-ID confusion matrix (marker-word heuristic vs label)
+    "text_langid" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("lang"),
+          TextAnalysis.predictedLang(TextDedup.tokens(col("text")))
+            .as("predicted"))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))),
+    // X4: per-document quality scoring (length/stopword heuristics)
+    "text_quality" -> ((s, dir) => {
+      val t = TextDedup.tokens(col("text"))
+      val nTok = size(t)
+      val nStop = size(filter(t, x => x.isin("the", "a")))
+      val stopRatio = col("n_stop").cast("double") / col("n_tokens")
+      docs(s, dir)
+        .select(col("doc_id"), col("n_chars"), nTok.cast("long").as("n_tokens"),
+          nStop.cast("long").as("n_stop"))
+        .select(col("doc_id"), col("n_tokens"), col("n_stop"),
+          round(stopRatio, 6).as("stop_ratio"),
+          round((col("n_chars") - col("n_tokens") + 1).cast("double")
+            / col("n_tokens"), 6).as("avg_word_len"),
+          round(least(lit(1.0), col("n_tokens") / lit(150.0))
+            * (lit(1.0) - stopRatio), 6).as("quality_score"))
+    }),
+    // X4: token counting — whitespace + regex (BPE-ish) per language
+    "text_tokens" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("lang"), col("n_chars"),
+          size(TextDedup.tokens(col("text"))).as("n_ws"),
+          regexp_count(col("text"), lit("[a-z]+")).as("n_re"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_ws").as("n_ws_tokens"),
+          sum("n_re").as("n_re_tokens"),
+          round(avg("n_chars"), 6).as("avg_chars"))),
+    // X4: corpus word frequencies (explode → count), deterministic top-20
+    "text_wordcount" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(TextDedup.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(20)),
+    // X4: winnowing document fingerprints (rolling-hash min-per-window)
+    "text_fingerprint" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.winnowFingerprint(col("text")).as("w"))
+        .select(col("doc_id"), col("w.fp").as("fp"),
+          col("w.n_kept").cast("long").as("n_kept"))))
+
+  def oracles: Map[String, String] = Map(
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |sc AS (SELECT lang,
+        |  len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS s_en,
+        |  len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+        |  len(list_filter(toks, x -> x IN ('el','la','de','que','los'))) AS s_es,
+        |  len(list_filter(toks, x -> x IN ('le','la','les','des','et'))) AS s_fr,
+        |  len(list_filter(toks, x -> x IN ('的','是','了'))) AS s_zh
+        | FROM t)
+        |SELECT lang,
+        | CASE WHEN s_en=0 AND s_de=0 AND s_es=0 AND s_fr=0 AND s_zh=0 THEN 'unknown'
+        |      WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
+        |      WHEN s_de >= greatest(s_es, s_fr, s_zh) THEN 'de'
+        |      WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+        |      WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS predicted,
+        | count(*) AS n
+        |FROM sc GROUP BY 1, 2""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id, n_chars, len(toks) AS n_tokens,
+        |  len(list_filter(toks, x -> x IN ('the','a'))) AS n_stop FROM t)
+        |SELECT doc_id, n_tokens, n_stop,
+        | round(n_stop * 1.0 / n_tokens, 6) AS stop_ratio,
+        | round((n_chars - n_tokens + 1) * 1.0 / n_tokens, 6) AS avg_word_len,
+        | round(least(1.0, n_tokens / 150.0) * (1.0 - n_stop * 1.0 / n_tokens), 6)
+        |   AS quality_score
+        |FROM m""".stripMargin,
+    "text_tokens" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_ws_tokens,
+        | CAST(sum(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS n_re_tokens,
+        | round(avg(n_chars), 6) AS avg_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    "text_wordcount" ->
+      """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY 1 ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    "text_fingerprint" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |kg AS (SELECT doc_id, list_transform(generate_series(1, len(t)-2),
+        |    i -> substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 8)) AS h
+        |  FROM t),
+        |keep AS (SELECT doc_id, list_sort(list_distinct(
+        |    list_transform(generate_series(1, len(h)-3),
+        |      p -> list_min(h[p:p+3])))) AS f FROM kg)
+        |SELECT doc_id, substr(md5(array_to_string(f, '')), 1, 16) AS fp,
+        | len(f) AS n_kept
+        |FROM keep""".stripMargin)
+}
