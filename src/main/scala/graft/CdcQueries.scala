@@ -54,6 +54,22 @@ object CdcQueries extends QueryRegistry {
       ch.select(col("seq"), col("rid"),
           (lit(maxTs) - col("cdc_ts") > 3600L).as("late"))
     }),
+    // §3.1 streaming parity: the flatMapGroupsWithState path must produce
+    // the same snapshot as the batch compact (same oracle SQL)
+    "cdc_compact_stream" -> ((s, dir) =>
+      streaming.CdcStream.compactStreamed(s, dir)),
+    // K2+S8+F8: CSV sink → source roundtrip preserves the changelog
+    "csv_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_csv").toString
+      val ch = CdcBatch.changeLog(s, dir).withColumn("dt", lit("20260812"))
+      sources.Csv.dumpCsv(ch, tmp, 1000000L)
+      val back = sources.Csv.loadCsv(s, tmp)
+      back.groupBy("table", "cdc_action")
+        .agg(count(lit(1)).as("n"),
+          sum(col("seq").cast("long")).as("sum_seq"),
+          round(sum(col("value").cast("double")), 2).as("sum_value"))
+    }),
     // A7: schema-drift grouping — fingerprint of present payload fields
     // (dump2csv.py:50-60); delete events carry no payload → distinct group
     "cdc_schema_drift" -> ((s, dir) =>
@@ -63,15 +79,23 @@ object CdcQueries extends QueryRegistry {
             .otherwise(lit("cdc_action,cdc_ts,props,value")))
         .groupBy("table", "fields").agg(count(lit(1)).as("n"))))
 
+  private val compactSql =
+    s"""WITH ch AS ($changelogSql),
+       |c AS (SELECT "table", rid, $mergeFoldSql AS cdc_action,
+       |        max(seq) AS seq, arg_max(cdc_ts, seq) AS cdc_ts,
+       |        arg_max(value, seq) AS value, arg_max(props, seq) AS props
+       |      FROM ch GROUP BY 1, 2)
+       |SELECT * FROM c WHERE cdc_action <> 'none'""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "cdc_changelog" -> changelogSql,
-    "cdc_compact" ->
-      s"""WITH ch AS ($changelogSql),
-         |c AS (SELECT "table", rid, $mergeFoldSql AS cdc_action,
-         |        max(seq) AS seq, arg_max(cdc_ts, seq) AS cdc_ts,
-         |        arg_max(value, seq) AS value, arg_max(props, seq) AS props
-         |      FROM ch GROUP BY 1, 2)
-         |SELECT * FROM c WHERE cdc_action <> 'none'""".stripMargin,
+    "cdc_compact_stream" -> compactSql,
+    "csv_roundtrip" ->
+      s"""SELECT "table", cdc_action, count(*) AS n,
+         | CAST(sum(seq) AS BIGINT) AS sum_seq,
+         | round(sum(value), 2) AS sum_value
+         |FROM ($changelogSql) GROUP BY 1, 2""".stripMargin,
+    "cdc_compact" -> compactSql,
     "cdc_dedup_rid" ->
       s"""SELECT * FROM ($changelogSql)
          |QUALIFY row_number() OVER (PARTITION BY "table", rid ORDER BY seq DESC) = 1""".stripMargin,

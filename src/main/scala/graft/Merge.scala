@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Types._
 
@@ -69,6 +70,15 @@ object Merge {
           .when(acc === Insert, when(a === Delete, lit(None_)).otherwise(lit(Insert)))
           .otherwise(when(a === Insert, lit(Update)).otherwise(a))
       })
+
+  /** Last row per key by a monotone sequence (A3 set semantics: at most one
+    * live row per rid, latest wins).
+    */
+  def latestPerKey(df: DataFrame, keyCols: Seq[String], seqCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
 
   /** Declarative batch compaction: net change per (table, rid).
     *

@@ -39,7 +39,7 @@ object Multimodal {
     * codec here. The fake is a 16-bin byte histogram normalized to [0,1] —
     * deterministic, shaped like a feature extractor's output, and cheap.
     */
-  private[operators] def decodeStub(bytes: Array[Byte]): Array[Float] = {
+  def decodeStub(bytes: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](16)
     var i = 0
     while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1f; i += 1 }
@@ -72,7 +72,8 @@ object Multimodal {
     media.select(col("doc_id"), col("meta.format").as("format"),
       posexplode(
         transform(
-          sequence(lit(0), (length(col("media")) - frameBytes) / stride),
+          sequence(lit(0),
+            floor((length(col("media")) - frameBytes) / stride).cast("int")),
           i => substring(col("media"), (i * stride + 1).cast("int"), lit(frameBytes)))))
       .withColumnRenamed("pos", "frame_no")
       .withColumnRenamed("col", "frame")

@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CSV sink/source parity with the reference dump/load tools.
+  *
+  * Sink (K2, dump2csv.py:62-103): date-partitioned, header-bearing,
+  * row-capped CSV; alphabetically sorted field order (dump2csv.py:57-58);
+  * schema-drift groups quarantined to a `.tmp` area instead of the main dump
+  * (dump2csv.py:78-87 — upload glob only picks `*.csv`, so `.tmp` files
+  * never leave the machine).
+  *
+  * Source (S8 + F8, loadcsv.py:83-94): header CSV back to rows, table name
+  * recovered from the `db.table[.ts].csv` filename.
+  *
+  * Spark shape: `partitionBy(dt, table)` directories replace filename
+  * conventions (a 1000-executor writer cannot share one file); row caps map
+  * to `maxRecordsPerFile`; drift grouping is a fingerprint aggregation, not
+  * a per-row dict-keys scan.
+  */
+object Csv {
+
+  /** Alphabetical payload projection (header order parity). */
+  private def sortedCols(df: DataFrame): Seq[Column] =
+    df.columns.sorted.toSeq.map(col)
+
+  /** K2: write `outDir/dt=YYYYMMDD/table=.../part*.csv` with header, at
+    * most `maxRows` rows per file. `dtCol` is the dump-date column.
+    */
+  def dumpCsv(df: DataFrame, outDir: String, maxRows: Long): Unit =
+    df.select(sortedCols(df): _*)
+      .write
+      .partitionBy("dt", "table")
+      .option("header", "true")
+      .option("maxRecordsPerFile", maxRows)
+      .mode("overwrite")
+      .csv(outDir)
+
+  /** K2 drift quarantine: tables whose rows disagree on the present-field
+    * fingerprint go entirely to `<outDir>.tmp` (suspected ALTER TABLE,
+    * dump2csv.py:78-87); clean tables go to `outDir`.
+    */
+  def dumpCsvWithQuarantine(
+      df: DataFrame,
+      fingerprint: Column,
+      outDir: String,
+      maxRows: Long): Unit = {
+    val fp = df.withColumn("__fp", fingerprint)
+    val drifted = fp.groupBy("table")
+      .agg(countDistinct(col("__fp")).as("nfp"))
+      .filter(col("nfp") > 1)
+      .select(col("table"))
+    val flagged = fp.join(broadcast(drifted)
+        .withColumn("__drift", lit(true)), Seq("table"), "left")
+    val clean = flagged.filter(col("__drift").isNull)
+      .drop("__fp", "__drift")
+    val quarantine = flagged.filter(col("__drift") === true)
+      .drop("__fp", "__drift")
+    dumpCsv(clean, outDir, maxRows)
+    if (!quarantine.isEmpty) dumpCsv(quarantine, outDir + ".tmp", maxRows)
+  }
+
+  /** F8: `/a/b/db.table.1465372800.csv` → `db.table` (loadcsv.py:83-89). */
+  def tableFromFileName(fileCol: Column): Column =
+    concat_ws(".",
+      slice(split(regexp_extract(fileCol, "[^/]+$", 0), "\\."), 1, 2))
+
+  /** S8: read a header CSV dump back; if the frame has no `table` column
+    * (plain-file layout), recover it from the filename.
+    */
+  def loadCsv(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.option("header", "true").csv(path)
+    if (df.columns.contains("table")) df
+    else df.withColumn("table", tableFromFileName(input_file_name()))
+  }
+}

@@ -1,0 +1,138 @@
+package graft.streaming
+
+import graft.{Merge, Types}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming CDC path — the Spark shape of cdc.py's main loop
+  * (SURVEY.md §3.1): change stream → keyed merge state machine →
+  * idempotent state sink.
+  *
+  * Offsets (S2/K6, cdc.py:80-82/105-109/134) are Spark's checkpoint; the
+  * per-key Redis hash (rcache.py:224-259) is `GroupState[St]`; annihilation
+  * (insert+delete) is `state.remove()` plus an explicit tombstone row so
+  * Update-mode sinks can delete downstream (SURVEY.md §7.3 risk 3).
+  *
+  * Scale: state is partitioned by (table, rid) — the same single shuffle as
+  * the batch compact; the state store scales with live keys, not event
+  * volume, and the fold is O(batch) per key.
+  */
+object CdcStream {
+
+  /** Flat change record (concrete payload of the fixture event stream). */
+  final case class Ch(table: String, rid: String, cdc_action: String,
+      cdc_ts: Long, seq: Long, value: Double, props: String)
+
+  /** Events parquet schema with ts as raw nanos (see CdcBatch.readEvents). */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming changelog from the fixture events parquet. */
+  def changeLogStream(spark: SparkSession, sfDir: String): Dataset[Ch] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet") // file source needs a dir
+      .parquet(sfDir)
+      .select(
+        lit("db_test.events").as("table"),
+        col("user_id").cast("string").as("rid"),
+        when(col("event_type") === "signup", Types.Insert)
+          .when(col("event_type") === "error", Types.Delete)
+          .otherwise(Types.Update).as("cdc_action"),
+        expr("ts div 1000000000").as("cdc_ts"),
+        col("event_id").as("seq"),
+        col("value"), col("props"))
+      .as[Ch]
+  }
+
+  /** Keyed merge: per (table, rid), fold the batch's seq-sorted changes
+    * into the carried state. Emits the new merged row per key per batch —
+    * or a `cdc_action='none'` tombstone when the key annihilates.
+    */
+  def merged(ch: Dataset[Ch]): Dataset[Ch] = {
+    import ch.sparkSession.implicits._
+    ch.groupByKey(e => (e.table, e.rid))
+      .flatMapGroupsWithState[Ch, Ch](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case ((table, rid), it, state: GroupState[Ch]) =>
+          val sorted = it.toArray.sortBy(_.seq)
+          val seen = if (state.exists) state.get.seq else Long.MinValue
+          var acc: Option[Ch] =
+            if (state.exists && state.get.cdc_action != Types.None_)
+              Some(state.get)
+            else None
+          var maxSeq = seen
+          for (e <- sorted if e.seq > seen) {
+            maxSeq = e.seq
+            acc = Merge.mergeAction(acc.map(_.cdc_action), e.cdc_action)
+              .map(a => e.copy(cdc_action = a))
+          }
+          acc match {
+            case Some(st) =>
+              state.update(st)
+              Iterator.single(st)
+            case None =>
+              // annihilated: drop state, emit tombstone for the sink
+              val tomb = Ch(table, rid, Types.None_, 0L, maxSeq, 0.0, null)
+              if (state.exists) state.remove()
+              if (maxSeq == seen) Iterator.empty else Iterator.single(tomb)
+          }
+      }
+  }
+
+  /** Run the stream to completion (AvailableNow) into a memory sink and
+    * return the final compacted snapshot — streaming/batch parity surface
+    * used by the `cdc_compact_stream` driver query.
+    */
+  def compactStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "cdc_state_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = merged(changeLogStream(spark, sfDir)).writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // collapse multi-batch updates: last update per key wins, drop tombstones
+    val updates = spark.table(name)
+    Merge.latestPerKey(updates, Seq("table", "rid"), "seq")
+      .filter(col("cdc_action") =!= Types.None_)
+      .select("table", "rid", "cdc_action", "seq", "cdc_ts", "value", "props")
+  }
+
+  /** Production sink shape: per micro-batch, upsert the merged updates into
+    * a parquet state dir (read-modify-overwrite; a table format with MERGE
+    * INTO or partition-level overwrite replaces this at 100 TB).
+    */
+  def run(spark: SparkSession, source: Dataset[Ch], stateDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    merged(source).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Ch], _: Long) =>
+        val spark = batch.sparkSession
+        val updates = Merge.latestPerKey(
+          batch.toDF(), Seq("table", "rid"), "seq")
+        val dir = new java.io.File(stateDir)
+        val merged =
+          if (dir.exists()) {
+            val old = spark.read.parquet(stateDir)
+            old.join(updates.select("table", "rid"), Seq("table", "rid"),
+                "left_anti")
+              .unionByName(updates.filter(col("cdc_action") =!= Types.None_))
+          } else updates.filter(col("cdc_action") =!= Types.None_)
+        val tmp = stateDir + ".next"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(stateDir)
+      }
+      .start()
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.streaming.CdcStream
+import graft.streaming.CdcStream.Ch
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Streaming merge must equal batch compaction, incrementally, across
+  * micro-batches, with annihilation tombstones (SURVEY.md §2.8, §7.3).
+  */
+class StreamSpec extends SparkSuite {
+
+  private def ch(rid: String, act: String, seq: Long, v: Double = 0.0) =
+    Ch("db.t", rid, act, 1000L + seq, seq, v, s"p$seq")
+
+  test("incremental streaming merge == batch compact, with tombstones") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ch]
+    val name = "stream_spec_out"
+    val q = CdcStream.merged(mem.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("update")
+      .trigger(Trigger.ProcessingTime(0)).start()
+
+    // batch 1: a inserted, b inserted, c updated
+    mem.addData(ch("a", "insert", 1), ch("b", "insert", 2), ch("c", "update", 3))
+    q.processAllAvailable()
+    val s1 = spark.table(name).as[Ch].collect().map(e => e.rid -> e.cdc_action)
+    assert(s1.toMap === Map("a" -> "insert", "b" -> "insert", "c" -> "update"))
+
+    // batch 2: a deleted (annihilate -> tombstone), b updated (stays insert)
+    mem.addData(ch("a", "delete", 4), ch("b", "update", 5, 9.5))
+    q.processAllAvailable()
+    val updates = spark.table(name).as[Ch].collect()
+    val last = updates.groupBy(_.rid).map { case (r, es) => r -> es.maxBy(_.seq) }
+    assert(last("a").cdc_action === Types.None_)   // tombstone emitted
+    assert(last("b").cdc_action === "insert" && last("b").value === 9.5)
+    assert(last("c").cdc_action === "update")
+    q.stop()
+
+    // equals batch compact over the full log
+    val full = Seq(ch("a", "insert", 1), ch("b", "insert", 2),
+      ch("c", "update", 3), ch("a", "delete", 4), ch("b", "update", 5, 9.5))
+    val batch = Merge.compact(full.toDF(), Seq("table", "rid"))
+      .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    val streamFinal = last.collect {
+      case (r, e) if e.cdc_action != Types.None_ => r -> e.cdc_action
+    }
+    assert(streamFinal.toMap === batch)
+  }
+
+  test("foreachBatch state sink upserts and deletes across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_state").toString
+    val state = s"$dir/state"
+
+    val mem = MemoryStream[Ch]
+    val q = CdcStream.run(spark, mem.toDS(), state, s"$dir/ckpt")
+    mem.addData(ch("a", "insert", 1), ch("b", "insert", 2))
+    q.processAllAvailable()
+    assert(spark.read.parquet(state).count() === 2)
+
+    // next batch: delete a (annihilates via carried state), add c
+    mem.addData(ch("a", "delete", 3), ch("c", "insert", 4))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.read.parquet(state)
+      .select("rid", "cdc_action").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows === Map("b" -> "insert", "c" -> "insert")) // a removed
+  }
+}
