@@ -62,6 +62,24 @@ object CdcBatch {
       keyCols = Seq("table", "rid"),
       payloadCols = Seq("cdc_ts", "value", "props"))
 
+  /** A6 (cdc.py:125-133): dump-trigger policy constants and predicates.
+    * In the Spark engine the capacity trigger becomes a streaming trigger
+    * policy (Spark spills instead of OOM-ing like Redis), and the latency
+    * check is a watermark-gap alarm — but the thresholds are the
+    * reference's (cdc_config.py:41-48).
+    */
+  object DumpPolicy {
+    val CacheMaxRows = 2000000L    // cdc_config.py:41-42
+    val BinlogMaxLatency = 60000L  // seconds, cdc_config.py:48
+
+    def shouldDump(cacheRows: Long, maxRows: Long = CacheMaxRows): Boolean =
+      cacheRows > maxRows
+
+    def isLate(nowTs: Long, eventTs: Long,
+        maxLatency: Long = BinlogMaxLatency): Boolean =
+      nowTs - eventTs > maxLatency
+  }
+
   /** Persist the snapshot as the parquet state dir, partitioned by table so
     * single-table scans (S5, rcache.py:162-174) become partition-pruned
     * reads, and overwrite-idempotent (at-least-once replay safety,

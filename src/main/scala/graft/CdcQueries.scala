@@ -70,6 +70,22 @@ object CdcQueries extends QueryRegistry {
           sum(col("seq").cast("long")).as("sum_seq"),
           round(sum(col("value").cast("double")), 2).as("sum_value"))
     }),
+    // S7: table catalog listing from the compacted state
+    "cdc_tables" -> ((s, dir) =>
+      CdcBatch.compactedSnapshot(s, dir)
+        .groupBy("table").agg(count(lit(1)).as("n_live_rows"))),
+    // A9 (dump2csv.py:155-172): date-grouped, size-capped (8) batching
+    "cdc_batch_groups" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("day").orderBy("seq")
+      CdcBatch.changeLog(s, dir)
+        .withColumn("day", expr("cdc_ts div 86400"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("chunk", expr("(rn - 1) div 8"))
+        .groupBy("day", "chunk")
+        .agg(count(lit(1)).as("n"), min("seq").as("min_seq"),
+          max("seq").as("max_seq"))
+    }),
     // A7: schema-drift grouping — fingerprint of present payload fields
     // (dump2csv.py:50-60); delete events carry no payload → distinct group
     "cdc_schema_drift" -> ((s, dir) =>
@@ -96,6 +112,17 @@ object CdcQueries extends QueryRegistry {
          | round(sum(value), 2) AS sum_value
          |FROM ($changelogSql) GROUP BY 1, 2""".stripMargin,
     "cdc_compact" -> compactSql,
+    "cdc_tables" ->
+      s"""SELECT "table", count(*) AS n_live_rows
+         |FROM ($compactSql) GROUP BY 1""".stripMargin,
+    "cdc_batch_groups" ->
+      s"""WITH ch AS ($changelogSql),
+         |r AS (SELECT cdc_ts // 86400 AS day, seq,
+         |  row_number() OVER (PARTITION BY cdc_ts // 86400 ORDER BY seq) AS rn
+         | FROM ch)
+         |SELECT day, (rn - 1) // 8 AS chunk, count(*) AS n,
+         | min(seq) AS min_seq, max(seq) AS max_seq
+         |FROM r GROUP BY 1, 2""".stripMargin,
     "cdc_dedup_rid" ->
       s"""SELECT * FROM ($changelogSql)
          |QUALIFY row_number() OVER (PARTITION BY "table", rid ORDER BY seq DESC) = 1""".stripMargin,

@@ -66,6 +66,19 @@ object Csv {
     concat_ws(".",
       slice(split(regexp_extract(fileCol, "[^/]+$", 0), "\\."), 1, 2))
 
+  /** F9: `gs://bucket/system/sid/date/db.table.ts.csv` →
+    * (system, sid, dt, table) columns (dump2csv.py:236-238).
+    */
+  def parseGsUrl(urlCol: Column): Column = {
+    val parts = split(regexp_replace(urlCol, "^gs://", ""), "/")
+    val file = element_at(parts, -1)
+    struct(
+      element_at(parts, 2).as("system"),
+      element_at(parts, 3).as("sid"),
+      element_at(parts, 4).as("dt"),
+      concat_ws(".", slice(split(file, "\\."), 1, 2)).as("table"))
+  }
+
   /** S8: read a header CSV dump back; if the frame has no `table` column
     * (plain-file layout), recover it from the filename.
     */
