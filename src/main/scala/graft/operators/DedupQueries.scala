@@ -29,16 +29,10 @@ object DedupQueries extends QueryRegistry {
       TextDedup.minhashLshPairs(docs(s, dir), "doc_id", "text")),
     // X2: SimHash fingerprints (near-dups collide on all 16 bits)
     "dedup_simhash" -> ((s, dir) =>
-      docs(s, dir).select(
-        col("doc_id"),
-        TextDedup.simhash16(TextDedup.bigramShingles(col("text")))
-          .as("simhash"))),
+      TextDedup.simhashDf(docs(s, dir), "doc_id", "text")),
     // X2: SimHash bucket groups with >1 member = near-dup clusters
     "dedup_simhash_dups" -> ((s, dir) =>
-      docs(s, dir)
-        .select(col("doc_id"),
-          TextDedup.simhash16(TextDedup.bigramShingles(col("text")))
-            .as("simhash"))
+      TextDedup.simhashDf(docs(s, dir), "doc_id", "text")
         .groupBy("simhash")
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"),
              max("doc_id").as("max_doc"))

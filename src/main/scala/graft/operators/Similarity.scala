@@ -21,9 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two array<double> columns. */
+  /** Sequential-fold dot product — codegen'd Catalyst expression (see
+    * graft.functions.DotProduct); bitwise-equal to the HOF fold
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` but runs inside
+    * whole-stage codegen.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.graft.VectorFunctions.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.TextDedup
+import org.apache.spark.sql.functions._
+
+/** The scale-form (explode + hash-aggregate) signature computations must
+  * equal the HOF reference forms — pins the optimized path to the spec.
+  */
+class DedupSpec extends SparkSuite {
+
+  private lazy val docs =
+    spark.read.parquet(s"$sf0001/documents.parquet").limit(50)
+
+  test("minhashSignatures (explode+agg) == minhashSignature (HOF)") {
+    val sh = docs.select(col("doc_id"),
+      TextDedup.bigramShingles(col("text")).as("bg"))
+    val scale = TextDedup.minhashSignatures(sh, 8)
+      .collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(i => r.getString(i)))
+      .toMap
+    val hof = sh.select(col("doc_id"),
+        TextDedup.minhashSignature(col("bg"), 8).as("sig"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+      .toMap
+    assert(scale.keySet === hof.keySet)
+    for ((k, v) <- scale) assert(v.toSeq === hof(k).toSeq, s"doc $k")
+  }
+
+  test("simhashDf (explode+agg) == simhash16 (HOF)") {
+    val scale = TextDedup.simhashDf(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val hof = docs.select(col("doc_id"),
+        TextDedup.simhash16(TextDedup.bigramShingles(col("text"))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(scale === hof)
+  }
+
+  test("lsh pairs: planted near-dups found with exact jaccard >= 0.5") {
+    val all = spark.read.parquet(s"$sf0001/documents.parquet")
+    val pairs = TextDedup.minhashLshPairs(all, "doc_id", "text").collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getDouble(2) >= 0.5))
+    // symmetric dedup: a < b always
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("codegen DotProduct == HOF fold, bitwise") {
+    import spark.implicits._
+    val df = Seq((Seq(1.5, 2.5, -3.0), Seq(0.5, 2.0, 4.0))).toDF("a", "b")
+    val got = df.select(
+      org.apache.spark.sql.graft.VectorFunctions.dot(col("a"), col("b")),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)).head()
+    assert(got.getDouble(0) === got.getDouble(1))
+    assert(got.getDouble(0) === (1.5 * 0.5 + 2.5 * 2.0 + (-3.0) * 4.0))
+  }
+}
