@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.DotProduct
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * Catalyst expressions as SQL functions, so
+  * `spark.sql("SELECT graft_dot(a, b) ...")` plans the codegen'd
+  * expression directly.
+  *
+  * Wire-up: `SparkSession.builder().withExtensions(new GraftExtensions)`
+  * or `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.dotFunction)
+  }
+}
+
+object GraftExtensions {
+
+  /** (name, info, builder) tuple for FunctionRegistry injection. */
+  val dotFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "graft_dot(a, b) takes two array<double> args")
+      DotProduct(children.head, children(1))
+    })
+
+  /** Imperative registration for an already-built session (tests, REPL). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val (id, info, builder) = dotFunction
+    spark.sessionState.functionRegistry
+      .registerFunction(id, info, builder)
+  }
+}

@@ -168,7 +168,34 @@ object AnalyticsQueries extends QueryRegistry {
     "q14_cube" -> ((s, dir) =>
       t(s, dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
-        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))),
+
+    // X6: HLL sketch distinct — no DuckDB oracle (different HLL impls), the
+    // driver records a rows-only check; exact twin is q11_distinct
+    "q15_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+             approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))),
+
+    // skew handling: two-phase salted aggregate must equal the plain agg —
+    // the oracle IS the unsalted SQL
+    "q16_salted_agg" -> ((s, dir) =>
+      Skew.saltedCountSum(
+          t(s, dir, "lineitem"), Seq("l_returnflag"), "l_quantity",
+          salts = 8, spreadCol = "l_orderkey")
+        .select(col("l_returnflag"), col("n"), round(col("total"), 2).as("total"))),
+
+    // tumbling event-time windows (the streaming agg idiom, run on batch)
+    "q17_daily_window" -> ((s, dir) =>
+      graft.CdcBatch.readEvents(s, dir)
+        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window(col("ets"), "1 day").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+             countDistinct(col("user_id")).as("n_users"),
+             round(sum("value"), 2).as("sum_value"))
+        .select(col("w.start").cast("long").as("day_start"),
+          col("n_events"), col("n_users"), col("sum_value"))))
 
   def oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -248,5 +275,15 @@ object AnalyticsQueries extends QueryRegistry {
     "q14_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         | round(sum(o_totalprice), 2) AS total
-        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    // q15_approx_distinct: intentionally no oracle (engine-specific HLL)
+    "q16_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(sum(l_quantity), 2) AS total
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q17_daily_window" ->
+      """SELECT (epoch_ms(ts) // 1000) // 86400 * 86400 AS day_start,
+        | count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        | round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin)
 }

@@ -1,0 +1,42 @@
+package graft
+
+import graft.functions.GraftExtensions
+import graft.operators.Skew
+import org.apache.spark.sql.functions._
+
+class ExtensionsSkewSpec extends SparkSuite {
+
+  test("graft_dot is callable from SQL after extension registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head().getDouble(0)
+    assert(r === 11.0)
+  }
+
+  test("salted two-phase aggregate equals plain aggregate") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val salted = Skew.saltedCountSum(
+        li, Seq("l_returnflag"), "l_quantity", salts = 8,
+        spreadCol = "l_orderkey")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), math.round(r.getDouble(2) * 100))))
+      .toMap
+    val plain = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("total"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), math.round(r.getDouble(2) * 100))))
+      .toMap
+    assert(salted === plain)
+  }
+
+  test("salt is deterministic and bounded") {
+    import spark.implicits._
+    val df = (1 to 1000).toDF("k")
+    val s1 = df.select(Skew.salt(8, col("k")).as("s")).collect().map(_.getInt(0))
+    val s2 = df.select(Skew.salt(8, col("k")).as("s")).collect().map(_.getInt(0))
+    assert(s1.toSeq === s2.toSeq)
+    assert(s1.forall(s => s >= 0 && s < 8))
+    assert(s1.distinct.length === 8) // actually spreads
+  }
+}
