@@ -52,6 +52,25 @@ object TextQueries extends QueryRegistry {
         .groupBy("word").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("word"))
         .limit(20)),
+    // X4: TF-IDF — corpus-level term weighting, top-5 terms per language
+    // (tf = term count within the language; idf = ln(N_docs / doc-freq))
+    "text_tfidf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nDocs = d.count()
+      val tokens = d.select(col("lang"), col("doc_id"),
+        explode(TextDedup.tokens(col("text"))).as("word"))
+      val tf = tokens.groupBy("lang", "word").agg(count(lit(1)).as("tf"))
+      val df_ = tokens.select("doc_id", "word").distinct()
+        .groupBy("word").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("tfidf").desc, col("word"))
+      tf.join(broadcast(df_), "word")
+        .withColumn("tfidf",
+          round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select("lang", "rk", "word", "tfidf")
+    }),
     // X4: winnowing document fingerprints (rolling-hash min-per-window)
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir)
@@ -98,6 +117,20 @@ object TextQueries extends QueryRegistry {
       """SELECT word, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY 1 ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    "text_tfidf" ->
+      """WITH tok AS (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |tf AS (SELECT lang, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT word, count(*) AS df FROM
+        |  (SELECT DISTINCT doc_id, word FROM tok) GROUP BY 1),
+        |sc AS (SELECT lang, word, tf,
+        |  round(tf * ln((SELECT count(*) FROM documents) * 1.0 / df), 6) AS tfidf
+        | FROM tf JOIN df USING (word))
+        |SELECT lang, rk, word, tfidf FROM (
+        |  SELECT lang, word, tfidf,
+        |    row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, word) AS rk
+        |  FROM sc)
+        |WHERE rk <= 5""".stripMargin,
     "text_fingerprint" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |kg AS (SELECT doc_id, list_transform(generate_series(1, len(t)-2),
