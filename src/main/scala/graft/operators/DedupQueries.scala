@@ -27,6 +27,12 @@ object DedupQueries extends QueryRegistry {
     // X2: MinHash + banded LSH candidates + exact-Jaccard verification
     "dedup_minhash_lsh" -> ((s, dir) =>
       TextDedup.minhashLshPairs(docs(s, dir), "doc_id", "text")),
+    // X2: near-dup clusters — connected components over the LSH pair set,
+    // cluster id = smallest member doc_id (the keep-one-per-cluster step)
+    "dedup_clusters" -> ((s, dir) =>
+      TextDedup.connectedComponents(
+        TextDedup.minhashLshPairs(docs(s, dir), "doc_id", "text"),
+        "doc_a", "doc_b")),
     // X2: SimHash fingerprints (near-dups collide on all 16 bits)
     "dedup_simhash" -> ((s, dir) =>
       TextDedup.simhashDf(docs(s, dir), "doc_id", "text")),
@@ -82,6 +88,35 @@ object DedupQueries extends QueryRegistry {
          | JOIN sz sa ON sa.doc_id = doc_a
          | JOIN sz sb ON sb.doc_id = doc_b
          |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE sh AS ($bigramsSql),
+         |mh AS (SELECT doc_id, bg, list_transform(generate_series(0, 15), k ->
+         |    list_min(list_transform(bg, s -> substr(md5(k || ':' || s), 1, 16)))) AS sig
+         |  FROM sh),
+         |bands AS (SELECT doc_id, b,
+         |    md5(sig[4*b+1] || '|' || sig[4*b+2] || '|' || sig[4*b+3] || '|' || sig[4*b+4]) AS bkey
+         |  FROM mh, (SELECT unnest(generate_series(0, 3)) AS b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |ex AS (SELECT doc_id, unnest(bg) AS s FROM sh),
+         |sz AS (SELECT doc_id, len(bg) AS n FROM sh),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i FROM cand c
+         |  JOIN ex ea ON ea.doc_id = c.doc_a
+         |  JOIN ex eb ON eb.doc_id = c.doc_b AND ea.s = eb.s
+         |  GROUP BY 1, 2),
+         |p AS (SELECT doc_a, doc_b FROM inter
+         |  JOIN sz sa ON sa.doc_id = doc_a
+         |  JOIN sz sb ON sb.doc_id = doc_b
+         |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5),
+         |e AS (SELECT doc_a AS s, doc_b AS d FROM p
+         |  UNION SELECT doc_b, doc_a FROM p),
+         |reach(doc, label) AS (
+         |  SELECT DISTINCT s, s FROM e
+         |  UNION
+         |  SELECT e.d, r.label FROM reach r JOIN e ON e.s = r.doc)
+         |SELECT doc AS doc_id, min(label) AS cluster_id
+         |FROM reach GROUP BY 1""".stripMargin,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_dups" ->
       s"""SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc,

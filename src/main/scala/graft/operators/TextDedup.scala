@@ -98,6 +98,40 @@ object TextDedup {
           .as("simhash"))
   }
 
+  /** Connected components over a near-dup pair set by min-label
+    * propagation: every doc's cluster id converges to the smallest doc_id
+    * in its component — the grouping step of near-dedup ("keep one doc per
+    * cluster").
+    *
+    * The driver loop iterates to fixpoint (diameter-bounded, tiny for
+    * near-dup graphs; labels localCheckpoint'd per round to keep lineage
+    * flat). At 100 TB component sizes stay small for dedup workloads; for
+    * adversarial graphs swap in large-star/small-star (Kiveris et al.,
+    * "Connected Components in MapReduce"), which is the same join shape.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("label", col("doc")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val neigh = edges
+        .join(labels.withColumnRenamed("doc", "src"), "src")
+        .groupBy(col("dst").as("doc")).agg(min("label").as("nlabel"))
+      val next = labels.join(neigh, Seq("doc"), "left")
+        .select(col("doc"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.alias("n")
+        .join(labels.alias("o"), col("n.doc") === col("o.doc"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+    }
+    labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
     *
     * @param docs (idCol, textCol) DataFrame

@@ -45,6 +45,15 @@ class DedupSpec extends SparkSuite {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("connected components: min-label propagation over pair chains") {
+    import spark.implicits._
+    // chain 5-3-7 plus isolated pair 10-12 → clusters {3,5,7}=3, {10,12}=10
+    val pairs = Seq((3L, 5L), (5L, 7L), (10L, 12L)).toDF("doc_a", "doc_b")
+    val cc = TextDedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(3L -> 3L, 5L -> 3L, 7L -> 3L, 10L -> 10L, 12L -> 10L))
+  }
+
   test("codegen DotProduct == HOF fold, bitwise") {
     import spark.implicits._
     val df = Seq((Seq(1.5, 2.5, -3.0), Seq(0.5, 2.0, 4.0))).toDF("a", "b")
