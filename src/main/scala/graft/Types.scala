@@ -91,6 +91,26 @@ object Types {
     }
   }
 
+  /** Typed per-table view over the stringly payload (SURVEY.md §1.3): casts
+    * each `payload[col]` string to the Spark type of its declared MySQL
+    * type. The core state stays `map<string,string>` (drift-tolerant, the
+    * Redis-hash reality); typing happens only at the consumption edge.
+    */
+  def typedView(
+      df: org.apache.spark.sql.DataFrame,
+      mysqlCols: Seq[(String, String)],
+      payloadCol: String = "payload"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val keep = df.columns.filterNot(_ == payloadCol).map(col).toSeq
+    val typed = mysqlCols.map { case (name, mysqlType) =>
+      // try_cast: malformed values become null instead of ANSI cast errors
+      // (drift tolerance — a stringly cache can hold anything)
+      expr(s"try_cast($payloadCol['$name'] AS ${mysqlToSpark(mysqlType).sql})")
+        .as(name)
+    }
+    df.select(keep ++ typed: _*)
+  }
+
   private def parseDecimal(t: String): DataType = {
     val m = """decimal\((\d+)\s*,\s*(\d+)\)""".r.findFirstMatchIn(t)
     m.map(g => DecimalType(g.group(1).toInt, g.group(2).toInt))

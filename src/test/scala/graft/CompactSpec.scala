@@ -10,8 +10,12 @@ import Types._
 class CompactSpec extends SparkSuite {
 
   test("declarative compact == pure fold on random shuffled changelog") {
+    for (seed <- Seq(7, 42, 1234)) checkSeed(seed)
+  }
+
+  private def checkSeed(seed: Int): Unit = {
     import spark.implicits._
-    val rnd = new Random(7)
+    val rnd = new Random(seed)
     val acts = Vector(Insert, Update, Delete)
     val rows = (0L until 5000L).map { seq =>
       val rid = (rnd.nextInt(120)).toString

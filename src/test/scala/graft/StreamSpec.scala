@@ -50,6 +50,30 @@ class StreamSpec extends SparkSuite {
     assert(streamFinal.toMap === batch)
   }
 
+  test("watermarked tumbling-window aggregation over the change stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ch]
+    val windowed = mem.toDS()
+      .withColumn("ets", timestamp_seconds(col("cdc_ts")))
+      .withWatermark("ets", "1 hour")
+      .groupBy(window(col("ets"), "10 minutes"), col("cdc_action"))
+      .agg(count(lit(1)).as("n"))
+    val q = windowed.writeStream
+      .format("memory").queryName("stream_windowed")
+      .outputMode("update").start()
+    // two events in one 10-min bucket, one in the next
+    mem.addData(
+      Ch("db.t", "a", "insert", 600, 1, 1.0, null),
+      Ch("db.t", "b", "insert", 900, 2, 1.0, null),
+      Ch("db.t", "c", "insert", 1300, 3, 1.0, null))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("stream_windowed")
+      .select(col("window.start").cast("long"), col("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows === Map(600L -> 2L, 1200L -> 1L))
+  }
+
   test("foreachBatch state sink upserts and deletes across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -35,6 +35,29 @@ class TypesRidSpec extends AnyFunSuite {
   }
 }
 
+class TypedViewSpec extends SparkSuite {
+  test("typedView casts stringly payload to declared MySQL-mapped types") {
+    import spark.implicits._
+    val df = Seq(
+      ("db.t", "1", Map("qty" -> "42", "price" -> "19.99", "note" -> "ok")))
+      .toDF("table", "rid", "payload")
+    val typed = Types.typedView(df,
+      Seq("qty" -> "int(11)", "price" -> "decimal(6,2)", "note" -> "text"))
+    assert(typed.columns.toSeq === Seq("table", "rid", "qty", "price", "note"))
+    assert(typed.schema("qty").dataType === org.apache.spark.sql.types.IntegerType)
+    assert(typed.schema("price").dataType ===
+      org.apache.spark.sql.types.DecimalType(6, 2))
+    val r = typed.head()
+    assert(r.getInt(2) === 42)
+    assert(r.getDecimal(3).toString === "19.99")
+    // unparsable strings become null, not errors (drift tolerance)
+    val bad = Types.typedView(
+      Seq(("t", Map("qty" -> "not-a-number"))).toDF("table", "payload"),
+      Seq("qty" -> "int"))
+    assert(bad.head().isNullAt(1))
+  }
+}
+
 class RidSparkSpec extends SparkSuite {
   test("composite rid = '&'.join(values) (rcache.py:190-191)") {
     import spark.implicits._
