@@ -84,7 +84,9 @@ object TextDedup {
     * map-side combine shrinks the shuffle to 16 ints per doc.
     */
   def simhashDf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     val ex = docs
+      .repartition(par) // spread the shingling work over all cores
       .select(col(idCol).as("doc_id"),
         explode(bigramShingles(col(textCol))).as("s"))
       .select(col("doc_id"), md5(col("s")).as("h"))
@@ -148,9 +150,14 @@ object TextDedup {
       bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     val rows = k / bands
-    val sh = docs.select(
-      col(idCol).as("doc_id"),
-      bigramShingles(col(textCol)).as("bg"))
+    // repartition: a single-file input would otherwise run the CPU-heavy
+    // shingling/hashing map stage as ONE task; localCheckpoint: the shingle
+    // table feeds three consumers (signatures + both Jaccard branches) and
+    // must not be recomputed per branch.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val sh = docs.repartition(par)
+      .select(col(idCol).as("doc_id"), bigramShingles(col(textCol)).as("bg"))
+      .localCheckpoint()
     val mh = minhashSignatures(sh, k)
 
     // band-bucket key: md5 of the band's signature slice; stack() unpivots
@@ -176,7 +183,8 @@ object TextDedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    // exact-Jaccard verification over candidates only
+    // exact-Jaccard verification over candidates only (ex/sz re-read the
+    // checkpointed shingle table — no HOF recompute)
     val ex = sh.select(col("doc_id"), explode(col("bg")).as("s"))
     val sz = sh.select(col("doc_id"), size(col("bg")).as("n"))
     val inter = cand
