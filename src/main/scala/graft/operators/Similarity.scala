@@ -31,7 +31,11 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Single-pass codegen'd cosine (see graft CosineSim expression) —
+    * bitwise-equal to `dot(a,b) / (norm(a) * norm(b))`.
+    */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorFunctions.cosine(a, b)
 
   private def vecs(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

@@ -54,6 +54,24 @@ class DedupSpec extends SparkSuite {
     assert(cc === Map(3L -> 3L, 5L -> 3L, 7L -> 3L, 10L -> 10L, 12L -> 10L))
   }
 
+  test("single-pass CosineSim == composed dot/norms, bitwise, on real embeddings") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(100)
+    val a = emb.select(col("vec_id").as("ia"), col("v").as("va"))
+    val b = emb.select(col("vec_id").as("ib"), col("v").as("vb"))
+    val d = org.apache.spark.sql.graft.VectorFunctions
+    val pairs = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .select(
+        d.cosine(col("va"), col("vb")).as("one_pass"),
+        (d.dot(col("va"), col("vb")) /
+          (sqrt(d.dot(col("va"), col("va"))) * sqrt(d.dot(col("vb"), col("vb")))))
+          .as("composed"))
+      .collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(r => r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("codegen DotProduct == HOF fold, bitwise") {
     import spark.implicits._
     val df = Seq((Seq(1.5, 2.5, -3.0), Seq(0.5, 2.0, 4.0))).toDF("a", "b")
