@@ -53,6 +53,19 @@ object CdcBatch {
       col("props"))
   }
 
+  /** Fail-fast key validation (cdc.py:114-118 / rcache.py:232-235): a
+    * change row with a null/empty rid has no identity to merge on — the
+    * reference aborts the pipeline (SaveIgnore → warn+skip table; missing
+    * key config → sys.exit). `raise_error` gives the distributed analog:
+    * the job fails on first violation instead of silently dropping rows.
+    */
+  def validateKeys(changes: DataFrame, ridCol: String = "rid"): DataFrame =
+    changes.withColumn(ridCol,
+      when(col(ridCol).isNull || col(ridCol) === "",
+        raise_error(concat(lit("SaveIgnore: row without primary key in table "),
+          col("table"))))
+        .otherwise(col(ridCol)))
+
   /** Net-change snapshot: compacted state per (table, rid) — the Redis cache
     * contents after the event stream has been applied (rcache.py:224-259).
     */

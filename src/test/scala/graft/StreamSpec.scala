@@ -50,6 +50,40 @@ class StreamSpec extends SparkSuite {
     assert(streamFinal.toMap === batch)
   }
 
+  test("streaming dropDuplicates with watermark (A3 set semantics on stream)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ch]
+    val deduped = mem.toDS()
+      .withColumn("ets", timestamp_seconds(col("cdc_ts")))
+      .withWatermark("ets", "1 hour")
+      .dropDuplicates("table", "rid")
+    val q = deduped.writeStream
+      .format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    mem.addData(ch("a", "insert", 1), ch("a", "update", 2), ch("b", "insert", 3))
+    q.processAllAvailable()
+    mem.addData(ch("a", "update", 4), ch("c", "insert", 5)) // a is a dup
+    q.processAllAvailable(); q.stop()
+    val rids = spark.table("stream_dedup").select("rid").as[String]
+      .collect().sorted.toSeq
+    assert(rids === Seq("a", "b", "c")) // at-most-one row per rid
+  }
+
+  test("validateKeys fails fast on null rid (SaveIgnore parity)") {
+    import spark.implicits._
+    val bad = Seq(("db.t", null.asInstanceOf[String], "insert", 1L))
+      .toDF("table", "rid", "cdc_action", "seq")
+    val ex = intercept[Exception] {
+      CdcBatch.validateKeys(bad).collect()
+    }
+    assert(ex.getMessage.contains("SaveIgnore"))
+    // clean rows pass through unchanged
+    val ok = Seq(("db.t", "1", "insert", 1L))
+      .toDF("table", "rid", "cdc_action", "seq")
+    assert(CdcBatch.validateKeys(ok).collect().length === 1)
+  }
+
   test("watermarked tumbling-window aggregation over the change stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
