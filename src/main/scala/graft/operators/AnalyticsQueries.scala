@@ -186,6 +186,28 @@ object AnalyticsQueries extends QueryRegistry {
           salts = 8, spreadCol = "l_orderkey")
         .select(col("l_returnflag"), col("n"), round(col("total"), 2).as("total"))),
 
+    // as-of join: each event matched to the user's most recent order at or
+    // before the event time (point-in-time lookup; oracle = native ASOF
+    // JOIN in DuckDB). Orders deduped to one per (custkey, ts) first.
+    "q18_asof_join" -> ((s, dir) => {
+      val ev = graft.CdcBatch.readEvents(s, dir)
+        .select(col("user_id").as("k"), expr("ts div 1000000000").as("t"),
+          col("event_id"))
+      val ordU = t(s, dir, "orders")
+        .select(col("o_custkey").as("k"),
+          // o_orderdate is TIMESTAMP_NTZ; NTZ→long needs a TIMESTAMP hop
+          // (session TZ is UTC, so this is the naive epoch, = DuckDB's)
+          col("o_orderdate").cast("timestamp").cast("long").as("t"),
+          col("o_orderkey"), col("o_totalprice"))
+        .groupBy("k", "t")
+        .agg(max_by(col("o_orderkey"), col("o_orderkey")).as("o_orderkey"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+      AsOf.asofJoin(ev, ordU, on = "k", ts = "t",
+          rightCols = Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("k").as("user_id"),
+          col("o_orderkey"), col("o_totalprice"))
+    }),
+
     // tumbling event-time windows (the streaming agg idiom, run on batch)
     "q17_daily_window" -> ((s, dir) =>
       graft.CdcBatch.readEvents(s, dir)
@@ -277,6 +299,15 @@ object AnalyticsQueries extends QueryRegistry {
         | round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     // q15_approx_distinct: intentionally no oracle (engine-specific HLL)
+    "q18_asof_join" ->
+      """WITH ev AS (SELECT user_id AS k, epoch_ms(ts)//1000 AS t, event_id
+        |  FROM events),
+        |ordu AS (SELECT o_custkey AS k, epoch_ms(o_orderdate)//1000 AS t,
+        |    arg_max(o_orderkey, o_orderkey) AS o_orderkey,
+        |    arg_max(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT event_id, ev.k AS user_id, o_orderkey, o_totalprice
+        |FROM ev ASOF JOIN ordu ON ev.k = ordu.k AND ev.t >= ordu.t""".stripMargin,
     "q16_salted_agg" ->
       """SELECT l_returnflag, count(*) AS n,
         | round(sum(l_quantity), 2) AS total
