@@ -19,7 +19,23 @@ object SimilarityQueries extends QueryRegistry {
       Similarity.ivfTopK(emb(s, dir), 16, col("vec_id") < 10, 3)),
     // X2/X3: embedding-cosine near-dup pairs within IVF cells
     "sim_neardup" -> ((s, dir) =>
-      Similarity.nearDupPairs(emb(s, dir), 16, 0.4)))
+      Similarity.nearDupPairs(emb(s, dir), 16, 0.4)),
+    // X3 storage path: int8 scalar quantization (symmetric, fixed [-1,1]
+    // range) — per-label reconstruction-error profile. At 100 TB this is
+    // the 4× embedding-lake compression step before IVF/LSH indexing.
+    "sim_quantize" -> ((s, dir) => {
+      val v = col("embedding").cast("array<double>")
+      val err = transform(v, x => abs(x - round(x * 127) / 127.0))
+      emb(s, dir)
+        .select(col("label"),
+          array_max(err).as("max_err"),
+          (aggregate(err, lit(0.0), (a, x) => a + x) / size(v)).as("mean_err"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(avg("max_err"), 6).as("avg_max_err"),
+          round(max("max_err"), 6).as("worst_err"),
+          round(avg("mean_err"), 6).as("avg_mean_err"))
+    }))
 
   private val cosSql =
     "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
@@ -59,6 +75,18 @@ object SimilarityQueries extends QueryRegistry {
          |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
          |  FROM p)
          |WHERE rk <= 3""".stripMargin,
+    "sim_quantize" ->
+      """WITH e AS (SELECT label,
+        |  list_transform(embedding::DOUBLE[],
+        |    x -> abs(x - round(x * 127) / 127.0)) AS err
+        | FROM embeddings),
+        |m AS (SELECT label, list_max(err) AS max_err,
+        |  list_sum(err) / len(err) AS mean_err FROM e)
+        |SELECT label, count(*) AS n,
+        | round(avg(max_err), 6) AS avg_max_err,
+        | round(max(max_err), 6) AS worst_err,
+        | round(avg(mean_err), 6) AS avg_mean_err
+        |FROM m GROUP BY 1""".stripMargin,
     "sim_neardup" ->
       s"""WITH asn AS ($asnSql)
          |SELECT a.vec_id AS va, b.vec_id AS vb,
