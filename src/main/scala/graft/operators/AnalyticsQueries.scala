@@ -89,6 +89,18 @@ object AnalyticsQueries extends QueryRegistry {
         .select("l_suppkey", "rk", "l_orderkey", "l_linenumber", "l_extendedprice")
     }),
 
+    // X7 via the custom TopKPerKey physical operator (bounded heaps, no
+    // window sort) — same rows as q6 minus the rank column; the oracle is
+    // the windowed SQL, so the driver verifies the custom plan's output
+    "q6b_topk_custom" -> ((s, dir) =>
+      org.apache.spark.sql.graft.TopK.perKey(
+          t(s, dir, "lineitem"),
+          Seq("l_suppkey"),
+          Seq(("l_extendedprice", true), ("l_orderkey", false),
+            ("l_linenumber", false)),
+          k = 3)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")),
+
     // X7: running windows — cumulative sum + lag per customer order history
     "q7_window_running" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
@@ -251,6 +263,13 @@ object AnalyticsQueries extends QueryRegistry {
         |GROUP BY 1""".stripMargin,
     "q6_window_rank" ->
       """SELECT l_suppkey, rk, l_orderkey, l_linenumber, l_extendedprice
+        |FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |  row_number() OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+        | FROM lineitem)
+        |WHERE rk <= 3""".stripMargin,
+    "q6b_topk_custom" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice
         |FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
         |  row_number() OVER (PARTITION BY l_suppkey
         |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
