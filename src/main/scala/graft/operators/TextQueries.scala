@@ -71,6 +71,20 @@ object TextQueries extends QueryRegistry {
         .filter(col("rk") <= 5)
         .select("lang", "rk", "word", "tfidf")
     }),
+    // dataset curation: deterministic train/val/test split by content-hash
+    // bucket (stable across runs, partitionings, and engines — unlike
+    // seeded sampling, a row's split never changes when data is added)
+    "text_split" -> ((s, dir) => {
+      val bucket = substring(md5(concat(lit("split:"),
+        col("doc_id").cast("string"))), 1, 4)
+      docs(s, dir)
+        .withColumn("split",
+          when(bucket < "cccd", "train")       // ~80%
+            .when(bucket < "e666", "val")      // ~10%
+            .otherwise(lit("test")))           // ~10%
+        .groupBy("lang", "split").agg(count(lit(1)).as("n"),
+          min("doc_id").as("min_doc"))
+    }),
     // X4: winnowing document fingerprints (rolling-hash min-per-window)
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir)
@@ -117,6 +131,15 @@ object TextQueries extends QueryRegistry {
       """SELECT word, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY 1 ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    "text_split" ->
+      """WITH b AS (SELECT lang, doc_id,
+        |  substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) AS bucket
+        | FROM documents)
+        |SELECT lang,
+        | CASE WHEN bucket < 'cccd' THEN 'train'
+        |      WHEN bucket < 'e666' THEN 'val' ELSE 'test' END AS split,
+        | count(*) AS n, min(doc_id) AS min_doc
+        |FROM b GROUP BY 1, 2""".stripMargin,
     "text_tfidf" ->
       """WITH tok AS (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS word
         |  FROM documents),
