@@ -13,7 +13,12 @@ object Bench {
     // JVM/session warmup so the first timed query doesn't absorb executor
     // startup + codegen compiler warmup (~4s otherwise attributed to it)
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional args: query-name substrings to run (local iteration aid;
+    // the driver passes none and gets the full battery)
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => args.exists(n.contains) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -9,9 +9,10 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => ClassicSparkSession}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** Whole-operator custom plan (SURVEY.md §7.2 preference (c)): per-key
   * top-k without sorting whole key groups.
@@ -21,13 +22,14 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * per group, full materialization under memory pressure) to rank rows it
   * then throws away. This operator keeps a bounded k-element heap per key:
   * O(n log k) time and O(keys × k) memory per partition, no sort spill.
-  * At 100 TB per-key group sizes are exactly where window sorts hurt.
   *
-  * Physical contract: requires `ClusteredDistribution(keys)` — Spark's
-  * EnsureRequirements inserts the single hash exchange; the heap pass then
-  * runs once per post-shuffle partition. (A map-side partial heap pass
-  * would compose the same way TakeOrderedAndProject does; omitted for
-  * clarity.)
+  * Physical contract mirrors `TakeOrderedAndProject`'s partial/final
+  * composition, which is the 100 TB story: a PARTIAL heap pass runs on
+  * every map partition first (no distribution requirement), so the hash
+  * exchange that the FINAL pass's `ClusteredDistribution(keys)` forces
+  * carries at most `mapPartitions × distinctKeys × k` rows instead of
+  * every input row. At scale the shuffle volume is the whole cost of
+  * per-key top-k; the window idiom shuffles (and then sorts) everything.
   */
 case class TopKPerKeyNode(
     keys: Seq[Expression],
@@ -39,6 +41,83 @@ case class TopKPerKeyNode(
     copy(child = c)
 }
 
+/** Shared bounded-heap pass: one k-heap per key over one partition.
+  * Hot-loop discipline: the key projection's reused buffer is used for
+  * HashMap lookup and only copied on first sight of a key; row copies
+  * happen only on heap insert (bounded by keys × k + evictions), never
+  * per input row. Projection and ordering comparators are themselves
+  * Janino-generated (`UnsafeProjection.create` / `RowOrdering.create`),
+  * so the per-row work is codegen'd even though the heap loop is JVM.
+  */
+private[graft] object TopKHeap {
+  def pass(
+      iter: Iterator[InternalRow],
+      keyExprs: Seq[Expression],
+      order: Seq[SortOrder],
+      childOutput: Seq[Attribute],
+      k: Int,
+      numOutputRows: SQLMetric): Iterator[InternalRow] = {
+    val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+    val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+    // BaseOrdering: row "less than" = ranks earlier under the SortOrder
+    val ord = RowOrdering.create(order, childOutput)
+    // max-heap (worst-ranked on top) of the k best rows per key
+    implicit val heapOrd: Ordering[UnsafeRow] =
+      (a: UnsafeRow, b: UnsafeRow) => ord.compare(a, b)
+    val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
+    iter.foreach { row =>
+      val u = row match {
+        case ur: UnsafeRow => ur
+        case other => toUnsafe(other)
+      }
+      val key = keyProj(u) // reused buffer — lookup only, copy on insert
+      var pq = heaps.getOrElse(key, null)
+      if (pq == null) {
+        pq = mutable.PriorityQueue.empty[UnsafeRow]
+        heaps.put(key.copy(), pq)
+      }
+      if (pq.size < k) pq.enqueue(u.copy())
+      else if (ord.compare(u, pq.head) < 0) { pq.dequeue(); pq.enqueue(u.copy()) }
+    }
+    heaps.valuesIterator.flatMap { pq =>
+      numOutputRows += pq.size
+      pq.iterator
+    }
+  }
+}
+
+/** Map-side partial pass: reduces each input partition to ≤ distinct-keys
+  * × k rows BEFORE the exchange. No distribution requirement — runs where
+  * the data already is (on top of the scan's whole-stage-codegen span).
+  */
+case class TopKPerKeyPartialExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override lazy val metrics: Map[String, SQLMetric] =
+    Map("numOutputRows" -> SQLMetrics.createMetric(sparkContext, "partial output rows"))
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution :: Nil
+  override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyPartialExec =
+    copy(child = c)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (kLocal, keyExprs, orderLocal, childOutput) = (k, keys, order, child.output)
+    val rows = longMetric("numOutputRows")
+    child.execute().mapPartitions { iter =>
+      TopKHeap.pass(iter, keyExprs, orderLocal, childOutput, kLocal, rows)
+    }
+  }
+}
+
+/** Final merge pass: requires `ClusteredDistribution(keys)` — Spark's
+  * EnsureRequirements inserts the hash exchange above the partial pass,
+  * then each key's ≤ mapPartitions × k surviving candidates meet in one
+  * post-shuffle partition and a second heap pass keeps the true top-k.
+  */
 case class TopKPerKeyExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
@@ -46,34 +125,18 @@ case class TopKPerKeyExec(
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
-
+  override lazy val metrics: Map[String, SQLMetric] =
+    Map("numOutputRows" -> SQLMetrics.createMetric(sparkContext, "output rows"))
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keys) :: Nil
-
   override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyExec =
     copy(child = c)
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val kLocal = k
-    val keyExprs = keys
-    val orderLocal = order
-    val childOutput = child.output
+    val (kLocal, keyExprs, orderLocal, childOutput) = (k, keys, order, child.output)
+    val rows = longMetric("numOutputRows")
     child.execute().mapPartitions { iter =>
-      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
-      // BaseOrdering: row "less than" = ranks earlier under the SortOrder
-      val ord = RowOrdering.create(orderLocal, childOutput)
-      // max-heap (worst-ranked on top) of the k best rows per key
-      implicit val heapOrd: Ordering[UnsafeRow] =
-        (a: UnsafeRow, b: UnsafeRow) => ord.compare(a, b)
-      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
-      iter.foreach { row =>
-        val u = row.asInstanceOf[UnsafeRow]
-        val pq = heaps.getOrElseUpdate(
-          keyProj(u).copy(), mutable.PriorityQueue.empty[UnsafeRow])
-        if (pq.size < kLocal) pq.enqueue(u.copy())
-        else if (ord.compare(u, pq.head) < 0) { pq.dequeue(); pq.enqueue(u.copy()) }
-      }
-      heaps.valuesIterator.flatMap(_.iterator)
+      TopKHeap.pass(iter, keyExprs, orderLocal, childOutput, kLocal, rows)
     }
   }
 }
@@ -81,7 +144,8 @@ case class TopKPerKeyExec(
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+      TopKPerKeyExec(keys, order, k,
+        TopKPerKeyPartialExec(keys, order, k, planLater(child))) :: Nil
     case _ => Nil
   }
 }

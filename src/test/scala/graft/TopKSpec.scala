@@ -33,6 +33,28 @@ class TopKSpec extends SparkSuite {
     assert(plan.contains("Exchange hashpartitioning"))
   }
 
+  test("partial heaps bound the exchange to <= mapPartitions * keys * k rows") {
+    import org.apache.spark.sql.graft.TopKPerKeyPartialExec
+    val adaptiveWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val li = spark.read.parquet(s"$sf0001/lineitem.parquet").repartition(4)
+      val total = li.count()
+      val nKeys = li.select("l_suppkey").distinct().count()
+      val k = 3
+      val custom = TopK.perKey(li, Seq("l_suppkey"),
+        Seq(("l_extendedprice", true), ("l_orderkey", false), ("l_linenumber", false)), k)
+      custom.collect()
+      val partialRows = custom.queryExecution.executedPlan
+        .collectFirst { case p: TopKPerKeyPartialExec => p.metrics("numOutputRows").value }
+        .getOrElse(fail("no TopKPerKeyPartialExec in executed plan"))
+      // the exchange carries only the partial survivors, not every row
+      assert(partialRows <= 4 * nKeys * k)
+      assert(partialRows < total / 10,
+        s"partial pass barely reduced the shuffle: $partialRows of $total")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", adaptiveWas)
+  }
+
   test("TopKPerKey handles k larger than group size and single groups") {
     import spark.implicits._
     val df = Seq((1, 10), (1, 20), (2, 5)).toDF("g", "v")
