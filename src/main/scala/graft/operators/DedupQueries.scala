@@ -49,6 +49,18 @@ object DedupQueries extends QueryRegistry {
       |   i -> t[i] || ' ' || t[i+1])) AS bg
       |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)""".stripMargin
 
+  // Mirror of TextDedup.minhashSignatures: one md5 per shingle (first 15
+  // hex digits -> bigint mod P), k = 16 affine permutations over P = 2^31-1
+  // with the same Knuth/murmur constants, min per permutation.
+  private val minhashSigSql =
+    """hm AS (SELECT doc_id, bg,
+      |    list_transform(bg, s -> ('0x' || substr(md5(s),1,15))::BIGINT % 2147483647) AS hv
+      |  FROM sh),
+      |mh AS (SELECT doc_id, bg, list_transform(generate_series(0, 15), k ->
+      |    list_min(list_transform(hv, h ->
+      |      (((2654435761*(k+1)) % 2147483647) * h + (2245822071*(k+1)) % 2147483647) % 2147483647))) AS sig
+      |  FROM hm)""".stripMargin
+
   private val simhashSql =
     s"""SELECT doc_id, array_to_string(list_transform(generate_series(1,16), j ->
        |  CASE WHEN list_sum(list_transform(bg, s ->
@@ -68,9 +80,7 @@ object DedupQueries extends QueryRegistry {
         |FROM documents GROUP BY 1, 2""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH sh AS ($bigramsSql),
-         |mh AS (SELECT doc_id, bg, list_transform(generate_series(0, 15), k ->
-         |    list_min(list_transform(bg, s -> substr(md5(k || ':' || s), 1, 16)))) AS sig
-         |  FROM sh),
+         |$minhashSigSql,
          |bands AS (SELECT doc_id, b,
          |    md5(sig[4*b+1] || '|' || sig[4*b+2] || '|' || sig[4*b+3] || '|' || sig[4*b+4]) AS bkey
          |  FROM mh, (SELECT unnest(generate_series(0, 3)) AS b)),
@@ -90,9 +100,7 @@ object DedupQueries extends QueryRegistry {
          |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE sh AS ($bigramsSql),
-         |mh AS (SELECT doc_id, bg, list_transform(generate_series(0, 15), k ->
-         |    list_min(list_transform(bg, s -> substr(md5(k || ':' || s), 1, 16)))) AS sig
-         |  FROM sh),
+         |$minhashSigSql,
          |bands AS (SELECT doc_id, b,
          |    md5(sig[4*b+1] || '|' || sig[4*b+2] || '|' || sig[4*b+3] || '|' || sig[4*b+4]) AS bkey
          |  FROM mh, (SELECT unnest(generate_series(0, 3)) AS b)),

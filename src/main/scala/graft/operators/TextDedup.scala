@@ -9,8 +9,8 @@ import org.apache.spark.sql.functions._
   *
   * All hashing is md5-based so the DuckDB oracle can reproduce bucket
   * assignments bit-for-bit (both engines emit identical lowercase-hex md5);
-  * minhash components are the lexicographic minimum of fixed-width hex
-  * prefixes, which is order-isomorphic to a numeric minhash.
+  * minhash components are minima of k affine permutations of ONE md5-derived
+  * 31-bit integer per shingle (see [[minhashSignatures]]).
   *
   * 100 TB design:
   * - signatures are computed per-row with array higher-order functions — a
@@ -38,32 +38,50 @@ object TextDedup {
         (a, b) => concat(a, lit(" "), b)))
   }
 
-  /** MinHash signature: k lexicographic-min md5-prefix components over the
+  /** One-md5 MinHash: each shingle is hashed ONCE (md5 → first 15 hex
+    * digits → bigint mod P) and the k signature components are derived by
+    * k affine permutations h_i = (a_i·h + b_i) mod P over the Mersenne
+    * prime P = 2^31 − 1. All operands stay < 2^31 so products fit a signed
+    * 64-bit long in both engines, and the DuckDB oracle reproduces the
+    * arithmetic bit-for-bit. Cuts the hash work k× vs hashing the shingle
+    * k times — at 100 TB the md5 over full shingle text dominates the
+    * signature cost, the affine arithmetic is ~free.
+    */
+  val MinhashP = 2147483647L // 2^31 - 1
+  // Knuth/Fibonacci and murmur mixing constants — public, deterministic,
+  // and cheap for the oracle to re-derive inline.
+  def minhashA(i: Int): Long = (2654435761L * (i + 1)) % MinhashP
+  def minhashB(i: Int): Long = (2245822071L * (i + 1)) % MinhashP
+
+  /** Base shingle hash: bigint of md5's first 15 hex digits, mod P. */
+  def shingleHash(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long") % MinhashP
+
+  /** MinHash signature: k min-of-affine-permutation components over the
     * shingle set, as an array column (HOF form — correct but interpreted;
     * used for small inputs/tests).
     */
   def minhashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), i =>
-      array_min(transform(shingles, s =>
-        substring(md5(concat(i.cast("string"), lit(":"), s)), 1, 16))))
+    transform(sequence(lit(0), lit(k - 1)), i => {
+      val a = (lit(2654435761L) * (i + 1)) % MinhashP
+      val b = (lit(2245822071L) * (i + 1)) % MinhashP
+      array_min(transform(shingles, s => (a * shingleHash(s) + b) % MinhashP))
+    })
 
-  /** MinHash signatures, scale form: explode the shingle set and compute
-    * all k hashes as a FLAT projection (codegen'd md5, no interpreted
-    * HOFs), then hash-aggregate the per-doc minima — map-side partial
-    * mins make the shuffle carry only k×16-char values per doc regardless
-    * of shingle count. ~40× faster than the HOF form at sf0.1.
+  /** MinHash signatures, scale form: explode the shingle set, ONE
+    * codegen'd md5 per shingle, k affine permutations as flat long
+    * arithmetic, then hash-aggregate the per-doc minima — map-side partial
+    * mins make the shuffle carry only k longs per doc regardless of
+    * shingle count.
     *
-    * Output: doc_id, h0..h{k-1}.
+    * Output: doc_id, h0..h{k-1} (bigint).
     */
   def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
     val ex = sh.select(col("doc_id"), explode(col("bg")).as("s"))
-    val hashes = (0 until k).map(i =>
-      substring(md5(concat(lit(i.toString), lit(":"), col("s"))), 1, 16)
-        .as(s"v$i"))
-    val mins = (0 until k).map(i => min(col(s"v$i")).as(s"h$i"))
-    ex.select(col("doc_id") +: hashes: _*)
-      .groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), shingleHash(col("s")).as("hm"))
+    val mins = (0 until k).map(i =>
+      min((col("hm") * minhashA(i) + minhashB(i)) % MinhashP).as(s"h$i"))
+    ex.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
   /** 16-bit SimHash over the shingle set: bit j is the sign of the sum of
@@ -111,26 +129,36 @@ object TextDedup {
     * adversarial graphs swap in large-star/small-star (Kiveris et al.,
     * "Connected Components in MapReduce"), which is the same join shape.
     */
-  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String, maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("doc")).distinct()
       .withColumn("label", col("doc")).localCheckpoint()
     var changed = 1L
-    while (changed > 0) {
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
       val neigh = edges
         .join(labels.withColumnRenamed("doc", "src"), "src")
         .groupBy(col("dst").as("doc")).agg(min("label").as("nlabel"))
+      // one heavy action per round: the convergence flag rides along in the
+      // propagation pass itself (null nlabel -> no improvement), so the
+      // follow-up count only scans the just-checkpointed local blocks
+      // instead of re-joining next against the previous labels.
       val next = labels.join(neigh, Seq("doc"), "left")
         .select(col("doc"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          (col("nlabel") < col("label")).as("chg"))
         .localCheckpoint()
-      changed = next.alias("n")
-        .join(labels.alias("o"), col("n.doc") === col("o.doc"))
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = next
+      changed = next.filter(col("chg")).count()
+      labels = next.drop("chg")
+      iters += 1
     }
+    if (changed > 0)
+      Console.err.println(
+        s"[graft] connectedComponents: stopped at maxIters=$maxIters with " +
+          s"$changed labels still moving — component diameter exceeds the cap")
     labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
   }
 
@@ -168,7 +196,8 @@ object TextDedup {
     val withBands = mh.select(
       col("doc_id") +: (0 until bands).map(b =>
         md5(concat_ws("|",
-          (0 until rows).map(r => col(s"h${b * rows + r}")): _*)).as(s"bk$b")): _*)
+          (0 until rows).map(r => col(s"h${b * rows + r}").cast("string")): _*))
+          .as(s"bk$b")): _*)
     val stackArgs = (0 until bands).map(b => s"$b, bk$b").mkString(", ")
     val bandsDf = withBands
       .selectExpr("doc_id", s"stack($bands, $stackArgs) as (b, bkey)")

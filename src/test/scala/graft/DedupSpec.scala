@@ -16,12 +16,12 @@ class DedupSpec extends SparkSuite {
       TextDedup.bigramShingles(col("text")).as("bg"))
     val scale = TextDedup.minhashSignatures(sh, 8)
       .collect()
-      .map(r => r.getLong(0) -> (1 to 8).map(i => r.getString(i)))
+      .map(r => r.getLong(0) -> (1 to 8).map(i => r.getLong(i)))
       .toMap
     val hof = sh.select(col("doc_id"),
         TextDedup.minhashSignature(col("bg"), 8).as("sig"))
       .collect()
-      .map(r => r.getLong(0) -> r.getSeq[String](1))
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
       .toMap
     assert(scale.keySet === hof.keySet)
     for ((k, v) <- scale) assert(v.toSeq === hof(k).toSeq, s"doc $k")
