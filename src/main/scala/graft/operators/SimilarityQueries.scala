@@ -45,14 +45,41 @@ object SimilarityQueries extends QueryRegistry {
 
   private val vSql = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
 
-  private val asnSql =
+  private val dim = 64 // embeddings fixture dimension
+
+  private def assignSql(cent: String): String =
     s"""SELECT vec_id, v, cid FROM (
        |  SELECT a.vec_id, a.v, c.cid,
        |    row_number() OVER (PARTITION BY a.vec_id
        |      ORDER BY ${cos("a.v", "c.cv")} DESC, c.cid) AS rk
-       |  FROM ($vSql) a, (SELECT vec_id AS cid, v AS cv FROM ($vSql)
-       |                   WHERE vec_id < 16) c)
+       |  FROM v a, $cent c)
        |WHERE rk = 1""".stripMargin
+
+  // Mirror of Similarity.kmeansCentroids' update step: integer-quantized
+  // per-dimension sums (order-independent), then mean as sum/(n*1e6).
+  private def centUpdateSql(asn: String): String =
+    s"""SELECT cid, list(cx ORDER BY pos) AS cv FROM (
+       |  SELECT cid, pos, CAST(sum(xi) AS DOUBLE) / (count(*) * 1000000.0) AS cx
+       |  FROM (SELECT cid, pos, CAST(round(v[pos] * 1000000) AS BIGINT) AS xi
+       |        FROM $asn CROSS JOIN (SELECT unnest(generate_series(1, $dim)) AS pos))
+       |  GROUP BY cid, pos) GROUP BY cid""".stripMargin
+
+  // Two seeded Lloyd's rounds (first-16 seed), then the final centroid
+  // ranking — mirrors Similarity.ivfAssign / rankedAssign with
+  // kmeansIters = 2. `ranked` keeps all centroid ranks so the top-k query
+  // can multi-probe (rk <= nprobe); `asn` is the rk = 1 cell assignment.
+  private val ivfCtes =
+    s"""v AS ($vSql),
+       |cent0 AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 16),
+       |asn0 AS (${assignSql("cent0")}),
+       |cent1 AS (${centUpdateSql("asn0")}),
+       |asn1 AS (${assignSql("cent1")}),
+       |cent2 AS (${centUpdateSql("asn1")}),
+       |ranked AS (SELECT a.vec_id, a.v, c.cid,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${cos("a.v", "c.cv")} DESC, c.cid) AS rk
+       |  FROM v a, cent2 c),
+       |asn AS (SELECT vec_id, v, cid FROM ranked WHERE rk = 1)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "sim_topk" ->
@@ -66,8 +93,9 @@ object SimilarityQueries extends QueryRegistry {
          |  FROM p)
          |WHERE rk <= 5""".stripMargin,
     "sim_ivf_topk" ->
-      s"""WITH asn AS ($asnSql),
-         |q AS (SELECT vec_id AS qid, v AS qv, cid FROM asn WHERE vec_id < 10),
+      s"""WITH $ivfCtes,
+         |q AS (SELECT vec_id AS qid, v AS qv, cid FROM ranked
+         |      WHERE vec_id < 10 AND rk <= 2),
          |p AS (SELECT q.qid, a.vec_id, ${cos("q.qv", "a.v")} AS sim
          |      FROM q JOIN asn a USING (cid) WHERE q.qid <> a.vec_id)
          |SELECT qid, vec_id, round(sim, 6) AS sim, rk FROM (
@@ -88,7 +116,7 @@ object SimilarityQueries extends QueryRegistry {
         | round(avg(mean_err), 6) AS avg_mean_err
         |FROM m GROUP BY 1""".stripMargin,
     "sim_neardup" ->
-      s"""WITH asn AS ($asnSql)
+      s"""WITH $ivfCtes
          |SELECT a.vec_id AS va, b.vec_id AS vb,
          |  round(${cos("a.v", "b.v")}, 6) AS sim
          |FROM asn a JOIN asn b USING (cid)

@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** IVF coarse quantizer: the k-means loop must be partitioning-invariant
+  * (the oracle reproduces it single-node) and must not lose recall vs the
+  * first-C seed centroids it replaces.
+  */
+class SimilaritySpec extends SparkSuite {
+
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+
+  test("kmeans centroids are partitioning-invariant (integer-quantized sums)") {
+    def cents(df: DataFrame): Map[Long, Seq[Double]] =
+      Similarity.kmeansCentroids(df, 16, 2).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    val base = cents(emb)
+    val reparted = cents(emb.repartition(7))
+    assert(base.keySet === reparted.keySet)
+    for ((cid, cv) <- base)
+      assert(cv === reparted(cid), s"centroid $cid differs across partitionings")
+  }
+
+  test("IVF recall@5 vs brute force: kmeans + multiprobe beats first-C single-cell") {
+    def hits(df: DataFrame): Set[(Long, Long)] =
+      df.select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 50 queries × 5 neighbors — enough hits that recall deltas aren't noise
+    val pred = col("vec_id") < 50
+    val brute = hits(Similarity.topK(emb, pred, 5))
+    val seed = hits(Similarity.ivfTopK(emb, 16, pred, 5, kmeansIters = 0, nprobe = 1))
+    val km = hits(Similarity.ivfTopK(emb, 16, pred, 5, kmeansIters = 2, nprobe = 2))
+    val seedRecall = (seed & brute).size.toDouble / brute.size
+    val kmRecall = (km & brute).size.toDouble / brute.size
+    info(f"recall@5 firstC/np1=$seedRecall%.3f kmeans2/np2=$kmRecall%.3f")
+    assert(kmRecall > 0.0)
+    assert(kmRecall > seedRecall,
+      f"kmeans+multiprobe did not improve recall: $kmRecall%.3f <= $seedRecall%.3f")
+  }
+}
