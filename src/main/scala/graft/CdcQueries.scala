@@ -50,9 +50,12 @@ object CdcQueries extends QueryRegistry {
     // "now" is pinned to max(cdc_ts) so the check is deterministic
     "cdc_latency_flag" -> ((s, dir) => {
       val ch = CdcBatch.changeLog(s, dir)
-      val maxTs = ch.agg(max("cdc_ts")).first().getLong(0)
-      ch.select(col("seq"), col("rid"),
-          (lit(maxTs) - col("cdc_ts") > 3600L).as("late"))
+      // scalar aggregate as a broadcast single-row cross join: stays one
+      // plan (no separate driver action before the query runs)
+      val mx = ch.agg(max("cdc_ts").as("max_ts"))
+      ch.crossJoin(broadcast(mx))
+        .select(col("seq"), col("rid"),
+          (col("max_ts") - col("cdc_ts") > 3600L).as("late"))
     }),
     // §3.1 streaming parity: the flatMapGroupsWithState path must produce
     // the same snapshot as the batch compact (same oracle SQL)

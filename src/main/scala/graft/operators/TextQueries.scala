@@ -56,7 +56,10 @@ object TextQueries extends QueryRegistry {
     // (tf = term count within the language; idf = ln(N_docs / doc-freq))
     "text_tfidf" -> ((s, dir) => {
       val d = docs(s, dir)
-      val nDocs = d.count()
+      // N_docs as a broadcast single-row cross join (no driver action);
+      // the doc-frequency join is a SHUFFLE join on word — df is corpus-
+      // vocabulary-sized and would blow the broadcast limit at 100 TB
+      val nDocs = d.agg(count(lit(1)).cast("double").as("n_docs_total"))
       val tokens = d.select(col("lang"), col("doc_id"),
         explode(TextDedup.tokens(col("text"))).as("word"))
       val tf = tokens.groupBy("lang", "word").agg(count(lit(1)).as("tf"))
@@ -64,9 +67,10 @@ object TextQueries extends QueryRegistry {
         .groupBy("word").agg(count(lit(1)).as("df"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("lang").orderBy(col("tfidf").desc, col("word"))
-      tf.join(broadcast(df_), "word")
+      tf.join(df_, "word")
+        .crossJoin(broadcast(nDocs))
         .withColumn("tfidf",
-          round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+          round(col("tf") * log(col("n_docs_total") / col("df")), 6))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .select("lang", "rk", "word", "tfidf")

@@ -110,29 +110,55 @@ object CdcStream {
   }
 
   /** Production sink shape: per micro-batch, upsert the merged updates into
-    * a parquet state dir (read-modify-overwrite; a table format with MERGE
-    * INTO or partition-level overwrite replaces this at 100 TB).
+    * a parquet state dir hash-partitioned by key bucket, rewriting ONLY the
+    * buckets the batch touches (dynamic partition overwrite). I/O per batch
+    * is O(touched-bucket rows + batch), not O(state) — at 100 TB state the
+    * untouched 99.9% of the table is never read or written. A table format
+    * with MERGE INTO is the managed equivalent; this is the same partition-
+    * level replace done directly on parquet.
+    *
+    * Idempotent under micro-batch replay (checkpoint recovery): the
+    * anti-join + union per bucket converges to the same contents.
     */
   def run(spark: SparkSession, source: Dataset[Ch], stateDir: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String, nBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     merged(source).writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Ch], _: Long) =>
         val spark = batch.sparkSession
-        val updates = Merge.latestPerKey(
-          batch.toDF(), Seq("table", "rid"), "seq")
+        val updates = Merge.latestPerKey(batch.toDF(), Seq("table", "rid"), "seq")
+          .withColumn("bucket", pmod(hash(col("table"), col("rid")), lit(nBuckets)))
+          .localCheckpoint() // one computation feeds scan filter + anti-join + union
+        val touched = updates.select("bucket").distinct()
+          .collect().map(_.getInt(0)).toSet // bounded by nBuckets — tiny
         val dir = new java.io.File(stateDir)
-        val merged =
+        val next =
           if (dir.exists()) {
+            // partition-pruned: only the touched buckets are scanned
             val old = spark.read.parquet(stateDir)
+              .filter(col("bucket").isin(touched.toSeq: _*))
             old.join(updates.select("table", "rid"), Seq("table", "rid"),
                 "left_anti")
               .unionByName(updates.filter(col("cdc_action") =!= Types.None_))
           } else updates.filter(col("cdc_action") =!= Types.None_)
+        // stage touched-bucket contents, then dynamic-overwrite: only the
+        // partitions present in `next` are replaced, the rest untouched
         val tmp = stateDir + ".next"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(stateDir)
+        next.write.mode("overwrite").parquet(tmp)
+        val staged = spark.read.parquet(tmp)
+        staged.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("bucket").parquet(stateDir)
+        // a bucket whose keys ALL annihilated has no output rows — dynamic
+        // overwrite can't rewrite it to empty, so drop its directory
+        val outBuckets = staged.select("bucket").distinct()
+          .collect().map(_.getInt(0)).toSet
+        val fs = new org.apache.hadoop.fs.Path(stateDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        for (b <- touched -- outBuckets)
+          fs.delete(new org.apache.hadoop.fs.Path(stateDir, s"bucket=$b"), true)
       }
       .start()
 }

@@ -114,11 +114,27 @@ class StreamSpec extends SparkSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_state").toString
     val state = s"$dir/state"
 
+    // key -> state bucket (must mirror the sink's hash) — the fixture keys
+    // land in distinct buckets, which the assertions below rely on
+    val buckets = Seq("a", "b", "c").map { r =>
+      r -> spark.range(1).select(
+        pmod(hash(lit("db.t"), lit(r)), lit(64))).head.getInt(0)
+    }.toMap
+    assert(buckets.values.toSet.size === 3, s"fixture keys collide: $buckets")
+    def bucketFiles(b: Int): Map[String, (Long, Long)] = {
+      val d = new java.io.File(s"$state/bucket=$b")
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    }
+
     val mem = MemoryStream[Ch]
     val q = CdcStream.run(spark, mem.toDS(), state, s"$dir/ckpt")
     mem.addData(ch("a", "insert", 1), ch("b", "insert", 2))
     q.processAllAvailable()
     assert(spark.read.parquet(state).count() === 2)
+    val bFilesAfterBatch1 = bucketFiles(buckets("b"))
+    assert(bFilesAfterBatch1.nonEmpty)
 
     // next batch: delete a (annihilates via carried state), add c
     mem.addData(ch("a", "delete", 3), ch("c", "insert", 4))
@@ -127,5 +143,13 @@ class StreamSpec extends SparkSuite {
       .select("rid", "cdc_action").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(rows === Map("b" -> "insert", "c" -> "insert")) // a removed
+
+    // incremental contract: batch 2 touched only a's and c's buckets — b's
+    // partition files are byte-identical (same names, lengths, mtimes)
+    assert(bucketFiles(buckets("b")) === bFilesAfterBatch1,
+      "untouched bucket was rewritten by the micro-batch")
+    // a annihilated and was its bucket's only key: directory dropped
+    assert(bucketFiles(buckets("a")).isEmpty)
+    assert(bucketFiles(buckets("c")).nonEmpty)
   }
 }
