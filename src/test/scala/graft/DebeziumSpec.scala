@@ -51,6 +51,48 @@ class DebeziumSpec extends SparkSuite {
     assert(seqs.last === (("2", "delete")))
   }
 
+  test("envelope stream -> changeLog -> merged -> sink survives checkpoint restart") {
+    import graft.streaming.CdcStream
+    import graft.streaming.CdcStream.Ch
+    import org.apache.spark.sql.Dataset
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_dbz").toString
+    val state = s"$dir/state"
+    val mem = MemoryStream[String]
+    // deploy-time composition: Kafka-shaped value column -> envelope parse
+    // -> canonical changelog -> keyed merge -> incremental state sink
+    def src: Dataset[Ch] = Debezium.changeLog(mem.toDF(), pk)
+      .select(col("table"), col("rid"), col("cdc_action"), col("cdc_ts"),
+        col("seq"),
+        coalesce(col("payload").getItem("v").cast("double"), lit(0.0)).as("value"),
+        to_json(col("payload")).as("props"))
+      .as[Ch]
+
+    val q1 = CdcStream.run(spark, src, state, s"$dir/ckpt")
+    mem.addData(
+      env("c", "task", "000001", 1, "null", """{"task_id": "1", "v": "1.0"}"""),
+      env("c", "task", "000001", 2, "null", """{"task_id": "2", "v": "2.0"}"""))
+    q1.processAllAvailable()
+    q1.stop() // "kill" the query; offsets + merge state live in the checkpoint
+
+    val q2 = CdcStream.run(spark, src, state, s"$dir/ckpt")
+    mem.addData(
+      // task 1: delete annihilates ONLY if the insert state was recovered
+      env("d", "task", "000002", 1, """{"task_id": "1", "v": "1.0"}""", "null"),
+      env("u", "task", "000002", 2, "null", """{"task_id": "2", "v": "9.0"}"""))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val rows = spark.read.parquet(state)
+      .select("rid", "cdc_action", "value").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(rows.keySet === Set("2")) // task 1 annihilated across the restart
+    assert(rows("2") === (("insert", 9.0))) // insert+update folds to insert
+  }
+
   test("debezium changelog feeds compact: net state is correct") {
     import spark.implicits._
     val raw = Seq(
