@@ -130,6 +130,83 @@ object Similarity {
       .select(col("qid"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rk"))
   }
 
+  /** Squared L2 composed from three sequential-fold dots — the exact
+    * arithmetic shape (`(a·a − 2(a·b)) + b·b`) the oracle mirrors with
+    * `list_dot_product`.
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** Product quantization + asymmetric-distance top-k (the embedding-lake
+    * compression companion to int8 scalar quantization: 64 floats → mSub
+    * small-int codes — 16× smaller at mSub=16 — searched without
+    * decompression).
+    *
+    * Train: split each vector into `mSub` subvectors; per subspace, one
+    * seeded Lloyd's round over `kCode` codes (first-kCode seed, integer-
+    * quantized means — same determinism contract as [[kmeansCentroids]]).
+    * Encode: nearest code per (vector, subspace). Query (ADC): per query,
+    * a (subspace × code) lookup table of squared-L2 distances; a vector's
+    * approximate distance is the sum of its codes' table entries. Distance
+    * sums are accumulated as round(d·10⁶) longs so the grouped sum is
+    * summation-order-independent.
+    *
+    * Scale shape: codebooks/LUTs are tiny broadcasts; the ADC scan is a
+    * narrow map over the codes table with map-side partial sums — no
+    * full-vector data moves at query time.
+    */
+  def pqAdcTopK(
+      emb: DataFrame, mSub: Int, kCode: Int, queryPred: Column,
+      k: Int): DataFrame = {
+    val v = vecs(emb)
+    val subDim = 64 / mSub
+    val sub = v.select(col("vec_id"),
+      posexplode(array((0 until mSub).map(m =>
+        slice(col("v"), m * subDim + 1, subDim)): _*)).as(Seq("m", "sv")))
+    val cb0 = sub.filter(col("vec_id") < kCode)
+      .select(col("m"), col("vec_id").as("code"), col("sv").as("cv"))
+
+    def assign(cb: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id", "m")
+        .orderBy(col("dist").asc, col("code"))
+      sub.join(broadcast(cb), Seq("m"))
+        .select(col("vec_id"), col("m"), col("sv"), col("code"),
+          l2sq(col("sv"), col("cv")).as("dist"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select("vec_id", "m", "sv", "code")
+    }
+
+    val cb1 = assign(cb0)
+      .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .select(col("m"), col("code"), col("pos"),
+        round(col("x") * 1e6, 0).cast("long").as("xi"))
+      .groupBy("m", "code", "pos")
+      .agg(sum("xi").as("sx"), count(lit(1)).as("n"))
+      .select(col("m"), col("code"), col("pos"),
+        (col("sx").cast("double") / (col("n") * lit(1e6))).as("cx"))
+      .groupBy("m", "code")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        s => s("cx")).as("cv"))
+
+    val codes = assign(cb1).select("vec_id", "m", "code")
+    val qsub = sub.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("m"), col("sv").as("qv"))
+    val lut = qsub.join(broadcast(cb1), Seq("m"))
+      .select(col("qid"), col("m"), col("code"),
+        round(l2sq(col("qv"), col("cv")) * 1e6, 0).cast("long").as("di"))
+    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id"))
+    codes.join(broadcast(lut), Seq("m", "code"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy("qid", "vec_id").agg(sum("di").as("adcl"))
+      .select(col("qid"), col("vec_id"),
+        (col("adcl").cast("double") / 1e6).as("adc"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id"), round(col("adc"), 6).as("adc_dist"),
+        col("rk"))
+  }
+
   /** Embedding near-dup pairs: same IVF cell, cosine above threshold. */
   def nearDupPairs(emb: DataFrame, c: Int, threshold: Double): DataFrame = {
     val asn = ivfAssign(emb, c)

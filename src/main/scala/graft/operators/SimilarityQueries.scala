@@ -20,6 +20,12 @@ object SimilarityQueries extends QueryRegistry {
     // X2/X3: embedding-cosine near-dup pairs within IVF cells
     "sim_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(emb(s, dir), 16, 0.4)),
+    // X3 storage path: product quantization — 16 subspaces × 32 codes, one
+    // seeded Lloyd's round per subspace, asymmetric-distance top-5. The
+    // 16×-compressed codes are searched via per-query LUT sums without
+    // reconstructing any vector.
+    "sim_pq_adc" -> ((s, dir) =>
+      Similarity.pqAdcTopK(emb(s, dir), 16, 32, col("vec_id") < 10, 5)),
     // X3 storage path: int8 scalar quantization (symmetric, fixed [-1,1]
     // range) — per-label reconstruction-error profile. At 100 TB this is
     // the 4× embedding-lake compression step before IVF/LSH indexing.
@@ -81,7 +87,45 @@ object SimilarityQueries extends QueryRegistry {
        |  FROM v a, cent2 c),
        |asn AS (SELECT vec_id, v, cid FROM ranked WHERE rk = 1)""".stripMargin
 
+  private def l2Sql(a: String, b: String): String =
+    s"(list_dot_product($a, $a) - 2.0 * list_dot_product($a, $b) + list_dot_product($b, $b))"
+
+  // Mirror of Similarity.pqAdcTopK(mSub = 16, kCode = 32, vec_id < 10, k = 5)
+  private val pqSql =
+    s"""WITH v AS ($vSql),
+       |sub AS (SELECT vec_id, m, v[m*4+1:m*4+4] AS sv
+       |        FROM v CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS m)),
+       |cb0 AS (SELECT m, vec_id AS code, sv AS cv FROM sub WHERE vec_id < 32),
+       |a0 AS (SELECT vec_id, m, sv, code FROM (
+       |  SELECT s.vec_id, s.m, s.sv, c.code,
+       |    row_number() OVER (PARTITION BY s.vec_id, s.m
+       |      ORDER BY ${l2Sql("s.sv", "c.cv")} ASC, c.code) AS rk
+       |  FROM sub s JOIN cb0 c ON s.m = c.m) WHERE rk = 1),
+       |cb1 AS (SELECT m, code, list(cx ORDER BY pos) AS cv FROM (
+       |  SELECT m, code, pos, CAST(sum(xi) AS DOUBLE) / (count(*) * 1000000.0) AS cx
+       |  FROM (SELECT m, code, pos, CAST(round(sv[pos] * 1000000) AS BIGINT) AS xi
+       |        FROM a0 CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS pos))
+       |  GROUP BY m, code, pos) GROUP BY m, code),
+       |codes AS (SELECT vec_id, m, code FROM (
+       |  SELECT s.vec_id, s.m, c.code,
+       |    row_number() OVER (PARTITION BY s.vec_id, s.m
+       |      ORDER BY ${l2Sql("s.sv", "c.cv")} ASC, c.code) AS rk
+       |  FROM sub s JOIN cb1 c ON s.m = c.m) WHERE rk = 1),
+       |qsub AS (SELECT vec_id AS qid, m, sv AS qv FROM sub WHERE vec_id < 10),
+       |lut AS (SELECT qid, q.m, code,
+       |    CAST(round(${l2Sql("q.qv", "c.cv")} * 1000000) AS BIGINT) AS di
+       |  FROM qsub q JOIN cb1 c ON q.m = c.m),
+       |adc AS (SELECT qid, cd.vec_id, sum(di) AS adcl
+       |  FROM codes cd JOIN lut ON lut.m = cd.m AND lut.code = cd.code
+       |  WHERE qid <> cd.vec_id GROUP BY 1, 2)
+       |SELECT qid, vec_id, round(adcl / 1000000.0, 6) AS adc_dist, rk FROM (
+       |  SELECT qid, vec_id, adcl,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adcl ASC, vec_id) AS rk
+       |  FROM adc)
+       |WHERE rk <= 5""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "sim_pq_adc" -> pqSql,
     "sim_topk" ->
       s"""WITH v AS ($vSql),
          |q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),

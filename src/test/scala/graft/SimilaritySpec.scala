@@ -23,6 +23,31 @@ class SimilaritySpec extends SparkSuite {
       assert(cv === reparted(cid), s"centroid $cid differs across partitionings")
   }
 
+  test("PQ ADC: 16x-compressed codes rank true L2 neighbors usefully") {
+    import org.apache.spark.sql.expressions.Window
+    val pred = col("vec_id") < 50
+    val pq = Similarity.pqAdcTopK(emb, 16, 32, pred, 5)
+    val pqHits = pq.select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq.count() === 50 * 5) // every query gets a full top-5
+    // exact squared-L2 top-5 (same metric PQ approximates)
+    val v = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val q = v.filter(pred).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val dotC = Similarity.dot _
+    val l2 = dotC(col("qv"), col("qv")) - lit(2.0) * dotC(col("qv"), col("v")) +
+      dotC(col("v"), col("v"))
+    val w = Window.partitionBy("qid").orderBy(col("d").asc, col("vec_id"))
+    val exact = v.join(broadcast(q), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), l2.as("d"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pqHits & exact).size.toDouble / exact.size
+    info(f"PQ ADC recall@5 vs exact L2: $recall%.3f")
+    assert(recall > 0.3, f"PQ recall collapsed: $recall%.3f")
+  }
+
   test("IVF recall@5 vs brute force: kmeans + multiprobe beats first-C single-cell") {
     def hits(df: DataFrame): Set[(Long, Long)] =
       df.select("qid", "vec_id").collect()
