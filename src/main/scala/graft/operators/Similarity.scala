@@ -207,14 +207,17 @@ object Similarity {
         col("rk"))
   }
 
-  /** Embedding near-dup pairs: same IVF cell, cosine above threshold. */
-  def nearDupPairs(emb: DataFrame, c: Int, threshold: Double): DataFrame = {
+  /** Embedding near-dup pairs: same IVF cell, cosine above threshold.
+    * `salts > 1` shards a hot cell's pair space over salts² reducers
+    * ([[Skew.saltedSelfJoin]]) — the defense for a degenerate quantizer
+    * cell holding a large fraction of the corpus.
+    */
+  def nearDupPairs(
+      emb: DataFrame, c: Int, threshold: Double, salts: Int = 1): DataFrame = {
     val asn = ivfAssign(emb, c)
-    val a = asn.select(col("cid"), col("vec_id").as("va"), col("v").as("xa"))
-    val b = asn.select(col("cid"), col("vec_id").as("vb"), col("v").as("xb"))
-    a.join(b, Seq("cid"))
-      .filter(col("va") < col("vb"))
-      .select(col("va"), col("vb"), cosine(col("xa"), col("xb")).as("sim"))
+    Skew.saltedSelfJoin(asn, Seq("cid"), "vec_id", salts)
+      .select(col("l.vec_id").as("va"), col("r.vec_id").as("vb"),
+        cosine(col("l.v"), col("r.v")).as("sim"))
       .filter(col("sim") >= threshold)
       .select(col("va"), col("vb"), round(col("sim"), 6).as("sim"))
   }

@@ -23,6 +23,38 @@ object Skew {
   def salt(salts: Int, spreadCols: Column*): Column =
     pmod(hash(spreadCols: _*), lit(salts))
 
+  /** Salted within-group pair generation (self-join on `keyCols` with
+    * `l.idCol < r.idCol`). A hot group of B rows produces B² pairs through
+    * ONE reducer in the naive self-join; here each side is sharded by a
+    * deterministic salt of its id and replicated `salts`× against the other
+    * side's shards, so the join keys become (keyCols, saltL, saltR) and the
+    * hot group's pair space spreads over salts² reducers at the cost of a
+    * salts× larger (but narrow) shuffle. Every qualifying pair lands in
+    * exactly one (saltL, saltR) shard — no dedup needed beyond the caller's.
+    *
+    * Output: the joined frame under aliases `l` and `r` — select with
+    * qualified columns, e.g. `col("l.doc_id")`.
+    */
+  def saltedSelfJoin(
+      df: DataFrame,
+      keyCols: Seq[String],
+      idCol: String,
+      salts: Int): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val keyEq = keyCols.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+    val ordered = col(s"l.$idCol") < col(s"r.$idCol")
+    if (salts == 1) {
+      df.alias("l").join(df.alias("r"), keyEq && ordered)
+    } else {
+      val own = salt(salts, col(idCol))
+      val shards = explode(array((0 until salts).map(lit): _*))
+      val l = df.withColumn("__sl", own).withColumn("__sr", shards).alias("l")
+      val r = df.withColumn("__sr", own).withColumn("__sl", shards).alias("r")
+      l.join(r, keyEq && col("l.__sl") === col("r.__sl") &&
+        col("l.__sr") === col("r.__sr") && ordered)
+    }
+  }
+
   /** Two-phase salted count+sum per key group.
     *
     * @param df        input

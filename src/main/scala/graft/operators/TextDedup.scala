@@ -17,9 +17,9 @@ import org.apache.spark.sql.functions._
   *   narrow map, no shuffle, no explode of the shingle set;
   * - the LSH candidate join shuffles only (band, bucket-key) pairs — b×n
   *   rows regardless of shingle count — and pairs form only within buckets
-  *   (the classic band-bucket join). Hot buckets (boilerplate docs) would be
-  *   salted by appending a shard id to the bucket key and unioning the
-  *   shard-local pair sets; at fixture scale buckets are tiny;
+  *   (the classic band-bucket join). Hot buckets (boilerplate docs) are
+  *   handled by `salts > 1`: [[Skew.saltedSelfJoin]] shards each bucket's
+  *   pair space over salts² reducers (equivalence pinned by spec);
   * - exact-Jaccard verification touches only LSH candidates, never the n²
   *   pair space.
   */
@@ -168,6 +168,7 @@ object TextDedup {
     * @param k    signature length (must be bands * rowsPerBand)
     * @param bands band count; candidate pairs share at least one band bucket
     * @param threshold exact bigram-Jaccard cutoff applied to candidates
+    * @param salts shard factor for hot band buckets (1 = plain bucket join)
     * @return (doc_a, doc_b, jaccard) with doc_a < doc_b
     */
   def minhashLshPairs(
@@ -176,7 +177,8 @@ object TextDedup {
       textCol: String,
       k: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      salts: Int = 1): DataFrame = {
     val rows = k / bands
     // repartition: a single-file input would otherwise run the CPU-heavy
     // shingling/hashing map stage as ONE task; localCheckpoint: the shingle
@@ -203,13 +205,10 @@ object TextDedup {
       .selectExpr("doc_id", s"stack($bands, $stackArgs) as (b, bkey)")
       .localCheckpoint()
 
-    // candidates = pairs sharing any (band, bucket); one shuffle on bkey
-    val x = bandsDf.alias("x")
-    val y = bandsDf.alias("y")
-    val cand = x.join(y,
-        col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // candidates = pairs sharing any (band, bucket); one shuffle on
+    // (b, bkey) — sharded over salts² reducers per bucket when salts > 1
+    val cand = Skew.saltedSelfJoin(bandsDf, Seq("b", "bkey"), "doc_id", salts)
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
 
     // exact-Jaccard verification over candidates only (ex/sz re-read the

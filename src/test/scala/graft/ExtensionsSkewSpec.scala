@@ -30,6 +30,23 @@ class ExtensionsSkewSpec extends SparkSuite {
     assert(salted === plain)
   }
 
+  test("salted self-join pairs == unsalted pairs (LSH and IVF-cell shapes)") {
+    import graft.operators.{Similarity, TextDedup}
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(200)
+    def lshPairs(salts: Int): Set[(Long, Long)] =
+      TextDedup.minhashLshPairs(docs, "doc_id", "text", salts = salts)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshPairs(3) === lshPairs(1))
+    assert(lshPairs(1).nonEmpty)
+
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    def cellPairs(salts: Int): Set[(Long, Long, Double)] =
+      Similarity.nearDupPairs(emb, 16, 0.3, salts)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cellPairs(4) === cellPairs(1))
+  }
+
   test("salt is deterministic and bounded") {
     import spark.implicits._
     val df = (1 to 1000).toDF("k")
