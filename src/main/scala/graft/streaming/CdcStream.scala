@@ -109,6 +109,17 @@ object CdcStream {
       .select("table", "rid", "cdc_action", "seq", "cdc_ts", "value", "props")
   }
 
+  /** Keep streaming merge state in RocksDB instead of the default on-heap
+    * HashMap provider. The merge state is one entry per live (table, rid)
+    * key — at 100 TB key counts that exceeds executor heap; RocksDB spills
+    * to local SSD and bounds memory via block cache, with incremental
+    * changelog checkpointing. Session-level: affects queries started after
+    * this call.
+    */
+  def useRocksDBStateStore(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
   /** Production sink shape: per micro-batch, upsert the merged updates into
     * a parquet state dir hash-partitioned by key bucket, rewriting ONLY the
     * buckets the batch touches (dynamic partition overwrite). I/O per batch

@@ -108,6 +108,36 @@ class StreamSpec extends SparkSuite {
     assert(rows === Map(600L -> 2L, 1200L -> 1L))
   }
 
+  test("merge state machine runs on the RocksDB state store provider") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val before = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    CdcStream.useRocksDBStateStore(spark)
+    try {
+      val mem = MemoryStream[Ch]
+      val name = "stream_rocksdb_out"
+      val q = CdcStream.merged(mem.toDS()).writeStream
+        .format("memory").queryName(name).outputMode("update").start()
+      mem.addData(ch("a", "insert", 1), ch("b", "insert", 2))
+      q.processAllAvailable()
+      mem.addData(ch("a", "delete", 3), ch("b", "update", 4, 7.5))
+      q.processAllAvailable()
+      // the provider actually in use, from the running query's plan metadata
+      val provider = q.lastProgress.stateOperators.headOption
+        .map(_.customMetrics.keySet().toString).getOrElse("")
+      q.stop()
+      assert(provider.contains("rocksdb"),
+        s"expected RocksDB custom metrics in state operator, got: $provider")
+      val last = spark.table(name).as[Ch].collect()
+        .groupBy(_.rid).map { case (r, es) => r -> es.maxBy(_.seq) }
+      assert(last("a").cdc_action === Types.None_) // annihilated via RocksDB state
+      assert(last("b").cdc_action === "insert" && last("b").value === 7.5)
+    } finally before match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("foreachBatch state sink upserts and deletes across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
