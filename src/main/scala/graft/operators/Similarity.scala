@@ -94,9 +94,12 @@ object Similarity {
         .agg(sum("xi").as("sx"), count(lit(1)).as("n"))
         .select(col("cid"), col("pos"),
           (col("sx").cast("double") / (col("n") * lit(1e6))).as("cx"))
+      // c×dim rows — checkpointing keeps the next round's plan shallow
+      // instead of re-planning the whole assign+mean chain per iteration
       cent = sums.groupBy("cid")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
           s => s("cx")).as("cv"))
+        .localCheckpoint()
     }
     cent
   }
@@ -117,7 +120,10 @@ object Similarity {
   def ivfTopK(
       emb: DataFrame, c: Int, queryPred: Column, k: Int,
       kmeansIters: Int = 2, nprobe: Int = 2): DataFrame = {
+    // ranked feeds both the cell table and the multi-probe query side —
+    // materialize once (at cluster scale: write the assignment table)
     val ranked = rankedAssign(vecs(emb), kmeansCentroids(emb, c, kmeansIters))
+      .localCheckpoint()
     val asn = ranked.filter(col("rk") === 1).select(col("vec_id"), col("v"), col("cid"))
     val q = ranked.filter(queryPred && col("rk") <= nprobe)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("cid"))
@@ -160,9 +166,12 @@ object Similarity {
       k: Int): DataFrame = {
     val v = vecs(emb)
     val subDim = 64 / mSub
+    // sub feeds three consumers (train assign, encode, query LUT) —
+    // materialize once instead of re-running the scan + explode per branch
     val sub = v.select(col("vec_id"),
       posexplode(array((0 until mSub).map(m =>
         slice(col("v"), m * subDim + 1, subDim)): _*)).as(Seq("m", "sv")))
+      .localCheckpoint()
     val cb0 = sub.filter(col("vec_id") < kCode)
       .select(col("m"), col("vec_id").as("code"), col("sv").as("cv"))
 
@@ -188,6 +197,7 @@ object Similarity {
       .groupBy("m", "code")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
         s => s("cx")).as("cv"))
+      .localCheckpoint() // mSub×kCode rows, feeds encode + every query LUT
 
     val codes = assign(cb1).select("vec_id", "m", "code")
     val qsub = sub.filter(queryPred)
@@ -214,7 +224,8 @@ object Similarity {
     */
   def nearDupPairs(
       emb: DataFrame, c: Int, threshold: Double, salts: Int = 1): DataFrame = {
-    val asn = ivfAssign(emb, c)
+    // both sides of the self-join read the assignment — materialize once
+    val asn = ivfAssign(emb, c).localCheckpoint()
     Skew.saltedSelfJoin(asn, Seq("cid"), "vec_id", salts)
       .select(col("l.vec_id").as("va"), col("r.vec_id").as("vb"),
         cosine(col("l.v"), col("r.v")).as("sim"))
