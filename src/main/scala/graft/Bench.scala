@@ -11,8 +11,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/session warmup so the first timed query doesn't absorb executor
-    // startup + codegen compiler warmup (~4s otherwise attributed to it)
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // startup + codegen/JIT compiler warmup (~4s otherwise attributed to
+    // it). Exercises the scan/join/window/agg/explode/md5 codegen paths on
+    // the two tiny dimension tables — untimed, bounded regardless of SF.
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      val w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+      n.join(r, n("n_regionkey") === r("r_regionkey"))
+        .withColumn("rk", row_number().over(w))
+        .select(explode(split(col("n_name"), "")).as("c"), col("rk"))
+        .groupBy("c").agg(count(lit(1)), min(md5(col("c"))))
+        .count()
+    }
     // optional args: query-name substrings to run (local iteration aid;
     // the driver passes none and gets the full battery)
     val selected =

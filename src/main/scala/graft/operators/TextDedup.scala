@@ -76,9 +76,13 @@ object TextDedup {
     *
     * Output: doc_id, h0..h{k-1} (bigint).
     */
-  def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
-    val ex = sh.select(col("doc_id"), explode(col("bg")).as("s"))
-      .select(col("doc_id"), shingleHash(col("s")).as("hm"))
+  def minhashSignatures(sh: DataFrame, k: Int): DataFrame =
+    signaturesFromHashes(
+      sh.select(col("doc_id"), explode(col("bg")).as("s"))
+        .select(col("doc_id"), shingleHash(col("s")).as("hm")), k)
+
+  /** Signature aggregation over an already-exploded (doc_id, hm) frame. */
+  private def signaturesFromHashes(ex: DataFrame, k: Int): DataFrame = {
     val mins = (0 until k).map(i =>
       min((col("hm") * minhashA(i) + minhashB(i)) % MinhashP).as(s"h$i"))
     ex.groupBy("doc_id").agg(mins.head, mins.tail: _*)
@@ -181,14 +185,18 @@ object TextDedup {
       salts: Int = 1): DataFrame = {
     val rows = k / bands
     // repartition: a single-file input would otherwise run the CPU-heavy
-    // shingling/hashing map stage as ONE task; localCheckpoint: the shingle
-    // table feeds three consumers (signatures + both Jaccard branches) and
-    // must not be recomputed per branch.
+    // shingling/hashing map stage as ONE task. The FLAT exploded table
+    // (doc_id, shingle, hash) is materialized once and feeds all three
+    // consumers — signatures and both exact-Jaccard branches — so the
+    // shingling + md5 work runs exactly once (flat rows also checkpoint
+    // smaller and rejoin cheaper than re-exploding array blobs per branch).
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val sh = docs.repartition(par)
-      .select(col(idCol).as("doc_id"), bigramShingles(col(textCol)).as("bg"))
+    val ex = docs.repartition(par)
+      .select(col(idCol).as("doc_id"),
+        explode(bigramShingles(col(textCol))).as("s"))
+      .select(col("doc_id"), col("s"), shingleHash(col("s")).as("hm"))
       .localCheckpoint()
-    val mh = minhashSignatures(sh, k)
+    val mh = signaturesFromHashes(ex, k)
 
     // band-bucket key: md5 of the band's signature slice; stack() unpivots
     // the band columns to (doc_id, b, bkey) rows. localCheckpoint
@@ -211,10 +219,10 @@ object TextDedup {
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
 
-    // exact-Jaccard verification over candidates only (ex/sz re-read the
-    // checkpointed shingle table — no HOF recompute)
-    val ex = sh.select(col("doc_id"), explode(col("bg")).as("s"))
-    val sz = sh.select(col("doc_id"), size(col("bg")).as("n"))
+    // exact-Jaccard verification over candidates only (both branches read
+    // the checkpointed exploded table; shingle sets are distinct, so the
+    // per-doc row count IS the set size)
+    val sz = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(ex.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
       .join(ex.select(col("doc_id").as("doc_b"), col("s").as("s2")),
