@@ -36,6 +36,20 @@ object AnalyticsQueries extends QueryRegistry {
           round(avg("l_discount"), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))),
 
+    // X6: exact percentiles per group (linear interpolation — same method
+    // both engines). Exact percentile requires the group's values sorted in
+    // one place; Spark's `percentile` aggregates per group after the hash
+    // shuffle — at 100 TB switch to approx_percentile (t-digest, mergeable
+    // map-side) which q15 mirrors for distinct counts.
+    "q19_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
+          count(lit(1)).as("n"))),
+
     // X8: broadcast join chain over the dimension hierarchy
     "q2_join_broadcast" -> ((s, dir) => {
       val region = t(s, dir, "region")
@@ -240,6 +254,13 @@ object AnalyticsQueries extends QueryRegistry {
         | round(avg(l_discount), 6) AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q19_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        | round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+        | count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q2_join_broadcast" ->
       """SELECT r_name, count(*) AS n_customers,
         | round(sum(c_acctbal), 2) AS sum_acctbal

@@ -89,6 +89,55 @@ object TextQueries extends QueryRegistry {
         .groupBy("lang", "split").agg(count(lit(1)).as("n"),
           min("doc_id").as("min_doc"))
     }),
+    // curation: benchmark decontamination — flag training docs sharing any
+    // word-8-gram with the benchmark set. Fixture texts are near-unique, so
+    // contamination is synthesized by unioning leaked benchmark copies
+    // (doc_id + 1e6) into the training set; the operator must flag exactly
+    // those. At 100 TB this is a hash join on 8-gram md5 fingerprints —
+    // the benchmark side is small (broadcastable), the training side a
+    // narrow explode, no pair space beyond fingerprint matches.
+    "text_decontam" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val bench = d.filter(col("doc_id") % 97 === 0)
+      val train = d.union(
+        bench.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      def grams(df: DataFrame): DataFrame = {
+        val t = TextDedup.tokens(col("text"))
+        df.select(col("doc_id"), explode(
+            transform(sequence(lit(1), greatest(size(t) - 7, lit(0))),
+              i => concat_ws(" ", slice(t, i, lit(8))))).as("g"))
+          .select(col("doc_id"), md5(col("g")).as("h"))
+      }
+      grams(train)
+        .join(broadcast(
+          grams(bench).select(col("h"), col("doc_id").as("bench_doc"))), "h")
+        .filter(col("doc_id") =!= col("bench_doc"))
+        .groupBy("doc_id")
+        .agg(countDistinct("bench_doc").as("n_bench_docs"),
+          count(lit(1)).as("n_shared_ngrams"))
+    }),
+    // curation: Gopher-style repetition signals — duplicate-bigram ratio
+    // and most-frequent-token fraction per doc, with the composite flag a
+    // curation pipeline would filter on. Narrow per-row work + one explode
+    // aggregate; no shuffle beyond the per-doc token count.
+    "text_repetition" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val t = TextDedup.tokens(col("text"))
+      val base = d.select(col("doc_id"), size(t).cast("long").as("n_tokens"),
+        (lit(1.0) - size(TextDedup.bigramShingles(col("text")))
+          .cast("double") / (size(t) - 1)).as("dup_bigram_ratio"))
+      val top = d.select(col("doc_id"), explode(t).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top_c"), sum("c").as("n"))
+        .select(col("doc_id"),
+          (col("top_c").cast("double") / col("n")).as("top_token_ratio"))
+      base.join(top, "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("dup_bigram_ratio"), 6).as("dup_bigram_ratio"),
+          round(col("top_token_ratio"), 6).as("top_token_ratio"),
+          (col("dup_bigram_ratio") > 0.2 || col("top_token_ratio") > 0.2)
+            .as("flagged"))
+    }),
     // X4: winnowing document fingerprints (rolling-hash min-per-window)
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir)
@@ -158,6 +207,41 @@ object TextQueries extends QueryRegistry {
         |    row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, word) AS rk
         |  FROM sc)
         |WHERE rk <= 5""".stripMargin,
+    "text_decontam" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |bench AS (SELECT doc_id, text FROM d WHERE doc_id % 97 = 0),
+        |train AS (SELECT doc_id, text FROM d
+        |  UNION ALL SELECT doc_id + 1000000, text FROM bench),
+        |tg AS (SELECT doc_id, md5(g) AS h FROM (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(len(t) - 7, 0)),
+        |    i -> array_to_string(t[i:i+7], ' '))) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM train))),
+        |bg AS (SELECT doc_id, md5(g) AS h FROM (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(len(t) - 7, 0)),
+        |    i -> array_to_string(t[i:i+7], ' '))) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM bench)))
+        |SELECT tg.doc_id, count(DISTINCT bg.doc_id) AS n_bench_docs,
+        |  count(*) AS n_shared_ngrams
+        |FROM tg JOIN bg USING (h)
+        |WHERE tg.doc_id <> bg.doc_id
+        |GROUP BY 1""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |base AS (SELECT doc_id, len(t) AS n_tokens,
+        |  1.0 - len(list_distinct(list_transform(generate_series(1, len(t)-1),
+        |    i -> t[i] || ' ' || t[i+1]))) * 1.0 / (len(t) - 1) AS dup_bigram_ratio
+        | FROM t),
+        |tok AS (SELECT doc_id, unnest(t) AS w FROM t),
+        |cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |top AS (SELECT doc_id, max(c) * 1.0 / CAST(sum(c) AS BIGINT) AS top_token_ratio
+        | FROM cnt GROUP BY 1)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        | round(dup_bigram_ratio, 6) AS dup_bigram_ratio,
+        | round(top_token_ratio, 6) AS top_token_ratio,
+        | (dup_bigram_ratio > 0.2 OR top_token_ratio > 0.2) AS flagged
+        |FROM base JOIN top USING (doc_id)""".stripMargin,
     "text_fingerprint" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |kg AS (SELECT doc_id, list_transform(generate_series(1, len(t)-2),
