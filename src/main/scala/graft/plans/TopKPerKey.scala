@@ -7,11 +7,12 @@ import scala.collection.mutable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BoundReference, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, GenerateUnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => ClassicSparkSession}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{BlockingOperatorWithCodegen, CodegenSupport, SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** Whole-operator custom plan (SURVEY.md §7.2 preference (c)): per-key
@@ -86,15 +87,52 @@ private[graft] object TopKHeap {
   }
 }
 
+/** Per-partition heap collection used by the codegen path: same hot-loop
+  * discipline as [[TopKHeap.pass]], exposed as an object the generated
+  * Java can call (`insert` per fused input row, then drain `rowIterator`).
+  */
+class TopKHeapBuffer(
+    keyExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    output: Seq[Attribute],
+    k: Int,
+    numOutputRows: SQLMetric) {
+  private val keyProj = UnsafeProjection.create(keyExprs, output)
+  private val ord = RowOrdering.create(order, output)
+  private implicit val heapOrd: Ordering[UnsafeRow] =
+    (a: UnsafeRow, b: UnsafeRow) => ord.compare(a, b)
+  private val heaps =
+    mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
+
+  def insert(u: UnsafeRow): Unit = {
+    val key = keyProj(u)
+    var pq = heaps.getOrElse(key, null)
+    if (pq == null) {
+      pq = mutable.PriorityQueue.empty[UnsafeRow]
+      heaps.put(key.copy(), pq)
+    }
+    if (pq.size < k) pq.enqueue(u.copy())
+    else if (ord.compare(u, pq.head) < 0) { pq.dequeue(); pq.enqueue(u.copy()) }
+  }
+
+  def rowIterator(): Iterator[UnsafeRow] = heaps.valuesIterator.flatMap { pq =>
+    numOutputRows += pq.size
+    pq.iterator
+  }
+}
+
 /** Map-side partial pass: reduces each input partition to ≤ distinct-keys
   * × k rows BEFORE the exchange. No distribution requirement — runs where
-  * the data already is (on top of the scan's whole-stage-codegen span).
+  * the data already is, and participates in WHOLE-STAGE CODEGEN as a
+  * blocking operator (SortExec's shape): the scan/filter/project pipeline
+  * fuses straight into `TopKHeapBuffer.insert` with no iterator boundary,
+  * then the surviving ≤ keys × k rows stream out of the heaps.
   */
 case class TopKPerKeyPartialExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan) extends UnaryExecNode with BlockingOperatorWithCodegen {
 
   override def output: Seq[Attribute] = child.output
   override lazy val metrics: Map[String, SQLMetric] =
@@ -109,6 +147,72 @@ case class TopKPerKeyPartialExec(
     val rows = longMetric("numOutputRows")
     child.execute().mapPartitions { iter =>
       TopKHeap.pass(iter, keyExprs, orderLocal, childOutput, kLocal, rows)
+    }
+  }
+
+  // ---- whole-stage codegen (blocking consumer, SortExec pattern) ----
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    child.asInstanceOf[CodegenSupport].inputRDDs()
+
+  /** Called from generated code via the plan reference. */
+  def createBuffer(): TopKHeapBuffer =
+    new TopKHeapBuffer(keys, order, child.output, k, longMetric("numOutputRows"))
+
+  private var bufferVariable: String = _
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val needTopK = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "needTopK",
+      v => s"$v = true;")
+    val thisPlan = ctx.addReferenceObj("plan", this)
+    bufferVariable = ctx.addMutableState(classOf[TopKHeapBuffer].getName,
+      "topkBuffer", v => s"$v = $thisPlan.createBuffer();", forceInline = true)
+    val iterVariable = ctx.addMutableState("scala.collection.Iterator",
+      "topkOutputIter", forceInline = true)
+    val addToBuffer = ctx.freshName("addToTopKBuffer")
+    val addFuncName = ctx.addNewFunction(addToBuffer,
+      s"""
+         |private void $addToBuffer() throws java.io.IOException {
+         |  ${child.asInstanceOf[CodegenSupport].produce(ctx, this)}
+         |}
+       """.stripMargin.trim)
+    val outputRow = ctx.freshName("topkOutputRow")
+    val unsafeRowCls = classOf[UnsafeRow].getName
+    s"""
+       |if ($needTopK) {
+       |  $addFuncName();
+       |  $iterVariable = $bufferVariable.rowIterator();
+       |  $needTopK = false;
+       |}
+       |while ($limitNotReachedCond $iterVariable.hasNext()) {
+       |  $unsafeRowCls $outputRow = ($unsafeRowCls) $iterVariable.next();
+       |  ${consume(ctx, null, outputRow)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
+
+  override def doConsume(
+      ctx: CodegenContext, input: Seq[ExprCode], row: ExprCode): String = {
+    val unsafeRowCls = classOf[UnsafeRow].getName
+    if (row != null) {
+      s"""
+         |${row.code}
+         |$bufferVariable.insert(($unsafeRowCls) ${row.value});
+       """.stripMargin
+    } else {
+      val colExprs = child.output.zipWithIndex.map { case (attr, i) =>
+        BoundReference(i, attr.dataType, attr.nullable)
+      }
+      val evaluateInputs = evaluateVariables(input)
+      ctx.INPUT_ROW = null
+      ctx.currentVars = input
+      val code = GenerateUnsafeProjection.createCode(ctx, colExprs)
+      s"""
+         |$evaluateInputs
+         |${code.code}
+         |$bufferVariable.insert(($unsafeRowCls) ${code.value});
+       """.stripMargin
     }
   }
 }

@@ -31,6 +31,10 @@ class TopKSpec extends SparkSuite {
     assert(!plan.toLowerCase.contains("sortexec") && !plan.contains("+- Sort"))
     // the required ClusteredDistribution inserted a hash exchange
     assert(plan.contains("Exchange hashpartitioning"))
+    // the partial pass participates in whole-stage codegen (fused with the
+    // scan — '*(n)' is the codegen-span marker)
+    assert("\\*\\(\\d+\\) TopKPerKeyPartial".r.findFirstIn(plan).isDefined,
+      s"partial pass not inside a WholeStageCodegen span:\n$plan")
   }
 
   test("partial heaps bound the exchange to <= mapPartitions * keys * k rows") {
