@@ -50,6 +50,76 @@ object AnalyticsQueries extends QueryRegistry {
           round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
           count(lit(1)).as("n"))),
 
+    // X8: full-outer join — unmatched rows on BOTH sides survive (some
+    // customers dropped so orders exist without a customer row)
+    "q20_full_outer" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_custkey") % 3 =!= 0)
+      val oagg = t(s, dir, "orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum("o_totalprice").as("spend"))
+      cust.join(oagg, col("c_custkey") === col("o_custkey"), "full_outer")
+        .agg(
+          count(when(col("n_orders").isNull, 1)).as("customers_no_orders"),
+          count(when(col("c_custkey").isNull, 1)).as("orders_no_customer"),
+          count(when(col("c_custkey").isNotNull && col("n_orders").isNotNull, 1))
+            .as("matched"),
+          round(sum(when(col("c_custkey").isNotNull, col("spend"))), 2)
+            .as("matched_spend"))
+    }),
+
+    // X8: range join, bin-bucketed — same-user event pairs within 60 s.
+    // The right side explodes into its minute bin and the previous one, so
+    // the join is an EQUI join on (user, bin) with the fine-grained range
+    // as a post-filter: at 100 TB this shuffles each row ≤ 2× on a
+    // high-cardinality key instead of falling back to a broadcast
+    // nested-loop over an inequality.
+    "q21_range_join" -> ((s, dir) => {
+      val ev = graft.CdcBatch.readEvents(s, dir)
+        .select(col("user_id"), expr("ts div 1000000000").as("tss"),
+          col("event_id"))
+        .withColumn("bin", expr("tss div 60"))
+      val a = ev.select(col("user_id"), col("tss").as("ta"),
+        col("event_id").as("ea"), col("bin"))
+      val b = ev.select(col("user_id").as("ub"), col("tss").as("tb"),
+          col("event_id").as("eb"),
+          explode(array(col("bin"), col("bin") - 1)).as("jb"))
+      a.join(b, col("user_id") === col("ub") && col("bin") === col("jb"))
+        .filter(col("tb") > col("ta") && col("tb") <= col("ta") + 60)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("tb") - col("ta")), 6).as("avg_gap_s"),
+          max(col("tb") - col("ta")).as("max_gap_s"))
+    }),
+
+    // X6: pivot — order counts by status × priority (explicit value list;
+    // absent combinations are 0 on both engines)
+    "q22_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .na.fill(0)),
+
+    // X7: sessionization — gap-based session ids per user over the event
+    // stream (lag + running sum inside one window pass), then per-session
+    // rollup. One shuffle on user_id.
+    "q23_sessions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("tss", "event_id")
+      graft.CdcBatch.readEvents(s, dir)
+        .select(col("user_id"), expr("ts div 1000000000").as("tss"),
+          col("event_id"))
+        .withColumn("new_s",
+          when(col("tss") - lag("tss", 1).over(w) > 3600, 1)
+            .when(lag("tss", 1).over(w).isNull, 1).otherwise(0))
+        .withColumn("sid", sum("new_s").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("n_events"),
+          (max("tss") - min("tss")).as("duration_s"),
+          min("tss").as("start_ts"))
+    }),
+
     // X8: broadcast join chain over the dimension hierarchy
     "q2_join_broadcast" -> ((s, dir) => {
       val region = t(s, dir, "region")
@@ -261,6 +331,50 @@ object AnalyticsQueries extends QueryRegistry {
         | round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
         | count(*) AS n
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q20_full_outer" ->
+      """WITH cust AS (SELECT * FROM customer WHERE c_custkey % 3 <> 0),
+        |oagg AS (SELECT o_custkey, count(*) AS n_orders,
+        |  sum(o_totalprice) AS spend FROM orders GROUP BY 1)
+        |SELECT count(*) FILTER (WHERE n_orders IS NULL) AS customers_no_orders,
+        | count(*) FILTER (WHERE c_custkey IS NULL) AS orders_no_customer,
+        | count(*) FILTER (WHERE c_custkey IS NOT NULL AND n_orders IS NOT NULL)
+        |   AS matched,
+        | round(sum(spend) FILTER (WHERE c_custkey IS NOT NULL), 2)
+        |   AS matched_spend
+        |FROM cust FULL OUTER JOIN oagg ON c_custkey = o_custkey""".stripMargin,
+    "q21_range_join" ->
+      """WITH ev AS (SELECT user_id, epoch_ms(ts)//1000 AS tss, event_id
+        |  FROM events)
+        |SELECT a.user_id, count(*) AS n_pairs,
+        | round(avg(b.tss - a.tss), 6) AS avg_gap_s,
+        | max(b.tss - a.tss) AS max_gap_s
+        |FROM ev a JOIN ev b ON a.user_id = b.user_id
+        |  AND b.tss > a.tss AND b.tss <= a.tss + 60
+        |GROUP BY 1""".stripMargin,
+    "q22_pivot" ->
+      """SELECT o_orderstatus,
+        | count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT",
+        | count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS "2-HIGH",
+        | count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+        | count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED')
+        |   AS "4-NOT SPECIFIED",
+        | count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q23_sessions" ->
+      """WITH ev AS (SELECT user_id, epoch_ms(ts)//1000 AS tss, event_id
+        |  FROM events),
+        |m AS (SELECT user_id, tss,
+        |  CASE WHEN lag(tss) OVER w IS NULL THEN 1
+        |       WHEN tss - lag(tss) OVER w > 3600 THEN 1 ELSE 0 END AS new_s,
+        |  event_id
+        | FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)),
+        |s AS (SELECT user_id, tss, CAST(sum(new_s) OVER (
+        |    PARTITION BY user_id ORDER BY tss, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        | FROM m)
+        |SELECT user_id, sid, count(*) AS n_events,
+        | max(tss) - min(tss) AS duration_s, min(tss) AS start_ts
+        |FROM s GROUP BY 1, 2""".stripMargin,
     "q2_join_broadcast" ->
       """SELECT r_name, count(*) AS n_customers,
         | round(sum(c_acctbal), 2) AS sum_acctbal

@@ -138,6 +138,18 @@ object TextQueries extends QueryRegistry {
           (col("dup_bigram_ratio") > 0.2 || col("top_token_ratio") > 0.2)
             .as("flagged"))
     }),
+    // curation: deterministic stratified sampling — ~20% per language via
+    // content-hash bucket (like text_split: stable across runs,
+    // partitionings, engines, and data growth; no rand()). Narrow filter +
+    // per-stratum aggregate, no shuffle beyond the final group.
+    "text_sample" -> ((s, dir) =>
+      docs(s, dir)
+        .filter(substring(md5(concat(lit("sample:"),
+          col("doc_id").cast("string"))), 1, 4) < "3333")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))),
+
     // X4: winnowing document fingerprints (rolling-hash min-per-window)
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir)
@@ -207,6 +219,12 @@ object TextQueries extends QueryRegistry {
         |    row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, word) AS rk
         |  FROM sc)
         |WHERE rk <= 5""".stripMargin,
+    "text_sample" ->
+      """SELECT lang, count(*) AS n_sampled, min(doc_id) AS min_doc,
+        | max(doc_id) AS max_doc
+        |FROM documents
+        |WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 4) < '3333'
+        |GROUP BY 1""".stripMargin,
     "text_decontam" ->
       """WITH d AS (SELECT doc_id, text FROM documents),
         |bench AS (SELECT doc_id, text FROM d WHERE doc_id % 97 = 0),
