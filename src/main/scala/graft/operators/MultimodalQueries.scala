@@ -20,6 +20,31 @@ object MultimodalQueries extends QueryRegistry {
         col("meta.format").as("format"),
         col("meta.width").as("width"),
         col("meta.height").as("height"))),
+    // X5/X4/X3 fusion: cross-modal curation scorecard — text-side signals
+    // (token/stopword quality) joined with embedding-side signals
+    // (coordinate concentration of the unit vector) into one per-item keep
+    // decision. The modality join is a plain equi join on the item id: at
+    // 100 TB both sides are bucketed by id and co-partition.
+    "mm_curation_score" -> ((s, dir) => {
+      val t = TextDedup.tokens(col("text"))
+      val txt = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"),
+          size(t).cast("long").as("n_tokens"),
+          size(filter(t, x => x.isin("the", "a"))).cast("long").as("n_stop"))
+      val v = col("embedding").cast("array<double>")
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("doc_id"), col("label"),
+          array_max(transform(v, x => abs(x))).as("max_abs"),
+          (aggregate(v, lit(0.0), (a, x) => a + abs(x)) / size(v)).as("mean_abs"))
+      val quality = least(lit(1.0), col("n_tokens") / lit(150.0)) *
+        (lit(1.0) - col("n_stop").cast("double") / col("n_tokens"))
+      txt.join(emb, "doc_id")
+        .select(col("doc_id"), col("lang"), col("label"), col("n_tokens"),
+          round(quality, 6).as("quality_score"),
+          round(col("max_abs"), 6).as("emb_max_abs"),
+          round(col("mean_abs"), 6).as("emb_mean_abs"),
+          (quality > 0.3 && col("max_abs") < 0.5).as("keep"))
+    }),
     // X5: per-format aggregate over media metadata
     "mm_format_stats" -> ((s, dir) =>
       Multimodal.mediaTable(s, dir)
@@ -42,6 +67,25 @@ object MultimodalQueries extends QueryRegistry {
       |FROM documents""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "mm_curation_score" ->
+      """WITH txt AS (SELECT doc_id, lang, len(t) AS n_tokens,
+        |  len(list_filter(t, x -> x IN ('the','a'))) AS n_stop
+        | FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)),
+        |emb AS (SELECT vec_id AS doc_id, label,
+        |  list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS max_abs,
+        |  list_sum(list_transform(embedding::DOUBLE[], x -> abs(x)))
+        |    / len(embedding) AS mean_abs
+        | FROM embeddings),
+        |j AS (SELECT txt.doc_id, lang, label, n_tokens, max_abs, mean_abs,
+        |  least(1.0, n_tokens / 150.0) * (1.0 - n_stop * 1.0 / n_tokens)
+        |    AS quality
+        | FROM txt JOIN emb ON txt.doc_id = emb.doc_id)
+        |SELECT doc_id, lang, label, CAST(n_tokens AS BIGINT) AS n_tokens,
+        | round(quality, 6) AS quality_score,
+        | round(max_abs, 6) AS emb_max_abs,
+        | round(mean_abs, 6) AS emb_mean_abs,
+        | (quality > 0.3 AND max_abs < 0.5) AS keep
+        |FROM j""".stripMargin,
     "mm_binary_meta" -> metaSql,
     "mm_format_stats" ->
       s"""SELECT format, count(*) AS n,

@@ -108,6 +108,39 @@ class StreamSpec extends SparkSuite {
     assert(rows === Map(600L -> 2L, 1200L -> 1L))
   }
 
+  test("streaming session windows: gap-based sessions merge across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ch]
+    val sessions = mem.toDS()
+      .withColumn("ets", timestamp_seconds(col("cdc_ts")))
+      .withWatermark("ets", "2 hours")
+      .groupBy(session_window(col("ets"), "10 minutes"), col("rid"))
+      .agg(count(lit(1)).as("n"))
+    // session aggregations support append (watermark-gated) or complete;
+    // complete emits the merged state every trigger, which is what the
+    // assertion reads
+    val q = sessions.writeStream
+      .format("memory").queryName("stream_sessions")
+      .outputMode("complete").start()
+    // rid a: events at t=0s and t=300s chain into ONE session (gap < 10min);
+    // t=3000s starts a second session. rid b: one singleton session.
+    mem.addData(
+      Ch("db.t", "a", "insert", 0, 1, 1.0, null),
+      Ch("db.t", "a", "insert", 300, 2, 1.0, null),
+      Ch("db.t", "b", "insert", 100, 3, 1.0, null))
+    q.processAllAvailable()
+    mem.addData(Ch("db.t", "a", "insert", 3000, 4, 1.0, null))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("stream_sessions")
+      .select(col("rid"), col("session_window.start").cast("long").as("st"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows === Map(
+      ("a", 0L) -> 2L,    // merged session: two events
+      ("a", 3000L) -> 1L, // second session after the gap
+      ("b", 100L) -> 1L))
+  }
+
   test("merge state machine runs on the RocksDB state store provider") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
