@@ -50,6 +50,18 @@ object AnalyticsQueries extends QueryRegistry {
           round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
           count(lit(1)).as("n"))),
 
+    // X6: explicit GROUPING SETS (beyond rollup/cube) — per-status,
+    // per-priority, and grand-total aggregates in one pass
+    "q24_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          |  round(sum(o_totalprice), 2) AS total
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |""".stripMargin)
+    }),
+
     // X8: full-outer join — unmatched rows on BOTH sides survive (some
     // customers dropped so orders exist without a customer row)
     "q20_full_outer" -> ((s, dir) => {
@@ -331,6 +343,11 @@ object AnalyticsQueries extends QueryRegistry {
         | round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
         | count(*) AS n
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q24_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
     "q20_full_outer" ->
       """WITH cust AS (SELECT * FROM customer WHERE c_custkey % 3 <> 0),
         |oagg AS (SELECT o_custkey, count(*) AS n_orders,

@@ -36,6 +36,10 @@ object DedupQueries extends QueryRegistry {
     // X2: SimHash fingerprints (near-dups collide on all 16 bits)
     "dedup_simhash" -> ((s, dir) =>
       TextDedup.simhashDf(docs(s, dir), "doc_id", "text")),
+    // X2: SimHash Hamming-radius pairs (<= 1 bit) via the pigeonhole
+    // 2-block index — finds near-dups exact-collision bucketing misses
+    "dedup_simhash_hamming" -> ((s, dir) =>
+      TextDedup.simhashHammingPairs(docs(s, dir), "doc_id", "text")),
     // X2: SimHash bucket groups with >1 member = near-dup clusters
     "dedup_simhash_dups" -> ((s, dir) =>
       TextDedup.simhashDf(docs(s, dir), "doc_id", "text")
@@ -126,6 +130,21 @@ object DedupQueries extends QueryRegistry {
          |SELECT doc AS doc_id, min(label) AS cluster_id
          |FROM reach GROUP BY 1""".stripMargin,
     "dedup_simhash" -> simhashSql,
+    "dedup_simhash_hamming" -> {
+      val hammingTerms = (1 to 16).map(j =>
+        s"CASE WHEN substr(sa,$j,1) <> substr(sb,$j,1) THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH sh AS ($simhashSql),
+         |blk AS (SELECT doc_id, simhash, b, substr(simhash, b*8+1, 8) AS blk
+         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    x.simhash AS sa, y.simhash AS sb
+         |  FROM blk x JOIN blk y
+         |    ON x.b = y.b AND x.blk = y.blk AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, CAST($hammingTerms AS BIGINT) AS hamming
+         |FROM cand
+         |WHERE $hammingTerms <= 1""".stripMargin
+    },
     "dedup_simhash_dups" ->
       s"""SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc,
          | max(doc_id) AS max_doc

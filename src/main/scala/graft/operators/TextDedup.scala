@@ -122,6 +122,43 @@ object TextDedup {
           .as("simhash"))
   }
 
+  /** SimHash near-dup pairs within a Hamming radius — the index shape that
+    * exact-collision bucketing cannot express. Pigeonhole: split the
+    * 16-bit fingerprint into (maxDist + 1) blocks; any pair within Hamming
+    * distance ≤ maxDist must agree exactly on ≥ 1 block, so candidates
+    * come from a block-bucket equi self-join ((maxDist+1)×n rows shuffled,
+    * never n²) and the full Hamming distance is verified only on
+    * candidates. Block count trades candidate volume against radius: a
+    * 16-bit fingerprint supports maxDist 1 (2 blocks of 8 bits, 256
+    * bucket values) well; wider radii want wider fingerprints so blocks
+    * keep enough entropy to prune. `salts` shards hot blocks like the LSH
+    * band join.
+    */
+  def simhashHammingPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 1,
+      salts: Int = 1): DataFrame = {
+    val nBlocks = maxDist + 1
+    require(16 % nBlocks == 0, s"16 bits must split evenly into $nBlocks blocks")
+    val bw = 16 / nBlocks
+    val sh = simhashDf(docs, idCol, textCol).localCheckpoint()
+    val blocks = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until nBlocks).map(b =>
+        substring(col("simhash"), b * bw + 1, bw)): _*)).as(Seq("b", "blk")))
+    val cand = Skew.saltedSelfJoin(blocks, Seq("b", "blk"), "doc_id", salts)
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.simhash").as("sa"), col("r.simhash").as("sb"))
+      .distinct()
+    val hamming = (1 to 16).map(j =>
+      when(substring(col("sa"), j, 1) =!= substring(col("sb"), j, 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    cand.withColumn("hamming", hamming.cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Connected components over a near-dup pair set by min-label
     * propagation: every doc's cluster id converges to the smallest doc_id
     * in its component — the grouping step of near-dedup ("keep one doc per
