@@ -33,6 +33,28 @@ object DedupQueries extends QueryRegistry {
       TextDedup.connectedComponents(
         TextDedup.minhashLshPairs(docs(s, dir), "doc_id", "text"),
         "doc_a", "doc_b")),
+    // X2/X3 fusion: cross-modal dedup consensus — agreement matrix between
+    // text near-dup pairs (MinHash-LSH + exact Jaccard) and embedding
+    // near-dup pairs (IVF-cell cosine), full-outer joined on the pair key.
+    // Restricted to ids present in both modalities so the comparison is
+    // apples-to-apples. The curation use: "both" pairs are safe deletes,
+    // single-modality pairs get a second look.
+    "dedup_consensus" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val ids = emb.select("vec_id")
+      val tp = TextDedup.minhashLshPairs(docs(s, dir), "doc_id", "text")
+        .select("doc_a", "doc_b")
+        .join(ids.withColumnRenamed("vec_id", "doc_a"), Seq("doc_a"), "left_semi")
+        .join(ids.withColumnRenamed("vec_id", "doc_b"), Seq("doc_b"), "left_semi")
+        .withColumn("t", lit(1))
+      val ep = Similarity.nearDupPairs(emb, 16, 0.4)
+        .select(col("va").as("doc_a"), col("vb").as("doc_b"), lit(1).as("e"))
+      tp.join(ep, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(
+          count(when(col("t").isNotNull && col("e").isNotNull, 1)).as("n_both"),
+          count(when(col("t").isNotNull && col("e").isNull, 1)).as("n_text_only"),
+          count(when(col("t").isNull && col("e").isNotNull, 1)).as("n_embedding_only"))
+    }),
     // X2: SimHash fingerprints (near-dups collide on all 16 bits)
     "dedup_simhash" -> ((s, dir) =>
       TextDedup.simhashDf(docs(s, dir), "doc_id", "text")),
@@ -65,6 +87,30 @@ object DedupQueries extends QueryRegistry {
       |      (((2654435761*(k+1)) % 2147483647) * h + (2245822071*(k+1)) % 2147483647) % 2147483647))) AS sig
       |  FROM hm)""".stripMargin
 
+  // Full LSH pair chain ending in CTE `p` (doc_a, doc_b, jaccard) —
+  // shared by the pair query, the clustering closure, and the cross-modal
+  // consensus oracle.
+  private val lshPairCtes =
+    s"""sh AS ($bigramsSql),
+       |$minhashSigSql,
+       |bands AS (SELECT doc_id, b,
+       |    md5(sig[4*b+1] || '|' || sig[4*b+2] || '|' || sig[4*b+3] || '|' || sig[4*b+4]) AS bkey
+       |  FROM mh, (SELECT unnest(generate_series(0, 3)) AS b)),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |ex AS (SELECT doc_id, unnest(bg) AS s FROM sh),
+       |sz AS (SELECT doc_id, len(bg) AS n FROM sh),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i FROM cand c
+       |  JOIN ex ea ON ea.doc_id = c.doc_a
+       |  JOIN ex eb ON eb.doc_id = c.doc_b AND ea.s = eb.s
+       |  GROUP BY 1, 2),
+       |p AS (SELECT doc_a, doc_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+       |  FROM inter
+       |   JOIN sz sa ON sa.doc_id = doc_a
+       |   JOIN sz sb ON sb.doc_id = doc_b
+       |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5)""".stripMargin
+
   private val simhashSql =
     s"""SELECT doc_id, array_to_string(list_transform(generate_series(1,16), j ->
        |  CASE WHEN list_sum(list_transform(bg, s ->
@@ -83,44 +129,10 @@ object DedupQueries extends QueryRegistry {
       """SELECT lang, source, min(doc_id) AS keep_id, count(*) AS n_docs
         |FROM documents GROUP BY 1, 2""".stripMargin,
     "dedup_minhash_lsh" ->
-      s"""WITH sh AS ($bigramsSql),
-         |$minhashSigSql,
-         |bands AS (SELECT doc_id, b,
-         |    md5(sig[4*b+1] || '|' || sig[4*b+2] || '|' || sig[4*b+3] || '|' || sig[4*b+4]) AS bkey
-         |  FROM mh, (SELECT unnest(generate_series(0, 3)) AS b)),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bands x JOIN bands y
-         |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-         |ex AS (SELECT doc_id, unnest(bg) AS s FROM sh),
-         |sz AS (SELECT doc_id, len(bg) AS n FROM sh),
-         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i FROM cand c
-         |  JOIN ex ea ON ea.doc_id = c.doc_a
-         |  JOIN ex eb ON eb.doc_id = c.doc_b AND ea.s = eb.s
-         |  GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
-         |FROM inter
-         | JOIN sz sa ON sa.doc_id = doc_a
-         | JOIN sz sb ON sb.doc_id = doc_b
-         |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5""".stripMargin,
+      s"""WITH $lshPairCtes
+         |SELECT doc_a, doc_b, jaccard FROM p""".stripMargin,
     "dedup_clusters" ->
-      s"""WITH RECURSIVE sh AS ($bigramsSql),
-         |$minhashSigSql,
-         |bands AS (SELECT doc_id, b,
-         |    md5(sig[4*b+1] || '|' || sig[4*b+2] || '|' || sig[4*b+3] || '|' || sig[4*b+4]) AS bkey
-         |  FROM mh, (SELECT unnest(generate_series(0, 3)) AS b)),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bands x JOIN bands y
-         |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-         |ex AS (SELECT doc_id, unnest(bg) AS s FROM sh),
-         |sz AS (SELECT doc_id, len(bg) AS n FROM sh),
-         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i FROM cand c
-         |  JOIN ex ea ON ea.doc_id = c.doc_a
-         |  JOIN ex eb ON eb.doc_id = c.doc_b AND ea.s = eb.s
-         |  GROUP BY 1, 2),
-         |p AS (SELECT doc_a, doc_b FROM inter
-         |  JOIN sz sa ON sa.doc_id = doc_a
-         |  JOIN sz sb ON sb.doc_id = doc_b
-         |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5),
+      s"""WITH RECURSIVE $lshPairCtes,
          |e AS (SELECT doc_a AS s, doc_b AS d FROM p
          |  UNION SELECT doc_b, doc_a FROM p),
          |reach(doc, label) AS (
@@ -129,6 +141,26 @@ object DedupQueries extends QueryRegistry {
          |  SELECT e.d, r.label FROM reach r JOIN e ON e.s = r.doc)
          |SELECT doc AS doc_id, min(label) AS cluster_id
          |FROM reach GROUP BY 1""".stripMargin,
+    "dedup_consensus" -> {
+      val cos = "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+      s"""WITH $lshPairCtes,
+         |${SimilarityQueries.ivfCtes},
+         |tp AS (SELECT doc_a, doc_b FROM p
+         |  WHERE doc_a IN (SELECT vec_id FROM embeddings)
+         |    AND doc_b IN (SELECT vec_id FROM embeddings)),
+         |ep AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+         |  FROM asn a JOIN asn b USING (cid)
+         |  WHERE a.vec_id < b.vec_id AND $cos >= 0.4)
+         |SELECT
+         | count(*) FILTER (WHERE t.doc_a IS NOT NULL AND e.doc_a IS NOT NULL)
+         |   AS n_both,
+         | count(*) FILTER (WHERE t.doc_a IS NOT NULL AND e.doc_a IS NULL)
+         |   AS n_text_only,
+         | count(*) FILTER (WHERE t.doc_a IS NULL AND e.doc_a IS NOT NULL)
+         |   AS n_embedding_only
+         |FROM tp t FULL OUTER JOIN ep e
+         |  ON t.doc_a = e.doc_a AND t.doc_b = e.doc_b""".stripMargin
+    },
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_hamming" -> {
       val hammingTerms = (1 to 16).map(j =>

@@ -74,7 +74,7 @@ object SimilarityQueries extends QueryRegistry {
   // ranking — mirrors Similarity.ivfAssign / rankedAssign with
   // kmeansIters = 2. `ranked` keeps all centroid ranks so the top-k query
   // can multi-probe (rk <= nprobe); `asn` is the rk = 1 cell assignment.
-  private val ivfCtes =
+  private[operators] val ivfCtes =
     s"""v AS ($vSql),
        |cent0 AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 16),
        |asn0 AS (${assignSql("cent0")}),
