@@ -33,6 +33,18 @@ object CdcQueries extends QueryRegistry {
     "cdc_changelog" -> ((s, dir) => CdcBatch.changeLog(s, dir)),
     // A1/A2: the merge state machine, batch-compacted
     "cdc_compact" -> ((s, dir) => CdcBatch.compactedSnapshot(s, dir)),
+    // SCD2-style history: every change becomes a validity interval
+    // [seq, next-seq-for-the-key); open interval = current version. One
+    // window pass per key — the point-in-time audit complement to the
+    // as-of join (q18) and the compacted snapshot (cdc_compact).
+    "cdc_history" -> ((s, dir) => {
+      val w = Window.partitionBy("table", "rid").orderBy("seq")
+      CdcBatch.changeLog(s, dir)
+        .select(col("table"), col("rid"), col("cdc_action"), col("seq"),
+          col("cdc_ts"))
+        .withColumn("valid_to_seq", lead("seq", 1).over(w))
+        .withColumn("is_current", col("valid_to_seq").isNull)
+    }),
     // A3: key-set dedup — latest change per rid (SADD set semantics)
     "cdc_dedup_rid" -> ((s, dir) => {
       val w = Window.partitionBy("table", "rid").orderBy(col("seq").desc)
@@ -108,6 +120,14 @@ object CdcQueries extends QueryRegistry {
 
   def oracles: Map[String, String] = Map(
     "cdc_changelog" -> changelogSql,
+    "cdc_history" ->
+      s"""WITH ch AS ($changelogSql)
+         |SELECT "table", rid, cdc_action, seq, cdc_ts,
+         | lead(seq) OVER (PARTITION BY "table", rid ORDER BY seq)
+         |   AS valid_to_seq,
+         | (lead(seq) OVER (PARTITION BY "table", rid ORDER BY seq) IS NULL)
+         |   AS is_current
+         |FROM ch""".stripMargin,
     "cdc_compact_stream" -> compactSql,
     "csv_roundtrip" ->
       s"""SELECT "table", cdc_action, count(*) AS n,
