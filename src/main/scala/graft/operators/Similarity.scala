@@ -59,7 +59,8 @@ object Similarity {
 
   /** Centroid ranking per vector (cosine desc, ties → lowest cid):
     * (vec_id, v, cid, rk) with rk = 1 the nearest cell. Broadcast join +
-    * per-vector window.
+    * per-vector window — used only on small (query-side) inputs where the
+    * full ranking is needed for multi-probe.
     */
   private def rankedAssign(v: DataFrame, cent: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))
@@ -69,10 +70,21 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
   }
 
-  /** Nearest-centroid assignment against an explicit (cid, cv) table. */
+  /** Nearest-centroid assignment against an explicit (cid, cv) table as a
+    * HASH AGGREGATE: `min(struct(-cosine, cid))` is argmax-with-tiebreak
+    * (identical output to the rank-1 window) but runs with map-side
+    * partial aggregation and no per-vector sort — at scale this is the
+    * difference between one hash agg and a full sort shuffle of the
+    * n × C similarity table. `first(v)` is deterministic here because v
+    * is functionally dependent on the group key.
+    */
   private def assignTo(v: DataFrame, cent: DataFrame): DataFrame =
-    rankedAssign(v, cent).filter(col("rk") === 1)
-      .select(col("vec_id"), col("v"), col("cid"))
+    v.join(broadcast(cent))
+      .select(col("vec_id"), col("v"),
+        struct((-cosine(col("v"), col("cv"))).as("nsim"), col("cid")).as("sc"))
+      .groupBy("vec_id")
+      .agg(min("sc").as("best"), first("v").as("v"))
+      .select(col("vec_id"), col("v"), col("best.cid").as("cid"))
 
   /** Seeded deterministic Lloyd's k-means: seed = first `c` vectors by
     * vec_id, then `iters` rounds of (assign, recompute means). The mean is
@@ -120,12 +132,14 @@ object Similarity {
   def ivfTopK(
       emb: DataFrame, c: Int, queryPred: Column, k: Int,
       kmeansIters: Int = 2, nprobe: Int = 2): DataFrame = {
-    // ranked feeds both the cell table and the multi-probe query side —
-    // materialize once (at cluster scale: write the assignment table)
-    val ranked = rankedAssign(vecs(emb), kmeansCentroids(emb, c, kmeansIters))
-      .localCheckpoint()
-    val asn = ranked.filter(col("rk") === 1).select(col("vec_id"), col("v"), col("cid"))
-    val q = ranked.filter(queryPred && col("rk") <= nprobe)
+    val v = vecs(emb)
+    val cent = kmeansCentroids(emb, c, kmeansIters)
+    // data side: hash-aggregate argmax (no sort); query side: the full
+    // centroid ranking, but only over the (tiny) filtered query set —
+    // multi-probe needs ranks 1..nprobe there
+    val asn = assignTo(v, cent)
+    val q = rankedAssign(v.filter(queryPred), cent)
+      .filter(col("rk") <= nprobe)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("cid"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
     asn.join(q, Seq("cid"))
@@ -175,16 +189,15 @@ object Similarity {
     val cb0 = sub.filter(col("vec_id") < kCode)
       .select(col("m"), col("vec_id").as("code"), col("sv").as("cv"))
 
-    def assign(cb: DataFrame): DataFrame = {
-      val w = Window.partitionBy("vec_id", "m")
-        .orderBy(col("dist").asc, col("code"))
+    // hash-aggregate argmin (see assignTo): min(struct(dist, code)) is
+    // nearest-code-with-tiebreak, with map-side partials and no sort
+    def assign(cb: DataFrame): DataFrame =
       sub.join(broadcast(cb), Seq("m"))
-        .select(col("vec_id"), col("m"), col("sv"), col("code"),
-          l2sq(col("sv"), col("cv")).as("dist"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select("vec_id", "m", "sv", "code")
-    }
+        .select(col("vec_id"), col("m"), col("sv"),
+          struct(l2sq(col("sv"), col("cv")).as("dist"), col("code")).as("dc"))
+        .groupBy("vec_id", "m")
+        .agg(min("dc").as("best"), first("sv").as("sv"))
+        .select(col("vec_id"), col("m"), col("sv"), col("best.code").as("code"))
 
     val cb1 = assign(cb0)
       .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
