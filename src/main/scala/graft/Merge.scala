@@ -111,3 +111,29 @@ object Merge {
       .select((keyCols :+ actionCol :+ seqCol).map(col) ++ payload.map(col): _*)
   }
 }
+
+/** The merge fold as a registered SQL AGGREGATE (SURVEY.md §2.9: the
+  * `Aggregator` → `udaf(...)` surface). Partial aggregation is a
+  * commutative buffer union; the seq-sorted fold runs once in `finish`,
+  * so shuffled/partitioned inputs give the same answer as ordered arrival
+  * — mirrors `Merge.compact`'s collect-then-fold shape. Register with
+  * `GraftExtensions.register(spark)` and use as
+  * `graft_merge(seq, cdc_action)` in SQL; returns 'none' for annihilated
+  * keys.
+  */
+object MergeActionAgg
+    extends org.apache.spark.sql.expressions.Aggregator[
+      (Long, String), Seq[(Long, String)], String] {
+  override def zero: Seq[(Long, String)] = Seq.empty
+  override def reduce(b: Seq[(Long, String)], a: (Long, String)): Seq[(Long, String)] =
+    b :+ a
+  override def merge(
+      b1: Seq[(Long, String)], b2: Seq[(Long, String)]): Seq[(Long, String)] =
+    b1 ++ b2
+  override def finish(b: Seq[(Long, String)]): String =
+    Merge.foldActions(b.sortBy(_._1).map(_._2)).getOrElse(Types.None_)
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Long, String)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, String)]]()
+  override def outputEncoder: org.apache.spark.sql.Encoder[String] =
+    org.apache.spark.sql.Encoders.STRING
+}

@@ -38,5 +38,8 @@ object GraftExtensions {
     val (id, info, builder) = dotFunction
     spark.sessionState.functionRegistry
       .registerFunction(id, info, builder)
+    // §2.9 UDAF surface: the merge fold as a SQL aggregate
+    spark.udf.register("graft_merge",
+      org.apache.spark.sql.functions.udaf(graft.MergeActionAgg))
   }
 }

@@ -14,6 +14,29 @@ class ExtensionsSkewSpec extends SparkSuite {
     assert(r === 11.0)
   }
 
+  test("graft_merge SQL aggregate == Merge.foldActions, shuffle-invariant") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    // three keys: plain upsert chain, annihilation, delete+insert revival
+    val changes = Seq(
+      ("a", 1L, "insert"), ("a", 2L, "update"),
+      ("b", 3L, "insert"), ("b", 4L, "delete"),
+      ("c", 5L, "delete"), ("c", 6L, "insert"))
+    val expected = changes.groupBy(_._1).map { case (k, es) =>
+      k -> Merge.foldActions(es.sortBy(_._2).map(_._3)).getOrElse(Types.None_)
+    }
+    // adversarial partitioning: reversed insertion order, many partitions —
+    // partial buffers merge in arbitrary order, finish must still sort
+    changes.reverse.toDF("rid", "seq", "cdc_action").repartition(7)
+      .createOrReplaceTempView("merge_udaf_v")
+    val got = spark.sql(
+      "SELECT rid, graft_merge(seq, cdc_action) AS a FROM merge_udaf_v GROUP BY rid")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === expected)
+    assert(got("b") === Types.None_) // insert+delete annihilated
+    assert(got("c") === "update")    // delete+insert → update
+  }
+
   test("salted two-phase aggregate equals plain aggregate") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
     val salted = Skew.saltedCountSum(

@@ -108,6 +108,39 @@ class StreamSpec extends SparkSuite {
     assert(rows === Map(600L -> 2L, 1200L -> 1L))
   }
 
+  test("stream-stream interval join matches pairs across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ch]
+    val buys = MemoryStream[Ch]
+    val l = clicks.toDS().select(col("rid"),
+        timestamp_seconds(col("cdc_ts")).as("lts"), col("seq").as("lseq"))
+      .withWatermark("lts", "1 hour")
+    val r = buys.toDS().select(col("rid").as("rrid"),
+        timestamp_seconds(col("cdc_ts")).as("rts"), col("seq").as("rseq"))
+      .withWatermark("rts", "1 hour")
+    val joined = l.join(r,
+      col("rid") === col("rrid") &&
+        col("rts") >= col("lts") &&
+        col("rts") <= col("lts") + expr("INTERVAL 10 MINUTES"))
+    val q = joined.writeStream
+      .format("memory").queryName("stream_interval_join")
+      .outputMode("append").start()
+    def ev(rid: String, ts: Long, seq: Long) = Ch("db.t", rid, "insert", ts, seq, 0.0, null)
+    // batch 1: click a@600; buy a@900 pairs within 10 min
+    clicks.addData(ev("a", 600, 1), ev("b", 600, 2))
+    buys.addData(ev("a", 900, 10))
+    q.processAllAvailable()
+    // batch 2: buy b@1000 pairs with the click BUFFERED from batch 1;
+    // buy a@5000 is outside the interval — no pair
+    buys.addData(ev("b", 1000, 11), ev("a", 5000, 12))
+    q.processAllAvailable(); q.stop()
+    val pairs = spark.table("stream_interval_join")
+      .select("rid", "lseq", "rseq").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs === Set(("a", 1L, 10L), ("b", 2L, 11L)))
+  }
+
   test("streaming session windows: gap-based sessions merge across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
