@@ -33,6 +33,13 @@ object DedupQueries extends QueryRegistry {
       TextDedup.connectedComponents(
         TextDedup.minhashLshPairs(docs(s, dir), "doc_id", "text"),
         "doc_a", "doc_b")),
+    // X2: same clustering via alternating large-star/small-star rounds —
+    // the O(log n) fallback for adversarial (high-diameter) dedup graphs;
+    // same oracle as the propagation form
+    "dedup_clusters_star" -> ((s, dir) =>
+      TextDedup.connectedComponentsStar(
+        TextDedup.minhashLshPairs(docs(s, dir), "doc_id", "text"),
+        "doc_a", "doc_b")),
     // X2/X3 fusion: cross-modal dedup consensus — agreement matrix between
     // text near-dup pairs (MinHash-LSH + exact Jaccard) and embedding
     // near-dup pairs (IVF-cell cosine), full-outer joined on the pair key.
@@ -118,6 +125,17 @@ object DedupQueries extends QueryRegistry {
        |  THEN '1' ELSE '0' END), '') AS simhash
        |FROM ($bigramsSql)""".stripMargin
 
+  private val clustersOracle =
+    s"""WITH RECURSIVE $lshPairCtes,
+       |e AS (SELECT doc_a AS s, doc_b AS d FROM p
+       |  UNION SELECT doc_b, doc_a FROM p),
+       |reach(doc, label) AS (
+       |  SELECT DISTINCT s, s FROM e
+       |  UNION
+       |  SELECT e.d, r.label FROM reach r JOIN e ON e.s = r.doc)
+       |SELECT doc AS doc_id, min(label) AS cluster_id
+       |FROM reach GROUP BY 1""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "dedup_exact_hash" ->
       """WITH d AS (SELECT doc_id, text FROM documents
@@ -131,16 +149,8 @@ object DedupQueries extends QueryRegistry {
     "dedup_minhash_lsh" ->
       s"""WITH $lshPairCtes
          |SELECT doc_a, doc_b, jaccard FROM p""".stripMargin,
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE $lshPairCtes,
-         |e AS (SELECT doc_a AS s, doc_b AS d FROM p
-         |  UNION SELECT doc_b, doc_a FROM p),
-         |reach(doc, label) AS (
-         |  SELECT DISTINCT s, s FROM e
-         |  UNION
-         |  SELECT e.d, r.label FROM reach r JOIN e ON e.s = r.doc)
-         |SELECT doc AS doc_id, min(label) AS cluster_id
-         |FROM reach GROUP BY 1""".stripMargin,
+    "dedup_clusters" -> clustersOracle,
+    "dedup_clusters_star" -> clustersOracle,
     "dedup_consensus" -> {
       val cos = "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
       s"""WITH $lshPairCtes,

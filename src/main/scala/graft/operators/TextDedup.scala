@@ -203,6 +203,64 @@ object TextDedup {
     labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Connected components by alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the adversarial-graph fallback to [[connectedComponents]]: min-label
+    * propagation needs O(diameter) rounds, the star algorithm O(log n),
+    * so a pathological chain converges in a handful of shuffles instead
+    * of hitting the iteration cap.
+    *
+    * Each round is two grouped-min joins over the edge list; convergence
+    * is detected from a (count, hash-sum) signature of the checkpointed
+    * edge set — one cheap action per round.
+    */
+  def connectedComponentsStar(
+      pairs: DataFrame, aCol: String, bCol: String, maxIters: Int = 50): DataFrame = {
+    val nodes = pairs.select(col(aCol).as("doc"))
+      .union(pairs.select(col(bCol).as("doc"))).distinct().localCheckpoint()
+    var e = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prevSig = sig(e)
+    var converged = false
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      // large-star: for every node u, link its LARGER neighbors to the
+      // minimum of u's neighborhood (incl. u)
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val afterLs = sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: every node links its smaller neighbors AND itself to
+      // the minimum of its smaller neighborhood
+      val minsS = afterLs.groupBy("u").agg(min("v").as("m"))
+      val j = afterLs.join(minsS, Seq("u"))
+      val next = j.select(col("v").as("a"), col("m").as("b"))
+        .union(j.select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .select(col("a").as("u"), col("b").as("v"))
+        .distinct().localCheckpoint()
+      val nextSig = sig(next)
+      converged = nextSig == prevSig
+      prevSig = nextSig
+      e = next
+      iters += 1
+    }
+    nodes.join(e.select(col("u").as("doc"), col("v").as("label")), Seq("doc"), "left")
+      .groupBy("doc")
+      .agg(min(coalesce(col("label"), col("doc"))).as("cluster_id"))
+      .select(col("doc").as("doc_id"), col("cluster_id"))
+  }
+
   /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
     *
     * @param docs (idCol, textCol) DataFrame

@@ -54,6 +54,25 @@ class DedupSpec extends SparkSuite {
     assert(cc === Map(3L -> 3L, 5L -> 3L, 7L -> 3L, 10L -> 10L, 12L -> 10L))
   }
 
+  test("large-star/small-star CC == min-label propagation; beats diameter cap") {
+    import spark.implicits._
+    // fixture-shaped graph: equivalence with the propagation algorithm
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L),
+      (22L, 10L)).toDF("doc_a", "doc_b")
+    def labels(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = labels(TextDedup.connectedComponents(pairs, "doc_a", "doc_b"))
+    val star = labels(TextDedup.connectedComponentsStar(pairs, "doc_a", "doc_b"))
+    assert(star === prop)
+    // adversarial 400-node chain: diameter >> the propagation iteration
+    // cap, but the star algorithm converges logarithmically
+    val chain = (0L until 400L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val starChain = labels(
+      TextDedup.connectedComponentsStar(chain, "doc_a", "doc_b", maxIters = 12))
+    assert(starChain.values.toSet === Set(0L), "chain did not collapse to root 0")
+    assert(starChain.size === 401)
+  }
+
   test("single-pass CosineSim == composed dot/norms, bitwise, on real embeddings") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
