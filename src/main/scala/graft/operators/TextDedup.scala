@@ -227,7 +227,13 @@ object TextDedup {
         coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
+    // the convergence signature already knows the edge count — use it to
+    // right-size the next round's task count (dedup graphs shrink fast;
+    // scheduling 32 tasks per tiny shuffle would dominate the round)
+    def sized(df: DataFrame, edgeCount: Long): DataFrame =
+      df.coalesce(math.max(1, math.min(64, (edgeCount / 100000L).toInt + 1)))
     var prevSig = sig(e)
+    e = sized(e, prevSig._1)
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
@@ -252,7 +258,7 @@ object TextDedup {
       val nextSig = sig(next)
       converged = nextSig == prevSig
       prevSig = nextSig
-      e = next
+      e = sized(next, nextSig._1)
       iters += 1
     }
     nodes.join(e.select(col("u").as("doc"), col("v").as("label")), Seq("doc"), "left")
