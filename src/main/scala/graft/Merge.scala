@@ -124,14 +124,19 @@ object Merge {
 object MergeActionAgg
     extends org.apache.spark.sql.expressions.Aggregator[
       (Long, String), Seq[(Long, String)], String] {
-  override def zero: Seq[(Long, String)] = Seq.empty
+  // Vector buffer: effectively-constant :+ per row (a List-backed Seq would
+  // make each append O(n) → O(n²) per key group)
+  override def zero: Seq[(Long, String)] = Vector.empty
   override def reduce(b: Seq[(Long, String)], a: (Long, String)): Seq[(Long, String)] =
     b :+ a
   override def merge(
       b1: Seq[(Long, String)], b2: Seq[(Long, String)]): Seq[(Long, String)] =
     b1 ++ b2
+  // secondary sort on the action string keeps the fold deterministic when
+  // two changes share a seq value (partial-merge order is nondeterministic)
   override def finish(b: Seq[(Long, String)]): String =
-    Merge.foldActions(b.sortBy(_._1).map(_._2)).getOrElse(Types.None_)
+    Merge.foldActions(b.sortBy(t => (t._1, t._2)).map(_._2))
+      .getOrElse(Types.None_)
   override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Long, String)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, String)]]()
   override def outputEncoder: org.apache.spark.sql.Encoder[String] =

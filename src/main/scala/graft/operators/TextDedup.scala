@@ -261,6 +261,11 @@ object TextDedup {
       e = sized(next, nextSig._1)
       iters += 1
     }
+    if (!converged)
+      Console.err.println(
+        s"[graft] connectedComponentsStar: stopped at maxIters=$maxIters " +
+          "without signature convergence — emitted labels may not be the " +
+          "component minimum")
     nodes.join(e.select(col("u").as("doc"), col("v").as("label")), Seq("doc"), "left")
       .groupBy("doc")
       .agg(min(coalesce(col("label"), col("doc"))).as("cluster_id"))

@@ -103,9 +103,15 @@ object TextQueries extends QueryRegistry {
         bench.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       def grams(df: DataFrame): DataFrame = {
         val t = TextDedup.tokens(col("text"))
+        // guard: sequence(1, size-7) defaults to step -1 when size <= 7
+        // (yielding [1, 0] and a slice() runtime error) — docs shorter than
+        // 8 tokens contribute no grams, mirroring the oracle's empty
+        // generate_series(1, 0)
         df.select(col("doc_id"), explode(
-            transform(sequence(lit(1), greatest(size(t) - 7, lit(0))),
-              i => concat_ws(" ", slice(t, i, lit(8))))).as("g"))
+            when(size(t) >= 8,
+              transform(sequence(lit(1), size(t) - 7),
+                i => concat_ws(" ", slice(t, i, lit(8)))))
+              .otherwise(array().cast("array<string>"))).as("g"))
           .select(col("doc_id"), md5(col("g")).as("h"))
       }
       grams(train)

@@ -145,8 +145,15 @@ object CdcStream {
         val touched = updates.select("bucket").distinct()
           .collect().map(_.getInt(0)).toSet // bounded by nBuckets — tiny
         val dir = new java.io.File(stateDir)
+        // "has state" = at least one bucket=* partition dir remains. A batch
+        // that annihilates every live key deletes all bucket dirs but leaves
+        // stateDir itself — reading that empty dir would fail schema
+        // inference, so treat it the same as a missing dir.
+        val hasState = dir.exists() &&
+          Option(dir.listFiles()).exists(_.exists(f =>
+            f.isDirectory && f.getName.startsWith("bucket=")))
         val next =
-          if (dir.exists()) {
+          if (hasState) {
             // partition-pruned: only the touched buckets are scanned
             val old = spark.read.parquet(stateDir)
               .filter(col("bucket").isin(touched.toSeq: _*))

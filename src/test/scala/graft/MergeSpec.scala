@@ -51,6 +51,22 @@ class MergeSpec extends AnyFunSuite {
     }
   }
 
+  test("UDAF fold is deterministic under partial-merge order and dup seqs") {
+    // duplicate seq values: the secondary sort on the action string must make
+    // the fold independent of nondeterministic partial-merge arrival order
+    val changes = Vector(1L -> "insert", 2L -> "update", 2L -> "delete",
+      3L -> "update")
+    for (perm <- changes.permutations.take(24)) {
+      val (left, right) = perm.splitAt(2)
+      val buf = MergeActionAgg.merge(
+        left.foldLeft(MergeActionAgg.zero)(MergeActionAgg.reduce),
+        right.foldLeft(MergeActionAgg.zero)(MergeActionAgg.reduce))
+      assert(MergeActionAgg.finish(buf) ===
+        MergeActionAgg.finish(changes.foldLeft(MergeActionAgg.zero)(
+          MergeActionAgg.reduce)), s"perm=$perm")
+    }
+  }
+
   test("insert-then-delete annihilates regardless of interleaved updates") {
     assert(Merge.foldActions(Seq(Insert, Update, Update, Delete)) === None)
     assert(Merge.foldActions(Seq(Insert, Delete)) === None)

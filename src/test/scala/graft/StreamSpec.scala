@@ -248,4 +248,30 @@ class StreamSpec extends SparkSuite {
     assert(bucketFiles(buckets("a")).isEmpty)
     assert(bucketFiles(buckets("c")).nonEmpty)
   }
+
+  test("state sink survives a batch annihilating EVERY live key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_state_empty").toString
+    val state = s"$dir/state"
+    val mem = MemoryStream[Ch]
+    val q = CdcStream.run(spark, mem.toDS(), state, s"$dir/ckpt")
+    mem.addData(ch("a", "insert", 1))
+    q.processAllAvailable()
+    assert(spark.read.parquet(state).count() === 1)
+    // delete the only live key: all bucket=* dirs are dropped but stateDir
+    // itself remains — the next batch must treat it as empty, not crash on
+    // schema inference over a parquet-less directory
+    mem.addData(ch("a", "delete", 2))
+    q.processAllAvailable()
+    val stateDir = new java.io.File(state)
+    assert(stateDir.exists() &&
+      !stateDir.listFiles().exists(_.getName.startsWith("bucket=")))
+    mem.addData(ch("b", "insert", 3))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.read.parquet(state)
+      .select("rid", "cdc_action").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows === Map("b" -> "insert"))
+  }
 }

@@ -1,0 +1,31 @@
+package graft
+
+import graft.operators.TextQueries
+import org.apache.spark.sql.functions._
+
+/** Regression: text_decontam must tolerate documents shorter than the
+  * 8-token gram width (Spark's sequence(1, size-7) steps DOWN when
+  * size <= 7, and slice() then throws on index 0). Short docs contribute
+  * zero grams, mirroring the oracle's empty generate_series(1, 0).
+  */
+class TextQueriesSpec extends SparkSuite {
+
+  test("text_decontam handles docs with fewer than 8 tokens") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_shortdoc").toString
+    val long1 = (1 to 12).map(i => s"alpha$i").mkString(" ")
+    val long2 = (1 to 12).map(i => s"beta$i").mkString(" ")
+    Seq(
+      (0L, long1),            // doc_id % 97 == 0 -> benchmark member
+      (1L, long2),
+      (2L, "tiny doc"),       // 2 tokens: would crash the unguarded plan
+      (3L, "a b c d e f g"))  // exactly 7 tokens: sequence(1, 0) edge
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextQueries.queries("text_decontam")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // the synthesized leaked copy of benchmark doc 0 (id 1000000) shares all
+    // 5 of its 8-grams; short docs appear nowhere
+    assert(out === Map(1000000L -> 5L))
+  }
+}
