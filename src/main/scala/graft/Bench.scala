@@ -26,6 +26,35 @@ object Bench {
         .groupBy("c").agg(count(lit(1)), min(md5(col("c"))))
         .count()
     }
+    // Warmup 2: compile the heavy operator plans (whole-stage codegen
+    // classes are cached by generated source, so the timed run reuses them)
+    // on a tiny SYNTHETIC corpus — bounded regardless of SF, untimed.
+    // Without this the first query of each family absorbs seconds of
+    // Janino compilation that has nothing to do with engine throughput.
+    locally {
+      import org.apache.spark.sql.functions._
+      import graft.operators.{Similarity, TextAnalysis, TextDedup}
+      // 40 synthetic docs in 3 identical-text groups → LSH/simhash find
+      // pairs, CC runs real rounds
+      val docs = spark.range(40).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 24).map(i =>
+          concat(lit("w"), pmod(col("id") % 3 + lit(i), lit(7)))): _*).as("text"))
+      val pairs = TextDedup.minhashLshPairs(docs, "doc_id", "text")
+      TextDedup.connectedComponents(pairs, "doc_a", "doc_b").count()
+      TextDedup.connectedComponentsStar(pairs, "doc_a", "doc_b").count()
+      TextDedup.simhashHammingPairs(docs, "doc_id", "text").count()
+      docs.select(TextAnalysis.winnowFingerprint(col("text"))).count()
+      // 40 synthetic 64-dim embeddings (covers the vec_id < 32 PQ seed and
+      // the vec_id < 16 IVF seed)
+      val emb = spark.range(40).select(col("id").as("vec_id"),
+        array((0 until 64).map(i =>
+          (pmod(col("id") * (i + 1), lit(97)).cast("double") / 97.0) - 0.5): _*)
+          .as("embedding"), lit("wa").as("label"))
+      Similarity.topK(emb, col("vec_id") < 3, 5).count()
+      Similarity.pqAdcTopK(emb, 16, 32, col("vec_id") < 3, 5).count()
+      Similarity.ivfTopK(emb, 16, col("vec_id") < 3, 3).count()
+      Similarity.nearDupPairs(emb, 16, 0.4).count()
+    }
     // optional args: query-name substrings to run (local iteration aid;
     // the driver passes none and gets the full battery)
     val selected =

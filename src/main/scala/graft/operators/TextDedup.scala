@@ -81,11 +81,15 @@ object TextDedup {
       sh.select(col("doc_id"), explode(col("bg")).as("s"))
         .select(col("doc_id"), shingleHash(col("s")).as("hm")), k)
 
-  /** Signature aggregation over an already-exploded (doc_id, hm) frame. */
+  /** Signature aggregation over an already-exploded (doc_id, hm) frame.
+    * Appends `n` (the per-doc shingle-set size) to the signature columns:
+    * the Jaccard denominator rides along in the same hash aggregate, so
+    * the verify step never re-aggregates the (much larger) exploded table.
+    */
   private def signaturesFromHashes(ex: DataFrame, k: Int): DataFrame = {
     val mins = (0 until k).map(i =>
       min((col("hm") * minhashA(i) + minhashB(i)) % MinhashP).as(s"h$i"))
-    ex.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    ex.groupBy("doc_id").agg(mins.head, (mins.tail :+ count(lit(1)).as("n")): _*)
   }
 
   /** 16-bit SimHash over the shingle set: bit j is the sign of the sum of
@@ -172,8 +176,12 @@ object TextDedup {
     */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String, maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // materialize the pair set ONCE: it appears in both union branches, and
+    // Spark recomputes each branch's full lineage — for LSH input that
+    // would re-run the candidate-verify join per branch
+    val p = pairs.localCheckpoint()
+    val edges = p.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(p.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("doc")).distinct()
       .withColumn("label", col("doc")).localCheckpoint()
@@ -216,9 +224,12 @@ object TextDedup {
     */
   def connectedComponentsStar(
       pairs: DataFrame, aCol: String, bCol: String, maxIters: Int = 50): DataFrame = {
-    val nodes = pairs.select(col(aCol).as("doc"))
-      .union(pairs.select(col(bCol).as("doc"))).distinct().localCheckpoint()
-    var e = pairs
+    // one materialization of the pair set for the three lineage consumers
+    // below (two `nodes` union branches + the edge canonicalization)
+    val p = pairs.localCheckpoint()
+    val nodes = p.select(col(aCol).as("doc"))
+      .union(p.select(col(bCol).as("doc"))).distinct().localCheckpoint()
+    var e = p
       .select(greatest(col(aCol), col(bCol)).as("u"),
         least(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
@@ -302,13 +313,15 @@ object TextDedup {
         explode(bigramShingles(col(textCol))).as("s"))
       .select(col("doc_id"), col("s"), shingleHash(col("s")).as("hm"))
       .localCheckpoint()
-    val mh = signaturesFromHashes(ex, k)
+    // signature table (h0..h{k-1}, n) — checkpointed: it is the "write the
+    // signature table once" step of the standard LSH shape, and it feeds
+    // the band unpivot (twice, via the self-join) plus both Jaccard
+    // denominators. n docs × (k+1) longs — tiny next to the exploded table.
+    val mh = signaturesFromHashes(ex, k).localCheckpoint()
 
     // band-bucket key: md5 of the band's signature slice; stack() unpivots
-    // the band columns to (doc_id, b, bkey) rows. localCheckpoint
-    // materializes the signatures once so the candidate self-join below
-    // does not recompute the whole hash pipeline per branch (at cluster
-    // scale this is "write the signature table", the standard LSH shape).
+    // the band columns to (doc_id, b, bkey) rows. A cheap projection of the
+    // checkpointed signatures — no checkpoint of its own.
     val withBands = mh.select(
       col("doc_id") +: (0 until bands).map(b =>
         md5(concat_ws("|",
@@ -317,7 +330,6 @@ object TextDedup {
     val stackArgs = (0 until bands).map(b => s"$b, bk$b").mkString(", ")
     val bandsDf = withBands
       .selectExpr("doc_id", s"stack($bands, $stackArgs) as (b, bkey)")
-      .localCheckpoint()
 
     // candidates = pairs sharing any (band, bucket); one shuffle on
     // (b, bkey) — sharded over salts² reducers per bucket when salts > 1
@@ -327,8 +339,9 @@ object TextDedup {
 
     // exact-Jaccard verification over candidates only (both branches read
     // the checkpointed exploded table; shingle sets are distinct, so the
-    // per-doc row count IS the set size)
-    val sz = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // per-doc shingle count aggregated into the signature table IS the
+    // set size)
+    val sz = mh.select(col("doc_id"), col("n"))
     val inter = cand
       .join(ex.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
       .join(ex.select(col("doc_id").as("doc_b"), col("s").as("s2")),
