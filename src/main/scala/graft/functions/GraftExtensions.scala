@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.graft.DotProduct
 
 /** SparkSessionExtensions entry point: registers the engine's custom
@@ -18,6 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    ext.injectFunction(GraftExtensions.bloomAggFunction)
+    ext.injectFunction(GraftExtensions.mightContainFunction)
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.TopKStrategy)
   }
 }
@@ -33,11 +36,36 @@ object GraftExtensions {
       DotProduct(children.head, children(1))
     })
 
+  /** Spark's internal bloom-filter aggregate (the runtime-filter builder),
+    * surfaced as `graft_bloom_agg(xxhash64(key), items, bits)`.
+    */
+  val bloomAggFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bloom_agg"),
+    new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3,
+        "graft_bloom_agg(keyHash, estimatedItems, numBits) takes three args")
+      new BloomFilterAggregate(children.head, children(1), children(2))
+    })
+
+  /** `graft_might_contain(bloom, xxhash64(value))` — probe side; the bloom
+    * argument must be a constant or scalar subquery (Spark's requirement).
+    */
+  val mightContainFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_might_contain"),
+    new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "graft_might_contain(bloom, valueHash) takes two args")
+      BloomFilterMightContain(children.head, children(1))
+    })
+
   /** Imperative registration for an already-built session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = dotFunction
-    spark.sessionState.functionRegistry
-      .registerFunction(id, info, builder)
+    for ((id, info, builder) <-
+        Seq(dotFunction, bloomAggFunction, mightContainFunction))
+      spark.sessionState.functionRegistry
+        .registerFunction(id, info, builder)
     // §2.9 UDAF surface: the merge fold as a SQL aggregate
     spark.udf.register("graft_merge",
       org.apache.spark.sql.functions.udaf(graft.MergeActionAgg))

@@ -325,7 +325,64 @@ object AnalyticsQueries extends QueryRegistry {
              countDistinct(col("user_id")).as("n_users"),
              round(sum("value"), 2).as("sum_value"))
         .select(col("w.start").cast("long").as("day_start"),
-          col("n_events"), col("n_users"), col("sum_value"))))
+          col("n_events"), col("n_users"), col("sum_value"))),
+
+    // X8: bloom-filter runtime pre-filter + exact semi-join. The bloom is
+    // built from the (selective) filtered key set and probed MAP-SIDE on
+    // the fact scan — at 100 TB the few-MB broadcast bloom drops most fact
+    // rows before the semi-join shuffle; the exact semi-join then removes
+    // the bloom's false positives, so the result equals the plain
+    // semi-join (which is the oracle). This is Spark's row-level runtime
+    // filtering made explicit as an operator.
+    "q25_bloom_join" -> ((s, dir) => {
+      // the bloom must reach might_contain as a SCALAR SUBQUERY (Spark's
+      // requirement — the same shape its InjectRuntimeFilter rule plans);
+      // the graft_* functions surface the internal bloom expressions
+      graft.functions.GraftExtensions.register(s)
+      t(s, dir, "orders").createOrReplaceTempView("orders_bloom")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_bloom")
+      s.sql(
+        """WITH keys AS (SELECT o_orderkey FROM orders_bloom
+          |  WHERE o_totalprice > 300000.0)
+          |SELECT l_returnflag, count(*) AS n_items,
+          |  round(sum(l_extendedprice), 2) AS sum_price
+          |FROM lineitem_bloom
+          |WHERE graft_might_contain(
+          |    (SELECT graft_bloom_agg(xxhash64(o_orderkey), 100000L, 800000L)
+          |     FROM keys),
+          |    xxhash64(l_orderkey))
+          |  AND l_orderkey IN (SELECT o_orderkey FROM keys)
+          |GROUP BY 1""".stripMargin)
+    }),
+
+    // data layout: Z-order (Morton) clustering quality. Interleave the low
+    // 8 bits of two scan dimensions and bucket rows by z-VALUE range (the
+    // file a z-ordered writer would place them in — value-range bucketing,
+    // no global sort: at scale this is repartitionByRange(z), fully
+    // parallel). Per-bucket min/max spans of each dimension, compared to
+    // the same-size buckets under the natural insertion order: the
+    // z-layout's narrow per-file ranges on BOTH columns are what makes
+    // min/max zone-map pruning effective at 100 TB. Pure integer
+    // arithmetic → exact oracle parity.
+    "q26_zorder" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select((col("l_partkey") % 256).as("x"), (col("l_suppkey") % 256).as("y"),
+          col("l_orderkey"))
+      val z = (0 until 8).map(b =>
+        shiftleft(shiftright(col("x"), b) % 2, 2 * b) +
+          shiftleft(shiftright(col("y"), b) % 2, 2 * b + 1))
+        .reduce(_ + _)
+      def spans(df: DataFrame, layout: String): DataFrame =
+        df.groupBy("bucket")
+          .agg((max("x") - min("x")).as("span_x"),
+            (max("y") - min("y")).as("span_y"))
+          .agg(lit(layout).as("layout"), count(lit(1)).as("n_buckets"),
+            round(avg("span_x"), 4).as("avg_span_x"),
+            round(avg("span_y"), 4).as("avg_span_y"))
+      val zied = li.withColumn("bucket", shiftright(z, 6))
+      val natural = li.withColumn("bucket", shiftright(col("l_orderkey"), 6))
+      spans(zied, "zorder").unionByName(spans(natural, "roworder"))
+    }))
 
   def oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -487,5 +544,33 @@ object AnalyticsQueries extends QueryRegistry {
       """SELECT (epoch_ms(ts) // 1000) // 86400 * 86400 AS day_start,
         | count(*) AS n_events, count(DISTINCT user_id) AS n_users,
         | round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1""".stripMargin)
+        |FROM events GROUP BY 1""".stripMargin,
+    // the bloom pre-filter is removed by the exact semi-join, so the
+    // oracle is the plain semi-join
+    "q25_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        | round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0)
+        |GROUP BY 1""".stripMargin,
+    "q26_zorder" -> {
+      val zTerms = (0 until 8).map(b =>
+        s"((((x >> $b) & 1)::BIGINT) << ${2 * b}) + " +
+          s"((((y >> $b) & 1)::BIGINT) << ${2 * b + 1})").mkString(" + ")
+      s"""WITH li AS (SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y,
+         |  l_orderkey FROM lineitem),
+         |zb AS (SELECT x, y, ($zTerms) >> 6 AS bucket FROM li),
+         |nb AS (SELECT x, y, l_orderkey >> 6 AS bucket FROM li),
+         |sz AS (SELECT bucket, max(x) - min(x) AS span_x,
+         |  max(y) - min(y) AS span_y FROM zb GROUP BY 1),
+         |sn AS (SELECT bucket, max(x) - min(x) AS span_x,
+         |  max(y) - min(y) AS span_y FROM nb GROUP BY 1)
+         |SELECT 'zorder' AS layout, count(*) AS n_buckets,
+         |  round(avg(span_x), 4) AS avg_span_x,
+         |  round(avg(span_y), 4) AS avg_span_y FROM sz
+         |UNION ALL
+         |SELECT 'roworder', count(*), round(avg(span_x), 4),
+         |  round(avg(span_y), 4) FROM sn""".stripMargin
+    })
 }

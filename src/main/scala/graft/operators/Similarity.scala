@@ -230,6 +230,55 @@ object Similarity {
         col("rk"))
   }
 
+  /** Deterministic hyperplane weight for signed-random-projection LSH:
+    * md5("rp:j:d") → first 15 hex digits → bigint, mapped to [-1, 1] in
+    * steps of 10⁻³. Both engines derive the identical double from the
+    * identical md5, so bucket assignment is reproducible by the oracle.
+    */
+  def rpWeight(j: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"rp:$j:$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    ((java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2001L) - 1000L) / 1000.0
+  }
+
+  /** Signed-random-projection (hyperplane) LSH near-dup pairs — the
+    * angular-distance counterpart to [[nearDupPairs]]'s IVF cells: bit j
+    * of a vector's sketch is the sign of its dot product with a fixed
+    * pseudo-random hyperplane, so vectors at small angle collide with
+    * probability (1 − θ/π) per bit. Banded like MinHash-LSH: `bands`
+    * independent `bitsPerBand`-bit sketches, candidates from any band's
+    * bucket join, exact cosine verified on candidates only.
+    *
+    * Scale shape: the sketch pass is a narrow map (bands × bitsPerBand
+    * codegen'd dot products against literal hyperplanes — no data joins);
+    * the candidate join shuffles bands×n (band, sketch) keys, never the
+    * n² pair space; `salts` shards degenerate buckets.
+    */
+  def rpLshPairs(
+      emb: DataFrame, bands: Int, bitsPerBand: Int, threshold: Double,
+      salts: Int = 1): DataFrame = {
+    val v = vecs(emb)
+    def bit(j: Int): Column = {
+      val wj = array((0 until 64).map(d => lit(rpWeight(j, d))): _*)
+      when(dot(col("v"), wj) >= 0, lit("1")).otherwise(lit("0"))
+    }
+    val withSk = v.select(col("vec_id") +: col("v") +:
+      (0 until bands).map(b =>
+        concat((0 until bitsPerBand).map(i =>
+          bit(b * bitsPerBand + i)): _*).as(s"sk$b")): _*)
+    val stackArgs = (0 until bands).map(b => s"$b, sk$b").mkString(", ")
+    val sk = withSk
+      .selectExpr("vec_id", "v", s"stack($bands, $stackArgs) as (b, sketch)")
+      .localCheckpoint()
+    Skew.saltedSelfJoin(sk, Seq("b", "sketch"), "vec_id", salts)
+      .select(col("l.vec_id").as("va"), col("r.vec_id").as("vb"),
+        cosine(col("l.v"), col("r.v")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .distinct() // a pair matching several bands collapses (sim is equal)
+      .select(col("va"), col("vb"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Embedding near-dup pairs: same IVF cell, cosine above threshold.
     * `salts > 1` shards a hot cell's pair space over salts² reducers
     * ([[Skew.saltedSelfJoin]]) — the defense for a degenerate quantizer

@@ -20,6 +20,12 @@ object SimilarityQueries extends QueryRegistry {
     // X2/X3: embedding-cosine near-dup pairs within IVF cells
     "sim_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(emb(s, dir), 16, 0.4)),
+    // X3: signed-random-projection (hyperplane) LSH near-dup pairs —
+    // 4 bands × 4 bits against deterministic md5-derived hyperplanes,
+    // exact cosine on candidates (the angular-LSH alternative to IVF)
+    "sim_rp_lsh" -> ((s, dir) =>
+      Similarity.rpLshPairs(emb(s, dir), bands = 4, bitsPerBand = 4,
+        threshold = 0.4)),
     // X3 storage path: product quantization — 16 subspaces × 32 codes, one
     // seeded Lloyd's round per subspace, asymmetric-distance top-5. The
     // 16×-compressed codes are searched via per-query LUT sums without
@@ -164,5 +170,28 @@ object SimilarityQueries extends QueryRegistry {
          |SELECT a.vec_id AS va, b.vec_id AS vb,
          |  round(${cos("a.v", "b.v")}, 6) AS sim
          |FROM asn a JOIN asn b USING (cid)
-         |WHERE a.vec_id < b.vec_id AND ${cos("a.v", "b.v")} >= 0.4""".stripMargin)
+         |WHERE a.vec_id < b.vec_id AND ${cos("a.v", "b.v")} >= 0.4""".stripMargin,
+    // mirror of Similarity.rpLshPairs(bands = 4, bitsPerBand = 4, 0.4):
+    // identical md5-derived hyperplane weights, banded sketch buckets,
+    // exact cosine on distinct candidates
+    "sim_rp_lsh" ->
+      s"""WITH v AS ($vSql),
+         |w AS (SELECT j, list_transform(generate_series(1, $dim), d ->
+         |    ((('0x' || substr(md5('rp:' || j::VARCHAR || ':' ||
+         |        (d-1)::VARCHAR), 1, 15))::BIGINT % 2001) - 1000) / 1000.0)
+         |    AS wv
+         |  FROM (SELECT unnest(generate_series(0, 15)) AS j)),
+         |bits AS (SELECT vec_id, j,
+         |    CASE WHEN list_dot_product(v, wv) >= 0 THEN '1' ELSE '0' END
+         |      AS bit
+         |  FROM v CROSS JOIN w),
+         |sk AS (SELECT vec_id, j // 4 AS b,
+         |    string_agg(bit, '' ORDER BY j) AS sketch
+         |  FROM bits GROUP BY vec_id, j // 4),
+         |cand AS (SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+         |  FROM sk x JOIN sk y
+         |    ON x.b = y.b AND x.sketch = y.sketch AND x.vec_id < y.vec_id)
+         |SELECT va, vb, round(${cos("a.v", "b.v")}, 6) AS sim
+         |FROM cand JOIN v a ON a.vec_id = va JOIN v b ON b.vec_id = vb
+         |WHERE ${cos("a.v", "b.v")} >= 0.4""".stripMargin)
 }

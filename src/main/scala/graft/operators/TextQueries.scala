@@ -156,6 +156,86 @@ object TextQueries extends QueryRegistry {
         .agg(count(lit(1)).as("n_sampled"),
           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))),
 
+    // curation: PII-pattern redaction — emails/phones replaced with typed
+    // placeholder tokens, with per-pattern counts and removed-char volume.
+    // Fixture text is clean, so PII is synthesized deterministically (every
+    // 13th doc gains an email, every 17th a phone) and the operator must
+    // find exactly those. Narrow per-row regex work + one final aggregate —
+    // no shuffle beyond the summary at any scale.
+    "text_redact" -> ((s, dir) => {
+      val emailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+      val phoneRe = "555-[0-9]{4}"
+      val withPii = docs(s, dir).select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 17 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("text"))
+      withPii.select(col("doc_id"),
+          regexp_count(col("text"), lit(emailRe)).as("n_email"),
+          regexp_count(col("text"), lit(phoneRe)).as("n_phone"),
+          length(col("text")).as("len_before"),
+          length(regexp_replace(regexp_replace(col("text"),
+            emailRe, "<EMAIL>"), phoneRe, "<PHONE>")).as("len_after"))
+        .agg(
+          count(when(col("n_email") > 0 || col("n_phone") > 0, 1))
+            .as("n_docs_redacted"),
+          sum("n_email").cast("long").as("n_emails"),
+          sum("n_phone").cast("long").as("n_phones"),
+          sum(col("len_before") - col("len_after")).cast("long")
+            .as("chars_removed"))
+    }),
+
+    // curation: domain-mixture reweighting — per-(lang, source) cell
+    // sampling weights that move the corpus toward a uniform cell mix,
+    // clipped at 3.0 (the standard upsampling cap). Two tiny aggregates +
+    // a single-row broadcast cross join; the weights table is what a 100 TB
+    // sampling pass would broadcast against the corpus.
+    "text_mix" -> ((s, dir) => {
+      val cells = docs(s, dir).groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = cells.agg(sum("n_docs").as("n_total"),
+        count(lit(1)).as("n_cells"))
+      cells.crossJoin(broadcast(tot))
+        .withColumn("actual_share", col("n_docs") / col("n_total"))
+        .withColumn("mix_weight",
+          least(lit(3.0), (lit(1.0) / col("n_cells")) / col("actual_share")))
+        .select(col("lang"), col("source"), col("n_docs"),
+          round(col("actual_share"), 6).as("actual_share"),
+          round(col("mix_weight"), 6).as("mix_weight"),
+          round(col("n_docs") * col("mix_weight"), 4).as("n_effective"))
+    }),
+
+    // curation: corpus-frequency fluency score — a char-bigram "language
+    // model" trained on the corpus itself (count per (lang, bigram)), each
+    // doc scored by the mean corpus frequency of its bigrams. Rare/garbled
+    // text scores low — the integer-only cousin of LM perplexity filtering
+    // (no transcendentals, so both engines agree bitwise; per-doc means
+    // are integer ratios and the per-lang mean is quantized to 10⁻⁶ so the
+    // aggregation is summation-order-free). The model join is a shuffle
+    // join on (lang, bigram) — corpus-vocabulary-sized, never broadcast.
+    "text_lm_score" -> ((s, dir) => {
+      val cb = docs(s, dir).select(col("doc_id"), col("lang"),
+          explode(when(length(col("text")) >= 2,
+            transform(sequence(lit(1), length(col("text")) - 1),
+              i => col("text").substr(i, lit(2))))
+            .otherwise(array().cast("array<string>"))).as("g"))
+        .localCheckpoint() // feeds the model build AND the scoring join
+      val model = cb.groupBy("lang", "g").agg(count(lit(1)).as("c"))
+      val fluency = cb.join(model, Seq("lang", "g"))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n"), sum("c").as("sc"))
+        .withColumn("fluency", col("sc").cast("double") / col("n"))
+      fluency.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(round(col("fluency") * 1e6, 0).cast("long")).cast("double")
+            / (count(lit(1)) * lit(1e6)), 6).as("avg_fluency"),
+          round(min("fluency"), 6).as("min_fluency"),
+          round(max("fluency"), 6).as("max_fluency"))
+    }),
+
     // X4: winnowing document fingerprints (rolling-hash min-per-window)
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir)
@@ -266,6 +346,59 @@ object TextQueries extends QueryRegistry {
         | round(top_token_ratio, 6) AS top_token_ratio,
         | (dup_bigram_ratio > 0.2 OR top_token_ratio > 0.2) AS flagged
         |FROM base JOIN top USING (doc_id)""".stripMargin,
+    "text_redact" ->
+      """WITH p AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 13 = 0
+        |    THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+        |    ELSE '' END ||
+        |  CASE WHEN doc_id % 17 = 0
+        |    THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+        |    ELSE '' END AS text
+        | FROM documents),
+        |m AS (SELECT doc_id,
+        |  len(regexp_extract_all(text, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS n_email,
+        |  len(regexp_extract_all(text, '555-[0-9]{4}')) AS n_phone,
+        |  length(text) AS len_before,
+        |  length(regexp_replace(regexp_replace(text,
+        |    '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+        |    '555-[0-9]{4}', '<PHONE>', 'g')) AS len_after
+        | FROM p)
+        |SELECT count(*) FILTER (WHERE n_email > 0 OR n_phone > 0)
+        |   AS n_docs_redacted,
+        | CAST(sum(n_email) AS BIGINT) AS n_emails,
+        | CAST(sum(n_phone) AS BIGINT) AS n_phones,
+        | CAST(sum(len_before - len_after) AS BIGINT) AS chars_removed
+        |FROM m""".stripMargin,
+    "text_mix" ->
+      """WITH cells AS (SELECT lang, source, count(*) AS n_docs
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+        |  count(*) AS n_cells FROM cells),
+        |j AS (SELECT lang, source, n_docs,
+        |  n_docs * 1.0 / n_total AS actual_share,
+        |  least(3.0, (1.0 / n_cells) / (n_docs * 1.0 / n_total)) AS mix_weight
+        | FROM cells CROSS JOIN tot)
+        |SELECT lang, source, n_docs,
+        | round(actual_share, 6) AS actual_share,
+        | round(mix_weight, 6) AS mix_weight,
+        | round(n_docs * mix_weight, 4) AS n_effective
+        |FROM j""".stripMargin,
+    "text_lm_score" ->
+      """WITH cb AS (SELECT doc_id, lang,
+        |  unnest(list_transform(generate_series(1, length(text) - 1),
+        |    i -> substr(text, i, 2))) AS g
+        | FROM documents WHERE length(text) >= 2),
+        |model AS (SELECT lang, g, count(*) AS c FROM cb GROUP BY 1, 2),
+        |scored AS (SELECT doc_id, cb.lang AS lang, count(*) AS n,
+        |  CAST(sum(c) AS BIGINT) AS sc
+        | FROM cb JOIN model USING (lang, g) GROUP BY 1, 2),
+        |f AS (SELECT doc_id, lang, sc * 1.0 / n AS fluency FROM scored)
+        |SELECT lang, count(*) AS n_docs,
+        | round(CAST(sum(CAST(round(fluency * 1000000) AS BIGINT)) AS BIGINT)
+        |   / (count(*) * 1000000.0), 6) AS avg_fluency,
+        | round(min(fluency), 6) AS min_fluency,
+        | round(max(fluency), 6) AS max_fluency
+        |FROM f GROUP BY 1""".stripMargin,
     "text_fingerprint" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |kg AS (SELECT doc_id, list_transform(generate_series(1, len(t)-2),

@@ -1,0 +1,133 @@
+package graft
+
+import graft.functions.GraftExtensions
+import graft.operators.{Similarity, TextQueries}
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-3 operator additions: bloom-filter runtime
+  * pre-filtering, Z-order layout quality, signed-random-projection LSH,
+  * PII redaction, mixture reweighting, and char-bigram fluency scoring.
+  */
+class Round3OperatorsSpec extends SparkSuite {
+
+  test("bloom pre-filter: no false negatives, real pruning, exact result") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    (1L to 1000L).toDF("x").createOrReplaceTempView("bloom_probe_v")
+    Seq(5L, 500L, 999L).toDF("k").createOrReplaceTempView("bloom_keys_v")
+    val passed = spark.sql(
+      """SELECT x FROM bloom_probe_v
+        |WHERE graft_might_contain(
+        |  (SELECT graft_bloom_agg(xxhash64(k), 100L, 4000L) FROM bloom_keys_v),
+        |  xxhash64(x))""".stripMargin)
+      .as[Long].collect().toSet
+    // every true key passes the filter (bloom guarantees no false negatives)
+    assert(Set(5L, 500L, 999L).subsetOf(passed))
+    // and the filter actually prunes (false-positive rate well under 100%)
+    assert(passed.size < 200, s"bloom passed ${passed.size}/1000 rows")
+    // the full query's exact semi-join removes the false positives
+    val q = SparkEntry.queries("q25_bloom_join")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oracle = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .join(spark.read.parquet(s"$sf0001/orders.parquet")
+          .filter(col("o_totalprice") > 300000.0).select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(q === oracle)
+  }
+
+  test("z-order buckets have tighter per-bucket spans than row order") {
+    val out = SparkEntry.queries("q26_zorder")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val (zx, zy) = out("zorder")
+    val (nx, ny) = out("roworder")
+    // the whole point of the layout: narrower ranges on BOTH dimensions
+    // (sf0.001's supplier-key domain is only 0..9, so the y-side margin is
+    // bounded by the domain, not the layout — strict inequality + a 2×
+    // combined-area margin is the portable assertion)
+    assert(zx < nx, s"zorder span_x $zx vs roworder $nx")
+    assert(zy < ny, s"zorder span_y $zy vs roworder $ny")
+    assert(zx + zy < (nx + ny) / 2,
+      s"combined spans: zorder ${zx + zy} vs roworder ${nx + ny}")
+  }
+
+  test("rp-lsh pairs are a subset of brute-force near-dup pairs") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val rp = Similarity.rpLshPairs(emb, bands = 4, bitsPerBand = 4,
+        threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rp.nonEmpty)
+    val v = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val all = v.alias("l").join(v.alias("r"),
+        col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id"), col("r.vec_id"),
+        Similarity.cosine(col("l.v"), col("r.v")).as("sim"))
+      .filter(col("sim") >= 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rp.subsetOf(all)) // exact-cosine verify admits no false pairs
+    // salted variant returns identical pairs
+    val salted = Similarity.rpLshPairs(emb, 4, 4, 0.3, salts = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted === rp)
+  }
+
+  test("rpWeight is deterministic and bounded") {
+    val w = for (j <- 0 until 16; d <- 0 until 64) yield Similarity.rpWeight(j, d)
+    assert(w.forall(x => x >= -1.0 && x <= 1.0))
+    assert(w.distinct.length > 500)              // spreads, not constant
+    assert(Similarity.rpWeight(3, 7) === Similarity.rpWeight(3, 7))
+  }
+
+  test("redaction leaves no live PII pattern behind") {
+    import spark.implicits._
+    val dirty = Seq(
+      (1L, "hello bob@mail.com and call 555-1234 now"),
+      (2L, "clean text with no pii at all"))
+      .toDF("doc_id", "text")
+    val emailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+    val phoneRe = "555-[0-9]{4}"
+    val red = dirty.select(regexp_replace(regexp_replace(col("text"),
+      emailRe, "<EMAIL>"), phoneRe, "<PHONE>").as("t"))
+      .collect().map(_.getString(0))
+    assert(red.forall(t => !t.matches(s".*$emailRe.*")))
+    assert(red.forall(t => !t.matches(s".*$phoneRe.*")))
+    assert(red.exists(_.contains("<EMAIL>")) && red.exists(_.contains("<PHONE>")))
+    // summary query: counts reflect exactly the synthesized PII docs
+    val row = TextQueries.queries("text_redact")(spark, sf0001).head()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val nEmail = docs.filter(col("doc_id") % 13 === 0).count()
+    val nPhone = docs.filter(col("doc_id") % 17 === 0).count()
+    assert(row.getAs[Long]("n_emails") === nEmail)
+    assert(row.getAs[Long]("n_phones") === nPhone)
+  }
+
+  test("mixture weights upsample rare cells and respect the clip") {
+    val rows = TextQueries.queries("text_mix")(spark, sf0001).collect()
+    val byShare = rows.map(r =>
+      r.getAs[Double]("actual_share") -> r.getAs[Double]("mix_weight"))
+    assert(byShare.forall { case (_, w) => w > 0 && w <= 3.0 })
+    val nCells = rows.length
+    // any cell below the uniform share must be upsampled (weight > 1)
+    assert(byShare.filter(_._1 < 1.0 / nCells - 1e-9).forall(_._2 > 1.0))
+    // any cell above it must be downsampled
+    assert(byShare.filter(_._1 > 1.0 / nCells + 1e-9).forall(_._2 < 1.0))
+  }
+
+  test("fluency score ranks repetitive text above unique text") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm").toString
+    val repetitive = "aa " * 40        // bigrams shared across the corpus
+    val unique = ('a' to 'z').map(c => s"$c${c}q$c").mkString(" ")
+    (Seq((1L, repetitive.trim, "en"), (2L, repetitive.trim, "en"),
+      (3L, unique, "en")))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextQueries.queries("text_lm_score")(spark, dir).head()
+    // max = the repeated docs' score, min = the unique doc's
+    assert(out.getAs[Double]("max_fluency") > out.getAs[Double]("min_fluency"))
+    assert(out.getAs[Long]("n_docs") === 3L)
+  }
+}
