@@ -54,6 +54,17 @@ object Bench {
       Similarity.pqAdcTopK(emb, 16, 32, col("vec_id") < 3, 5).count()
       Similarity.ivfTopK(emb, 16, col("vec_id") < 3, 3).count()
       Similarity.nearDupPairs(emb, 16, 0.4).count()
+      Similarity.rpLshPairs(emb, 4, 4, 0.3).count()
+      // bloom scalar-subquery + semi-join shape (q25)
+      graft.functions.GraftExtensions.register(spark)
+      spark.range(100).toDF("k").createOrReplaceTempView("warm_bloom_keys")
+      spark.range(1000).toDF("x").createOrReplaceTempView("warm_bloom_probe")
+      spark.sql(
+        """SELECT count(*) FROM warm_bloom_probe
+          |WHERE graft_might_contain(
+          |  (SELECT graft_bloom_agg(xxhash64(k), 100L, 4000L)
+          |   FROM warm_bloom_keys), xxhash64(x))
+          |  AND x IN (SELECT k FROM warm_bloom_keys)""".stripMargin).count()
     }
     // optional args: query-name substrings to run (local iteration aid;
     // the driver passes none and gets the full battery)

@@ -217,16 +217,25 @@ object TextQueries extends QueryRegistry {
     // aggregation is summation-order-free). The model join is a shuffle
     // join on (lang, bigram) — corpus-vocabulary-sized, never broadcast.
     "text_lm_score" -> ((s, dir) => {
+      // shuffle discipline: the raw bigram stream is ~n_chars rows per doc;
+      // everything downstream works on the PER-DOC bigram histogram
+      // (doc_id, g, cnt) — one map-side-combinable aggregate collapses the
+      // stream ~5× before any join, the model is a reaggregation of the
+      // histogram, and the scoring join carries counts, not instances.
+      // The model join stays a SHUFFLE join: char-bigram vocabulary is
+      // charset²-bounded but a CJK corpus can push it past broadcast range.
       val cb = docs(s, dir).select(col("doc_id"), col("lang"),
-          explode(when(length(col("text")) >= 2,
-            transform(sequence(lit(1), length(col("text")) - 1),
-              i => col("text").substr(i, lit(2))))
-            .otherwise(array().cast("array<string>"))).as("g"))
+        explode(when(length(col("text")) >= 2,
+          transform(sequence(lit(1), length(col("text")) - 1),
+            i => col("text").substr(i, lit(2))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      val hist = cb.groupBy("doc_id", "lang", "g")
+        .agg(count(lit(1)).as("cnt"))
         .localCheckpoint() // feeds the model build AND the scoring join
-      val model = cb.groupBy("lang", "g").agg(count(lit(1)).as("c"))
-      val fluency = cb.join(model, Seq("lang", "g"))
+      val model = hist.groupBy("lang", "g").agg(sum("cnt").as("c"))
+      val fluency = hist.join(model, Seq("lang", "g"))
         .groupBy("doc_id", "lang")
-        .agg(count(lit(1)).as("n"), sum("c").as("sc"))
+        .agg(sum("cnt").as("n"), sum(col("c") * col("cnt")).as("sc"))
         .withColumn("fluency", col("sc").cast("double") / col("n"))
       fluency.groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
