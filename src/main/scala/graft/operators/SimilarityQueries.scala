@@ -32,6 +32,41 @@ object SimilarityQueries extends QueryRegistry {
     // reconstructing any vector.
     "sim_pq_adc" -> ((s, dir) =>
       Similarity.pqAdcTopK(emb(s, dir), 16, 32, col("vec_id") < 10, 5)),
+    // X3: corpus organization — k-means cluster profile (size, cohesion as
+    // mean cosine-to-centroid, purity proxy via dominant label share).
+    // Reuses the IVF quantizer; the per-cluster mean similarity is
+    // 10⁻⁶-quantized so the distributed aggregate matches the single-node
+    // oracle bitwise. The curation use: prune incoherent clusters, sample
+    // per-cluster for diversity.
+    "emb_cluster_stats" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cent = Similarity.kmeansCentroids(e, 16, 2)
+      val base = Similarity.ivfAssign(e, 16)
+        .join(e.select(col("vec_id"), col("label")), "vec_id")
+        .join(broadcast(cent), "cid")
+        .select(col("cid"), col("label"),
+          Similarity.cosine(col("v"), col("cv")).as("csim"))
+        .localCheckpoint() // feeds the stats AND dominant-label branches
+      val stats = base.groupBy("cid")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(round(col("csim") * 1e6, 0).cast("long")).cast("double")
+            / (count(lit(1)) * lit(1e6)), 6).as("mean_cohesion"))
+      // dominant label via a string-encoded argmax (zero-padded count +
+      // label) — max(varchar) orders identically in both engines, so ties
+      // break deterministically on the larger label
+      val dom = base.groupBy("cid", "label").agg(count(lit(1)).as("nl"))
+        .groupBy("cid")
+        .agg(max(concat(lpad(col("nl").cast("string"), 10, "0"),
+          lit(":"), col("label"))).as("enc"))
+        .select(col("cid"),
+          substring(col("enc"), 1, 10).cast("long").as("top_n"),
+          substring(col("enc"), 12, 1000).as("top_label"))
+      stats.join(dom, "cid")
+        .select(col("cid"), col("n_vecs"), col("mean_cohesion"),
+          col("top_label"),
+          round(col("top_n").cast("double") / col("n_vecs"), 6).as("purity"))
+    }),
+
     // X3 storage path: int8 scalar quantization (symmetric, fixed [-1,1]
     // range) — per-label reconstruction-error profile. At 100 TB this is
     // the 4× embedding-lake compression step before IVF/LSH indexing.
@@ -131,6 +166,27 @@ object SimilarityQueries extends QueryRegistry {
        |WHERE rk <= 5""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "emb_cluster_stats" ->
+      s"""WITH $ivfCtes,
+         |base AS (SELECT a.cid, e.label,
+         |    ${cos("a.v", "c.cv")} AS csim
+         |  FROM asn a
+         |   JOIN embeddings e ON e.vec_id = a.vec_id
+         |   JOIN cent2 c ON c.cid = a.cid),
+         |stats AS (SELECT cid, count(*) AS n_vecs,
+         |    round(CAST(sum(CAST(round(csim * 1000000) AS BIGINT)) AS BIGINT)
+         |      / (count(*) * 1000000.0), 6) AS mean_cohesion
+         |  FROM base GROUP BY 1),
+         |cnt AS (SELECT cid, label, count(*) AS nl FROM base GROUP BY 1, 2),
+         |dom AS (SELECT cid,
+         |    CAST(substr(enc, 1, 10) AS BIGINT) AS top_n,
+         |    substr(enc, 12) AS top_label
+         |  FROM (SELECT cid,
+         |      max(lpad(nl::VARCHAR, 10, '0') || ':' || label) AS enc
+         |    FROM cnt GROUP BY 1))
+         |SELECT cid, n_vecs, mean_cohesion, top_label,
+         |  round(top_n * 1.0 / n_vecs, 6) AS purity
+         |FROM stats JOIN dom USING (cid)""".stripMargin,
     "sim_pq_adc" -> pqSql,
     "sim_topk" ->
       s"""WITH v AS ($vSql),

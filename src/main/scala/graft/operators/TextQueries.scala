@@ -245,6 +245,31 @@ object TextQueries extends QueryRegistry {
           round(max("fluency"), 6).as("max_fluency"))
     }),
 
+    // curation: model-based quality filtering — batch inference of a
+    // fixed-weight linear classifier over engineered features (token
+    // count, stopword ratio, mean word length). The inference pass is a
+    // narrow map (no shuffle until the per-lang rollup) — the shape of
+    // any classifier-scored keep/drop sweep at 100 TB; the weights stand
+    // in for a trained model's. Scores aggregate 10⁻⁶-quantized.
+    "text_classify" -> ((s, dir) => {
+      val t = TextDedup.tokens(col("text"))
+      val base = docs(s, dir).select(col("lang"), col("n_chars"),
+        size(t).cast("long").as("n_tokens"),
+        size(filter(t, x => x.isin("the", "a"))).cast("long").as("n_stop"))
+      val scored = base.select(col("lang"),
+        (lit(0.2) + lit(0.004) * least(col("n_tokens"), lit(250L)).cast("double")
+          - lit(1.5) * (col("n_stop").cast("double") / col("n_tokens"))
+          + lit(0.05) * ((col("n_chars") - col("n_tokens") + 1).cast("double")
+            / col("n_tokens"))).as("score"))
+      scored.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("score") > 0.5, 1)).as("n_keep"),
+        round(count(when(col("score") > 0.5, 1)).cast("double")
+          / count(lit(1)), 6).as("keep_rate"),
+        round(sum(round(col("score") * 1e6, 0).cast("long")).cast("double")
+          / (count(lit(1)) * lit(1e6)), 6).as("avg_score"))
+    }),
+
     // X4: winnowing document fingerprints (rolling-hash min-per-window)
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir)
@@ -408,6 +433,26 @@ object TextQueries extends QueryRegistry {
         | round(min(fluency), 6) AS min_fluency,
         | round(max(fluency), 6) AS max_fluency
         |FROM f GROUP BY 1""".stripMargin,
+    // literals cast to DOUBLE: DuckDB's bare 0.004 is DECIMAL and its
+    // exact arithmetic would diverge from Spark's IEEE doubles
+    "text_classify" ->
+      """WITH t AS (SELECT lang, n_chars, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |m AS (SELECT lang, n_chars, len(toks) AS n_tokens,
+        |  len(list_filter(toks, x -> x IN ('the','a'))) AS n_stop FROM t),
+        |sc AS (SELECT lang,
+        |  0.2::DOUBLE + 0.004::DOUBLE * least(n_tokens, 250)
+        |    - 1.5::DOUBLE * (CAST(n_stop AS DOUBLE) / n_tokens)
+        |    + 0.05::DOUBLE * (CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens)
+        |    AS score
+        | FROM m)
+        |SELECT lang, count(*) AS n_docs,
+        | count(*) FILTER (WHERE score > 0.5::DOUBLE) AS n_keep,
+        | round(count(*) FILTER (WHERE score > 0.5::DOUBLE) * 1.0 / count(*), 6)
+        |   AS keep_rate,
+        | round(CAST(sum(CAST(round(score * 1000000) AS BIGINT)) AS BIGINT)
+        |   / (count(*) * 1000000.0), 6) AS avg_score
+        |FROM sc GROUP BY 1""".stripMargin,
     "text_fingerprint" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |kg AS (SELECT doc_id, list_transform(generate_series(1, len(t)-2),

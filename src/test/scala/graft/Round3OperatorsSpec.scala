@@ -116,6 +116,40 @@ class Round3OperatorsSpec extends SparkSuite {
     assert(byShare.filter(_._1 > 1.0 / nCells + 1e-9).forall(_._2 < 1.0))
   }
 
+  test("cluster stats: sizes partition the corpus, cohesion and purity bounded") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val rows = SparkEntry.queries("emb_cluster_stats")(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum === emb.count())
+    assert(rows.forall { r =>
+      val c = r.getAs[Double]("mean_cohesion"); c >= -1.0 && c <= 1.0
+    })
+    assert(rows.forall { r =>
+      val p = r.getAs[Double]("purity"); p > 0.0 && p <= 1.0
+    })
+    // every cluster's dominant label is a real label (label is numeric in
+    // the fixture; the query emits its string form)
+    val labels = emb.select("label").distinct().collect()
+      .map(_.get(0).toString).toSet
+    assert(rows.forall(r => labels.contains(r.getAs[String]("top_label"))))
+  }
+
+  test("linear classifier scores follow the weights") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_clf").toString
+    // doc 1: long, no stopwords -> high score; doc 2: stopword-heavy -> low
+    val good = (1 to 200).map(i => s"token$i").mkString(" ")
+    val bad = Seq.fill(50)("the a").mkString(" ")
+    Seq((1L, good, "en", good.length.toLong),
+      (2L, bad, "en", bad.length.toLong))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextQueries.queries("text_classify")(spark, dir).head()
+    assert(out.getAs[Long]("n_docs") === 2L)
+    assert(out.getAs[Long]("n_keep") === 1L) // only the clean doc passes
+    // hand-check the clean doc's score: 0.2 + 0.004*200 - 0 + 0.05*awl > 0.5
+    assert(out.getAs[Double]("keep_rate") === 0.5)
+  }
+
   test("fluency score ranks repetitive text above unique text") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_lm").toString
