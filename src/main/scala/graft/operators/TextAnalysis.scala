@@ -49,14 +49,21 @@ object TextAnalysis {
     */
   def winnowFingerprint(text: Column): Column = {
     val t = TextDedup.tokens(text)
-    val kgrams = transform(sequence(lit(1), size(t) - 2), i =>
-      substring(
-        md5(concat_ws(" ",
-          element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))),
-        1, 8))
+    // guards: sequence(1, n) steps DOWN when n < 1 (yielding [1, 0] and an
+    // index-0 error) — docs too short for a 3-gram (< 3 tokens) or for a
+    // 4-window (< 6 tokens) keep an empty set, matching the oracle's empty
+    // generate_series
+    val kgrams = when(size(t) >= 3,
+      transform(sequence(lit(1), size(t) - 2), i =>
+        substring(
+          md5(concat_ws(" ",
+            element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))),
+          1, 8))).otherwise(array().cast("array<string>"))
     val kept = sort_array(array_distinct(
-      transform(sequence(lit(1), size(kgrams) - 3), p =>
-        array_min(slice(kgrams, p, lit(4))))))
+      when(size(kgrams) >= 4,
+        transform(sequence(lit(1), size(kgrams) - 3), p =>
+          array_min(slice(kgrams, p, lit(4)))))
+        .otherwise(array().cast("array<string>"))))
     struct(
       substring(md5(concat_ws("", kept)), 1, 16).as("fp"),
       size(kept).as("n_kept"))

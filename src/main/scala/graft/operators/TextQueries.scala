@@ -129,9 +129,12 @@ object TextQueries extends QueryRegistry {
     "text_repetition" -> ((s, dir) => {
       val d = docs(s, dir)
       val t = TextDedup.tokens(col("text"))
+      // guard: a 1-token doc has no bigrams — 0/0 here is engine-divergent
+      // (Spark null vs DuckDB error), so emit NULL explicitly on both sides
       val base = d.select(col("doc_id"), size(t).cast("long").as("n_tokens"),
-        (lit(1.0) - size(TextDedup.bigramShingles(col("text")))
-          .cast("double") / (size(t) - 1)).as("dup_bigram_ratio"))
+        when(size(t) >= 2,
+          lit(1.0) - size(TextDedup.bigramShingles(col("text")))
+            .cast("double") / (size(t) - 1)).as("dup_bigram_ratio"))
       val top = d.select(col("doc_id"), explode(t).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
         .groupBy("doc_id").agg(max("c").as("top_c"), sum("c").as("n"))
@@ -368,8 +371,10 @@ object TextQueries extends QueryRegistry {
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |base AS (SELECT doc_id, len(t) AS n_tokens,
-        |  1.0 - len(list_distinct(list_transform(generate_series(1, len(t)-1),
-        |    i -> t[i] || ' ' || t[i+1]))) * 1.0 / (len(t) - 1) AS dup_bigram_ratio
+        |  CASE WHEN len(t) >= 2 THEN
+        |    1.0 - len(list_distinct(list_transform(generate_series(1, len(t)-1),
+        |      i -> t[i] || ' ' || t[i+1]))) * 1.0 / (len(t) - 1)
+        |  ELSE NULL END AS dup_bigram_ratio
         | FROM t),
         |tok AS (SELECT doc_id, unnest(t) AS w FROM t),
         |cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),

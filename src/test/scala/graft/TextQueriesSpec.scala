@@ -28,4 +28,34 @@ class TextQueriesSpec extends SparkSuite {
     // 5 of its 8-grams; short docs appear nowhere
     assert(out === Map(1000000L -> 5L))
   }
+
+  test("winnowing fingerprint handles docs too short for grams or windows") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val rows = Seq("one", "two tok", "a b c", "a b c d e",
+      (1 to 12).map(i => s"w$i").mkString(" "))
+      .toDF("text")
+      .select(TextAnalysis.winnowFingerprint(org.apache.spark.sql.functions
+        .col("text")).as("w"))
+      .select("w.fp", "w.n_kept").collect()
+    // < 6 tokens -> empty kept set (fp of empty string), no crash
+    val emptyFp = rows(0).getString(0)
+    assert(rows.take(4).forall(r =>
+      r.getString(0) === emptyFp && r.getInt(1) === 0))
+    assert(rows(4).getInt(1) > 0) // long doc keeps real fingerprints
+  }
+
+  test("repetition signals emit NULL ratio for 1-token docs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep").toString
+    Seq((1L, "single"), (2L, "a a a a a a"), (3L, "x y z w v u"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextQueries.queries("text_repetition")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out(1L) === None)          // no bigrams -> NULL, not 0/0
+    assert(out(2L) === Some(0.8))     // 5 bigram slots, 1 distinct
+    assert(out(3L) === Some(0.0))     // all distinct
+  }
 }
