@@ -286,6 +286,19 @@ object AnalyticsQueries extends QueryRegistry {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
              approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))),
 
+    // X6: mergeable quantile sketch (approx_percentile) — the 100 TB
+    // companion to q19's exact percentiles: map-side partial sketches
+    // merge associatively, so no group's values ever sort in one place.
+    // Engine-specific sketch → rows-only check (q19 is the exact twin),
+    // same precedent as q15's HLL.
+    "q19b_approx_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)")
+            .as("approx_p"),
+          count(lit(1)).as("n"))),
+
     // skew handling: two-phase salted aggregate must equal the plain agg —
     // the oracle IS the unsalted SQL
     "q16_salted_agg" -> ((s, dir) =>

@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.{Similarity, TextDedup}
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input behavior: operators must return empty results, not
+  * crash, when upstream filters leave nothing (a real state at 100 TB —
+  * e.g., an LSH pass over a partition of unique documents, or a CC round
+  * over a pair set that deduplication already emptied).
+  */
+class EmptyInputSpec extends SparkSuite {
+
+  import org.apache.spark.sql.DataFrame
+  private def emptyPairs: DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "jaccard")
+  }
+
+  test("connected components over an empty pair set") {
+    assert(TextDedup.connectedComponents(emptyPairs, "doc_a", "doc_b")
+      .count() === 0)
+    assert(TextDedup.connectedComponentsStar(emptyPairs, "doc_a", "doc_b")
+      .count() === 0)
+  }
+
+  test("LSH finds no pairs among unique documents") {
+    import spark.implicits._
+    val unique = (1L to 40L).map(i =>
+      (i, (0 until 20).map(j => s"tok${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(TextDedup.minhashLshPairs(unique, "doc_id", "text").count() === 0)
+    assert(TextDedup.simhashHammingPairs(unique, "doc_id", "text")
+      .filter(col("doc_a") =!= col("doc_b")).count() >= 0) // no crash
+  }
+
+  test("similarity top-k with an empty query set") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    assert(Similarity.topK(emb, col("vec_id") < 0, 5).count() === 0)
+    assert(Similarity.ivfTopK(emb, 16, col("vec_id") < 0, 3).count() === 0)
+    assert(Similarity.pqAdcTopK(emb, 16, 32, col("vec_id") < 0, 5)
+      .count() === 0)
+    assert(Similarity.rpLshPairs(emb.limit(1), 4, 4, 0.3).count() === 0)
+  }
+}
