@@ -197,8 +197,11 @@ object TextQueries extends QueryRegistry {
     // a single-row broadcast cross join; the weights table is what a 100 TB
     // sampling pass would broadcast against the corpus.
     "text_mix" -> ((s, dir) => {
+      // materialize the (tiny) cell table once: `tot` derives from it, and
+      // without the checkpoint its lineage re-scans the full corpus
       val cells = docs(s, dir).groupBy("lang", "source")
         .agg(count(lit(1)).as("n_docs"))
+        .localCheckpoint()
       val tot = cells.agg(sum("n_docs").as("n_total"),
         count(lit(1)).as("n_cells"))
       cells.crossJoin(broadcast(tot))
@@ -225,8 +228,10 @@ object TextQueries extends QueryRegistry {
       // (doc_id, g, cnt) — one map-side-combinable aggregate collapses the
       // stream ~5× before any join, the model is a reaggregation of the
       // histogram, and the scoring join carries counts, not instances.
-      // The model join stays a SHUFFLE join: char-bigram vocabulary is
-      // charset²-bounded but a CJK corpus can push it past broadcast range.
+      // The model-join strategy is left to the planner: char-bigram
+      // vocabulary is charset²-bounded, so for ASCII corpora it broadcasts
+      // (and does here); a CJK corpus can push it past broadcast range,
+      // where the same plan falls back to a shuffle join on (lang, g).
       val cb = docs(s, dir).select(col("doc_id"), col("lang"),
         explode(when(length(col("text")) >= 2,
           transform(sequence(lit(1), length(col("text")) - 1),
