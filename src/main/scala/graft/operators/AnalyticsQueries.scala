@@ -381,9 +381,11 @@ object AnalyticsQueries extends QueryRegistry {
       val li = t(s, dir, "lineitem")
         .select((col("l_partkey") % 256).as("x"), (col("l_suppkey") % 256).as("y"),
           col("l_orderkey"))
+      // bitwiseAND, not % 2: the oracle uses `& 1`, and the two diverge on
+      // negative inputs (% yields -1, & yields 1)
       val z = (0 until 8).map(b =>
-        shiftleft(shiftright(col("x"), b) % 2, 2 * b) +
-          shiftleft(shiftright(col("y"), b) % 2, 2 * b + 1))
+        shiftleft(shiftright(col("x"), b).bitwiseAND(lit(1)), 2 * b) +
+          shiftleft(shiftright(col("y"), b).bitwiseAND(lit(1)), 2 * b + 1))
         .reduce(_ + _)
       def spans(df: DataFrame, layout: String): DataFrame =
         df.groupBy("bucket")

@@ -123,6 +123,13 @@ object Similarity {
   def ivfAssign(emb: DataFrame, c: Int, kmeansIters: Int = 2): DataFrame =
     assignTo(vecs(emb), kmeansCentroids(emb, c, kmeansIters))
 
+  /** Assignment against precomputed centroids — lets a caller train the
+    * quantizer once and reuse it for both assignment and any
+    * centroid-relative metric (see `emb_cluster_stats`).
+    */
+  def ivfAssignTo(emb: DataFrame, cent: DataFrame): DataFrame =
+    assignTo(vecs(emb), cent)
+
   /** IVF top-k with multi-probe: each query searches its `nprobe` nearest
     * cells (data vectors live in exactly one cell, so candidate pairs are
     * already distinct — no dedup shuffle). nprobe trades candidate volume
@@ -257,25 +264,38 @@ object Similarity {
     */
   def rpLshPairs(
       emb: DataFrame, bands: Int, bitsPerBand: Int, threshold: Double,
-      salts: Int = 1): DataFrame = {
+      salts: Int = 1, dim: Int = 64): DataFrame = {
+    // fail fast on a dimension mismatch: DotProduct truncates to the
+    // shorter operand, which would silently sketch only a prefix
     val v = vecs(emb)
+      .select(col("vec_id"),
+        when(size(col("v")) === dim, col("v"))
+          .otherwise(raise_error(concat(lit(s"rpLshPairs: expected $dim-dim"
+            + " embedding, got "), size(col("v")).cast("string")))).as("v"))
+      .localCheckpoint() // feeds the sketch pass and both verify branches
     def bit(j: Int): Column = {
-      val wj = array((0 until 64).map(d => lit(rpWeight(j, d))): _*)
+      val wj = array((0 until dim).map(d => lit(rpWeight(j, d))): _*)
       when(dot(col("v"), wj) >= 0, lit("1")).otherwise(lit("0"))
     }
-    val withSk = v.select(col("vec_id") +: col("v") +:
+    val withSk = v.select(col("vec_id") +:
       (0 until bands).map(b =>
         concat((0 until bitsPerBand).map(i =>
           bit(b * bitsPerBand + i)): _*).as(s"sk$b")): _*)
     val stackArgs = (0 until bands).map(b => s"$b, sk$b").mkString(", ")
     val sk = withSk
-      .selectExpr("vec_id", "v", s"stack($bands, $stackArgs) as (b, sketch)")
-      .localCheckpoint()
-    Skew.saltedSelfJoin(sk, Seq("b", "sketch"), "vec_id", salts)
-      .select(col("l.vec_id").as("va"), col("r.vec_id").as("vb"),
-        cosine(col("l.v"), col("r.v")).as("sim"))
+      .selectExpr("vec_id", s"stack($bands, $stackArgs) as (b, sketch)")
+    // cand-then-verify (the minhashLshPairs shape, and the oracle's):
+    // dedup (va, vb) BEFORE the cosine so a pair colliding in several
+    // bands is verified once, and the band join shuffles only ids +
+    // sketches — vectors never ride through the stack or the distinct
+    val cand = Skew.saltedSelfJoin(sk, Seq("b", "sketch"), "vec_id", salts)
+      .select(col("l.vec_id").as("va"), col("r.vec_id").as("vb"))
+      .distinct()
+    cand
+      .join(v.select(col("vec_id").as("va"), col("v").as("av")), "va")
+      .join(v.select(col("vec_id").as("vb"), col("v").as("bv")), "vb")
+      .select(col("va"), col("vb"), cosine(col("av"), col("bv")).as("sim"))
       .filter(col("sim") >= threshold)
-      .distinct() // a pair matching several bands collapses (sim is equal)
       .select(col("va"), col("vb"), round(col("sim"), 6).as("sim"))
   }
 

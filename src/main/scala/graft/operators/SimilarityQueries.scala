@@ -40,8 +40,9 @@ object SimilarityQueries extends QueryRegistry {
     // per-cluster for diversity.
     "emb_cluster_stats" -> ((s, dir) => {
       val e = emb(s, dir)
+      // train the quantizer ONCE; assignment and the cohesion join reuse it
       val cent = Similarity.kmeansCentroids(e, 16, 2)
-      val base = Similarity.ivfAssign(e, 16)
+      val base = Similarity.ivfAssignTo(e, cent)
         .join(e.select(col("vec_id"), col("label")), "vec_id")
         .join(broadcast(cent), "cid")
         .select(col("cid"), col("label"),

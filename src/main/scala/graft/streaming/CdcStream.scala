@@ -144,14 +144,17 @@ object CdcStream {
           .localCheckpoint() // one computation feeds scan filter + anti-join + union
         val touched = updates.select("bucket").distinct()
           .collect().map(_.getInt(0)).toSet // bounded by nBuckets — tiny
-        val dir = new java.io.File(stateDir)
         // "has state" = at least one bucket=* partition dir remains. A batch
         // that annihilates every live key deletes all bucket dirs but leaves
         // stateDir itself — reading that empty dir would fail schema
-        // inference, so treat it the same as a missing dir.
-        val hasState = dir.exists() &&
-          Option(dir.listFiles()).exists(_.exists(f =>
-            f.isDirectory && f.getName.startsWith("bucket=")))
+        // inference, so treat it the same as a missing dir. Checked through
+        // the Hadoop FileSystem (same as the deletion path below), so
+        // hdfs://, s3a://, and local state dirs all behave identically.
+        val statePath = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hasState = fs.exists(statePath) &&
+          fs.listStatus(statePath).exists(st =>
+            st.isDirectory && st.getPath.getName.startsWith("bucket="))
         val next =
           if (hasState) {
             // partition-pruned: only the touched buckets are scanned
@@ -173,8 +176,6 @@ object CdcStream {
         // overwrite can't rewrite it to empty, so drop its directory
         val outBuckets = staged.select("bucket").distinct()
           .collect().map(_.getInt(0)).toSet
-        val fs = new org.apache.hadoop.fs.Path(stateDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
         for (b <- touched -- outBuckets)
           fs.delete(new org.apache.hadoop.fs.Path(stateDir, s"bucket=$b"), true)
       }
