@@ -73,6 +73,10 @@ object CdcQueries extends QueryRegistry {
     // the same snapshot as the batch compact (same oracle SQL)
     "cdc_compact_stream" -> ((s, dir) =>
       streaming.CdcStream.compactStreamed(s, dir)),
+    // §2.8: watermarked tumbling windows run AS A STREAM to completion —
+    // streaming/batch parity on the aggregation surface (oracle = batch)
+    "cdc_stream_windowed" -> ((s, dir) =>
+      streaming.CdcStream.windowedStreamed(s, dir)),
     // K2+S8+F8: CSV sink → source roundtrip preserves the changelog
     "csv_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files
@@ -129,6 +133,10 @@ object CdcQueries extends QueryRegistry {
          |   AS is_current
          |FROM ch""".stripMargin,
     "cdc_compact_stream" -> compactSql,
+    "cdc_stream_windowed" ->
+      """SELECT (epoch_ms(ts) // 1000) // 86400 * 86400 AS day_start,
+        | event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "csv_roundtrip" ->
       s"""SELECT "table", cdc_action, count(*) AS n,
          | CAST(sum(seq) AS BIGINT) AS sum_seq,

@@ -109,6 +109,33 @@ object CdcStream {
       .select("table", "rid", "cdc_action", "seq", "cdc_ts", "value", "props")
   }
 
+  /** Watermarked tumbling-window aggregation run AS A STREAM to completion
+    * (AvailableNow) — the streaming twin of the q17 batch windows, wired
+    * into the oracle gate as `cdc_stream_windowed`. Complete output mode
+    * emits every window's final state at termination, so the result equals
+    * the batch aggregation the oracle computes. At scale this is the
+    * standing micro-batch job; the memory sink stands in for the real one
+    * (window count is bounded by the time range, not event volume).
+    */
+  def windowedStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = "evt_win_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", "1 hour")
+      .groupBy(window(col("ets"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sv"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("w.start").cast("long").as("day_start"), col("event_type"),
+        col("n_events"), round(col("sv"), 2).as("sum_value"))
+  }
+
   /** Keep streaming merge state in RocksDB instead of the default on-heap
     * HashMap provider. The merge state is one entry per live (table, rid)
     * key — at 100 TB key counts that exceeds executor heap; RocksDB spills
