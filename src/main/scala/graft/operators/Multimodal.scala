@@ -69,12 +69,19 @@ object Multimodal {
     * the explode-to-frames shape (one media row → many frame rows).
     */
   def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
+    // payloads shorter than one frame yield no rows: without the guard,
+    // sequence(0, negative) steps DOWN and negative substring positions
+    // silently produce wrong frames (same hazard class as the short-doc
+    // n-gram crashes)
     media.select(col("doc_id"), col("meta.format").as("format"),
       posexplode(
-        transform(
-          sequence(lit(0),
-            floor((length(col("media")) - frameBytes) / stride).cast("int")),
-          i => substring(col("media"), (i * stride + 1).cast("int"), lit(frameBytes)))))
+        when(length(col("media")) >= frameBytes,
+          transform(
+            sequence(lit(0),
+              floor((length(col("media")) - frameBytes) / stride).cast("int")),
+            i => substring(col("media"), (i * stride + 1).cast("int"),
+              lit(frameBytes))))
+          .otherwise(array().cast("array<binary>"))))
       .withColumnRenamed("pos", "frame_no")
       .withColumnRenamed("col", "frame")
 }

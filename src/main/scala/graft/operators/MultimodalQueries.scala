@@ -45,6 +45,18 @@ object MultimodalQueries extends QueryRegistry {
           round(col("mean_abs"), 6).as("emb_mean_abs"),
           (quality > 0.3 && col("max_abs") < 0.5).as("keep"))
     }),
+    // X5: frame sampling — one media row explodes into byte-window
+    // "frames" (64-byte frames, stride 48); per-format frame counts and
+    // byte volume. The oracle derives the same counts from octet lengths
+    // alone, pinning the explode cardinality and grouping; frame CONTENT
+    // is exercised in MultimodalSpec (no engine-portable SQL for blob
+    // slicing).
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.mediaTable(s, dir), 64, 48)
+        .groupBy("format")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(length(col("frame")).cast("long")).as("frame_bytes"),
+          countDistinct(col("doc_id")).as("n_docs"))),
     // X5: per-format aggregate over media metadata
     "mm_format_stats" -> ((s, dir) =>
       Multimodal.mediaTable(s, dir)
@@ -87,6 +99,15 @@ object MultimodalQueries extends QueryRegistry {
         | (quality > 0.3 AND max_abs < 0.5) AS keep
         |FROM j""".stripMargin,
     "mm_binary_meta" -> metaSql,
+    "mm_frame_sample" ->
+      s"""WITH m AS (SELECT doc_id, format, n_bytes AS len FROM ($metaSql)),
+         |f AS (SELECT doc_id, format,
+         |  CASE WHEN len >= 64 THEN (len - 64) // 48 + 1 ELSE 0 END AS nf
+         | FROM m)
+         |SELECT format, CAST(sum(nf) AS BIGINT) AS n_frames,
+         | CAST(sum(nf * 64) AS BIGINT) AS frame_bytes,
+         | count(*) FILTER (WHERE nf > 0) AS n_docs
+         |FROM f GROUP BY 1""".stripMargin,
     "mm_format_stats" ->
       s"""SELECT format, count(*) AS n,
          | CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
