@@ -89,6 +89,34 @@ object CdcQueries extends QueryRegistry {
           sum(col("seq").cast("long")).as("sum_seq"),
           round(sum(col("value").cast("double")), 2).as("sum_value"))
     }),
+    // S8-class format width: JSON-lines sink → source roundtrip preserves
+    // the changelog (schema given explicitly on read — a JSON lake never
+    // relies on inference at 100 TB). Oracle = the same aggregate straight
+    // from the parquet-backed changelog.
+    "json_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_json").toString
+      val ch = CdcBatch.changeLog(s, dir)
+      ch.write.mode("overwrite").json(tmp)
+      s.read.schema(ch.schema).json(tmp)
+        .groupBy("table", "cdc_action")
+        .agg(count(lit(1)).as("n"),
+          sum(col("seq")).as("sum_seq"),
+          round(sum(col("value")), 2).as("sum_value"))
+    }),
+    // S8-class format width: columnar ORC sink → source roundtrip (the
+    // other native columnar format next to parquet; schema travels in the
+    // file footer like parquet's)
+    "orc_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_orc").toString
+      CdcBatch.changeLog(s, dir).write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .groupBy("table", "cdc_action")
+        .agg(count(lit(1)).as("n"),
+          sum(col("seq")).as("sum_seq"),
+          round(sum(col("value")), 2).as("sum_value"))
+    }),
     // S7: table catalog listing from the compacted state
     "cdc_tables" -> ((s, dir) =>
       CdcBatch.compactedSnapshot(s, dir)
@@ -133,6 +161,16 @@ object CdcQueries extends QueryRegistry {
          |   AS is_current
          |FROM ch""".stripMargin,
     "cdc_compact_stream" -> compactSql,
+    "json_roundtrip" ->
+      s"""SELECT "table", cdc_action, count(*) AS n,
+         | CAST(sum(seq) AS BIGINT) AS sum_seq,
+         | round(sum(value), 2) AS sum_value
+         |FROM ($changelogSql) GROUP BY 1, 2""".stripMargin,
+    "orc_roundtrip" ->
+      s"""SELECT "table", cdc_action, count(*) AS n,
+         | CAST(sum(seq) AS BIGINT) AS sum_seq,
+         | round(sum(value), 2) AS sum_value
+         |FROM ($changelogSql) GROUP BY 1, 2""".stripMargin,
     "cdc_stream_windowed" ->
       """SELECT (epoch_ms(ts) // 1000) // 86400 * 86400 AS day_start,
         | event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
