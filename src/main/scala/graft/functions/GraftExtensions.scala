@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import org.apache.spark.sql.graft.DotProduct
+import org.apache.spark.sql.graft.{DotProduct, HammingDistance}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so
@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    ext.injectFunction(GraftExtensions.hammingFunction)
     ext.injectFunction(GraftExtensions.bloomAggFunction)
     ext.injectFunction(GraftExtensions.mightContainFunction)
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.TopKStrategy)
@@ -34,6 +35,15 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.length == 2, "graft_dot(a, b) takes two array<double> args")
       DotProduct(children.head, children(1))
+    })
+
+  /** Byte-wise string Hamming distance, `graft_hamming(a, b)`. */
+  val hammingFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_hamming"),
+    new ExpressionInfo(classOf[HammingDistance].getName, "graft_hamming"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "graft_hamming(a, b) takes two string args")
+      HammingDistance(children.head, children(1))
     })
 
   /** Spark's internal bloom-filter aggregate (the runtime-filter builder),
@@ -63,7 +73,8 @@ object GraftExtensions {
   /** Imperative registration for an already-built session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     for ((id, info, builder) <-
-        Seq(dotFunction, bloomAggFunction, mightContainFunction))
+        Seq(dotFunction, hammingFunction, bloomAggFunction,
+          mightContainFunction))
       spark.sessionState.functionRegistry
         .registerFunction(id, info, builder)
     // §2.9 UDAF surface: the merge fold as a SQL aggregate

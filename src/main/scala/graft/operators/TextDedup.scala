@@ -155,10 +155,12 @@ object TextDedup {
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
         col("l.simhash").as("sa"), col("r.simhash").as("sb"))
       .distinct()
-    val hamming = (1 to 16).map(j =>
-      when(substring(col("sa"), j, 1) =!= substring(col("sb"), j, 1), 1)
-        .otherwise(0)).reduce(_ + _)
-    cand.withColumn("hamming", hamming.cast("long"))
+    // codegen'd byte-loop Hamming (graft.HammingDistance) — one pass, no
+    // per-position substring allocations; equivalence with the composed
+    // substring chain is spec-pinned
+    cand.withColumn("hamming",
+        org.apache.spark.sql.graft.VectorFunctions
+          .hamming(col("sa"), col("sb")).cast("long"))
       .filter(col("hamming") <= maxDist)
       .select("doc_a", "doc_b", "hamming")
   }

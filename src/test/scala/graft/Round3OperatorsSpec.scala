@@ -74,6 +74,33 @@ class Round3OperatorsSpec extends SparkSuite {
     assert(salted === rp)
   }
 
+  test("codegen HammingDistance == composed substring chain, plus edges") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.VectorFunctions
+    val pairs = Seq(
+      ("0110100110010110", "0110100110010110"), // equal
+      ("0110100110010110", "0110100110010111"), // 1 bit
+      ("0000000000000000", "1111111111111111"), // all 16
+      ("0101", "0101010101"),                   // unequal lengths
+      ("", "101"))                              // empty side
+      .toDF("a", "b")
+    val chain = (1 to 16).map(j =>
+      when(substring(col("a"), j, 1) =!= substring(col("b"), j, 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    val rows = pairs.select(
+      VectorFunctions.hamming(col("a"), col("b")).as("h"),
+      chain.as("c"), length(col("a")).as("la"), length(col("b")).as("lb"))
+      .collect()
+    for (r <- rows.take(3)) // equal-length rows: must match the chain
+      assert(r.getInt(0) === r.getInt(1))
+    assert(rows(3).getInt(0) === 6)  // 0101 vs 0101010101: prefix 0 + len 6
+    assert(rows(4).getInt(0) === 3)
+    // SQL surface
+    GraftExtensions.register(spark)
+    assert(spark.sql("SELECT graft_hamming('0011', '0101') AS h")
+      .head().getInt(0) === 2)
+  }
+
   test("rpWeight is deterministic and bounded") {
     val w = for (j <- 0 until 16; d <- 0 until 64) yield Similarity.rpWeight(j, d)
     assert(w.forall(x => x >= -1.0 && x <= 1.0))
