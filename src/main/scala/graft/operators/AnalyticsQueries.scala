@@ -368,6 +368,39 @@ object AnalyticsQueries extends QueryRegistry {
           |GROUP BY 1""".stripMargin)
     }),
 
+    // X6/X7: ordered funnel (view → click → purchase per user) in ONE scan
+    // and ONE shuffle: conditional min + per-user sorted stage-time lists,
+    // then array HOFs pick each stage's first event AFTER the previous
+    // stage. The multi-pass alternative (one join per stage) scans the
+    // event log once per stage — at 100 TB this shape reads it once, and
+    // per-user arrays are bounded by that user's event count, not corpus
+    // size (the ClickHouse windowFunnel shape on Spark primitives).
+    "q27_funnel" -> ((s, dir) => {
+      val ev = graft.CdcBatch.readEvents(s, dir)
+        .select(col("user_id"), expr("ts div 1000000000").as("tss"),
+          col("event_type"))
+      val staged = ev.groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", col("tss"))).as("t_view"),
+          sort_array(collect_list(
+            when(col("event_type") === "click", col("tss")))).as("clicks"),
+          sort_array(collect_list(
+            when(col("event_type") === "purchase", col("tss"))))
+            .as("purchases"))
+        .withColumn("t_click",
+          array_min(filter(col("clicks"), c => c > col("t_view"))))
+        .withColumn("t_purchase",
+          array_min(filter(col("purchases"), p => p > col("t_click"))))
+      staged.agg(
+        count(col("t_view")).as("n_view"),
+        count(col("t_click")).as("n_click"),
+        count(col("t_purchase")).as("n_purchase"),
+        round(count(col("t_click")).cast("double")
+          / greatest(count(col("t_view")), lit(1L)), 6).as("view_to_click"),
+        round(count(col("t_purchase")).cast("double")
+          / greatest(count(col("t_click")), lit(1L)), 6).as("click_to_purchase"))
+    }),
+
     // data layout: Z-order (Morton) clustering quality. Interleave the low
     // 8 bits of two scan dimensions and bucket rows by z-VALUE range (the
     // file a z-ordered writer would place them in — value-range bucketing,
@@ -560,6 +593,28 @@ object AnalyticsQueries extends QueryRegistry {
         | count(*) AS n_events, count(DISTINCT user_id) AS n_users,
         | round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
+    "q27_funnel" ->
+      """WITH ev AS (SELECT user_id, epoch_ms(ts)//1000 AS tss, event_type
+        |  FROM events),
+        |agg AS (SELECT user_id,
+        |  min(CASE WHEN event_type='view' THEN tss END) AS t_view,
+        |  list_sort(list(tss) FILTER (WHERE event_type='click')) AS clicks,
+        |  list_sort(list(tss) FILTER (WHERE event_type='purchase'))
+        |    AS purchases
+        | FROM ev GROUP BY 1),
+        |s1 AS (SELECT user_id, t_view, purchases,
+        |  list_min(list_filter(clicks, c -> c > t_view)) AS t_click
+        | FROM agg),
+        |s2 AS (SELECT user_id, t_view, t_click,
+        |  list_min(list_filter(purchases, p -> p > t_click)) AS t_purchase
+        | FROM s1)
+        |SELECT count(t_view) AS n_view, count(t_click) AS n_click,
+        | count(t_purchase) AS n_purchase,
+        | round(count(t_click) * 1.0 / greatest(count(t_view), 1), 6)
+        |   AS view_to_click,
+        | round(count(t_purchase) * 1.0 / greatest(count(t_click), 1), 6)
+        |   AS click_to_purchase
+        |FROM s2""".stripMargin,
     // the bloom pre-filter is removed by the exact semi-join, so the
     // oracle is the plain semi-join
     "q25_bloom_join" ->
