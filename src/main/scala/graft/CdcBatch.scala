@@ -100,4 +100,44 @@ object CdcBatch {
     */
   def writeSnapshot(snapshot: DataFrame, stateDir: String): Unit =
     snapshot.write.mode("overwrite").partitionBy("table").parquet(stateDir)
+
+  /** Incremental materialized-view maintenance over the merge state: the
+    * per-table (live-row count, value sum) view after applying a CDC
+    * suffix (`seq > k`) to the snapshot at `seq <= k`, computed by
+    * subtracting the touched keys' old contribution and adding their
+    * recompacted one — untouched keys ride on the base aggregate, so the
+    * work scales with the touched-key set, not the state size.
+    *
+    * `chWithK` = the changelog with a `k` cutoff column attached (scalar
+    * subquery or literal). Identity (spec-pinned at several cutoffs):
+    * result == direct aggregate over the FULLY compacted log.
+    */
+  def incrementalLiveView(chWithK: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ch = chWithK.localCheckpoint() // one log scan feeds all branches
+    val base = Merge.compact(
+      ch.filter(col("seq") <= col("k")).drop("k"), Seq("table", "rid"))
+      .localCheckpoint() // the "stored snapshot"
+    val baseAgg = base.groupBy("table")
+      .agg(count(lit(1)).as("n0"), sum("value").as("sv0"))
+    val touched = ch.filter(col("seq") > col("k"))
+      .select("table", "rid").distinct()
+    val removed = base.join(touched, Seq("table", "rid"), "left_semi")
+      .groupBy("table")
+      .agg(count(lit(1)).as("n_old"), sum("value").as("sv_old"))
+    val added = Merge.compact(
+        ch.drop("k").join(touched, Seq("table", "rid"), "left_semi"),
+        Seq("table", "rid"))
+      .groupBy("table")
+      .agg(count(lit(1)).as("n_new"), sum("value").as("sv_new"))
+    baseAgg.join(removed, Seq("table"), "full_outer")
+      .join(added, Seq("table"), "full_outer")
+      .select(col("table"),
+        (coalesce(col("n0"), lit(0L)) - coalesce(col("n_old"), lit(0L))
+          + coalesce(col("n_new"), lit(0L))).as("n_live"),
+        round(coalesce(col("sv0"), lit(0.0))
+          - coalesce(col("sv_old"), lit(0.0))
+          + coalesce(col("sv_new"), lit(0.0)), 2).as("sum_value"))
+      .filter(col("n_live") > 0)
+  }
 }

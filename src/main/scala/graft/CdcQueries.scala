@@ -117,6 +117,30 @@ object CdcQueries extends QueryRegistry {
           sum(col("seq")).as("sum_seq"),
           round(sum(col("value")), 2).as("sum_value"))
     }),
+    // time travel: the compacted snapshot AS OF the log's midpoint seq —
+    // point-in-time recovery over the same merge machinery; the cutoff is
+    // a scalar subquery (broadcast single-row cross join, no driver
+    // action), so the query stays one plan at any log size
+    "cdc_snapshot_asof" -> ((s, dir) => {
+      val ch = CdcBatch.changeLog(s, dir)
+      val k = ch.agg((max("seq") / 2).cast("long").as("k"))
+      Merge.compact(
+        ch.crossJoin(broadcast(k)).filter(col("seq") <= col("k")).drop("k"),
+        Seq("table", "rid"))
+    }),
+    // incremental materialized-view maintenance: per-table live-row count
+    // and value sum kept up to date from a CDC suffix WITHOUT recomputing
+    // the full state — subtract the touched keys' old contribution, add
+    // their recompacted one; untouched keys ride on the base aggregate.
+    // Work scales with the touched-key set, not the state size (the
+    // 100 TB story: the base here stands in for the stored snapshot
+    // table + its aggregate). Oracle = the direct aggregate over the
+    // fully compacted log, so equality PROVES the maintenance identity.
+    "cdc_incremental_view" -> ((s, dir) => {
+      val ch = CdcBatch.changeLog(s, dir)
+      CdcBatch.incrementalLiveView(ch.crossJoin(broadcast(
+        ch.agg((max("seq") / 2).cast("long").as("k")))))
+    }),
     // S7: table catalog listing from the compacted state
     "cdc_tables" -> ((s, dir) =>
       CdcBatch.compactedSnapshot(s, dir)
@@ -150,8 +174,24 @@ object CdcQueries extends QueryRegistry {
        |      FROM ch GROUP BY 1, 2)
        |SELECT * FROM c WHERE cdc_action <> 'none'""".stripMargin
 
+  private val compactAsofSql =
+    s"""WITH ch AS (SELECT * FROM ($changelogSql)
+       |  WHERE seq <= (SELECT max(seq) // 2 FROM ($changelogSql))),
+       |c AS (SELECT "table", rid, $mergeFoldSql AS cdc_action,
+       |        max(seq) AS seq, arg_max(cdc_ts, seq) AS cdc_ts,
+       |        arg_max(value, seq) AS value, arg_max(props, seq) AS props
+       |      FROM ch GROUP BY 1, 2)
+       |SELECT * FROM c WHERE cdc_action <> 'none'""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "cdc_changelog" -> changelogSql,
+    "cdc_snapshot_asof" -> compactAsofSql,
+    // the oracle recomputes the view DIRECTLY from the fully compacted
+    // log — matching it proves the incremental maintenance identity
+    "cdc_incremental_view" ->
+      s"""SELECT "table", count(*) AS n_live,
+         | round(sum(value), 2) AS sum_value
+         |FROM ($compactSql) GROUP BY 1""".stripMargin,
     "cdc_history" ->
       s"""WITH ch AS ($changelogSql)
          |SELECT "table", rid, cdc_action, seq, cdc_ts,

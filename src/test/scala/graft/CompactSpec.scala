@@ -55,4 +55,26 @@ class CompactSpec extends SparkSuite {
       .map(r => r.getString(1) -> ((r.getString(2), r.getString(5)))).toMap
     assert(out === Map("b" -> ((Insert, "b2")), "c" -> ((Delete, "c2"))))
   }
+
+  test("incremental view maintenance identity holds at any cutoff") {
+    import org.apache.spark.sql.functions._
+    val ch = CdcBatch.changeLog(spark, sf0001)
+    // direct recompute of the view from the fully compacted log
+    val direct = Merge.compact(ch, Seq("table", "rid"))
+      .groupBy("table")
+      .agg(count(lit(1)).as("n_live"),
+        round(sum("value"), 2).as("sum_value"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    val maxSeq = ch.agg(max("seq")).head().getLong(0)
+    // cutoffs across the log, incl. degenerate ends: k=0 (everything is
+    // suffix — pure recompute) and k=max (no suffix — pure base)
+    for (frac <- Seq(0.0, 0.1, 0.5, 0.9, 1.0)) {
+      val k = (maxSeq * frac).toLong
+      val got = CdcBatch.incrementalLiveView(ch.withColumn("k", lit(k)))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got === direct, s"cutoff k=$k")
+    }
+  }
 }
