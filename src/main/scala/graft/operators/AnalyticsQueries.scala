@@ -401,6 +401,43 @@ object AnalyticsQueries extends QueryRegistry {
           / greatest(count(col("t_click")), lit(1L)), 6).as("click_to_purchase"))
     }),
 
+    // data-quality audit battery (the Deequ-style expectation report):
+    // null keys, value ranges, referential integrity (anti join), and
+    // duplicate primary keys in one report. The fixture is clean, so
+    // violations are synthesized deterministically (range breakers,
+    // orphan references, PK duplicates) and the report must count exactly
+    // those. Scan checks fold into ONE conditional aggregate over a
+    // single pass; RI and PK checks are one anti-join and one groupBy.
+    "q28_dq_report" -> ((s, dir) => {
+      val li0 = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+      val d1 = li0.filter(col("l_orderkey") % 499 === 0)
+        .withColumn("l_quantity", lit(-1.0))
+        .withColumn("l_discount", lit(1.5))
+      val d2 = li0.filter(col("l_orderkey") % 617 === 0)
+        .withColumn("l_orderkey", col("l_orderkey") + 100000000L)
+      val dup = li0.filter(col("l_orderkey") % 733 === 0)
+      val all = li0.unionByName(d1).unionByName(d2).unionByName(dup)
+      val scanChecks = all.agg(
+        sum(when(col("l_quantity") <= 0, 1).otherwise(0)).cast("long")
+          .as("nonpos_qty"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1)
+          .otherwise(0)).cast("long").as("bad_discount"))
+      val orphans = all
+        .join(t(s, dir, "orders").select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("orphan_lineitem").as("rule"), col("n"))
+      val dups = all.groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n"))
+        .select(lit("duplicate_pk").as("rule"), col("n"))
+      scanChecks.selectExpr(
+          "stack(2, 'nonpos_qty', nonpos_qty, 'bad_discount', bad_discount)"
+            + " as (rule, n)")
+        .unionByName(orphans).unionByName(dups)
+    }),
+
     // data layout: Z-order (Morton) clustering quality. Interleave the low
     // 8 bits of two scan dimensions and bucket rows by z-VALUE range (the
     // file a z-ordered writer would place them in — value-range bucketing,
@@ -593,6 +630,31 @@ object AnalyticsQueries extends QueryRegistry {
         | count(*) AS n_events, count(DISTINCT user_id) AS n_users,
         | round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
+    "q28_dq_report" ->
+      """WITH li0 AS (SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |  FROM lineitem),
+        |al AS (SELECT * FROM li0
+        |  UNION ALL SELECT l_orderkey, l_linenumber, -1.0, 1.5 FROM li0
+        |    WHERE l_orderkey % 499 = 0
+        |  UNION ALL SELECT l_orderkey + 100000000, l_linenumber, l_quantity,
+        |    l_discount FROM li0 WHERE l_orderkey % 617 = 0
+        |  UNION ALL SELECT * FROM li0 WHERE l_orderkey % 733 = 0),
+        |sc AS (SELECT
+        |  CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS nonpos_qty,
+        |  CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0
+        |    END) AS BIGINT) AS bad_discount
+        | FROM al),
+        |orph AS (SELECT count(*) AS n FROM al l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_orderkey = l.l_orderkey)),
+        |dup AS (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS n FROM (
+        |  SELECT count(*) AS c FROM al GROUP BY l_orderkey, l_linenumber)
+        |  WHERE c > 1)
+        |SELECT 'nonpos_qty' AS rule, nonpos_qty AS n FROM sc
+        |UNION ALL SELECT 'bad_discount', bad_discount FROM sc
+        |UNION ALL SELECT 'orphan_lineitem', n FROM orph
+        |UNION ALL SELECT 'duplicate_pk', n FROM dup""".stripMargin,
     "q27_funnel" ->
       """WITH ev AS (SELECT user_id, epoch_ms(ts)//1000 AS tss, event_type
         |  FROM events),
