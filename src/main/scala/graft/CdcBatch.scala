@@ -118,26 +118,32 @@ object CdcBatch {
     val base = Merge.compact(
       ch.filter(col("seq") <= col("k")).drop("k"), Seq("table", "rid"))
       .localCheckpoint() // the "stored snapshot"
+    // the view's money column is EXACT integer cents: incremental
+    // maintenance subtracts and re-adds partial sums, and float
+    // subtraction would amplify ulp drift until round(.., 2) could land a
+    // cent off the direct recompute — long arithmetic makes the identity
+    // exact at any cutoff (the oracle mirrors the same quantization)
+    val cents = round(col("value") * 100, 0).cast("long")
     val baseAgg = base.groupBy("table")
-      .agg(count(lit(1)).as("n0"), sum("value").as("sv0"))
+      .agg(count(lit(1)).as("n0"), sum(cents).as("sv0"))
     val touched = ch.filter(col("seq") > col("k"))
       .select("table", "rid").distinct()
     val removed = base.join(touched, Seq("table", "rid"), "left_semi")
       .groupBy("table")
-      .agg(count(lit(1)).as("n_old"), sum("value").as("sv_old"))
+      .agg(count(lit(1)).as("n_old"), sum(cents).as("sv_old"))
     val added = Merge.compact(
         ch.drop("k").join(touched, Seq("table", "rid"), "left_semi"),
         Seq("table", "rid"))
       .groupBy("table")
-      .agg(count(lit(1)).as("n_new"), sum("value").as("sv_new"))
+      .agg(count(lit(1)).as("n_new"), sum(cents).as("sv_new"))
     baseAgg.join(removed, Seq("table"), "full_outer")
       .join(added, Seq("table"), "full_outer")
       .select(col("table"),
         (coalesce(col("n0"), lit(0L)) - coalesce(col("n_old"), lit(0L))
           + coalesce(col("n_new"), lit(0L))).as("n_live"),
-        round(coalesce(col("sv0"), lit(0.0))
-          - coalesce(col("sv_old"), lit(0.0))
-          + coalesce(col("sv_new"), lit(0.0)), 2).as("sum_value"))
+        ((coalesce(col("sv0"), lit(0L)) - coalesce(col("sv_old"), lit(0L))
+          + coalesce(col("sv_new"), lit(0L))).cast("double") / 100.0)
+          .as("sum_value"))
       .filter(col("n_live") > 0)
   }
 }

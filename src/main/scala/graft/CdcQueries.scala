@@ -28,6 +28,28 @@ object CdcQueries extends QueryRegistry {
       |      WHEN acc='insert' THEN (CASE WHEN x='delete' THEN 'none' ELSE 'insert' END)
       |      ELSE (CASE WHEN x='insert' THEN 'update' ELSE x END) END)""".stripMargin
 
+  /** Shared roundtrip verification aggregate: the changelog written to a
+    * format and read back must reproduce these per-(table, action) sums.
+    * The aggregate is materialized eagerly (localCheckpoint) so the temp
+    * files can be deleted before the query result is consumed — no
+    * accumulating changelog copies under the temp root across runs.
+    */
+  private def roundtripAgg(back: DataFrame, tmp: String): DataFrame = {
+    val agg = back.groupBy("table", "cdc_action")
+      .agg(count(lit(1)).as("n"),
+        sum(col("seq").cast("long")).as("sum_seq"),
+        round(sum(col("value").cast("double")), 2).as("sum_value"))
+      .localCheckpoint()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    agg
+  }
+
+  private val roundtripOracle =
+    s"""SELECT "table", cdc_action, count(*) AS n,
+       | CAST(sum(seq) AS BIGINT) AS sum_seq,
+       | round(sum(value), 2) AS sum_value
+       |FROM ($changelogSql) GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F1-F6: binlog row → change record projection
     "cdc_changelog" -> ((s, dir) => CdcBatch.changeLog(s, dir)),
@@ -83,11 +105,7 @@ object CdcQueries extends QueryRegistry {
         .createTempDirectory("graft_csv").toString
       val ch = CdcBatch.changeLog(s, dir).withColumn("dt", lit("20260812"))
       sources.Csv.dumpCsv(ch, tmp, 1000000L)
-      val back = sources.Csv.loadCsv(s, tmp)
-      back.groupBy("table", "cdc_action")
-        .agg(count(lit(1)).as("n"),
-          sum(col("seq").cast("long")).as("sum_seq"),
-          round(sum(col("value").cast("double")), 2).as("sum_value"))
+      roundtripAgg(sources.Csv.loadCsv(s, tmp), tmp)
     }),
     // S8-class format width: JSON-lines sink → source roundtrip preserves
     // the changelog (schema given explicitly on read — a JSON lake never
@@ -98,11 +116,7 @@ object CdcQueries extends QueryRegistry {
         .createTempDirectory("graft_json").toString
       val ch = CdcBatch.changeLog(s, dir)
       ch.write.mode("overwrite").json(tmp)
-      s.read.schema(ch.schema).json(tmp)
-        .groupBy("table", "cdc_action")
-        .agg(count(lit(1)).as("n"),
-          sum(col("seq")).as("sum_seq"),
-          round(sum(col("value")), 2).as("sum_value"))
+      roundtripAgg(s.read.schema(ch.schema).json(tmp), tmp)
     }),
     // S8-class format width: columnar ORC sink → source roundtrip (the
     // other native columnar format next to parquet; schema travels in the
@@ -111,11 +125,7 @@ object CdcQueries extends QueryRegistry {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_orc").toString
       CdcBatch.changeLog(s, dir).write.mode("overwrite").orc(tmp)
-      s.read.orc(tmp)
-        .groupBy("table", "cdc_action")
-        .agg(count(lit(1)).as("n"),
-          sum(col("seq")).as("sum_seq"),
-          round(sum(col("value")), 2).as("sum_value"))
+      roundtripAgg(s.read.orc(tmp), tmp)
     }),
     // time travel: the compacted snapshot AS OF the log's midpoint seq —
     // point-in-time recovery over the same merge machinery; the cutoff is
@@ -188,9 +198,11 @@ object CdcQueries extends QueryRegistry {
     "cdc_snapshot_asof" -> compactAsofSql,
     // the oracle recomputes the view DIRECTLY from the fully compacted
     // log — matching it proves the incremental maintenance identity
+    // (value quantized to exact integer cents on both sides)
     "cdc_incremental_view" ->
       s"""SELECT "table", count(*) AS n_live,
-         | round(sum(value), 2) AS sum_value
+         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+         |   AS sum_value
          |FROM ($compactSql) GROUP BY 1""".stripMargin,
     "cdc_history" ->
       s"""WITH ch AS ($changelogSql)
@@ -201,25 +213,13 @@ object CdcQueries extends QueryRegistry {
          |   AS is_current
          |FROM ch""".stripMargin,
     "cdc_compact_stream" -> compactSql,
-    "json_roundtrip" ->
-      s"""SELECT "table", cdc_action, count(*) AS n,
-         | CAST(sum(seq) AS BIGINT) AS sum_seq,
-         | round(sum(value), 2) AS sum_value
-         |FROM ($changelogSql) GROUP BY 1, 2""".stripMargin,
-    "orc_roundtrip" ->
-      s"""SELECT "table", cdc_action, count(*) AS n,
-         | CAST(sum(seq) AS BIGINT) AS sum_seq,
-         | round(sum(value), 2) AS sum_value
-         |FROM ($changelogSql) GROUP BY 1, 2""".stripMargin,
+    "json_roundtrip" -> roundtripOracle,
+    "orc_roundtrip" -> roundtripOracle,
     "cdc_stream_windowed" ->
       """SELECT (epoch_ms(ts) // 1000) // 86400 * 86400 AS day_start,
         | event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
-    "csv_roundtrip" ->
-      s"""SELECT "table", cdc_action, count(*) AS n,
-         | CAST(sum(seq) AS BIGINT) AS sum_seq,
-         | round(sum(value), 2) AS sum_value
-         |FROM ($changelogSql) GROUP BY 1, 2""".stripMargin,
+    "csv_roundtrip" -> roundtripOracle,
     "cdc_compact" -> compactSql,
     "cdc_tables" ->
       s"""SELECT "table", count(*) AS n_live_rows

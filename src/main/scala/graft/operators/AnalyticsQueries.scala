@@ -417,7 +417,10 @@ object AnalyticsQueries extends QueryRegistry {
       val d2 = li0.filter(col("l_orderkey") % 617 === 0)
         .withColumn("l_orderkey", col("l_orderkey") + 100000000L)
       val dup = li0.filter(col("l_orderkey") % 733 === 0)
+      // materialize once: three audit branches consume `all`, and the
+      // 4-branch union lineage would otherwise re-scan lineitem per branch
       val all = li0.unionByName(d1).unionByName(d2).unionByName(dup)
+        .localCheckpoint()
       val scanChecks = all.agg(
         sum(when(col("l_quantity") <= 0, 1).otherwise(0)).cast("long")
           .as("nonpos_qty"),

@@ -106,8 +106,8 @@ object MultimodalQueries extends QueryRegistry {
          | FROM m)
          |SELECT format, CAST(sum(nf) AS BIGINT) AS n_frames,
          | CAST(sum(nf * 64) AS BIGINT) AS frame_bytes,
-         | count(*) FILTER (WHERE nf > 0) AS n_docs
-         |FROM f GROUP BY 1""".stripMargin,
+         | count(*) AS n_docs
+         |FROM f WHERE nf > 0 GROUP BY 1""".stripMargin,
     "mm_format_stats" ->
       s"""SELECT format, count(*) AS n,
          | CAST(sum(n_bytes) AS BIGINT) AS total_bytes,

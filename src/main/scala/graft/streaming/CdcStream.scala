@@ -34,14 +34,22 @@ object CdcStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming changelog from the fixture events parquet. */
-  def changeLogStream(spark: SparkSession, sfDir: String): Dataset[Ch] = {
-    import spark.implicits._
+  /** Raw file-source stream over the fixture events parquet (ts as raw
+    * nanos — see CdcBatch.readEvents). Single definition for every
+    * streaming entry point so fixture/schema changes happen once.
+    */
+  private def rawEventStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet") // file source needs a dir
       .parquet(sfDir)
+  }
+
+  /** Streaming changelog from the fixture events parquet. */
+  def changeLogStream(spark: SparkSession, sfDir: String): Dataset[Ch] = {
+    import spark.implicits._
+    rawEventStream(spark, sfDir)
       .select(
         lit("db_test.events").as("table"),
         col("user_id").cast("string").as("rid"),
@@ -109,23 +117,22 @@ object CdcStream {
       .select("table", "rid", "cdc_action", "seq", "cdc_ts", "value", "props")
   }
 
-  /** Watermarked tumbling-window aggregation run AS A STREAM to completion
+  /** Tumbling-window aggregation run AS A STREAM to completion
     * (AvailableNow) — the streaming twin of the q17 batch windows, wired
     * into the oracle gate as `cdc_stream_windowed`. Complete output mode
     * emits every window's final state at termination, so the result equals
-    * the batch aggregation the oracle computes. At scale this is the
-    * standing micro-batch job; the memory sink stands in for the real one
-    * (window count is bounded by the time range, not event volume).
+    * the batch aggregation the oracle computes — and because complete mode
+    * retains all window state, NO watermark is declared (one would be
+    * inert here; a standing update/append deployment adds one and accepts
+    * that rows later than the delay are dropped relative to this batch
+    * semantics). At scale this is the standing micro-batch job; the
+    * memory sink stands in for the real one (window count is bounded by
+    * the time range, not event volume).
     */
   def windowedStreamed(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "evt_win_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val q = rawEventStream(spark, sfDir)
       .withColumn("ets", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ets", "1 hour")
       .groupBy(window(col("ets"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum("value").as("sv"))
       .writeStream.format("memory").queryName(name)

@@ -63,7 +63,8 @@ class CompactSpec extends SparkSuite {
     val direct = Merge.compact(ch, Seq("table", "rid"))
       .groupBy("table")
       .agg(count(lit(1)).as("n_live"),
-        round(sum("value"), 2).as("sum_value"))
+        (sum(round(col("value") * 100, 0).cast("long")).cast("double")
+          / 100.0).as("sum_value"))
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getDouble(2)))).toMap
     val maxSeq = ch.agg(max("seq")).head().getLong(0)
