@@ -127,6 +127,25 @@ object CdcQueries extends QueryRegistry {
       CdcBatch.changeLog(s, dir).write.mode("overwrite").orc(tmp)
       roundtripAgg(s.read.orc(tmp), tmp)
     }),
+    // K1 end-to-end: the PRODUCTION sink path — stream → keyed merge →
+    // bucketed parquet state with dynamic partition overwrite — run to
+    // completion; the final state-dir contents must equal the batch
+    // compact (same oracle as cdc_compact). This puts the deploy-shape
+    // pipeline, not just its operators, under the hash gate.
+    "cdc_state_sink" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_sink").toString
+      val q = streaming.CdcStream.run(s,
+        streaming.CdcStream.changeLogStream(s, dir),
+        s"$tmp/state", s"$tmp/ckpt")
+      q.processAllAvailable(); q.stop()
+      val res = s.read.parquet(s"$tmp/state")
+        .select("table", "rid", "cdc_action", "seq", "cdc_ts", "value",
+          "props")
+        .localCheckpoint() // materialize so the temp state dir can go
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      res
+    }),
     // time travel: the compacted snapshot AS OF the log's midpoint seq —
     // point-in-time recovery over the same merge machinery; the cutoff is
     // a scalar subquery (broadcast single-row cross join, no driver
@@ -213,6 +232,7 @@ object CdcQueries extends QueryRegistry {
          |   AS is_current
          |FROM ch""".stripMargin,
     "cdc_compact_stream" -> compactSql,
+    "cdc_state_sink" -> compactSql,
     "json_roundtrip" -> roundtripOracle,
     "orc_roundtrip" -> roundtripOracle,
     "cdc_stream_windowed" ->
