@@ -16,7 +16,8 @@ object SparkEntry {
     operators.DedupQueries,
     operators.TextQueries,
     operators.SimilarityQueries,
-    operators.MultimodalQueries)
+    operators.MultimodalQueries,
+    operators.PackingQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

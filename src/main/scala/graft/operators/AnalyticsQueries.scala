@@ -291,12 +291,16 @@ object AnalyticsQueries extends QueryRegistry {
     // merge associatively, so no group's values ever sort in one place.
     // Engine-specific sketch → rows-only check (q19 is the exact twin),
     // same precedent as q15's HLL.
+    // Scalar columns only (no array column): the driver's rows-only check
+    // still loads the parquet into pandas and sorts every column, and an
+    // ARRAY column crashes that sort ("unhashable type" — observed r03).
     "q19b_approx_percentiles" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)")
-            .as("approx_p"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"),
+          expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("approx_p90"),
+          expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("approx_p99"),
           count(lit(1)).as("n"))),
 
     // skew handling: two-phase salted aggregate must equal the plain agg —
@@ -470,6 +474,40 @@ object AnalyticsQueries extends QueryRegistry {
       val zied = li.withColumn("bucket", shiftright(z, 6))
       val natural = li.withColumn("bucket", shiftright(col("l_orderkey"), 6))
       spans(zied, "zorder").unionByName(spans(natural, "roworder"))
+    }),
+
+    // skew handling, join edition (the q16 companion): salted shuffle
+    // equi-join fact×dim must equal the plain join — the oracle IS the
+    // unsalted SQL. q16 covers the hot-key AGGREGATE; this covers the
+    // hot-key JOIN, the case where the dim is too big to broadcast and one
+    // supplier key carries a disproportionate share of the fact table.
+    "q29_salted_join" -> ((s, dir) => {
+      val fact = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("s_suppkey"), col("l_orderkey"),
+          col("l_extendedprice"))
+      val dim = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      Skew.saltedEquiJoin(fact, dim, Seq("s_suppkey"), salts = 8,
+          spreadCol = "l_orderkey")
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum("l_extendedprice"), 2).as("revenue"))
+    }),
+
+    // cohort retention over the event stream: users grouped by first-seen
+    // week, activity counted per week offset — the engagement-matrix
+    // staple. Shape: one groupBy(user) for cohorts, one shuffle join back
+    // on user_id (co-partitioned with the agg), one count-distinct; at
+    // 100 TB the join key is the natural events partitioning, so the
+    // cohort join reuses the first aggregate's exchange.
+    "events_retention" -> ((s, dir) => {
+      val ev = graft.CdcBatch.readEvents(s, dir)
+        .select(col("user_id"),
+          expr("ts div 1000000000 div 604800").as("week"))
+      val cohort = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+      ev.join(cohort, "user_id")
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -628,6 +666,18 @@ object AnalyticsQueries extends QueryRegistry {
       """SELECT l_returnflag, count(*) AS n,
         | round(sum(l_quantity), 2) AS total
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q29_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+        | round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1""".stripMargin,
+    "events_retention" ->
+      """WITH ev AS (SELECT user_id,
+        |  (epoch_ms(ts) // 1000) // 604800 AS week FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY 1)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        | count(DISTINCT user_id) AS n_users
+        |FROM ev JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
     "q17_daily_window" ->
       """SELECT (epoch_ms(ts) // 1000) // 86400 * 86400 AS day_start,
         | count(*) AS n_events, count(DISTINCT user_id) AS n_users,

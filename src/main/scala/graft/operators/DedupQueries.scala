@@ -62,6 +62,23 @@ object DedupQueries extends QueryRegistry {
           count(when(col("t").isNotNull && col("e").isNull, 1)).as("n_text_only"),
           count(when(col("t").isNull && col("e").isNotNull, 1)).as("n_embedding_only"))
     }),
+    // X2/X3: SemDeDup-style semantic dedup DECISIONS — where sim_neardup
+    // reports the near-dup pair evidence, this emits the per-vector
+    // curation verdict: drop any vector with a lower-id duplicate
+    // (cosine >= 0.4) in its IVF cell, recording the strongest keeper
+    // candidate. Scale shape = nearDupPairs (within-cell pairs only,
+    // saltable) + one grouped min + a left join back to the id table.
+    "dedup_semantic" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val drops = Similarity.nearDupPairs(e, 16, 0.4)
+        .groupBy("vb").agg(min("va").as("dup_of"))
+        .withColumnRenamed("vb", "vec_id")
+      e.select("vec_id").join(drops, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          when(col("dup_of").isNull, lit("keep")).otherwise(lit("drop"))
+            .as("action"),
+          col("dup_of"))
+    }),
     // X2: SimHash fingerprints (near-dups collide on all 16 bits)
     "dedup_simhash" -> ((s, dir) =>
       TextDedup.simhashDf(docs(s, dir), "doc_id", "text")),
@@ -170,6 +187,18 @@ object DedupQueries extends QueryRegistry {
          |   AS n_embedding_only
          |FROM tp t FULL OUTER JOIN ep e
          |  ON t.doc_a = e.doc_a AND t.doc_b = e.doc_b""".stripMargin
+    },
+    "dedup_semantic" -> {
+      val cos = "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+      s"""WITH ${SimilarityQueries.ivfCtes},
+         |ep AS (SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM asn a JOIN asn b USING (cid)
+         |  WHERE a.vec_id < b.vec_id AND $cos >= 0.4),
+         |d AS (SELECT vb AS vec_id, min(va) AS dup_of FROM ep GROUP BY 1)
+         |SELECT e.vec_id,
+         |  CASE WHEN d.dup_of IS NULL THEN 'keep' ELSE 'drop' END AS action,
+         |  d.dup_of
+         |FROM (SELECT vec_id FROM embeddings) e LEFT JOIN d USING (vec_id)""".stripMargin
     },
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_hamming" -> {

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-sequence assembly over a document lake: global token offsets
+  * (distributed prefix sum), concat-and-chunk packing, and per-document
+  * overlapping windows (SURVEY.md §2.10 [EXT] — the step between a curated
+  * corpus and a token-budgeted training run).
+  *
+  * 100 TB design — the prefix sum is the interesting part. A naive
+  * `sum(n) OVER (ORDER BY doc_id)` is a single-partition window: the whole
+  * corpus sorts through one task. Here it is two-phase:
+  *   1. per-bucket token sums (`doc_id div bucketSize`) — one hash
+  *      aggregate with map-side partials, ~n/bucketSize rows out;
+  *   2. an exclusive cumsum over the (tiny) bucket-sum table — the only
+  *      unpartitioned window, over n/bucketSize rows, broadcast back;
+  *   3. a within-bucket cumsum window, partitioned by bucket — parallel.
+  * At 10⁹ docs and bucketSize 2¹⁰ the serial step sees ~10⁶ rows; if that
+  * ever dominates, apply the same split recursively (bucket-of-buckets).
+  * All arithmetic is integral, so the result is bitwise-equal to the
+  * single-window form the oracle runs.
+  */
+object Packing {
+
+  /** (doc_id, n, tok_start) — n = whitespace token count, tok_start = the
+    * document's global token offset in doc_id order (exclusive prefix sum).
+    */
+  def tokenOffsets(docs: DataFrame, bucketSize: Int = 1024): DataFrame = {
+    val d = docs.select(col("doc_id"),
+      size(TextDedup.tokens(col("text"))).cast("long").as("n"),
+      expr(s"cast(doc_id as bigint) div $bucketSize").as("bucket"))
+    val wOff = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOffsets = d.groupBy("bucket").agg(sum("n").as("bn"))
+      .withColumn("boff", coalesce(sum("bn").over(wOff), lit(0L)))
+      .select("bucket", "boff")
+    val wIn = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    d.withColumn("cum_in", sum("n").over(wIn))
+      .join(broadcast(bucketOffsets), "bucket")
+      .select(col("doc_id"), col("n"),
+        (col("boff") + col("cum_in") - col("n")).as("tok_start"))
+  }
+
+  /** GPT-style concat-and-chunk packing: the corpus is one long token
+    * stream in doc_id order, cut into fixed `packSize`-token sequences; a
+    * document belongs to the pack where its first token lands. Returns
+    * per-pack occupancy stats (the packing manifest a loader shards on).
+    */
+  def packStats(docs: DataFrame, packSize: Int,
+      bucketSize: Int = 1024): DataFrame =
+    tokenOffsets(docs, bucketSize)
+      .select(col("doc_id"), col("n"),
+        expr(s"tok_start div $packSize").as("pack_id"))
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+
+  /** Per-document overlapping token windows (`chunkLen` tokens, advancing
+    * by `stride` < chunkLen): every token is covered, consecutive chunks
+    * share `chunkLen - stride` tokens of context, and the last chunk is
+    * the remainder. Narrow explode — no shuffle; chunk identity is the
+    * md5 of the re-joined slice so downstream exact-dedup composes.
+    */
+  def chunk(docs: DataFrame, chunkLen: Int, stride: Int): DataFrame = {
+    require(stride > 0 && stride <= chunkLen,
+      s"stride must be in [1, chunkLen], got stride=$stride len=$chunkLen")
+    val t = TextDedup.tokens(col("text"))
+    val n = size(t)
+    // #chunks >= 1 always (a short doc is one chunk), so sequence() never
+    // sees start > stop (which would step DOWNWARD — the text_decontam
+    // lesson)
+    val nChunks = when(n <= chunkLen, lit(1L)).otherwise(
+      ceil((n - lit(chunkLen)).cast("double") / stride) + lit(1L))
+    docs
+      .select(col("doc_id"), t.as("t"), n.cast("long").as("n"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("chunk_start"),
+        least(lit(chunkLen.toLong), col("n") - col("chunk_idx") * stride)
+          .as("chunk_len"),
+        md5(array_join(
+          slice(col("t"), (col("chunk_idx") * stride + 1).cast("int"),
+            least(lit(chunkLen.toLong), col("n") - col("chunk_idx") * stride)
+              .cast("int")),
+          " ")).as("chunk_md5"))
+  }
+}

@@ -78,4 +78,26 @@ object Skew {
       .groupBy(keyCols.map(col): _*)
       .agg(sum("__n").as("n"), sum("__sum").as("total"))
   }
+
+  /** Salted shuffle equi-join for a skewed fact side: the fact gets a
+    * deterministic salt from `spreadCol`, the (small-but-not-broadcastable)
+    * build side is replicated across all `salts` shards, and the join key
+    * becomes (keyCols, salt) — a hot key's probe volume spreads over
+    * `salts` reducers at the cost of a salts× build-side replication.
+    * `shuffle_hash` pins the shuffled path: with a broadcastable build
+    * side Spark would broadcast (no skew to fix) and the salt would be
+    * inert. Result rows equal the plain equi-join's.
+    */
+  def saltedEquiJoin(
+      fact: DataFrame,
+      build: DataFrame,
+      keyCols: Seq[String],
+      salts: Int,
+      spreadCol: String): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val f = fact.withColumn("__salt", salt(salts, col(spreadCol)))
+    val b = build.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    f.join(b.hint("shuffle_hash"), keyCols :+ "__salt").drop("__salt")
+  }
 }
