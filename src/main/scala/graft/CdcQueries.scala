@@ -99,6 +99,10 @@ object CdcQueries extends QueryRegistry {
     // streaming/batch parity on the aggregation surface (oracle = batch)
     "cdc_stream_windowed" -> ((s, dir) =>
       streaming.CdcStream.windowedStreamed(s, dir)),
+    // §2.8: streaming exactly-once dedup — a doubled source must aggregate
+    // like the single-copy batch (oracle = plain batch SQL over events)
+    "cdc_stream_dedup" -> ((s, dir) =>
+      streaming.CdcStream.dedupStreamed(s, dir)),
     // K2+S8+F8: CSV sink → source roundtrip preserves the changelog
     "csv_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files
@@ -239,6 +243,10 @@ object CdcQueries extends QueryRegistry {
       """SELECT (epoch_ms(ts) // 1000) // 86400 * 86400 AS day_start,
         | event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "cdc_stream_dedup" ->
+      """SELECT event_type, count(*) AS n_events,
+        | count(DISTINCT event_id) AS n_ids, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
     "csv_roundtrip" -> roundtripOracle,
     "cdc_compact" -> compactSql,
     "cdc_tables" ->

@@ -304,6 +304,29 @@ object Similarity {
     * ([[Skew.saltedSelfJoin]]) — the defense for a degenerate quantizer
     * cell holding a large fraction of the corpus.
     */
+  /** Approximate kNN graph over the WHOLE corpus: every vector's top-k
+    * cosine neighbors within its IVF cell — the neighborhood structure
+    * SemDeDup-style pruning, diversity sampling, and graph clustering
+    * consume. Where [[topK]]/[[ivfTopK]] serve a small query set, this is
+    * the all-vectors build: candidate volume is Σ cell² ≈ n²/C (not n²),
+    * and the per-vector top-k is a window inside each cell's partition.
+    * At 100 TB: more cells (C scales with n) keeps cell² bounded; hot
+    * cells shard via the same salting as [[nearDupPairs]].
+    */
+  def knnGraph(emb: DataFrame, c: Int, k: Int): DataFrame = {
+    val asn = ivfAssign(emb, c).localCheckpoint() // both join sides read it
+    val nbr = asn.select(col("cid"), col("vec_id").as("nbr"),
+      col("v").as("nv"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("nbr"))
+    asn.join(nbr, Seq("cid"))
+      .filter(col("vec_id") =!= col("nbr"))
+      .select(col("vec_id"), col("nbr"), cosine(col("v"), col("nv")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("vec_id"), col("rk"), col("nbr"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   def nearDupPairs(
       emb: DataFrame, c: Int, threshold: Double, salts: Int = 1): DataFrame = {
     // both sides of the self-join read the assignment — materialize once

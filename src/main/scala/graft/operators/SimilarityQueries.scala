@@ -20,6 +20,10 @@ object SimilarityQueries extends QueryRegistry {
     // X2/X3: embedding-cosine near-dup pairs within IVF cells
     "sim_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(emb(s, dir), 16, 0.4)),
+    // X3: whole-corpus approximate kNN graph (top-3 within the IVF cell) —
+    // the neighbor structure curation passes consume (see knnGraph)
+    "sim_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(emb(s, dir), 16, 3)),
     // X3: signed-random-projection (hyperplane) LSH near-dup pairs —
     // 4 bands × 4 bits against deterministic md5-derived hyperplanes,
     // exact cosine on candidates (the angular-LSH alternative to IVF)
@@ -228,6 +232,17 @@ object SimilarityQueries extends QueryRegistry {
          |  round(${cos("a.v", "b.v")}, 6) AS sim
          |FROM asn a JOIN asn b USING (cid)
          |WHERE a.vec_id < b.vec_id AND ${cos("a.v", "b.v")} >= 0.4""".stripMargin,
+    "sim_knn_graph" ->
+      s"""WITH $ivfCtes,
+         |p AS (SELECT a.vec_id, b.vec_id AS nbr, ${cos("a.v", "b.v")} AS sim
+         |  FROM asn a JOIN asn b USING (cid)
+         |  WHERE a.vec_id <> b.vec_id)
+         |SELECT vec_id, rk, nbr, round(sim, 6) AS sim FROM (
+         |  SELECT vec_id, nbr, sim,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY sim DESC, nbr) AS rk
+         |  FROM p)
+         |WHERE rk <= 3""".stripMargin,
     // mirror of Similarity.rpLshPairs(bands = 4, bitsPerBand = 4, 0.4):
     // identical md5-derived hyperplane weights, banded sketch buckets,
     // exact cosine on distinct candidates

@@ -42,6 +42,20 @@ object TextAnalysis {
       .otherwise(lit("zh"))
   }
 
+  /** md5 fingerprints of every word n-gram of a document — the shared
+    * primitive behind benchmark decontamination (text_decontam) and the
+    * duplicated-n-gram boilerplate score (text_dup_ngrams). Docs shorter
+    * than `n` tokens contribute no grams (the sequence() step-down guard —
+    * see winnowFingerprint).
+    */
+  def wordGramHashes(text: Column, n: Int): Column = {
+    val t = TextDedup.tokens(text)
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => md5(concat_ws(" ", slice(t, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Winnowing fingerprint (k-gram rolling hash + min-per-window):
     * word 3-gram md5-prefix hashes, window of 4, distinct kept minima,
     * fingerprint = md5 of the sorted kept set. Standard document

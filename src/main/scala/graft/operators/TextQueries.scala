@@ -122,6 +122,30 @@ object TextQueries extends QueryRegistry {
         .agg(countDistinct("bench_doc").as("n_bench_docs"),
           count(lit(1)).as("n_shared_ngrams"))
     }),
+    // curation: duplicated-n-gram fraction per doc (the RefinedWeb-style
+    // boilerplate signal — what share of a doc's word-8-grams appear in
+    // OTHER docs corpus-wide). Fixture texts share no 8-grams, so
+    // duplication is synthesized by unioning copies of every 50th doc; the
+    // operator must score exactly those (and their copies) at 1.0. Shape:
+    // narrow gram explode → one groupBy(h) with map-side partials → a
+    // co-partitioned join back on h → per-doc agg. No pair space, no
+    // broadcast of the (vocabulary-sized) gram table.
+    "text_dup_ngrams" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val withDups = d.union(
+        d.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val g = withDups.select(col("doc_id"),
+        explode(TextAnalysis.wordGramHashes(col("text"), 8)).as("h"))
+      val freq = g.groupBy("h").agg(countDistinct("doc_id").as("n_docs"))
+      g.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
+        .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+          round(col("n_dup_grams").cast("double") / col("n_grams"), 6)
+            .as("dup_ratio"))
+    }),
     // curation: Gopher-style repetition signals — duplicate-bigram ratio
     // and most-frequent-token fraction per doc, with the composite flag a
     // curation pipeline would filter on. Narrow per-row work + one explode
@@ -373,6 +397,24 @@ object TextQueries extends QueryRegistry {
         |FROM tg JOIN bg USING (h)
         |WHERE tg.doc_id <> bg.doc_id
         |GROUP BY 1""".stripMargin,
+    "text_dup_ngrams" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+        |    WHERE doc_id % 50 = 0),
+        |g AS (SELECT doc_id, md5(gr) AS h FROM (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(len(t) - 7, 0)),
+        |    i -> array_to_string(t[i:i+7], ' '))) AS gr
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM d))),
+        |f AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM g GROUP BY 1),
+        |pd AS (SELECT doc_id, count(*) AS n_grams,
+        |    CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dup_grams
+        |  FROM g JOIN f USING (h) GROUP BY 1)
+        |SELECT doc_id, n_grams, n_dup_grams,
+        |  round(CAST(n_dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+        |    AS dup_ratio
+        |FROM pd""".stripMargin,
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |base AS (SELECT doc_id, len(t) AS n_tokens,

@@ -143,6 +143,34 @@ object CdcStream {
         col("n_events"), round(col("sv"), 2).as("sum_value"))
   }
 
+  /** §2.8: exactly-once event dedup AS A STREAM — `dropDuplicates` on the
+    * binlog position. The at-least-once condition is synthesized by
+    * unioning the source with itself (every event arrives twice); the
+    * dedup state must emit each event_id exactly once, so the downstream
+    * aggregate equals the single-copy batch aggregate (the oracle).
+    *
+    * Scale notes: dedup state is one entry per key — a standing deployment
+    * declares a watermark on the event time so state is bounded by the
+    * reorder window instead of the stream's lifetime, and uses the RocksDB
+    * provider ([[useRocksDBStateStore]]) when the keyed window exceeds
+    * heap. AvailableNow keeps this run finite, so no watermark is declared
+    * (batch-equivalence is exact, not watermark-truncated).
+    */
+  def dedupStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "evt_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val src = rawEventStream(spark, sfDir)
+    val q = src.union(rawEventStream(spark, sfDir))
+      .dropDuplicates("event_id")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_id")).as("n_ids"),
+        round(sum("value"), 2).as("sum_value"))
+  }
+
   /** Keep streaming merge state in RocksDB instead of the default on-heap
     * HashMap provider. The merge state is one entry per live (table, rid)
     * key — at 100 TB key counts that exceeds executor heap; RocksDB spills

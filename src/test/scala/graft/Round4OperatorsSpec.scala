@@ -89,6 +89,46 @@ class Round4OperatorsSpec extends SparkSuite {
     assert(salted === plain)
   }
 
+  test("knnGraph: ranks dense from 1, sims non-increasing per vector") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val g = Similarity.knnGraph(e, 8, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+      .groupBy(_._1)
+    g.values.foreach { rows =>
+      val byRk = rows.sortBy(_._2)
+      assert(byRk.map(_._2).toSeq === (1 to byRk.length))
+      byRk.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 >= b._4)
+        case _ =>
+      }
+      rows.foreach { case (v, _, nbr, _) => assert(v !== nbr) }
+    }
+  }
+
+  test("dup-ngram score: synthesized copies score 1.0, ratios in [0,1]") {
+    val rows = SparkEntry.queries("text_dup_ngrams")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    val dupIds = rows.map(_._1).filter(id =>
+      id % 50 == 0 && id < 1000000L || id >= 1000000L).toSet
+    rows.foreach { case (id, ratio) =>
+      assert(ratio >= 0.0 && ratio <= 1.0, s"doc $id")
+      if (dupIds(id)) assert(ratio === 1.0, s"copied doc $id must be fully dup")
+    }
+    assert(dupIds.nonEmpty)
+  }
+
+  test("streaming dedup: doubled source equals single-copy batch aggregate") {
+    val got = SparkEntry.queries("cdc_stream_dedup")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val batch = CdcBatch.readEvents(spark, sf0001)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("ni"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.sortBy(_._1) === batch.sortBy(_._1))
+    got.foreach { case (_, n, ni) => assert(n === ni) }
+  }
+
   test("events_retention: offset-0 cell is the cohort size") {
     val ret = SparkEntry.queries("events_retention")(spark, sf0001)
       .filter(col("week_offset") === 0)
