@@ -493,6 +493,75 @@ object AnalyticsQueries extends QueryRegistry {
           round(sum("l_extendedprice"), 2).as("revenue"))
     }),
 
+    // anomaly detection over the event stream: per-type z-score outliers
+    // (|value − mean| > 3σ). The stats pass is ONE map-side-combinable
+    // aggregate of integer-quantized cent sums (sum and sum-of-squares
+    // commute → deterministic mean/σ at any partitioning, bitwise equal to
+    // the single-node oracle); the flagging pass joins the 3-row stats
+    // table back broadcast. Two scans, zero wide shuffles beyond the
+    // 3-group agg — the standard data-quality outlier sweep at 100 TB.
+    "events_anomaly" -> ((s, dir) => {
+      val ev = graft.CdcBatch.readEvents(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val cents = round(col("value") * 100, 0).cast("long")
+      val stats = ev
+        .select(col("event_type"), cents.as("cv"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cv").as("sv"),
+          sum(col("cv") * col("cv")).as("svv"))
+      val mean = col("sv").cast("double") / (col("n") * lit(100.0))
+      val std = sqrt(col("svv").cast("double") / (col("n") * lit(10000.0))
+        - mean * mean)
+      ev.join(broadcast(stats), "event_type")
+        .select(col("event_type"), col("event_id"), col("n"),
+          mean.as("mean_v"), std.as("std_v"),
+          (abs(col("value") - mean) > lit(3.0) * std).as("outlier"))
+        .groupBy("event_type")
+        .agg(max("n").as("n"),
+          round(max("mean_v"), 4).as("mean_v"),
+          round(max("std_v"), 4).as("std_v"),
+          count(when(col("outlier"), 1)).as("n_outliers"),
+          coalesce(sum(when(col("outlier"), col("event_id"))), lit(0L))
+            .cast("long").as("sum_outlier_ids"))
+    }),
+
+    // storage co-location: bucketed-table join — both fact tables written
+    // bucketed (8 buckets) and sorted on the join key, so the sort-merge
+    // join consumes the bucketing as its distribution AND ordering: NO
+    // exchange and NO sort on either side (BucketJoinSpec pins exactly one
+    // exchange in the whole plan — the final 5-group aggregate's). This is
+    // the at-rest answer to q3's shuffle join: at 100 TB a fact table
+    // joined repeatedly on the same key is bucketed ONCE at write time and
+    // every subsequent join skips its shuffle entirely. The merge hint
+    // keeps the demonstration honest (AQE would otherwise broadcast the
+    // small sf side and hide the co-location).
+    "q30_bucket_join" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_bucket").toString
+      val tag = java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+      val ot = s"graft_bkt_orders_$tag"
+      val lt = s"graft_bkt_lineitem_$tag"
+      t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite").option("path", s"$tmp/orders")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .write.mode("overwrite").option("path", s"$tmp/lineitem")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+      val res = s.table(lt)
+        .join(s.table(ot).hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+        .localCheckpoint() // materialize before the tables are dropped
+      s.sql(s"DROP TABLE IF EXISTS $ot")
+      s.sql(s"DROP TABLE IF EXISTS $lt")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      res
+    }),
+
     // cohort retention over the event stream: users grouped by first-seen
     // week, activity counted per week offset — the engagement-matrix
     // staple. Shape: one groupBy(user) for cohorts, one shuffle join back
@@ -670,6 +739,34 @@ object AnalyticsQueries extends QueryRegistry {
       """SELECT s_nationkey, count(*) AS n_items,
         | round(sum(l_extendedprice), 2) AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1""".stripMargin,
+    "events_anomaly" ->
+      """WITH ev AS (SELECT event_id, event_type, value FROM events),
+        |st AS (SELECT event_type, count(*) AS n,
+        |  CAST(sum(cv) AS BIGINT) AS sv,
+        |  CAST(sum(cv * cv) AS BIGINT) AS svv
+        | FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cv
+        |       FROM ev)
+        | GROUP BY 1),
+        |m AS (SELECT event_type, n, sv / (n * 100.0) AS mean_v,
+        |  sqrt(svv / (n * 10000.0) - (sv / (n * 100.0)) * (sv / (n * 100.0)))
+        |    AS std_v
+        | FROM st)
+        |SELECT event_type, max(n) AS n, round(max(mean_v), 4) AS mean_v,
+        | round(max(std_v), 4) AS std_v,
+        | count(*) FILTER (WHERE abs(value - mean_v) > 3.0 * std_v)
+        |   AS n_outliers,
+        | CAST(coalesce(sum(event_id)
+        |   FILTER (WHERE abs(value - mean_v) > 3.0 * std_v), 0) AS BIGINT)
+        |   AS sum_outlier_ids
+        |FROM ev JOIN m USING (event_type) GROUP BY 1""".stripMargin,
+    // the bucketing is a physical-layout property — the logical result is
+    // the plain join, which IS the oracle
+    "q30_bucket_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
     "events_retention" ->
       """WITH ev AS (SELECT user_id,

@@ -304,6 +304,24 @@ object Similarity {
     * ([[Skew.saltedSelfJoin]]) — the defense for a degenerate quantizer
     * cell holding a large fraction of the corpus.
     */
+  /** Cosine RANGE search: every corpus vector within `threshold` of any
+    * query vector — the radius-query complement of [[topK]] (retrieval
+    * wants the k best; curation filters want *everything* similar enough,
+    * e.g. "all vectors near a known-bad cluster"). Same scale shape as
+    * topK: broadcast the small query side, one narrow codegen'd cosine
+    * pass over the corpus, no shuffle at all (not even a window — the
+    * threshold filter needs no per-query ordering).
+    */
+  def rangeSearch(emb: DataFrame, queryPred: Column, threshold: Double): DataFrame = {
+    val v = vecs(emb)
+    val q = v.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    v.join(broadcast(q), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), cosine(col("qv"), col("v")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("qid"), col("vec_id"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Approximate kNN graph over the WHOLE corpus: every vector's top-k
     * cosine neighbors within its IVF cell — the neighborhood structure
     * SemDeDup-style pruning, diversity sampling, and graph clustering

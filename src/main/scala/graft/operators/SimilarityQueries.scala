@@ -24,6 +24,40 @@ object SimilarityQueries extends QueryRegistry {
     // the neighbor structure curation passes consume (see knnGraph)
     "sim_knn_graph" -> ((s, dir) =>
       Similarity.knnGraph(emb(s, dir), 16, 3)),
+    // X3: cosine range search — everything within radius of the query set
+    // (the curation filter form of retrieval; see Similarity.rangeSearch)
+    "sim_range_search" -> ((s, dir) =>
+      Similarity.rangeSearch(emb(s, dir), col("vec_id") < 10, 0.3)),
+    // X3/PCA prep: covariance matrix of the leading 8 embedding dimensions
+    // in ONE aggregation pass — count + 8 first-moment + 36 second-moment
+    // sums, all integer-quantized (round(x·10⁶) as long) so the partial
+    // aggregates commute and the distributed result matches the
+    // single-node oracle bitwise. At 100 TB this is the d²-sums pass that
+    // feeds a driver-side eigendecomposition (d² scalars, no data motion
+    // beyond one partial-agg tree); whitening/PCA then applies the learned
+    // projection as a broadcast map.
+    "emb_covariance" -> ((s, dir) => {
+      val dims = 8
+      val v = col("embedding").cast("array<double>")
+      val base = emb(s, dir).select((0 until dims).map(i =>
+        v.getItem(i).as(s"x$i")): _*)
+      val pairs = for { i <- 0 until dims; j <- i until dims } yield (i, j)
+      val aggs = Seq(count(lit(1)).as("n")) ++
+        (0 until dims).map(i =>
+          sum(round(col(s"x$i") * 1e6, 0).cast("long")).as(s"s$i")) ++
+        pairs.map { case (i, j) =>
+          sum(round(col(s"x$i") * col(s"x$j") * 1e6, 0).cast("long"))
+            .as(s"p${i}_$j") }
+      def mean(i: Int) = col(s"s$i").cast("double") / (col("n") * lit(1e6))
+      val rows = pairs.map { case (i, j) =>
+        struct(lit(i).as("i"), lit(j).as("j"),
+          round(col(s"p${i}_$j").cast("double") / (col("n") * lit(1e6))
+            - mean(i) * mean(j), 6).as("cov"))
+      }
+      base.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(rows: _*)).as("r"))
+        .select(col("r.i").as("i"), col("r.j").as("j"), col("r.cov").as("cov"))
+    }),
     // X3: signed-random-projection (hyperplane) LSH near-dup pairs —
     // 4 bands × 4 bits against deterministic md5-derived hyperplanes,
     // exact cosine on candidates (the angular-LSH alternative to IVF)
@@ -243,6 +277,34 @@ object SimilarityQueries extends QueryRegistry {
          |      ORDER BY sim DESC, nbr) AS rk
          |  FROM p)
          |WHERE rk <= 3""".stripMargin,
+    "sim_range_search" ->
+      s"""WITH v AS ($vSql),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10)
+         |SELECT qid, vec_id, round(sim, 6) AS sim FROM (
+         |  SELECT qid, vec_id, ${cos("qv", "v")} AS sim
+         |  FROM q, v WHERE qid <> vec_id)
+         |WHERE sim >= 0.3""".stripMargin,
+    // mirror of the one-pass quantized moment sums: same integer
+    // quantization, same double arithmetic order in the covariance formula
+    "emb_covariance" -> {
+      val dims = 8
+      val pairs = for { i <- 0 until dims; j <- i until dims } yield (i, j)
+      val sSums = (0 until dims).map(i =>
+        s"CAST(sum(CAST(round(v[${i + 1}] * 1000000) AS BIGINT)) AS BIGINT) AS s$i")
+        .mkString(",\n|  ")
+      val pSums = pairs.map { case (i, j) =>
+        s"CAST(sum(CAST(round(v[${i + 1}] * v[${j + 1}] * 1000000) AS BIGINT)) AS BIGINT) AS p${i}_$j" }
+        .mkString(",\n|  ")
+      val branches = pairs.map { case (i, j) =>
+        s"SELECT $i AS i, $j AS j, round(p${i}_$j / (n * 1000000.0)" +
+          s" - (s$i / (n * 1000000.0)) * (s$j / (n * 1000000.0)), 6) AS cov FROM st" }
+        .mkString("\n|UNION ALL ")
+      s"""WITH v AS ($vSql),
+         |st AS (SELECT count(*) AS n,
+         |  $sSums,
+         |  $pSums FROM v)
+         |$branches""".stripMargin
+    },
     // mirror of Similarity.rpLshPairs(bands = 4, bitsPerBand = 4, 0.4):
     // identical md5-derived hyperplane weights, banded sketch buckets,
     // exact cosine on distinct candidates

@@ -302,6 +302,63 @@ object TextQueries extends QueryRegistry {
           / (count(lit(1)) * lit(1e6)), 6).as("avg_score"))
     }),
 
+    // curation: document-length histogram per language (fixed 200-char
+    // buckets) — the length-distribution profile every curation pass
+    // starts from (where do the truncation/min-length cutoffs bite?).
+    // Pure integer bucketing (floor-div), one map-side-combinable
+    // aggregate; the histogram is bounded by n_buckets × n_langs
+    // regardless of corpus size.
+    "text_length_hist" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("bucket_lo",
+          expr("CAST(n_chars AS BIGINT) div 200 * 200"))
+        .groupBy("lang", "bucket_lo")
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_chars").cast("long").as("min_chars"),
+          max("n_chars").cast("long").as("max_chars"))),
+
+    // curation capstone: the end-to-end manifest a training run consumes —
+    // exact dedup (md5 canonical per content hash), quality gate (token
+    // count + stopword-ratio, integer-only so both engines agree), and the
+    // deterministic content-hash split, composed in one pipeline, rolled
+    // up per (split, lang) with drop accounting. Dups are synthesized
+    // (every 50th doc re-appears under a high id) and must all be dropped
+    // as non-canonical. Shape: narrow per-row feature map → one shuffle on
+    // the content hash (the dedup) → one rollup; at 100 TB the dedup
+    // shuffle is the same hash-partition exchange as dedup_exact_hash.
+    "curation_manifest" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "lang", "text")
+      val withDups = d.union(
+        d.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+            col("text")))
+      val t = TextDedup.tokens(col("text"))
+      val base = withDups.select(col("doc_id"), col("lang"),
+        md5(col("text")).as("h"),
+        size(t).cast("long").as("n_tokens"),
+        size(filter(t, x => x.isin("the", "a"))).cast("long").as("n_stop"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("h").orderBy("doc_id")
+      val split = substring(md5(concat(lit("split:"),
+        col("doc_id").cast("string"))), 1, 4)
+      base
+        .withColumn("is_canonical", row_number().over(w) === 1)
+        .withColumn("quality_ok",
+          col("n_tokens") >= 30 && col("n_stop") * 2 <= col("n_tokens"))
+        .withColumn("split",
+          when(split < "cccd", "train").when(split < "e666", "val")
+            .otherwise(lit("test")))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_candidates"),
+          count(when(!col("is_canonical"), 1)).as("n_dropped_dup"),
+          count(when(col("is_canonical") && !col("quality_ok"), 1))
+            .as("n_dropped_quality"),
+          count(when(col("is_canonical") && col("quality_ok"), 1))
+            .as("n_kept"),
+          coalesce(sum(when(col("is_canonical") && col("quality_ok"),
+            col("n_tokens"))), lit(0L)).as("kept_tokens"))
+    }),
+
     // X4: winnowing document fingerprints (rolling-hash min-per-window)
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir)
@@ -505,6 +562,40 @@ object TextQueries extends QueryRegistry {
         | round(CAST(sum(CAST(round(score * 1000000) AS BIGINT)) AS BIGINT)
         |   / (count(*) * 1000000.0), 6) AS avg_score
         |FROM sc GROUP BY 1""".stripMargin,
+    "text_length_hist" ->
+      """SELECT lang, (n_chars // 200) * 200 AS bucket_lo,
+        | count(*) AS n_docs,
+        | CAST(min(n_chars) AS BIGINT) AS min_chars,
+        | CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+    "curation_manifest" ->
+      """WITH d AS (SELECT doc_id, lang, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, lang, text FROM documents
+        |    WHERE doc_id % 50 = 0),
+        |b AS (SELECT doc_id, lang, md5(text) AS h,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_filter(string_split(text, ' '), x -> x IN ('the','a')))
+        |    AS n_stop
+        | FROM d),
+        |r AS (SELECT doc_id, lang, n_tokens,
+        |  row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1
+        |    AS is_canonical,
+        |  n_tokens >= 30 AND n_stop * 2 <= n_tokens AS quality_ok,
+        |  CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+        |         < 'cccd' THEN 'train'
+        |       WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+        |         < 'e666' THEN 'val'
+        |       ELSE 'test' END AS split
+        | FROM b)
+        |SELECT split, lang, count(*) AS n_candidates,
+        | count(*) FILTER (WHERE NOT is_canonical) AS n_dropped_dup,
+        | count(*) FILTER (WHERE is_canonical AND NOT quality_ok)
+        |   AS n_dropped_quality,
+        | count(*) FILTER (WHERE is_canonical AND quality_ok) AS n_kept,
+        | CAST(coalesce(sum(n_tokens)
+        |   FILTER (WHERE is_canonical AND quality_ok), 0) AS BIGINT)
+        |   AS kept_tokens
+        |FROM r GROUP BY 1, 2""".stripMargin,
     "text_fingerprint" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |kg AS (SELECT doc_id, list_transform(generate_series(1, len(t)-2),

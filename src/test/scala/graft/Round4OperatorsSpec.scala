@@ -129,6 +129,139 @@ class Round4OperatorsSpec extends SparkSuite {
     got.foreach { case (_, n, ni) => assert(n === ni) }
   }
 
+  test("rangeSearch: exactly the brute-force pairs above the threshold") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val vecs = e.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val expected = (for {
+      (qid, qv) <- vecs if qid < 10
+      (vid, v) <- vecs if vid != qid
+      s = cos(qv, v) if s >= 0.3
+    } yield (qid, vid, BigDecimal(s).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    val got = Similarity.rangeSearch(e, col("vec_id") < 10, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("emb_covariance: matches the direct quantized computation, 36 cells") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val rows = e.select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val n = rows.length.toDouble
+    def q(x: Double): Long = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val s = (0 until 8).map(i => rows.map(r => q(r(i))).sum)
+    val got = SparkEntry.queries("emb_covariance")(spark, sf0001)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(got.size === 36)
+    for { i <- 0 until 8; j <- i until 8 } {
+      val p = rows.map(r => q(r(i) * r(j))).sum
+      val cov = p / (n * 1e6) -
+        (s(i) / (n * 1e6)) * (s(j) / (n * 1e6))
+      val exp = BigDecimal(cov).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got((i, j)) === exp, s"cov($i,$j)")
+    }
+    // diagonal entries are variances — strictly positive on real data
+    (0 until 8).foreach(i => assert(got((i, i)) > 0.0))
+  }
+
+  test("events_anomaly: outlier accounting matches a direct computation") {
+    val ev = CdcBatch.readEvents(spark, sf0001)
+      .select("event_type", "event_id", "value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    def q(x: Double): Long = BigDecimal(x * 100)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val got = SparkEntry.queries("events_anomaly")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(4), r.getLong(5))).toMap
+    val types = ev.map(_._1).distinct
+    assert(got.keySet === types.toSet)
+    types.foreach { ty =>
+      val g = ev.filter(_._1 == ty)
+      val n = g.length.toDouble
+      val sv = g.map(e => q(e._3)).sum
+      val svv = g.map(e => { val c = q(e._3); c * c }).sum
+      val mean = sv / (n * 100.0)
+      val std = math.sqrt(svv / (n * 10000.0) - mean * mean)
+      val out = g.filter(e => math.abs(e._3 - mean) > 3.0 * std)
+      assert(got(ty) === ((g.length.toLong, out.length.toLong,
+        out.map(_._2).sum)), ty)
+    }
+  }
+
+  test("bucketed join: no exchange below the join; result = plain join") {
+    val tmp = java.nio.file.Files.createTempDirectory("bkt_spec").toString
+    try {
+      spark.read.parquet(s"$sf0001/orders.parquet")
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite").option("path", s"$tmp/o")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("bkt_spec_o")
+      spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+        .write.mode("overwrite").option("path", s"$tmp/l")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("bkt_spec_l")
+      val j = spark.table("bkt_spec_l")
+        .join(spark.table("bkt_spec_o").hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      // bucketed scans satisfy the join's distribution — no Exchange of
+      // any kind (shuffle or broadcast) anywhere in the join plan
+      assert(!plan.contains("Exchange"), plan.take(2000))
+      // and the full driver-gate query equals the plain join aggregate
+      val got = SparkEntry.queries("q30_bucket_join")(spark, sf0001)
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+      val plain = spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .join(spark.read.parquet(s"$sf0001/orders.parquet"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+      assert(got === plain)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_spec_o")
+      spark.sql("DROP TABLE IF EXISTS bkt_spec_l")
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("text_length_hist: bucket bounds hold and doc counts total") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val got = SparkEntry.queries("text_length_hist")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    got.foreach { case (lang, lo, _, mn, mx) =>
+      assert(lo % 200 === 0, s"$lang/$lo")
+      assert(mn >= lo && mx < lo + 200, s"$lang/$lo")
+    }
+    assert(got.map(_._3).sum === d.count())
+  }
+
+  test("curation_manifest: synthesized copies all dropped, accounting adds up") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val nCopies = d.filter(col("doc_id") % 50 === 0).count()
+    val rows = SparkEntry.queries("curation_manifest")(spark, sf0001)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(rows.map(_._2).sum === nCopies) // every copy is non-canonical
+    assert(rows.map(_._1).sum === d.count() + nCopies)
+    rows.foreach { case (cand, dup, qual, kept, toks) =>
+      assert(dup + qual + kept === cand)
+      assert(toks >= kept) // every kept doc has ≥ 1 token
+    }
+    assert(rows.map(_._4).sum > 0)
+  }
+
   test("events_retention: offset-0 cell is the cohort size") {
     val ret = SparkEntry.queries("events_retention")(spark, sf0001)
       .filter(col("week_offset") === 0)
