@@ -103,6 +103,10 @@ object CdcQueries extends QueryRegistry {
     // like the single-copy batch (oracle = plain batch SQL over events)
     "cdc_stream_dedup" -> ((s, dir) =>
       streaming.CdcStream.dedupStreamed(s, dir)),
+    // §2.8: stream-static dimension enrichment (broadcast per micro-batch,
+    // left-join semantics) — oracle = the equivalent batch left join
+    "cdc_stream_enrich" -> ((s, dir) =>
+      streaming.CdcStream.enrichStreamed(s, dir)),
     // K2+S8+F8: CSV sink → source roundtrip preserves the changelog
     "csv_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files
@@ -247,6 +251,14 @@ object CdcQueries extends QueryRegistry {
       """SELECT event_type, count(*) AS n_events,
         | count(DISTINCT event_id) AS n_ids, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
+    "cdc_stream_enrich" ->
+      """SELECT coalesce(c_mktsegment, '(none)') AS segment,
+        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events LEFT JOIN
+        |  (SELECT c_custkey, c_mktsegment FROM customer
+        |   WHERE c_custkey % 7 <> 0) c
+        |  ON user_id = c_custkey
+        |GROUP BY 1""".stripMargin,
     "csv_roundtrip" -> roundtripOracle,
     "cdc_compact" -> compactSql,
     "cdc_tables" ->

@@ -40,6 +40,47 @@ object DedupQueries extends QueryRegistry {
       TextDedup.connectedComponentsStar(
         TextDedup.minhashLshPairs(docs(s, dir), "doc_id", "text"),
         "doc_a", "doc_b")),
+    // X2: ASYMMETRIC containment dedup — C(A,B) = |shingles(A) ∩
+    // shingles(B)| / |shingles(A)|, the doc-in-doc signal symmetric
+    // Jaccard misses (a 12-token excerpt of a 200-token doc has Jaccard
+    // ≈ 0.05 but containment 1.0 — quotes, boilerplate inclusions,
+    // re-posted fragments). Candidates come from shared word-8-gram
+    // fingerprints (the decontam generator reused: a narrow gram explode +
+    // one co-partitioned self-join on the gram hash — no pair space beyond
+    // real local overlaps, no broadcast of the gram table); exact bigram-
+    // shingle containment is computed only on candidates. Excerpt docs are
+    // synthesized (first 12 tokens of every 40th doc under high ids) and
+    // must be flagged contained at 1.0.
+    "dedup_containment" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val t = TextDedup.tokens(col("text"))
+      val excerpts = d.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat_ws(" ", slice(t, 1, 12)).as("text"))
+      val all = d.union(excerpts)
+      val g = all.select(col("doc_id"),
+        explode(TextAnalysis.wordGramHashes(col("text"), 8)).as("h"))
+      val cand = g.join(g.select(col("doc_id").as("doc_b"), col("h")), "h")
+        .filter(col("doc_id") =!= col("doc_b"))
+        .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
+      val sh = all.select(col("doc_id"),
+        explode(TextDedup.bigramShingles(col("text"))).as("s"))
+        .localCheckpoint() // feeds sizes + both intersection branches
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("s").as("s2")),
+          Seq("doc_b"))
+        .filter(col("s") === col("s2"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+      inter
+        .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")),
+          "doc_a")
+        .withColumn("containment", col("i").cast("double") / col("na"))
+        .filter(col("containment") >= 0.9)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("containment"), 6).as("containment"))
+    }),
     // X2/X3 fusion: cross-modal dedup consensus — agreement matrix between
     // text near-dup pairs (MinHash-LSH + exact Jaccard) and embedding
     // near-dup pairs (IVF-cell cosine), full-outer joined on the pair key.
@@ -168,6 +209,33 @@ object DedupQueries extends QueryRegistry {
          |SELECT doc_a, doc_b, jaccard FROM p""".stripMargin,
     "dedup_clusters" -> clustersOracle,
     "dedup_clusters_star" -> clustersOracle,
+    "dedup_containment" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |ex AS (SELECT doc_id + 2000000 AS doc_id,
+        |  array_to_string((string_split(text, ' '))[1:12], ' ') AS text
+        | FROM d WHERE doc_id % 40 = 0),
+        |al AS (SELECT * FROM d UNION ALL SELECT * FROM ex),
+        |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM al),
+        |g AS (SELECT doc_id, md5(gr) AS h FROM (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(len(t) - 7, 0)),
+        |    i -> array_to_string(t[i:i+7], ' '))) AS gr
+        |  FROM tk)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM g a JOIN g b USING (h) WHERE a.doc_id <> b.doc_id),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])))
+        |    AS s
+        |  FROM tk WHERE len(t) >= 2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+        |  FROM cand c
+        |   JOIN sh sa ON sa.doc_id = c.doc_a
+        |   JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / n, 6) AS containment
+        |FROM inter JOIN sz ON sz.doc_id = doc_a
+        |WHERE CAST(i AS DOUBLE) / n >= 0.9""".stripMargin,
     "dedup_consensus" -> {
       val cos = "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
       s"""WITH $lshPairCtes,

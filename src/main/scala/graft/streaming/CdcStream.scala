@@ -171,6 +171,35 @@ object CdcStream {
         round(sum("value"), 2).as("sum_value"))
   }
 
+  /** §2.8: stream-static dimension enrichment — the event stream joined per
+    * micro-batch against a STATIC dimension table (the cache-join shape
+    * every CDC consumer runs: stamp each change with the owning entity's
+    * attributes). The dim is a plain batch read on the stream's plan, so
+    * Spark broadcasts it per micro-batch — no stream-side shuffle, and a
+    * slowly-changing dim picks up updates at the next batch without a
+    * restart. Dimension gaps are synthesized (every 7th key dropped) to
+    * prove left-join semantics survive the streaming path; the oracle is
+    * the equivalent batch left join.
+    */
+  def enrichStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "evt_enrich_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+      .filter(col("c_custkey") % 7 =!= 0)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val q = rawEventStream(spark, sfDir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
+      .select(col("event_type"),
+        coalesce(col("c_mktsegment"), lit("(none)")).as("segment"),
+        col("value"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+  }
+
   /** Keep streaming merge state in RocksDB instead of the default on-heap
     * HashMap provider. The merge state is one entry per live (table, rid)
     * key — at 100 TB key counts that exceeds executor heap; RocksDB spills

@@ -262,6 +262,43 @@ class Round4OperatorsSpec extends SparkSuite {
     assert(rows.map(_._4).sum > 0)
   }
 
+  test("dedup_containment: every synthesized excerpt is contained at 1.0") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val sources = d.filter(col("doc_id") % 40 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = SparkEntry.queries("dedup_containment")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every excerpt (id + 2e6) appears fully contained in its source doc
+    sources.foreach { src =>
+      val hit = got.find(p => p._1 == src + 2000000L && p._2 == src)
+      assert(hit.isDefined, s"excerpt of $src not flagged")
+      assert(hit.get._3 === 1.0, s"excerpt of $src containment != 1")
+    }
+    // the fixture contains genuine near-dup texts (the LSH targets), so
+    // originals may legitimately be contained in their near-dups — only
+    // range and non-reflexivity are invariant
+    got.foreach { case (a, b, c) =>
+      assert(a !== b)
+      assert(c >= 0.9 && c <= 1.0)
+    }
+  }
+
+  test("cdc_stream_enrich: streamed left join equals the batch left join") {
+    val got = SparkEntry.queries("cdc_stream_enrich")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    val dim = spark.read.parquet(s"$sf0001/customer.parquet")
+      .filter(col("c_custkey") % 7 =!= 0)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val batch = CdcBatch.readEvents(spark, sf0001)
+      .join(dim, col("user_id") === col("c_custkey"), "left")
+      .groupBy(coalesce(col("c_mktsegment"), lit("(none)")).as("segment"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(got === batch)
+    // the synthesized dim gaps produce a real unmatched bucket
+    assert(got.exists(_._1 == "(none)"))
+  }
+
   test("events_retention: offset-0 cell is the cohort size") {
     val ret = SparkEntry.queries("events_retention")(spark, sf0001)
       .filter(col("week_offset") === 0)
