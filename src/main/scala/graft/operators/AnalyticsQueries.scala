@@ -562,6 +562,28 @@ object AnalyticsQueries extends QueryRegistry {
       res
     }),
 
+    // X7: RANGE window frames — the value-based frame the rows-based
+    // battery (q7) can't express: per customer, order count and spend over
+    // the TRAILING 30 DAYS (ties at the same timestamp all join the
+    // frame). The frame sum is integer cents (exact, order-independent —
+    // a double sum's accumulation order differs between engines inside a
+    // value frame), divided once at the end. ntile(4) rides in the same
+    // window pass over a unique ordering. One shuffle on o_custkey.
+    "q31_range_window" -> ((s, dir) => {
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      val base = t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").cast("long").as("ts"), // UTC
+        cents.as("cents"))
+      val wr = Window.partitionBy("o_custkey").orderBy("ts")
+        .rangeBetween(-30L * 86400, Window.currentRow)
+      val wn = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      base.select(col("o_custkey"), col("o_orderkey"), col("ts"),
+        count(lit(1)).over(wr).as("n_30d"),
+        (sum("cents").over(wr).cast("double") / 100.0).as("spend_30d"),
+        ntile(4).over(wn).cast("long").as("spend_quartile")) // long: DuckDB ntile is BIGINT
+    }),
+
     // cohort retention over the event stream: users grouped by first-seen
     // week, activity counted per week offset — the engagement-matrix
     // staple. Shape: one groupBy(user) for cohorts, one shuffle join back
@@ -768,6 +790,19 @@ object AnalyticsQueries extends QueryRegistry {
         | round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
+    "q31_range_window" ->
+      """WITH b AS (SELECT o_custkey, o_orderkey,
+        |  epoch_ms(o_orderdate) // 1000 AS ts,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        | FROM orders)
+        |SELECT o_custkey, o_orderkey, ts,
+        | count(*) OVER wr AS n_30d,
+        | CAST(sum(cents) OVER wr AS BIGINT) / 100.0 AS spend_30d,
+        | ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |   AS spend_quartile
+        |FROM b
+        |WINDOW wr AS (PARTITION BY o_custkey ORDER BY ts
+        |  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "events_retention" ->
       """WITH ev AS (SELECT user_id,
         |  (epoch_ms(ts) // 1000) // 604800 AS week FROM events),

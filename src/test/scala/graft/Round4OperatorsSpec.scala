@@ -299,6 +299,22 @@ class Round4OperatorsSpec extends SparkSuite {
     assert(got.exists(_._1 == "(none)"))
   }
 
+  test("q31_range_window: value frame matches direct trailing-30d count") {
+    val rows = SparkEntry.queries("q31_range_window")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(5)))
+    rows.groupBy(_._1).values.foreach { g =>
+      g.foreach { case (_, ok, ts, n30, q) =>
+        val expect = g.count(x => x._3 >= ts - 30L * 86400 && x._3 <= ts)
+        assert(n30 === expect, s"order $ok")
+        assert(q >= 1 && q <= 4)
+      }
+      // ntile(4) bucket sizes differ by at most 1
+      val sizes = g.groupBy(_._5).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1)
+    }
+  }
+
   test("events_retention: offset-0 cell is the cohort size") {
     val ret = SparkEntry.queries("events_retention")(spark, sf0001)
       .filter(col("week_offset") === 0)
