@@ -57,6 +57,16 @@ object MultimodalQueries extends QueryRegistry {
         .agg(count(lit(1)).as("n_frames"),
           sum(length(col("frame")).cast("long")).as("frame_bytes"),
           countDistinct(col("doc_id")).as("n_docs"))),
+    // X5: WebDataset-style shard manifest — media items packed into
+    // 64 KiB byte-budget shards in id order via the distributed prefix
+    // sum (Packing.shardManifest); the oracle recomputes it with the
+    // single-window form, so the hash match pins the two-phase split.
+    "mm_shard_manifest" -> ((s, dir) =>
+      Packing.shardManifest(
+        Multimodal.mediaTable(s, dir)
+          .select(col("doc_id"),
+            length(col("media")).cast("long").as("nbytes")),
+        shardBytes = 65536L)),
     // X5: per-format aggregate over media metadata
     "mm_format_stats" -> ((s, dir) =>
       Multimodal.mediaTable(s, dir)
@@ -108,6 +118,17 @@ object MultimodalQueries extends QueryRegistry {
          | CAST(sum(nf * 64) AS BIGINT) AS frame_bytes,
          | count(*) AS n_docs
          |FROM f WHERE nf > 0 GROUP BY 1""".stripMargin,
+    "mm_shard_manifest" ->
+      """WITH it AS (SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
+        |c AS (SELECT doc_id, n,
+        |  coalesce(sum(n) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        | FROM it)
+        |SELECT start // 65536 AS shard_id, count(*) AS n_items,
+        | CAST(sum(n) AS BIGINT) AS n_bytes,
+        | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1""".stripMargin,
     "mm_format_stats" ->
       s"""SELECT format, count(*) AS n,
          | CAST(sum(n_bytes) AS BIGINT) AS total_bytes,

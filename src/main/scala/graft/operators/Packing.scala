@@ -24,12 +24,12 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  /** (doc_id, n, tok_start) — n = whitespace token count, tok_start = the
-    * document's global token offset in doc_id order (exclusive prefix sum).
+  /** Two-phase exclusive prefix sum of `n` in doc_id order over any
+    * (doc_id, n) frame — the shared core of token packing and byte
+    * sharding. Returns (doc_id, n, start).
     */
-  def tokenOffsets(docs: DataFrame, bucketSize: Int = 1024): DataFrame = {
-    val d = docs.select(col("doc_id"),
-      size(TextDedup.tokens(col("text"))).cast("long").as("n"),
+  private def prefixSum(items: DataFrame, bucketSize: Int): DataFrame = {
+    val d = items.select(col("doc_id"), col("n"),
       expr(s"cast(doc_id as bigint) div $bucketSize").as("bucket"))
     val wOff = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -41,8 +41,35 @@ object Packing {
     d.withColumn("cum_in", sum("n").over(wIn))
       .join(broadcast(bucketOffsets), "bucket")
       .select(col("doc_id"), col("n"),
-        (col("boff") + col("cum_in") - col("n")).as("tok_start"))
+        (col("boff") + col("cum_in") - col("n")).as("start"))
   }
+
+  /** (doc_id, n, tok_start) — n = whitespace token count, tok_start = the
+    * document's global token offset in doc_id order (exclusive prefix sum).
+    */
+  def tokenOffsets(docs: DataFrame, bucketSize: Int = 1024): DataFrame =
+    prefixSum(
+      docs.select(col("doc_id"),
+        size(TextDedup.tokens(col("text"))).cast("long").as("n")),
+      bucketSize)
+      .select(col("doc_id"), col("n"), col("start").as("tok_start"))
+
+  /** WebDataset-style byte-budget shard manifest: items (doc_id, nbytes)
+    * are laid out in doc_id order and cut into `shardBytes`-sized shards —
+    * an item belongs to the shard where its first byte lands. Returns the
+    * per-shard manifest (counts, byte volume, id range) a shard writer and
+    * a training loader both consume. Same distributed prefix-sum core as
+    * token packing — the serial step sees n/bucketSize rows only.
+    */
+  def shardManifest(items: DataFrame, shardBytes: Long,
+      bucketSize: Int = 1024): DataFrame =
+    prefixSum(items.select(col("doc_id"), col("nbytes").cast("long").as("n")),
+      bucketSize)
+      .select(col("doc_id"), col("n"),
+        expr(s"start div $shardBytes").as("shard_id"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_items"), sum("n").as("n_bytes"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
 
   /** GPT-style concat-and-chunk packing: the corpus is one long token
     * stream in doc_id order, cut into fixed `packSize`-token sequences; a

@@ -315,6 +315,24 @@ class Round4OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("mm_shard_manifest: contiguous shards, disjoint id ranges, exact totals") {
+    val rows = SparkEntry.queries("mm_shard_manifest")(spark, sf0001)
+      .orderBy("shard_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val total = d.select(sum(length(col("text").cast("binary")).cast("long")))
+      .head.getLong(0)
+    assert(rows.map(_._1).toSeq === (0L until rows.length))
+    assert(rows.map(_._2).sum === d.count())
+    assert(rows.map(_._3).sum === total)
+    // id ranges are disjoint and increasing shard to shard
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._5 < b._4, s"shards ${a._1}/${b._1}")
+      case _ =>
+    }
+  }
+
   test("events_retention: offset-0 cell is the cohort size") {
     val ret = SparkEntry.queries("events_retention")(spark, sf0001)
       .filter(col("week_offset") === 0)
