@@ -107,6 +107,10 @@ object CdcQueries extends QueryRegistry {
     // left-join semantics) — oracle = the equivalent batch left join
     "cdc_stream_enrich" -> ((s, dir) =>
       streaming.CdcStream.enrichStreamed(s, dir)),
+    // §2.8: gap-based sessionization as a stream (session_window state
+    // machinery) — oracle = the lag/cumsum batch form at micros resolution
+    "cdc_stream_sessions" -> ((s, dir) =>
+      streaming.CdcStream.sessionStreamed(s, dir)),
     // K2+S8+F8: CSV sink → source roundtrip preserves the changelog
     "csv_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files
@@ -251,6 +255,22 @@ object CdcQueries extends QueryRegistry {
       """SELECT event_type, count(*) AS n_events,
         | count(DISTINCT event_id) AS n_ids, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
+    "cdc_stream_sessions" ->
+      """WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus, value
+        |  FROM events),
+        |m AS (SELECT user_id, tus, value,
+        |  CASE WHEN lag(tus) OVER w IS NULL THEN 1
+        |       WHEN tus - lag(tus) OVER w >= 3600000000 THEN 1
+        |       ELSE 0 END AS new_s
+        | FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+        |s AS (SELECT user_id, tus, value, CAST(sum(new_s) OVER (
+        |    PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS sid
+        | FROM m)
+        |SELECT user_id, min(tus) AS session_start,
+        | max(tus) + 3600000000 AS session_end,
+        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "cdc_stream_enrich" ->
       """SELECT coalesce(c_mktsegment, '(none)') AS segment,
         | count(*) AS n_events, round(sum(value), 2) AS sum_value

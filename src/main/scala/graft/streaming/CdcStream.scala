@@ -171,6 +171,31 @@ object CdcStream {
         round(sum("value"), 2).as("sum_value"))
   }
 
+  /** §2.8: gap-based sessionization AS A STREAM — `session_window` with a
+    * 1-hour gap per user, run to completion (complete mode emits every
+    * session's final extent). Boundary semantics are exact-microsecond: an
+    * event merges iff its timestamp is STRICTLY inside the previous
+    * session's end (= last event + gap), which the oracle mirrors as
+    * `gap >= 3600·10⁶ µs starts a new session` over the lag-sorted batch.
+    * The batch twin is q23_sessions; this puts the streaming session-state
+    * machinery (merging windows across micro-batches) under the hash gate.
+    */
+  def sessionStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "evt_sess_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = rawEventStream(spark, sfDir)
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .groupBy(session_window(col("ets"), "1 hour").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sv"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("session_start"),
+        unix_micros(col("w.end")).as("session_end"),
+        col("n_events"), round(col("sv"), 2).as("sum_value"))
+  }
+
   /** §2.8: stream-static dimension enrichment — the event stream joined per
     * micro-batch against a STATIC dimension table (the cache-join shape
     * every CDC consumer runs: stamp each change with the owning entity's

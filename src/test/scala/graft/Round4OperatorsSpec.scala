@@ -333,6 +333,30 @@ class Round4OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("cdc_stream_sessions: streamed session windows equal the batch form") {
+    import org.apache.spark.sql.expressions.Window
+    val got = SparkEntry.queries("cdc_stream_sessions")(spark, sf0001)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sorted
+    val w = Window.partitionBy("user_id").orderBy("tus")
+    val batch = CdcBatch.readEvents(spark, sf0001)
+      .select(col("user_id"), expr("ts div 1000").as("tus"))
+      .withColumn("new_s", when(lag("tus", 1).over(w).isNull, 1)
+        .when(col("tus") - lag("tus", 1).over(w) >= 3600000000L, 1)
+        .otherwise(0))
+      .withColumn("sid", sum("new_s").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min("tus").as("st"), (max("tus") + 3600000000L).as("en"),
+        count(lit(1)).as("n"))
+      .select("user_id", "st", "en", "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sorted
+    assert(got === batch)
+    assert(got.nonEmpty)
+  }
+
   test("events_retention: offset-0 cell is the cohort size") {
     val ret = SparkEntry.queries("events_retention")(spark, sf0001)
       .filter(col("week_offset") === 0)
