@@ -507,8 +507,14 @@ object AnalyticsQueries extends QueryRegistry {
       val stats = ev
         .select(col("event_type"), cents.as("cv"))
         .groupBy("event_type")
+        // svv accumulates as DECIMAL(38,0): a long accumulator overflows
+        // silently at ~9e18 (≈ 900 rows of |value|=1e6, i.e. guaranteed at
+        // the 100 TB scale this operator targets) while DuckDB widens to
+        // HUGEINT — the engines would diverge exactly when it matters. The
+        // per-row product stays long-exact while |value| < ~3e7 (cv² <
+        // 2^63); beyond that quantize coarser than cents.
         .agg(count(lit(1)).as("n"), sum("cv").as("sv"),
-          sum(col("cv") * col("cv")).as("svv"))
+          sum((col("cv") * col("cv")).cast("decimal(38,0)")).as("svv"))
       val mean = col("sv").cast("double") / (col("n") * lit(100.0))
       val std = sqrt(col("svv").cast("double") / (col("n") * lit(10000.0))
         - mean * mean)
@@ -541,25 +547,30 @@ object AnalyticsQueries extends QueryRegistry {
       val tag = java.util.UUID.randomUUID.toString.replace("-", "").take(8)
       val ot = s"graft_bkt_orders_$tag"
       val lt = s"graft_bkt_lineitem_$tag"
-      t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
-        .write.mode("overwrite").option("path", s"$tmp/orders")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
-      t(s, dir, "lineitem")
-        .select("l_orderkey", "l_quantity", "l_extendedprice")
-        .write.mode("overwrite").option("path", s"$tmp/lineitem")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
-      val res = s.table(lt)
-        .join(s.table(ot).hint("merge"),
-          col("l_orderkey") === col("o_orderkey"))
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n_items"),
-          round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_price"))
-        .localCheckpoint() // materialize before the tables are dropped
-      s.sql(s"DROP TABLE IF EXISTS $ot")
-      s.sql(s"DROP TABLE IF EXISTS $lt")
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-      res
+      // catalog tables + tmp dir are global state: always torn down, even
+      // when the write or join throws mid-flight
+      try {
+        t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+          .write.mode("overwrite").option("path", s"$tmp/orders")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_extendedprice")
+          .write.mode("overwrite").option("path", s"$tmp/lineitem")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+        s.table(lt)
+          .join(s.table(ot).hint("merge"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            round(sum("l_extendedprice"), 2).as("sum_price"))
+          .localCheckpoint() // materialize before the tables are dropped
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $ot")
+        s.sql(s"DROP TABLE IF EXISTS $lt")
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(tmp))
+      }
     }),
 
     // X7: RANGE window frames — the value-based frame the rows-based

@@ -10,6 +10,13 @@ object DedupQueries extends QueryRegistry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** Max doc frequency for a word-8-gram to stay a containment candidate
+    * generator — grams above this are boilerplate (license headers, nav
+    * chrome) whose pair fan-out is quadratic and whose doc-in-doc signal
+    * is nil. Mirrored verbatim in the DuckDB oracle.
+    */
+  private val ContainmentDfCap = 100
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // X1: exact content dedup by hash groupBy. Fixture texts are unique, so
     // deterministic duplicates are synthesized by re-appending every 50th
@@ -60,7 +67,17 @@ object DedupQueries extends QueryRegistry {
       val all = d.union(excerpts)
       val g = all.select(col("doc_id"),
         explode(TextAnalysis.wordGramHashes(col("text"), 8)).as("h"))
-      val cand = g.join(g.select(col("doc_id").as("doc_b"), col("h")), "h")
+      // Hot-key defense: a boilerplate 8-gram shared by B docs would emit
+      // B^2 candidate rows through one reducer. Standard containment-
+      // candidate practice drops grams whose doc frequency exceeds a cap —
+      // boilerplate grams carry no doc-in-doc signal anyway. The df agg is
+      // map-side combinable and the keep-join is co-partitioned on h (both
+      // sides hash on h), so the defense costs one narrow pass, not a new
+      // skew surface.
+      val keptGrams = g.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= ContainmentDfCap).select("h")
+      val gk = g.join(keptGrams, "h")
+      val cand = gk.join(gk.select(col("doc_id").as("doc_b"), col("h")), "h")
         .filter(col("doc_id") =!= col("doc_b"))
         .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
       val sh = all.select(col("doc_id"),
@@ -221,8 +238,10 @@ object DedupQueries extends QueryRegistry {
         |    generate_series(1, greatest(len(t) - 7, 0)),
         |    i -> array_to_string(t[i:i+7], ' '))) AS gr
         |  FROM tk)),
+        |gd AS (SELECT h FROM g GROUP BY h HAVING count(*) <= 100),
+        |gk AS (SELECT g.doc_id, g.h FROM g JOIN gd USING (h)),
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM g a JOIN g b USING (h) WHERE a.doc_id <> b.doc_id),
+        |  FROM gk a JOIN gk b USING (h) WHERE a.doc_id <> b.doc_id),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])))
         |    AS s

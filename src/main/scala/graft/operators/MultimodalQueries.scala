@@ -125,7 +125,7 @@ object MultimodalQueries extends QueryRegistry {
         |  coalesce(sum(n) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
         | FROM it)
-        |SELECT start // 65536 AS shard_id, count(*) AS n_items,
+        |SELECT CAST(start // 65536 AS BIGINT) AS shard_id, count(*) AS n_items,
         | CAST(sum(n) AS BIGINT) AS n_bytes,
         | min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1""".stripMargin,

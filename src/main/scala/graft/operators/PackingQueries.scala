@@ -28,7 +28,7 @@ object PackingQueries extends QueryRegistry {
         |  sum(n) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS tok_start
         |  FROM d)
-        |SELECT tok_start // 256 AS pack_id, count(*) AS n_docs,
+        |SELECT CAST(tok_start // 256 AS BIGINT) AS pack_id, count(*) AS n_docs,
         |  CAST(sum(n) AS BIGINT) AS n_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1""".stripMargin,
