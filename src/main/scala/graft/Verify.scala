@@ -43,7 +43,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A subset run must not clobber oracle_sql.json: a full compare against
+    // an outDir holding parquet from a prior full run plus a truncated
+    // oracle map would silently skip queries. Subsets go to a side file.
+    val oracleFile =
+      if (only.isDefined) "oracle_sql.partial.json" else "oracle_sql.json"
+    Files.writeString(Paths.get(s"$outDir/$oracleFile"), json)
     spark.stop()
   }
 }

@@ -509,10 +509,11 @@ object AnalyticsQueries extends QueryRegistry {
         .groupBy("event_type")
         // svv accumulates as DECIMAL(38,0): a long accumulator overflows
         // silently at ~9e18 (≈ 900 rows of |value|=1e6, i.e. guaranteed at
-        // the 100 TB scale this operator targets) while DuckDB widens to
-        // HUGEINT — the engines would diverge exactly when it matters. The
-        // per-row product stays long-exact while |value| < ~3e7 (cv² <
-        // 2^63); beyond that quantize coarser than cents.
+        // the 100 TB scale this operator targets) while the DuckDB oracle
+        // keeps sum(cv*cv) as HUGEINT — both sides stay exact to 2^127 and
+        // only narrow to double for the final σ division. The per-row
+        // product stays long-exact while |value| < ~3e7 (cv² < 2^63);
+        // beyond that quantize coarser than cents.
         .agg(count(lit(1)).as("n"), sum("cv").as("sv"),
           sum((col("cv") * col("cv")).cast("decimal(38,0)")).as("svv"))
       val mean = col("sv").cast("double") / (col("n") * lit(100.0))
@@ -777,7 +778,7 @@ object AnalyticsQueries extends QueryRegistry {
       """WITH ev AS (SELECT event_id, event_type, value FROM events),
         |st AS (SELECT event_type, count(*) AS n,
         |  CAST(sum(cv) AS BIGINT) AS sv,
-        |  CAST(sum(cv * cv) AS BIGINT) AS svv
+        |  sum(cv * cv) AS svv
         | FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cv
         |       FROM ev)
         | GROUP BY 1),

@@ -10,12 +10,19 @@ object DedupQueries extends QueryRegistry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
-  /** Max doc frequency for a word-8-gram to stay a containment candidate
+  /** Doc-frequency cap for a word-8-gram to stay a containment candidate
     * generator — grams above this are boilerplate (license headers, nav
     * chrome) whose pair fan-out is quadratic and whose doc-in-doc signal
-    * is nil. Mirrored verbatim in the DuckDB oracle.
+    * is nil. The cap is corpus-relative, max(floor, frac·n_docs): the
+    * absolute floor keeps tiny fixtures candidate-rich, the fraction is
+    * what actually bounds reducer fan-out at 100 TB (a gram in ≤0.1% of
+    * docs emits ≤(0.001·n)² pair rows per bucket — shardable; an uncapped
+    * boilerplate gram in 10% of docs would emit (0.1·n)²). Both constants
+    * are interpolated into the DuckDB oracle below — single source of
+    * truth, so retuning cannot desync engine and oracle.
     */
-  private val ContainmentDfCap = 100
+  private val ContainmentDfCapFloor = 100L
+  private val ContainmentDfCapFrac = 0.001
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // X1: exact content dedup by hash groupBy. Fixture texts are unique, so
@@ -69,13 +76,17 @@ object DedupQueries extends QueryRegistry {
         explode(TextAnalysis.wordGramHashes(col("text"), 8)).as("h"))
       // Hot-key defense: a boilerplate 8-gram shared by B docs would emit
       // B^2 candidate rows through one reducer. Standard containment-
-      // candidate practice drops grams whose doc frequency exceeds a cap —
-      // boilerplate grams carry no doc-in-doc signal anyway. The df agg is
-      // map-side combinable and the keep-join is co-partitioned on h (both
-      // sides hash on h), so the defense costs one narrow pass, not a new
-      // skew surface.
-      val keptGrams = g.groupBy("h").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= ContainmentDfCap).select("h")
+      // candidate practice drops grams whose DOC frequency (distinct docs,
+      // not raw occurrences — a gram repeated inside one doc is harmless)
+      // exceeds the corpus-relative cap. The df agg is map-side combinable
+      // and the keep-join is co-partitioned on h (both sides hash on h), so
+      // the defense costs one narrow pass, not a new skew surface. The cap
+      // itself is a 1-row broadcast scalar (no driver-side count action).
+      val cap = all.agg(greatest(lit(ContainmentDfCapFloor),
+        floor(count(lit(1)) * ContainmentDfCapFrac)).as("cap"))
+      val keptGrams = g.groupBy("h").agg(countDistinct("doc_id").as("df"))
+        .crossJoin(broadcast(cap))
+        .filter(col("df") <= col("cap")).select("h")
       val gk = g.join(keptGrams, "h")
       val cand = gk.join(gk.select(col("doc_id").as("doc_b"), col("h")), "h")
         .filter(col("doc_id") =!= col("doc_b"))
@@ -84,11 +95,13 @@ object DedupQueries extends QueryRegistry {
         explode(TextDedup.bigramShingles(col("text"))).as("s"))
         .localCheckpoint() // feeds sizes + both intersection branches
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // Explicit (doc_b, s) equi-join key: the shingle match is part of the
+      // join condition by construction, not recovered by the optimizer
+      // pushing a post-join filter into the keys.
       val inter = cand
         .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("s").as("s2")),
-          Seq("doc_b"))
-        .filter(col("s") === col("s2"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("s")),
+          Seq("doc_b", "s"))
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
       inter
         .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")),
@@ -227,7 +240,7 @@ object DedupQueries extends QueryRegistry {
     "dedup_clusters" -> clustersOracle,
     "dedup_clusters_star" -> clustersOracle,
     "dedup_containment" ->
-      """WITH d AS (SELECT doc_id, text FROM documents),
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
         |ex AS (SELECT doc_id + 2000000 AS doc_id,
         |  array_to_string((string_split(text, ' '))[1:12], ' ') AS text
         | FROM d WHERE doc_id % 40 = 0),
@@ -238,7 +251,10 @@ object DedupQueries extends QueryRegistry {
         |    generate_series(1, greatest(len(t) - 7, 0)),
         |    i -> array_to_string(t[i:i+7], ' '))) AS gr
         |  FROM tk)),
-        |gd AS (SELECT h FROM g GROUP BY h HAVING count(*) <= 100),
+        |gd AS (SELECT h FROM g GROUP BY h
+        |  HAVING count(DISTINCT doc_id) <= greatest($ContainmentDfCapFloor,
+        |    CAST(floor($ContainmentDfCapFrac * (SELECT count(*) FROM al))
+        |         AS BIGINT))),
         |gk AS (SELECT g.doc_id, g.h FROM g JOIN gd USING (h)),
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM gk a JOIN gk b USING (h) WHERE a.doc_id <> b.doc_id),
