@@ -1,5 +1,6 @@
 package graft
 
+import graft.Materialize.Ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -114,10 +115,10 @@ object CdcBatch {
     */
   def incrementalLiveView(chWithK: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val ch = chWithK.localCheckpoint() // one log scan feeds all branches
+    val ch = chWithK.materialize() // one log scan feeds all branches
     val base = Merge.compact(
       ch.filter(col("seq") <= col("k")).drop("k"), Seq("table", "rid"))
-      .localCheckpoint() // the "stored snapshot"
+      .materialize() // the "stored snapshot"
     // the view's money column is EXACT integer cents: incremental
     // maintenance subtracts and re-adds partial sums, and float
     // subtraction would amplify ulp drift until round(.., 2) could land a

@@ -1,5 +1,6 @@
 package graft
 
+import graft.Materialize.Ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -39,7 +40,7 @@ object CdcQueries extends QueryRegistry {
       .agg(count(lit(1)).as("n"),
         sum(col("seq").cast("long")).as("sum_seq"),
         round(sum(col("value").cast("double")), 2).as("sum_value"))
-      .localCheckpoint()
+      .materialize()
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     agg
   }
@@ -154,7 +155,7 @@ object CdcQueries extends QueryRegistry {
       val res = s.read.parquet(s"$tmp/state")
         .select("table", "rid", "cdc_action", "seq", "cdc_ts", "value",
           "props")
-        .localCheckpoint() // materialize so the temp state dir can go
+        .materialize() // materialize so the temp state dir can go
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
       res
     }),

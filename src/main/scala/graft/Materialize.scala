@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Materialization indirection for multi-consumer intermediates.
+  *
+  * Several operators compute a table once and feed it to 2+ downstream
+  * branches (a self-join's both sides, a stats pass plus a flagging pass,
+  * each round of an iterative closure). Left as pure lineage, Spark
+  * re-executes the producing sub-plan per consumer — for the iterative
+  * algorithms that is exponential. These sites materialize instead.
+  *
+  * The HOW is deployment-dependent, selected by the `spark.graft.materialize`
+  * conf (read per call, so one session can A/B):
+  *
+  *  - `local` (default): `Dataset.localCheckpoint` — blocks live in executor
+  *    storage, no durable write, fastest. Correct for `local[*]` and for
+  *    interactive clusters where a lost executor may fail the job. NOT
+  *    fault-tolerant: local checkpoints pin blocks to executors, and an
+  *    executor loss makes the truncated lineage unrecoverable.
+  *  - `reliable`: `Dataset.checkpoint` to the SparkContext checkpoint dir —
+  *    the cluster-deployment mode. Survives executor loss: lost partitions
+  *    are re-read from durable storage instead of failing the job. Point
+  *    `spark.graft.materialize.dir` (or call
+  *    `sc.setCheckpointDir`) at HDFS/object storage; set
+  *    `spark.cleaner.referenceTracking.cleanCheckpoints=true` so checkpoint
+  *    files of GC'd plans are reaped mid-job.
+  *  - `none`: pass-through — pure lineage recompute. Useful to measure what
+  *    materialization buys, and correct (if slow) everywhere.
+  *
+  * All driver-gate queries are oracle-green in every mode
+  * (`MaterializeSpec` pins local ≡ reliable ≡ none on the iterative and
+  * multi-branch representatives).
+  */
+object Materialize {
+  /** Conf key selecting the mode: local (default) | reliable | none. */
+  val ModeKey = "spark.graft.materialize"
+
+  /** Conf key for the reliable-mode checkpoint directory. Used only when
+    * the SparkContext has no checkpoint dir yet; on a real cluster point
+    * it at durable shared storage (hdfs:// or s3a://), not local disk.
+    */
+  val DirKey = "spark.graft.materialize.dir"
+
+  def apply(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.get(ModeKey, "local") match {
+      case "none" => df
+      case "reliable" =>
+        val sc = spark.sparkContext
+        if (sc.getCheckpointDir.isEmpty) {
+          sc.setCheckpointDir(spark.conf.get(
+            DirKey,
+            s"${sys.props("java.io.tmpdir")}/graft-ckpt-${sc.applicationId}"))
+        }
+        df.checkpoint()
+      case "local" => df.localCheckpoint()
+      case other => throw new IllegalArgumentException(
+        s"$ModeKey must be local|reliable|none, got '$other'")
+    }
+  }
+
+  /** `df.materialize()` postfix form — the call-site idiom. */
+  implicit class Ops(private val df: DataFrame) extends AnyVal {
+    def materialize(): DataFrame = Materialize(df)
+  }
+}

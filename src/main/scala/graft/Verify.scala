@@ -16,6 +16,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // materialization mode A/B (local | reliable | none) — the driver
+      // never sets it, so the gate always measures the default
+      .config(Materialize.ModeKey,
+        sys.env.getOrElse("SPARK_GRAFT_MATERIALIZE", "local"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Materialize.Ops
 import graft.QueryRegistry
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -424,7 +425,7 @@ object AnalyticsQueries extends QueryRegistry {
       // materialize once: three audit branches consume `all`, and the
       // 4-branch union lineage would otherwise re-scan lineitem per branch
       val all = li0.unionByName(d1).unionByName(d2).unionByName(dup)
-        .localCheckpoint()
+        .materialize()
       val scanChecks = all.agg(
         sum(when(col("l_quantity") <= 0, 1).otherwise(0)).cast("long")
           .as("nonpos_qty"),
@@ -565,7 +566,7 @@ object AnalyticsQueries extends QueryRegistry {
           .agg(count(lit(1)).as("n_items"),
             round(sum("l_quantity"), 2).as("sum_qty"),
             round(sum("l_extendedprice"), 2).as("sum_price"))
-          .localCheckpoint() // materialize before the tables are dropped
+          .materialize() // materialize before the tables are dropped
       } finally {
         s.sql(s"DROP TABLE IF EXISTS $ot")
         s.sql(s"DROP TABLE IF EXISTS $lt")

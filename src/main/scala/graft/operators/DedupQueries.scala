@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Materialize.Ops
 import graft.QueryRegistry
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -93,7 +94,7 @@ object DedupQueries extends QueryRegistry {
         .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
       val sh = all.select(col("doc_id"),
         explode(TextDedup.bigramShingles(col("text"))).as("s"))
-        .localCheckpoint() // feeds sizes + both intersection branches
+        .materialize() // feeds sizes + both intersection branches
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       // Explicit (doc_b, s) equi-join key: the shingle match is part of the
       // join condition by construction, not recovered by the optimizer

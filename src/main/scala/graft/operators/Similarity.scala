@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Materialize.Ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -111,7 +112,7 @@ object Similarity {
       cent = sums.groupBy("cid")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
           s => s("cx")).as("cv"))
-        .localCheckpoint()
+        .materialize()
     }
     cent
   }
@@ -192,7 +193,7 @@ object Similarity {
     val sub = v.select(col("vec_id"),
       posexplode(array((0 until mSub).map(m =>
         slice(col("v"), m * subDim + 1, subDim)): _*)).as(Seq("m", "sv")))
-      .localCheckpoint()
+      .materialize()
     val cb0 = sub.filter(col("vec_id") < kCode)
       .select(col("m"), col("vec_id").as("code"), col("sv").as("cv"))
 
@@ -217,7 +218,7 @@ object Similarity {
       .groupBy("m", "code")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
         s => s("cx")).as("cv"))
-      .localCheckpoint() // mSub×kCode rows, feeds encode + every query LUT
+      .materialize() // mSub×kCode rows, feeds encode + every query LUT
 
     val codes = assign(cb1).select("vec_id", "m", "code")
     val qsub = sub.filter(queryPred)
@@ -272,7 +273,7 @@ object Similarity {
         when(size(col("v")) === dim, col("v"))
           .otherwise(raise_error(concat(lit(s"rpLshPairs: expected $dim-dim"
             + " embedding, got "), size(col("v")).cast("string")))).as("v"))
-      .localCheckpoint() // feeds the sketch pass and both verify branches
+      .materialize() // feeds the sketch pass and both verify branches
     def bit(j: Int): Column = {
       val wj = array((0 until dim).map(d => lit(rpWeight(j, d))): _*)
       when(dot(col("v"), wj) >= 0, lit("1")).otherwise(lit("0"))
@@ -332,7 +333,7 @@ object Similarity {
     * cells shard via the same salting as [[nearDupPairs]].
     */
   def knnGraph(emb: DataFrame, c: Int, k: Int): DataFrame = {
-    val asn = ivfAssign(emb, c).localCheckpoint() // both join sides read it
+    val asn = ivfAssign(emb, c).materialize() // both join sides read it
     val nbr = asn.select(col("cid"), col("vec_id").as("nbr"),
       col("v").as("nv"))
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("nbr"))
@@ -348,7 +349,7 @@ object Similarity {
   def nearDupPairs(
       emb: DataFrame, c: Int, threshold: Double, salts: Int = 1): DataFrame = {
     // both sides of the self-join read the assignment — materialize once
-    val asn = ivfAssign(emb, c).localCheckpoint()
+    val asn = ivfAssign(emb, c).materialize()
     Skew.saltedSelfJoin(asn, Seq("cid"), "vec_id", salts)
       .select(col("l.vec_id").as("va"), col("r.vec_id").as("vb"),
         cosine(col("l.v"), col("r.v")).as("sim"))

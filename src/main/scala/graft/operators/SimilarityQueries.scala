@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Materialize.Ops
 import graft.QueryRegistry
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -85,7 +86,7 @@ object SimilarityQueries extends QueryRegistry {
         .join(broadcast(cent), "cid")
         .select(col("cid"), col("label"),
           Similarity.cosine(col("v"), col("cv")).as("csim"))
-        .localCheckpoint() // feeds the stats AND dominant-label branches
+        .materialize() // feeds the stats AND dominant-label branches
       val stats = base.groupBy("cid")
         .agg(count(lit(1)).as("n_vecs"),
           round(sum(round(col("csim") * 1e6, 0).cast("long")).cast("double")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Materialize.Ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -147,7 +148,7 @@ object TextDedup {
     val nBlocks = maxDist + 1
     require(16 % nBlocks == 0, s"16 bits must split evenly into $nBlocks blocks")
     val bw = 16 / nBlocks
-    val sh = simhashDf(docs, idCol, textCol).localCheckpoint()
+    val sh = simhashDf(docs, idCol, textCol).materialize()
     val blocks = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until nBlocks).map(b =>
         substring(col("simhash"), b * bw + 1, bw)): _*)).as(Seq("b", "blk")))
@@ -181,12 +182,12 @@ object TextDedup {
     // materialize the pair set ONCE: it appears in both union branches, and
     // Spark recomputes each branch's full lineage — for LSH input that
     // would re-run the candidate-verify join per branch
-    val p = pairs.localCheckpoint()
+    val p = pairs.materialize()
     val edges = p.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(p.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().materialize()
     var labels = edges.select(col("src").as("doc")).distinct()
-      .withColumn("label", col("doc")).localCheckpoint()
+      .withColumn("label", col("doc")).materialize()
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < maxIters) {
@@ -201,7 +202,7 @@ object TextDedup {
         .select(col("doc"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
           (col("nlabel") < col("label")).as("chg"))
-        .localCheckpoint()
+        .materialize()
       changed = next.filter(col("chg")).count()
       labels = next.drop("chg")
       iters += 1
@@ -228,13 +229,13 @@ object TextDedup {
       pairs: DataFrame, aCol: String, bCol: String, maxIters: Int = 50): DataFrame = {
     // one materialization of the pair set for the three lineage consumers
     // below (two `nodes` union branches + the edge canonicalization)
-    val p = pairs.localCheckpoint()
+    val p = pairs.materialize()
     val nodes = p.select(col(aCol).as("doc"))
-      .union(p.select(col(bCol).as("doc"))).distinct().localCheckpoint()
+      .union(p.select(col(bCol).as("doc"))).distinct().materialize()
     var e = p
       .select(greatest(col(aCol), col(bCol)).as("u"),
         least(col(aCol), col(bCol)).as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      .filter(col("u") =!= col("v")).distinct().materialize()
     def sig(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)),
         coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L))).head()
@@ -267,7 +268,7 @@ object TextDedup {
         .union(j.select(col("u").as("a"), col("m").as("b")))
         .filter(col("a") =!= col("b"))
         .select(col("a").as("u"), col("b").as("v"))
-        .distinct().localCheckpoint()
+        .distinct().materialize()
       val nextSig = sig(next)
       converged = nextSig == prevSig
       prevSig = nextSig
@@ -314,12 +315,12 @@ object TextDedup {
       .select(col(idCol).as("doc_id"),
         explode(bigramShingles(col(textCol))).as("s"))
       .select(col("doc_id"), col("s"), shingleHash(col("s")).as("hm"))
-      .localCheckpoint()
+      .materialize()
     // signature table (h0..h{k-1}, n) — checkpointed: it is the "write the
     // signature table once" step of the standard LSH shape, and it feeds
     // the band unpivot (twice, via the self-join) plus both Jaccard
     // denominators. n docs × (k+1) longs — tiny next to the exploded table.
-    val mh = signaturesFromHashes(ex, k).localCheckpoint()
+    val mh = signaturesFromHashes(ex, k).materialize()
 
     // band-bucket key: md5 of the band's signature slice; stack() unpivots
     // the band columns to (doc_id, b, bkey) rows. A cheap projection of the

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Materialize.Ops
 import graft.QueryRegistry
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -225,7 +226,7 @@ object TextQueries extends QueryRegistry {
       // without the checkpoint its lineage re-scans the full corpus
       val cells = docs(s, dir).groupBy("lang", "source")
         .agg(count(lit(1)).as("n_docs"))
-        .localCheckpoint()
+        .materialize()
       val tot = cells.agg(sum("n_docs").as("n_total"),
         count(lit(1)).as("n_cells"))
       cells.crossJoin(broadcast(tot))
@@ -263,7 +264,7 @@ object TextQueries extends QueryRegistry {
           .otherwise(array().cast("array<string>"))).as("g"))
       val hist = cb.groupBy("doc_id", "lang", "g")
         .agg(count(lit(1)).as("cnt"))
-        .localCheckpoint() // feeds the model build AND the scoring join
+        .materialize() // feeds the model build AND the scoring join
       val model = hist.groupBy("lang", "g").agg(sum("cnt").as("c"))
       val fluency = hist.join(model, Seq("lang", "g"))
         .groupBy("doc_id", "lang")

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Materialize.Ops
 import graft.{Merge, Types}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -257,7 +258,7 @@ object CdcStream {
         val spark = batch.sparkSession
         val updates = Merge.latestPerKey(batch.toDF(), Seq("table", "rid"), "seq")
           .withColumn("bucket", pmod(hash(col("table"), col("rid")), lit(nBuckets)))
-          .localCheckpoint() // one computation feeds scan filter + anti-join + union
+          .materialize() // one computation feeds scan filter + anti-join + union
         val touched = updates.select("bucket").distinct()
           .collect().map(_.getInt(0)).toSet // bounded by nBuckets — tiny
         // "has state" = at least one bucket=* partition dir remains. A batch
