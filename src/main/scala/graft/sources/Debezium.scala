@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.Types
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -76,5 +76,35 @@ object Debezium {
     env.withColumn("rid", ridExpr)
       .filter(col("rid").isNotNull)
       .select("table", "rid", "cdc_action", "cdc_ts", "seq", "payload")
+  }
+
+  /** The deployment composition: Debezium topic on Kafka → canonical
+    * changelog stream. `readStream.format("kafka")` resolves the connector
+    * at RUNTIME (spark-sql-kafka on the cluster classpath); this sandbox has
+    * no broker, so the line is compiled-not-run here — `DebeziumSpec` drives
+    * the identical value-column contract through a MemoryStream[String]
+    * instead (one string `value` column, exactly what the Kafka row's
+    * `CAST(value AS STRING)` yields), so everything downstream of the
+    * source swap is exercised end-to-end including checkpoint restart.
+    *
+    * Scale notes: one Spark input partition per Kafka topic partition —
+    * provision topic partitions ≥ desired parallelism; offsets live in the
+    * query checkpoint (the S2/K6 bootstrap analog, cdc.py:80-82), so
+    * `startingOffsets` only seeds the FIRST run.
+    */
+  def fromKafka(spark: SparkSession, servers: String, topic: String,
+      pkConf: Map[String, Seq[String]],
+      startingOffsets: String = "earliest"): DataFrame = {
+    val raw = spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      // bound a catch-up surge so the first micro-batches after downtime
+      // don't balloon state-store commits
+      .option("maxOffsetsPerTrigger", "10000000")
+      .load()
+      .select(col("value").cast("string").as("value"))
+    changeLog(raw, pkConf)
   }
 }

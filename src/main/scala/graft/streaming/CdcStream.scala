@@ -255,46 +255,69 @@ object CdcStream {
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Ch], _: Long) =>
-        val spark = batch.sparkSession
-        val updates = Merge.latestPerKey(batch.toDF(), Seq("table", "rid"), "seq")
-          .withColumn("bucket", pmod(hash(col("table"), col("rid")), lit(nBuckets)))
-          .materialize() // one computation feeds scan filter + anti-join + union
-        val touched = updates.select("bucket").distinct()
-          .collect().map(_.getInt(0)).toSet // bounded by nBuckets — tiny
-        // "has state" = at least one bucket=* partition dir remains. A batch
-        // that annihilates every live key deletes all bucket dirs but leaves
-        // stateDir itself — reading that empty dir would fail schema
-        // inference, so treat it the same as a missing dir. Checked through
-        // the Hadoop FileSystem (same as the deletion path below), so
-        // hdfs://, s3a://, and local state dirs all behave identically.
-        val statePath = new org.apache.hadoop.fs.Path(stateDir)
-        val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val hasState = fs.exists(statePath) &&
-          fs.listStatus(statePath).exists(st =>
-            st.isDirectory && st.getPath.getName.startsWith("bucket="))
-        val next =
-          if (hasState) {
-            // partition-pruned: only the touched buckets are scanned
-            val old = spark.read.parquet(stateDir)
-              .filter(col("bucket").isin(touched.toSeq: _*))
-            old.join(updates.select("table", "rid"), Seq("table", "rid"),
-                "left_anti")
-              .unionByName(updates.filter(col("cdc_action") =!= Types.None_))
-          } else updates.filter(col("cdc_action") =!= Types.None_)
-        // stage touched-bucket contents, then dynamic-overwrite: only the
-        // partitions present in `next` are replaced, the rest untouched
-        val tmp = stateDir + ".next"
-        next.write.mode("overwrite").parquet(tmp)
-        val staged = spark.read.parquet(tmp)
-        staged.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("bucket").parquet(stateDir)
-        // a bucket whose keys ALL annihilated has no output rows — dynamic
-        // overwrite can't rewrite it to empty, so drop its directory
-        val outBuckets = staged.select("bucket").distinct()
-          .collect().map(_.getInt(0)).toSet
-        for (b <- touched -- outBuckets)
-          fs.delete(new org.apache.hadoop.fs.Path(stateDir, s"bucket=$b"), true)
+        upsertBatch(batch.toDF(), stateDir, nBuckets)
       }
       .start()
+
+  /** Failure-injection seam for the replay spec: invoked between the `.next`
+    * staging write and the dynamic partition overwrite — the widest window
+    * in which a real crash leaves staged-but-uncommitted batch output. Tests
+    * swap in a throwing hook; production never touches it.
+    */
+  private[graft] var afterStageHook: () => Unit = () => ()
+
+  /** One micro-batch's state upsert (the foreachBatch body of [[run]]).
+    *
+    * Idempotent under replay AT ANY FAILURE POINT: the state dir is only
+    * mutated by the final dynamic overwrite (+ annihilated-dir delete), and
+    * re-running the batch against either the pre-overwrite state or a
+    * partially-overwritten state converges — `old` rows of an already-
+    * rewritten bucket equal the batch output, the anti-join removes the
+    * batch's keys either way, and the union re-adds the survivors.
+    * `StreamSpec` proves it by crashing after staging and replaying.
+    */
+  private[graft] def upsertBatch(batchDf: DataFrame, stateDir: String,
+      nBuckets: Int): Unit = {
+    val spark = batchDf.sparkSession
+    val updates = Merge.latestPerKey(batchDf, Seq("table", "rid"), "seq")
+      .withColumn("bucket", pmod(hash(col("table"), col("rid")), lit(nBuckets)))
+      .materialize() // one computation feeds scan filter + anti-join + union
+    val touched = updates.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet // bounded by nBuckets — tiny
+    // "has state" = at least one bucket=* partition dir remains. A batch
+    // that annihilates every live key deletes all bucket dirs but leaves
+    // stateDir itself — reading that empty dir would fail schema
+    // inference, so treat it the same as a missing dir. Checked through
+    // the Hadoop FileSystem (same as the deletion path below), so
+    // hdfs://, s3a://, and local state dirs all behave identically.
+    val statePath = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasState = fs.exists(statePath) &&
+      fs.listStatus(statePath).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("bucket="))
+    val next =
+      if (hasState) {
+        // partition-pruned: only the touched buckets are scanned
+        val old = spark.read.parquet(stateDir)
+          .filter(col("bucket").isin(touched.toSeq: _*))
+        old.join(updates.select("table", "rid"), Seq("table", "rid"),
+            "left_anti")
+          .unionByName(updates.filter(col("cdc_action") =!= Types.None_))
+      } else updates.filter(col("cdc_action") =!= Types.None_)
+    // stage touched-bucket contents, then dynamic-overwrite: only the
+    // partitions present in `next` are replaced, the rest untouched
+    val tmp = stateDir + ".next"
+    next.write.mode("overwrite").parquet(tmp)
+    afterStageHook()
+    val staged = spark.read.parquet(tmp)
+    staged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(stateDir)
+    // a bucket whose keys ALL annihilated has no output rows — dynamic
+    // overwrite can't rewrite it to empty, so drop its directory
+    val outBuckets = staged.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    for (b <- touched -- outBuckets)
+      fs.delete(new org.apache.hadoop.fs.Path(stateDir, s"bucket=$b"), true)
+  }
 }

@@ -63,7 +63,11 @@ class DebeziumSpec extends SparkSuite {
     val state = s"$dir/state"
     val mem = MemoryStream[String]
     // deploy-time composition: Kafka-shaped value column -> envelope parse
-    // -> canonical changelog -> keyed merge -> incremental state sink
+    // -> canonical changelog -> keyed merge -> incremental state sink.
+    // MemoryStream[String].toDF() presents the SAME contract as
+    // Debezium.fromKafka's `CAST(value AS STRING)` projection — one string
+    // `value` column — so this test covers everything downstream of the
+    // source swap; fromKafka itself is compiled-not-run (no broker here).
     def src: Dataset[Ch] = Debezium.changeLog(mem.toDF(), pk)
       .select(col("table"), col("rid"), col("cdc_action"), col("cdc_ts"),
         col("seq"),

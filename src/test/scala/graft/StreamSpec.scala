@@ -249,6 +249,70 @@ class StreamSpec extends SparkSuite {
     assert(bucketFiles(buckets("c")).nonEmpty)
   }
 
+  test("state sink replays a batch that crashed between staging and commit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_state_crash").toString
+    val state = s"$dir/state"
+
+    def bucket(r: String): Int = spark.range(1)
+      .select(pmod(hash(lit("db.t"), lit(r)), lit(64))).head.getInt(0)
+    // x must be alone in its bucket so the replay also exercises the
+    // annihilated-bucket directory delete
+    assert(Seq("a", "b", "c").map(bucket).distinct.size === 3)
+    assert(!Seq("a", "b", "c").map(bucket).contains(bucket("x")))
+    def stateRows(): Map[String, (String, Double)] =
+      spark.read.parquet(state).select("rid", "cdc_action", "value")
+        .collect()
+        .map(r => r.getString(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+
+    val mem = MemoryStream[Ch]
+    val q1 = CdcStream.run(spark, mem.toDS(), state, s"$dir/ckpt")
+    mem.addData(ch("a", "insert", 1), ch("b", "insert", 2),
+      ch("x", "insert", 3, 5.0))
+    q1.processAllAvailable(); q1.stop()
+    val preCrash = stateRows()
+    assert(preCrash.keySet === Set("a", "b", "x"))
+
+    // crash the NEXT batch after the .next staging write but before the
+    // dynamic overwrite — the widest staged-but-uncommitted window
+    CdcStream.afterStageHook =
+      () => throw new RuntimeException("injected crash after staging")
+    try {
+      val q2 = CdcStream.run(spark, mem.toDS(), state, s"$dir/ckpt")
+      mem.addData(ch("x", "delete", 4), ch("b", "update", 5, 9.5),
+        ch("c", "insert", 6))
+      val ex = intercept[Exception] { q2.processAllAvailable() }
+      assert(ex.getMessage.contains("injected crash")
+        || Option(ex.getCause).exists(_.getMessage.contains("injected crash")))
+      // the crash must not have mutated committed state
+      assert(stateRows() === preCrash, "state mutated by an uncommitted batch")
+    } finally CdcStream.afterStageHook = () => ()
+
+    // restart from the checkpoint: Spark replays the failed batchId; the
+    // sink must converge to exactly the batch recompute
+    val q3 = CdcStream.run(spark, mem.toDS(), state, s"$dir/ckpt")
+    q3.processAllAvailable(); q3.stop()
+    assert(stateRows() === Map(
+      "a" -> (("insert", 0.0)),
+      "b" -> (("insert", 9.5)),  // insert+update folds to insert, new value
+      "c" -> (("insert", 0.0)))) // x annihilated across the crash-replay
+    // x's single-key bucket directory was dropped on the replayed commit
+    assert(!new java.io.File(s"$state/bucket=${bucket("x")}").exists())
+
+    // and a replay of an ALREADY-COMMITTED batch (the other replay mode:
+    // crash after commit, before the checkpoint commit-log write) is a
+    // no-op: re-apply batch 2's merged output directly
+    val replayed = Seq(
+      Ch("db.t", "x", Types.None_, 0L, 4, 0.0, null),
+      ch("b", "insert", 5, 9.5), ch("c", "insert", 6))
+    CdcStream.upsertBatch(replayed.toDF(), state, 64)
+    assert(stateRows() === Map(
+      "a" -> (("insert", 0.0)),
+      "b" -> (("insert", 9.5)),
+      "c" -> (("insert", 0.0))), "committed-batch replay was not idempotent")
+  }
+
   test("state sink survives a batch annihilating EVERY live key") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
