@@ -15,6 +15,7 @@ object SparkEntry {
     operators.AnalyticsQueries,
     operators.DedupQueries,
     operators.TextQueries,
+    operators.ModelPrepQueries,
     operators.SimilarityQueries,
     operators.MultimodalQueries,
     operators.PackingQueries)

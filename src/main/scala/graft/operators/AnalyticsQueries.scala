@@ -612,6 +612,50 @@ object AnalyticsQueries extends QueryRegistry {
         .groupBy(col("cohort_week"),
           (col("week") - col("cohort_week")).as("week_offset"))
         .agg(countDistinct("user_id").as("n_users"))
+    }),
+
+    // ANALYZE-style table profiling: per-column row/non-null/distinct
+    // counts and typed min/max over orders, unpivoted to one row per
+    // column — the stats pass that feeds broadcast-vs-shuffle and
+    // partition-layout decisions before a big job. ONE scan computes every
+    // column's stats (multi-distinct runs as Spark's expand, ~n_cols× the
+    // scan rows in the aggregate — the exact form is what the oracle can
+    // check; a 100 TB profile swaps countDistinct for approx_count_distinct
+    // and the expand collapses to one pass). Numerics/timestamps profile
+    // as doubles, strings as strings; the unpivot is a literal array
+    // explode of the single aggregate row — no extra shuffle.
+    "q32_table_stats" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val numCols = Seq("o_orderkey", "o_custkey", "o_totalprice",
+        "o_orderdate")
+      val strCols = Seq("o_orderstatus", "o_orderpriority")
+      // TIMESTAMP_NTZ has no direct double cast; via TIMESTAMP (session TZ
+      // is UTC) → double = fractional epoch seconds, DuckDB's epoch()
+      def asNum(c: String) =
+        if (c == "o_orderdate") col(c).cast("timestamp").cast("double")
+        else col(c).cast("double")
+      val aggs = (numCols ++ strCols).flatMap { c =>
+        val mm =
+          if (numCols.contains(c))
+            Seq(min(asNum(c)).as(s"min_$c"), max(asNum(c)).as(s"max_$c"))
+          else Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
+        Seq(count(col(c)).as(s"cnt_$c"),
+          countDistinct(col(c)).as(s"ndv_$c")) ++ mm
+      }
+      val one = o.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      val entries =
+        numCols.map(c => struct(lit(c).as("col_name"),
+          col(s"cnt_$c").as("n_nonnull"), col(s"ndv_$c").as("n_distinct"),
+          col(s"min_$c").as("min_num"), col(s"max_$c").as("max_num"),
+          lit(null).cast("string").as("min_str"),
+          lit(null).cast("string").as("max_str"))) ++
+        strCols.map(c => struct(lit(c).as("col_name"),
+          col(s"cnt_$c").as("n_nonnull"), col(s"ndv_$c").as("n_distinct"),
+          lit(null).cast("double").as("min_num"),
+          lit(null).cast("double").as("max_num"),
+          col(s"min_$c").as("min_str"), col(s"max_$c").as("max_str")))
+      one.select(col("n_rows"), explode(array(entries: _*)).as("st"))
+        .select(col("n_rows"), col("st.*"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -823,6 +867,29 @@ object AnalyticsQueries extends QueryRegistry {
         |SELECT cohort_week, week - cohort_week AS week_offset,
         | count(DISTINCT user_id) AS n_users
         |FROM ev JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
+    "q32_table_stats" -> {
+      val num = Seq("o_orderkey" -> "CAST(%s AS DOUBLE)",
+        "o_custkey" -> "CAST(%s AS DOUBLE)",
+        "o_totalprice" -> "CAST(%s AS DOUBLE)",
+        "o_orderdate" -> "epoch(%s)")
+      val str = Seq("o_orderstatus", "o_orderpriority")
+      val branches =
+        num.map { case (c, f) =>
+          val e = f.format(c)
+          s"""SELECT '$c' AS col_name, (SELECT count(*) FROM orders) AS n_rows,
+             | count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct,
+             | min($e) AS min_num, max($e) AS max_num,
+             | CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+             |FROM orders""".stripMargin
+        } ++
+        str.map(c =>
+          s"""SELECT '$c' AS col_name, (SELECT count(*) FROM orders) AS n_rows,
+             | count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct,
+             | CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+             | min($c) AS min_str, max($c) AS max_str
+             |FROM orders""".stripMargin)
+      branches.mkString("", "\nUNION ALL\n", "")
+    },
     "q17_daily_window" ->
       """SELECT (epoch_ms(ts) // 1000) // 86400 * 86400 AS day_start,
         | count(*) AS n_events, count(DISTINCT user_id) AS n_users,

@@ -1,0 +1,185 @@
+package graft.operators
+
+import graft.QueryRegistry
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-prep operator family (SURVEY.md §2.10 X4 extension): the
+  * retrieval / data-selection / tokenizer-training primitives an LLM data
+  * pipeline runs between curation and training.
+  *
+  * - BM25: the standard retrieval score (Robertson/Sparck-Jones idf with
+  *   the Lucene +1 floor) — what a retrieval-augmented dedup or hard-
+  *   negative miner ranks candidate documents with.
+  * - DSIR: importance weights for data selection (Xie et al., NeurIPS'23
+  *   shape): per-token log-likelihood ratio of a target-domain unigram LM
+  *   vs the corpus LM, add-1 smoothed. Positive = more target-like.
+  * - BPE pair stats: the first merge iteration of byte-pair-encoding
+  *   tokenizer training — corpus-wide adjacent-symbol-pair frequencies.
+  *
+  * All three are exact and oracle-checked; doubles only appear in
+  * identically-parenthesized expression trees over integer aggregates
+  * (both engines then produce bit-identical IEEE results), and
+  * order-dependent double SUMS are avoided entirely — anything summed is
+  * an integer or a 10⁻⁶-quantized long (commutative), per the house
+  * determinism contract.
+  *
+  * 100 TB shapes: everything reduces to token explode → map-side-combinable
+  * (doc, word) histogram → vocabulary-keyed joins. The histogram is the
+  * only corpus-sized shuffle; model/scalar tables are vocabulary-bounded
+  * (shuffle join on word — NOT broadcast: a web-scale vocabulary exceeds
+  * broadcast range) or single-row broadcasts.
+  */
+object ModelPrepQueries extends QueryRegistry {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BM25 (k1=1.2, b=0.75, Lucene idf) of every document against the 3
+    // highest-frequency corpus terms (data-derived query — deterministic,
+    // no fixture-vocabulary assumption), top-10 docs per term.
+    // Shape: one (doc, word) histogram shuffle; doc lengths ride the same
+    // histogram (sum of tf) instead of a second corpus pass; per-word df
+    // and the query-term top-k are vocabulary-sized reaggregations; the
+    // scoring join hits only the 3 query terms' postings (a selective
+    // semi-join, broadcast from the tiny query side); final top-10 is a
+    // bounded window over ≤3×n_docs scored rows.
+    "text_bm25" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tf = d.select(col("doc_id"),
+          explode(TextDedup.tokens(col("text"))).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val ws = tf.groupBy("word")
+        .agg(count(lit(1)).as("df"), sum("tf").as("ctot"))
+      val qterms = ws.orderBy(col("ctot").desc, col("word")).limit(3)
+        .select("word", "df")
+      val scal = dl.agg(count(lit(1)).as("n_docs_total"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+      val idf = log((col("n_docs_total") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)) + lit(1.0))
+      val tfc = (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      val w = Window.partitionBy("word")
+        .orderBy(col("bm25").desc, col("doc_id"))
+      tf.join(broadcast(qterms), "word")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(scal))
+        .withColumn("bm25", round(idf * tfc, 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select("word", "rk", "doc_id", "bm25")
+    }),
+    // DSIR-style data selection: per-token unigram log-likelihood ratio of
+    // the target domain (lang='en') vs the whole corpus, add-1 smoothed
+    // over the joint vocabulary. keep = doc reads more target-like than
+    // corpus-average. Per-word contributions are quantized to 10⁻⁶ longs
+    // BEFORE the per-doc sum so the aggregation is summation-order-free.
+    // Shape: the (doc, word) histogram shuffle; the model is a
+    // vocabulary-sized reaggregation of it (c_src and c_tgt in ONE pass —
+    // no second corpus scan for the target counts); scoring joins the
+    // histogram to the model on word (vocabulary-keyed shuffle join, not
+    // broadcast) and sums longs per doc.
+    "text_dsir" -> ((s, dir) => {
+      val cnt = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(TextDedup.tokens(col("text"))).as("w"))
+        .groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("c"))
+      val model = cnt.groupBy("w").agg(sum("c").as("c_src"),
+        sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("c_tgt"))
+      val scal = model.agg(sum("c_src").as("s_tot"), sum("c_tgt").as("t_tot"),
+        count(lit(1)).as("v"))
+      val qln = round(
+        (log((col("c_tgt") + lit(1.0)) / (col("t_tot") + col("v"))) -
+          log((col("c_src") + lit(1.0)) / (col("s_tot") + col("v")))) *
+          lit(1e6), 0).cast("long")
+      cnt.join(model, "w")
+        .crossJoin(broadcast(scal))
+        .select(col("doc_id"), col("c"), (col("c") * qln).as("contrib"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"), sum("contrib").as("sw"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("sw").cast("double") / (col("n_tokens") * lit(1e6)), 6)
+            .as("logratio_per_tok"),
+          (col("sw") > 0L).as("keep"))
+    }),
+    // BPE tokenizer training, merge iteration 0: corpus-wide frequency of
+    // adjacent character pairs within words — the argmax pair is the first
+    // merge a BPE trainer would learn. Integer-only; top-20 with
+    // deterministic tie-break. Shape: narrow double explode (words, then
+    // in-word pairs) → one map-side-combinable count keyed by a charset²-
+    // bounded pair space → global bounded top-k. The n_words distinct count
+    // shuffles (pair, word) — still vocabulary-bounded, never corpus-sized.
+    "text_bpe_pairs" -> ((s, dir) => {
+      val wrd = docs(s, dir)
+        .select(explode(TextDedup.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 2)
+      wrd.select(col("w"), explode(transform(
+          sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair")
+        .agg(count(lit(1)).as("n"), countDistinct("w").as("n_words"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    }))
+
+  def oracles: Map[String, String] = Map(
+    // Literal doubles carry ::DOUBLE casts so DuckDB's DECIMAL literals
+    // don't silently widen the arithmetic (see text_classify).
+    "text_bm25" ->
+      """WITH tf AS (SELECT doc_id, word, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |    FROM documents) GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf
+        |  GROUP BY 1),
+        |ws AS (SELECT word, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ctot
+        |  FROM tf GROUP BY 1),
+        |qt AS (SELECT word, df FROM ws ORDER BY ctot DESC, word LIMIT 3),
+        |scal AS (SELECT count(*) AS n_docs_total,
+        |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |sc AS (SELECT tf.word, tf.doc_id,
+        |  round(ln((n_docs_total - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE)
+        |      + 1.0::DOUBLE)
+        |    * ((tf * 2.2::DOUBLE) / (tf + 1.2::DOUBLE
+        |      * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl))), 6) AS bm25
+        | FROM tf JOIN qt USING (word) JOIN dl USING (doc_id)
+        |  CROSS JOIN scal)
+        |SELECT word, rk, doc_id, bm25 FROM (
+        |  SELECT word, doc_id, bm25,
+        |    row_number() OVER (PARTITION BY word ORDER BY bm25 DESC, doc_id)
+        |      AS rk
+        |  FROM sc)
+        |WHERE rk <= 10""".stripMargin,
+    "text_dsir" ->
+      """WITH cnt AS (SELECT doc_id, lang, w, count(*) AS c FROM (
+        |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) GROUP BY 1, 2, 3),
+        |model AS (SELECT w, CAST(sum(c) AS BIGINT) AS c_src,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT)
+        |    AS c_tgt
+        | FROM cnt GROUP BY 1),
+        |scal AS (SELECT CAST(sum(c_src) AS BIGINT) AS s_tot,
+        |  CAST(sum(c_tgt) AS BIGINT) AS t_tot, count(*) AS v FROM model),
+        |sc AS (SELECT doc_id, c,
+        |  c * CAST(round((ln((c_tgt + 1.0::DOUBLE) / (t_tot + v))
+        |    - ln((c_src + 1.0::DOUBLE) / (s_tot + v))) * 1000000) AS BIGINT)
+        |    AS contrib
+        | FROM cnt JOIN model USING (w) CROSS JOIN scal)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        | round(CAST(sum(contrib) AS BIGINT)
+        |   / (CAST(sum(c) AS BIGINT) * 1000000.0), 6) AS logratio_per_tok,
+        | CAST(sum(contrib) AS BIGINT) > 0 AS keep
+        |FROM sc GROUP BY 1""".stripMargin,
+    "text_bpe_pairs" ->
+      """WITH w AS (SELECT w FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) >= 2),
+        |p AS (SELECT w, unnest(list_transform(
+        |    generate_series(1, length(w) - 1), i -> substr(w, i, 2))) AS pair
+        |  FROM w)
+        |SELECT pair, count(*) AS n, count(DISTINCT w) AS n_words
+        |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin)
+}

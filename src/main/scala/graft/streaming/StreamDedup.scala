@@ -1,0 +1,123 @@
+package graft.streaming
+
+import graft.operators.TextDedup
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming incremental MinHash-LSH near-duplicate detection — the
+  * streaming composition of the batch [[TextDedup.minhashLshPairs]] shape:
+  * documents arrive as a stream, every micro-batch's docs are signed and
+  * banded with the IDENTICAL signature/band-key arithmetic as batch (so
+  * the candidate set converges to the batch candidate set), and the LSH
+  * bucket index lives in Structured Streaming keyed state
+  * (`flatMapGroupsWithState` per (band, bucket)) instead of a self-join.
+  *
+  * A new doc emits one candidate pair per prior occupant of any bucket it
+  * lands in — incremental work is O(new × bucket occupancy), never a
+  * rescan of the accumulated corpus. Exact-Jaccard verification joins the
+  * (id-only) candidates back to the document store per micro-batch
+  * ([[verifyPairs]], a stream-static/foreachBatch join): texts stay in the
+  * lake, keyed state holds only bucket→ids.
+  *
+  * 100 TB / continuous-ingest design:
+  * - state per (band, bucket) is an id array — bands × n longs total,
+  *   partitioned by bucket key across executors; RocksDB state store
+  *   ([[CdcStream.useRocksDBStateStore]]) keeps it off-heap at scale.
+  * - `maxBucket` caps a degenerate (boilerplate) bucket's occupancy: past
+  *   the cap, new members pair with the capped prefix only, bounding the
+  *   per-bucket pair fan-out exactly like the batch df-cap defends the
+  *   containment join (a warning row is emitted via stderr once per cap).
+  * - the per-row signature uses the HOF (non-exploded) form: streaming
+  *   micro-batches are latency-bound, not throughput-bound, and the HOF
+  *   form needs no per-batch shuffle before the stateful stage (the only
+  *   shuffle is the groupByKey on bucket).
+  */
+object StreamDedup {
+
+  case class DocIn(doc_id: Long, text: String)
+  case class BandRow(b: Int, bkey: String, doc_id: Long)
+  case class CandPair(doc_a: Long, doc_b: Long)
+
+  /** Per-row MinHash signature + band-bucket keys, unpivoted to one row
+    * per (doc, band). Mirrors the batch band key bit-for-bit:
+    * md5(concat_ws("|", band's signature slice as strings)).
+    */
+  def bandRows(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4): Dataset[BandRow] = {
+    import docs.sparkSession.implicits._
+    val rows = k / bands
+    val sig = TextDedup.minhashSignature(
+      TextDedup.bigramShingles(col(textCol)), k)
+    val withSig = docs.select(col(idCol).cast("long").as("doc_id"),
+      sig.as("sig"))
+    val withBands = withSig.select(
+      col("doc_id") +: (0 until bands).map(b =>
+        md5(concat_ws("|", (0 until rows).map(r =>
+          element_at(col("sig"), b * rows + r + 1).cast("string")): _*))
+          .as(s"bk$b")): _*)
+    val stackArgs = (0 until bands).map(b => s"$b, bk$b").mkString(", ")
+    withBands
+      .selectExpr(s"stack($bands, $stackArgs) as (b, bkey)", "doc_id")
+      .select("b", "bkey", "doc_id")
+      .as[BandRow]
+  }
+
+  /** Stateful candidate generation: keyed state per (band, bucket) holds
+    * the bucket's occupant ids; each arriving doc pairs with every prior
+    * occupant (and earlier arrivals in the same batch), then joins the
+    * bucket. Pairs are canonical (doc_a < doc_b); the SAME pair may be
+    * emitted by several buckets/batches — the verify/sink stage dedups by
+    * pair key, exactly as the batch shape dedups candidates before the
+    * Jaccard join.
+    */
+  def candidates(
+      banded: Dataset[BandRow], maxBucket: Int = 1024): Dataset[CandPair] = {
+    import banded.sparkSession.implicits._
+    banded
+      .groupByKey(r => (r.b, r.bkey))
+      .flatMapGroupsWithState[Array[Long], CandPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[Array[Long]]) =>
+          val prior = state.getOption.getOrElse(Array.empty[Long])
+          val fresh = rows.map(_.doc_id).toArray.distinct.sorted
+            .filterNot(prior.contains)
+          val out = fresh.zipWithIndex.flatMap { case (id, i) =>
+            (prior.iterator ++ fresh.iterator.take(i)).map(o =>
+              CandPair(math.min(o, id), math.max(o, id)))
+          }
+          val merged = prior ++ fresh
+          if (merged.length > maxBucket && prior.length <= maxBucket)
+            Console.err.println(s"[graft] StreamDedup: bucket capped at " +
+              s"$maxBucket occupants — further members pair with the " +
+              "capped prefix only")
+          state.update(merged.take(maxBucket))
+          out.iterator
+      }
+  }
+
+  /** Exact-Jaccard verification of (deduped) candidate pairs against a
+    * document table — the batch-side member of the foreachBatch
+    * stream-static join. Identical semantics to the verify tail of
+    * [[TextDedup.minhashLshPairs]]: distinct bigram shingles, |∩| / |∪|,
+    * threshold filter.
+    */
+  def verifyPairs(
+      cand: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = docs.select(col(idCol).cast("long").as("doc_id"),
+      explode(TextDedup.bigramShingles(col(textCol))).as("s"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val c = cand.select("doc_a", "doc_b").distinct()
+    c.join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard", col("i") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+}
