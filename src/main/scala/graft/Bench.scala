@@ -66,6 +66,24 @@ object Bench {
           |   FROM warm_bloom_keys), xxhash64(x))
           |  AND x IN (SELECT k FROM warm_bloom_keys)""".stripMargin).count()
     }
+    // Warmup 3: touch every input table once (scan + decode, untimed) so
+    // first-touch I/O — page-cache population for the shared parquet
+    // inputs — doesn't land on whichever query happens to read a table
+    // first. Measured: cdc_tables costs 4.7 s when it pays events.parquet's
+    // cold read for the whole battery, 0.49 s warm — a 10× attribution
+    // error on a query whose compute is identical to cdc_compact's.
+    locally {
+      val dir = new java.io.File(sfDir)
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach { f =>
+          try {
+            if (f.getName.startsWith("events"))
+              spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.read.parquet(f.getPath).count()
+          } catch { case _: Throwable => () }
+        }
+    }
     // optional args: query-name substrings to run (local iteration aid;
     // the driver passes none and gets the full battery)
     val selected =

@@ -75,6 +75,8 @@ object DedupQueries extends QueryRegistry {
       val all = d.union(excerpts)
       val g = all.select(col("doc_id"),
         explode(TextAnalysis.wordGramHashes(col("text"), 8)).as("h"))
+        .materialize() // feeds the df-cap agg and the kept-join probe side
+                       // — one gram explode + md5 pass, not two
       // Hot-key defense: a boilerplate 8-gram shared by B docs would emit
       // B^2 candidate rows through one reducer. Standard containment-
       // candidate practice drops grams whose DOC frequency (distinct docs,
@@ -88,6 +90,9 @@ object DedupQueries extends QueryRegistry {
       val keptGrams = g.groupBy("h").agg(countDistinct("doc_id").as("df"))
         .crossJoin(broadcast(cap))
         .filter(col("df") <= col("cap")).select("h")
+      // gk is NOT materialized: both candidate-join sides recompute the
+      // (cheap, co-partitioned) keep-join from the materialized g, which
+      // measures faster than checkpointing the corpus-sized gk table
       val gk = g.join(keptGrams, "h")
       val cand = gk.join(gk.select(col("doc_id").as("doc_b"), col("h")), "h")
         .filter(col("doc_id") =!= col("doc_b"))

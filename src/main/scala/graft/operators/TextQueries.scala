@@ -138,6 +138,9 @@ object TextQueries extends QueryRegistry {
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       val g = withDups.select(col("doc_id"),
         explode(TextAnalysis.wordGramHashes(col("text"), 8)).as("h"))
+        .materialize() // feeds the df agg AND the join back — the gram
+                       // explode + md5 is the query's dominant cost, and
+                       // unmaterialized lineage would run it twice
       val freq = g.groupBy("h").agg(countDistinct("doc_id").as("n_docs"))
       g.join(freq, "h")
         .groupBy("doc_id")
@@ -358,6 +361,28 @@ object TextQueries extends QueryRegistry {
             .as("n_kept"),
           coalesce(sum(when(col("is_canonical") && col("quality_ok"),
             col("n_tokens"))), lit(0L)).as("kept_tokens"))
+    }),
+
+    // curation: per-source document cap (domain anti-domination) — keep at
+    // most 40 docs per source, selected by content-hash order so the kept
+    // set is deterministic and stable under data growth within the cap
+    // (unlike seeded sampling, adding docs to OTHER sources never changes a
+    // source's kept set; adding docs to the same source only competes by
+    // hash order). One window shuffle keyed by source; at 100 TB a hot
+    // source is one partition's sort — cap-rank via the bounded-heap top-k
+    // operator (plans/TopKPerKey) is the drop-in if sources skew terribly.
+    "text_domain_cap" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source")
+        .orderBy(md5(concat(lit("cap:"), col("doc_id").cast("string"))),
+          col("doc_id"))
+      docs(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("rk") <= 40, 1)).as("n_kept"),
+          count(when(col("rk") > 40, 1)).as("n_dropped"),
+          min(when(col("rk") <= 40, col("doc_id"))).as("sample_kept_doc"))
     }),
 
     // X4: winnowing document fingerprints (rolling-hash min-per-window)
@@ -597,6 +622,16 @@ object TextQueries extends QueryRegistry {
         |   FILTER (WHERE is_canonical AND quality_ok), 0) AS BIGINT)
         |   AS kept_tokens
         |FROM r GROUP BY 1, 2""".stripMargin,
+    "text_domain_cap" ->
+      """WITH r AS (SELECT source, doc_id,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        | FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        | count(*) FILTER (WHERE rk <= 40) AS n_kept,
+        | count(*) FILTER (WHERE rk > 40) AS n_dropped,
+        | min(doc_id) FILTER (WHERE rk <= 40) AS sample_kept_doc
+        |FROM r GROUP BY 1""".stripMargin,
     "text_fingerprint" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |kg AS (SELECT doc_id, list_transform(generate_series(1, len(t)-2),
