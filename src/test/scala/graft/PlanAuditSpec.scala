@@ -57,6 +57,32 @@ class PlanAuditSpec extends SparkSuite {
     assert(df.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
   }
 
+  test("bm25 query-term top-k is a bounded TakeOrdered, joined broadcast") {
+    val plan = SparkEntry.queries("text_bm25")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // the top-3 query-term selection must plan as TakeOrderedAndProject
+    // (bounded per-partition heaps), never a global Sort + Limit over the
+    // vocabulary table
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    // the 3-term query side joins the postings broadcast — the corpus-
+    // sized tf histogram must not shuffle for a 3-row join side
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // the per-term top-10 window must carry the group-limit optimization
+    // (bounded heaps before the final sort), not rank-everything
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+  }
+
+  test("domain cap ranks with a single exchange keyed by source") {
+    val df = SparkEntry.queries("text_domain_cap")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // one hash-partition exchange on source feeds both the window rank
+    // and the per-source rollup — a second exchange would mean the rollup
+    // failed to reuse the window's partitioning
+    val exchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected 1 exchange, plan:\n${plan.take(3000)}")
+  }
+
   test("state partitioned by table prunes to one partition on filter") {
     val tmp = java.nio.file.Files.createTempDirectory("plan_state").toString
     try {
