@@ -156,6 +156,47 @@ object DedupQueries extends QueryRegistry {
             .as("action"),
           col("dup_of"))
     }),
+    // CDC × dedup capstone: the live-corpus refresh loop — a document
+    // change-log (insert of every doc, synthesized updates that rewrite
+    // every 25th doc onto one of 50 template texts, deletes of every
+    // 60th) is compacted to latest-per-key, tombstones dropped, and the
+    // LIVE set exact-deduped. This is the composition a continuously-
+    // ingested training corpus runs: CDC keeps the corpus current, dedup
+    // keeps it clean — updates CREATE duplicate groups (template
+    // collisions) that insert-time dedup could never see, which is why
+    // the dedup must run over the compacted state, not the change stream.
+    // Shape: one shuffle on doc_id (latest-per-key window), one on the
+    // content hash — both the same exchanges the standalone cdc_compact
+    // and dedup_exact_hash queries run; composition adds nothing.
+    "dedup_cdc_refresh" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val ins = d.select(col("doc_id"), col("text"),
+        lit("insert").as("action"), col("doc_id").as("seq"))
+      val upd = d.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id"),
+          concat(lit("updated template "), (col("doc_id") % 50).cast("string"))
+            .as("text"),
+          lit("update").as("action"), (col("doc_id") + 10000000L).as("seq"))
+      val del = d.filter(col("doc_id") % 60 === 0)
+        .select(col("doc_id"), lit("").as("text"),
+          lit("delete").as("action"), (col("doc_id") + 20000000L).as("seq"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("seq").desc)
+      val live = ins.union(upd).union(del)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("action") =!= "delete")
+      live.groupBy(md5(col("text")).as("content_hash"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+    }),
+    // X2 incremental: near-dup pairs for a fresh ingest batch (every 10th
+    // doc plays the "arrived today" role) probed against the persisted
+    // bucketed LSH index — returns exactly the pairs touching a new doc;
+    // the settled corpus is never re-paired against itself. Oracle = the
+    // full batch pair set restricted to pairs-touching-new, so the hash
+    // match PROVES the incremental identity.
+    "dedup_incremental" -> ((s, dir) =>
+      TextDedup.minhashLshPairsIncremental(
+        docs(s, dir), col("doc_id") % 10 === 0, "doc_id", "text")),
     // X2: SimHash fingerprints (near-dups collide on all 16 bits)
     "dedup_simhash" -> ((s, dir) =>
       TextDedup.simhashDf(docs(s, dir), "doc_id", "text")),
@@ -309,6 +350,29 @@ object DedupQueries extends QueryRegistry {
          |  d.dup_of
          |FROM (SELECT vec_id FROM embeddings) e LEFT JOIN d USING (vec_id)""".stripMargin
     },
+    "dedup_incremental" ->
+      s"""WITH $lshPairCtes
+         |SELECT doc_a, doc_b, jaccard FROM p
+         |WHERE doc_a % 10 = 0 OR doc_b % 10 = 0""".stripMargin,
+    "dedup_cdc_refresh" ->
+      """WITH ch AS (
+        |  SELECT doc_id, text, 'insert' AS action, doc_id AS seq
+        |    FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    'updated template ' || CAST(doc_id % 50 AS VARCHAR),
+        |    'update', doc_id + 10000000
+        |    FROM documents WHERE doc_id % 25 = 0
+        |  UNION ALL
+        |  SELECT doc_id, '', 'delete', doc_id + 20000000
+        |    FROM documents WHERE doc_id % 60 = 0),
+        |latest AS (SELECT doc_id, text, action,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+        |  FROM ch)
+        |SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        | count(*) AS n_copies
+        |FROM latest WHERE rn = 1 AND action <> 'delete'
+        |GROUP BY 1""".stripMargin,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_hamming" -> {
       val hammingTerms = (1 to 16).map(j =>

@@ -322,28 +322,38 @@ object TextDedup {
     // denominators. n docs × (k+1) longs — tiny next to the exploded table.
     val mh = signaturesFromHashes(ex, k).materialize()
 
-    // band-bucket key: md5 of the band's signature slice; stack() unpivots
-    // the band columns to (doc_id, b, bkey) rows. A cheap projection of the
-    // checkpointed signatures — no checkpoint of its own.
+    // candidates = pairs sharing any (band, bucket); one shuffle on
+    // (b, bkey) — sharded over salts² reducers per bucket when salts > 1
+    val bandsDf = bandBuckets(mh, k, bands)
+    val cand = Skew.saltedSelfJoin(bandsDf, Seq("b", "bkey"), "doc_id", salts)
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, ex, mh, threshold)
+  }
+
+  /** Band-bucket keys: md5 of each band's signature slice, unpivoted by
+    * stack() to (doc_id, b, bkey) rows — a cheap projection of the
+    * checkpointed signature table, no checkpoint of its own.
+    */
+  private def bandBuckets(mh: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
     val withBands = mh.select(
       col("doc_id") +: (0 until bands).map(b =>
         md5(concat_ws("|",
           (0 until rows).map(r => col(s"h${b * rows + r}").cast("string")): _*))
           .as(s"bk$b")): _*)
     val stackArgs = (0 until bands).map(b => s"$b, bk$b").mkString(", ")
-    val bandsDf = withBands
-      .selectExpr("doc_id", s"stack($bands, $stackArgs) as (b, bkey)")
+    withBands.selectExpr("doc_id", s"stack($bands, $stackArgs) as (b, bkey)")
+  }
 
-    // candidates = pairs sharing any (band, bucket); one shuffle on
-    // (b, bkey) — sharded over salts² reducers per bucket when salts > 1
-    val cand = Skew.saltedSelfJoin(bandsDf, Seq("b", "bkey"), "doc_id", salts)
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .distinct()
-
-    // exact-Jaccard verification over candidates only (both branches read
-    // the checkpointed exploded table; shingle sets are distinct, so the
-    // per-doc shingle count aggregated into the signature table IS the
-    // set size)
+  /** Exact-Jaccard verification over candidate pairs only (both branches
+    * read the checkpointed exploded table; shingle sets are distinct, so
+    * the per-doc shingle count aggregated into the signature table IS the
+    * set size). Shared by the batch LSH and the incremental index probe.
+    */
+  private def verifyJaccard(
+      cand: DataFrame, ex: DataFrame, mh: DataFrame,
+      threshold: Double): DataFrame = {
     val sz = mh.select(col("doc_id"), col("n"))
     val inter = cand
       .join(ex.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
@@ -357,5 +367,64 @@ object TextDedup {
       .withColumn("jaccard", col("i") / (col("na") + col("nb") - col("i")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Incremental near-dup maintenance against a PERSISTED bucketed LSH
+    * index — the daily-ingest complement to `streaming/StreamDedup`:
+    * given a corpus where `isNew` marks the fresh batch, emit exactly the
+    * near-dup pairs that TOUCH a new doc (new×old and new×new), never
+    * re-pairing the settled corpus against itself.
+    *
+    * The band-bucket index is written ONCE as a bucketed table
+    * (`bucketBy(ikey)`, band id folded into the key so the join is
+    * single-key); the probe joins only the new docs' bands against it —
+    * the index side reads bucket-aligned with NO exchange (spec-pinned),
+    * the probe side shuffles b×|new| rows. At 100 TB the index persists
+    * across ingest cycles and each daily batch pays only its own band
+    * volume — candidate work is O(new × bucket occupancy), the exact
+    * identity `incremental ≡ full-batch pairs restricted to
+    * pairs-touching-new` is spec-pinned and oracle-checked
+    * (`dedup_incremental`).
+    */
+  def minhashLshPairsIncremental(
+      docs: DataFrame, isNew: Column, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, threshold: Double = 0.5,
+      buckets: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val ex = docs.repartition(par)
+      .select(col(idCol).as("doc_id"),
+        explode(bigramShingles(col(textCol))).as("s"))
+      .select(col("doc_id"), col("s"), shingleHash(col("s")).as("hm"))
+      .materialize()
+    val mh = signaturesFromHashes(ex, k).materialize()
+    // single-key band buckets: band id folded into the key so the index
+    // bucketing (one column) exactly matches the join distribution
+    val allBands = bandBuckets(mh, k, bands)
+      .select(col("doc_id"),
+        concat(col("b").cast("string"), lit(":"), col("bkey")).as("ikey"))
+    val newIds = docs.filter(isNew).select(col(idCol).as("doc_id"))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_lshidx").toString
+    val tag = java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+    val it = s"graft_lsh_index_$tag"
+    try {
+      allBands.write.mode("overwrite").option("path", s"$tmp/index")
+        .bucketBy(buckets, "ikey").sortBy("ikey").saveAsTable(it)
+      val probe = allBands.join(newIds, "doc_id")
+        .select(col("doc_id").as("nid"), col("ikey"))
+      val cand = spark.table(it)
+        .join(probe, "ikey")
+        .filter(col("doc_id") =!= col("nid"))
+        .select(least(col("doc_id"), col("nid")).as("doc_a"),
+          greatest(col("doc_id"), col("nid")).as("doc_b"))
+        .distinct()
+      verifyJaccard(cand, ex, mh, threshold)
+        .materialize() // complete before the index table is dropped
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $it")
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+    }
   }
 }

@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.TextDedup
+import org.apache.spark.sql.functions._
+
+/** Incremental LSH maintenance must be EXACTLY the full-batch pair set
+  * restricted to pairs touching the new-doc batch, and the persisted
+  * index side of the probe join must read bucket-aligned (no exchange).
+  */
+class IncrementalDedupSpec extends SparkSuite {
+
+  private def fixtureDocs() = {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").limit(200)
+    // synthesize near-dups so pairs exist: copies of every 30th doc under
+    // high ids; some copies land in the "new" batch (id % 10 == 0 after
+    // the +600000 shift keeps id%10 == originals'), exercising new×old
+    d.union(d.filter(col("doc_id") % 30 === 0)
+      .select((col("doc_id") + 600000L).as("doc_id"), col("text")))
+  }
+
+  test("incremental == full pairs restricted to pairs-touching-new") {
+    val docs = fixtureDocs()
+    val isNew = col("doc_id") % 10 === 0
+    val incr = TextDedup.minhashLshPairsIncremental(
+        docs, isNew, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = TextDedup.minhashLshPairs(docs, "doc_id", "text")
+      .filter(col("doc_a") % 10 === 0 || col("doc_b") % 10 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(full.nonEmpty, "fixture must produce pairs touching new docs")
+    assert(incr === full)
+    // and it must EXCLUDE settled old×old pairs (the whole point)
+    val allPairs = TextDedup.minhashLshPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oldOld = allPairs.filter { case (a, b) => a % 10 != 0 && b % 10 != 0 }
+    assert(oldOld.nonEmpty, "fixture must also have old-only pairs")
+    assert(incr.map(p => (p._1, p._2)).intersect(oldOld).isEmpty)
+  }
+
+  test("index side of the probe join reads bucketed, without an exchange") {
+    // reconstruct the probe join shape against a bucketed single-key index
+    // (the operator drops its temp table, so pin the shape directly)
+    val wh = java.nio.file.Files.createTempDirectory("graft_lshwh").toString
+    spark.sql("DROP TABLE IF EXISTS lsh_idx_spec")
+    val docs = fixtureDocs()
+    try {
+      val bands = spark.range(0, 1000).select(
+        col("id").as("doc_id"),
+        md5(col("id").cast("string")).as("ikey"))
+      bands.write.bucketBy(16, "ikey").sortBy("ikey")
+        .option("path", s"$wh/idx").mode("overwrite")
+        .saveAsTable("lsh_idx_spec")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = bands.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("nid"), col("ikey"))
+      val joined = spark.table("lsh_idx_spec").join(probe, "ikey")
+      val plan = joined.queryExecution.executedPlan.toString
+      // exactly ONE exchange — the probe side; the bucketed index scan
+      // must contribute none
+      val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges === 1, s"expected probe-only exchange in:\n$plan")
+      assert(plan.contains("Bucketed: true"), plan.take(3000))
+      assert(joined.count() === 100L)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS lsh_idx_spec")
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(wh))
+    }
+  }
+}
