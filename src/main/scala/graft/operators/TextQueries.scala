@@ -385,6 +385,32 @@ object TextQueries extends QueryRegistry {
           min(when(col("rk") <= 40, col("doc_id"))).as("sample_kept_doc"))
     }),
 
+    // curation: per-source token-budget admission (prefix cap) — each
+    // source contributes docs until its cumulative token count passes the
+    // budget; later docs are rejected. The prefix rule (every doc's tokens
+    // count toward the running total, admitted iff cumsum ≤ budget) is
+    // what makes the admitted set order-deterministic, window-expressible,
+    // AND identical to the streaming form (streaming/Quota.admit — one
+    // long of state per source; QuotaSpec pins stream ≡ this window).
+    // One exchange keyed by source; the cumsum is a running-frame window
+    // inside the partition.
+    "text_token_budget" -> ((s, dir) => {
+      val nt = size(TextDedup.tokens(col("text"))).cast("long")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      docs(s, dir)
+        .select(col("source"), col("doc_id"), nt.as("nt"))
+        .withColumn("cum", sum("nt").over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("cum") <= 30000L, 1)).as("n_admitted"),
+          count(when(col("cum") > 30000L, 1)).as("n_rejected"),
+          coalesce(sum(when(col("cum") <= 30000L, col("nt"))), lit(0L))
+            .as("tokens_admitted"))
+    }),
+
     // X4: winnowing document fingerprints (rolling-hash min-per-window)
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir)
@@ -622,6 +648,19 @@ object TextQueries extends QueryRegistry {
         |   FILTER (WHERE is_canonical AND quality_ok), 0) AS BIGINT)
         |   AS kept_tokens
         |FROM r GROUP BY 1, 2""".stripMargin,
+    "text_token_budget" ->
+      """WITH t AS (SELECT source, doc_id,
+        |  len(string_split(text, ' ')) AS nt FROM documents),
+        |c AS (SELECT source, doc_id, nt,
+        |  sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM t)
+        |SELECT source, count(*) AS n_docs,
+        | count(*) FILTER (WHERE cum <= 30000) AS n_admitted,
+        | count(*) FILTER (WHERE cum > 30000) AS n_rejected,
+        | CAST(coalesce(sum(nt) FILTER (WHERE cum <= 30000), 0) AS BIGINT)
+        |   AS tokens_admitted
+        |FROM c GROUP BY 1""".stripMargin,
     "text_domain_cap" ->
       """WITH r AS (SELECT source, doc_id,
         |  row_number() OVER (PARTITION BY source
