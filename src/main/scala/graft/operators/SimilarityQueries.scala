@@ -25,6 +25,23 @@ object SimilarityQueries extends QueryRegistry {
     // the neighbor structure curation passes consume (see knnGraph)
     "sim_knn_graph" -> ((s, dir) =>
       Similarity.knnGraph(emb(s, dir), 16, 3)),
+    // X3/X4 fusion: cross-lingual pair mining — embedding near-dup pairs
+    // whose documents carry DIFFERENT language labels (the parallel-
+    // corpus / translation-candidate signal; same-language pairs are
+    // ordinary near-dups). The lang join is an equi join on the item id —
+    // at 100 TB both sides bucket by id; candidate volume is bounded by
+    // the IVF-cell pair space, not n².
+    "sim_cross_lang" -> ((s, dir) => {
+      val langs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"))
+      Similarity.nearDupPairs(emb(s, dir), 16, 0.4)
+        .join(langs.select(col("doc_id").as("va"),
+          col("lang").as("lang_a")), "va")
+        .join(langs.select(col("doc_id").as("vb"),
+          col("lang").as("lang_b")), "vb")
+        .filter(col("lang_a") =!= col("lang_b"))
+        .select("va", "vb", "lang_a", "lang_b", "sim")
+    }),
     // X3: cosine range search — everything within radius of the query set
     // (the curation filter form of retrieval; see Similarity.rangeSearch)
     "sim_range_search" -> ((s, dir) =>
@@ -267,6 +284,18 @@ object SimilarityQueries extends QueryRegistry {
          |  round(${cos("a.v", "b.v")}, 6) AS sim
          |FROM asn a JOIN asn b USING (cid)
          |WHERE a.vec_id < b.vec_id AND ${cos("a.v", "b.v")} >= 0.4""".stripMargin,
+    "sim_cross_lang" ->
+      s"""WITH $ivfCtes,
+         |ep AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+         |    round(${cos("a.v", "b.v")}, 6) AS sim
+         |  FROM asn a JOIN asn b USING (cid)
+         |  WHERE a.vec_id < b.vec_id AND ${cos("a.v", "b.v")} >= 0.4)
+         |SELECT va, vb, lang_a, lang_b, sim FROM ep
+         | JOIN (SELECT doc_id AS va, lang AS lang_a FROM documents)
+         |   USING (va)
+         | JOIN (SELECT doc_id AS vb, lang AS lang_b FROM documents)
+         |   USING (vb)
+         |WHERE lang_a <> lang_b""".stripMargin,
     "sim_knn_graph" ->
       s"""WITH $ivfCtes,
          |p AS (SELECT a.vec_id, b.vec_id AS nbr, ${cos("a.v", "b.v")} AS sim
