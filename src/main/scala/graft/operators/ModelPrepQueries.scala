@@ -98,17 +98,26 @@ object ModelPrepQueries extends QueryRegistry {
         sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("c_tgt"))
       val scal = model.agg(sum("c_src").as("s_tot"), sum("c_tgt").as("t_tot"),
         count(lit(1)).as("v"))
+      // Per-word quantization grain is 1e-4, NOT 1e-6: the two engines'
+      // libm ln() differ by up to 1 ulp, and at 1e-6 grain that flipped a
+      // word's rounded contribution at sf0.1 (one .5-boundary hit across
+      // the vocabulary → a 1e-6 output mismatch). At 1e-4 the flip needs
+      // the scaled ln to land within ~1e-11 of a rounding boundary —
+      // negligible even at a web-scale vocabulary — and 1e-4-per-token
+      // resolution is far finer than any data-selection threshold. The
+      // output division below is then exact integer arithmetic on both
+      // engines.
       val qln = round(
         (log((col("c_tgt") + lit(1.0)) / (col("t_tot") + col("v"))) -
           log((col("c_src") + lit(1.0)) / (col("s_tot") + col("v")))) *
-          lit(1e6), 0).cast("long")
+          lit(1e4), 0).cast("long")
       cnt.join(model, "w")
         .crossJoin(broadcast(scal))
         .select(col("doc_id"), col("c"), (col("c") * qln).as("contrib"))
         .groupBy("doc_id")
         .agg(sum("c").as("n_tokens"), sum("contrib").as("sw"))
         .select(col("doc_id"), col("n_tokens"),
-          round(col("sw").cast("double") / (col("n_tokens") * lit(1e6)), 6)
+          round(col("sw").cast("double") / (col("n_tokens") * lit(1e4)), 6)
             .as("logratio_per_tok"),
           (col("sw") > 0L).as("keep"))
     }),
@@ -171,12 +180,12 @@ object ModelPrepQueries extends QueryRegistry {
         |  CAST(sum(c_tgt) AS BIGINT) AS t_tot, count(*) AS v FROM model),
         |sc AS (SELECT doc_id, c,
         |  c * CAST(round((ln((c_tgt + 1.0::DOUBLE) / (t_tot + v))
-        |    - ln((c_src + 1.0::DOUBLE) / (s_tot + v))) * 1000000) AS BIGINT)
+        |    - ln((c_src + 1.0::DOUBLE) / (s_tot + v))) * 10000) AS BIGINT)
         |    AS contrib
         | FROM cnt JOIN model USING (w) CROSS JOIN scal)
         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
         | round(CAST(sum(contrib) AS BIGINT)
-        |   / (CAST(sum(c) AS BIGINT) * 1000000.0), 6) AS logratio_per_tok,
+        |   / (CAST(sum(c) AS BIGINT) * 10000.0), 6) AS logratio_per_tok,
         | CAST(sum(contrib) AS BIGINT) > 0 AS keep
         |FROM sc GROUP BY 1""".stripMargin,
     "text_bpe_pairs" ->

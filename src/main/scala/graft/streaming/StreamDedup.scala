@@ -50,8 +50,13 @@ object StreamDedup {
     val rows = k / bands
     val sig = TextDedup.minhashSignature(
       TextDedup.bigramShingles(col(textCol)), k)
-    val withSig = docs.select(col(idCol).cast("long").as("doc_id"),
-      sig.as("sig"))
+    // a doc with no bigram shingles (< 2 tokens) has an ALL-NULL signature
+    // — concat_ws would collapse every such doc into one shared bucket per
+    // band (state blowup + n² spurious candidates). Batch semantics drop
+    // shingle-less docs (they aggregate to no signature row); mirror that.
+    val withSig = docs
+      .filter(size(TextDedup.bigramShingles(col(textCol))) >= 1)
+      .select(col(idCol).cast("long").as("doc_id"), sig.as("sig"))
     val withBands = withSig.select(
       col("doc_id") +: (0 until bands).map(b =>
         md5(concat_ws("|", (0 until rows).map(r =>

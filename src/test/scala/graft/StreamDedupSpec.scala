@@ -61,6 +61,22 @@ class StreamDedupSpec extends SparkSuite {
     assert(verified.toSet === batchPairs)
   }
 
+  test("shingle-less docs (< 2 tokens) enter no buckets — no collapse") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DocIn]
+    val cand = StreamDedup.candidates(
+      StreamDedup.bandRows(mem.toDF(), "doc_id", "text"))
+    val q = cand.writeStream.format("memory").queryName("sd_short")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // 1-token docs have an empty shingle set — an all-null signature would
+    // put every one of them into one shared bucket and pair them all
+    mem.addData(DocIn(1L, "solo"), DocIn(2L, "x"), DocIn(3L, "y"))
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("sd_short").count() === 0L,
+      "shingle-less docs must not form candidate pairs")
+  }
+
   test("replayed doc re-emits no pairs (bucket state is idempotent)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
