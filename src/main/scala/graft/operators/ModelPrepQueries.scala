@@ -62,8 +62,14 @@ object ModelPrepQueries extends QueryRegistry {
         .select("word", "df")
       val scal = dl.agg(count(lit(1)).as("n_docs_total"),
         (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-      val idf = log((col("n_docs_total") - col("df") + lit(0.5)) /
-        (col("df") + lit(0.5)) + lit(1.0))
+      // idf carries the expression's only transcendental — quantize it to
+      // 1e-4 (round(ln·1e4)/1e4: identical integer → identical double on
+      // both engines) so a 1-ulp libm ln() divergence cannot flip the
+      // 6-decimal output rounding (the hazard text_dsir hit at sf0.1);
+      // everything else in the score is rational arithmetic on integer
+      // aggregates, bit-identical across engines by construction.
+      val idf = round(log((col("n_docs_total") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)) + lit(1.0)) * lit(1e4), 0) / lit(1e4)
       val tfc = (col("tf") * lit(2.2)) /
         (col("tf") + lit(1.2) *
           (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
@@ -156,8 +162,8 @@ object ModelPrepQueries extends QueryRegistry {
         |scal AS (SELECT count(*) AS n_docs_total,
         |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
         |sc AS (SELECT tf.word, tf.doc_id,
-        |  round(ln((n_docs_total - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE)
-        |      + 1.0::DOUBLE)
+        |  round((round(ln((n_docs_total - df + 0.5::DOUBLE)
+        |      / (df + 0.5::DOUBLE) + 1.0::DOUBLE) * 10000) / 10000.0)
         |    * ((tf * 2.2::DOUBLE) / (tf + 1.2::DOUBLE
         |      * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl))), 6) AS bm25
         | FROM tf JOIN qt USING (word) JOIN dl USING (doc_id)
