@@ -127,6 +127,59 @@ object ModelPrepQueries extends QueryRegistry {
             .as("logratio_per_tok"),
           (col("sw") > 0L).as("keep"))
     }),
+    // BPE tokenizer training, merge iteration 1: learn the top pair from
+    // iteration 0 (argmax with deterministic tie-break, a 1-row broadcast),
+    // APPLY it corpus-wide — each word's char sequence re-segmented by a
+    // greedy left-to-right fold (Spark `aggregate` HOF / DuckDB
+    // `list_reduce`, byte-identical greedy semantics: "aaaa" with merge
+    // (a,a) → "aa aa") — and recount adjacent SYMBOL pairs. This is the
+    // actual BPE training loop step: one broadcast of the learned merge +
+    // one narrow re-segmentation pass per iteration, the aggregate bounded
+    // by the symbol-pair space — the 100 TB shape of distributed tokenizer
+    // training.
+    "text_bpe_merge1" -> ((s, dir) => {
+      // fold each DISTINCT word once (vocabulary-sized work, not corpus-
+      // sized: the interpreted fold is the expensive step, and a Zipfian
+      // corpus repeats words heavily — measured 4.2 s → sub-second at
+      // sf0.1), carrying the occurrence count as a weight
+      val wc = docs(s, dir)
+        .select(explode(TextDedup.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 1)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .materialize() // feeds the merge-learning count AND the apply pass
+      val top1 = wc.filter(length(col("w")) >= 2)
+        .select(col("c"), explode(transform(
+          sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair").agg(sum("c").as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(1)
+        .select(col("pair"),
+          substring(col("pair"), 1, 1).as("a"),
+          substring(col("pair"), 2, 1).as("b"))
+      val chars = transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1)))
+      val folded = aggregate(
+        slice(chars, lit(2), length(col("w")) - 1),
+        element_at(chars, 1),
+        (acc, x) =>
+          when(acc === col("a") && x === col("b"), col("pair"))
+            .when(endswith(acc, concat(lit(" "), col("a"))) && x === col("b"),
+              concat(acc.substr(lit(1), length(acc) - length(col("a")) - 1),
+                lit(" "), col("pair")))
+            .otherwise(concat(acc, lit(" "), x)))
+      val syms = wc.crossJoin(broadcast(top1))
+        .select(col("w"), col("c"), split(folded, " ").as("s"))
+      syms.filter(size(col("s")) >= 2)
+        .select(col("w"), col("c"), explode(transform(
+          sequence(lit(1), size(col("s")) - 1),
+          i => concat(element_at(col("s"), i), lit(" "),
+            element_at(col("s"), i + 1)))).as("pair"))
+        .groupBy("pair")
+        .agg(sum("c").as("n"), countDistinct("w").as("n_words"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    }),
+
     // BPE tokenizer training, merge iteration 0: corpus-wide frequency of
     // adjacent character pairs within words — the argmax pair is the first
     // merge a BPE trainer would learn. Integer-only; top-20 with
@@ -194,6 +247,33 @@ object ModelPrepQueries extends QueryRegistry {
         |   / (CAST(sum(c) AS BIGINT) * 10000.0), 6) AS logratio_per_tok,
         | CAST(sum(contrib) AS BIGINT) > 0 AS keep
         |FROM sc GROUP BY 1""".stripMargin,
+    "text_bpe_merge1" ->
+      """WITH wc AS (SELECT w, count(*) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) >= 1 GROUP BY 1),
+        |p0 AS (SELECT pair, CAST(sum(c) AS BIGINT) AS n FROM (
+        |    SELECT c, unnest(list_transform(
+        |      generate_series(1, length(w) - 1), i -> substr(w, i, 2)))
+        |      AS pair
+        |    FROM wc WHERE length(w) >= 2)
+        |  GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
+        |m AS (SELECT pair, substr(pair, 1, 1) AS a, substr(pair, 2, 1) AS b
+        |  FROM p0),
+        |f AS (SELECT w, c, list_reduce(
+        |    list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)),
+        |    (acc, x) -> CASE
+        |      WHEN acc = a AND x = b THEN pair
+        |      WHEN ends_with(acc, ' ' || a) AND x = b
+        |        THEN substr(acc, 1, length(acc) - length(a) - 1) || ' ' || pair
+        |      ELSE acc || ' ' || x END) AS folded
+        |  FROM wc CROSS JOIN m),
+        |sy AS (SELECT w, c, string_split(folded, ' ') AS s FROM f),
+        |p AS (SELECT w, c, unnest(list_transform(
+        |    generate_series(1, len(s) - 1), i -> s[i] || ' ' || s[i+1]))
+        |    AS pair
+        |  FROM sy WHERE len(s) >= 2)
+        |SELECT pair, CAST(sum(c) AS BIGINT) AS n, count(DISTINCT w) AS n_words
+        |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
     "text_bpe_pairs" ->
       """WITH w AS (SELECT w FROM (
         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
