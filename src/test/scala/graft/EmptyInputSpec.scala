@@ -43,4 +43,35 @@ class EmptyInputSpec extends SparkSuite {
       .count() === 0)
     assert(Similarity.rpLshPairs(emb.limit(1), 4, 4, 0.3).count() === 0)
   }
+
+  test("incremental LSH with an empty new-doc batch / no settled pairs") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").limit(60)
+    // no doc marked new → no probe rows → no pairs (and no crash from the
+    // bucketed-index write/drop lifecycle)
+    assert(TextDedup.minhashLshPairsIncremental(
+      docs, lit(false), "doc_id", "text").count() === 0)
+  }
+
+  test("round-6 model-prep queries are total on a degenerate tiny corpus") {
+    import spark.implicits._
+    // 3 docs: a 1-token doc (no bigrams/pairs), an empty-ish doc, a normal
+    // one — every query must evaluate without error
+    val tiny = Seq(
+      (1L, "solo", "en", "s0", 4L),
+      (2L, "a", "en", "s0", 1L),
+      (3L, "the data the data the data", "en", "s1", 26L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tiny").toString
+    try {
+      tiny.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      for (q <- Seq("text_bm25", "text_dsir", "text_bpe_pairs",
+          "text_bpe_merge1", "text_domain_cap", "text_token_budget"))
+        SparkEntry.queries(q)(spark, dir).count() // total, no throw
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
