@@ -16,15 +16,19 @@ import org.apache.spark.sql.functions._
   * - DSIR: importance weights for data selection (Xie et al., NeurIPS'23
   *   shape): per-token log-likelihood ratio of a target-domain unigram LM
   *   vs the corpus LM, add-1 smoothed. Positive = more target-like.
-  * - BPE pair stats: the first merge iteration of byte-pair-encoding
-  *   tokenizer training — corpus-wide adjacent-symbol-pair frequencies.
+  * - BPE pair stats + merge iteration 1: byte-pair-encoding tokenizer
+  *   training — corpus-wide adjacent-symbol-pair frequencies, then the
+  *   learned top merge applied corpus-wide by a greedy fold and pairs
+  *   recounted (the actual training-loop step).
   *
-  * All three are exact and oracle-checked; doubles only appear in
-  * identically-parenthesized expression trees over integer aggregates
-  * (both engines then produce bit-identical IEEE results), and
-  * order-dependent double SUMS are avoided entirely — anything summed is
-  * an integer or a 10⁻⁶-quantized long (commutative), per the house
-  * determinism contract.
+  * All are exact and oracle-checked; doubles only appear in identically-
+  * parenthesized expression trees over integer aggregates (both engines
+  * then produce bit-identical IEEE results), order-dependent double SUMS
+  * are avoided entirely (anything summed is an integer or a quantized
+  * long — commutative), and every transcendental (ln) is quantized at
+  * 1e-4 grain before it feeds anything rounded, so a 1-ulp libm
+  * divergence between engines cannot flip an output (the hazard dsir hit
+  * at sf0.1 with 1e-6 grain).
   *
   * 100 TB shapes: everything reduces to token explode → map-side-combinable
   * (doc, word) histogram → vocabulary-keyed joins. The histogram is the

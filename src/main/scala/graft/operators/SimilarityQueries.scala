@@ -25,6 +25,31 @@ object SimilarityQueries extends QueryRegistry {
     // the neighbor structure curation passes consume (see knnGraph)
     "sim_knn_graph" -> ((s, dir) =>
       Similarity.knnGraph(emb(s, dir), 16, 3)),
+    // X3 training-prep: hard-negative mining — for every vector, its top-3
+    // MOST similar neighbors with a DIFFERENT label (the metric-learning /
+    // contrastive-training negative set: near in embedding space, wrong
+    // class). Same candidate discipline as the kNN graph (within-IVF-cell
+    // pairs, Σ cell² ≈ n²/C), with the label-mismatch filter applied
+    // BEFORE the per-vector top-k window so negatives rank among
+    // negatives; the label join is an id-keyed equi join.
+    "sim_hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val lab = e.select(col("vec_id"), col("label"))
+      val asn = Similarity.ivfAssign(e, 16)
+      val a = asn.join(lab, "vec_id")
+      val n = a.select(col("cid"), col("vec_id").as("nbr"),
+        col("v").as("nv"), col("label").as("nlabel"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("sim").desc, col("nbr"))
+      a.join(n, Seq("cid"))
+        .filter(col("vec_id") =!= col("nbr") && col("label") =!= col("nlabel"))
+        .select(col("vec_id"), col("label"), col("nbr"), col("nlabel"),
+          Similarity.cosine(col("v"), col("nv")).as("sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("vec_id"), col("rk"), col("nbr"), col("label"),
+          col("nlabel"), round(col("sim"), 6).as("sim"))
+    }),
     // X3/X4 fusion: cross-lingual pair mining — embedding near-dup pairs
     // whose documents carry DIFFERENT language labels (the parallel-
     // corpus / translation-candidate signal; same-language pairs are
@@ -284,6 +309,21 @@ object SimilarityQueries extends QueryRegistry {
          |  round(${cos("a.v", "b.v")}, 6) AS sim
          |FROM asn a JOIN asn b USING (cid)
          |WHERE a.vec_id < b.vec_id AND ${cos("a.v", "b.v")} >= 0.4""".stripMargin,
+    "sim_hard_negatives" ->
+      s"""WITH $ivfCtes,
+         |l AS (SELECT vec_id, label FROM embeddings),
+         |p AS (SELECT a.vec_id, la.label AS label, b.vec_id AS nbr,
+         |    lb.label AS nlabel, ${cos("a.v", "b.v")} AS sim
+         |  FROM asn a JOIN asn b USING (cid)
+         |   JOIN l la ON la.vec_id = a.vec_id
+         |   JOIN l lb ON lb.vec_id = b.vec_id
+         |  WHERE a.vec_id <> b.vec_id AND la.label <> lb.label)
+         |SELECT vec_id, rk, nbr, label, nlabel, round(sim, 6) AS sim FROM (
+         |  SELECT vec_id, label, nbr, nlabel, sim,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY sim DESC, nbr) AS rk
+         |  FROM p)
+         |WHERE rk <= 3""".stripMargin,
     "sim_cross_lang" ->
       s"""WITH $ivfCtes,
          |ep AS (SELECT a.vec_id AS va, b.vec_id AS vb,
