@@ -61,6 +61,36 @@ class StreamDedupSpec extends SparkSuite {
     assert(verified.toSet === batchPairs)
   }
 
+  test("bucket index runs on the RocksDB state store (the 100 TB backend)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val before = spark.conf
+      .getOption("spark.sql.streaming.stateStore.providerClass")
+    graft.streaming.CdcStream.useRocksDBStateStore(spark)
+    try {
+      val mem = MemoryStream[DocIn]
+      val cand = StreamDedup.candidates(
+        StreamDedup.bandRows(mem.toDF(), "doc_id", "text"))
+      val q = cand.writeStream.format("memory").queryName("sd_rocks")
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      mem.addData(DocIn(1L, "x y x y x y x y")); q.processAllAvailable()
+      mem.addData(DocIn(2L, "x y x y x y x y")); q.processAllAvailable()
+      val provider = q.lastProgress.stateOperators.headOption
+        .map(_.customMetrics.keySet().toString).getOrElse("")
+      q.stop()
+      assert(provider.contains("rocksdb"),
+        s"expected RocksDB custom metrics, got: $provider")
+      // cross-batch pairing still works through RocksDB-backed state
+      assert(spark.table("sd_rocks")
+        .filter(col("doc_a") === 1L && col("doc_b") === 2L).count() >= 1L)
+    } finally before match {
+      case Some(v) => spark.conf
+        .set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf
+        .unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("shingle-less docs (< 2 tokens) enter no buckets — no collapse") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
