@@ -40,7 +40,8 @@ object CdcQueries extends QueryRegistry {
       .agg(count(lit(1)).as("n"),
         sum(col("seq").cast("long")).as("sum_seq"),
         round(sum(col("value").cast("double")), 2).as("sum_value"))
-      .materialize()
+      .materializeForced() // tmp is deleted next line — lineage must sever
+                           // in EVERY mode, including none
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     agg
   }
@@ -155,7 +156,8 @@ object CdcQueries extends QueryRegistry {
       val res = s.read.parquet(s"$tmp/state")
         .select("table", "rid", "cdc_action", "seq", "cdc_ts", "value",
           "props")
-        .materialize() // materialize so the temp state dir can go
+        .materializeForced() // the temp state dir is deleted next —
+                             // required in every mode, including none
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
       res
     }),

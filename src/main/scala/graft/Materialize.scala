@@ -46,22 +46,43 @@ object Materialize {
     val spark = df.sparkSession
     spark.conf.get(ModeKey, "local") match {
       case "none" => df
-      case "reliable" =>
-        val sc = spark.sparkContext
-        if (sc.getCheckpointDir.isEmpty) {
-          sc.setCheckpointDir(spark.conf.get(
-            DirKey,
-            s"${sys.props("java.io.tmpdir")}/graft-ckpt-${sc.applicationId}"))
-        }
-        df.checkpoint()
+      case "reliable" => reliable(df)
       case "local" => df.localCheckpoint()
       case other => throw new IllegalArgumentException(
         s"$ModeKey must be local|reliable|none, got '$other'")
     }
   }
 
-  /** `df.materialize()` postfix form — the call-site idiom. */
+  /** Materialization that is REQUIRED for correctness, not a performance
+    * choice: call sites that DELETE their inputs right after (temp
+    * roundtrip dirs, dropped bucketed tables, torn-down state dirs) must
+    * sever lineage in every mode — in `none` mode the plain pass-through
+    * would leave pure lineage over files that no longer exist, and the
+    * first downstream action would throw. `none` therefore falls back to
+    * `localCheckpoint` here; `local`/`reliable` behave as in [[apply]].
+    */
+  def forced(df: DataFrame): DataFrame =
+    df.sparkSession.conf.get(ModeKey, "local") match {
+      case "reliable" => reliable(df)
+      case _ => df.localCheckpoint()
+    }
+
+  private def reliable(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val sc = spark.sparkContext
+    if (sc.getCheckpointDir.isEmpty) {
+      sc.setCheckpointDir(spark.conf.get(
+        DirKey,
+        s"${sys.props("java.io.tmpdir")}/graft-ckpt-${sc.applicationId}"))
+    }
+    df.checkpoint()
+  }
+
+  /** `df.materialize()` postfix form — the call-site idiom.
+    * `df.materializeForced()` for delete-after-materialize sites.
+    */
   implicit class Ops(private val df: DataFrame) extends AnyVal {
     def materialize(): DataFrame = Materialize(df)
+    def materializeForced(): DataFrame = Materialize.forced(df)
   }
 }

@@ -566,7 +566,8 @@ object AnalyticsQueries extends QueryRegistry {
           .agg(count(lit(1)).as("n_items"),
             round(sum("l_quantity"), 2).as("sum_qty"),
             round(sum("l_extendedprice"), 2).as("sum_price"))
-          .materialize() // materialize before the tables are dropped
+          .materializeForced() // the bucketed tables are dropped in the
+                               // finally — required in every mode
       } finally {
         s.sql(s"DROP TABLE IF EXISTS $ot")
         s.sql(s"DROP TABLE IF EXISTS $lt")

@@ -353,13 +353,24 @@ object TextDedup {
     */
   private def verifyJaccard(
       cand: DataFrame, ex: DataFrame, mh: DataFrame,
+      threshold: Double): DataFrame =
+    verifyJaccardCore(cand, ex.select("doc_id", "s"),
+      mh.select("doc_id", "n"), threshold)
+
+  /** The verify core over (doc_id, s) shingle rows + (doc_id, n) set
+    * sizes — ONE implementation of the exact-Jaccard semantics so the
+    * batch LSH, the incremental index probe, and the streaming
+    * foreachBatch verify (graft.streaming.StreamDedup.verifyPairs) cannot
+    * drift apart. The shingle match is an explicit (doc_b, s) equi-join
+    * key by construction.
+    */
+  private[graft] def verifyJaccardCore(
+      cand: DataFrame, sh: DataFrame, sz: DataFrame,
       threshold: Double): DataFrame = {
-    val sz = mh.select(col("doc_id"), col("n"))
-    val inter = cand
-      .join(ex.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
-      .join(ex.select(col("doc_id").as("doc_b"), col("s").as("s2")),
-        Seq("doc_b"))
-      .filter(col("s") === col("s2"))
+    val inter = cand.select("doc_a", "doc_b")
+      .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")),
+        Seq("doc_b", "s"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
     inter
       .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
@@ -420,7 +431,8 @@ object TextDedup {
           greatest(col("doc_id"), col("nid")).as("doc_b"))
         .distinct()
       verifyJaccard(cand, ex, mh, threshold)
-        .materialize() // complete before the index table is dropped
+        .materializeForced() // the index table is dropped in the finally —
+                             // lineage must sever in EVERY mode, incl. none
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $it")
       org.apache.commons.io.FileUtils

@@ -43,25 +43,37 @@ object Lake {
   }
 
   /** Per-partition accounting of what landed: file/row/byte counts from
-    * the written files themselves (not the writer's intent).
+    * the written files themselves (not the writer's intent). File listing
+    * goes through the Hadoop FileSystem API so the manifest is correct on
+    * ANY store the write targeted (hdfs://, s3a://, file://) — a local-
+    * only java.io listing would silently return an empty manifest on
+    * object storage. Both join keys are normalized with the SAME
+    * scheme-stripping rule, so they agree regardless of how each side
+    * renders the URI.
     */
   def manifest(
       spark: SparkSession, outDir: String,
       partitionCols: Seq[String]): DataFrame = {
-    // normalize the scan's file URI (file:///abs/...) to the same absolute
-    // path the filesystem listing yields, so the size join is a plain
-    // equi join
+    def norm(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "^[a-z0-9]+:/+", "/")
     val files = spark.read.parquet(outDir)
       .select(partitionCols.map(col) :+
-        regexp_replace(input_file_name(), "^[a-z]+:/+", "/").as("file"): _*)
+        norm(input_file_name()).as("file"): _*)
       .groupBy((partitionCols :+ "file").map(col): _*)
       .agg(count(lit(1)).as("n_rows"))
     val sizes = {
       import spark.implicits._
-      listFilesRec(new java.io.File(outDir))
-        .filter(f => f.getName.endsWith(".parquet"))
-        .map(f => (f.getAbsolutePath, f.length()))
-        .toDF("file", "n_bytes")
+      val path = new org.apache.hadoop.fs.Path(outDir)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(path, /* recursive = */ true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+          buf += ((st.getPath.toString, st.getLen))
+      }
+      buf.toSeq.toDF("file_uri", "n_bytes")
+        .select(norm(col("file_uri")).as("file"), col("n_bytes"))
     }
     files
       .join(sizes, "file")
@@ -69,10 +81,5 @@ object Lake {
       .agg(countDistinct("file").as("n_files"),
         sum("n_rows").as("n_rows"),
         sum("n_bytes").as("n_bytes"))
-  }
-
-  private def listFilesRec(d: java.io.File): Seq[java.io.File] = {
-    val these = Option(d.listFiles()).getOrElse(Array.empty).toSeq
-    these.filter(_.isFile) ++ these.filter(_.isDirectory).flatMap(listFilesRec)
   }
 }

@@ -24,10 +24,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * - state per (band, bucket) is an id array — bands × n longs total,
   *   partitioned by bucket key across executors; RocksDB state store
   *   ([[CdcStream.useRocksDBStateStore]]) keeps it off-heap at scale.
-  * - `maxBucket` caps a degenerate (boilerplate) bucket's occupancy: past
-  *   the cap, new members pair with the capped prefix only, bounding the
-  *   per-bucket pair fan-out exactly like the batch df-cap defends the
-  *   containment join (a warning row is emitted via stderr once per cap).
+  * - `maxBucket` caps a degenerate (boilerplate) bucket's occupancy:
+  *   arrivals beyond the cap enter neither the pair set nor state — a
+  *   bucket emits O(cap²) pairs total even when one catch-up batch dumps
+  *   B ≫ cap docs into it, exactly like the batch df-cap defends the
+  *   containment join (one stderr warning on the crossing batch).
   * - the per-row signature uses the HOF (non-exploded) form: streaming
   *   micro-batches are latency-bound, not throughput-bound, and the HOF
   *   form needs no per-batch shuffle before the stateful stage (the only
@@ -48,15 +49,19 @@ object StreamDedup {
       k: Int = 16, bands: Int = 4): Dataset[BandRow] = {
     import docs.sparkSession.implicits._
     val rows = k / bands
-    val sig = TextDedup.minhashSignature(
-      TextDedup.bigramShingles(col(textCol)), k)
     // a doc with no bigram shingles (< 2 tokens) has an ALL-NULL signature
     // — concat_ws would collapse every such doc into one shared bucket per
     // band (state blowup + n² spurious candidates). Batch semantics drop
     // shingle-less docs (they aggregate to no signature row); mirror that.
+    // The shingle array is projected ONCE and reused by the filter and the
+    // signature — shingling dominates the per-row cost on this
+    // latency-bound path.
     val withSig = docs
-      .filter(size(TextDedup.bigramShingles(col(textCol))) >= 1)
-      .select(col(idCol).cast("long").as("doc_id"), sig.as("sig"))
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextDedup.bigramShingles(col(textCol)).as("shingles"))
+      .filter(size(col("shingles")) >= 1)
+      .select(col("doc_id"),
+        TextDedup.minhashSignature(col("shingles"), k).as("sig"))
     val withBands = withSig.select(
       col("doc_id") +: (0 until bands).map(b =>
         md5(concat_ws("|", (0 until rows).map(r =>
@@ -88,16 +93,22 @@ object StreamDedup {
           val prior = state.getOption.getOrElse(Array.empty[Long])
           val fresh = rows.map(_.doc_id).toArray.distinct.sorted
             .filterNot(prior.contains)
-          val out = fresh.zipWithIndex.flatMap { case (id, i) =>
-            (prior.iterator ++ fresh.iterator.take(i)).map(o =>
+          // the cap bounds WITHIN-batch fan-out too: only the occupants
+          // that fit under the cap emit pairs (a single catch-up batch
+          // delivering B boilerplate docs into one bucket must emit
+          // O(cap²), not B²); members beyond the cap enter neither the
+          // pair set nor state. Warn once, on the crossing batch only.
+          val room = math.max(0, maxBucket - prior.length)
+          val admitted = fresh.take(room)
+          if (prior.length < maxBucket && fresh.length > room)
+            Console.err.println(s"[graft] StreamDedup: bucket capped at " +
+              s"$maxBucket occupants — ${fresh.length - room} arrivals " +
+              "dropped from pairing")
+          val out = admitted.zipWithIndex.flatMap { case (id, i) =>
+            (prior.iterator ++ admitted.iterator.take(i)).map(o =>
               CandPair(math.min(o, id), math.max(o, id)))
           }
-          val merged = prior ++ fresh
-          if (merged.length > maxBucket && prior.length <= maxBucket)
-            Console.err.println(s"[graft] StreamDedup: bucket capped at " +
-              s"$maxBucket occupants — further members pair with the " +
-              "capped prefix only")
-          state.update(merged.take(maxBucket))
+          state.update(prior ++ admitted)
           out.iterator
       }
   }
@@ -114,15 +125,9 @@ object StreamDedup {
     val sh = docs.select(col(idCol).cast("long").as("doc_id"),
       explode(TextDedup.bigramShingles(col(textCol))).as("s"))
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val c = cand.select("doc_a", "doc_b").distinct()
-    c.join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
-      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .withColumn("jaccard", col("i") / (col("na") + col("nb") - col("i")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"),
-        round(col("jaccard"), 6).as("jaccard"))
+    // the Jaccard semantics live in ONE place (TextDedup.verifyJaccardCore)
+    // so streaming and batch verification cannot drift apart
+    TextDedup.verifyJaccardCore(
+      cand.select("doc_a", "doc_b").distinct(), sh, sz, threshold)
   }
 }

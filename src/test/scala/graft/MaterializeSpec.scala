@@ -62,4 +62,22 @@ class MaterializeSpec extends SparkSuite {
       }
     }
   }
+
+  test("delete-after-materialize queries survive none mode (forced sites)") {
+    // these queries delete their temp inputs (roundtrip dirs, dropped
+    // bucketed tables) right after materializing — in `none` mode a plain
+    // pass-through would leave lineage over deleted files and the first
+    // action would throw FileNotFound. materializeForced() must sever
+    // lineage in EVERY mode.
+    for (name <- Seq("csv_roundtrip", "q30_bucket_join", "dedup_incremental")) {
+      val none = inMode("none") {
+        rows(SparkEntry.queries(name)(spark, sf0001))
+      }
+      val local = inMode("local") {
+        rows(SparkEntry.queries(name)(spark, sf0001))
+      }
+      assert(none.nonEmpty, s"$name returned no rows in none mode")
+      assert(none === local, s"$name: none != local")
+    }
+  }
 }
