@@ -68,10 +68,18 @@ object TextQueries extends QueryRegistry {
         .groupBy("word").agg(count(lit(1)).as("df"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("lang").orderBy(col("tfidf").desc, col("word"))
+      // idf quantized to 1e-4 (round(ln·1e4)/1e4) — the only
+      // transcendental in the score; a 1-ulp cross-engine libm ln()
+      // divergence, multiplied by a large tf, could otherwise flip the
+      // 6-decimal output rounding (the hazard text_dsir hit at sf0.1).
+      // With an identical quantized idf on both engines the product and
+      // its rounding are exact-deterministic.
       tf.join(df_, "word")
         .crossJoin(broadcast(nDocs))
         .withColumn("tfidf",
-          round(col("tf") * log(col("n_docs_total") / col("df")), 6))
+          round(col("tf") *
+            (round(log(col("n_docs_total") / col("df")) * lit(1e4), 0) /
+              lit(1e4)), 6))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .select("lang", "rk", "word", "tfidf")
@@ -473,7 +481,8 @@ object TextQueries extends QueryRegistry {
         |df AS (SELECT word, count(*) AS df FROM
         |  (SELECT DISTINCT doc_id, word FROM tok) GROUP BY 1),
         |sc AS (SELECT lang, word, tf,
-        |  round(tf * ln((SELECT count(*) FROM documents) * 1.0 / df), 6) AS tfidf
+        |  round(tf * (round(ln((SELECT count(*) FROM documents) * 1.0 / df)
+        |    * 10000) / 10000.0), 6) AS tfidf
         | FROM tf JOIN df USING (word))
         |SELECT lang, rk, word, tfidf FROM (
         |  SELECT lang, word, tfidf,
