@@ -250,6 +250,38 @@ object TextQueries extends QueryRegistry {
           round(col("n_docs") * col("mix_weight"), 4).as("n_effective"))
     }),
 
+    // curation: APPLY the domain-mixture reweighting text_mix plans — each
+    // doc's replication count is floor(weight) plus one more when the
+    // doc's md5-derived fraction falls under the weight's fractional part
+    // (deterministic fractional upsampling: no rand(), stable under
+    // partitioning and data growth, expected replicas ≡ n_docs·weight).
+    // The weights table is the same tiny broadcast text_mix emits; the
+    // replication decision is a narrow per-row expression — at 100 TB the
+    // actual replicated write is `explode(sequence(1, rep))` into the
+    // curated sink, counted here for the oracle.
+    "text_mix_apply" -> ((s, dir) => {
+      val cells = docs(s, dir).groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"))
+        .materialize()
+      val tot = cells.agg(sum("n_docs").as("n_total"),
+        count(lit(1)).as("n_cells"))
+      val wts = cells.crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("n_docs"),
+          least(lit(3.0), (lit(1.0) / col("n_cells")) /
+            (col("n_docs") / col("n_total"))).as("w"))
+      val hfrac = conv(substring(md5(concat(lit("mix:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("double") /
+        lit(1152921504606846976.0) // 16^15 = 2^60 — exact
+      docs(s, dir).select("doc_id", "lang", "source")
+        .join(broadcast(wts), Seq("lang", "source"))
+        .withColumn("rep", floor(col("w")).cast("long") +
+          when(hfrac < col("w") - floor(col("w")), 1L).otherwise(0L))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("rep").as("n_replicas"),
+          round(min("w"), 6).as("mix_weight"))
+    }),
+
     // curation: corpus-frequency fluency score — a char-bigram "language
     // model" trained on the corpus itself (count per (lang, bigram)), each
     // doc scored by the mean corpus frequency of its bigrams. Rare/garbled
@@ -587,6 +619,24 @@ object TextQueries extends QueryRegistry {
         | round(mix_weight, 6) AS mix_weight,
         | round(n_docs * mix_weight, 4) AS n_effective
         |FROM j""".stripMargin,
+    "text_mix_apply" ->
+      """WITH cells AS (SELECT lang, source, count(*) AS n_docs
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+        |  count(*) AS n_cells FROM cells),
+        |wts AS (SELECT lang, source,
+        |  least(3.0, (1.0 / n_cells) / (n_docs * 1.0 / n_total)) AS w
+        | FROM cells CROSS JOIN tot),
+        |r AS (SELECT d.lang, d.source, w,
+        |  floor(w) + CASE WHEN
+        |    ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      ::BIGINT / 1152921504606846976.0 < w - floor(w)
+        |    THEN 1 ELSE 0 END AS rep
+        | FROM documents d JOIN wts USING (lang, source))
+        |SELECT lang, source, count(*) AS n_docs,
+        | CAST(sum(rep) AS BIGINT) AS n_replicas,
+        | round(min(w), 6) AS mix_weight
+        |FROM r GROUP BY 1, 2""".stripMargin,
     "text_lm_score" ->
       """WITH cb AS (SELECT doc_id, lang,
         |  unnest(list_transform(generate_series(1, length(text) - 1),
