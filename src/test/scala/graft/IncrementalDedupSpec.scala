@@ -38,6 +38,32 @@ class IncrementalDedupSpec extends SparkSuite {
     assert(incr.map(p => (p._1, p._2)).intersect(oldOld).isEmpty)
   }
 
+  test("incremental identity holds for ARBITRARY new/old splits") {
+    // the identity must not depend on how the corpus happens to split:
+    // sparse new batch, half-half, and a modulo class with different
+    // dup alignment all reduce to the same restricted-full-pairs set
+    val docs = fixtureDocs()
+    val splits = Seq(
+      ("mod7", col("doc_id") % 7 === 0),
+      ("half", col("doc_id") % 2 === 0),
+      ("mod3", col("doc_id") % 3 === 1))
+    val full = TextDedup.minhashLshPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    for ((name, isNew) <- splits) {
+      val incr = TextDedup.minhashLshPairsIncremental(
+          docs, isNew, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val pred: Long => Boolean = name match {
+        case "mod7" => _ % 7 == 0
+        case "half" => _ % 2 == 0
+        case _ => _ % 3 == 1
+      }
+      val want = full.filter(p => pred(p._1) || pred(p._2)).toSet
+      assert(incr === want, s"split $name diverged")
+    }
+  }
+
   test("index side of the probe join reads bucketed, without an exchange") {
     // reconstruct the probe join shape against a bucketed single-key index
     // (the operator drops its temp table, so pin the shape directly)
