@@ -1,0 +1,169 @@
+package graft.operators
+
+import graft.Materialize.Ops
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash-LSH band-bucket index with a build / append / probe
+  * lifecycle — the multi-ingest form of the incremental near-dup operator.
+  *
+  * The one-shot [[TextDedup.minhashLshPairsIncremental]] demonstrates the
+  * incremental IDENTITY (probe-side pairs ≡ full-batch pairs restricted to
+  * pairs-touching-new) but rebuilds the corpus-sized index inside every
+  * call. This object is the production lifecycle that makes the O(new)
+  * cost claim real ACROSS ingest cycles:
+  *
+  *  - [[build]] writes the settled corpus's single-key band rows ONCE as a
+  *    bucketed+sorted table (band id folded into the key, so the probe
+  *    join is single-key and the index side reads bucket-aligned with no
+  *    exchange — the shape `IncrementalDedupSpec` pins);
+  *  - [[ingest]] bands ONLY the new batch, appends its rows to the index
+  *    (settled files are never rewritten — append lays down new bucket
+  *    files next to the old ones, byte-identical history, spec-pinned by
+  *    `LshIndexSpec`), and probes the same banded rows against the table;
+  *  - verification shingles ONLY the docs that appear in some candidate
+  *    pair (a semi-join restriction of the doc store), so per-ingest work
+  *    is O(new × bucket occupancy) in the candidate join and
+  *    O(candidate docs) in the verify — never O(corpus).
+  *
+  * The index's (k, bands) are recorded as table properties at build time
+  * and re-read by append/probe, so an ingest cannot silently band with
+  * different parameters than the index was built with.
+  *
+  * At 100 TB: the index table lives on durable storage and persists across
+  * daily ingests; each ingest's write volume is `bands × |new|` rows, the
+  * probe shuffles only the new batch's band rows (the bucketed index side
+  * contributes no exchange), and the verify joins texts for candidate ids
+  * only. Re-bucketing (when the corpus outgrows the bucket count) is a
+  * [[build]] from the compacted corpus — an explicit, occasional rebuild,
+  * not a per-ingest cost.
+  */
+object LshIndex {
+
+  private val KProp = "graft.lsh.k"
+  private val BandsProp = "graft.lsh.bands"
+
+  /** Single-key band rows (doc_id, ikey) for a doc set — the index row
+    * format: `ikey = "<band>:<bucket-md5>"` folds the band id into the
+    * key so bucketing and the probe join distribute on ONE column.
+    */
+  def bandRows(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4): DataFrame = {
+    // repartition: a single-file batch would shingle+hash in ONE task
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val ex = docs.repartition(par)
+      .select(col(idCol).as("doc_id"),
+        explode(TextDedup.bigramShingles(col(textCol))).as("s"))
+      .select(col("doc_id"), TextDedup.shingleHash(col("s")).as("hm"))
+    val mh = TextDedup.signaturesFromHashes(ex, k)
+    TextDedup.bandBuckets(mh, k, bands)
+      .select(col("doc_id"),
+        concat(col("b").cast("string"), lit(":"), col("bkey")).as("ikey"))
+  }
+
+  /** Create (or replace) the persisted index from the settled corpus.
+    * One corpus-sized banding pass; every later [[ingest]] pays only its
+    * own batch.
+    */
+  def build(
+      docs: DataFrame, idCol: String, textCol: String,
+      path: String, table: String,
+      k: Int = 16, bands: Int = 4, buckets: Int = 16): Unit = {
+    val spark = docs.sparkSession
+    bandRows(docs, idCol, textCol, k, bands)
+      .write.mode("overwrite").option("path", path)
+      .bucketBy(buckets, "ikey").sortBy("ikey").saveAsTable(table)
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+      s"('$KProp' = '$k', '$BandsProp' = '$bands')")
+  }
+
+  /** The index's recorded (k, bands, buckets) — the single source of truth
+    * for every post-build operation.
+    */
+  private def meta(spark: SparkSession, table: String): (Int, Int, Int) = {
+    val cat = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    def prop(p: String): Int = cat.properties.getOrElse(p,
+      throw new IllegalStateException(
+        s"$table has no $p property — not built by LshIndex.build")).toInt
+    val buckets = cat.bucketSpec.map(_.numBuckets).getOrElse(
+      throw new IllegalStateException(s"$table is not bucketed"))
+    (prop(KProp), prop(BandsProp), buckets)
+  }
+
+  /** Append a new batch's band rows to the index WITHOUT probing (bulk
+    * backfill). Write volume is O(new): settled bucket files are never
+    * rewritten — the append lays new files into the same bucket layout.
+    */
+  def append(
+      spark: SparkSession, table: String,
+      newDocs: DataFrame, idCol: String, textCol: String): Unit = {
+    val (k, bands, buckets) = meta(spark, table)
+    appendRows(table, bandRows(newDocs, idCol, textCol, k, bands), buckets)
+  }
+
+  private def appendRows(table: String, rows: DataFrame, buckets: Int): Unit =
+    rows.write.mode("append")
+      .bucketBy(buckets, "ikey").sortBy("ikey").saveAsTable(table)
+
+  /** Near-dup pairs between a new batch and the CURRENT index contents,
+    * without modifying the index. `corpus` is the doc store (must cover
+    * every id the index holds plus the new batch) — consulted only for
+    * the docs that appear in some candidate pair.
+    */
+  def probe(
+      spark: SparkSession, table: String,
+      newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.5): DataFrame = {
+    val (k, bands, _) = meta(spark, table)
+    probeRows(spark, table, bandRows(newDocs, idCol, textCol, k, bands),
+      corpus, idCol, textCol, threshold)
+  }
+
+  /** One daily-ingest cycle: band the new batch ONCE, append those rows to
+    * the index, then probe them against the (now-updated) table — so the
+    * emitted pairs cover new×old AND new×new, exactly the full-batch pair
+    * set restricted to pairs touching the new batch.
+    */
+  def ingest(
+      spark: SparkSession, table: String,
+      newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.5): DataFrame = {
+    val (k, bands, buckets) = meta(spark, table)
+    // materialize: the banded batch is consumed twice (append + probe) and
+    // the append is a side effect — recomputation must not re-shingle
+    val nb = bandRows(newDocs, idCol, textCol, k, bands).materialize()
+    appendRows(table, nb, buckets)
+    probeRows(spark, table, nb, corpus, idCol, textCol, threshold)
+  }
+
+  private def probeRows(
+      spark: SparkSession, table: String, newBandRows: DataFrame,
+      corpus: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val nb = newBandRows.select(col("doc_id").as("nid"), col("ikey"))
+    // bucketed index side: no exchange (IncrementalDedupSpec pins this);
+    // only the new batch's band rows shuffle
+    val cand = spark.table(table).join(nb, "ikey")
+      .filter(col("doc_id") =!= col("nid"))
+      .select(least(col("doc_id"), col("nid")).as("doc_a"),
+        greatest(col("doc_id"), col("nid")).as("doc_b"))
+      .distinct()
+      .materialize() // feeds the id restriction AND the verify join
+    // verify reads texts for candidate docs ONLY — at scale the candidate
+    // set is a sliver of the corpus, so this is the difference between
+    // O(candidates) and re-shingling 100 TB per ingest
+    val ids = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val par = spark.sparkContext.defaultParallelism
+    val sh = corpus.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(ids, "doc_id")
+      .repartition(par)
+      .select(col("doc_id"),
+        explode(TextDedup.bigramShingles(col("text"))).as("s"))
+      .materialize() // feeds both intersect branches and the size agg
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    TextDedup.verifyJaccardCore(cand, sh, sz, threshold)
+  }
+}

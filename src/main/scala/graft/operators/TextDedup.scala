@@ -87,7 +87,7 @@ object TextDedup {
     * the Jaccard denominator rides along in the same hash aggregate, so
     * the verify step never re-aggregates the (much larger) exploded table.
     */
-  private def signaturesFromHashes(ex: DataFrame, k: Int): DataFrame = {
+  private[operators] def signaturesFromHashes(ex: DataFrame, k: Int): DataFrame = {
     val mins = (0 until k).map(i =>
       min((col("hm") * minhashA(i) + minhashB(i)) % MinhashP).as(s"h$i"))
     ex.groupBy("doc_id").agg(mins.head, (mins.tail :+ count(lit(1)).as("n")): _*)
@@ -331,16 +331,25 @@ object TextDedup {
     verifyJaccard(cand, ex, mh, threshold)
   }
 
+  /** THE band-bucket key: md5 over the "|"-joined string casts of one
+    * band's signature slice. Single construction point shared by the batch
+    * column form ([[bandBuckets]]) and the streaming per-row array form
+    * (`graft.streaming.StreamDedup.bandRows`) so the two cannot drift —
+    * a one-character divergence here would silently empty the streaming ≡
+    * batch candidate identity.
+    */
+  private[graft] def bandKey(sigSlice: Seq[Column]): Column =
+    md5(concat_ws("|", sigSlice.map(_.cast("string")): _*))
+
   /** Band-bucket keys: md5 of each band's signature slice, unpivoted by
     * stack() to (doc_id, b, bkey) rows — a cheap projection of the
     * checkpointed signature table, no checkpoint of its own.
     */
-  private def bandBuckets(mh: DataFrame, k: Int, bands: Int): DataFrame = {
+  private[operators] def bandBuckets(mh: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
     val withBands = mh.select(
       col("doc_id") +: (0 until bands).map(b =>
-        md5(concat_ws("|",
-          (0 until rows).map(r => col(s"h${b * rows + r}").cast("string")): _*))
+        bandKey((0 until rows).map(r => col(s"h${b * rows + r}")))
           .as(s"bk$b")): _*)
     val stackArgs = (0 until bands).map(b => s"$b, bk$b").mkString(", ")
     withBands.selectExpr("doc_id", s"stack($bands, $stackArgs) as (b, bkey)")
@@ -380,57 +389,37 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Incremental near-dup maintenance against a PERSISTED bucketed LSH
-    * index — the daily-ingest complement to `streaming/StreamDedup`:
-    * given a corpus where `isNew` marks the fresh batch, emit exactly the
-    * near-dup pairs that TOUCH a new doc (new×old and new×new), never
-    * re-pairing the settled corpus against itself.
+  /** Incremental near-dup maintenance against a persisted bucketed LSH
+    * index, as a ONE-SHOT demonstration: given a corpus where `isNew`
+    * marks the fresh batch, emit exactly the near-dup pairs that TOUCH a
+    * new doc (new×old and new×new), never re-pairing the settled corpus
+    * against itself.
     *
-    * The band-bucket index is written ONCE as a bucketed table
-    * (`bucketBy(ikey)`, band id folded into the key so the join is
-    * single-key); the probe joins only the new docs' bands against it —
-    * the index side reads bucket-aligned with NO exchange (spec-pinned),
-    * the probe side shuffles b×|new| rows. At 100 TB the index persists
-    * across ingest cycles and each daily batch pays only its own band
-    * volume — candidate work is O(new × bucket occupancy), the exact
-    * identity `incremental ≡ full-batch pairs restricted to
-    * pairs-touching-new` is spec-pinned and oracle-checked
-    * (`dedup_incremental`).
+    * This is the [[LshIndex]] lifecycle run end-to-end inside one call —
+    * build the index from the settled docs, then one [[LshIndex.ingest]]
+    * cycle for the new batch — so the oracle-checked identity
+    * (`dedup_incremental`: incremental ≡ full-batch pairs restricted to
+    * pairs-touching-new) exercises the SAME code the multi-ingest
+    * deployment runs. Production keeps the index table across ingests and
+    * calls `LshIndex.ingest` per batch (O(new) write volume per cycle,
+    * settled index files byte-identical — `LshIndexSpec`); the build here
+    * exists only because a single self-contained query has no prior cycle
+    * to inherit an index from.
     */
   def minhashLshPairsIncremental(
       docs: DataFrame, isNew: Column, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, threshold: Double = 0.5,
       buckets: Int = 16): DataFrame = {
     val spark = docs.sparkSession
-    val par = spark.sparkContext.defaultParallelism
-    val ex = docs.repartition(par)
-      .select(col(idCol).as("doc_id"),
-        explode(bigramShingles(col(textCol))).as("s"))
-      .select(col("doc_id"), col("s"), shingleHash(col("s")).as("hm"))
-      .materialize()
-    val mh = signaturesFromHashes(ex, k).materialize()
-    // single-key band buckets: band id folded into the key so the index
-    // bucketing (one column) exactly matches the join distribution
-    val allBands = bandBuckets(mh, k, bands)
-      .select(col("doc_id"),
-        concat(col("b").cast("string"), lit(":"), col("bkey")).as("ikey"))
-    val newIds = docs.filter(isNew).select(col(idCol).as("doc_id"))
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_lshidx").toString
     val tag = java.util.UUID.randomUUID.toString.replace("-", "").take(8)
     val it = s"graft_lsh_index_$tag"
     try {
-      allBands.write.mode("overwrite").option("path", s"$tmp/index")
-        .bucketBy(buckets, "ikey").sortBy("ikey").saveAsTable(it)
-      val probe = allBands.join(newIds, "doc_id")
-        .select(col("doc_id").as("nid"), col("ikey"))
-      val cand = spark.table(it)
-        .join(probe, "ikey")
-        .filter(col("doc_id") =!= col("nid"))
-        .select(least(col("doc_id"), col("nid")).as("doc_a"),
-          greatest(col("doc_id"), col("nid")).as("doc_b"))
-        .distinct()
-      verifyJaccard(cand, ex, mh, threshold)
+      LshIndex.build(docs.filter(!isNew), idCol, textCol,
+        s"$tmp/index", it, k, bands, buckets)
+      LshIndex.ingest(spark, it, docs.filter(isNew), docs,
+        idCol, textCol, threshold)
         .materializeForced() // the index table is dropped in the finally —
                              // lineage must sever in EVERY mode, incl. none
     } finally {

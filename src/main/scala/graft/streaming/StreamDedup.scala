@@ -62,10 +62,12 @@ object StreamDedup {
       .filter(size(col("shingles")) >= 1)
       .select(col("doc_id"),
         TextDedup.minhashSignature(col("shingles"), k).as("sig"))
+    // band keys come from the ONE shared construction (TextDedup.bandKey)
+    // so the streaming and batch bucket assignments agree bit-for-bit
     val withBands = withSig.select(
       col("doc_id") +: (0 until bands).map(b =>
-        md5(concat_ws("|", (0 until rows).map(r =>
-          element_at(col("sig"), b * rows + r + 1).cast("string")): _*))
+        TextDedup.bandKey((0 until rows).map(r =>
+          element_at(col("sig"), b * rows + r + 1)))
           .as(s"bk$b")): _*)
     val stackArgs = (0 until bands).map(b => s"$b, bk$b").mkString(", ")
     withBands

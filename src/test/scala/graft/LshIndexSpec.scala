@@ -1,0 +1,170 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.security.MessageDigest
+
+import scala.jdk.CollectionConverters._
+
+import graft.operators.{LshIndex, TextDedup}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The persisted-index lifecycle claims, proven across TWO ingest cycles:
+  *
+  *  1. each ingest's pairs equal the full-batch pair set over everything
+  *     indexed so far, restricted to pairs touching that ingest's batch;
+  *  2. settled index files are BYTE-IDENTICAL across ingests — an ingest
+  *     appends new bucket files, it never rewrites history;
+  *  3. per-ingest index-write volume is O(new): the appended files hold
+  *     exactly the new batch's band rows, not the corpus's.
+  */
+class LshIndexSpec extends SparkSuite {
+
+  // settled base + two ingest batches, with synthesized near-dups placed
+  // so that every ingest finds pairs against BOTH the settled corpus and
+  // (for batch 2) the previously-ingested batch: copies of every 30th
+  // base doc under high ids, shifted by +600001 / +600002 so the copies
+  // land in batch 1 / batch 2 (originals are doc_id % 3 == 0 → base).
+  private def corpus(): DataFrame = {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") % 3 === 0).limit(200)
+    val dups = d.filter(col("doc_id") % 30 === 0)
+    d.union(dups.select((col("doc_id") + 600001L).as("doc_id"), col("text")))
+      .union(dups.select((col("doc_id") + 600002L).as("doc_id"), col("text")))
+      // pin the limit(200) sample: the lifecycle reads and the full-batch
+      // recompute must see the identical fixture
+      .localCheckpoint()
+  }
+
+  private def batchOf(df: DataFrame, r: Int): DataFrame =
+    df.filter(col("doc_id") % 3 === r)
+
+  private def pairSet(df: DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  private def parquetFiles(dir: Path): Map[String, String] = {
+    val md = MessageDigest.getInstance("MD5")
+    Files.walk(dir).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .map { p =>
+        md.reset()
+        p.toString -> md.digest(Files.readAllBytes(p)).map("%02x".format(_)).mkString
+      }.toMap
+  }
+
+  test("two-ingest lifecycle: per-ingest identity, byte-identical settled " +
+    "files, O(new) write volume") {
+    val all = corpus() // stable fixture across reads
+    val base = batchOf(all, 0)
+    val b1 = batchOf(all, 1)
+    val b2 = batchOf(all, 2)
+    val idxDir = Files.createTempDirectory("graft_lshidx_spec")
+    val table = "lsh_lifecycle_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      LshIndex.build(base, "doc_id", "text", s"$idxDir/index", table)
+
+      // ---- ingest 1: probe pairs ≡ full pairs over (base ∪ b1) touching b1
+      val pairs1 = pairSet(
+        LshIndex.ingest(spark, table, b1, all, "doc_id", "text"))
+      val full1 = pairSet(
+        TextDedup.minhashLshPairs(base.union(b1), "doc_id", "text"))
+        .filter(p => p._1 % 3 == 1 || p._2 % 3 == 1)
+      assert(full1.nonEmpty, "fixture must produce pairs touching batch 1")
+      assert(pairs1 === full1)
+
+      val afterIngest1 = parquetFiles(idxDir)
+      assert(afterIngest1.nonEmpty)
+
+      // ---- ingest 2: identity over everything indexed so far
+      val pairs2 = pairSet(
+        LshIndex.ingest(spark, table, b2, all, "doc_id", "text"))
+      val full2 = pairSet(TextDedup.minhashLshPairs(all, "doc_id", "text"))
+        .filter(p => p._1 % 3 == 2 || p._2 % 3 == 2)
+      assert(full2.nonEmpty, "fixture must produce pairs touching batch 2")
+      assert(pairs2 === full2)
+      // batch 2's copies pair against batch 1's copies of the same
+      // original — the cross-INGEST case only the persisted index covers
+      assert(pairs2.exists(p => p._1 % 3 == 1 && p._2 % 3 == 2),
+        "fixture must produce a batch1 × batch2 pair")
+
+      // ---- settled files byte-identical: every ingest-1 file survives
+      // ingest 2 unmodified; ingest 2 only ADDS files
+      val afterIngest2 = parquetFiles(idxDir)
+      val rewritten = afterIngest1.filter { case (path, sum) =>
+        afterIngest2.get(path) != Some(sum)
+      }
+      assert(rewritten.isEmpty,
+        s"ingest 2 rewrote settled index files: ${rewritten.keys}")
+      val newFiles = (afterIngest2.keySet -- afterIngest1.keySet).toSeq
+      assert(newFiles.nonEmpty, "ingest 2 must append new index files")
+
+      // ---- O(new) write volume: the appended files hold exactly batch
+      // 2's band rows (bands × |docs with ≥1 shingle|), not the corpus's
+      val appended = spark.read.parquet(newFiles: _*).count()
+      val expected = LshIndex.bandRows(b2, "doc_id", "text").count()
+      assert(appended === expected,
+        s"appended $appended rows, batch-2 band rows = $expected")
+      assert(appended < spark.table(table).count(),
+        "appended volume must be a strict subset of the index")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteDirectory(idxDir.toFile)
+    }
+  }
+
+  test("append without probe grows the index; probe without append " +
+    "leaves it untouched") {
+    val all = corpus()
+    val base = batchOf(all, 0)
+    val b1 = batchOf(all, 1)
+    val idxDir = Files.createTempDirectory("graft_lshidx_spec2")
+    val table = "lsh_lifecycle_spec2"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      LshIndex.build(base, "doc_id", "text", s"$idxDir/index", table)
+      val n0 = spark.table(table).count()
+      val before = parquetFiles(idxDir)
+
+      // probe is read-only: same pairs as ingest WITHOUT the new×new
+      // self-pairs of the batch... (batch 1 vs index = new×old only)
+      val probed = pairSet(
+        LshIndex.probe(spark, table, b1, all, "doc_id", "text"))
+      assert(parquetFiles(idxDir) === before, "probe must not write")
+      assert(spark.table(table).count() === n0)
+      val full1 = pairSet(
+        TextDedup.minhashLshPairs(base.union(b1), "doc_id", "text"))
+      val newOld = full1.filter(p =>
+        (p._1 % 3 == 1) != (p._2 % 3 == 1)) // exactly one side new
+      assert(probed === newOld)
+
+      // append is write-only: index grows by the batch's band rows
+      LshIndex.append(spark, table, b1, "doc_id", "text")
+      val expected = LshIndex.bandRows(b1, "doc_id", "text").count()
+      assert(spark.table(table).count() === n0 + expected)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteDirectory(idxDir.toFile)
+    }
+  }
+
+  test("append/probe refuse a table not built by LshIndex.build") {
+    val wh = Files.createTempDirectory("graft_lshidx_spec3")
+    val table = "lsh_not_an_index"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      spark.range(10).selectExpr("id AS doc_id", "CAST(id AS STRING) AS ikey")
+        .write.option("path", s"$wh/t").saveAsTable(table)
+      val docs = spark.range(5).selectExpr(
+        "id AS doc_id", "'alpha beta gamma' AS text")
+      val e = intercept[IllegalStateException] {
+        LshIndex.append(spark, table, docs, "doc_id", "text")
+      }
+      assert(e.getMessage.contains("not bucketed") ||
+        e.getMessage.contains("graft.lsh"))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+    }
+  }
+}
