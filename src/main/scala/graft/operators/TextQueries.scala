@@ -408,21 +408,27 @@ object TextQueries extends QueryRegistry {
     // set is deterministic and stable under data growth within the cap
     // (unlike seeded sampling, adding docs to OTHER sources never changes a
     // source's kept set; adding docs to the same source only competes by
-    // hash order). One window shuffle keyed by source; at 100 TB a hot
-    // source is one partition's sort — cap-rank via the bounded-heap top-k
-    // operator (plans/TopKPerKey) is the drop-in if sources skew terribly.
+    // hash order). NO per-source window sort: the counts need only a plain
+    // aggregate (n_kept = least(count, 40)), and the kept-set witness is a
+    // per-source top-40 through the bounded-heap TopKPerKey operator —
+    // map-side heaps cut each partition to ≤ sources × 40 rows BEFORE the
+    // exchange, so a dominant source (20% of a 100 TB corpus) costs one
+    // 40-row heap per map task instead of one reducer sorting its whole
+    // doc set (a full-partition sort is exactly what AQE cannot split;
+    // PlanAuditSpec pins the sort-free plan).
     "text_domain_cap" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("source")
-        .orderBy(md5(concat(lit("cap:"), col("doc_id").cast("string"))),
-          col("doc_id"))
-      docs(s, dir)
-        .withColumn("rk", row_number().over(w))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          count(when(col("rk") <= 40, 1)).as("n_kept"),
-          count(when(col("rk") > 40, 1)).as("n_dropped"),
-          min(when(col("rk") <= 40, col("doc_id"))).as("sample_kept_doc"))
+      val d = docs(s, dir)
+      val kept40 = least(col("n_docs"), lit(40L))
+      val counts = d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+        .select(col("source"), col("n_docs"), kept40.as("n_kept"),
+          (col("n_docs") - kept40).as("n_dropped"))
+      val sample = org.apache.spark.sql.graft.TopK.perKey(
+          d.select(col("source"), col("doc_id"),
+            md5(concat(lit("cap:"), col("doc_id").cast("string"))).as("hk")),
+          Seq("source"), Seq(("hk", false), ("doc_id", false)), 40)
+        .groupBy("source").agg(min("doc_id").as("sample_kept_doc"))
+      counts.join(sample, Seq("source"))
     }),
 
     // curation: per-source token-budget admission (prefix cap) — each

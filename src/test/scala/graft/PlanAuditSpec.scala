@@ -72,15 +72,21 @@ class PlanAuditSpec extends SparkSuite {
     assert(plan.contains("WindowGroupLimit"), plan.take(3000))
   }
 
-  test("domain cap ranks with a single exchange keyed by source") {
+  test("domain cap is sort-free: bounded-heap top-k, no window over source") {
     val df = SparkEntry.queries("text_domain_cap")(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString
-    // one hash-partition exchange on source feeds both the window rank
-    // and the per-source rollup — a second exchange would mean the rollup
-    // failed to reuse the window's partitioning
+    // the kept-set witness must come from the bounded-heap TopKPerKey
+    // operator (map-side partial pass before the exchange), never from a
+    // row_number window — a window sorts each source's ENTIRE doc set in
+    // one reducer partition, which AQE cannot split for a hot source
+    assert(plan.contains("TopKPerKeyPartial"), plan.take(3000))
+    assert(!plan.contains("Window"), s"window rank crept back in:\n${plan.take(3000)}")
+    assert(!plan.contains("Sort "), s"full-partition sort crept back in:\n${plan.take(3000)}")
+    // counts branch + top-k branch: one source-keyed exchange each; the
+    // final join of two per-source aggregates must not add a third
     val exchanges = plan.linesIterator
       .count(l => l.contains("Exchange hashpartitioning"))
-    assert(exchanges === 1, s"expected 1 exchange, plan:\n${plan.take(3000)}")
+    assert(exchanges <= 2, s"expected <=2 exchanges, plan:\n${plan.take(3000)}")
   }
 
   test("state partitioned by table prunes to one partition on filter") {
