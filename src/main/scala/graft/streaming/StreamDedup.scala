@@ -28,7 +28,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *   arrivals beyond the cap enter neither the pair set nor state — a
   *   bucket emits O(cap²) pairs total even when one catch-up batch dumps
   *   B ≫ cap docs into it, exactly like the batch df-cap defends the
-  *   containment join (one stderr warning on the crossing batch).
+  *   containment join. Capped drops are OBSERVABLE: pass `droppedDocs`
+  *   (a driver-registered accumulator) and alert on nonzero — a capped
+  *   bucket means the stream's pair set has diverged from batch
+  *   `minhashLshPairs`, which has no cap (plus one stderr warning on the
+  *   crossing batch).
+  * - `idleTtlMs` bounds TOTAL state on a continuous ingest: a bucket
+  *   untouched for the TTL is evicted (ProcessingTimeTimeout — eviction
+  *   advances even when the bucket's key never reappears). Semantics of
+  *   a post-eviction arrival: it pairs only with docs that arrive AFTER
+  *   it — pairs against evicted occupants are missed (bounded recall
+  *   loss, the deliberate trade for bounded state). A pipeline that
+  *   cannot accept the loss re-seeds instead: run the batch
+  *   `LshIndex.probe` of the new window against the persisted lake index
+  *   (the daily-compaction complement), which re-finds any pair the
+  *   evicted state missed. Without `idleTtlMs` the index grows with the
+  *   distinct-bucket count forever — only correct for bounded corpora.
   * - the per-row signature uses the HOF (non-exploded) form: streaming
   *   micro-batches are latency-bound, not throughput-bound, and the HOF
   *   form needs no per-batch shuffle before the stateful stage (the only
@@ -85,33 +100,55 @@ object StreamDedup {
     * Jaccard join.
     */
   def candidates(
-      banded: Dataset[BandRow], maxBucket: Int = 1024): Dataset[CandPair] = {
+      banded: Dataset[BandRow],
+      maxBucket: Int = 1024,
+      idleTtlMs: Option[Long] = None,
+      droppedDocs: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[CandPair] = {
     import banded.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     banded
       .groupByKey(r => (r.b, r.bkey))
       .flatMapGroupsWithState[Array[Long], CandPair](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         case (_, rows, state: GroupState[Array[Long]]) =>
-          val prior = state.getOption.getOrElse(Array.empty[Long])
-          val fresh = rows.map(_.doc_id).toArray.distinct.sorted
-            .filterNot(prior.contains)
-          // the cap bounds WITHIN-batch fan-out too: only the occupants
-          // that fit under the cap emit pairs (a single catch-up batch
-          // delivering B boilerplate docs into one bucket must emit
-          // O(cap²), not B²); members beyond the cap enter neither the
-          // pair set nor state. Warn once, on the crossing batch only.
-          val room = math.max(0, maxBucket - prior.length)
-          val admitted = fresh.take(room)
-          if (prior.length < maxBucket && fresh.length > room)
-            Console.err.println(s"[graft] StreamDedup: bucket capped at " +
-              s"$maxBucket occupants — ${fresh.length - room} arrivals " +
-              "dropped from pairing")
-          val out = admitted.zipWithIndex.flatMap { case (id, i) =>
-            (prior.iterator ++ admitted.iterator.take(i)).map(o =>
-              CandPair(math.min(o, id), math.max(o, id)))
+          if (state.hasTimedOut) {
+            // idle past the TTL: drop the bucket — later arrivals restart
+            // it empty (recall-loss semantics documented on the object)
+            state.remove()
+            Iterator.empty
+          } else {
+            val prior = state.getOption.getOrElse(Array.empty[Long])
+            val fresh = rows.map(_.doc_id).toArray.distinct.sorted
+              .filterNot(prior.contains)
+            // the cap bounds WITHIN-batch fan-out too: only the occupants
+            // that fit under the cap emit pairs (a single catch-up batch
+            // delivering B boilerplate docs into one bucket must emit
+            // O(cap²), not B²); members beyond the cap enter neither the
+            // pair set nor state. Every drop counts into the accumulator
+            // (nonzero = stream has diverged from the un-capped batch
+            // pair set); the stderr warning fires on the crossing batch.
+            val room = math.max(0, maxBucket - prior.length)
+            val admitted = fresh.take(room)
+            if (fresh.length > room) {
+              droppedDocs.foreach(_.add(fresh.length - room))
+              if (prior.length < maxBucket)
+                Console.err.println(s"[graft] StreamDedup: bucket capped " +
+                  s"at $maxBucket occupants — ${fresh.length - room} " +
+                  "arrivals dropped from pairing")
+            }
+            val out = admitted.zipWithIndex.flatMap { case (id, i) =>
+              (prior.iterator ++ admitted.iterator.take(i)).map(o =>
+                CandPair(math.min(o, id), math.max(o, id)))
+            }
+            state.update(prior ++ admitted)
+            // renew the idle clock on every touch — eviction hits only
+            // buckets no arrival has refreshed for the whole TTL
+            idleTtlMs.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          state.update(prior ++ admitted)
-          out.iterator
       }
   }
 

@@ -49,4 +49,28 @@ class QuotaSpec extends SparkSuite {
     assert(streamed.values.exists(_ == false), "budget never exceeded")
     assert(streamed.values.exists(_ == true), "nothing admitted")
   }
+
+  test("out-of-order cross-batch arrival fails fast, not silently diverges") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DocTokens]
+    val q = Quota.admit(mem.toDS(), 1000L).writeStream
+      .format("memory").queryName("quota_ooo")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData(DocTokens("s1", 10L, 5L), DocTokens("s1", 20L, 5L))
+    q.processAllAvailable()
+    // doc_id 15 arrives AFTER 20 was processed: the stream's visit order
+    // can no longer match the batch window's — the operator must throw
+    // (surfaced as a terminated query), never emit a diverging cumsum
+    mem.addData(DocTokens("s1", 15L, 5L))
+    val failure = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(failure).exists(c =>
+      c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("cross-batch doc_id order")),
+      s"expected the fail-fast IllegalStateException, got: $failure")
+  }
 }

@@ -107,6 +107,113 @@ class StreamDedupSpec extends SparkSuite {
       "shingle-less docs must not form candidate pairs")
   }
 
+  // TTL runs use single-batch runs (Trigger.Once) against a shared
+  // checkpoint, one query run per wave: with ProcessingTimeTimeout
+  // registered the engine schedules timeout-check batches forever
+  // (shouldRunAnotherBatch stays true), so BOTH processAllAvailable() on
+  // a continuous query and Trigger.AvailableNow spin endlessly. Each
+  // restart's single batch processes the wave's data AND fires timeouts
+  // for buckets whose last touch predates (now - TTL) — deterministic
+  // eviction points.
+  private def runTtlWave(
+      mem: MemoryStream[DocIn], ckpt: String,
+      pairs: scala.collection.mutable.Set[(Long, Long)],
+      data: Seq[DocIn]): Long = {
+    mem.addData(data)
+    val cand = StreamDedup.candidates(
+      StreamDedup.bandRows(mem.toDF(), "doc_id", "text"),
+      idleTtlMs = Some(5L))
+    // foreachBatch sink: the memory sink refuses checkpoint recovery
+    val q = cand.writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.Once())
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[StreamDedup.CandPair], _: Long) =>
+          batch.collect().foreach(p => pairs += ((p.doc_a, p.doc_b)))
+          ()
+      }
+      .start()
+    q.awaitTermination()
+    q.recentProgress
+      .flatMap(_.stateOperators.headOption).map(_.numRowsTotal).lastOption
+      .getOrElse(0L)
+  }
+
+  test("idle buckets evict after the TTL — state bounded on a rolling stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("sd_ttl_ckpt").toString
+    val mem = MemoryStream[DocIn]
+    // three waves of mutually-unrelated docs: every wave creates its own
+    // buckets and touches no earlier wave's, so with no eviction state
+    // would grow by ~4 buckets per doc per wave, forever
+    def wave(ids: Range, tag: String) = ids.map(i =>
+      DocIn(i.toLong, s"$tag$i a$tag$i b$tag$i c$tag$i d$tag$i e$tag$i"))
+    val sink = scala.collection.mutable.Set[(Long, Long)]()
+    val afterW1 = runTtlWave(mem, ckpt, sink, wave(1 to 20, "p"))
+    assert(afterW1 > 0L)
+    Thread.sleep(200) // all wave-1 buckets idle past the 5 ms TTL
+    val afterW2 = runTtlWave(mem, ckpt, sink, wave(21 to 40, "q"))
+    Thread.sleep(200)
+    val afterW3 = runTtlWave(mem, ckpt, sink, wave(41 to 60, "r"))
+    // bounded: each wave's run evicts the previous wave's idle buckets,
+    // so total state rows never exceed one wave's bucket count
+    assert(afterW2 <= afterW1, s"wave2 state $afterW2 > wave1 $afterW1")
+    assert(afterW3 <= afterW1, s"wave3 state $afterW3 > wave1 $afterW1")
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(ckpt))
+  }
+
+  test("post-eviction arrival misses evicted occupants, pairs with later ones") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("sd_ttl_miss_ckpt").toString
+    val mem = MemoryStream[DocIn]
+    val text = "u v u v u v u v"
+    val pairs = scala.collection.mutable.Set[(Long, Long)]()
+    runTtlWave(mem, ckpt, pairs, Seq(DocIn(1L, text)))
+    Thread.sleep(200)
+    // unrelated traffic whose run's timeout pass evicts doc 1's buckets
+    runTtlWave(mem, ckpt, pairs, Seq(DocIn(99L, "w x w x w x w x")))
+    // doc 2 lands in doc 1's (now-empty) buckets: the 1–2 pair is LOST —
+    // the documented recall trade; doc 3 in the same run pairs with doc 2
+    runTtlWave(mem, ckpt, pairs, Seq(DocIn(2L, text), DocIn(3L, text)))
+    assert(!pairs.contains((1L, 2L)),
+      "pair against an evicted occupant must be missed (bounded recall loss)")
+    assert(pairs.contains((2L, 3L)),
+      "post-eviction occupants must pair among themselves")
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(ckpt))
+  }
+
+  test("maxBucket drops are counted in the droppedDocs accumulator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val acc = spark.sparkContext.longAccumulator("graft.streamDedup.dropped")
+    val mem = MemoryStream[DocIn]
+    val cand = StreamDedup.candidates(
+      StreamDedup.bandRows(mem.toDF(), "doc_id", "text"),
+      maxBucket = 2, droppedDocs = Some(acc))
+    val q = cand.writeStream.format("memory").queryName("sd_capped")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    val text = "m n m n m n m n"
+    // one batch of 4 identical docs against cap 2: 2 admitted, 2 dropped
+    // — dropped docs enter neither pairs nor state, and the batch-
+    // divergence is visible in the accumulator (4 bands × 2 docs = 8)
+    mem.addData((1 to 4).map(i => DocIn(i.toLong, text)))
+    q.processAllAvailable()
+    val afterBatch1 = acc.value
+    assert(afterBatch1 === 8L,
+      s"expected 2 docs × 4 band-buckets dropped, got $afterBatch1")
+    // a later arrival into the full bucket is dropped too (no crossing
+    // warning anymore, but the count still moves)
+    mem.addData(DocIn(5L, text)); q.processAllAvailable()
+    q.stop()
+    assert(acc.value === 12L, s"expected 12 total, got ${acc.value}")
+  }
+
   test("replayed doc re-emits no pairs (bucket state is idempotent)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
