@@ -261,11 +261,15 @@ object Similarity {
     * Scale shape: the sketch pass is a narrow map (bands × bitsPerBand
     * codegen'd dot products against literal hyperplanes — no data joins);
     * the candidate join shuffles bands×n (band, sketch) keys, never the
-    * n² pair space; `salts` shards degenerate buckets.
+    * n² pair space; `salts` shards degenerate buckets — `salts = 0`
+    * (the default) sizes the shard factor from the OBSERVED hottest
+    * (band, sketch) bucket via [[Skew.adaptiveSalts]], so uniform data
+    * pays no replication and a degenerate bucket is sharded without
+    * anyone having guessed a constant.
     */
   def rpLshPairs(
       emb: DataFrame, bands: Int, bitsPerBand: Int, threshold: Double,
-      salts: Int = 1, dim: Int = 64): DataFrame = {
+      salts: Int = 0, dim: Int = 64): DataFrame = {
     // fail fast on a dimension mismatch: DotProduct truncates to the
     // shorter operand, which would silently sketch only a prefix
     val v = vecs(emb)
@@ -285,11 +289,14 @@ object Similarity {
     val stackArgs = (0 until bands).map(b => s"$b, sk$b").mkString(", ")
     val sk = withSk
       .selectExpr("vec_id", s"stack($bands, $stackArgs) as (b, sketch)")
+      .materialize() // feeds the salt-sizing pass and the join's 2 sides
+    val s =
+      if (salts == 0) Skew.adaptiveSalts(sk, Seq("b", "sketch")) else salts
     // cand-then-verify (the minhashLshPairs shape, and the oracle's):
     // dedup (va, vb) BEFORE the cosine so a pair colliding in several
     // bands is verified once, and the band join shuffles only ids +
     // sketches — vectors never ride through the stack or the distinct
-    val cand = Skew.saltedSelfJoin(sk, Seq("b", "sketch"), "vec_id", salts)
+    val cand = Skew.saltedSelfJoin(sk, Seq("b", "sketch"), "vec_id", s)
       .select(col("l.vec_id").as("va"), col("r.vec_id").as("vb"))
       .distinct()
     cand
@@ -347,10 +354,12 @@ object Similarity {
   }
 
   def nearDupPairs(
-      emb: DataFrame, c: Int, threshold: Double, salts: Int = 1): DataFrame = {
+      emb: DataFrame, c: Int, threshold: Double, salts: Int = 0): DataFrame = {
     // both sides of the self-join read the assignment — materialize once
+    // (the salt-sizing pass reads the same checkpointed blocks)
     val asn = ivfAssign(emb, c).materialize()
-    Skew.saltedSelfJoin(asn, Seq("cid"), "vec_id", salts)
+    val s = if (salts == 0) Skew.adaptiveSalts(asn, Seq("cid")) else salts
+    Skew.saltedSelfJoin(asn, Seq("cid"), "vec_id", s)
       .select(col("l.vec_id").as("va"), col("r.vec_id").as("vb"),
         cosine(col("l.v"), col("r.v")).as("sim"))
       .filter(col("sim") >= threshold)

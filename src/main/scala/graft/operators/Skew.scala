@@ -23,6 +23,42 @@ object Skew {
   def salt(salts: Int, spreadCols: Column*): Column =
     pmod(hash(spreadCols: _*), lit(salts))
 
+  /** Salt factor chosen from OBSERVED key-group cardinalities — replaces
+    * the guess-a-constant default at the self-join entry points. One
+    * aggregation pass (count per key with map-side combine, then a
+    * single max — no data collected to the driver beyond one long)
+    * measures the hottest group; the salt is sized so each (saltL,
+    * saltR) shard of that group's pair space stays near
+    * `targetPerShard²` pairs:
+    *
+    *   salts = clamp(ceil(maxGroup / targetPerShard), 1, maxSalts)
+    *
+    * Uniform data costs nothing (salts = 1 → the plain join, zero
+    * replication); a degenerate group (boilerplate bucket, dominant IVF
+    * cell) fans its pair space over salts² reducers. The pre-pass is
+    * priced for call sites whose keyed frame is already materialized —
+    * both LSH-shaped entry points materialize the frame for the join's
+    * two sides anyway, so the count pass re-reads checkpointed blocks.
+    * `maxSalts` bounds the replication cost (shuffle grows salts×):
+    * beyond it a group is so degenerate that capping/df-filtering
+    * upstream (the containment join's defense) beats more fan-out.
+    */
+  def adaptiveSalts(
+      df: DataFrame,
+      keyCols: Seq[String],
+      targetPerShard: Long = 2048L,
+      maxSalts: Int = 16): Int = {
+    require(targetPerShard >= 1 && maxSalts >= 1)
+    val r = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(max("n")).head()
+    if (r.isNullAt(0)) 1 // empty input: nothing to shard
+    else {
+      val hottest = r.getLong(0)
+      val s = math.ceil(hottest.toDouble / targetPerShard).toInt
+      math.max(1, math.min(maxSalts, s))
+    }
+  }
+
   /** Salted within-group pair generation (self-join on `keyCols` with
     * `l.idCol < r.idCol`). A hot group of B rows produces B² pairs through
     * ONE reducer in the naive self-join; here each side is sharded by a

@@ -70,6 +70,38 @@ class ExtensionsSkewSpec extends SparkSuite {
     assert(cellPairs(4) === cellPairs(1))
   }
 
+  test("adaptiveSalts sizes the shard factor from the observed hottest key") {
+    import spark.implicits._
+    // uniform: every key under the shard target → plain join, no salting
+    val uniform = (1 to 1000).map(i => (i % 10, i)).toDF("k", "v")
+    assert(Skew.adaptiveSalts(uniform, Seq("k")) === 1)
+    // skewed: one key holds 5000 rows → ceil(5000 / 2048) = 3 shards
+    val skewed = ((1 to 5000).map(_ => (0, 0)) ++
+      (1 to 100).map(i => (i, i))).toDF("k", "v")
+    assert(Skew.adaptiveSalts(skewed, Seq("k")) === 3)
+    // degenerate: the cap bounds replication no matter how hot the key
+    val degenerate = (1 to 60000).map(_ => (0, 0)).toDF("k", "v")
+    assert(Skew.adaptiveSalts(degenerate, Seq("k"), maxSalts = 16) === 16)
+    // empty: nothing to shard
+    assert(Skew.adaptiveSalts(uniform.filter(col("k") < -1), Seq("k")) === 1)
+    // explicit target overrides the default shard sizing
+    assert(Skew.adaptiveSalts(skewed, Seq("k"), targetPerShard = 500L) === 10)
+  }
+
+  test("adaptive default (salts = 0) equals the explicit unsalted result") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    def cellPairs(salts: Int): Set[(Long, Long, Double)] =
+      Similarity.nearDupPairs(emb, 16, 0.3, salts)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cellPairs(0) === cellPairs(1)) // 0 = adaptive, the new default
+    def rpPairs(salts: Int): Set[(Long, Long, Double)] =
+      Similarity.rpLshPairs(emb, bands = 4, bitsPerBand = 8, threshold = 0.5,
+          salts = salts)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rpPairs(0) === rpPairs(1))
+  }
+
   test("salt is deterministic and bounded") {
     import spark.implicits._
     val df = (1 to 1000).toDF("k")
