@@ -81,7 +81,15 @@ object Bench {
             if (f.getName.startsWith("events"))
               spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             spark.read.parquet(f.getPath).count()
-          } catch { case _: Throwable => () }
+          } catch {
+            // NonFatal only (an OOM here must crash the bench, not warp
+            // its numbers), and a failed warm is LOUD: a cold table
+            // silently reintroduces the first-touch attribution error
+            // this warmup exists to fix
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(
+                s"[bench] warmup scan of ${f.getName} failed: $e")
+          }
         }
     }
     // optional args: query-name substrings to run (local iteration aid;

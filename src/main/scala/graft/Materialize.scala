@@ -64,7 +64,11 @@ object Materialize {
   def forced(df: DataFrame): DataFrame =
     df.sparkSession.conf.get(ModeKey, "local") match {
       case "reliable" => reliable(df)
-      case _ => df.localCheckpoint()
+      case "local" | "none" => df.localCheckpoint()
+      case other => throw new IllegalArgumentException(
+        // same validation as apply(): a typo'd mode must fail loudly, not
+        // silently run every forced() site in local mode
+        s"$ModeKey must be local|reliable|none, got '$other'")
     }
 
   private def reliable(df: DataFrame): DataFrame = {

@@ -54,8 +54,13 @@ object Lake {
   def manifest(
       spark: SparkSession, outDir: String,
       partitionCols: Seq[String]): DataFrame = {
+    // RFC 3986 scheme chars (ALPHA *(ALPHA/DIGIT/+/-/.)), case-insensitive
+    // — the earlier [a-z0-9]+ missed legal schemes (e.g. "s3+custom",
+    // uppercase), and a one-sided normalization miss silently dropped
+    // files from the manifest via the inner join (now a left join that
+    // fails loudly instead)
     def norm(c: org.apache.spark.sql.Column) =
-      regexp_replace(c, "^[a-z0-9]+:/+", "/")
+      regexp_replace(c, "(?i)^[a-z][a-z0-9+.-]*:/+", "/")
     val files = spark.read.parquet(outDir)
       .select(partitionCols.map(col) :+
         norm(input_file_name()).as("file"): _*)
@@ -75,8 +80,16 @@ object Lake {
       buf.toSeq.toDF("file_uri", "n_bytes")
         .select(norm(col("file_uri")).as("file"), col("n_bytes"))
     }
+    // left join + per-row null check: a normalization mismatch between
+    // the two listings must FAIL the manifest, not shrink it — silent
+    // file loss defeats the accounting this manifest exists to provide
     files
-      .join(sizes, "file")
+      .join(sizes, Seq("file"), "left")
+      .select((partitionCols.map(col) :+ col("file") :+ col("n_rows") :+
+        coalesce(col("n_bytes"), raise_error(concat(
+          lit("Lake.manifest: no byte size for file "), col("file"),
+          lit(" — scan/listing path normalization diverged"))))
+          .as("n_bytes")): _*)
       .groupBy(partitionCols.map(col): _*)
       .agg(countDistinct("file").as("n_files"),
         sum("n_rows").as("n_rows"),

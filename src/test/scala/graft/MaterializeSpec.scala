@@ -60,6 +60,11 @@ class MaterializeSpec extends SparkSuite {
       intercept[IllegalArgumentException] {
         Materialize(spark.range(1).toDF("x"))
       }
+      // forced() must apply the SAME validation: a typo'd mode at a
+      // forced-only call site would otherwise silently run as local
+      intercept[IllegalArgumentException] {
+        Materialize.forced(spark.range(1).toDF("x"))
+      }
     }
   }
 
