@@ -197,6 +197,13 @@ object DedupQueries extends QueryRegistry {
     "dedup_incremental" -> ((s, dir) =>
       TextDedup.minhashLshPairsIncremental(
         docs(s, dir), col("doc_id") % 10 === 0, "doc_id", "text")),
+    // X2: cross-document repeated-substring accounting (Lee et al. exact-
+    // substring dedup at word-8-gram granularity): per doc, how many
+    // tokens sit inside an 8-gram that recurs verbatim in >= 2 docs, and
+    // in how many maximal spans — the span-REMOVAL form of dedup that
+    // keeps docs and cuts boilerplate
+    "dedup_repeated_spans" -> ((s, dir) =>
+      TextDedup.repeatedSpanStats(docs(s, dir), "doc_id", "text")),
     // X2: SimHash fingerprints (near-dups collide on all 16 bits)
     "dedup_simhash" -> ((s, dir) =>
       TextDedup.simhashDf(docs(s, dir), "doc_id", "text")),
@@ -373,6 +380,35 @@ object DedupQueries extends QueryRegistry {
         | count(*) AS n_copies
         |FROM latest WHERE rn = 1 AND action <> 'delete'
         |GROUP BY 1""".stripMargin,
+    "dedup_repeated_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, i AS gpos,
+        |    substr(md5(array_to_string(w[i:i+7], ' ')), 1, 16) AS gh
+        |  FROM t, unnest(generate_series(1, len(w) - 7)) AS u(i)
+        |  WHERE len(w) >= 8),
+        |hg AS (SELECT gh FROM g GROUP BY gh
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |h AS (SELECT doc_id, gpos FROM g JOIN hg USING (gh)),
+        |tok AS (SELECT doc_id, i AS tpos
+        |  FROM t, unnest(generate_series(1, len(w))) AS u(i)),
+        |c AS (SELECT tok.doc_id, tok.tpos,
+        |    CASE WHEN h.gpos IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM tok LEFT JOIN h
+        |    ON h.doc_id = tok.doc_id AND h.gpos = tok.tpos),
+        |cv AS (SELECT doc_id, tpos, hit,
+        |    max(hit) OVER (PARTITION BY doc_id ORDER BY tpos
+        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS covered
+        |  FROM c),
+        |cv2 AS (SELECT doc_id, hit, covered,
+        |    lag(covered, 1, 0) OVER (PARTITION BY doc_id ORDER BY tpos)
+        |      AS prev_cov
+        |  FROM cv)
+        |SELECT doc_id, count(*) AS n_tokens,
+        | CAST(sum(hit) AS BIGINT) AS n_hit_grams,
+        | CAST(sum(covered) AS BIGINT) AS n_repeated_tokens,
+        | CAST(sum(CASE WHEN covered = 1 AND prev_cov = 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_spans
+        |FROM cv2 GROUP BY 1""".stripMargin,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_hamming" -> {
       val hammingTerms = (1 to 16).map(j =>

@@ -389,6 +389,69 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Cross-document repeated-substring accounting — the word-n-gram
+    * approximation of exact-substring training-data dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", 2022:
+    * remove substrings that recur verbatim across documents, don't drop
+    * whole near-dup docs). A position-p n-gram whose document frequency
+    * is ≥ `minDf` marks tokens [p, p+n-1] of every doc containing it as
+    * repeated; per doc this emits the removal accounting a curation
+    * pipeline acts on: token count, hit-gram count, covered-token count,
+    * and the number of maximal covered runs (merged spans).
+    *
+    * Scale shape: grams shuffle as 16-char md5 prefixes (never 8-word
+    * strings); doc frequency is one map-side-combined aggregate; the
+    * flat gram table is materialized ONCE and feeds both the df filter
+    * and the hit join (co-partitioned on the gram hash). Span coverage
+    * is a bounded-frame window (`n` rows) partitioned by doc_id — a
+    * high-cardinality key, so unlike a per-source window there is no
+    * hot-partition hazard, and the frame never exceeds the doc. Work is
+    * O(total tokens), the floor for per-token accounting.
+    */
+  def repeatedSpanStats(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDf: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val d = docs.repartition(par)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
+    // guarded sequence: Spark's sequence(1, size-n+1) runs DESCENDING for
+    // docs shorter than n tokens — they have no grams, not reversed ones
+    val gramsOf = when(size(col("w")) >= n,
+        transform(sequence(lit(1), size(col("w")) - (n - 1)),
+          i => substring(md5(concat_ws(" ", slice(col("w"), i, lit(n)))), 1, 16)))
+      .otherwise(array().cast("array<string>"))
+    val grams = d.select(col("doc_id"), posexplode(gramsOf).as(Seq("p0", "gh")))
+      .select(col("doc_id"), (col("p0") + 1).cast("int").as("gpos"), col("gh"))
+      .materialize() // feeds the df filter AND the hit join
+    val hot = grams.groupBy("gh")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= minDf).select("gh")
+    val hits = grams.join(hot, "gh")
+      .select(col("doc_id").as("hdoc"), col("gpos"))
+    val toks = d.select(col("doc_id"), posexplode(col("w")).as(Seq("t0", "tok")))
+      .select(col("doc_id"), (col("t0") + 1).cast("int").as("tpos"))
+    // token t is covered iff some hit gram starts in [t-n+1, t]: one
+    // bounded-frame max over the doc's positions; span starts fall out of
+    // a lag on the coverage flag in the same sort
+    val wCov = Window.partitionBy("doc_id").orderBy("tpos")
+      .rowsBetween(-(n - 1), 0)
+    val wSeq = Window.partitionBy("doc_id").orderBy("tpos")
+    toks
+      .join(hits, col("doc_id") === col("hdoc") && col("tpos") === col("gpos"),
+        "left")
+      .select(col("doc_id"), col("tpos"),
+        when(col("gpos").isNotNull, 1).otherwise(0).as("hit"))
+      .withColumn("covered", max("hit").over(wCov))
+      .withColumn("prev_cov", lag("covered", 1, 0).over(wSeq))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("hit").as("n_hit_grams"),
+        sum("covered").as("n_repeated_tokens"),
+        sum(when(col("covered") === 1 && col("prev_cov") === 0, 1)
+          .otherwise(0)).as("n_spans"))
+  }
+
   /** Incremental near-dup maintenance against a persisted bucketed LSH
     * index, as a ONE-SHOT demonstration: given a corpus where `isNew`
     * marks the fresh batch, emit exactly the near-dup pairs that TOUCH a

@@ -73,6 +73,35 @@ class DedupSpec extends SparkSuite {
     assert(starChain.size === 401)
   }
 
+  test("repeatedSpanStats: coverage, span merging, and within-doc recurrence") {
+    import spark.implicits._
+    val s = (1 to 9).map(i => s"s$i") // the cross-doc shared run
+    val fixture = Seq(
+      // shared 8-gram s1..s8 at positions 5..12 of 14 tokens
+      (1L, (Seq("a1", "a2", "a3", "a4") ++ s.take(8) ++ Seq("a5", "a6"))
+        .mkString(" ")),
+      // same gram at position 1 of 10 tokens
+      (2L, (s.take(8) ++ Seq("b1", "b2")).mkString(" ")),
+      // TWO overlapping shared grams (s1..s8, s2..s9) must merge: one span
+      (3L, s.mkString(" ")),
+      (4L, (s :+ "e1").mkString(" ")),
+      // the shared gram twice in ONE doc: two disjoint spans
+      (5L, (s.take(8) ++ Seq("f1") ++ s.take(8)).mkString(" ")),
+      // too short for any gram: all-zero accounting
+      (6L, "c1 c2 c3")).toDF("doc_id", "text")
+    val got = TextDedup.repeatedSpanStats(fixture, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // (n_tokens, n_hit_grams, n_repeated_tokens, n_spans)
+    assert(got(1L) === ((14L, 1L, 8L, 1L)))
+    assert(got(2L) === ((10L, 1L, 8L, 1L)))
+    assert(got(3L) === ((9L, 2L, 9L, 1L))) // overlap merged into one span
+    assert(got(4L) === ((10L, 2L, 9L, 1L)))
+    assert(got(5L) === ((17L, 2L, 16L, 2L))) // f1 splits the coverage
+    assert(got(6L) === ((3L, 0L, 0L, 0L)))
+  }
+
   test("single-pass CosineSim == composed dot/norms, bitwise, on real embeddings") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
