@@ -204,6 +204,11 @@ object DedupQueries extends QueryRegistry {
     // keeps docs and cuts boilerplate
     "dedup_repeated_spans" -> ((s, dir) =>
       TextDedup.repeatedSpanStats(docs(s, dir), "doc_id", "text")),
+    // X2: the APPLY form — rebuild each doc with covered tokens removed
+    // (the actual cut a curation pipeline lands; fully-covered docs
+    // survive as empty strings for the downstream policy filter)
+    "dedup_repeated_spans_apply" -> ((s, dir) =>
+      TextDedup.removeRepeatedSpans(docs(s, dir), "doc_id", "text")),
     // X2: SimHash fingerprints (near-dups collide on all 16 bits)
     "dedup_simhash" -> ((s, dir) =>
       TextDedup.simhashDf(docs(s, dir), "doc_id", "text")),
@@ -259,6 +264,33 @@ object DedupQueries extends QueryRegistry {
        |   JOIN sz sa ON sa.doc_id = doc_a
        |   JOIN sz sb ON sb.doc_id = doc_b
        |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5)""".stripMargin
+
+  // Shared per-token coverage chain for the repeated-span pair (mirrors
+  // TextDedup.repeatedSpanCoverage): 8-gram md5-prefix keys, df >= 2 over
+  // distinct docs, bounded 8-row coverage frame, lag for span starts.
+  private val repeatedSpanCtes =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, i AS gpos,
+      |    substr(md5(array_to_string(w[i:i+7], ' ')), 1, 16) AS gh
+      |  FROM t, unnest(generate_series(1, len(w) - 7)) AS u(i)
+      |  WHERE len(w) >= 8),
+      |hg AS (SELECT gh FROM g GROUP BY gh
+      |  HAVING count(DISTINCT doc_id) >= 2),
+      |h AS (SELECT doc_id, gpos FROM g JOIN hg USING (gh)),
+      |tok AS (SELECT doc_id, i AS tpos, w[i] AS tok
+      |  FROM t, unnest(generate_series(1, len(w))) AS u(i)),
+      |c AS (SELECT tok.doc_id, tok.tpos, tok.tok,
+      |    CASE WHEN h.gpos IS NOT NULL THEN 1 ELSE 0 END AS hit
+      |  FROM tok LEFT JOIN h
+      |    ON h.doc_id = tok.doc_id AND h.gpos = tok.tpos),
+      |cv AS (SELECT doc_id, tpos, tok, hit,
+      |    max(hit) OVER (PARTITION BY doc_id ORDER BY tpos
+      |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS covered
+      |  FROM c),
+      |cv2 AS (SELECT doc_id, tpos, tok, hit, covered,
+      |    lag(covered, 1, 0) OVER (PARTITION BY doc_id ORDER BY tpos)
+      |      AS prev_cov
+      |  FROM cv)""".stripMargin
 
   private val simhashSql =
     s"""SELECT doc_id, array_to_string(list_transform(generate_series(1,16), j ->
@@ -381,34 +413,21 @@ object DedupQueries extends QueryRegistry {
         |FROM latest WHERE rn = 1 AND action <> 'delete'
         |GROUP BY 1""".stripMargin,
     "dedup_repeated_spans" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |g AS (SELECT doc_id, i AS gpos,
-        |    substr(md5(array_to_string(w[i:i+7], ' ')), 1, 16) AS gh
-        |  FROM t, unnest(generate_series(1, len(w) - 7)) AS u(i)
-        |  WHERE len(w) >= 8),
-        |hg AS (SELECT gh FROM g GROUP BY gh
-        |  HAVING count(DISTINCT doc_id) >= 2),
-        |h AS (SELECT doc_id, gpos FROM g JOIN hg USING (gh)),
-        |tok AS (SELECT doc_id, i AS tpos
-        |  FROM t, unnest(generate_series(1, len(w))) AS u(i)),
-        |c AS (SELECT tok.doc_id, tok.tpos,
-        |    CASE WHEN h.gpos IS NOT NULL THEN 1 ELSE 0 END AS hit
-        |  FROM tok LEFT JOIN h
-        |    ON h.doc_id = tok.doc_id AND h.gpos = tok.tpos),
-        |cv AS (SELECT doc_id, tpos, hit,
-        |    max(hit) OVER (PARTITION BY doc_id ORDER BY tpos
-        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS covered
-        |  FROM c),
-        |cv2 AS (SELECT doc_id, hit, covered,
-        |    lag(covered, 1, 0) OVER (PARTITION BY doc_id ORDER BY tpos)
-        |      AS prev_cov
-        |  FROM cv)
-        |SELECT doc_id, count(*) AS n_tokens,
-        | CAST(sum(hit) AS BIGINT) AS n_hit_grams,
-        | CAST(sum(covered) AS BIGINT) AS n_repeated_tokens,
-        | CAST(sum(CASE WHEN covered = 1 AND prev_cov = 0 THEN 1 ELSE 0 END)
-        |   AS BIGINT) AS n_spans
-        |FROM cv2 GROUP BY 1""".stripMargin,
+      s"""WITH $repeatedSpanCtes
+         |SELECT doc_id, count(*) AS n_tokens,
+         | CAST(sum(hit) AS BIGINT) AS n_hit_grams,
+         | CAST(sum(covered) AS BIGINT) AS n_repeated_tokens,
+         | CAST(sum(CASE WHEN covered = 1 AND prev_cov = 0 THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_spans
+         |FROM cv2 GROUP BY 1""".stripMargin,
+    "dedup_repeated_spans_apply" ->
+      s"""WITH $repeatedSpanCtes
+         |SELECT doc_id,
+         | CAST(count(*) FILTER (WHERE covered = 0) AS BIGINT)
+         |   AS n_tokens_kept,
+         | coalesce(string_agg(tok, ' ' ORDER BY tpos)
+         |   FILTER (WHERE covered = 0), '') AS clean_text
+         |FROM cv2 GROUP BY 1""".stripMargin,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_hamming" -> {
       val hammingTerms = (1 to 16).map(j =>

@@ -410,7 +410,43 @@ object TextDedup {
     */
   def repeatedSpanStats(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 8, minDf: Int = 2): DataFrame = {
+      n: Int = 8, minDf: Int = 2): DataFrame =
+    repeatedSpanCoverage(docs, idCol, textCol, n, minDf)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("hit").as("n_hit_grams"),
+        sum("covered").as("n_repeated_tokens"),
+        sum(when(col("covered") === 1 && col("prev_cov") === 0, 1)
+          .otherwise(0)).as("n_spans"))
+
+  /** The APPLY form of [[repeatedSpanStats]]: rebuild each doc's text with
+    * every covered token removed (the actual Lee-et-al-style cut, not just
+    * the accounting). Per-doc token order is restored with an in-group
+    * array_sort — bounded by one doc's tokens, never a partition sort.
+    * Fully-covered docs survive as empty strings (the curation pipeline
+    * decides whether to drop them — that's a policy filter, not dedup).
+    */
+  def removeRepeatedSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDf: Int = 2): DataFrame =
+    repeatedSpanCoverage(docs, idCol, textCol, n, minDf)
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("covered") === 0, 1).otherwise(0)).as("n_tokens_kept"),
+        // collect_list drops the nulls the `when` leaves on covered rows
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("covered") === 0, struct(col("tpos"), col("tok"))))),
+          s => s("tok"))).as("clean_text"))
+
+  /** Shared per-token coverage frame for the repeated-span pair: one row
+    * per (doc, token position) with `hit` (a df≥minDf gram STARTS here),
+    * `covered` (some hit gram overlaps this token), and `prev_cov` (the
+    * previous position's coverage — span starts are covered ∧ ¬prev).
+    */
+  private[operators] def repeatedSpanCoverage(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val d = docs.repartition(par)
@@ -430,7 +466,7 @@ object TextDedup {
     val hits = grams.join(hot, "gh")
       .select(col("doc_id").as("hdoc"), col("gpos"))
     val toks = d.select(col("doc_id"), posexplode(col("w")).as(Seq("t0", "tok")))
-      .select(col("doc_id"), (col("t0") + 1).cast("int").as("tpos"))
+      .select(col("doc_id"), (col("t0") + 1).cast("int").as("tpos"), col("tok"))
     // token t is covered iff some hit gram starts in [t-n+1, t]: one
     // bounded-frame max over the doc's positions; span starts fall out of
     // a lag on the coverage flag in the same sort
@@ -440,16 +476,10 @@ object TextDedup {
     toks
       .join(hits, col("doc_id") === col("hdoc") && col("tpos") === col("gpos"),
         "left")
-      .select(col("doc_id"), col("tpos"),
+      .select(col("doc_id"), col("tpos"), col("tok"),
         when(col("gpos").isNotNull, 1).otherwise(0).as("hit"))
       .withColumn("covered", max("hit").over(wCov))
       .withColumn("prev_cov", lag("covered", 1, 0).over(wSeq))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum("hit").as("n_hit_grams"),
-        sum("covered").as("n_repeated_tokens"),
-        sum(when(col("covered") === 1 && col("prev_cov") === 0, 1)
-          .otherwise(0)).as("n_spans"))
   }
 
   /** Incremental near-dup maintenance against a persisted bucketed LSH

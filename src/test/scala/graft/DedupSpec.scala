@@ -100,6 +100,15 @@ class DedupSpec extends SparkSuite {
     assert(got(4L) === ((10L, 2L, 9L, 1L)))
     assert(got(5L) === ((17L, 2L, 16L, 2L))) // f1 splits the coverage
     assert(got(6L) === ((3L, 0L, 0L, 0L)))
+
+    // the APPLY form rebuilds text from the same coverage frame
+    val cleaned = TextDedup.removeRepeatedSpans(fixture, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(cleaned(1L) === ((6L, "a1 a2 a3 a4 a5 a6")))
+    assert(cleaned(3L) === ((0L, ""))) // fully covered, kept for policy
+    assert(cleaned(5L) === ((1L, "f1")))
+    assert(cleaned(6L) === ((3L, "c1 c2 c3")))
   }
 
   test("single-pass CosineSim == composed dot/norms, bitwise, on real embeddings") {
