@@ -170,9 +170,11 @@ object Similarity {
     * small-int codes — 16× smaller at mSub=16 — searched without
     * decompression).
     *
-    * Train: split each vector into `mSub` subvectors; per subspace, one
-    * seeded Lloyd's round over `kCode` codes (first-kCode seed, integer-
-    * quantized means — same determinism contract as [[kmeansCentroids]]).
+    * Train: split each vector into `mSub` subvectors; per subspace,
+    * `trainRounds` seeded Lloyd's rounds over `kCode` codes (first-kCode
+    * seed, integer-quantized means — same determinism contract as
+    * [[kmeansCentroids]]; round 7 raised the default from 1 to 2, which
+    * lifts recall@5 on the fixture, see `SimilaritySpec`).
     * Encode: nearest code per (vector, subspace). Query (ADC): per query,
     * a (subspace × code) lookup table of squared-L2 distances; a vector's
     * approximate distance is the sum of its codes' table entries. Distance
@@ -181,11 +183,14 @@ object Similarity {
     *
     * Scale shape: codebooks/LUTs are tiny broadcasts; the ADC scan is a
     * narrow map over the codes table with map-side partial sums — no
-    * full-vector data moves at query time.
+    * full-vector data moves at query time. Each extra training round is
+    * one more broadcast-join + hash-aggregate pass over the subvector
+    * table — linear, and training can run on a sample at 100 TB.
     */
   def pqAdcTopK(
       emb: DataFrame, mSub: Int, kCode: Int, queryPred: Column,
-      k: Int): DataFrame = {
+      k: Int, trainRounds: Int = 2): DataFrame = {
+    require(trainRounds >= 1, s"trainRounds must be >= 1, got $trainRounds")
     val v = vecs(emb)
     val subDim = 64 / mSub
     // sub feeds three consumers (train assign, encode, query LUT) —
@@ -207,7 +212,9 @@ object Similarity {
         .agg(min("dc").as("best"), first("sv").as("sv"))
         .select(col("vec_id"), col("m"), col("sv"), col("best.code").as("code"))
 
-    val cb1 = assign(cb0)
+    // integer-quantized per-code means of an assignment — one Lloyd's
+    // update step (codes that lose every member drop out, both engines)
+    def meanCodebook(assigned: DataFrame): DataFrame = assigned
       .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
       .select(col("m"), col("code"), col("pos"),
         round(col("x") * 1e6, 0).cast("long").as("xi"))
@@ -218,12 +225,16 @@ object Similarity {
       .groupBy("m", "code")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
         s => s("cx")).as("cv"))
-      .materialize() // mSub×kCode rows, feeds encode + every query LUT
+      .materialize() // mSub×kCode rows, feeds the next round + encode + LUT
 
-    val codes = assign(cb1).select("vec_id", "m", "code")
+    val cb = (1 to trainRounds).foldLeft(cb0) {
+      case (prev, _) => meanCodebook(assign(prev))
+    }
+
+    val codes = assign(cb).select("vec_id", "m", "code")
     val qsub = sub.filter(queryPred)
       .select(col("vec_id").as("qid"), col("m"), col("sv").as("qv"))
-    val lut = qsub.join(broadcast(cb1), Seq("m"))
+    val lut = qsub.join(broadcast(cb), Seq("m"))
       .select(col("qid"), col("m"), col("code"),
         round(l2sq(col("qv"), col("cv")) * 1e6, 0).cast("long").as("di"))
     val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id"))

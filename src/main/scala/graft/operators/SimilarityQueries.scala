@@ -213,31 +213,42 @@ object SimilarityQueries extends QueryRegistry {
   private def l2Sql(a: String, b: String): String =
     s"(list_dot_product($a, $a) - 2.0 * list_dot_product($a, $b) + list_dot_product($b, $b))"
 
-  // Mirror of Similarity.pqAdcTopK(mSub = 16, kCode = 32, vec_id < 10, k = 5)
+  // One Lloyd's assignment CTE: nearest code of `cb` per (vec, subspace)
+  private def pqAssignCte(name: String, cb: String) =
+    s"""$name AS (SELECT vec_id, m, sv, code FROM (
+       |  SELECT s.vec_id, s.m, s.sv, c.code,
+       |    row_number() OVER (PARTITION BY s.vec_id, s.m
+       |      ORDER BY ${l2Sql("s.sv", "c.cv")} ASC, c.code) AS rk
+       |  FROM sub s JOIN $cb c ON s.m = c.m) WHERE rk = 1)""".stripMargin
+
+  // One Lloyd's update CTE: integer-quantized per-code means of `a`
+  private def pqMeanCte(name: String, a: String) =
+    s"""$name AS (SELECT m, code, list(cx ORDER BY pos) AS cv FROM (
+       |  SELECT m, code, pos, CAST(sum(xi) AS DOUBLE) / (count(*) * 1000000.0) AS cx
+       |  FROM (SELECT m, code, pos, CAST(round(sv[pos] * 1000000) AS BIGINT) AS xi
+       |        FROM $a CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS pos))
+       |  GROUP BY m, code, pos) GROUP BY m, code)""".stripMargin
+
+  // Mirror of Similarity.pqAdcTopK(mSub = 16, kCode = 32, vec_id < 10,
+  // k = 5, trainRounds = 2): seed cb0 → (assign, mean) × 2 → cb2 encodes
   private val pqSql =
     s"""WITH v AS ($vSql),
        |sub AS (SELECT vec_id, m, v[m*4+1:m*4+4] AS sv
        |        FROM v CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS m)),
        |cb0 AS (SELECT m, vec_id AS code, sv AS cv FROM sub WHERE vec_id < 32),
-       |a0 AS (SELECT vec_id, m, sv, code FROM (
-       |  SELECT s.vec_id, s.m, s.sv, c.code,
-       |    row_number() OVER (PARTITION BY s.vec_id, s.m
-       |      ORDER BY ${l2Sql("s.sv", "c.cv")} ASC, c.code) AS rk
-       |  FROM sub s JOIN cb0 c ON s.m = c.m) WHERE rk = 1),
-       |cb1 AS (SELECT m, code, list(cx ORDER BY pos) AS cv FROM (
-       |  SELECT m, code, pos, CAST(sum(xi) AS DOUBLE) / (count(*) * 1000000.0) AS cx
-       |  FROM (SELECT m, code, pos, CAST(round(sv[pos] * 1000000) AS BIGINT) AS xi
-       |        FROM a0 CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS pos))
-       |  GROUP BY m, code, pos) GROUP BY m, code),
+       |${pqAssignCte("a0", "cb0")},
+       |${pqMeanCte("cb1", "a0")},
+       |${pqAssignCte("a1", "cb1")},
+       |${pqMeanCte("cb2", "a1")},
        |codes AS (SELECT vec_id, m, code FROM (
        |  SELECT s.vec_id, s.m, c.code,
        |    row_number() OVER (PARTITION BY s.vec_id, s.m
        |      ORDER BY ${l2Sql("s.sv", "c.cv")} ASC, c.code) AS rk
-       |  FROM sub s JOIN cb1 c ON s.m = c.m) WHERE rk = 1),
+       |  FROM sub s JOIN cb2 c ON s.m = c.m) WHERE rk = 1),
        |qsub AS (SELECT vec_id AS qid, m, sv AS qv FROM sub WHERE vec_id < 10),
        |lut AS (SELECT qid, q.m, code,
        |    CAST(round(${l2Sql("q.qv", "c.cv")} * 1000000) AS BIGINT) AS di
-       |  FROM qsub q JOIN cb1 c ON q.m = c.m),
+       |  FROM qsub q JOIN cb2 c ON q.m = c.m),
        |adc AS (SELECT qid, cd.vec_id, sum(di) AS adcl
        |  FROM codes cd JOIN lut ON lut.m = cd.m AND lut.code = cd.code
        |  WHERE qid <> cd.vec_id GROUP BY 1, 2)
