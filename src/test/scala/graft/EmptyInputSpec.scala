@@ -54,6 +54,26 @@ class EmptyInputSpec extends SparkSuite {
       docs, lit(false), "doc_id", "text").count() === 0)
   }
 
+  test("repeated spans: all-short and all-unique corpora degrade to zeros") {
+    import spark.implicits._
+    // every doc under 8 tokens: no grams exist anywhere — full accounting
+    // rows with zero hits, and apply returns the texts untouched
+    val short = Seq((1L, "a b c"), (2L, "d e"), (3L, "f"))
+      .toDF("doc_id", "text")
+    val st = TextDedup.repeatedSpanStats(short, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(st === Map(1L -> ((3L, 0L)), 2L -> ((2L, 0L)), 3L -> ((1L, 0L))))
+    val ap = TextDedup.removeRepeatedSpans(short, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(ap === Map(1L -> "a b c", 2L -> "d e", 3L -> "f"))
+    // long but globally unique: grams exist, none repeats — still zeros
+    val unique = (1L to 10L).map(i =>
+      (i, (0 until 12).map(j => s"u${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(TextDedup.repeatedSpanStats(unique, "doc_id", "text")
+      .filter(col("n_repeated_tokens") > 0).count() === 0)
+  }
+
   test("round-6 model-prep queries are total on a degenerate tiny corpus") {
     import spark.implicits._
     // 3 docs: a 1-token doc (no bigrams/pairs), an empty-ish doc, a normal
