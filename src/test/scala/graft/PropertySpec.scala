@@ -49,6 +49,35 @@ class PropertySpec extends SparkSuite {
     assert((0 until 64).map(TextDedup.minhashA).distinct.length === 64)
   }
 
+  test("repeated-span stats and apply agree on every doc (real fixture)") {
+    import graft.operators.TextDedup
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").limit(200)
+      // make repeats certain: re-append every 15th doc under high ids
+      .localCheckpoint()
+    val fixture = docs.union(docs.filter(col("doc_id") % 15 === 0)
+      .select((col("doc_id") + 900000L).as("doc_id"), col("text")))
+    val st = TextDedup.repeatedSpanStats(fixture, "doc_id", "text")
+    val ap = TextDedup.removeRepeatedSpans(fixture, "doc_id", "text")
+    val j = st.join(ap, "doc_id")
+    assert(j.count() === fixture.count(), "both forms cover every doc")
+    // per-doc identities that must hold regardless of data:
+    //   kept + repeated = total;  spans <= hit grams;  repeated <= total;
+    //   a span covers >= n tokens unless clipped by doc start/end overlap
+    val bad = j.filter(
+      col("n_tokens_kept") + col("n_repeated_tokens") =!= col("n_tokens") ||
+      col("n_spans") > col("n_hit_grams") ||
+      col("n_repeated_tokens") > col("n_tokens") ||
+      (col("n_spans") > 0 && col("n_repeated_tokens") < lit(8)))
+    assert(bad.count() === 0, bad.collect().take(5).mkString("\n"))
+    // the planted full-copy docs must be flagged ~fully repeated
+    val copies = st.filter(col("doc_id") >= 900000L)
+    assert(copies.count() > 0)
+    assert(copies.filter(col("n_repeated_tokens") === 0).count() === 0,
+      "full duplicates must have repeated coverage")
+  }
+
   test("rp hyperplane weights are deterministic, bounded, non-degenerate") {
     for (j <- 0 until 16) {
       val ws = (0 until 64).map(d => Similarity.rpWeight(j, d))
