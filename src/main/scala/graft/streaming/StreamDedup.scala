@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.TextDedup
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, KeyValueGroupedDataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -99,20 +99,57 @@ object StreamDedup {
     * pair key, exactly as the batch shape dedups candidates before the
     * Jaccard join.
     */
+  /** Bucket-state seed built from a persisted [[graft.operators.LshIndex]]
+    * table — the lake→stream bridge: a stream started with this initial
+    * state pairs its very first arrivals against the settled corpus
+    * (new×old), where a cold stream would silently emit only new×new
+    * until the corpus re-streamed through it. The batch lifecycle builds
+    * and compacts the index; the stream inherits it at startup.
+    *
+    * One aggregate over the index (collect per bucket), shuffled by the
+    * same (band, bucket) key the stateful operator groups on. Seeded
+    * buckets larger than the stream's `maxBucket` stay intact in state
+    * but emit no further pairs (room = 0) — consistent with the cap's
+    * within-stream behavior. With `idleTtlMs` armed, a seeded bucket's
+    * idle clock starts at its FIRST touch (initial state registers no
+    * timeout) — bound the seed corpus via the index's own df-cap
+    * discipline, not the TTL.
+    */
+  def initialStateFromIndex(
+      spark: SparkSession, table: String)
+      : KeyValueGroupedDataset[(Int, String), Array[Long]] = {
+    import spark.implicits._
+    spark.table(table)
+      .groupBy("ikey").agg(sort_array(collect_set("doc_id")).as("ids"))
+      .as[(String, Array[Long])]
+      .map { case (ikey, ids) =>
+        val i = ikey.indexOf(':')
+        ((ikey.substring(0, i).toInt, ikey.substring(i + 1)), ids)
+      }
+      .groupByKey(_._1).mapValues(_._2)
+  }
+
   def candidates(
       banded: Dataset[BandRow],
       maxBucket: Int = 1024,
       idleTtlMs: Option[Long] = None,
-      droppedDocs: Option[org.apache.spark.util.LongAccumulator] = None)
-      : Dataset[CandPair] = {
+      droppedDocs: Option[org.apache.spark.util.LongAccumulator] = None,
+      initialState: Option[KeyValueGroupedDataset[(Int, String), Array[Long]]] =
+        None): Dataset[CandPair] = {
     import banded.sparkSession.implicits._
     val timeoutConf =
       if (idleTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
-    banded
-      .groupByKey(r => (r.b, r.bkey))
-      .flatMapGroupsWithState[Array[Long], CandPair](
-        OutputMode.Append, timeoutConf) {
+    val grouped = banded.groupByKey(r => (r.b, r.bkey))
+    def stateful(
+        f: ((Int, String), Iterator[BandRow], GroupState[Array[Long]])
+          => Iterator[CandPair]): Dataset[CandPair] = initialState match {
+      case Some(init) => grouped.flatMapGroupsWithState[Array[Long], CandPair](
+        OutputMode.Append, timeoutConf, init)(f)
+      case None => grouped.flatMapGroupsWithState[Array[Long], CandPair](
+        OutputMode.Append, timeoutConf)(f)
+    }
+    stateful {
         case (_, rows, state: GroupState[Array[Long]]) =>
           if (state.hasTimedOut) {
             // idle past the TTL: drop the bucket — later arrivals restart

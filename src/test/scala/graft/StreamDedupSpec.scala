@@ -214,6 +214,65 @@ class StreamDedupSpec extends SparkSuite {
     assert(acc.value === 12L, s"expected 12 total, got ${acc.value}")
   }
 
+  test("stream warm-started from the lake index finds new×old pairs " +
+    "a cold stream misses") {
+    import graft.operators.LshIndex
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = fixtureDocs().materialize()
+    val (settled, arriving) = {
+      val rows = docs.as[DocIn].collect().sortBy(_.doc_id)
+      rows.partition(_.doc_id < 500000L) // copies stream in later
+    }
+    val idxDir = java.nio.file.Files.createTempDirectory("sd_warm_idx")
+    val table = "sd_warm_index"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      // the batch lifecycle owns the settled corpus
+      LshIndex.build(settled.toSeq.toDF("doc_id", "text"), "doc_id", "text",
+        s"$idxDir/index", table)
+
+      def streamPairs(warm: Boolean): Set[(Long, Long)] = {
+        val mem = MemoryStream[DocIn]
+        val init = if (warm)
+          Some(StreamDedup.initialStateFromIndex(spark, table)) else None
+        val cand = StreamDedup.candidates(
+          StreamDedup.bandRows(mem.toDF(), "doc_id", "text"),
+          initialState = init)
+        val name = if (warm) "sd_warm" else "sd_cold"
+        val q = cand.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+        mem.addData(arriving.toSeq); q.processAllAvailable()
+        val out = spark.table(name).select("doc_a", "doc_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        q.stop()
+        out
+      }
+
+      val warm = streamPairs(warm = true)
+      val cold = streamPairs(warm = false)
+      // ground truth: all candidate pairs touching the arriving batch =
+      // the batch incremental identity the lifecycle is spec-pinned to
+      val expected = TextDedup.minhashLshPairs(docs, "doc_id", "text")
+        .filter(col("doc_a") >= 500000L || col("doc_b") >= 500000L)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(expected.nonEmpty, "fixture must produce new×old pairs")
+      // warm stream: every verified-grade candidate pair is present
+      // (candidates ⊇ verified pairs; verify is the downstream join)
+      assert(expected.subsetOf(warm),
+        s"warm stream missed: ${expected -- warm}")
+      // cold stream cannot see the settled corpus: new×old pairs missing
+      assert((expected -- cold).nonEmpty,
+        "cold stream unexpectedly found settled-corpus pairs")
+      assert(cold.forall { case (a, b) => a >= 500000L && b >= 500000L },
+        "cold stream pairs must be within-batch only")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteDirectory(idxDir.toFile)
+    }
+  }
+
   test("replayed doc re-emits no pairs (bucket state is idempotent)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
