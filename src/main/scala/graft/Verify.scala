@@ -22,6 +22,10 @@ object Verify {
         sys.env.getOrElse("SPARK_GRAFT_MATERIALIZE", "local"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // deterministic gate surface: the SQL functions AND the rank-limit →
+    // top-k optimizer rule are on for EVERY query, not just those that
+    // happen to run after a query that registers them lazily
+    graft.functions.GraftExtensions.register(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bloomAggFunction)
     ext.injectFunction(GraftExtensions.mightContainFunction)
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.TopKStrategy)
+    // rank-limit windows → bounded-heap top-k (strategy above plans it)
+    ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.WindowToTopK)
   }
 }
 
@@ -80,5 +82,14 @@ object GraftExtensions {
     // §2.9 UDAF surface: the merge fold as a SQL aggregate
     spark.udf.register("graft_merge",
       org.apache.spark.sql.functions.udaf(graft.MergeActionAgg))
+    // rank-limit windows → bounded-heap top-k: the rule needs its
+    // planning strategy registered alongside it (idempotent adds)
+    import org.apache.spark.sql.graft.{TopKStrategy, WindowToTopK}
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    if (!spark.experimental.extraOptimizations.contains(WindowToTopK))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ WindowToTopK
   }
 }
