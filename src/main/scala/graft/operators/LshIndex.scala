@@ -153,12 +153,21 @@ object LshIndex {
       .materialize() // feeds the id restriction AND the verify join
     // verify reads texts for candidate docs ONLY — at scale the candidate
     // set is a sliver of the corpus, so this is the difference between
-    // O(candidates) and re-shingling 100 TB per ingest
+    // O(candidates) and re-shingling 100 TB per ingest. LEFT join + raise:
+    // a candidate id the doc store cannot resolve (index and store have
+    // drifted — e.g. a doc deleted from the store whose band rows still
+    // sit in the index) must FAIL the probe, not silently drop its pairs.
     val ids = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val par = spark.sparkContext.defaultParallelism
-    val sh = corpus.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .join(ids, "doc_id")
+    val sh = ids
+      .join(corpus.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text"), raise_error(concat(
+          lit("LshIndex: candidate doc_id "), col("doc_id").cast("string"),
+          lit(" is in the index but not the doc store — rebuild the index" +
+            " from the compacted corpus")))).as("text"))
       .repartition(par)
       .select(col("doc_id"),
         explode(TextDedup.bigramShingles(col("text"))).as("s"))

@@ -39,6 +39,10 @@ object Skew {
     * priced for call sites whose keyed frame is already materialized —
     * both LSH-shaped entry points materialize the frame for the join's
     * two sides anyway, so the count pass re-reads checkpointed blocks.
+    * Caveat: under `spark.graft.materialize=none` (the measurement mode)
+    * materialize() is a pass-through, so this pass re-executes the
+    * keyed frame's lineage eagerly at plan-construction time — pass an
+    * explicit `salts` there if that cost matters.
     * `maxSalts` bounds the replication cost (shuffle grows salts×):
     * beyond it a group is so degenerate that capping/df-filtering
     * upstream (the containment join's defense) beats more fan-out.

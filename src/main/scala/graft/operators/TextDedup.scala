@@ -449,8 +449,12 @@ object TextDedup {
       n: Int, minDf: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val par = docs.sparkSession.sparkContext.defaultParallelism
+    // materialize: the tokenized frame feeds BOTH the gram branch and the
+    // token branch — left as lineage the scan + split + repartition (the
+    // dominant cost) would run once per branch
     val d = docs.repartition(par)
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
+      .materialize()
     // guarded sequence: Spark's sequence(1, size-n+1) runs DESCENDING for
     // docs shorter than n tokens — they have no grams, not reversed ones
     val gramsOf = when(size(col("w")) >= n,

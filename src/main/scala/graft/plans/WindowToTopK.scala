@@ -44,21 +44,24 @@ import org.apache.spark.sql.types.IntegerType
   */
 object WindowToTopK extends Rule[LogicalPlan] with PredicateHelper {
 
-  /** The rank conjunct's implied k, if it is a recognized constant bound. */
-  private def boundOf(pred: Expression, rank: Attribute): Option[Int] =
+  /** The rank conjunct's implied k, if it is a recognized constant bound.
+    * Long arithmetic: `rk < Int.MinValue` must stay an (always-false)
+    * filter, not wrap around to a keep-everything top-k.
+    */
+  private def boundOf(pred: Expression, rank: Attribute): Option[Long] =
     pred match {
       case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType))
-        if a.semanticEquals(rank) => Some(v)
+        if a.semanticEquals(rank) => Some(v.toLong)
       case LessThan(a: Attribute, Literal(v: Int, IntegerType))
-        if a.semanticEquals(rank) => Some(v - 1)
+        if a.semanticEquals(rank) => Some(v.toLong - 1)
       case EqualTo(a: Attribute, Literal(v: Int, IntegerType))
-        if a.semanticEquals(rank) && v == 1 => Some(1)
+        if a.semanticEquals(rank) && v == 1 => Some(1L)
       case EqualTo(Literal(v: Int, IntegerType), a: Attribute)
-        if a.semanticEquals(rank) && v == 1 => Some(1)
+        if a.semanticEquals(rank) && v == 1 => Some(1L)
       case GreaterThanOrEqual(Literal(v: Int, IntegerType), a: Attribute)
-        if a.semanticEquals(rank) => Some(v)
+        if a.semanticEquals(rank) => Some(v.toLong)
       case GreaterThan(Literal(v: Int, IntegerType), a: Attribute)
-        if a.semanticEquals(rank) => Some(v - 1)
+        if a.semanticEquals(rank) => Some(v.toLong - 1)
       case _ => None
     }
 
@@ -67,7 +70,10 @@ object WindowToTopK extends Rule[LogicalPlan] with PredicateHelper {
         Window(Seq(al @ Alias(
           WindowExpression(RowNumber(), WindowSpecDefinition(_, _, _)), _)),
           partSpec, orderSpec, wchild, _)))
-        if orderSpec.nonEmpty =>
+        // partSpec must be NON-empty: TopKPerKeyExec requires
+        // ClusteredDistribution(keys), which Spark rejects for Nil — a
+        // global top-k (empty partitionBy) keeps its window
+        if orderSpec.nonEmpty && partSpec.nonEmpty =>
       val rank = al.toAttribute
       val (rankPreds, residual) =
         splitConjunctivePredicates(cond).partition(_.references.contains(rank))
@@ -75,14 +81,14 @@ object WindowToTopK extends Rule[LogicalPlan] with PredicateHelper {
         case Seq(one) => boundOf(one, rank)
         case _ => None
       }
-      k.filter(_ >= 1) match {
+      k.filter(v => v >= 1 && v <= Int.MaxValue) match {
         case Some(limit)
             if !projList.exists(_.references.contains(rank)) =>
           val inner = wchild match {
             case wgl: WindowGroupLimit => wgl.child // heap subsumes it
             case other => other
           }
-          val topk = TopKPerKeyNode(partSpec, orderSpec, limit, inner)
+          val topk = TopKPerKeyNode(partSpec, orderSpec, limit.toInt, inner)
           Project(projList,
             if (residual.isEmpty) topk else Filter(residual.reduce(And), topk))
         case _ => p

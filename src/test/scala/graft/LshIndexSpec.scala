@@ -148,6 +148,34 @@ class LshIndexSpec extends SparkSuite {
     }
   }
 
+  test("probe fails loudly when the index holds an id the store cannot " +
+    "resolve (drift), instead of silently dropping its pairs") {
+    val all = corpus()
+    val base = batchOf(all, 0)
+    val b1 = batchOf(all, 1)
+    val idxDir = Files.createTempDirectory("graft_lshidx_spec4")
+    val table = "lsh_drifted_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      LshIndex.build(base, "doc_id", "text", s"$idxDir/index", table)
+      // drift: the store lost a settled doc that IS paired by the probe —
+      // drop the originals of the planted dups (doc_id % 30 == 0 in base)
+      val drifted = all.filter(!(col("doc_id") % 30 === 0
+        && col("doc_id") < 600000L))
+      val e = intercept[Exception] {
+        LshIndex.probe(spark, table, b1, drifted, "doc_id", "text").count()
+      }
+      def chain(t: Throwable): List[Throwable] =
+        if (t == null) Nil else t :: chain(t.getCause)
+      assert(chain(e).exists(c =>
+        Option(c.getMessage).exists(_.contains("not the doc store"))),
+        s"expected the drift raise_error, got: $e")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteDirectory(idxDir.toFile)
+    }
+  }
+
   test("append/probe refuse a table not built by LshIndex.build") {
     val wh = Files.createTempDirectory("graft_lshidx_spec3")
     val table = "lsh_not_an_index"

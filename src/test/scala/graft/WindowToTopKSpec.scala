@@ -88,5 +88,14 @@ class WindowToTopKSpec extends SparkSuite {
       .drop("rk").select("l_orderkey")
     assert(planOf(disjunctive).contains("Window"))
     assert(!planOf(disjunctive).contains("TopKPerKey"))
+    // GLOBAL top-k (empty partitionBy): TopKPerKeyExec would demand
+    // ClusteredDistribution(Nil), which Spark rejects — must not rewrite,
+    // and must still execute
+    val global = li
+      .withColumn("rk", row_number().over(Window.orderBy(col("l_orderkey"))))
+      .filter(col("rk") <= 4).drop("rk").select("l_orderkey")
+    assert(planOf(global).contains("Window"))
+    assert(!planOf(global).contains("TopKPerKey"))
+    assert(global.count() === 4L)
   }
 }
