@@ -197,6 +197,34 @@ object DedupQueries extends QueryRegistry {
     "dedup_incremental" -> ((s, dir) =>
       TextDedup.minhashLshPairsIncremental(
         docs(s, dir), col("doc_id") % 10 === 0, "doc_id", "text")),
+    // X2/X4: the keep-one-per-cluster POLICY — near-dedup's apply step:
+    // every doc joins its LSH connected component (singletons form their
+    // own), and the survivor is the member with the highest quality score
+    // (min doc_id on ties). The argmax is a hash-aggregate struct-max —
+    // no window, map-side partials, one shuffle keyed by cluster.
+    "dedup_keep_best" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val clusters = TextDedup.connectedComponents(
+        TextDedup.minhashLshPairs(d, "doc_id", "text"), "doc_a", "doc_b")
+      val t = TextDedup.tokens(col("text"))
+      val q = d.select(col("doc_id"),
+          size(t).cast("long").as("n_tokens"),
+          size(filter(t, x => x.isin("the", "a"))).cast("long").as("n_stop"))
+        .select(col("doc_id"),
+          round(least(lit(1.0), col("n_tokens") / lit(150.0))
+            * (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")), 6)
+            .as("quality_score"))
+      q.join(clusters, Seq("doc_id"), "left")
+        .select(coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+          col("doc_id"), col("quality_score"))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("quality_score").as("q"),
+            (-col("doc_id")).as("nid"))).as("best"))
+        .select(col("cluster_id"), col("n_members"),
+          (-col("best.nid")).as("keep_id"),
+          col("best.q").as("best_quality"))
+    }),
     // X2: cross-document repeated-substring accounting (Lee et al. exact-
     // substring dedup at word-8-gram granularity): per doc, how many
     // tokens sit inside an 8-gram that recurs verbatim in >= 2 docs, and
@@ -325,6 +353,39 @@ object DedupQueries extends QueryRegistry {
          |SELECT doc_a, doc_b, jaccard FROM p""".stripMargin,
     "dedup_clusters" -> clustersOracle,
     "dedup_clusters_star" -> clustersOracle,
+    // keep-best: clusters + quality, argmax via the lpad-encoded max the
+    // emb_cluster_stats oracle uses (quality ties break to min doc_id)
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $lshPairCtes,
+         |e AS (SELECT doc_a AS s, doc_b AS d FROM p
+         |  UNION SELECT doc_b, doc_a FROM p),
+         |reach(doc, label) AS (
+         |  SELECT DISTINCT s, s FROM e
+         |  UNION
+         |  SELECT e.d, r.label FROM reach r JOIN e ON e.s = r.doc),
+         |cl AS (SELECT doc AS doc_id, min(label) AS cluster_id
+         |  FROM reach GROUP BY 1),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |q AS (SELECT doc_id,
+         |  round(least(1.0, len(toks) / 150.0)
+         |    * (1.0 - len(list_filter(toks, x -> x IN ('the','a'))) * 1.0
+         |        / len(toks)), 6) AS quality_score
+         |  FROM t),
+         |wc AS (SELECT coalesce(cl.cluster_id, q.doc_id) AS cluster_id,
+         |    q.doc_id, q.quality_score
+         |  FROM q LEFT JOIN cl USING (doc_id)),
+         |enc AS (SELECT cluster_id, count(*) AS n_members,
+         |    max(lpad(CAST(CAST(round(quality_score * 1000000) AS BIGINT)
+         |          AS VARCHAR), 7, '0')
+         |        || ':' ||
+         |        lpad(CAST(999999999999 - doc_id AS VARCHAR), 12, '0'))
+         |      AS b
+         |  FROM wc GROUP BY 1)
+         |SELECT cluster_id, n_members,
+         | 999999999999 - CAST(substr(b, 9, 12) AS BIGINT) AS keep_id,
+         | round(CAST(substr(b, 1, 7) AS BIGINT) / 1000000.0, 6)
+         |   AS best_quality
+         |FROM enc""".stripMargin,
     "dedup_containment" ->
       s"""WITH d AS (SELECT doc_id, text FROM documents),
         |ex AS (SELECT doc_id + 2000000 AS doc_id,
