@@ -41,6 +41,11 @@ object ModelPrepQueries extends QueryRegistry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** Merge iterations for text_bpe_mergen — interpolated into BOTH the
+    * Spark loop and the unrolled oracle CTE chain (single source of
+    * truth, same contract as DedupQueries' df-cap constants). */
+  private val bpeMerges = 4
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // BM25 (k1=1.2, b=0.75, Lucene idf) of every document against the 3
     // highest-frequency corpus terms (data-derived query — deterministic,
@@ -184,6 +189,71 @@ object ModelPrepQueries extends QueryRegistry {
         .limit(20)
     }),
 
+    // BPE tokenizer training, merges 1..N (N = 4): the full training loop,
+    // generalized past merge 1. One uniform representation drives every
+    // iteration — a word's segmentation as a space-joined symbol string
+    // (symbols never contain spaces, so ' ' is a safe separator) — and each
+    // iteration (a) counts adjacent SYMBOL pairs weighted by word
+    // frequency, (b) takes the argmax with a deterministic (n DESC, a, b)
+    // tie-break (a 1-row broadcast), (c) re-segments every distinct word by
+    // the greedy left-to-right fold. Unlike merge 1's char-substr learn
+    // step, the pair count reads the segmentation itself, so merges 2+
+    // correctly operate on multi-char symbols ("th"+"e" -> "the"). Output
+    // is the ordered merge table (it, pair, n) — the artifact a tokenizer
+    // trainer actually produces.
+    // Shape per iteration: one vocabulary-sized pair aggregate (map-side
+    // combinable, symbol-pair-bounded key space) + one narrow fold over
+    // DISTINCT words — corpus size only enters through the initial word
+    // histogram. At 100 TB the loop runs N jobs over a vocab-sized table
+    // that fits in memory; the learned table is the only driver state.
+    "text_bpe_mergen" -> ((s, dir) => {
+      val wc = docs(s, dir)
+        .select(explode(TextDedup.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 1)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      var seg = wc.select(col("w"), col("c"),
+        concat_ws(" ", transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1)))).as("seg"))
+        .materialize() // iterated state: (word, count, segmentation)
+      val sp = split(col("seg"), " ")
+      var learned = List.empty[DataFrame]
+      for (it <- 1 to bpeMerges) {
+        val top = seg.filter(size(sp) >= 2)
+          .select(col("c"), explode(transform(
+            sequence(lit(1), size(sp) - 1),
+            i => struct(element_at(sp, i).as("a"),
+              element_at(sp, i + 1).as("b")))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("c").as("n"))
+          .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+          .materialize() // 1 row; feeds the merge table AND the next fold
+        learned ::= top.select(lit(it).as("it"),
+          concat(col("a"), lit(" "), col("b")).as("pair"), col("n"))
+        if (it < bpeMerges) {
+          val ab = concat(col("a"), col("b"))
+          // greedy left-to-right apply: the accumulator's LAST symbol is
+          // either the whole string (first position, acc === a) or the
+          // suffix after the last space — endswith(' '||a) identifies it
+          // exactly because symbols are space-free
+          val folded = aggregate(
+            slice(sp, lit(2), size(sp) - 1),
+            element_at(sp, 1),
+            (acc, x) =>
+              when(acc === col("a") && x === col("b"), ab)
+                .when(endswith(acc, concat(lit(" "), col("a"))) &&
+                  x === col("b"),
+                  concat(
+                    acc.substr(lit(1), length(acc) - length(col("a")) - 1),
+                    lit(" "), ab))
+                .otherwise(concat(acc, lit(" "), x)))
+          seg = seg.crossJoin(broadcast(top.select(col("a"), col("b"))))
+            .select(col("w"), col("c"), folded.as("seg"))
+            .materialize()
+        }
+      }
+      learned.reduce(_.union(_))
+    }),
+
     // BPE tokenizer training, merge iteration 0: corpus-wide frequency of
     // adjacent character pairs within words — the argmax pair is the first
     // merge a BPE trainer would learn. Integer-only; top-20 with
@@ -204,7 +274,47 @@ object ModelPrepQueries extends QueryRegistry {
         .limit(20)
     }))
 
+  /** Unrolled oracle for text_bpe_mergen: seg0 = chars joined by ' ';
+    * per iteration i, CTEs p{i} (argmax adjacent-symbol pair) and seg{i}
+    * (greedy fold apply) mirror the Spark loop step for step. DuckDB's
+    * list_reduce seeds from the first element, matching Spark's
+    * aggregate(slice(s,2,...), element_at(s,1), ...). */
+  private val bpeMergeNSql = {
+    val iter = (1 to bpeMerges).map { i =>
+      val apply =
+        if (i == bpeMerges) ""
+        else s""",
+           |seg$i AS (SELECT w, c, list_reduce(string_split(seg, ' '),
+           |    (acc, x) -> CASE
+           |      WHEN acc = a AND x = b THEN a || b
+           |      WHEN ends_with(acc, ' ' || a) AND x = b
+           |        THEN substr(acc, 1, length(acc) - length(a) - 1) ||
+           |          ' ' || a || b
+           |      ELSE acc || ' ' || x END) AS seg
+           |  FROM seg${i - 1} CROSS JOIN p$i)""".stripMargin
+      s"""p$i AS (SELECT p.a AS a, p.b AS b, CAST(sum(c) AS BIGINT) AS n
+         |  FROM (SELECT c, unnest(list_transform(
+         |      generate_series(1, len(s) - 1),
+         |      i -> {'a': s[i], 'b': s[i + 1]})) AS p
+         |    FROM (SELECT c, string_split(seg, ' ') AS s FROM seg${i - 1})
+         |    WHERE len(s) >= 2)
+         |  GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1)$apply""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to bpeMerges)
+      .map(i => s"SELECT $i AS it, a || ' ' || b AS pair, n FROM p$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH wc AS (SELECT w, count(*) AS c FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) >= 1 GROUP BY 1),
+       |seg0 AS (SELECT w, c, array_to_string(list_transform(
+       |    generate_series(1, length(w)), i -> substr(w, i, 1)), ' ') AS seg
+       |  FROM wc),
+       |$iter
+       |$rows""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "text_bpe_mergen" -> bpeMergeNSql,
     // Literal doubles carry ::DOUBLE casts so DuckDB's DECIMAL literals
     // don't silently widen the arithmetic (see text_classify).
     "text_bm25" ->
