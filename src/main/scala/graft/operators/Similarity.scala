@@ -167,8 +167,8 @@ object Similarity {
 
   /** Product quantization + asymmetric-distance top-k (the embedding-lake
     * compression companion to int8 scalar quantization: 64 floats → mSub
-    * small-int codes — 16× smaller at mSub=16 — searched without
-    * decompression).
+    * codes of ≤ 8 bits each — 16× smaller at mSub=16, kCode ≤ 256 —
+    * searched without decompression).
     *
     * Train: split each vector into `mSub` subvectors; per subspace,
     * `trainRounds` seeded Lloyd's rounds over `kCode` codes (first-kCode

@@ -107,12 +107,13 @@ object SimilarityQueries extends QueryRegistry {
     "sim_rp_lsh" -> ((s, dir) =>
       Similarity.rpLshPairs(emb(s, dir), bands = 4, bitsPerBand = 4,
         threshold = 0.4)),
-    // X3 storage path: product quantization — 16 subspaces × 32 codes, one
-    // seeded Lloyd's round per subspace, asymmetric-distance top-5. The
-    // 16×-compressed codes are searched via per-query LUT sums without
-    // reconstructing any vector.
+    // X3 storage path: product quantization — 16 subspaces × 256 codes
+    // (8-bit codes, the classic PQ16x8 layout), two seeded Lloyd's rounds
+    // per subspace, asymmetric-distance top-5. The 16×-compressed codes
+    // are searched via per-query LUT sums without reconstructing any
+    // vector; recall@5 vs exact L2 is spec-pinned ≥ 0.6 (SimilaritySpec).
     "sim_pq_adc" -> ((s, dir) =>
-      Similarity.pqAdcTopK(emb(s, dir), 16, 32, col("vec_id") < 10, 5)),
+      Similarity.pqAdcTopK(emb(s, dir), 16, 256, col("vec_id") < 10, 5)),
     // X3: corpus organization — k-means cluster profile (size, cohesion as
     // mean cosine-to-centroid, purity proxy via dominant label share).
     // Reuses the IVF quantizer; the per-cluster mean similarity is
@@ -229,13 +230,13 @@ object SimilarityQueries extends QueryRegistry {
        |        FROM $a CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS pos))
        |  GROUP BY m, code, pos) GROUP BY m, code)""".stripMargin
 
-  // Mirror of Similarity.pqAdcTopK(mSub = 16, kCode = 32, vec_id < 10,
+  // Mirror of Similarity.pqAdcTopK(mSub = 16, kCode = 256, vec_id < 10,
   // k = 5, trainRounds = 2): seed cb0 → (assign, mean) × 2 → cb2 encodes
   private val pqSql =
     s"""WITH v AS ($vSql),
        |sub AS (SELECT vec_id, m, v[m*4+1:m*4+4] AS sv
        |        FROM v CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS m)),
-       |cb0 AS (SELECT m, vec_id AS code, sv AS cv FROM sub WHERE vec_id < 32),
+       |cb0 AS (SELECT m, vec_id AS code, sv AS cv FROM sub WHERE vec_id < 256),
        |${pqAssignCte("a0", "cb0")},
        |${pqMeanCte("cb1", "a0")},
        |${pqAssignCte("a1", "cb1")},

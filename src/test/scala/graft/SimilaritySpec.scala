@@ -26,7 +26,7 @@ class SimilaritySpec extends SparkSuite {
   test("PQ ADC: 16x-compressed codes rank true L2 neighbors usefully") {
     import org.apache.spark.sql.expressions.Window
     val pred = col("vec_id") < 50
-    val pq = Similarity.pqAdcTopK(emb, 16, 32, pred, 5)
+    val pq = Similarity.pqAdcTopK(emb, 16, 256, pred, 5)
     val pqHits = pq.select("qid", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pq.count() === 50 * 5) // every query gets a full top-5
@@ -45,7 +45,9 @@ class SimilaritySpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (pqHits & exact).size.toDouble / exact.size
     info(f"PQ ADC recall@5 vs exact L2: $recall%.3f")
-    assert(recall > 0.3, f"PQ recall collapsed: $recall%.3f")
+    // floor tracks the production config (16 subspaces × 256 codes,
+    // 2 Lloyd's rounds): measured 0.656 on the fixture
+    assert(recall >= 0.6, f"PQ recall collapsed: $recall%.3f")
   }
 
   test("IVF recall@5 vs brute force: kmeans + multiprobe beats first-C single-cell") {
