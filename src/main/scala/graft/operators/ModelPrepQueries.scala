@@ -41,10 +41,77 @@ object ModelPrepQueries extends QueryRegistry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
-  /** Merge iterations for text_bpe_mergen — interpolated into BOTH the
-    * Spark loop and the unrolled oracle CTE chain (single source of
-    * truth, same contract as DedupQueries' df-cap constants). */
+  /** Merge iterations for text_bpe_mergen / text_bpe_tokenize —
+    * interpolated into BOTH the Spark loop and the unrolled oracle CTE
+    * chains (single source of truth, same contract as DedupQueries'
+    * df-cap constants). */
   private val bpeMerges = 4
+
+  /** The BPE training loop over a (w, c) word histogram: `bpeMerges`
+    * iterations of (adjacent-symbol pair count weighted by word frequency
+    * → argmax with (n DESC, a, b) tie-break → greedy left-to-right fold
+    * re-segmenting every distinct word). One uniform representation
+    * drives it — a word's segmentation as a space-joined symbol string
+    * (symbols never contain spaces, so ' ' is a safe separator) — which
+    * is why merges 2+ correctly operate on multi-char symbols
+    * ("th"+"e" → "the"), unlike a char-substr learn step.
+    *
+    * Returns the ordered 1-row merge tables (it, pair, n) and the final
+    * segmentation state (w, c, seg). `applyLast` controls whether the
+    * Nth learned merge is folded into the returned segmentation: the
+    * merge-table query doesn't need it, the tokenizer-application query
+    * does.
+    *
+    * Shape per iteration: one vocabulary-sized map-side-combinable pair
+    * aggregate (symbol-pair-bounded key space) + one narrow fold over
+    * DISTINCT words — corpus size only enters through the caller's
+    * histogram. At 100 TB the loop is N jobs over a vocab-sized table;
+    * the learned table is the only driver state.
+    */
+  private def bpeTrain(wc: DataFrame, applyLast: Boolean)
+      : (List[DataFrame], DataFrame) = {
+    var seg = wc.select(col("w"), col("c"),
+      concat_ws(" ", transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1)))).as("seg"))
+      .materialize() // iterated state: (word, count, segmentation)
+    val sp = split(col("seg"), " ")
+    var learned = List.empty[DataFrame]
+    for (it <- 1 to bpeMerges) {
+      val top = seg.filter(size(sp) >= 2)
+        .select(col("c"), explode(transform(
+          sequence(lit(1), size(sp) - 1),
+          i => struct(element_at(sp, i).as("a"),
+            element_at(sp, i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("c").as("n"))
+        .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+        .materialize() // 1 row; feeds the merge table AND the next fold
+      learned ::= top.select(lit(it).as("it"),
+        concat(col("a"), lit(" "), col("b")).as("pair"), col("n"))
+      if (it < bpeMerges || applyLast) {
+        val ab = concat(col("a"), col("b"))
+        // greedy left-to-right apply: the accumulator's LAST symbol is
+        // either the whole string (first position, acc === a) or the
+        // suffix after the last space — endswith(' '||a) identifies it
+        // exactly because symbols are space-free
+        val folded = aggregate(
+          slice(sp, lit(2), size(sp) - 1),
+          element_at(sp, 1),
+          (acc, x) =>
+            when(acc === col("a") && x === col("b"), ab)
+              .when(endswith(acc, concat(lit(" "), col("a"))) &&
+                x === col("b"),
+                concat(
+                  acc.substr(lit(1), length(acc) - length(col("a")) - 1),
+                  lit(" "), ab))
+              .otherwise(concat(acc, lit(" "), x)))
+        seg = seg.crossJoin(broadcast(top.select(col("a"), col("b"))))
+          .select(col("w"), col("c"), folded.as("seg"))
+          .materialize()
+      }
+    }
+    (learned.reverse, seg)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // BM25 (k1=1.2, b=0.75, Lucene idf) of every document against the 3
@@ -211,47 +278,38 @@ object ModelPrepQueries extends QueryRegistry {
         .select(explode(TextDedup.tokens(col("text"))).as("w"))
         .filter(length(col("w")) >= 1)
         .groupBy("w").agg(count(lit(1)).as("c"))
-      var seg = wc.select(col("w"), col("c"),
-        concat_ws(" ", transform(sequence(lit(1), length(col("w"))),
-          i => col("w").substr(i, lit(1)))).as("seg"))
-        .materialize() // iterated state: (word, count, segmentation)
-      val sp = split(col("seg"), " ")
-      var learned = List.empty[DataFrame]
-      for (it <- 1 to bpeMerges) {
-        val top = seg.filter(size(sp) >= 2)
-          .select(col("c"), explode(transform(
-            sequence(lit(1), size(sp) - 1),
-            i => struct(element_at(sp, i).as("a"),
-              element_at(sp, i + 1).as("b")))).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum("c").as("n"))
-          .orderBy(col("n").desc, col("a"), col("b")).limit(1)
-          .materialize() // 1 row; feeds the merge table AND the next fold
-        learned ::= top.select(lit(it).as("it"),
-          concat(col("a"), lit(" "), col("b")).as("pair"), col("n"))
-        if (it < bpeMerges) {
-          val ab = concat(col("a"), col("b"))
-          // greedy left-to-right apply: the accumulator's LAST symbol is
-          // either the whole string (first position, acc === a) or the
-          // suffix after the last space — endswith(' '||a) identifies it
-          // exactly because symbols are space-free
-          val folded = aggregate(
-            slice(sp, lit(2), size(sp) - 1),
-            element_at(sp, 1),
-            (acc, x) =>
-              when(acc === col("a") && x === col("b"), ab)
-                .when(endswith(acc, concat(lit(" "), col("a"))) &&
-                  x === col("b"),
-                  concat(
-                    acc.substr(lit(1), length(acc) - length(col("a")) - 1),
-                    lit(" "), ab))
-                .otherwise(concat(acc, lit(" "), x)))
-          seg = seg.crossJoin(broadcast(top.select(col("a"), col("b"))))
-            .select(col("w"), col("c"), folded.as("seg"))
-            .materialize()
-        }
-      }
-      learned.reduce(_.union(_))
+      bpeTrain(wc, applyLast = false)._1.reduce(_.union(_))
+    }),
+
+    // BPE tokenizer APPLICATION: segment the corpus with the merge table
+    // text_bpe_mergen learns — the loop's closing step — and report the
+    // numbers a tokenizer trainer reports: per-language tokens/word
+    // (fertility) and chars/token (compression). The per-(lang, word)
+    // histogram is the one corpus-sized shuffle and feeds BOTH the global
+    // training counts (reaggregation) and the final per-lang rollup; the
+    // segmentation fold still touches only DISTINCT words, and per-word
+    // token counts join back vocabulary-keyed — at 100 TB nothing
+    // corpus-sized moves after the first histogram.
+    "text_bpe_tokenize" -> ((s, dir) => {
+      val wcl = docs(s, dir)
+        .select(col("lang"), explode(TextDedup.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 1)
+        .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+        .materialize() // one corpus scan feeds training AND the rollup
+      val wc = wcl.groupBy("w").agg(sum("c").as("c"))
+      val seg = bpeTrain(wc, applyLast = true)._2
+      val tok = seg.select(col("w"),
+        size(split(col("seg"), " ")).as("n_tok"))
+      wcl.join(tok, "w")
+        .groupBy("lang")
+        .agg(sum("c").as("n_words"),
+          sum(col("c") * length(col("w"))).as("n_chars"),
+          sum(col("c") * col("n_tok")).as("n_tokens"))
+        .select(col("lang"), col("n_words"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("n_words"), 6)
+            .as("tokens_per_word"),
+          round(col("n_chars").cast("double") / col("n_tokens"), 6)
+            .as("chars_per_token"))
     }),
 
     // BPE tokenizer training, merge iteration 0: corpus-wide frequency of
@@ -274,15 +332,17 @@ object ModelPrepQueries extends QueryRegistry {
         .limit(20)
     }))
 
-  /** Unrolled oracle for text_bpe_mergen: seg0 = chars joined by ' ';
-    * per iteration i, CTEs p{i} (argmax adjacent-symbol pair) and seg{i}
-    * (greedy fold apply) mirror the Spark loop step for step. DuckDB's
-    * list_reduce seeds from the first element, matching Spark's
-    * aggregate(slice(s,2,...), element_at(s,1), ...). */
-  private val bpeMergeNSql = {
+  /** Unrolled oracle CTE chain for the BPE loop: seg0 = chars joined by
+    * ' '; per iteration i, CTEs p{i} (argmax adjacent-symbol pair) and
+    * seg{i} (greedy fold apply) mirror the Spark loop step for step —
+    * `applyLast` mirrors bpeTrain's flag. DuckDB's list_reduce seeds from
+    * the first element, matching Spark's
+    * aggregate(slice(s,2,...), element_at(s,1), ...). Assumes a preceding
+    * `wc(w, c)` CTE. */
+  private def bpeCtes(applyLast: Boolean): String = {
     val iter = (1 to bpeMerges).map { i =>
       val apply =
-        if (i == bpeMerges) ""
+        if (i == bpeMerges && !applyLast) ""
         else s""",
            |seg$i AS (SELECT w, c, list_reduce(string_split(seg, ' '),
            |    (acc, x) -> CASE
@@ -300,21 +360,47 @@ object ModelPrepQueries extends QueryRegistry {
          |    WHERE len(s) >= 2)
          |  GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1)$apply""".stripMargin
     }.mkString(",\n")
+    s"""seg0 AS (SELECT w, c, array_to_string(list_transform(
+       |    generate_series(1, length(w)), i -> substr(w, i, 1)), ' ') AS seg
+       |  FROM wc),
+       |$iter""".stripMargin
+  }
+
+  private val bpeMergeNSql = {
     val rows = (1 to bpeMerges)
       .map(i => s"SELECT $i AS it, a || ' ' || b AS pair, n FROM p$i")
       .mkString("\nUNION ALL\n")
     s"""WITH wc AS (SELECT w, count(*) AS c FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  WHERE length(w) >= 1 GROUP BY 1),
-       |seg0 AS (SELECT w, c, array_to_string(list_transform(
-       |    generate_series(1, length(w)), i -> substr(w, i, 1)), ' ') AS seg
-       |  FROM wc),
-       |$iter
+       |${bpeCtes(applyLast = false)}
        |$rows""".stripMargin
   }
 
+  // Mirror of text_bpe_tokenize: wc reaggregates the per-(lang, word)
+  // histogram (so training counts are identical to text_bpe_mergen's),
+  // seg{N} carries ALL learned merges applied, and the rollup weights
+  // per-word token counts by the per-language occurrence counts.
+  private val bpeTokenizeSql =
+    s"""WITH wcl AS (SELECT lang, w, count(*) AS c FROM (
+       |    SELECT lang, unnest(string_split(text, ' ')) AS w
+       |    FROM documents)
+       |  WHERE length(w) >= 1 GROUP BY 1, 2),
+       |wc AS (SELECT w, CAST(sum(c) AS BIGINT) AS c FROM wcl GROUP BY 1),
+       |${bpeCtes(applyLast = true)},
+       |tok AS (SELECT w, len(string_split(seg, ' ')) AS n_tok
+       |  FROM seg$bpeMerges)
+       |SELECT lang, CAST(sum(c) AS BIGINT) AS n_words,
+       |  CAST(sum(c * n_tok) AS BIGINT) AS n_tokens,
+       |  round(CAST(sum(c * n_tok) AS BIGINT)
+       |    / CAST(sum(c) AS BIGINT)::DOUBLE, 6) AS tokens_per_word,
+       |  round(CAST(sum(c * length(w)) AS BIGINT)
+       |    / CAST(sum(c * n_tok) AS BIGINT)::DOUBLE, 6) AS chars_per_token
+       |FROM wcl JOIN tok USING (w) GROUP BY 1""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "text_bpe_mergen" -> bpeMergeNSql,
+    "text_bpe_tokenize" -> bpeTokenizeSql,
     // Literal doubles carry ::DOUBLE casts so DuckDB's DECIMAL literals
     // don't silently widen the arithmetic (see text_classify).
     "text_bm25" ->
