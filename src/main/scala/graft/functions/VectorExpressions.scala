@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen'd dot product over two `array<double>` columns.
@@ -153,6 +153,104 @@ case class HammingDistance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** PQ nearest-code argmin over a flattened codebook: `codes(c)` whose
+  * subvector (rows of `flat`, `dim = sv.length` doubles each, in `codes`
+  * order) minimizes squared L2 to `sv`, ties → the EARLIEST (= lowest,
+  * callers pass code-sorted arrays) code via strict `<`.
+  *
+  * Distance per code is `(dot(sv,sv) − 2·dot(sv,cv)) + dot(cv,cv)` with
+  * each dot a sequential left-fold — the identical IEEE tree to the
+  * composed DotProduct form and the oracle's `list_dot_product` mirror,
+  * so assignments are bitwise-reproducible. One codegen'd loop replaces a
+  * kCode×-row broadcast-join blowup + hash-aggregate argmin (at
+  * kCode=256: 7.7 s → in-loop, and the HOF-fold alternative is
+  * interpreted per element — slower still).
+  */
+case class NearestCode(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(LongType), ArrayType(DoubleType))
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val sv = a.asInstanceOf[ArrayData]
+    val codes = b.asInstanceOf[ArrayData]
+    val flat = c.asInstanceOf[ArrayData]
+    val dim = sv.numElements()
+    val n = codes.numElements()
+    require(flat.numElements() == n * dim,
+      s"NearestCode: flat codebook has ${flat.numElements()} doubles, " +
+        s"expected $n codes x $dim dims")
+    var ssq = 0.0
+    var i = 0
+    while (i < dim) { val x = sv.getDouble(i); ssq += x * x; i += 1 }
+    var best = Double.PositiveInfinity
+    var bestCode = -1L
+    var cIdx = 0
+    while (cIdx < n) {
+      val off = cIdx * dim
+      var dot = 0.0; var csq = 0.0
+      var j = 0
+      while (j < dim) {
+        val x = sv.getDouble(j); val y = flat.getDouble(off + j)
+        dot += x * y; csq += y * y
+        j += 1
+      }
+      val d = (ssq - 2.0 * dot) + csq
+      if (d < best) { best = d; bestCode = codes.getLong(cIdx) }
+      cIdx += 1
+    }
+    bestCode
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) => {
+      val dim = ctx.freshName("dim"); val n = ctx.freshName("n")
+      val ssq = ctx.freshName("ssq"); val best = ctx.freshName("best")
+      val bestCode = ctx.freshName("bestCode")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val cIdx = ctx.freshName("cIdx"); val off = ctx.freshName("off")
+      val dot = ctx.freshName("dot"); val csq = ctx.freshName("csq")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val d = ctx.freshName("d")
+      s"""
+         |int $dim = $a.numElements();
+         |int $n = $b.numElements();
+         |if ($c.numElements() != $n * $dim) {
+         |  throw new IllegalArgumentException(
+         |    "NearestCode: flat codebook has " + $c.numElements() +
+         |    " doubles, expected " + $n + " codes x " + $dim + " dims");
+         |}
+         |double $ssq = 0.0;
+         |for (int $i = 0; $i < $dim; $i++) {
+         |  double $x = $a.getDouble($i); $ssq += $x * $x;
+         |}
+         |double $best = Double.POSITIVE_INFINITY;
+         |long $bestCode = -1L;
+         |for (int $cIdx = 0; $cIdx < $n; $cIdx++) {
+         |  int $off = $cIdx * $dim;
+         |  double $dot = 0.0; double $csq = 0.0;
+         |  for (int $j = 0; $j < $dim; $j++) {
+         |    double $x = $a.getDouble($j);
+         |    double $y = $c.getDouble($off + $j);
+         |    $dot += $x * $y; $csq += $y * $y;
+         |  }
+         |  double $d = ($ssq - 2.0 * $dot) + $csq;
+         |  if ($d < $best) { $best = $d; $bestCode = $b.getLong($cIdx); }
+         |}
+         |${ev.value} = $bestCode;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): NearestCode =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object VectorFunctions {
   /** `dot(a, b)` as a Column over array<double> inputs. */
   def dot(a: Column, b: Column): Column =
@@ -168,4 +266,10 @@ object VectorFunctions {
   def hamming(a: Column, b: Column): Column =
     ExpressionUtils.column(
       HammingDistance(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** PQ argmin `nearestCode(sv, codes, flat)` as a Column. */
+  def nearestCode(sv: Column, codes: Column, flat: Column): Column =
+    ExpressionUtils.column(
+      NearestCode(ExpressionUtils.expression(sv),
+        ExpressionUtils.expression(codes), ExpressionUtils.expression(flat)))
 }

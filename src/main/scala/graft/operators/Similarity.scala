@@ -187,51 +187,80 @@ object Similarity {
     * one more broadcast-join + hash-aggregate pass over the subvector
     * table — linear, and training can run on a sample at 100 TB.
     */
+  /** Subvector explode: (vec_id, [extra...], m, sv) with sv the mth
+    * `64/mSub`-dim slice. The shared first step of every PQ path.
+    */
+  private def pqSub(v: DataFrame, mSub: Int, extra: String*): DataFrame = {
+    val subDim = 64 / mSub
+    v.select(col("vec_id") +: extra.map(col) :+
+      posexplode(array((0 until mSub).map(m =>
+        slice(col("v"), m * subDim + 1, subDim)): _*)).as(Seq("m", "sv")): _*)
+  }
+
+  /** Nearest-code assignment as a narrow pass over a PACKED codebook:
+    * each subspace's kCode codes are collected into one broadcast row
+    * (m → code-sorted ids + flattened subvectors), and the argmin runs
+    * inside the codegen'd [[org.apache.spark.sql.graft.NearestCode]]
+    * expression — a tight primitive loop with the identical
+    * `(dot(sv,sv) − 2·dot(sv,cv)) + dot(cv,cv)` IEEE tree and
+    * first-on-tie (= lowest code) semantics the oracle's
+    * `row_number ORDER BY dist, code` reproduces.
+    *
+    * At kCode = 256 this replaces a 256×-row broadcast-join blowup +
+    * hash-aggregate argmin (×3 passes: two training rounds + encode —
+    * measured 7.7 s at sf0.1; an `aggregate` HOF fold is interpreted
+    * per element and slower still at 11 s) with one codegen'd loop at
+    * constant row count.
+    */
+  private def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame = {
+    val packed = cb.groupBy("m").agg(
+      array_sort(collect_list(struct(col("code"), col("cv")))).as("cbs"))
+      .select(col("m"),
+        transform(col("cbs"), e => e("code")).as("codes"),
+        flatten(transform(col("cbs"), e => e("cv"))).as("flat"))
+    sub.join(broadcast(packed), Seq("m"))
+      .select(col("vec_id"), col("m"), col("sv"),
+        org.apache.spark.sql.graft.VectorFunctions
+          .nearestCode(col("sv"), col("codes"), col("flat")).as("code"))
+  }
+
+  /** Integer-quantized per-code means of an assignment — one Lloyd's
+    * update step (codes that lose every member drop out, both engines).
+    */
+  private def pqMeanCodebook(assigned: DataFrame): DataFrame = assigned
+    .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+    .select(col("m"), col("code"), col("pos"),
+      round(col("x") * 1e6, 0).cast("long").as("xi"))
+    .groupBy("m", "code", "pos")
+    .agg(sum("xi").as("sx"), count(lit(1)).as("n"))
+    .select(col("m"), col("code"), col("pos"),
+      (col("sx").cast("double") / (col("n") * lit(1e6))).as("cx"))
+    .groupBy("m", "code")
+    .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+      s => s("cx")).as("cv"))
+    .materialize() // mSub×kCode rows, feeds the next round + encode + LUT
+
+  /** Seeded Lloyd's codebook training over a subvector table: first-kCode
+    * seed, then `trainRounds` (assign, mean) steps.
+    */
+  private def pqTrain(sub: DataFrame, kCode: Int, trainRounds: Int): DataFrame = {
+    val cb0 = sub.filter(col("vec_id") < kCode)
+      .select(col("m"), col("vec_id").as("code"), col("sv").as("cv"))
+    (1 to trainRounds).foldLeft(cb0) {
+      case (prev, _) => pqMeanCodebook(pqAssign(sub, prev))
+    }
+  }
+
   def pqAdcTopK(
       emb: DataFrame, mSub: Int, kCode: Int, queryPred: Column,
       k: Int, trainRounds: Int = 2): DataFrame = {
     require(trainRounds >= 1, s"trainRounds must be >= 1, got $trainRounds")
     val v = vecs(emb)
-    val subDim = 64 / mSub
     // sub feeds three consumers (train assign, encode, query LUT) —
     // materialize once instead of re-running the scan + explode per branch
-    val sub = v.select(col("vec_id"),
-      posexplode(array((0 until mSub).map(m =>
-        slice(col("v"), m * subDim + 1, subDim)): _*)).as(Seq("m", "sv")))
-      .materialize()
-    val cb0 = sub.filter(col("vec_id") < kCode)
-      .select(col("m"), col("vec_id").as("code"), col("sv").as("cv"))
-
-    // hash-aggregate argmin (see assignTo): min(struct(dist, code)) is
-    // nearest-code-with-tiebreak, with map-side partials and no sort
-    def assign(cb: DataFrame): DataFrame =
-      sub.join(broadcast(cb), Seq("m"))
-        .select(col("vec_id"), col("m"), col("sv"),
-          struct(l2sq(col("sv"), col("cv")).as("dist"), col("code")).as("dc"))
-        .groupBy("vec_id", "m")
-        .agg(min("dc").as("best"), first("sv").as("sv"))
-        .select(col("vec_id"), col("m"), col("sv"), col("best.code").as("code"))
-
-    // integer-quantized per-code means of an assignment — one Lloyd's
-    // update step (codes that lose every member drop out, both engines)
-    def meanCodebook(assigned: DataFrame): DataFrame = assigned
-      .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
-      .select(col("m"), col("code"), col("pos"),
-        round(col("x") * 1e6, 0).cast("long").as("xi"))
-      .groupBy("m", "code", "pos")
-      .agg(sum("xi").as("sx"), count(lit(1)).as("n"))
-      .select(col("m"), col("code"), col("pos"),
-        (col("sx").cast("double") / (col("n") * lit(1e6))).as("cx"))
-      .groupBy("m", "code")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
-        s => s("cx")).as("cv"))
-      .materialize() // mSub×kCode rows, feeds the next round + encode + LUT
-
-    val cb = (1 to trainRounds).foldLeft(cb0) {
-      case (prev, _) => meanCodebook(assign(prev))
-    }
-
-    val codes = assign(cb).select("vec_id", "m", "code")
+    val sub = pqSub(v, mSub).materialize()
+    val cb = pqTrain(sub, kCode, trainRounds)
+    val codes = pqAssign(sub, cb).select("vec_id", "m", "code")
     val qsub = sub.filter(queryPred)
       .select(col("vec_id").as("qid"), col("m"), col("sv").as("qv"))
     val lut = qsub.join(broadcast(cb), Seq("m"))
@@ -239,6 +268,77 @@ object Similarity {
         round(l2sq(col("qv"), col("cv")) * 1e6, 0).cast("long").as("di"))
     val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id"))
     codes.join(broadcast(lut), Seq("m", "code"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy("qid", "vec_id").agg(sum("di").as("adcl"))
+      .select(col("qid"), col("vec_id"),
+        (col("adcl").cast("double") / 1e6).as("adc"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id"), round(col("adc"), 6).as("adc_dist"),
+        col("rk"))
+  }
+
+  /** IVF-PQ: the composition production ANN engines deploy at scale —
+    * a coarse IVF quantizer prunes the search to each query's `nprobe`
+    * nearest cells, and within cells distances come from PQ codes over
+    * RESIDUALS (v − centroid), searched by per-(query, cell) ADC lookup
+    * tables. Encoding residuals rather than raw vectors centers every
+    * cell's distribution at the origin, so one shared codebook covers all
+    * cells (the IVFADC layout of Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011).
+    *
+    * Everything reuses the spec-pinned deterministic pieces: cosine-based
+    * cell assignment ([[kmeansCentroids]]/assignTo — bitwise
+    * oracle-reproducible centroids), seeded residual codebooks
+    * ([[pqTrain]]), hash-aggregate argmin encode, and order-independent
+    * integer ADC sums. Residuals are elementwise v[i] − cv[i] in both
+    * engines — identical IEEE trees, so codes and distances hash-match.
+    *
+    * Scale shape: centroids and codebooks are tiny broadcasts; residual
+    * computation and encode are narrow passes over the data (one
+    * mSub-way explode + one hash aggregate); the LUT is
+    * queries × nprobe × mSub × kCode rows — broadcast; the ADC probe
+    * joins codes on (cid, m, code) so only PROBED cells' codes
+    * participate (cell pruning happens in the join, not a filter after
+    * it). Nothing full-width moves at query time, and the per-query cost
+    * is O(nprobe/c) of the corpus — the IVF promise — at 16× compressed
+    * reads — the PQ promise.
+    */
+  def ivfPqTopK(
+      emb: DataFrame, c: Int, mSub: Int, kCode: Int, queryPred: Column,
+      k: Int, nprobe: Int = 2, kmeansIters: Int = 2,
+      trainRounds: Int = 2): DataFrame = {
+    val v = vecs(emb)
+    val cent = kmeansCentroids(emb, c, kmeansIters)
+    val asn = assignTo(v, cent)
+    // residuals feed train + encode; cid rides along so codes stay
+    // cell-addressable without a second join
+    val resid = asn.join(broadcast(cent), "cid")
+      .select(col("vec_id"), col("cid"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"))
+    val rsub = pqSub(resid, mSub, "cid").materialize()
+    val cb = pqTrain(rsub, kCode, trainRounds)
+    val codes = pqAssign(rsub, cb)
+      .join(asn.select("vec_id", "cid"), "vec_id")
+      .select("vec_id", "cid", "m", "code")
+    // query side: residual vs EACH probed cell's centroid — the LUT is
+    // per (query, cell), which is what makes shared-codebook residual
+    // ADC exact w.r.t. the cell geometry
+    val q = rankedAssign(v.filter(queryPred), cent)
+      .filter(col("rk") <= nprobe)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cid"))
+    val qrsub = pqSub(
+      q.join(broadcast(cent), "cid")
+        .select(col("qid").as("vec_id"), col("cid"),
+          zip_with(col("qv"), col("cv"), (a, b) => a - b).as("v")),
+      mSub, "cid")
+      .select(col("vec_id").as("qid"), col("cid"), col("m"),
+        col("sv").as("qv"))
+    val lut = qrsub.join(broadcast(cb), Seq("m"))
+      .select(col("qid"), col("cid"), col("m"), col("code"),
+        round(l2sq(col("qv"), col("cv")) * 1e6, 0).cast("long").as("di"))
+    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id"))
+    codes.join(broadcast(lut), Seq("cid", "m", "code"))
       .filter(col("qid") =!= col("vec_id"))
       .groupBy("qid", "vec_id").agg(sum("di").as("adcl"))
       .select(col("qid"), col("vec_id"),

@@ -114,6 +114,14 @@ object SimilarityQueries extends QueryRegistry {
     // vector; recall@5 vs exact L2 is spec-pinned ≥ 0.6 (SimilaritySpec).
     "sim_pq_adc" -> ((s, dir) =>
       Similarity.pqAdcTopK(emb(s, dir), 16, 256, col("vec_id") < 10, 5)),
+    // X3 scale path: IVF-PQ (the IVFADC composition — coarse cells prune
+    // the search to nprobe cells per query, PQ codes over RESIDUALS give
+    // 16×-compressed in-cell distances via per-(query, cell) LUTs). The
+    // production-ANN architecture, assembled from the same deterministic
+    // spec-pinned pieces as sim_ivf_topk and sim_pq_adc.
+    "sim_ivfpq" -> ((s, dir) =>
+      Similarity.ivfPqTopK(emb(s, dir), 16, 16, 256, col("vec_id") < 10, 5,
+        nprobe = 3)),
     // X3: corpus organization — k-means cluster profile (size, cohesion as
     // mean cosine-to-centroid, purity proxy via dominant label share).
     // Reuses the IVF quantizer; the per-cluster mean similarity is
@@ -215,12 +223,12 @@ object SimilarityQueries extends QueryRegistry {
     s"(list_dot_product($a, $a) - 2.0 * list_dot_product($a, $b) + list_dot_product($b, $b))"
 
   // One Lloyd's assignment CTE: nearest code of `cb` per (vec, subspace)
-  private def pqAssignCte(name: String, cb: String) =
+  private def pqAssignCte(name: String, cb: String, sub: String = "sub") =
     s"""$name AS (SELECT vec_id, m, sv, code FROM (
        |  SELECT s.vec_id, s.m, s.sv, c.code,
        |    row_number() OVER (PARTITION BY s.vec_id, s.m
        |      ORDER BY ${l2Sql("s.sv", "c.cv")} ASC, c.code) AS rk
-       |  FROM sub s JOIN $cb c ON s.m = c.m) WHERE rk = 1)""".stripMargin
+       |  FROM $sub s JOIN $cb c ON s.m = c.m) WHERE rk = 1)""".stripMargin
 
   // One Lloyd's update CTE: integer-quantized per-code means of `a`
   private def pqMeanCte(name: String, a: String) =
@@ -259,7 +267,53 @@ object SimilarityQueries extends QueryRegistry {
        |  FROM adc)
        |WHERE rk <= 5""".stripMargin
 
+  // Mirror of Similarity.ivfPqTopK(c = 16, mSub = 16, kCode = 256,
+  // vec_id < 10, k = 5, nprobe = 3, kmeansIters = 2, trainRounds = 2):
+  // ivfCtes supplies the coarse quantizer (v, cent2, ranked, asn);
+  // residuals are elementwise v[i] − cv[i] (identical IEEE trees in both
+  // engines); the PQ chain runs over rsub with cid riding along; the ADC
+  // probe joins codes on (cid, m, code) so only probed cells participate.
+  private val ivfPqSql =
+    s"""WITH $ivfCtes,
+       |resid AS (SELECT a.vec_id, a.cid,
+       |    list_transform(generate_series(1, $dim),
+       |      i -> a.v[i] - c.cv[i]) AS v
+       |  FROM asn a JOIN cent2 c USING (cid)),
+       |rsub AS (SELECT vec_id, cid, m, v[m*4+1:m*4+4] AS sv
+       |  FROM resid CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS m)),
+       |rcb0 AS (SELECT m, vec_id AS code, sv AS cv FROM rsub WHERE vec_id < 256),
+       |${pqAssignCte("ra0", "rcb0", "rsub")},
+       |${pqMeanCte("rcb1", "ra0")},
+       |${pqAssignCte("ra1", "rcb1", "rsub")},
+       |${pqMeanCte("rcb2", "ra1")},
+       |codes AS (SELECT vec_id, cid, m, code FROM (
+       |  SELECT s.vec_id, s.cid, s.m, c.code,
+       |    row_number() OVER (PARTITION BY s.vec_id, s.m
+       |      ORDER BY ${l2Sql("s.sv", "c.cv")} ASC, c.code) AS rk
+       |  FROM rsub s JOIN rcb2 c ON s.m = c.m) WHERE rk = 1),
+       |q AS (SELECT vec_id AS qid, v AS qv, cid FROM ranked
+       |      WHERE vec_id < 10 AND rk <= 3),
+       |qresid AS (SELECT q.qid, q.cid,
+       |    list_transform(generate_series(1, $dim),
+       |      i -> q.qv[i] - c.cv[i]) AS qr
+       |  FROM q JOIN cent2 c USING (cid)),
+       |qrsub AS (SELECT qid, cid, m, qr[m*4+1:m*4+4] AS qv
+       |  FROM qresid CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS m)),
+       |lut AS (SELECT qid, cid, q.m, code,
+       |    CAST(round(${l2Sql("q.qv", "c.cv")} * 1000000) AS BIGINT) AS di
+       |  FROM qrsub q JOIN rcb2 c ON q.m = c.m),
+       |adc AS (SELECT qid, cd.vec_id, sum(di) AS adcl
+       |  FROM codes cd JOIN lut
+       |    ON lut.cid = cd.cid AND lut.m = cd.m AND lut.code = cd.code
+       |  WHERE qid <> cd.vec_id GROUP BY 1, 2)
+       |SELECT qid, vec_id, round(adcl / 1000000.0, 6) AS adc_dist, rk FROM (
+       |  SELECT qid, vec_id, adcl,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adcl ASC, vec_id) AS rk
+       |  FROM adc)
+       |WHERE rk <= 5""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "sim_ivfpq" -> ivfPqSql,
     "emb_cluster_stats" ->
       s"""WITH $ivfCtes,
          |base AS (SELECT a.cid, e.label,

@@ -50,6 +50,32 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.6, f"PQ recall collapsed: $recall%.3f")
   }
 
+  test("IVF-PQ: residual codes + cell pruning keep useful recall") {
+    import org.apache.spark.sql.expressions.Window
+    val pred = col("vec_id") < 50
+    val ivfpq = Similarity.ivfPqTopK(emb, 16, 16, 256, pred, 5, nprobe = 3)
+    val hits = ivfpq.select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val v = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val q = v.filter(pred).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val dotC = Similarity.dot _
+    val l2 = dotC(col("qv"), col("qv")) - lit(2.0) * dotC(col("qv"), col("v")) +
+      dotC(col("v"), col("v"))
+    val w = Window.partitionBy("qid").orderBy(col("d").asc, col("vec_id"))
+    val exact = v.join(broadcast(q), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), l2.as("d"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (hits & exact).size.toDouble / exact.size
+    info(f"IVF-PQ recall@5 vs exact L2: $recall%.3f")
+    // lower than flat PQ by construction (cell pruning ALSO discards
+    // true neighbors — the speed/recall trade IVF sells); measured 0.484
+    // at nprobe=3 on the fixture (0.428 at nprobe=2)
+    assert(recall >= 0.45, f"IVF-PQ recall collapsed: $recall%.3f")
+  }
+
   test("IVF recall@5 vs brute force: kmeans + multiprobe beats first-C single-cell") {
     def hits(df: DataFrame): Set[(Long, Long)] =
       df.select("qid", "vec_id").collect()
