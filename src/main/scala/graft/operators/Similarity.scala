@@ -241,25 +241,39 @@ object Similarity {
     .materialize() // mSub×kCode rows, feeds the next round + encode + LUT
 
   /** Seeded Lloyd's codebook training over a subvector table: first-kCode
-    * seed, then `trainRounds` (assign, mean) steps.
+    * seed, then `trainRounds` (assign, mean) steps. `trainSample` caps the
+    * TRAINING set to the first-N vectors by vec_id (deterministic, so the
+    * sampled codebook is still oracle-reproducible) — at 100 TB codebook
+    * quality saturates at ~100k training vectors, so the Lloyd's passes
+    * run over the sample while the (unavoidable, narrow) encode pass
+    * still covers every vector. `SimilaritySpec` pins that sample-trained
+    * recall holds the production floor.
     */
-  private def pqTrain(sub: DataFrame, kCode: Int, trainRounds: Int): DataFrame = {
-    val cb0 = sub.filter(col("vec_id") < kCode)
+  private def pqTrain(
+      sub: DataFrame, kCode: Int, trainRounds: Int,
+      trainSample: Option[Int] = None): DataFrame = {
+    require(trainSample.forall(_ >= kCode),
+      s"trainSample must be >= kCode=$kCode, got $trainSample")
+    val train = trainSample
+      .map(n => sub.filter(col("vec_id") < n).materialize())
+      .getOrElse(sub)
+    val cb0 = train.filter(col("vec_id") < kCode)
       .select(col("m"), col("vec_id").as("code"), col("sv").as("cv"))
     (1 to trainRounds).foldLeft(cb0) {
-      case (prev, _) => pqMeanCodebook(pqAssign(sub, prev))
+      case (prev, _) => pqMeanCodebook(pqAssign(train, prev))
     }
   }
 
   def pqAdcTopK(
       emb: DataFrame, mSub: Int, kCode: Int, queryPred: Column,
-      k: Int, trainRounds: Int = 2): DataFrame = {
+      k: Int, trainRounds: Int = 2,
+      trainSample: Option[Int] = None): DataFrame = {
     require(trainRounds >= 1, s"trainRounds must be >= 1, got $trainRounds")
     val v = vecs(emb)
     // sub feeds three consumers (train assign, encode, query LUT) —
     // materialize once instead of re-running the scan + explode per branch
     val sub = pqSub(v, mSub).materialize()
-    val cb = pqTrain(sub, kCode, trainRounds)
+    val cb = pqTrain(sub, kCode, trainRounds, trainSample)
     val codes = pqAssign(sub, cb).select("vec_id", "m", "code")
     val qsub = sub.filter(queryPred)
       .select(col("vec_id").as("qid"), col("m"), col("sv").as("qv"))
@@ -307,7 +321,7 @@ object Similarity {
   def ivfPqTopK(
       emb: DataFrame, c: Int, mSub: Int, kCode: Int, queryPred: Column,
       k: Int, nprobe: Int = 2, kmeansIters: Int = 2,
-      trainRounds: Int = 2): DataFrame = {
+      trainRounds: Int = 2, trainSample: Option[Int] = None): DataFrame = {
     val v = vecs(emb)
     val cent = kmeansCentroids(emb, c, kmeansIters)
     val asn = assignTo(v, cent)
@@ -317,7 +331,7 @@ object Similarity {
       .select(col("vec_id"), col("cid"),
         zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"))
     val rsub = pqSub(resid, mSub, "cid").materialize()
-    val cb = pqTrain(rsub, kCode, trainRounds)
+    val cb = pqTrain(rsub, kCode, trainRounds, trainSample)
     val codes = pqAssign(rsub, cb)
       .join(asn.select("vec_id", "cid"), "vec_id")
       .select("vec_id", "cid", "m", "code")
