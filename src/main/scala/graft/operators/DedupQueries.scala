@@ -250,7 +250,55 @@ object DedupQueries extends QueryRegistry {
         .groupBy("simhash")
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"),
              max("doc_id").as("max_doc"))
-        .filter(col("n_docs") > 1)))
+        .filter(col("n_docs") > 1)),
+
+    // CAPSTONE: the full curation pipeline as ONE composed DAG — quality
+    // gate → exact dedup (keep lowest per content hash) → near-dup drop
+    // (keep the lower member of every verified LSH pair) → per-source
+    // domain cap (bounded-heap top-k, no window sort) → split assignment →
+    // per-(lang, split) rollup. Every stage is an operator the battery
+    // already verifies in isolation; this query proves they COMPOSE in one
+    // lineage, the way a production corpus build actually runs.
+    // Near-dup policy: a doc is dropped if it is the HIGHER member of any
+    // verified pair, whether or not the lower member survived earlier
+    // stages — deterministic, one anti-join, no iteration.
+    // Shape: one row-local pass computes hash/quality/token count
+    // (materialized, reused), the LSH chain is the pinned b×n band shuffle,
+    // the cap is TopK.perKey's map-side heaps, and the rollup is a tiny
+    // aggregate — nothing corpus-sized moves more than once per stage.
+    "curate_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val t = TextDedup.tokens(col("text"))
+      val stopRatio = size(filter(t, x => x.isin("the", "a"))).cast("double") /
+        size(t)
+      val base = d.select(col("doc_id"), col("lang"), col("source"),
+          md5(col("text")).as("h"), size(t).cast("long").as("n_tok"),
+          (least(lit(1.0), size(t) / lit(150.0)) * (lit(1.0) - stopRatio))
+            .as("qs"))
+        .materialize() // one pass for all row-local stage inputs
+      val gated = base.filter(col("qs") >= 0.3)
+      val keepIds = gated.groupBy("h").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val exact = gated.join(keepIds, Seq("doc_id"))
+      val near = exact.join(
+        TextDedup.minhashLshPairs(d, "doc_id", "text")
+          .select(col("doc_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      val capped = org.apache.spark.sql.graft.TopK.perKey(
+        near.select(col("source"), col("doc_id"), col("lang"), col("n_tok"),
+          md5(concat(lit("cap:"), col("doc_id").cast("string"))).as("hk")),
+        Seq("source"), Seq(("hk", false), ("doc_id", false)), 40)
+      val bucket = substring(
+        md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 4)
+      capped
+        .withColumn("split",
+          when(bucket < "cccd", "train")
+            .when(bucket < "e666", "val")
+            .otherwise(lit("test")))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          min("doc_id").as("min_doc"))
+    }))
 
   private val bigramsSql =
     """SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-1),
@@ -351,6 +399,37 @@ object DedupQueries extends QueryRegistry {
     "dedup_minhash_lsh" ->
       s"""WITH $lshPairCtes
          |SELECT doc_a, doc_b, jaccard FROM p""".stripMargin,
+    // Capstone mirror: quality gate -> exact dedup -> near-dup drop (the
+    // LSH pair chain shared with dedup_minhash_lsh) -> row_number cap
+    // (the oracle-side equivalent of TopK.perKey's heaps) -> split rollup
+    "curate_pipeline" ->
+      s"""WITH $lshPairCtes,
+         |base AS (SELECT doc_id, lang, source, md5(text) AS h,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    least(1.0, len(string_split(text, ' ')) / 150.0) *
+         |      (1.0 - len(list_filter(string_split(text, ' '),
+         |        x -> x IN ('the', 'a'))) * 1.0
+         |        / len(string_split(text, ' '))) AS qs
+         |  FROM documents),
+         |g AS (SELECT * FROM base WHERE qs >= 0.3),
+         |ke AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY h),
+         |e AS (SELECT g.* FROM g JOIN ke USING (doc_id)),
+         |nd AS (SELECT * FROM e
+         |  WHERE doc_id NOT IN (SELECT doc_b FROM p)),
+         |cap AS (SELECT * FROM (SELECT nd.*,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |  FROM nd) WHERE rk <= 40),
+         |sp AS (SELECT lang, doc_id, n_tok,
+         |    CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+         |           < 'cccd' THEN 'train'
+         |         WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+         |           < 'e666' THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM cap)
+         |SELECT lang, split, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens, min(doc_id) AS min_doc
+         |FROM sp GROUP BY 1, 2""".stripMargin,
     "dedup_clusters" -> clustersOracle,
     "dedup_clusters_star" -> clustersOracle,
     // keep-best: clusters + quality, argmax via the lpad-encoded max the
