@@ -21,6 +21,13 @@ object SimilarityQueries extends QueryRegistry {
     // X2/X3: embedding-cosine near-dup pairs within IVF cells
     "sim_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(emb(s, dir), 16, 0.4)),
+    // §2.8/X3: the STREAMING form of the same operator — embeddings
+    // stream through the keyed cell-state index (graft.streaming.StreamSim)
+    // and the verified pair set must hash-match the identical batch
+    // oracle; stream ≡ batch is also spec-pinned micro-batch by
+    // micro-batch in StreamSimSpec
+    "sim_stream_neardup" -> ((s, dir) =>
+      graft.streaming.StreamSim.nearDupStreamed(s, dir)),
     // X3: whole-corpus approximate kNN graph (top-3 within the IVF cell) —
     // the neighbor structure curation passes consume (see knnGraph)
     "sim_knn_graph" -> ((s, dir) =>
@@ -312,6 +319,13 @@ object SimilarityQueries extends QueryRegistry {
        |  FROM adc)
        |WHERE rk <= 5""".stripMargin
 
+  private val nearDupSql =
+    s"""WITH $ivfCtes
+       |SELECT a.vec_id AS va, b.vec_id AS vb,
+       |  round(${cos("a.v", "b.v")}, 6) AS sim
+       |FROM asn a JOIN asn b USING (cid)
+       |WHERE a.vec_id < b.vec_id AND ${cos("a.v", "b.v")} >= 0.4""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "sim_ivfpq" -> ivfPqSql,
     "emb_cluster_stats" ->
@@ -369,12 +383,10 @@ object SimilarityQueries extends QueryRegistry {
         | round(max(max_err), 6) AS worst_err,
         | round(avg(mean_err), 6) AS avg_mean_err
         |FROM m GROUP BY 1""".stripMargin,
-    "sim_neardup" ->
-      s"""WITH $ivfCtes
-         |SELECT a.vec_id AS va, b.vec_id AS vb,
-         |  round(${cos("a.v", "b.v")}, 6) AS sim
-         |FROM asn a JOIN asn b USING (cid)
-         |WHERE a.vec_id < b.vec_id AND ${cos("a.v", "b.v")} >= 0.4""".stripMargin,
+    "sim_neardup" -> nearDupSql,
+    // the streaming form must converge to the IDENTICAL batch answer —
+    // one oracle text serves both gates
+    "sim_stream_neardup" -> nearDupSql,
     "sim_hard_negatives" ->
       s"""WITH $ivfCtes,
          |l AS (SELECT vec_id, label FROM embeddings),

@@ -149,43 +149,14 @@ object StreamDedup {
       case None => grouped.flatMapGroupsWithState[Array[Long], CandPair](
         OutputMode.Append, timeoutConf)(f)
     }
+    // cap/TTL/emit semantics live in the ONE shared step
+    // (BucketState.pairArrivals) so the text and embedding streams
+    // cannot drift apart
     stateful {
         case (_, rows, state: GroupState[Array[Long]]) =>
-          if (state.hasTimedOut) {
-            // idle past the TTL: drop the bucket — later arrivals restart
-            // it empty (recall-loss semantics documented on the object)
-            state.remove()
-            Iterator.empty
-          } else {
-            val prior = state.getOption.getOrElse(Array.empty[Long])
-            val fresh = rows.map(_.doc_id).toArray.distinct.sorted
-              .filterNot(prior.contains)
-            // the cap bounds WITHIN-batch fan-out too: only the occupants
-            // that fit under the cap emit pairs (a single catch-up batch
-            // delivering B boilerplate docs into one bucket must emit
-            // O(cap²), not B²); members beyond the cap enter neither the
-            // pair set nor state. Every drop counts into the accumulator
-            // (nonzero = stream has diverged from the un-capped batch
-            // pair set); the stderr warning fires on the crossing batch.
-            val room = math.max(0, maxBucket - prior.length)
-            val admitted = fresh.take(room)
-            if (fresh.length > room) {
-              droppedDocs.foreach(_.add(fresh.length - room))
-              if (prior.length < maxBucket)
-                Console.err.println(s"[graft] StreamDedup: bucket capped " +
-                  s"at $maxBucket occupants — ${fresh.length - room} " +
-                  "arrivals dropped from pairing")
-            }
-            val out = admitted.zipWithIndex.flatMap { case (id, i) =>
-              (prior.iterator ++ admitted.iterator.take(i)).map(o =>
-                CandPair(math.min(o, id), math.max(o, id)))
-            }
-            state.update(prior ++ admitted)
-            // renew the idle clock on every touch — eviction hits only
-            // buckets no arrival has refreshed for the whole TTL
-            idleTtlMs.foreach(state.setTimeoutDuration)
-            out.iterator
-          }
+          BucketState.pairArrivals(rows.map(_.doc_id), state, maxBucket,
+              idleTtlMs, droppedDocs, "StreamDedup")
+            .map { case (a, b) => CandPair(a, b) }
       }
   }
 
