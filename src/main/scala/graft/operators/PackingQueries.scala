@@ -18,9 +18,47 @@ object PackingQueries extends QueryRegistry {
     // two-phase prefix sum (see Packing.tokenOffsets' 100 TB note)
     "text_pack" -> ((s, dir) => Packing.packStats(docs(s, dir), 256)),
     // 64-token windows advancing by 48 (16 tokens of shared context)
-    "text_chunk" -> ((s, dir) => Packing.chunk(docs(s, dir), 64, 48)))
+    "text_chunk" -> ((s, dir) => Packing.chunk(docs(s, dir), 64, 48)),
+    // [EXT] training-order resharding: every doc gets a deterministic
+    // md5-derived shuffle key; shard = key mod 8 (the reproducible
+    // global permutation a training run needs — same corpus, same
+    // shards, any cluster size). Per-shard accounting is ONE hash
+    // aggregate — counts, token mass, and the order-head doc via
+    // min_by on the unique key — no window, no per-shard sort; at
+    // 100 TB the within-shard order is realized by the lake writer's
+    // in-file sort on the same key (sources/Lake.scala), so shard
+    // files stream in training order without any global sort.
+    "train_shards" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val key = md5(concat(lit("shard:"), col("doc_id").cast("string")))
+      docs(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          key.as("k"))
+        .withColumn("shard",
+          pmod(conv(substring(col("k"), 1, 15), 16, 10).cast("long"),
+            lit(8L)))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          min_by(col("doc_id"), col("k")).as("head_doc"),
+          min(col("k")).as("head_key"))
+        .select(col("shard"), col("n_docs"), col("n_tokens"),
+          col("head_doc"), col("head_key"))
+    })
 
   def oracles: Map[String, String] = Map(
+    // mirror of the md5 shard key: 15 hex chars < 2⁶⁰ fit a BIGINT in
+    // both engines; arg_min ≡ min_by (key is unique per doc — no ties)
+    "train_shards" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  md5('shard:' || doc_id::VARCHAR) AS k FROM documents),
+        |sh AS (SELECT doc_id, n_tok, k,
+        |  ('0x' || substr(k, 1, 15))::BIGINT % 8 AS shard FROM d)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  arg_min(doc_id, k) AS head_doc, min(k) AS head_key
+        |FROM sh GROUP BY 1""".stripMargin,
     "text_pack" ->
       """WITH d AS (SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),

@@ -108,6 +108,81 @@ object SimilarityQueries extends QueryRegistry {
         .select(explode(array(rows: _*)).as("r"))
         .select(col("r.i").as("i"), col("r.j").as("j"), col("r.cov").as("cov"))
     }),
+    // X3/PCA: leading principal component of the 8-dim covariance via
+    // in-plan power iteration. The corpus contributes ONE pass (the same
+    // integer-quantized moment sums as emb_covariance: 1 + 8 + 36 longs);
+    // the 8×8 covariance is rounded to 6 decimals — the quantization
+    // point after which every FP op used (+, ×, ÷, √ are all
+    // correctly-rounded IEEE) is bitwise identical across engines given
+    // the same association order. The fixture's spectrum is FLAT
+    // (λ₂/λ₁ ≈ 0.95), so plain power iteration stalls; instead the
+    // iteration matrix is C¹⁶ (4 in-plan matrix squarings — still pure
+    // IEEE arithmetic), giving a 0.95¹⁶ ≈ 0.44 convergence factor per
+    // step. Everything after the moment sums runs on a SINGLE row
+    // (d² scalars, no data motion), each step materialize()d so the
+    // plan stays shallow instead of exponentially inlining. At 100 TB
+    // this is exactly the "aggregate d² moments, eigensolve the tiny
+    // matrix, broadcast the projection" PCA architecture; convergence
+    // is spec-checked (eigenpair residual ‖Cx − λx‖ small vs the
+    // emb_covariance matrix), correctness needs only determinism. The
+    // Rayleigh quotient λ = x·Cx uses the ORIGINAL C, not C¹⁶.
+    "emb_pca" -> ((s, dir) => {
+      val dims = 8; val iters = 8; val squarings = 4
+      val v = col("embedding").cast("array<double>")
+      val base = emb(s, dir).select((0 until dims).map(i =>
+        v.getItem(i).as(s"x$i")): _*)
+      val pairs = for { i <- 0 until dims; j <- i until dims } yield (i, j)
+      val aggs = Seq(count(lit(1)).as("n")) ++
+        (0 until dims).map(i =>
+          sum(round(col(s"x$i") * 1e6, 0).cast("long")).as(s"s$i")) ++
+        pairs.map { case (i, j) =>
+          sum(round(col(s"x$i") * col(s"x$j") * 1e6, 0).cast("long"))
+            .as(s"p${i}_$j") }
+      def mean(i: Int) = col(s"s$i").cast("double") / (col("n") * lit(1e6))
+      def covExpr(i: Int, j: Int) = {
+        val (a, b) = if (i <= j) (i, j) else (j, i)
+        round(col(s"p${a}_$b").cast("double") / (col("n") * lit(1e6))
+          - mean(a) * mean(b), 6)
+      }
+      val ij = for { i <- 0 until dims; j <- 0 until dims } yield (i, j)
+      val cCols = ij.map { case (i, j) => col(s"c${i}_$j") }
+      val bCols = ij.map { case (i, j) => col(s"b${i}_$j") }
+      val vCols = (0 until dims).map(i => col(s"v$i"))
+      var st = base.agg(aggs.head, aggs.tail: _*)
+        .select(ij.map { case (i, j) => covExpr(i, j).as(s"c${i}_$j") } ++
+          (0 until dims).map(i => lit(1.0).as(s"v$i")): _*)
+        .select(col("*") +:
+          ij.map { case (i, j) => col(s"c${i}_$j").as(s"b${i}_$j") }: _*)
+        .materialize()
+      for (_ <- 0 until squarings)
+        st = st.select(cCols ++ vCols ++ ij.map { case (i, j) =>
+          (0 until dims).map(k => col(s"b${i}_$k") * col(s"b${k}_$j"))
+            .reduce(_ + _).as(s"b${i}_$j") }: _*)
+          .materialize()
+      def yExpr(i: Int, m: String) = (0 until dims)
+        .map(j => col(s"$m${i}_$j") * col(s"v$j")).reduce(_ + _)
+      for (_ <- 0 until iters) {
+        val wy = st.select(cCols ++ bCols ++
+          (0 until dims).map(i => yExpr(i, "b").as(s"y$i")): _*)
+        val nrm = sqrt((0 until dims)
+          .map(i => col(s"y$i") * col(s"y$i")).reduce(_ + _))
+        st = wy.select(cCols ++ bCols ++
+          (0 until dims).map(i => (col(s"y$i") / nrm).as(s"v$i")): _*)
+          .materialize()
+      }
+      val lam = (0 until dims).map(i => col(s"v$i") * yExpr(i, "c"))
+        .reduce(_ + _)
+      val tr = (0 until dims).map(i => col(s"c${i}_$i")).reduce(_ + _)
+      val rows = (0 until dims).map(i =>
+        struct(lit(i).as("dim"), round(col(s"v$i"), 6).as("loading"),
+          round(col("lam"), 6).as("eigenvalue"),
+          round(col("lam") / col("tr"), 6).as("var_share")))
+      st.withColumn("lam", lam).withColumn("tr", tr)
+        .select(explode(array(rows: _*)).as("r"))
+        .select(col("r.dim").as("dim"), col("r.loading").as("loading"),
+          col("r.eigenvalue").as("eigenvalue"),
+          col("r.var_share").as("var_share"))
+    }),
     // X3: signed-random-projection (hyperplane) LSH near-dup pairs —
     // 4 bands × 4 bits against deterministic md5-derived hyperplanes,
     // exact cosine on candidates (the angular-LSH alternative to IVF)
@@ -165,6 +240,60 @@ object SimilarityQueries extends QueryRegistry {
           round(col("top_n").cast("double") / col("n_vecs"), 6).as("purity"))
     }),
 
+    // X3/X4 fusion: hybrid retrieval — sparse (doc-to-doc BM25 over the
+    // query doc's terms) and dense (brute-force cosine) rankings fused by
+    // reciprocal-rank fusion, rrf = Σ 1/(60+rank) (Cormack et al. 2009).
+    // The sparse side is the classic inverted-index join: query terms ⋈
+    // the (doc, word) histogram on word — at 100 TB that's posting-list
+    // retrieval, word-keyed, never n²; per-term contributions are
+    // quantized to 10⁻⁶ longs BEFORE the per-(q,d) sum so the score
+    // aggregation is summation-order-free, and ranking happens on the
+    // integer score. The fuse itself is a (qid, doc)-keyed full outer
+    // join of two top-20 lists — tiny by construction. The dense side
+    // reuses Similarity.topK (broadcast query set, codegen'd cosine).
+    "sim_hybrid_rrf" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val tf = docs.select(col("doc_id"),
+          explode(TextDedup.tokens(col("text"))).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        .materialize() // feeds dl, df, qt, and the posting join — one pass
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val ws = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val scal = dl.agg(count(lit(1)).as("n_docs_total"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+      val qt = tf.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("qid"), col("word"))
+      // identical idf/tf-saturation arithmetic to text_bm25 (ln quantized
+      // at 1e-4 against cross-engine ulp flips)
+      val idf = round(log((col("n_docs_total") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)) + lit(1.0)) * lit(1e4), 0) / lit(1e4)
+      val tfc = (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      val sc = qt.join(tf, "word")
+        .filter(col("doc_id") =!= col("qid"))
+        .join(ws, "word").join(dl, "doc_id")
+        .crossJoin(broadcast(scal))
+        .select(col("qid"), col("doc_id"),
+          round(idf * tfc * lit(1e6), 0).cast("long").as("tl"))
+        .groupBy("qid", "doc_id").agg(sum("tl").as("sl"))
+      val sw = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("sl").desc, col("doc_id"))
+      val srk = sc.withColumn("rs", row_number().over(sw))
+        .filter(col("rs") <= 20).select("qid", "doc_id", "rs")
+      val drk = Similarity.topK(emb(s, dir), col("vec_id") < 10, 20)
+        .select(col("qid"), col("vec_id").as("doc_id"), col("rk").as("rd"))
+      val rrf = round(
+        coalesce(lit(1.0) / (lit(60) + col("rd")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60) + col("rs")), lit(0.0)), 6)
+      val fw = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("rrf").desc, col("doc_id"))
+      drk.join(srk, Seq("qid", "doc_id"), "full_outer")
+        .withColumn("rrf", rrf)
+        .withColumn("rk", row_number().over(fw))
+        .filter(col("rk") <= 10)
+        .select("qid", "doc_id", "rrf", "rk", "rd", "rs")
+    }),
     // X3 storage path: int8 scalar quantization (symmetric, fixed [-1,1]
     // range) — per-label reconstruction-error profile. At 100 TB this is
     // the 4× embedding-lake compression step before IVF/LSH indexing.
@@ -328,6 +457,53 @@ object SimilarityQueries extends QueryRegistry {
 
   def oracles: Map[String, String] = Map(
     "sim_ivfpq" -> ivfPqSql,
+    // mirror of the hybrid fuse: same 1e-4-quantized idf, same 10⁻⁶-long
+    // per-term quantization (ranking on the integer score), same top-20
+    // lists and 1/(60+rank) fusion with ties → doc_id
+    "sim_hybrid_rrf" ->
+      s"""WITH v AS ($vSql),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |    FROM documents) GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf
+         |  GROUP BY 1),
+         |ws AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |scal AS (SELECT count(*) AS n_docs_total,
+         |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |qt AS (SELECT doc_id AS qid, word FROM tf WHERE doc_id < 10),
+         |sc AS (SELECT qid, tf.doc_id,
+         |    CAST(sum(CAST(round(
+         |      (round(ln((n_docs_total - df + 0.5::DOUBLE)
+         |          / (df + 0.5::DOUBLE) + 1.0::DOUBLE) * 10000) / 10000.0)
+         |      * ((tf * 2.2::DOUBLE) / (tf + 1.2::DOUBLE
+         |        * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl)))
+         |      * 1000000) AS BIGINT)) AS BIGINT) AS sl
+         |  FROM qt JOIN tf USING (word) JOIN ws USING (word)
+         |   JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN scal
+         |  WHERE tf.doc_id <> qid GROUP BY 1, 2),
+         |srk AS (SELECT qid, doc_id, rs FROM (
+         |  SELECT qid, doc_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sl DESC, doc_id)
+         |      AS rs
+         |  FROM sc) WHERE rs <= 20),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
+         |dp AS (SELECT qid, vec_id, ${cos("qv", "v")} AS sim
+         |      FROM q, v WHERE qid <> vec_id),
+         |drk AS (SELECT qid, vec_id AS doc_id, rd FROM (
+         |  SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+         |      AS rd
+         |  FROM dp) WHERE rd <= 20),
+         |fused AS (SELECT qid, doc_id, rd, rs,
+         |    round(coalesce(1.0::DOUBLE / (60 + rd), 0.0::DOUBLE)
+         |      + coalesce(1.0::DOUBLE / (60 + rs), 0.0::DOUBLE), 6) AS rrf
+         |  FROM drk FULL OUTER JOIN srk USING (qid, doc_id))
+         |SELECT qid, doc_id, rrf, rk, rd, rs FROM (
+         |  SELECT qid, doc_id, rrf, rd, rs,
+         |    row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id)
+         |      AS rk
+         |  FROM fused)
+         |WHERE rk <= 10""".stripMargin,
     "emb_cluster_stats" ->
       s"""WITH $ivfCtes,
          |base AS (SELECT a.cid, e.label,
@@ -451,6 +627,75 @@ object SimilarityQueries extends QueryRegistry {
          |st AS (SELECT count(*) AS n,
          |  $sSums,
          |  $pSums FROM v)
+         |$branches""".stripMargin
+    },
+    // mirror of the power iteration: same quantized moment sums, same
+    // 6-decimal covariance rounding, same 4 matrix squarings (C¹⁶ as
+    // the iteration matrix), same left-associated Σ orders in the
+    // matrix-vector product, norm, Rayleigh quotient, and trace
+    "emb_pca" -> {
+      val dims = 8; val iters = 8; val squarings = 4
+      val pairs = for { i <- 0 until dims; j <- i until dims } yield (i, j)
+      val ij = for { i <- 0 until dims; j <- 0 until dims } yield (i, j)
+      val sSums = (0 until dims).map(i =>
+        s"CAST(sum(CAST(round(v[${i + 1}] * 1000000) AS BIGINT)) AS BIGINT) AS s$i")
+        .mkString(",\n|  ")
+      val pSums = pairs.map { case (i, j) =>
+        s"CAST(sum(CAST(round(v[${i + 1}] * v[${j + 1}] * 1000000) AS BIGINT)) AS BIGINT) AS p${i}_$j" }
+        .mkString(",\n|  ")
+      def covSql(i: Int, j: Int) = {
+        val (a, b) = if (i <= j) (i, j) else (j, i)
+        s"round(p${a}_$b / (n * 1000000.0) - (s$a / (n * 1000000.0)) * (s$b / (n * 1000000.0)), 6)"
+      }
+      val cDefs = ij.map { case (i, j) => s"${covSql(i, j)} AS c${i}_$j" }
+        .mkString(",\n|  ")
+      val cPass = ij.map { case (i, j) => s"c${i}_$j" }.mkString(", ")
+      val bPass = ij.map { case (i, j) => s"b${i}_$j" }.mkString(", ")
+      val vPass = (0 until dims).map(i => s"v$i").mkString(", ")
+      def ySql(i: Int, m: String) =
+        (0 until dims).map(j => s"$m${i}_$j * v$j").mkString(" + ")
+      val normSql = "sqrt(" +
+        (0 until dims).map(i => s"y$i * y$i").mkString(" + ") + ")"
+      val sqCtes = (1 to squarings).map { t =>
+        val prev = if (t == 1) "b0" else s"sq${t - 1}"
+        s"""sq$t AS (SELECT $cPass, $vPass,
+           |  ${ij.map { case (i, j) =>
+                (0 until dims).map(k => s"b${i}_$k * b${k}_$j")
+                  .mkString(" + ") + s" AS b${i}_$j" }.mkString(",\n|  ")}
+           |  FROM $prev)"""
+      }.mkString(",\n|")
+      val iterCtes = (1 to iters).map { t =>
+        val prev = if (t == 1) s"sq$squarings" else s"it${t - 1}"
+        s"""wy$t AS (SELECT $cPass, $bPass,
+           |  ${(0 until dims).map(i => s"${ySql(i, "b")} AS y$i").mkString(",\n|  ")}
+           |  FROM $prev),
+           |it$t AS (SELECT $cPass, $bPass,
+           |  ${(0 until dims).map(i => s"y$i / $normSql AS v$i").mkString(",\n|  ")}
+           |  FROM wy$t)"""
+      }.mkString(",\n|")
+      val lamSql = (0 until dims).map(i => s"v$i * y$i").mkString(" + ")
+      val trSql = (0 until dims).map(i => s"c${i}_$i").mkString(" + ")
+      val branches = (0 until dims).map(i =>
+        s"SELECT $i AS dim, round(v$i, 6) AS loading, round(lam, 6) AS eigenvalue, round(lam / tr, 6) AS var_share FROM fin2")
+        .mkString("\n|UNION ALL ")
+      s"""WITH v AS ($vSql),
+         |st AS (SELECT count(*) AS n,
+         |  $sSums,
+         |  $pSums FROM v),
+         |c0 AS (SELECT
+         |  $cDefs,
+         |  ${(0 until dims).map(i => s"1.0::DOUBLE AS v$i").mkString(", ")}
+         |  FROM st),
+         |b0 AS (SELECT $cPass, $vPass,
+         |  ${ij.map { case (i, j) => s"c${i}_$j AS b${i}_$j" }.mkString(", ")}
+         |  FROM c0),
+         |$sqCtes,
+         |$iterCtes,
+         |fin AS (SELECT $cPass, $vPass,
+         |  ${(0 until dims).map(i => s"${ySql(i, "c")} AS y$i").mkString(",\n|  ")}
+         |  FROM it$iters),
+         |fin2 AS (SELECT $vPass,
+         |  ($lamSql) AS lam, ($trSql) AS tr FROM fin)
          |$branches""".stripMargin
     },
     // mirror of Similarity.rpLshPairs(bands = 4, bitsPerBand = 4, 0.4):
