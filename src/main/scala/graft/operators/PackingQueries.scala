@@ -30,14 +30,19 @@ object PackingQueries extends QueryRegistry {
     // files stream in training order without any global sort.
     "train_shards" -> { (s, dir) =>
       import org.apache.spark.sql.functions._
+      // the order key is the NUMERIC 60-bit md5 prefix, not the hex
+      // string: a string-ordered min/min_by carries a string aggregation
+      // buffer, which HashAggregate can't mutate in place — Spark falls
+      // back to SortAggregate and every partition pays a sort by shard.
+      // All-long buffers keep the accounting a true hash aggregate
+      // (plan-pinned in PlanAuditSpec). Numeric order ≡ lexicographic
+      // order on the fixed-width lowercase hex prefix.
       val key = md5(concat(lit("shard:"), col("doc_id").cast("string")))
       docs(s, dir)
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tok"),
-          key.as("k"))
-        .withColumn("shard",
-          pmod(conv(substring(col("k"), 1, 15), 16, 10).cast("long"),
-            lit(8L)))
+          conv(substring(key, 1, 15), 16, 10).cast("long").as("k"))
+        .withColumn("shard", pmod(col("k"), lit(8L)))
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
           min_by(col("doc_id"), col("k")).as("head_doc"),
@@ -52,9 +57,9 @@ object PackingQueries extends QueryRegistry {
     "train_shards" ->
       """WITH d AS (SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-        |  md5('shard:' || doc_id::VARCHAR) AS k FROM documents),
-        |sh AS (SELECT doc_id, n_tok, k,
-        |  ('0x' || substr(k, 1, 15))::BIGINT % 8 AS shard FROM d)
+        |  ('0x' || substr(md5('shard:' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |    AS k FROM documents),
+        |sh AS (SELECT doc_id, n_tok, k, k % 8 AS shard FROM d)
         |SELECT shard, count(*) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
         |  arg_min(doc_id, k) AS head_doc, min(k) AS head_key

@@ -274,6 +274,12 @@ object SimilarityQueries extends QueryRegistry {
         .filter(col("doc_id") =!= col("qid"))
         .join(ws, "word").join(dl, "doc_id")
         .crossJoin(broadcast(scal))
+        // posting-list pruning: terms in >10% of docs are stop-grade
+        // (idf ≈ ln(1 + 9/11) ≈ 0.6 at the cut, near-zero weight) — at
+        // 100 TB an uncapped "the" would join EVERY doc; the cap bounds
+        // each query term's candidate fan-out at 0.1·n. Applied
+        // identically on both engine sides, so scores stay hash-equal.
+        .filter(col("df").cast("double") <= lit(0.1) * col("n_docs_total"))
         .select(col("qid"), col("doc_id"),
           round(idf * tfc * lit(1e6), 0).cast("long").as("tl"))
         .groupBy("qid", "doc_id").agg(sum("tl").as("sl"))
@@ -480,7 +486,9 @@ object SimilarityQueries extends QueryRegistry {
          |      * 1000000) AS BIGINT)) AS BIGINT) AS sl
          |  FROM qt JOIN tf USING (word) JOIN ws USING (word)
          |   JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN scal
-         |  WHERE tf.doc_id <> qid GROUP BY 1, 2),
+         |  WHERE tf.doc_id <> qid
+         |    AND CAST(df AS DOUBLE) <= 0.1 * n_docs_total
+         |  GROUP BY 1, 2),
          |srk AS (SELECT qid, doc_id, rs FROM (
          |  SELECT qid, doc_id,
          |    row_number() OVER (PARTITION BY qid ORDER BY sl DESC, doc_id)

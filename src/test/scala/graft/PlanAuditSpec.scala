@@ -89,6 +89,38 @@ class PlanAuditSpec extends SparkSuite {
     assert(exchanges <= 2, s"expected <=2 exchanges, plan:\n${plan.take(3000)}")
   }
 
+  test("train_shards is one exchange, no window, no sort") {
+    val plan = SparkEntry.queries("train_shards")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // shard assignment is a pure per-row expression; accounting is one
+    // partial/final hash aggregate. The order key must stay numeric: a
+    // string min/min_by buffer silently demotes the whole aggregate to
+    // SortAggregate (per-partition sort by shard) — this pin caught
+    // exactly that on the first draft
+    val exchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected 1 exchange, plan:\n${plan.take(3000)}")
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(!plan.contains("SortAggregate"), s"string-buffer fallback:\n${plan.take(3000)}")
+    assert(!plan.contains("Sort "), plan.take(3000))
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+  }
+
+  test("sim_hybrid_rrf rank windows carry group limits") {
+    val plan = SparkEntry.queries("sim_hybrid_rrf")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // the sparse top-20, dense top-20, and fused top-10 all RETURN their
+    // rank (so WindowToTopK correctly leaves the windows in place), but
+    // each rank<=k filter must still plan map-side WindowGroupLimits —
+    // without them a hot query's candidate set is fully sorted in one
+    // reducer before the limit applies
+    val limits = plan.linesIterator.count(_.contains("WindowGroupLimit"))
+    assert(limits >= 2, s"expected >=2 WindowGroupLimit, got $limits:\n${plan.take(3000)}")
+    // no unbroadcast cartesian anywhere (the 1-row scal crossJoin must
+    // plan as a broadcast nested loop, never CartesianProduct)
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("state partitioned by table prunes to one partition on filter") {
     val tmp = java.nio.file.Files.createTempDirectory("plan_state").toString
     try {

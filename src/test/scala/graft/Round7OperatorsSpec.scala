@@ -67,7 +67,7 @@ class Round7OperatorsSpec extends SparkSuite {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val base = q("train_shards").collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getString(4)))).toMap
+        r.getLong(4)))).toMap
     assert(base.keySet.subsetOf((0L until 8L).toSet))
     assert(base.values.map(_._1).sum === docs.count())
     val totTok = docs.select(sum(size(split(col("text"), " ")).cast("long")))
@@ -79,16 +79,17 @@ class Round7OperatorsSpec extends SparkSuite {
       spark, sf0001) // rebuilt plan
     val again = reparted.collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getString(4)))).toMap
+        r.getLong(4)))).toMap
     assert(base === again)
     // head_doc is genuinely the min-key doc of its shard
     import spark.implicits._
     val keyed = docs.select(col("doc_id"),
-        md5(concat(lit("shard:"), col("doc_id").cast("string"))).as("k"))
-      .withColumn("shard",
-        pmod(conv(substring(col("k"), 1, 15), 16, 10).cast("long"), lit(8L)))
+        conv(substring(md5(concat(lit("shard:"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long").as("k"))
+      .withColumn("shard", pmod(col("k"), lit(8L)))
       .groupBy("shard").agg(min("k").as("mk"))
-      .as[(Long, String)].collect().toMap
+      .as[(Long, Long)].collect().toMap
     base.foreach { case (sh, (_, _, _, hk)) =>
       assert(keyed(sh) === hk, s"shard $sh head key mismatch") }
   }
