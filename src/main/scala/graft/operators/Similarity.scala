@@ -42,7 +42,7 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.VectorFunctions.cosine(a, b)
 
-  private def vecs(emb: DataFrame): DataFrame =
+  private[operators] def vecs(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
   /** Brute-force top-k cosine neighbors for each query vector. */
@@ -63,7 +63,7 @@ object Similarity {
     * per-vector window — used only on small (query-side) inputs where the
     * full ranking is needed for multi-probe.
     */
-  private def rankedAssign(v: DataFrame, cent: DataFrame): DataFrame = {
+  private[operators] def rankedAssign(v: DataFrame, cent: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))
     v.join(broadcast(cent))
       .select(col("vec_id"), col("v"), col("cid"),
@@ -79,7 +79,7 @@ object Similarity {
     * n × C similarity table. `first(v)` is deterministic here because v
     * is functionally dependent on the group key.
     */
-  private def assignTo(v: DataFrame, cent: DataFrame): DataFrame =
+  private[operators] def assignTo(v: DataFrame, cent: DataFrame): DataFrame =
     v.join(broadcast(cent))
       .select(col("vec_id"), col("v"),
         struct((-cosine(col("v"), col("cv"))).as("nsim"), col("cid")).as("sc"))
@@ -162,7 +162,7 @@ object Similarity {
     * arithmetic shape (`(a·a − 2(a·b)) + b·b`) the oracle mirrors with
     * `list_dot_product`.
     */
-  private def l2sq(a: Column, b: Column): Column =
+  private[operators] def l2sq(a: Column, b: Column): Column =
     dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
 
   /** Product quantization + asymmetric-distance top-k (the embedding-lake
@@ -190,7 +190,7 @@ object Similarity {
   /** Subvector explode: (vec_id, [extra...], m, sv) with sv the mth
     * `64/mSub`-dim slice. The shared first step of every PQ path.
     */
-  private def pqSub(v: DataFrame, mSub: Int, extra: String*): DataFrame = {
+  private[operators] def pqSub(v: DataFrame, mSub: Int, extra: String*): DataFrame = {
     val subDim = 64 / mSub
     v.select(col("vec_id") +: extra.map(col) :+
       posexplode(array((0 until mSub).map(m =>
@@ -212,7 +212,7 @@ object Similarity {
     * per element and slower still at 11 s) with one codegen'd loop at
     * constant row count.
     */
-  private def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame = {
+  private[operators] def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame = {
     val packed = cb.groupBy("m").agg(
       array_sort(collect_list(struct(col("code"), col("cv")))).as("cbs"))
       .select(col("m"),
@@ -249,7 +249,7 @@ object Similarity {
     * still covers every vector. `SimilaritySpec` pins that sample-trained
     * recall holds the production floor.
     */
-  private def pqTrain(
+  private[operators] def pqTrain(
       sub: DataFrame, kCode: Int, trainRounds: Int,
       trainSample: Option[Int] = None): DataFrame = {
     require(trainSample.forall(_ >= kCode),

@@ -204,6 +204,16 @@ object SimilarityQueries extends QueryRegistry {
     "sim_ivfpq" -> ((s, dir) =>
       Similarity.ivfPqTopK(emb(s, dir), 16, 16, 256, col("vec_id") < 10, 5,
         nprobe = 3)),
+    // X3: the PERSISTED-index form of sim_ivfpq — the same IVFADC search
+    // through the VecIndex build→probe lifecycle (train + encode once to
+    // cell-partitioned storage, probe via broadcast ADC LUTs over pruned
+    // cell partitions). Bitwise-identical results to the in-query
+    // composition, so it shares sim_ivfpq's oracle; the multi-ingest
+    // claims (O(new) appends, byte-identical settled files) are pinned by
+    // VecIndexSpec.
+    "sim_ivfpq_indexed" -> ((s, dir) =>
+      VecIndex.oneShotTopK(emb(s, dir), 16, 16, 256, col("vec_id") < 10, 5,
+        nprobe = 3)),
     // X3: corpus organization — k-means cluster profile (size, cohesion as
     // mean cosine-to-centroid, purity proxy via dominant label share).
     // Reuses the IVF quantizer; the per-cluster mean similarity is
@@ -463,6 +473,8 @@ object SimilarityQueries extends QueryRegistry {
 
   def oracles: Map[String, String] = Map(
     "sim_ivfpq" -> ivfPqSql,
+    // identical search through the persisted index — same oracle by design
+    "sim_ivfpq_indexed" -> ivfPqSql,
     // mirror of the hybrid fuse: same 1e-4-quantized idf, same 10⁻⁶-long
     // per-term quantization (ranking on the integer score), same top-20
     // lists and 1/(60+rank) fusion with ties → doc_id

@@ -1,0 +1,187 @@
+package graft.operators
+
+import graft.Materialize.Ops
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF-PQ (IVFADC) vector index with a build / append / probe
+  * lifecycle — the ANN analog of [[LshIndex]], closing the same
+  * architectural gap: [[Similarity.ivfPqTopK]] demonstrates the IVFADC
+  * composition but retrains the coarse quantizer and codebooks and
+  * re-encodes the whole corpus inside every call. This object makes the
+  * train-once / encode-once / probe-cheap cost model real across calls:
+  *
+  *  - [[build]] trains the coarse centroids (seeded Lloyd's) and the
+  *    residual codebooks ONCE, encodes the corpus, and persists all three
+  *    artifacts. The codes table is PARTITIONED BY CELL, so a probe's
+  *    nprobe-cell candidate read is partition-pruned I/O — the IVF
+  *    "touch O(nprobe/c) of the corpus" promise enforced by the storage
+  *    layout, not just the join;
+  *  - [[append]] encodes ONLY the new batch against the persisted
+  *    centroids + codebooks and appends its code rows into the matching
+  *    cell partitions — O(new) write volume, settled files never
+  *    rewritten (`VecIndexSpec` pins byte-identical history, the
+  *    `LshIndexSpec` technique);
+  *  - [[probe]] reads the tiny artifacts (centroids + codebooks are
+  *    broadcast-scale by construction), builds the per-(query, probed
+  *    cell) ADC lookup tables, and joins them broadcast against the codes
+  *    table — only probed cells' partitions are scanned.
+  *
+  * Determinism: every step reuses the spec-pinned deterministic pieces of
+  * [[Similarity]] (integer-quantized Lloyd's means, codegen'd
+  * nearest-code argmin, order-independent integer ADC sums), and the
+  * parquet round-trip of doubles is exact — so probe-after-build is
+  * bitwise identical to the in-query [[Similarity.ivfPqTopK]], and the
+  * `sim_ivfpq_indexed` driver query hash-matches the same oracle SQL as
+  * `sim_ivfpq`.
+  *
+  * At 100 TB: training runs once (optionally on a deterministic sample,
+  * see [[Similarity.pqTrain]]), the corpus-sized encode runs once per
+  * rebuild, daily ingests pay one narrow encode pass over the batch, and
+  * queries read 16×-compressed codes from nprobe of c cell partitions.
+  * Re-clustering (when drift degrades the cells) is an explicit
+  * occasional [[build]], not a per-call cost.
+  */
+object VecIndex {
+
+  private def metaPath(path: String) = s"$path/meta"
+
+  /** Train centroids + residual codebooks, encode the corpus, persist.
+    * Layout: `path/centroids` (cid, cv), `path/codebooks` (m, code, cv),
+    * `path/codes` (vec_id, m, code) partitioned by cid, `path/meta`
+    * (c, m_sub, k_code) — the recorded parameters every later operation
+    * re-reads (an append cannot silently encode with different geometry
+    * than the index was built with).
+    */
+  def build(
+      emb: DataFrame, path: String, c: Int, mSub: Int, kCode: Int,
+      kmeansIters: Int = 2, trainRounds: Int = 2,
+      trainSample: Option[Int] = None): Unit = {
+    val spark = emb.sparkSession
+    Similarity.kmeansCentroids(emb, c, kmeansIters)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // downstream encode reads the PERSISTED artifact — the exact bits an
+    // append/probe will see, not a re-derived plan
+    val cent = spark.read.parquet(s"$path/centroids")
+    val rsub = residSub(Similarity.vecs(emb), cent, mSub).materialize()
+    Similarity.pqTrain(rsub, kCode, trainRounds, trainSample)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    val cb = spark.read.parquet(s"$path/codebooks")
+    writeCodes(rsub, cb, path, overwrite = true)
+    spark.range(1)
+      .select(lit(c).as("c"), lit(mSub).as("m_sub"), lit(kCode).as("k_code"))
+      .coalesce(1).write.mode("overwrite").parquet(metaPath(path))
+  }
+
+  /** Residual subvector table (vec_id, cid, m, sv): assign to nearest
+    * cell, subtract the cell centroid, slice into subspaces. The shared
+    * first step of build, append, and (vs probed cells) the query side.
+    */
+  private def residSub(v: DataFrame, cent: DataFrame, mSub: Int): DataFrame = {
+    val resid = Similarity.assignTo(v, cent)
+      .join(broadcast(cent), "cid")
+      .select(col("vec_id"), col("cid"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"))
+    Similarity.pqSub(resid, mSub, "cid")
+  }
+
+  private def writeCodes(
+      rsub: DataFrame, cb: DataFrame, path: String, overwrite: Boolean): Unit =
+    Similarity.pqAssign(rsub, cb)
+      .join(rsub.select("vec_id", "cid").distinct(), "vec_id")
+      // int cell id on disk: the partition-column type Spark infers on
+      // read, so the probe join key matches the pruning column exactly
+      .select(col("vec_id"), col("m"), col("code"),
+        col("cid").cast("int").as("cid"))
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("cid").parquet(s"$path/codes")
+
+  private def readMeta(spark: SparkSession, path: String): (Int, Int, Int) = {
+    val r = try spark.read.parquet(metaPath(path)).head()
+    catch {
+      case e: Exception => throw new IllegalStateException(
+        s"$path has no readable meta — not built by VecIndex.build", e)
+    }
+    (r.getAs[Int]("c"), r.getAs[Int]("m_sub"), r.getAs[Int]("k_code"))
+  }
+
+  /** Encode a new batch against the persisted centroids + codebooks and
+    * append its code rows. Write volume is O(new): appends lay new files
+    * into the matching cell partitions, settled files are untouched.
+    */
+  def append(spark: SparkSession, path: String, newEmb: DataFrame): Unit = {
+    val (_, mSub, _) = readMeta(spark, path)
+    val cent = spark.read.parquet(s"$path/centroids")
+    val cb = spark.read.parquet(s"$path/codebooks")
+    writeCodes(residSub(Similarity.vecs(newEmb), cent, mSub).materialize(),
+      cb, path, overwrite = false)
+  }
+
+  /** ADC top-k for `queries` (emb-format: vec_id, embedding) against the
+    * CURRENT index contents. Self-matches (same vec_id) are excluded —
+    * same contract as [[Similarity.ivfPqTopK]]. Only the nprobe probed
+    * cells' code partitions are read (broadcast LUT join on the partition
+    * column → dynamic partition pruning).
+    */
+  def probe(
+      spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nprobe: Int = 2): DataFrame = {
+    val (_, mSub, _) = readMeta(spark, path)
+    val cent = spark.read.parquet(s"$path/centroids")
+    val cb = spark.read.parquet(s"$path/codebooks")
+    val q = Similarity.rankedAssign(Similarity.vecs(queries), cent)
+      .filter(col("rk") <= nprobe)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cid"))
+    // query residual vs EACH probed cell's centroid — per-(query, cell)
+    // LUTs keep shared-codebook residual ADC exact w.r.t. cell geometry
+    val qrsub = Similarity.pqSub(
+      q.join(broadcast(cent), "cid")
+        .select(col("qid").as("vec_id"), col("cid"),
+          zip_with(col("qv"), col("cv"), (a, b) => a - b).as("v")),
+      mSub, "cid")
+      .select(col("vec_id").as("qid"), col("cid"), col("m"),
+        col("sv").as("qv"))
+    val lut = qrsub.join(broadcast(cb), Seq("m"))
+      .select(col("qid"), col("cid").cast("int").as("cid"), col("m"),
+        col("code"),
+        round(Similarity.l2sq(col("qv"), col("cv")) * 1e6, 0)
+          .cast("long").as("di"))
+    val codes = spark.read.parquet(s"$path/codes")
+    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id"))
+    codes.join(broadcast(lut), Seq("cid", "m", "code"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy("qid", "vec_id").agg(sum("di").as("adcl"))
+      .select(col("qid"), col("vec_id"),
+        (col("adcl").cast("double") / 1e6).as("adc"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id"), round(col("adc"), 6).as("adc_dist"),
+        col("rk"))
+  }
+
+  /** The lifecycle as a ONE-SHOT demonstration for the driver gate: build
+    * the index from the corpus, probe the query set, clean up. Production
+    * keeps `path` across ingests and calls [[append]]/[[probe]] per
+    * cycle; the build here exists only because a single self-contained
+    * query has no prior cycle to inherit an index from (the
+    * [[TextDedup.minhashLshPairsIncremental]] pattern).
+    */
+  def oneShotTopK(
+      emb: DataFrame, c: Int, mSub: Int, kCode: Int,
+      queryPred: org.apache.spark.sql.Column, k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_vecidx").toString
+    try {
+      build(emb, tmp, c, mSub, kCode)
+      probe(spark, tmp, emb.filter(queryPred), k, nprobe)
+        .materializeForced() // tmp is deleted in the finally — lineage
+                             // must sever in EVERY mode, incl. none
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+    }
+  }
+}

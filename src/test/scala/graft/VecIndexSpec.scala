@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.security.MessageDigest
+
+import scala.jdk.CollectionConverters._
+
+import graft.operators.{Similarity, VecIndex}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The persisted vector-index lifecycle claims, proven across cycles
+  * (the [[LshIndexSpec]] contract, transplanted to the ANN side):
+  *
+  *  1. probe-after-build is bitwise identical to the in-query
+  *     [[Similarity.ivfPqTopK]] — the parquet round-trip of centroids,
+  *     codebooks, and codes loses nothing;
+  *  2. an append encodes ONLY the new batch (O(new) write volume) and
+  *     settled code files are BYTE-IDENTICAL afterward;
+  *  3. appended vectors are genuinely searchable: an appended duplicate
+  *     of a query vector surfaces at rank 1 (its ADC distance is the
+  *     quantization floor — ADC is asymmetric, so even an identical
+  *     vector scores Σ‖residual − code‖², not 0);
+  *  4. operations on a path not produced by [[VecIndex.build]] fail fast.
+  */
+class VecIndexSpec extends SparkSuite {
+
+  private val C = 8; private val M = 8; private val K = 16
+
+  private def emb: DataFrame =
+    spark.read.parquet(s"$sf0001/embeddings.parquet")
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_vecidx_spec").toString
+
+  private def rows(df: DataFrame): Set[(Long, Long, Double, Int)] =
+    df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+
+  private def codeFiles(path: String): Map[String, String] = {
+    val md = MessageDigest.getInstance("MD5")
+    Files.walk(Paths.get(s"$path/codes")).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .map { p =>
+        md.reset()
+        p.toString ->
+          md.digest(Files.readAllBytes(p)).map("%02x".format(_)).mkString
+      }.toMap
+  }
+
+  test("probe after build is bitwise identical to the in-query IVFADC") {
+    val dir = freshDir()
+    try {
+      VecIndex.build(emb, dir, C, M, K)
+      val probe = VecIndex.probe(
+        spark, dir, emb.filter(col("vec_id") < 5), 3, nprobe = 2)
+      val probed = rows(probe)
+      val inQuery = rows(Similarity.ivfPqTopK(
+        emb, C, M, K, col("vec_id") < 5, 3, nprobe = 2))
+      assert(probed === inQuery)
+      assert(probed.nonEmpty)
+      // the storage payoff: the broadcast LUT join on the partition
+      // column dynamically prunes the codes scan to probed cells — a
+      // probe reads O(nprobe/c) of the codes table, enforced by layout
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"),
+        s"codes scan is not partition-pruned:\n${plan.take(3000)}")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("append: O(new) write volume, byte-identical settled files, " +
+    "appended vectors searchable at distance 0") {
+    val dir = freshDir()
+    try {
+      VecIndex.build(emb, dir, C, M, K)
+      val before = codeFiles(dir)
+      // the batch: exact copies of vectors 0..4 under fresh ids — their
+      // residuals (same cell, same centroid) encode to the same codes as
+      // the originals, so each copy scores the query's quantization
+      // floor (the minimum any data vector can reach) and must rank 1
+      val batch = emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+      VecIndex.append(spark, dir, batch)
+      val after = codeFiles(dir)
+      // settled history untouched, byte for byte
+      before.foreach { case (f, h) =>
+        assert(after.get(f) === Some(h), s"settled file rewritten: $f") }
+      // the appended files hold exactly the batch's code rows: 5 vectors
+      // × M subspaces — O(new), not a corpus rewrite
+      val newFiles = (after.keySet -- before.keySet).toSeq
+      assert(newFiles.nonEmpty)
+      val appended = spark.read.parquet(newFiles: _*)
+      assert(appended.count() === 5L * M)
+      val appendedIds = appended.select("vec_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(appendedIds === (1000L until 1005L).toSet)
+      // each original query now finds its appended copy at rank 1
+      val probed = VecIndex.probe(
+        spark, dir, emb.filter(col("vec_id") < 5), 3, nprobe = 2)
+      val rank1 = probed.filter(col("rk") === 1).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      (0L until 5L).foreach { q =>
+        assert(rank1(q)._1 === q + 1000L,
+          s"query $q rank-1 is not its appended copy: ${rank1(q)}")
+      }
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("append/probe to a path without index meta fail fast") {
+    val dir = freshDir()
+    try {
+      val e1 = intercept[IllegalStateException] {
+        VecIndex.append(spark, dir, emb.limit(1))
+      }
+      assert(e1.getMessage.contains("not built by VecIndex.build"))
+      val e2 = intercept[IllegalStateException] {
+        VecIndex.probe(spark, dir, emb.limit(1), 1)
+      }
+      assert(e2.getMessage.contains("not built by VecIndex.build"))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+}
