@@ -164,8 +164,10 @@ object SimilarityQueries extends QueryRegistry {
       for (_ <- 0 until iters) {
         val wy = st.select(cCols ++ bCols ++
           (0 until dims).map(i => yExpr(i, "b").as(s"y$i")): _*)
-        val nrm = sqrt((0 until dims)
-          .map(i => col(s"y$i") * col(s"y$i")).reduce(_ + _))
+        // nullif: a zero-variance corpus (C = 0) must yield null
+        // loadings, not an ANSI divide-by-zero crash (EmptyInputSpec)
+        val nrm = nullif(sqrt((0 until dims)
+          .map(i => col(s"y$i") * col(s"y$i")).reduce(_ + _)), lit(0.0))
         st = wy.select(cCols ++ bCols ++
           (0 until dims).map(i => (col(s"y$i") / nrm).as(s"v$i")): _*)
           .materialize()
@@ -176,7 +178,8 @@ object SimilarityQueries extends QueryRegistry {
       val rows = (0 until dims).map(i =>
         struct(lit(i).as("dim"), round(col(s"v$i"), 6).as("loading"),
           round(col("lam"), 6).as("eigenvalue"),
-          round(col("lam") / col("tr"), 6).as("var_share")))
+          round(col("lam") / nullif(col("tr"), lit(0.0)), 6)
+            .as("var_share")))
       st.withColumn("lam", lam).withColumn("tr", tr)
         .select(explode(array(rows: _*)).as("r"))
         .select(col("r.dim").as("dim"), col("r.loading").as("loading"),
@@ -674,8 +677,10 @@ object SimilarityQueries extends QueryRegistry {
       val vPass = (0 until dims).map(i => s"v$i").mkString(", ")
       def ySql(i: Int, m: String) =
         (0 until dims).map(j => s"$m${i}_$j * v$j").mkString(" + ")
-      val normSql = "sqrt(" +
-        (0 until dims).map(i => s"y$i * y$i").mkString(" + ") + ")"
+      // nullif mirrors the Spark side's zero-variance guard (inert on any
+      // corpus with variance — the only case the oracle ever compares)
+      val normSql = "nullif(sqrt(" +
+        (0 until dims).map(i => s"y$i * y$i").mkString(" + ") + "), 0.0)"
       val sqCtes = (1 to squarings).map { t =>
         val prev = if (t == 1) "b0" else s"sq${t - 1}"
         s"""sq$t AS (SELECT $cPass, $vPass,
@@ -696,7 +701,7 @@ object SimilarityQueries extends QueryRegistry {
       val lamSql = (0 until dims).map(i => s"v$i * y$i").mkString(" + ")
       val trSql = (0 until dims).map(i => s"c${i}_$i").mkString(" + ")
       val branches = (0 until dims).map(i =>
-        s"SELECT $i AS dim, round(v$i, 6) AS loading, round(lam, 6) AS eigenvalue, round(lam / tr, 6) AS var_share FROM fin2")
+        s"SELECT $i AS dim, round(v$i, 6) AS loading, round(lam, 6) AS eigenvalue, round(lam / nullif(tr, 0.0), 6) AS var_share FROM fin2")
         .mkString("\n|UNION ALL ")
       s"""WITH v AS ($vSql),
          |st AS (SELECT count(*) AS n,

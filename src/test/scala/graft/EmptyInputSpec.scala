@@ -74,6 +74,53 @@ class EmptyInputSpec extends SparkSuite {
       .filter(col("n_repeated_tokens") > 0).count() === 0)
   }
 
+  test("persisted ANN index: empty query set and empty append batch") {
+    import graft.operators.VecIndex
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_vecidx_empty").toString
+    try {
+      VecIndex.build(emb.filter(col("vec_id") < 50), dir, 4, 8, 8)
+      // nothing to probe → empty result, not a crash
+      assert(VecIndex.probe(spark, dir, emb.filter(col("vec_id") < 0), 3)
+        .count() === 0)
+      // an empty ingest batch must leave the index fully usable
+      VecIndex.append(spark, dir, emb.filter(col("vec_id") < 0))
+      assert(VecIndex.probe(spark, dir, emb.filter(col("vec_id") < 2), 3)
+        .count() > 0)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("round-7 analysis queries are total on a degenerate tiny corpus") {
+    import spark.implicits._
+    // 2 identical vectors (zero-variance dims → rounded covariance still
+    // finite) plus a tiny doc set exercising hybrid retrieval's empty
+    // posting lists and train_shards' sparse shards
+    val tinyDocs = Seq(
+      (1L, "solo", "en", "s0", 4L),
+      (2L, "a", "en", "s0", 1L),
+      (3L, "the data the data the data", "en", "s1", 26L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tinyEmb = Seq(0L, 1L, 2L).map(i =>
+      (i, (0 until 64).map(j => (j % 5).toFloat / 4f).toArray, 0))
+      .toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tiny7").toString
+    try {
+      tinyDocs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      tinyEmb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      for (q <- Seq("train_shards", "sim_hybrid_rrf", "emb_pca"))
+        SparkEntry.queries(q)(spark, dir).count() // total, no throw
+      // identical vectors: covariance is exactly zero → the power
+      // iteration's normalized vector divides 0/0 and the loadings are
+      // NaN, but the query stays total and the row shape holds
+      assert(SparkEntry.queries("emb_pca")(spark, dir).count() === 8)
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("round-6 model-prep queries are total on a degenerate tiny corpus") {
     import spark.implicits._
     // 3 docs: a 1-token doc (no bigrams/pairs), an empty-ish doc, a normal
