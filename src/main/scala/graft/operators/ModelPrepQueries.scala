@@ -312,6 +312,37 @@ object ModelPrepQueries extends QueryRegistry {
             .as("chars_per_token"))
     }),
 
+    // The tokenizer → packing handoff: pack training sequences by REAL
+    // trained-tokenizer counts, not whitespace counts. Per-doc BPE token
+    // mass = Σ over the doc's (word, count) histogram of the word's
+    // segment count under the learned merge table — the per-(doc, word)
+    // histogram is the one corpus-sized shuffle (materialized, feeding
+    // the global training counts by reaggregation AND the per-doc
+    // rollup); segmentation still folds DISTINCT words only, and the
+    // token-count join back is vocabulary-keyed. Packing itself is the
+    // two-phase prefix sum of Packing.packStatsItems — the serial window
+    // sees n/1024 bucket rows, never the corpus. Docs whose every token
+    // is empty (no length-≥1 words) pack with n = 0 via the left join —
+    // same doc set as text_pack.
+    "text_pack_bpe" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val dw = d.select(col("doc_id"),
+          explode(TextDedup.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 1)
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .materialize() // one corpus scan feeds training AND the rollup
+      val wc = dw.groupBy("w").agg(sum("c").as("c"))
+      val seg = bpeTrain(wc, applyLast = true)._2
+      val tok = seg.select(col("w"),
+        size(split(col("seg"), " ")).cast("long").as("n_tok"))
+      val docTok = dw.join(tok, "w")
+        .groupBy("doc_id").agg(sum(col("c") * col("n_tok")).as("n"))
+      val items = d.select(col("doc_id"))
+        .join(docTok, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n"), lit(0L)).as("n"))
+      Packing.packStatsItems(items, 256)
+    }),
+
     // BPE tokenizer training, merge iteration 0: corpus-wide frequency of
     // adjacent character pairs within words — the argmax pair is the first
     // merge a BPE trainer would learn. Integer-only; top-20 with
@@ -398,9 +429,36 @@ object ModelPrepQueries extends QueryRegistry {
        |    / CAST(sum(c * n_tok) AS BIGINT)::DOUBLE, 6) AS chars_per_token
        |FROM wcl JOIN tok USING (w) GROUP BY 1""".stripMargin
 
+  // Mirror of text_pack_bpe: same per-(doc, word) histogram, same learned
+  // segmentation (bpeCtes over the reaggregated wc), per-doc token mass
+  // via the vocabulary join, then the single-window cumsum form of the
+  // two-phase prefix sum (bitwise-equal: all-integer arithmetic).
+  private val bpePackSql =
+    s"""WITH dw AS (SELECT doc_id, w, count(*) AS c FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |    FROM documents)
+       |  WHERE length(w) >= 1 GROUP BY 1, 2),
+       |wc AS (SELECT w, CAST(sum(c) AS BIGINT) AS c FROM dw GROUP BY 1),
+       |${bpeCtes(applyLast = true)},
+       |tok AS (SELECT w, CAST(len(string_split(seg, ' ')) AS BIGINT)
+       |    AS n_tok FROM seg$bpeMerges),
+       |dt AS (SELECT doc_id, CAST(sum(c * n_tok) AS BIGINT) AS n
+       |  FROM dw JOIN tok USING (w) GROUP BY 1),
+       |items AS (SELECT d.doc_id, coalesce(dt.n, 0) AS n
+       |  FROM (SELECT doc_id FROM documents) d LEFT JOIN dt USING (doc_id)),
+       |cum AS (SELECT doc_id, n,
+       |  sum(n) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS tok_start
+       |  FROM items)
+       |SELECT CAST(tok_start // 256 AS BIGINT) AS pack_id,
+       |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM cum GROUP BY 1""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "text_bpe_mergen" -> bpeMergeNSql,
     "text_bpe_tokenize" -> bpeTokenizeSql,
+    "text_pack_bpe" -> bpePackSql,
     // Literal doubles carry ::DOUBLE casts so DuckDB's DECIMAL literals
     // don't silently widen the arithmetic (see text_classify).
     "text_bm25" ->

@@ -78,9 +78,22 @@ object Packing {
     */
   def packStats(docs: DataFrame, packSize: Int,
       bucketSize: Int = 1024): DataFrame =
-    tokenOffsets(docs, bucketSize)
+    packStatsItems(
+      docs.select(col("doc_id"),
+        size(TextDedup.tokens(col("text"))).cast("long").as("n")),
+      packSize, bucketSize)
+
+  /** Packing over an explicit (doc_id, n) length table — the entry point
+    * for callers whose lengths are NOT whitespace counts (e.g. trained-
+    * tokenizer token counts, see `text_pack_bpe`). Same two-phase prefix
+    * sum, same manifest shape.
+    */
+  def packStatsItems(items: DataFrame, packSize: Int,
+      bucketSize: Int = 1024): DataFrame =
+    prefixSum(items.select(col("doc_id"), col("n").cast("long").as("n")),
+      bucketSize)
       .select(col("doc_id"), col("n"),
-        expr(s"tok_start div $packSize").as("pack_id"))
+        expr(s"start div $packSize").as("pack_id"))
       .groupBy("pack_id")
       .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))

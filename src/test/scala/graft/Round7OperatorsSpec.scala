@@ -63,6 +63,17 @@ class Round7OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("text_pack_bpe conserves the tokenizer's total token mass") {
+    // the pack manifest's token total must equal what the tokenizer
+    // application reports — same merge table, same word filter, so a
+    // drift here means the two queries segmented differently
+    val packed = q("text_pack_bpe")
+      .agg(sum("n_tokens")).head().getLong(0)
+    val reported = q("text_bpe_tokenize")
+      .agg(sum("n_tokens")).head().getLong(0)
+    assert(packed === reported, s"pack total $packed != tokenizer $reported")
+  }
+
   test("train_shards: totals conserved and partitioning-invariant") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val base = q("train_shards").collect()
