@@ -115,19 +115,22 @@ object SimilarityQueries extends QueryRegistry {
     // point after which every FP op used (+, ×, ÷, √ are all
     // correctly-rounded IEEE) is bitwise identical across engines given
     // the same association order. The fixture's spectrum is FLAT
-    // (λ₂/λ₁ ≈ 0.95), so plain power iteration stalls; instead the
-    // iteration matrix is C¹⁶ (4 in-plan matrix squarings — still pure
-    // IEEE arithmetic), giving a 0.95¹⁶ ≈ 0.44 convergence factor per
-    // step. Everything after the moment sums runs on a SINGLE row
-    // (d² scalars, no data motion), each step materialize()d so the
-    // plan stays shallow instead of exponentially inlining. At 100 TB
-    // this is exactly the "aggregate d² moments, eigensolve the tiny
-    // matrix, broadcast the projection" PCA architecture; convergence
-    // is spec-checked (eigenpair residual ‖Cx − λx‖ small vs the
-    // emb_covariance matrix), correctness needs only determinism. The
-    // Rayleigh quotient λ = x·Cx uses the ORIGINAL C, not C¹⁶.
+    // (λ₂/λ₁ ≈ 0.95), so per-step power iteration stalls; instead the
+    // whole power C^128 is built by 7 TRACE-NORMALIZED matrix squarings
+    // (dividing each square by its trace keeps entries O(1) — raw C^128
+    // entries would underflow doubles at λ₁ ≈ 0.02 — without changing
+    // the matrix DIRECTION), then ONE matvec against the all-ones seed is
+    // normalized into the loading vector. Everything after the moment
+    // sums runs on a SINGLE row (d² scalars, no data motion), each
+    // squaring materialize()d so the plan stays shallow instead of
+    // exponentially inlining. At 100 TB this is exactly the "aggregate
+    // d² moments, eigensolve the tiny matrix, broadcast the projection"
+    // PCA architecture; convergence is spec-checked (eigenpair residual
+    // ‖Cx − λx‖ small vs the emb_covariance matrix), correctness needs
+    // only determinism. The Rayleigh quotient λ = x·Cx uses the
+    // ORIGINAL C, not the normalized power.
     "emb_pca" -> ((s, dir) => {
-      val dims = 8; val iters = 8; val squarings = 4
+      val dims = 8; val squarings = 7
       val v = col("embedding").cast("array<double>")
       val base = emb(s, dir).select((0 until dims).map(i =>
         v.getItem(i).as(s"x$i")): _*)
@@ -146,32 +149,34 @@ object SimilarityQueries extends QueryRegistry {
       }
       val ij = for { i <- 0 until dims; j <- 0 until dims } yield (i, j)
       val cCols = ij.map { case (i, j) => col(s"c${i}_$j") }
-      val bCols = ij.map { case (i, j) => col(s"b${i}_$j") }
-      val vCols = (0 until dims).map(i => col(s"v$i"))
       var st = base.agg(aggs.head, aggs.tail: _*)
-        .select(ij.map { case (i, j) => covExpr(i, j).as(s"c${i}_$j") } ++
-          (0 until dims).map(i => lit(1.0).as(s"v$i")): _*)
+        .select(ij.map { case (i, j) => covExpr(i, j).as(s"c${i}_$j") }: _*)
         .select(col("*") +:
           ij.map { case (i, j) => col(s"c${i}_$j").as(s"b${i}_$j") }: _*)
         .materialize()
-      for (_ <- 0 until squarings)
-        st = st.select(cCols ++ vCols ++ ij.map { case (i, j) =>
+      for (_ <- 0 until squarings) {
+        val sq = st.select(cCols ++ ij.map { case (i, j) =>
           (0 until dims).map(k => col(s"b${i}_$k") * col(s"b${k}_$j"))
-            .reduce(_ + _).as(s"b${i}_$j") }: _*)
-          .materialize()
-      def yExpr(i: Int, m: String) = (0 until dims)
-        .map(j => col(s"$m${i}_$j") * col(s"v$j")).reduce(_ + _)
-      for (_ <- 0 until iters) {
-        val wy = st.select(cCols ++ bCols ++
-          (0 until dims).map(i => yExpr(i, "b").as(s"y$i")): _*)
+            .reduce(_ + _).as(s"s${i}_$j") }: _*)
         // nullif: a zero-variance corpus (C = 0) must yield null
         // loadings, not an ANSI divide-by-zero crash (EmptyInputSpec)
-        val nrm = nullif(sqrt((0 until dims)
-          .map(i => col(s"y$i") * col(s"y$i")).reduce(_ + _)), lit(0.0))
-        st = wy.select(cCols ++ bCols ++
-          (0 until dims).map(i => (col(s"y$i") / nrm).as(s"v$i")): _*)
+        val tr2 = nullif((0 until dims)
+          .map(i => col(s"s${i}_$i")).reduce(_ + _), lit(0.0))
+        st = sq.select(cCols ++ ij.map { case (i, j) =>
+          (col(s"s${i}_$j") / tr2).as(s"b${i}_$j") }: _*)
           .materialize()
       }
+      def yExpr(i: Int, m: String) = (0 until dims)
+        .map(j => col(s"$m${i}_$j") * col(s"v$j")).reduce(_ + _)
+      // one matvec against the all-ones seed = row sums of the power
+      val ys = st.select(cCols ++ (0 until dims).map(i =>
+        (0 until dims).map(j => col(s"b${i}_$j")).reduce(_ + _)
+          .as(s"y$i")): _*)
+      val nrm = nullif(sqrt((0 until dims)
+        .map(i => col(s"y$i") * col(s"y$i")).reduce(_ + _)), lit(0.0))
+      st = ys.select(cCols ++ (0 until dims).map(i =>
+        (col(s"y$i") / nrm).as(s"v$i")): _*)
+        .materialize()
       val lam = (0 until dims).map(i => col(s"v$i") * yExpr(i, "c"))
         .reduce(_ + _)
       val tr = (0 until dims).map(i => col(s"c${i}_$i")).reduce(_ + _)
@@ -653,11 +658,11 @@ object SimilarityQueries extends QueryRegistry {
          |$branches""".stripMargin
     },
     // mirror of the power iteration: same quantized moment sums, same
-    // 6-decimal covariance rounding, same 4 matrix squarings (C¹⁶ as
-    // the iteration matrix), same left-associated Σ orders in the
-    // matrix-vector product, norm, Rayleigh quotient, and trace
+    // 6-decimal covariance rounding, same 7 trace-normalized matrix
+    // squarings (direction of C¹²⁸), same left-associated Σ orders in
+    // the row sums, norm, Rayleigh quotient, and trace
     "emb_pca" -> {
-      val dims = 8; val iters = 8; val squarings = 4
+      val dims = 8; val squarings = 7
       val pairs = for { i <- 0 until dims; j <- i until dims } yield (i, j)
       val ij = for { i <- 0 until dims; j <- 0 until dims } yield (i, j)
       val sSums = (0 until dims).map(i =>
@@ -673,7 +678,6 @@ object SimilarityQueries extends QueryRegistry {
       val cDefs = ij.map { case (i, j) => s"${covSql(i, j)} AS c${i}_$j" }
         .mkString(",\n|  ")
       val cPass = ij.map { case (i, j) => s"c${i}_$j" }.mkString(", ")
-      val bPass = ij.map { case (i, j) => s"b${i}_$j" }.mkString(", ")
       val vPass = (0 until dims).map(i => s"v$i").mkString(", ")
       def ySql(i: Int, m: String) =
         (0 until dims).map(j => s"$m${i}_$j * v$j").mkString(" + ")
@@ -681,22 +685,19 @@ object SimilarityQueries extends QueryRegistry {
       // corpus with variance — the only case the oracle ever compares)
       val normSql = "nullif(sqrt(" +
         (0 until dims).map(i => s"y$i * y$i").mkString(" + ") + "), 0.0)"
+      val trOfS = "nullif(" +
+        (0 until dims).map(i => s"s${i}_$i").mkString(" + ") + ", 0.0)"
       val sqCtes = (1 to squarings).map { t =>
-        val prev = if (t == 1) "b0" else s"sq${t - 1}"
-        s"""sq$t AS (SELECT $cPass, $vPass,
+        val prev = if (t == 1) "b0" else s"nb${t - 1}"
+        s"""sq$t AS (SELECT $cPass,
            |  ${ij.map { case (i, j) =>
                 (0 until dims).map(k => s"b${i}_$k * b${k}_$j")
-                  .mkString(" + ") + s" AS b${i}_$j" }.mkString(",\n|  ")}
-           |  FROM $prev)"""
-      }.mkString(",\n|")
-      val iterCtes = (1 to iters).map { t =>
-        val prev = if (t == 1) s"sq$squarings" else s"it${t - 1}"
-        s"""wy$t AS (SELECT $cPass, $bPass,
-           |  ${(0 until dims).map(i => s"${ySql(i, "b")} AS y$i").mkString(",\n|  ")}
+                  .mkString(" + ") + s" AS s${i}_$j" }.mkString(",\n|  ")}
            |  FROM $prev),
-           |it$t AS (SELECT $cPass, $bPass,
-           |  ${(0 until dims).map(i => s"y$i / $normSql AS v$i").mkString(",\n|  ")}
-           |  FROM wy$t)"""
+           |nb$t AS (SELECT $cPass,
+           |  ${ij.map { case (i, j) =>
+                s"s${i}_$j / $trOfS AS b${i}_$j" }.mkString(",\n|  ")}
+           |  FROM sq$t)"""
       }.mkString(",\n|")
       val lamSql = (0 until dims).map(i => s"v$i * y$i").mkString(" + ")
       val trSql = (0 until dims).map(i => s"c${i}_$i").mkString(" + ")
@@ -708,17 +709,23 @@ object SimilarityQueries extends QueryRegistry {
          |  $sSums,
          |  $pSums FROM v),
          |c0 AS (SELECT
-         |  $cDefs,
-         |  ${(0 until dims).map(i => s"1.0::DOUBLE AS v$i").mkString(", ")}
+         |  $cDefs
          |  FROM st),
-         |b0 AS (SELECT $cPass, $vPass,
+         |b0 AS (SELECT $cPass,
          |  ${ij.map { case (i, j) => s"c${i}_$j AS b${i}_$j" }.mkString(", ")}
          |  FROM c0),
          |$sqCtes,
-         |$iterCtes,
+         |fin0 AS (SELECT $cPass,
+         |  ${(0 until dims).map(i => (0 until dims)
+              .map(j => s"b${i}_$j").mkString(" + ") + s" AS y$i")
+              .mkString(",\n|  ")}
+         |  FROM nb$squarings),
+         |fin1 AS (SELECT $cPass,
+         |  ${(0 until dims).map(i => s"y$i / $normSql AS v$i").mkString(",\n|  ")}
+         |  FROM fin0),
          |fin AS (SELECT $cPass, $vPass,
          |  ${(0 until dims).map(i => s"${ySql(i, "c")} AS y$i").mkString(",\n|  ")}
-         |  FROM it$iters),
+         |  FROM fin1),
          |fin2 AS (SELECT $vPass,
          |  ($lamSql) AS lam, ($trSql) AS tr FROM fin)
          |$branches""".stripMargin
