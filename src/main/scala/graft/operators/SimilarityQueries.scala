@@ -32,6 +32,59 @@ object SimilarityQueries extends QueryRegistry {
     // the neighbor structure curation passes consume (see knnGraph)
     "sim_knn_graph" -> ((s, dir) =>
       Similarity.knnGraph(emb(s, dir), 16, 3)),
+    // X3 graph analytics: PageRank-style centrality over the kNN graph —
+    // the graph-based data-selection signal (a document whose neighbors'
+    // neighbors keep pointing back at it is a hub of a near-duplicate /
+    // template region; low-rank periphery is the diverse tail). The
+    // repo's connected components propagates LABELS; this is the VALUE
+    // iteration complement, and it runs as the canonical Pregel-as-joins
+    // shape: per iteration ONE edge⋈ranks join + ONE dst-keyed sum +
+    // a left join back to nodes — 2 shuffles over edge/node tables,
+    // iterated state materialize()d. Determinism at any parallelism:
+    // ranks live in integer MICRO-UNITS (Σ ≈ 10¹²); each contribution
+    // is `rank div out-degree` (floor division, every operand
+    // non-negative) so the per-dst sum is an order-independent long sum,
+    // bitwise equal to the oracle's — no FP anywhere in the loop.
+    // Dangling mass (nodes whose cell had no partner) redistributes
+    // uniformly each step; the final global top-20 is TakeOrdered
+    // (bounded heaps), never an unpartitioned window over all nodes.
+    "sim_graph_rank" -> ((s, dir) => {
+      val iters = 5
+      val e = emb(s, dir)
+      val edges = Similarity.knnGraph(e, 16, 3)
+        .select(col("vec_id").as("src"), col("nbr").as("dst"))
+        .materialize() // reused every iteration + by the degree table
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .materialize()
+      val nn = e.agg(count(lit(1)).as("nn"))
+      var ranks = e.select(col("vec_id")).crossJoin(broadcast(nn))
+        .select(col("vec_id"), expr("1000000000000 div nn").as("r"),
+          col("nn"))
+        .materialize()
+      for (_ <- 0 until iters) {
+        val dm = ranks.join(deg, col("vec_id") === col("src"), "left_anti")
+          .agg(coalesce(sum("r"), lit(0L)).as("dm"))
+        val inflow = edges
+          .join(ranks.select(col("vec_id").as("src"), col("r")), "src")
+          .join(deg, "src")
+          .select(col("dst"), expr("r div deg").as("c"))
+          .groupBy("dst").agg(sum("c").as("inflow"))
+          .withColumnRenamed("dst", "vec_id")
+        ranks = ranks.select(col("vec_id"), col("nn"))
+          .join(inflow, Seq("vec_id"), "left")
+          .crossJoin(broadcast(dm))
+          .select(col("vec_id"),
+            expr("(15 * (1000000000000 div nn)) div 100 + " +
+              "(85 * (coalesce(inflow, 0L) + dm div nn)) div 100").as("r"),
+            col("nn"))
+          .materialize()
+      }
+      val top = ranks.orderBy(col("r").desc, col("vec_id")).limit(20)
+      top.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("r").desc, col("vec_id"))))
+        .select(col("rk"), col("vec_id"), col("r").as("score_micro"))
+    }),
     // X3 training-prep: hard-negative mining — for every vector, its top-3
     // MOST similar neighbors with a DIFFERENT label (the metric-learning /
     // contrastive-training negative set: near in embedding space, wrong
@@ -629,6 +682,47 @@ object SimilarityQueries extends QueryRegistry {
          |      ORDER BY sim DESC, nbr) AS rk
          |  FROM p)
          |WHERE rk <= 3""".stripMargin,
+    // mirror of the integer PageRank: same kNN edge set, same micro-unit
+    // floor divisions (DuckDB // ≡ Spark div on the all-non-negative
+    // operands), unrolled 5 iterations. Every multiply-referenced CTE is
+    // MATERIALIZED: each r{t} is read 3× by iteration t+1, so inlining
+    // (DuckDB's default for CTEs) re-evaluates the chain 3^t times and
+    // the expensive cell-pair CTE with it — minutes instead of seconds.
+    "sim_graph_rank" -> {
+      val iterCtes = (1 to 5).map { t =>
+        val prev = s"r${t - 1}"
+        s"""dm$t AS (SELECT coalesce(CAST(sum(r) AS BIGINT), 0) AS dm
+           |  FROM $prev LEFT JOIN deg ON vec_id = src
+           |  WHERE src IS NULL),
+           |in$t AS (SELECT dst, CAST(sum(r // deg) AS BIGINT) AS inflow
+           |  FROM e JOIN $prev ON e.src = $prev.vec_id
+           |   JOIN deg USING (src) GROUP BY 1),
+           |r$t AS MATERIALIZED (SELECT n.vec_id,
+           |    (15 * (1000000000000 // n.nn)) // 100
+           |      + (85 * (coalesce(i.inflow, 0) + d.dm // n.nn)) // 100 AS r,
+           |    n.nn
+           |  FROM $prev n LEFT JOIN in$t i ON n.vec_id = i.dst
+           |   CROSS JOIN dm$t d)"""
+      }.mkString(",\n|")
+      s"""WITH $ivfCtes,
+         |p AS (SELECT a.vec_id, b.vec_id AS nbr, ${cos("a.v", "b.v")} AS sim
+         |  FROM asn a JOIN asn b USING (cid)
+         |  WHERE a.vec_id <> b.vec_id),
+         |e AS MATERIALIZED (SELECT vec_id AS src, nbr AS dst FROM (
+         |  SELECT vec_id, nbr,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY sim DESC, nbr) AS rk
+         |  FROM p) WHERE rk <= 3),
+         |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |nn AS (SELECT count(*) AS nn FROM v),
+         |r0 AS MATERIALIZED (SELECT vec_id, 1000000000000 // nn AS r, nn
+         |  FROM v CROSS JOIN nn),
+         |$iterCtes
+         |SELECT rk, vec_id, r AS score_micro FROM (
+         |  SELECT vec_id, r,
+         |    row_number() OVER (ORDER BY r DESC, vec_id) AS rk
+         |  FROM r5) WHERE rk <= 20""".stripMargin
+    },
     "sim_range_search" ->
       s"""WITH v AS ($vSql),
          |q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10)
