@@ -478,6 +478,55 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** PageRank over an explicit edge list — the VALUE-iteration complement
+    * to [[graft.operators.TextDedup]]'s connected-components LABELS: a node
+    * whose neighbors' neighbors keep pointing back at it is a hub of a
+    * near-duplicate / template region; the low-rank periphery is the
+    * diverse tail a data-selection pass wants to keep (Page et al. 1999).
+    *
+    * `nodes` carries one `vec_id` per vertex (isolated vertices allowed);
+    * `edges` is (src, dst). Ranks live in integer MICRO-UNITS (Σ ≈ 10¹²)
+    * and every contribution is a floor division of non-negative longs, so
+    * the per-dst sum is an order-independent long sum — bitwise identical
+    * at any parallelism and reproducible by a single-node oracle, with no
+    * FP anywhere in the loop. Dangling mass (out-degree-0 nodes)
+    * redistributes uniformly each step; damping is the classic 0.15/0.85
+    * as integer 15/85 `div` 100.
+    *
+    * 100 TB: per iteration ONE edge⋈ranks join + ONE dst-keyed sum + a
+    * left join back to nodes — two shuffles over edge/node-sized tables,
+    * iterated state [[graft.Materialize]]d so lineage stays flat. The
+    * edge and degree tables materialize once and are reused every
+    * iteration.
+    */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.materialize() // reused every iteration + the degree table
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).materialize()
+    val nn = nodes.agg(count(lit(1)).as("nn"))
+    var ranks = nodes.select(col("vec_id")).crossJoin(broadcast(nn))
+      .select(col("vec_id"), expr("1000000000000 div nn").as("r"), col("nn"))
+      .materialize()
+    for (_ <- 0 until iters) {
+      val dm = ranks.join(deg, col("vec_id") === col("src"), "left_anti")
+        .agg(coalesce(sum("r"), lit(0L)).as("dm"))
+      val inflow = e
+        .join(ranks.select(col("vec_id").as("src"), col("r")), "src")
+        .join(deg, "src")
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("inflow"))
+        .withColumnRenamed("dst", "vec_id")
+      ranks = ranks.select(col("vec_id"), col("nn"))
+        .join(inflow, Seq("vec_id"), "left")
+        .crossJoin(broadcast(dm))
+        .select(col("vec_id"),
+          expr("(15 * (1000000000000 div nn)) div 100 + " +
+            "(85 * (coalesce(inflow, 0L) + dm div nn)) div 100").as("r"),
+          col("nn"))
+        .materialize()
+    }
+    ranks.select(col("vec_id"), col("r"))
+  }
+
   def nearDupPairs(
       emb: DataFrame, c: Int, threshold: Double, salts: Int = 0): DataFrame = {
     // both sides of the self-join read the assignment — materialize once

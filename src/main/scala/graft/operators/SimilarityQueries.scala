@@ -33,52 +33,17 @@ object SimilarityQueries extends QueryRegistry {
     "sim_knn_graph" -> ((s, dir) =>
       Similarity.knnGraph(emb(s, dir), 16, 3)),
     // X3 graph analytics: PageRank-style centrality over the kNN graph —
-    // the graph-based data-selection signal (a document whose neighbors'
-    // neighbors keep pointing back at it is a hub of a near-duplicate /
-    // template region; low-rank periphery is the diverse tail). The
-    // repo's connected components propagates LABELS; this is the VALUE
-    // iteration complement, and it runs as the canonical Pregel-as-joins
-    // shape: per iteration ONE edge⋈ranks join + ONE dst-keyed sum +
-    // a left join back to nodes — 2 shuffles over edge/node tables,
-    // iterated state materialize()d. Determinism at any parallelism:
-    // ranks live in integer MICRO-UNITS (Σ ≈ 10¹²); each contribution
-    // is `rank div out-degree` (floor division, every operand
-    // non-negative) so the per-dst sum is an order-independent long sum,
-    // bitwise equal to the oracle's — no FP anywhere in the loop.
-    // Dangling mass (nodes whose cell had no partner) redistributes
-    // uniformly each step; the final global top-20 is TakeOrdered
-    // (bounded heaps), never an unpartitioned window over all nodes.
+    // the graph-based data-selection signal. The repo's connected
+    // components propagates LABELS; Similarity.pageRank is the VALUE
+    // iteration complement (integer micro-units, no FP in the loop — see
+    // its scaladoc). The final global top-20 is TakeOrdered (bounded
+    // heaps); the cosmetic rank column is a window over those 20 rows
+    // only, never over all nodes.
     "sim_graph_rank" -> ((s, dir) => {
-      val iters = 5
       val e = emb(s, dir)
       val edges = Similarity.knnGraph(e, 16, 3)
         .select(col("vec_id").as("src"), col("nbr").as("dst"))
-        .materialize() // reused every iteration + by the degree table
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-        .materialize()
-      val nn = e.agg(count(lit(1)).as("nn"))
-      var ranks = e.select(col("vec_id")).crossJoin(broadcast(nn))
-        .select(col("vec_id"), expr("1000000000000 div nn").as("r"),
-          col("nn"))
-        .materialize()
-      for (_ <- 0 until iters) {
-        val dm = ranks.join(deg, col("vec_id") === col("src"), "left_anti")
-          .agg(coalesce(sum("r"), lit(0L)).as("dm"))
-        val inflow = edges
-          .join(ranks.select(col("vec_id").as("src"), col("r")), "src")
-          .join(deg, "src")
-          .select(col("dst"), expr("r div deg").as("c"))
-          .groupBy("dst").agg(sum("c").as("inflow"))
-          .withColumnRenamed("dst", "vec_id")
-        ranks = ranks.select(col("vec_id"), col("nn"))
-          .join(inflow, Seq("vec_id"), "left")
-          .crossJoin(broadcast(dm))
-          .select(col("vec_id"),
-            expr("(15 * (1000000000000 div nn)) div 100 + " +
-              "(85 * (coalesce(inflow, 0L) + dm div nn)) div 100").as("r"),
-            col("nn"))
-          .materialize()
-      }
+      val ranks = Similarity.pageRank(e.select(col("vec_id")), edges, 5)
       val top = ranks.orderBy(col("r").desc, col("vec_id")).limit(20)
       top.withColumn("rk", row_number().over(
           org.apache.spark.sql.expressions.Window
