@@ -240,6 +240,17 @@ object SimilarityQueries extends QueryRegistry {
     "sim_ivfpq_indexed" -> ((s, dir) =>
       VecIndex.oneShotTopK(emb(s, dir), 16, 16, 256, col("vec_id") < 10, 5,
         nprobe = 3)),
+    // X3: the DELETE cycle of the persisted index — build, remove a CDC
+    // delete batch (VecIndex.remove rewrites only the touched cell
+    // partitions; settled cells byte-identical, VecIndexSpec), probe.
+    // Trained artifacts (centroids, codebooks) are retained across the
+    // delete, so the oracle is sim_ivfpq's SQL trained on the FULL corpus
+    // with the victims filtered from the candidate side only — exactly
+    // the production semantics (deletes don't retrain the quantizer).
+    "sim_index_refresh" -> ((s, dir) =>
+      VecIndex.oneShotTopK(emb(s, dir), 16, 16, 256, col("vec_id") < 10, 5,
+        nprobe = 3,
+        removePred = Some(col("vec_id") % 7 === 3 && col("vec_id") >= 10))),
     // X3: corpus organization — k-means cluster profile (size, cohesion as
     // mean cosine-to-centroid, purity proxy via dominant label share).
     // Reuses the IVF quantizer; the per-cluster mean similarity is
@@ -451,7 +462,13 @@ object SimilarityQueries extends QueryRegistry {
   // residuals are elementwise v[i] − cv[i] (identical IEEE trees in both
   // engines); the PQ chain runs over rsub with cid riding along; the ADC
   // probe joins codes on (cid, m, code) so only probed cells participate.
-  private val ivfPqSql =
+  private val ivfPqSql = ivfPqSqlFiltered("")
+
+  /** sim_ivfpq's oracle with an optional extra candidate-side predicate —
+    * the delete cycle (sim_index_refresh) trains on the full corpus and
+    * only excludes victims from the ADC candidate set.
+    */
+  private def ivfPqSqlFiltered(candFilter: String) =
     s"""WITH $ivfCtes,
        |resid AS (SELECT a.vec_id, a.cid,
        |    list_transform(generate_series(1, $dim),
@@ -483,7 +500,7 @@ object SimilarityQueries extends QueryRegistry {
        |adc AS (SELECT qid, cd.vec_id, sum(di) AS adcl
        |  FROM codes cd JOIN lut
        |    ON lut.cid = cd.cid AND lut.m = cd.m AND lut.code = cd.code
-       |  WHERE qid <> cd.vec_id GROUP BY 1, 2)
+       |  WHERE qid <> cd.vec_id$candFilter GROUP BY 1, 2)
        |SELECT qid, vec_id, round(adcl / 1000000.0, 6) AS adc_dist, rk FROM (
        |  SELECT qid, vec_id, adcl,
        |    row_number() OVER (PARTITION BY qid ORDER BY adcl ASC, vec_id) AS rk
@@ -501,6 +518,9 @@ object SimilarityQueries extends QueryRegistry {
     "sim_ivfpq" -> ivfPqSql,
     // identical search through the persisted index — same oracle by design
     "sim_ivfpq_indexed" -> ivfPqSql,
+    // same training (full corpus), victims excluded from candidates only
+    "sim_index_refresh" -> ivfPqSqlFiltered(
+      " AND NOT (cd.vec_id % 7 = 3 AND cd.vec_id >= 10)"),
     // mirror of the hybrid fuse: same 1e-4-quantized idf, same 10⁻⁶-long
     // per-term quantization (ranking on the integer score), same top-20
     // lists and 1/(60+rank) fusion with ties → doc_id

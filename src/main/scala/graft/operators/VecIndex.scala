@@ -118,6 +118,49 @@ object VecIndex {
       cb, path, overwrite = false)
   }
 
+  /** Delete vectors from the index — the CDC-delete side of the
+    * lifecycle ([[append]] is the insert side). Rewrites ONLY the cell
+    * partitions that actually contain a victim (the
+    * [[graft.streaming.CdcStream]] bucket-incremental sink technique):
+    * survivors of touched cells are recomputed from a partition-pruned
+    * scan and dynamic-partition-overwritten; settled cells' files are
+    * never touched. A cell whose vectors ALL leave has no output rows —
+    * dynamic overwrite cannot rewrite it to empty, so its directory is
+    * dropped through the Hadoop FileSystem (object-store-safe).
+    *
+    * Centroids and codebooks are deliberately retained: they are trained
+    * artifacts, not per-row state — deletions degrade cell balance only
+    * gradually, and re-clustering is the explicit occasional [[build]]
+    * (same policy as a production IVF index). At 100 TB a delete batch
+    * costs O(touched cells), not O(corpus).
+    */
+  def remove(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    readMeta(spark, path) // fail fast on a path build() never produced
+    val codesDir = s"$path/codes"
+    val victims = ids.select(col("vec_id")).distinct().materialize()
+    val codes = spark.read.parquet(codesDir)
+    // cells holding a victim — bounded by c (broadcast-scale), same
+    // driver-side contract as the sink's ≤nBuckets collect
+    val touched = codes.join(victims, Seq("vec_id"))
+      .select("cid").distinct().collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) return
+    val survivors = codes
+      .filter(col("cid").isin(touched.toSeq: _*)) // partition-pruned scan
+      .join(victims, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("m"), col("code"), col("cid"))
+      .materializeForced() // sever lineage from files about to be replaced
+                           // in EVERY mode, incl. none
+    survivors.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cid").parquet(codesDir)
+    val outCells = survivors.select("cid").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(codesDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (c <- touched -- outCells)
+      fs.delete(new org.apache.hadoop.fs.Path(codesDir, s"cid=$c"), true)
+  }
+
   /** ADC top-k for `queries` (emb-format: vec_id, embedding) against the
     * CURRENT index contents. Self-matches (same vec_id) are excluded —
     * same contract as [[Similarity.ivfPqTopK]]. Only the nprobe probed
@@ -170,12 +213,16 @@ object VecIndex {
   def oneShotTopK(
       emb: DataFrame, c: Int, mSub: Int, kCode: Int,
       queryPred: org.apache.spark.sql.Column, k: Int,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2,
+      removePred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val spark = emb.sparkSession
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_vecidx").toString
     try {
       build(emb, tmp, c, mSub, kCode)
+      // the delete cycle, when the demonstration includes one: remove
+      // between build and probe, as a production ingest loop would
+      removePred.foreach(p => remove(spark, tmp, emb.filter(p)))
       probe(spark, tmp, emb.filter(queryPred), k, nprobe)
         .materializeForced() // tmp is deleted in the finally — lineage
                              // must sever in EVERY mode, incl. none

@@ -108,6 +108,49 @@ class VecIndexSpec extends SparkSuite {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("remove: touched-cells-only rewrite, byte-identical settled cells, " +
+    "annihilated cell dir dropped, absent ids a no-op") {
+    val dir = freshDir()
+    try {
+      VecIndex.build(emb, dir, C, M, K)
+      val before = codeFiles(dir)
+      val codes0 = spark.read.parquet(s"$dir/codes")
+      val all0 = codes0.collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("m"),
+          r.getAs[Long]("code"), r.getAs[Int]("cid"))).toSet
+      // victims: the FULL membership of one cell (it must annihilate)
+      // plus two vectors from another (it must rewrite, not vanish)
+      val byCell = all0.groupBy(_._4).view.mapValues(_.map(_._1)).toMap
+      val annCell = byCell.minBy { case (_, ids) => (ids.size, 0) }._1
+      val mixCell = byCell.keys.filter(_ != annCell).min
+      val victims = byCell(annCell) ++ byCell(mixCell).toSeq.sorted.take(2)
+      import spark.implicits._
+      VecIndex.remove(spark, dir, victims.toSeq.toDF("vec_id"))
+      // content = original minus victims, exactly
+      val all1 = spark.read.parquet(s"$dir/codes").collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("m"),
+          r.getAs[Long]("code"), r.getAs[Int]("cid"))).toSet
+      assert(all1 === all0.filterNot(t => victims.contains(t._1)))
+      // the annihilated cell's directory is gone
+      assert(!Files.exists(Paths.get(s"$dir/codes/cid=$annCell")))
+      // settled cells (neither annihilated nor rewritten): byte-identical
+      val after = codeFiles(dir)
+      before.foreach { case (f, h) =>
+        if (!f.contains(s"cid=$annCell") && !f.contains(s"cid=$mixCell"))
+          assert(after.get(f) === Some(h), s"settled file touched: $f")
+      }
+      // probe never surfaces a victim
+      val probed = VecIndex.probe(
+        spark, dir, emb.filter(col("vec_id") < 5), 3, nprobe = 2)
+      val hit = probed.select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(hit.intersect(victims.map(identity)).isEmpty)
+      // removing ids the index never held: a complete no-op
+      VecIndex.remove(spark, dir, Seq(999999L, 888888L).toDF("vec_id"))
+      assert(codeFiles(dir) === after)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("append/probe to a path without index meta fail fast") {
     val dir = freshDir()
     try {
