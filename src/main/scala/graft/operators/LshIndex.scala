@@ -43,6 +43,11 @@ object LshIndex {
   private val KProp = "graft.lsh.k"
   private val BandsProp = "graft.lsh.bands"
 
+  /** Tombstone side-table name for an index table — the delete cycle's
+    * storage (see [[remove]]).
+    */
+  private[graft] def tombstoneTable(table: String): String = s"${table}_tombs"
+
   /** Single-key band rows (doc_id, ikey) for a doc set — the index row
     * format: `ikey = "<band>:<bucket-md5>"` folds the band id into the
     * key so bucketing and the probe join distribute on ONE column.
@@ -76,6 +81,47 @@ object LshIndex {
       .bucketBy(buckets, "ikey").sortBy("ikey").saveAsTable(table)
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
       s"('$KProp' = '$k', '$BandsProp' = '$bands')")
+    // a build IS the compaction: the new index holds only live docs, so
+    // any tombstones from the previous generation are spent
+    spark.sql(s"DROP TABLE IF EXISTS ${tombstoneTable(table)}")
+  }
+
+  /** Delete docs from the index — LOGICAL deletes, the strategy the
+    * layout dictates: the table is ikey-bucketed (a doc's `bands` rows
+    * scatter across buckets), so a physical delete would rewrite the
+    * whole table. Instead victims land in a tombstone side-table that
+    * [[probe]]/[[ingest]] anti-join on the candidate-RESTRICTED pair set
+    * — O(candidates) extra work per probe, zero index I/O per delete,
+    * and the bucketed zero-exchange probe shape is untouched (the filter
+    * runs above the index join, never below it). The next [[build]]
+    * (the explicit occasional compaction) clears the tombstones.
+    *
+    * Contrast [[VecIndex.remove]]: codes there are PARTITIONED by cell,
+    * so physical touched-partitions-only deletes are cheap; here the
+    * bucketed-by-key layout makes deletion vectors the right trade.
+    * Without a remove, a doc deleted from the doc store whose band rows
+    * survive in the index fails the probe's drift check by design — this
+    * is the operation that keeps store and index consistent.
+    */
+  def remove(spark: SparkSession, table: String, ids: DataFrame): Unit = {
+    meta(spark, table) // fail fast on a table build() never produced
+    ids.toDF("doc_id").distinct()
+      .write.mode("append").saveAsTable(tombstoneTable(table))
+  }
+
+  /** Candidate pairs minus any pair touching a tombstoned doc. Runs on
+    * the candidate-restricted set (post index-join), so the bucketed
+    * probe shape and its no-exchange index side are unchanged.
+    */
+  private def dropTombstoned(
+      spark: SparkSession, table: String, cand: DataFrame): DataFrame = {
+    val tt = tombstoneTable(table)
+    if (!spark.catalog.tableExists(tt)) cand
+    else {
+      val tomb = spark.table(tt)
+      cand.join(tomb, cand("doc_a") === tomb("doc_id"), "left_anti")
+        .join(tomb, cand("doc_b") === tomb("doc_id"), "left_anti")
+    }
   }
 
   /** The index's recorded (k, bands, buckets) — the single source of truth
@@ -145,11 +191,12 @@ object LshIndex {
     val nb = newBandRows.select(col("doc_id").as("nid"), col("ikey"))
     // bucketed index side: no exchange (IncrementalDedupSpec pins this);
     // only the new batch's band rows shuffle
-    val cand = spark.table(table).join(nb, "ikey")
-      .filter(col("doc_id") =!= col("nid"))
-      .select(least(col("doc_id"), col("nid")).as("doc_a"),
-        greatest(col("doc_id"), col("nid")).as("doc_b"))
-      .distinct()
+    val cand = dropTombstoned(spark, table,
+      spark.table(table).join(nb, "ikey")
+        .filter(col("doc_id") =!= col("nid"))
+        .select(least(col("doc_id"), col("nid")).as("doc_a"),
+          greatest(col("doc_id"), col("nid")).as("doc_b"))
+        .distinct())
       .materialize() // feeds the id restriction AND the verify join
     // verify reads texts for candidate docs ONLY — at scale the candidate
     // set is a sliver of the corpus, so this is the difference between

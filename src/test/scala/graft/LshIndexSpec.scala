@@ -176,6 +176,57 @@ class LshIndexSpec extends SparkSuite {
     }
   }
 
+  test("remove: logical deletes — zero index I/O, probe skips tombstoned " +
+    "pairs instead of raising drift, rebuild clears the tombstones") {
+    val all = corpus()
+    val base = batchOf(all, 0)
+    val b1 = batchOf(all, 1)
+    val idxDir = Files.createTempDirectory("graft_lshidx_spec5")
+    val table = "lsh_remove_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      LshIndex.build(base, "doc_id", "text", s"$idxDir/index", table)
+      val before = parquetFiles(idxDir)
+      // delete the planted originals from store AND index — the CDC
+      // delete batch. Without the remove, probing against the shrunken
+      // store raises the drift error (previous test); with it, the
+      // tombstoned pairs are skipped and everything else survives.
+      val victims = base.filter(col("doc_id") % 30 === 0)
+        .select("doc_id").localCheckpoint()
+      val victimIds = victims.collect().map(_.getLong(0)).toSet
+      assert(victimIds.nonEmpty)
+      LshIndex.remove(spark, table, victims)
+      // zero index I/O: the delete wrote only tombstones
+      assert(parquetFiles(idxDir) === before,
+        "remove must not touch index files")
+      val store = all.join(victims, Seq("doc_id"), "left_anti")
+      val probed = pairSet(
+        LshIndex.probe(spark, table, b1, store, "doc_id", "text"))
+      val full = pairSet(
+        TextDedup.minhashLshPairs(base.union(b1), "doc_id", "text"))
+        .filter(p => (p._1 % 3 == 1) != (p._2 % 3 == 1))
+      val expected = full.filterNot(p =>
+        victimIds.contains(p._1) || victimIds.contains(p._2))
+      assert(probed === expected)
+      assert(probed.size < full.size,
+        "fixture must tombstone at least one would-be pair")
+      // the next build is the compaction: tombstones are spent
+      LshIndex.build(store.filter(col("doc_id") % 3 === 0), "doc_id",
+        "text", s"$idxDir/index2", table)
+      assert(!spark.catalog.tableExists(LshIndex.tombstoneTable(table)),
+        "rebuild must clear the tombstone table")
+      // remove refuses a table build() never produced
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      intercept[Exception] {
+        LshIndex.remove(spark, table, victims)
+      }
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${LshIndex.tombstoneTable(table)}")
+      org.apache.commons.io.FileUtils.deleteDirectory(idxDir.toFile)
+    }
+  }
+
   test("append/probe refuse a table not built by LshIndex.build") {
     val wh = Files.createTempDirectory("graft_lshidx_spec3")
     val table = "lsh_not_an_index"
