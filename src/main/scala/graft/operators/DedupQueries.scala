@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Materialize.Ops
 import graft.QueryRegistry
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dedup operator family wired to the driver gate (X1/X2). */
@@ -42,6 +42,24 @@ object DedupQueries extends QueryRegistry {
     // X2: MinHash + banded LSH candidates + exact-Jaccard verification
     "dedup_minhash_lsh" -> ((s, dir) =>
       TextDedup.minhashLshPairs(docs(s, dir), "doc_id", "text")),
+    // X2 QA composition: split-leakage audit — near-dup pairs that
+    // STRADDLE a train/val/test boundary (text_split's content-hash
+    // split). A near-dup of a training doc sitting in val/test inflates
+    // eval scores; this emits the actionable pair list an eval-hygiene
+    // pass quarantines. Work beyond the shared LSH pair chain is a
+    // per-row hash expression on an already-tiny pair set — no new
+    // shuffle, no new scan.
+    "dedup_split_leakage" -> ((s, dir) => {
+      def splitOf(c: Column): Column = {
+        val b = substring(md5(concat(lit("split:"), c.cast("string"))), 1, 4)
+        when(b < "cccd", "train").when(b < "e666", "val")
+          .otherwise(lit("test"))
+      }
+      TextDedup.minhashLshPairs(docs(s, dir), "doc_id", "text")
+        .withColumn("split_a", splitOf(col("doc_a")))
+        .withColumn("split_b", splitOf(col("doc_b")))
+        .filter(col("split_a") =!= col("split_b"))
+    }),
     // X2: near-dup clusters — connected components over the LSH pair set,
     // cluster id = smallest member doc_id (the keep-one-per-cluster step)
     "dedup_clusters" -> ((s, dir) =>
@@ -399,6 +417,24 @@ object DedupQueries extends QueryRegistry {
     "dedup_minhash_lsh" ->
       s"""WITH $lshPairCtes
          |SELECT doc_a, doc_b, jaccard FROM p""".stripMargin,
+    // the shared pair chain + the text_split hash on both ends, keeping
+    // only pairs that straddle a split boundary
+    "dedup_split_leakage" ->
+      s"""WITH $lshPairCtes
+         |SELECT * FROM (
+         |  SELECT doc_a, doc_b, jaccard,
+         |    CASE WHEN substr(md5('split:' || CAST(doc_a AS VARCHAR)), 1, 4)
+         |           < 'cccd' THEN 'train'
+         |         WHEN substr(md5('split:' || CAST(doc_a AS VARCHAR)), 1, 4)
+         |           < 'e666' THEN 'val'
+         |         ELSE 'test' END AS split_a,
+         |    CASE WHEN substr(md5('split:' || CAST(doc_b AS VARCHAR)), 1, 4)
+         |           < 'cccd' THEN 'train'
+         |         WHEN substr(md5('split:' || CAST(doc_b AS VARCHAR)), 1, 4)
+         |           < 'e666' THEN 'val'
+         |         ELSE 'test' END AS split_b
+         |  FROM p)
+         |WHERE split_a <> split_b""".stripMargin,
     // Capstone mirror: quality gate -> exact dedup -> near-dup drop (the
     // LSH pair chain shared with dedup_minhash_lsh) -> row_number cap
     // (the oracle-side equivalent of TopK.perKey's heaps) -> split rollup
