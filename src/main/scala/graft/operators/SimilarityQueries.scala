@@ -11,6 +11,69 @@ object SimilarityQueries extends QueryRegistry {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  private val PcaDims = 8
+  private val PcaSquarings = 7
+
+  /** The emb_pca moment/eigensolve chain (see the emb_pca query comment
+    * for the full derivation): ONE corpus pass for the integer-quantized
+    * moment sums, then 7 trace-normalized matrix squarings and one
+    * matvec on a single row. Returns that single row with the covariance
+    * (c_ij), the 6-decimal-quantized per-dim means (m_i — the
+    * quantization point the projection shares), and the unit leading
+    * eigenvector (v_i). Shared by emb_pca (loadings report) and
+    * emb_pca_project (per-vector projection).
+    */
+  private def pcaState(e: DataFrame): DataFrame = {
+    val dims = PcaDims; val squarings = PcaSquarings
+    val v = col("embedding").cast("array<double>")
+    val base = e.select((0 until dims).map(i =>
+      v.getItem(i).as(s"x$i")): _*)
+    val pairs = for { i <- 0 until dims; j <- i until dims } yield (i, j)
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      (0 until dims).map(i =>
+        sum(round(col(s"x$i") * 1e6, 0).cast("long")).as(s"s$i")) ++
+      pairs.map { case (i, j) =>
+        sum(round(col(s"x$i") * col(s"x$j") * 1e6, 0).cast("long"))
+          .as(s"p${i}_$j") }
+    def mean(i: Int) = col(s"s$i").cast("double") / (col("n") * lit(1e6))
+    def covExpr(i: Int, j: Int) = {
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      round(col(s"p${a}_$b").cast("double") / (col("n") * lit(1e6))
+        - mean(a) * mean(b), 6)
+    }
+    val ij = for { i <- 0 until dims; j <- 0 until dims } yield (i, j)
+    val cCols = ij.map { case (i, j) => col(s"c${i}_$j") }
+    val mCols = (0 until dims).map(i => col(s"m$i"))
+    val keep = cCols ++ mCols
+    var st = base.agg(aggs.head, aggs.tail: _*)
+      .select(ij.map { case (i, j) => covExpr(i, j).as(s"c${i}_$j") } ++
+        (0 until dims).map(i => round(mean(i), 6).as(s"m$i")): _*)
+      .select(col("*") +:
+        ij.map { case (i, j) => col(s"c${i}_$j").as(s"b${i}_$j") }: _*)
+      .materialize()
+    for (_ <- 0 until squarings) {
+      val sq = st.select(keep ++ ij.map { case (i, j) =>
+        (0 until dims).map(k => col(s"b${i}_$k") * col(s"b${k}_$j"))
+          .reduce(_ + _).as(s"s${i}_$j") }: _*)
+      // nullif: a zero-variance corpus (C = 0) must yield null
+      // loadings, not an ANSI divide-by-zero crash (EmptyInputSpec)
+      val tr2 = nullif((0 until dims)
+        .map(i => col(s"s${i}_$i")).reduce(_ + _), lit(0.0))
+      st = sq.select(keep ++ ij.map { case (i, j) =>
+        (col(s"s${i}_$j") / tr2).as(s"b${i}_$j") }: _*)
+        .materialize()
+    }
+    // one matvec against the all-ones seed = row sums of the power
+    val ys = st.select(keep ++ (0 until dims).map(i =>
+      (0 until dims).map(j => col(s"b${i}_$j")).reduce(_ + _)
+        .as(s"y$i")): _*)
+    val nrm = nullif(sqrt((0 until dims)
+      .map(i => col(s"y$i") * col(s"y$i")).reduce(_ + _)), lit(0.0))
+    ys.select(keep ++ (0 until dims).map(i =>
+        (col(s"y$i") / nrm).as(s"v$i")): _*)
+      .materialize()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // X3 baseline: brute-force cosine top-5 for 10 query vectors
     "sim_topk" -> ((s, dir) =>
@@ -148,53 +211,10 @@ object SimilarityQueries extends QueryRegistry {
     // only determinism. The Rayleigh quotient λ = x·Cx uses the
     // ORIGINAL C, not the normalized power.
     "emb_pca" -> ((s, dir) => {
-      val dims = 8; val squarings = 7
-      val v = col("embedding").cast("array<double>")
-      val base = emb(s, dir).select((0 until dims).map(i =>
-        v.getItem(i).as(s"x$i")): _*)
-      val pairs = for { i <- 0 until dims; j <- i until dims } yield (i, j)
-      val aggs = Seq(count(lit(1)).as("n")) ++
-        (0 until dims).map(i =>
-          sum(round(col(s"x$i") * 1e6, 0).cast("long")).as(s"s$i")) ++
-        pairs.map { case (i, j) =>
-          sum(round(col(s"x$i") * col(s"x$j") * 1e6, 0).cast("long"))
-            .as(s"p${i}_$j") }
-      def mean(i: Int) = col(s"s$i").cast("double") / (col("n") * lit(1e6))
-      def covExpr(i: Int, j: Int) = {
-        val (a, b) = if (i <= j) (i, j) else (j, i)
-        round(col(s"p${a}_$b").cast("double") / (col("n") * lit(1e6))
-          - mean(a) * mean(b), 6)
-      }
-      val ij = for { i <- 0 until dims; j <- 0 until dims } yield (i, j)
-      val cCols = ij.map { case (i, j) => col(s"c${i}_$j") }
-      var st = base.agg(aggs.head, aggs.tail: _*)
-        .select(ij.map { case (i, j) => covExpr(i, j).as(s"c${i}_$j") }: _*)
-        .select(col("*") +:
-          ij.map { case (i, j) => col(s"c${i}_$j").as(s"b${i}_$j") }: _*)
-        .materialize()
-      for (_ <- 0 until squarings) {
-        val sq = st.select(cCols ++ ij.map { case (i, j) =>
-          (0 until dims).map(k => col(s"b${i}_$k") * col(s"b${k}_$j"))
-            .reduce(_ + _).as(s"s${i}_$j") }: _*)
-        // nullif: a zero-variance corpus (C = 0) must yield null
-        // loadings, not an ANSI divide-by-zero crash (EmptyInputSpec)
-        val tr2 = nullif((0 until dims)
-          .map(i => col(s"s${i}_$i")).reduce(_ + _), lit(0.0))
-        st = sq.select(cCols ++ ij.map { case (i, j) =>
-          (col(s"s${i}_$j") / tr2).as(s"b${i}_$j") }: _*)
-          .materialize()
-      }
+      val dims = PcaDims
+      val st = pcaState(emb(s, dir))
       def yExpr(i: Int, m: String) = (0 until dims)
         .map(j => col(s"$m${i}_$j") * col(s"v$j")).reduce(_ + _)
-      // one matvec against the all-ones seed = row sums of the power
-      val ys = st.select(cCols ++ (0 until dims).map(i =>
-        (0 until dims).map(j => col(s"b${i}_$j")).reduce(_ + _)
-          .as(s"y$i")): _*)
-      val nrm = nullif(sqrt((0 until dims)
-        .map(i => col(s"y$i") * col(s"y$i")).reduce(_ + _)), lit(0.0))
-      st = ys.select(cCols ++ (0 until dims).map(i =>
-        (col(s"y$i") / nrm).as(s"v$i")): _*)
-        .materialize()
       val lam = (0 until dims).map(i => col(s"v$i") * yExpr(i, "c"))
         .reduce(_ + _)
       val tr = (0 until dims).map(i => col(s"c${i}_$i")).reduce(_ + _)
@@ -208,6 +228,31 @@ object SimilarityQueries extends QueryRegistry {
         .select(col("r.dim").as("dim"), col("r.loading").as("loading"),
           col("r.eigenvalue").as("eigenvalue"),
           col("r.var_share").as("var_share"))
+    }),
+    // X3/PCA apply: project EVERY embedding onto the leading component —
+    // the dimension-reduction pass an indexing/visualization pipeline
+    // runs after emb_pca learns the loadings. Loadings AND per-dim means
+    // are quantized to 6 decimals BEFORE the projection, and the
+    // per-vector dot product folds in pinned dimension order, so the
+    // whole map is bitwise engine-identical. One corpus pass for the
+    // moments (shared chain), one narrow broadcast-join pass for the
+    // projection — at 100 TB the projection is embarrassingly parallel
+    // with two single-row broadcast sides.
+    "emb_pca_project" -> ((s, dir) => {
+      val dims = PcaDims
+      val e = emb(s, dir)
+      val st = pcaState(e)
+      val params = st.select(
+        (0 until dims).map(i => round(col(s"v$i"), 6).as(s"l$i")) ++
+        (0 until dims).map(i => col(s"m$i")): _*)
+      val ev = col("embedding").cast("array<double>")
+      e.select(col("vec_id") +:
+          (0 until dims).map(i => ev.getItem(i).as(s"x$i")): _*)
+        .crossJoin(broadcast(params))
+        .select(col("vec_id"),
+          round((0 until dims).map(i =>
+            col(s"l$i") * (col(s"x$i") - col(s"m$i"))).reduce(_ + _), 6)
+            .as("pc1"))
     }),
     // X3: signed-random-projection (hyperplane) LSH near-dup pairs —
     // 4 bands × 4 bits against deterministic md5-derived hyperplanes,
@@ -371,6 +416,66 @@ object SimilarityQueries extends QueryRegistry {
     cosSql.format(a, b, a, a, b, b)
 
   private val vSql = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+
+  /** The emb_pca oracle chain (mirror of [[pcaState]]) through `fin1`
+    * (unit leading eigenvector v0..v7); `st` (raw moment sums) stays
+    * visible for the projection's quantized means.
+    */
+  private val pcaOracleChain: String = {
+    val dims = PcaDims; val squarings = PcaSquarings
+    val pairs = for { i <- 0 until dims; j <- i until dims } yield (i, j)
+    val ij = for { i <- 0 until dims; j <- 0 until dims } yield (i, j)
+    val sSums = (0 until dims).map(i =>
+      s"CAST(sum(CAST(round(v[${i + 1}] * 1000000) AS BIGINT)) AS BIGINT) AS s$i")
+      .mkString(",\n|  ")
+    val pSums = pairs.map { case (i, j) =>
+      s"CAST(sum(CAST(round(v[${i + 1}] * v[${j + 1}] * 1000000) AS BIGINT)) AS BIGINT) AS p${i}_$j" }
+      .mkString(",\n|  ")
+    def covSql(i: Int, j: Int) = {
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      s"round(p${a}_$b / (n * 1000000.0) - (s$a / (n * 1000000.0)) * (s$b / (n * 1000000.0)), 6)"
+    }
+    val cDefs = ij.map { case (i, j) => s"${covSql(i, j)} AS c${i}_$j" }
+      .mkString(",\n|  ")
+    val cPass = ij.map { case (i, j) => s"c${i}_$j" }.mkString(", ")
+    // nullif mirrors the Spark side's zero-variance guard (inert on any
+    // corpus with variance — the only case the oracle ever compares)
+    val normSql = "nullif(sqrt(" +
+      (0 until dims).map(i => s"y$i * y$i").mkString(" + ") + "), 0.0)"
+    val trOfS = "nullif(" +
+      (0 until dims).map(i => s"s${i}_$i").mkString(" + ") + ", 0.0)"
+    val sqCtes = (1 to squarings).map { t =>
+      val prev = if (t == 1) "b0" else s"nb${t - 1}"
+      s"""sq$t AS (SELECT $cPass,
+         |  ${ij.map { case (i, j) =>
+              (0 until dims).map(k => s"b${i}_$k * b${k}_$j")
+                .mkString(" + ") + s" AS s${i}_$j" }.mkString(",\n|  ")}
+         |  FROM $prev),
+         |nb$t AS (SELECT $cPass,
+         |  ${ij.map { case (i, j) =>
+              s"s${i}_$j / $trOfS AS b${i}_$j" }.mkString(",\n|  ")}
+         |  FROM sq$t)"""
+    }.mkString(",\n|")
+    s"""v AS ($vSql),
+       |st AS (SELECT count(*) AS n,
+       |  $sSums,
+       |  $pSums FROM v),
+       |c0 AS (SELECT
+       |  $cDefs
+       |  FROM st),
+       |b0 AS (SELECT $cPass,
+       |  ${ij.map { case (i, j) => s"c${i}_$j AS b${i}_$j" }.mkString(", ")}
+       |  FROM c0),
+       |$sqCtes,
+       |fin0 AS (SELECT $cPass,
+       |  ${(0 until dims).map(i => (0 until dims)
+            .map(j => s"b${i}_$j").mkString(" + ") + s" AS y$i")
+            .mkString(",\n|  ")}
+       |  FROM nb$squarings),
+       |fin1 AS (SELECT $cPass,
+       |  ${(0 until dims).map(i => s"y$i / $normSql AS v$i").mkString(",\n|  ")}
+       |  FROM fin0)""".stripMargin
+  }
 
   private val dim = 64 // embeddings fixture dimension
 
@@ -741,73 +846,40 @@ object SimilarityQueries extends QueryRegistry {
     // squarings (direction of C¹²⁸), same left-associated Σ orders in
     // the row sums, norm, Rayleigh quotient, and trace
     "emb_pca" -> {
-      val dims = 8; val squarings = 7
-      val pairs = for { i <- 0 until dims; j <- i until dims } yield (i, j)
-      val ij = for { i <- 0 until dims; j <- 0 until dims } yield (i, j)
-      val sSums = (0 until dims).map(i =>
-        s"CAST(sum(CAST(round(v[${i + 1}] * 1000000) AS BIGINT)) AS BIGINT) AS s$i")
-        .mkString(",\n|  ")
-      val pSums = pairs.map { case (i, j) =>
-        s"CAST(sum(CAST(round(v[${i + 1}] * v[${j + 1}] * 1000000) AS BIGINT)) AS BIGINT) AS p${i}_$j" }
-        .mkString(",\n|  ")
-      def covSql(i: Int, j: Int) = {
-        val (a, b) = if (i <= j) (i, j) else (j, i)
-        s"round(p${a}_$b / (n * 1000000.0) - (s$a / (n * 1000000.0)) * (s$b / (n * 1000000.0)), 6)"
-      }
-      val cDefs = ij.map { case (i, j) => s"${covSql(i, j)} AS c${i}_$j" }
-        .mkString(",\n|  ")
-      val cPass = ij.map { case (i, j) => s"c${i}_$j" }.mkString(", ")
+      val dims = PcaDims
+      val cPass = (for { i <- 0 until dims; j <- 0 until dims }
+        yield s"c${i}_$j").mkString(", ")
       val vPass = (0 until dims).map(i => s"v$i").mkString(", ")
       def ySql(i: Int, m: String) =
         (0 until dims).map(j => s"$m${i}_$j * v$j").mkString(" + ")
-      // nullif mirrors the Spark side's zero-variance guard (inert on any
-      // corpus with variance — the only case the oracle ever compares)
-      val normSql = "nullif(sqrt(" +
-        (0 until dims).map(i => s"y$i * y$i").mkString(" + ") + "), 0.0)"
-      val trOfS = "nullif(" +
-        (0 until dims).map(i => s"s${i}_$i").mkString(" + ") + ", 0.0)"
-      val sqCtes = (1 to squarings).map { t =>
-        val prev = if (t == 1) "b0" else s"nb${t - 1}"
-        s"""sq$t AS (SELECT $cPass,
-           |  ${ij.map { case (i, j) =>
-                (0 until dims).map(k => s"b${i}_$k * b${k}_$j")
-                  .mkString(" + ") + s" AS s${i}_$j" }.mkString(",\n|  ")}
-           |  FROM $prev),
-           |nb$t AS (SELECT $cPass,
-           |  ${ij.map { case (i, j) =>
-                s"s${i}_$j / $trOfS AS b${i}_$j" }.mkString(",\n|  ")}
-           |  FROM sq$t)"""
-      }.mkString(",\n|")
       val lamSql = (0 until dims).map(i => s"v$i * y$i").mkString(" + ")
       val trSql = (0 until dims).map(i => s"c${i}_$i").mkString(" + ")
       val branches = (0 until dims).map(i =>
         s"SELECT $i AS dim, round(v$i, 6) AS loading, round(lam, 6) AS eigenvalue, round(lam / nullif(tr, 0.0), 6) AS var_share FROM fin2")
         .mkString("\n|UNION ALL ")
-      s"""WITH v AS ($vSql),
-         |st AS (SELECT count(*) AS n,
-         |  $sSums,
-         |  $pSums FROM v),
-         |c0 AS (SELECT
-         |  $cDefs
-         |  FROM st),
-         |b0 AS (SELECT $cPass,
-         |  ${ij.map { case (i, j) => s"c${i}_$j AS b${i}_$j" }.mkString(", ")}
-         |  FROM c0),
-         |$sqCtes,
-         |fin0 AS (SELECT $cPass,
-         |  ${(0 until dims).map(i => (0 until dims)
-              .map(j => s"b${i}_$j").mkString(" + ") + s" AS y$i")
-              .mkString(",\n|  ")}
-         |  FROM nb$squarings),
-         |fin1 AS (SELECT $cPass,
-         |  ${(0 until dims).map(i => s"y$i / $normSql AS v$i").mkString(",\n|  ")}
-         |  FROM fin0),
+      s"""WITH $pcaOracleChain,
          |fin AS (SELECT $cPass, $vPass,
          |  ${(0 until dims).map(i => s"${ySql(i, "c")} AS y$i").mkString(",\n|  ")}
          |  FROM fin1),
          |fin2 AS (SELECT $vPass,
          |  ($lamSql) AS lam, ($trSql) AS tr FROM fin)
          |$branches""".stripMargin
+    },
+    // shared chain + the two quantized single-row parameter CTEs; the
+    // per-vector fold is written in the same pinned dimension order as
+    // the Spark reduce
+    "emb_pca_project" -> {
+      val dims = PcaDims
+      val proj = (0 until dims).map(i => s"l$i * (v[${i + 1}] - m$i)")
+        .mkString(" + ")
+      s"""WITH $pcaOracleChain,
+         |ld AS (SELECT ${(0 until dims)
+            .map(i => s"round(v$i, 6) AS l$i").mkString(", ")} FROM fin1),
+         |mm AS (SELECT ${(0 until dims)
+            .map(i => s"round(s$i / (n * 1000000.0), 6) AS m$i")
+            .mkString(", ")} FROM st)
+         |SELECT vec_id, round($proj, 6) AS pc1
+         |FROM v CROSS JOIN ld CROSS JOIN mm""".stripMargin
     },
     // mirror of Similarity.rpLshPairs(bands = 4, bitsPerBand = 4, 0.4):
     // identical md5-derived hyperplane weights, banded sketch buckets,
