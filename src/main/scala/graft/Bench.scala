@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -78,8 +79,6 @@ object Bench {
         .filter(_.getName.endsWith(".parquet"))
         .foreach { f =>
           try {
-            if (f.getName.startsWith("events"))
-              spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             spark.read.parquet(f.getPath).count()
           } catch {
             // NonFatal only (an OOM here must crash the bench, not warp
@@ -104,11 +103,25 @@ object Bench {
     // throughput — the quantity that actually predicts cluster cost — and
     // makes round-over-round deltas attributable to code.
     val passes = 2
+    // A crashed query must NOT be timed as a fast query: it would silently
+    // flatter the total (r7: 20 crashed queries "cost" ~0 s). Record every
+    // failure, print it loudly, and emit the names in the JSON line so the
+    // regression is visible in the bench artifact itself.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = selected.map { case (name, fn) =>
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count() } catch {
+          case scala.util.control.NonFatal(e) =>
+            failed += name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // storage residue (localCheckpoint blocks, memory-sink views) from
+        // this pass must not tax later queries — release OUTSIDE the timer:
+        // the cost of freeing query N's blocks is not query N's throughput
+        Materialize.release(spark)
+        dt
       }
       name -> times.min
     }
@@ -122,12 +135,20 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sorted = results.toSeq.sortBy { case (_, v) => -v }
     val budget = 1700
+    // bounded: a mass failure must not blow the driver's ~2000-char parse
+    // window — show the first 12 names plus a count of the rest
+    val failedJson = {
+      val names = failed.toSeq
+      val shown = if (names.length > 12)
+        names.take(12) :+ s"...+${names.length - 12}" else names
+      shown.map("\"" + _ + "\"").mkString("[", ",", "]")
+    }
     def line(entries: Seq[(String, Double)], rest: Double): String = {
       val withRest =
         if (rest > 0) entries :+ ("_rest" -> rest) else entries
       val qs = withRest.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     }
     var keep = sorted.length
     var out = line(sorted, 0.0)

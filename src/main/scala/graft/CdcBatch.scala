@@ -30,14 +30,43 @@ object CdcBatch {
     * cdc_ts is epoch SECONDS (cdc.py:72 uses the binlog header timestamp,
     * second granularity).
     */
-  /** Read the fixture event stream. `ts` is parquet TIMESTAMP(NANOS), which
-    * Spark 4 rejects unless read as a raw long — so `ts` comes back as epoch
-    * NANOSECONDS (LongType). Integral `div` keeps full precision (a double
-    * round-trip would not: 1.7e18 ns > 2^53).
+  /** Read the fixture event stream with `ts` normalized to epoch
+    * NANOSECONDS (LongType) whatever the file's physical representation —
+    * see [[normalizeTs]]. The nanosAsLong conf stays set so a
+    * TIMESTAMP(NANOS) file resolves as a raw long (which Spark 4 otherwise
+    * rejects) and lands in the LongType branch.
     */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
+    normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
+  }
+
+  /** Normalize the `ts` event-time column to epoch NANOSECONDS (LongType),
+    * branching on the RESOLVED column type — an engine must take the
+    * event-time representation from the data, not assume one:
+    *  - LongType: already raw nanos (a TIMESTAMP(NANOS) file read under
+    *    nanosAsLong, or a pre-normalized frame) — pass through. Integral
+    *    arithmetic downstream keeps full precision (a double round-trip
+    *    would not: 1.7e18 ns > 2^53).
+    *  - TimestampType / TimestampNTZType (e.g. a timestamp[us] parquet
+    *    column): `unix_micros` × 1000. NTZ is cast through TimestampType
+    *    first (`unix_micros` takes TIMESTAMP); the session time zone is
+    *    UTC in every entry point, so the naive instant maps to the same
+    *    epoch the DuckDB oracle computes with `epoch_ms`/`epoch_ns`.
+    * Max epoch micros ~1.7e15 × 1000 fits a long with 5 bits to spare.
+    * Works on batch and streaming frames alike.
+    */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType => df
+      case _: TimestampType | _: TimestampNTZType =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other => throw new IllegalArgumentException(
+        s"events.ts: unsupported type $other — expected epoch-nanos long " +
+          "or a timestamp/timestamp_ntz column")
+    }
   }
 
   def changeLog(spark: SparkSession, sfDir: String): DataFrame = {

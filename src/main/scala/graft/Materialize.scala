@@ -82,6 +82,25 @@ object Materialize {
     df.checkpoint()
   }
 
+  /** Free per-query session residue in long batteries. `Verify`/`Bench`
+    * run 120+ queries in one JVM: without this, every query's
+    * localCheckpoint blocks (and every finished streaming query's
+    * memory-sink temp view) stay pinned in executor storage for the rest
+    * of the run, and the accumulated pressure lands on whichever heavy
+    * query happens to run late (r7 gate: `dedup_minhash_lsh` 11.4 s in
+    * battery vs 1.74 s isolated — same jar, same data). Safe between
+    * queries: every `SparkEntry.queries` entry is self-contained (the
+    * driver may run any of them standalone), so nothing from a completed
+    * query is referenced again.
+    */
+  def release(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.valuesIterator
+      .foreach(_.unpersist(blocking = false))
+    spark.catalog.clearCache()
+    spark.catalog.listTables().filter("isTemporary").collect()
+      .foreach(t => spark.catalog.dropTempView(t.name))
+  }
+
   /** `df.materialize()` postfix form — the call-site idiom.
     * `df.materializeForced()` for delete-after-materialize sites.
     */

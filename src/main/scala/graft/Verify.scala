@@ -26,6 +26,16 @@ object Verify {
     // top-k optimizer rule are on for EVERY query, not just those that
     // happen to run after a query that registers them lazily
     graft.functions.GraftExtensions.register(spark)
+    // Fixture tripwire FIRST (round 7: a silent fixture regeneration cost 20
+    // queries): any schema drift is named loudly in the gate log. Non-fatal —
+    // the type-robust readers may still go green, and a gate run should
+    // produce per-query evidence rather than die at the door.
+    Fixtures.drift(spark, sfDir) match {
+      case Seq() => ()
+      case d =>
+        System.err.println("[verify] FIXTURE DRIFT vs FIXTURES.md contract:")
+        d.foreach(m => System.err.println(s"[verify]   $m"))
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -35,6 +45,8 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // free this query's storage residue before the next one runs
+      Materialize.release(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

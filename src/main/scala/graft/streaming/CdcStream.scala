@@ -26,25 +26,23 @@ object CdcStream {
   final case class Ch(table: String, rid: String, cdc_action: String,
       cdc_ts: Long, seq: Long, value: Double, props: String)
 
-  /** Events parquet schema with ts as raw nanos (see CdcBatch.readEvents). */
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** Raw file-source stream over the fixture events parquet (ts as raw
-    * nanos — see CdcBatch.readEvents). Single definition for every
-    * streaming entry point so fixture/schema changes happen once.
+  /** Raw file-source stream over the fixture events parquet, with `ts`
+    * normalized to epoch nanos (LongType). The stream schema is the file's
+    * TRUE resolved schema (taken from a batch read of the same path — a
+    * file source needs an explicit schema, and mis-declaring a timestamp
+    * column as long would silently hand raw micros downstream); the
+    * type-driven normalization is shared with the batch path
+    * (CdcBatch.normalizeTs). Single definition for every streaming entry
+    * point so fixture/schema changes happen once.
     */
   private def rawEventStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet") // file source needs a dir
-      .parquet(sfDir)
+    val fileSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    graft.CdcBatch.normalizeTs(
+      spark.readStream
+        .schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet") // file source needs a dir
+        .parquet(sfDir))
   }
 
   /** Streaming changelog from the fixture events parquet. */
