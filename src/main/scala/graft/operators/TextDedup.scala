@@ -525,4 +525,31 @@ object TextDedup {
         .deleteDirectory(new java.io.File(tmp))
     }
   }
+
+  /** [[minhashLshPairsIncremental]] against a PERSISTED index table that
+    * OUTLIVES the call — the amortized production shape: the settled
+    * corpus is banded and bucketed only when `table` doesn't exist yet;
+    * every call thereafter pays one [[LshIndex.ingest]] cycle (O(new)
+    * band + append + zero-exchange probe).
+    *
+    * Output is invariant under repeated calls with the same batch: a
+    * re-ingested batch appends band rows that already exist, which only
+    * yields duplicate candidate rows — and candidates collapse through
+    * the pair `distinct()` before verification. So a gate battery (or a
+    * replayed at-least-once ingest) sharing one index across passes
+    * hash-matches the single-cycle result exactly; `IncrementalDedupSpec`
+    * pins the identity.
+    */
+  def minhashLshPairsIncrementalAmortized(
+      docs: DataFrame, isNew: Column, idCol: String, textCol: String,
+      table: String, path: String,
+      k: Int = 16, bands: Int = 4, threshold: Double = 0.5,
+      buckets: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    if (!spark.catalog.tableExists(table))
+      LshIndex.build(docs.filter(!isNew), idCol, textCol,
+        path, table, k, bands, buckets)
+    LshIndex.ingest(spark, table, docs.filter(isNew), docs,
+      idCol, textCol, threshold)
+  }
 }

@@ -247,11 +247,17 @@ object CdcStream {
     * anti-join + union per bucket converges to the same contents.
     */
   def run(spark: SparkSession, source: Dataset[Ch], stateDir: String,
-      checkpointDir: String, nBuckets: Int = 64)
+      checkpointDir: String, nBuckets: Int = 64,
+      trigger: Trigger = Trigger.ProcessingTime(0L))
       : org.apache.spark.sql.streaming.StreamingQuery =
     merged(source).writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
+      // the reference's blocking tail mode (cdc.py:19-25,100) is a standing
+      // ProcessingTime deployment — the default here; AvailableNow gives
+      // the run-to-completion parity mode (StandingStreamSpec pins the
+      // standing shape against live file drops)
+      .trigger(trigger)
       .foreachBatch { (batch: Dataset[Ch], _: Long) =>
         upsertBatch(batch.toDF(), stateDir, nBuckets)
       }

@@ -64,6 +64,38 @@ class IncrementalDedupSpec extends SparkSuite {
     }
   }
 
+  test("amortized shared-index form: repeat ingest is output-invariant " +
+      "and equals the one-shot") {
+    // the gate shares ONE settled index across invocations; a replayed
+    // ingest of the same batch must hash-match the single-cycle result
+    // (duplicate band rows only produce duplicate candidates, collapsed
+    // by the pair distinct)
+    val wh = java.nio.file.Files.createTempDirectory("graft_lshsh").toString
+    val table = "graft_lsh_amort_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val docs = fixtureDocs()
+    val isNew = col("doc_id") % 10 === 0
+    try {
+      def run() = TextDedup.minhashLshPairsIncrementalAmortized(
+          docs, isNew, "doc_id", "text", table, s"$wh/index")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val first = run()
+      val second = run() // index already exists: pure ingest cycle
+      val oneShot = TextDedup.minhashLshPairsIncremental(
+          docs, isNew, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(first.nonEmpty)
+      assert(first === second, "repeat ingest diverged")
+      assert(first === oneShot, "amortized form diverged from one-shot")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(wh))
+    }
+  }
+
   test("index side of the probe join reads bucketed, without an exchange") {
     // reconstruct the probe join shape against a bucketed single-key index
     // (the operator drops its temp table, so pin the shape directly)

@@ -151,6 +151,39 @@ class VecIndexSpec extends SparkSuite {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("copy → remove → probe equals one-shot build+remove+probe " +
+      "(the gate's shared-index refresh shape)") {
+    // sim_index_refresh amortizes the build by copying the shared session
+    // index before removing — the copy must be a perfect stand-in for a
+    // fresh build (parquet copy is byte-exact, remove/probe see no
+    // difference)
+    val base = freshDir()
+    val copy = freshDir()
+    try {
+      VecIndex.build(emb, base, C, M, K)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(copy))
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(base), new java.io.File(copy))
+      val victims = emb.filter(col("vec_id") % 7 === 3 && col("vec_id") >= 10)
+      VecIndex.remove(spark, copy, victims.select("vec_id"))
+      val viaCopy = rows(VecIndex.probe(
+        spark, copy, emb.filter(col("vec_id") < 10), 5, nprobe = 2))
+      val oneShot = rows(VecIndex.oneShotTopK(emb, C, M, K,
+        col("vec_id") < 10, 5, nprobe = 2,
+        removePred = Some(col("vec_id") % 7 === 3 && col("vec_id") >= 10)))
+      assert(viaCopy === oneShot)
+      // and the base index is untouched by the copy's delete cycle
+      val baseProbe = rows(VecIndex.probe(
+        spark, base, emb.filter(col("vec_id") < 10), 5, nprobe = 2))
+      val fresh = rows(VecIndex.oneShotTopK(emb, C, M, K,
+        col("vec_id") < 10, 5, nprobe = 2))
+      assert(baseProbe === fresh)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(copy))
+    }
+  }
+
   test("append/probe to a path without index meta fail fast") {
     val dir = freshDir()
     try {
