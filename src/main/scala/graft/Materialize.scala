@@ -99,6 +99,10 @@ object Materialize {
     spark.catalog.clearCache()
     spark.catalog.listTables().filter("isTemporary").collect()
       .foreach(t => spark.catalog.dropTempView(t.name))
+    // NOT called here: System.gc() — A/B'd at sf0.1 (full battery 104 s
+    // without vs 115 s with); the explicit unpersist above already
+    // releases the storage pressure that inflated late queries in r7,
+    // and per-query full GCs measured as a net loss.
   }
 
   /** `df.materialize()` postfix form — the call-site idiom.

@@ -16,6 +16,25 @@ class FixtureContractSpec extends AnyFunSuite with SparkSuite {
         drift.mkString("  ", "\n  ", "\n"))
   }
 
+  test("normalizeTs: long-nanos, timestamp, and timestamp_ntz inputs " +
+      "yield identical epoch nanos") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val micros = Seq(1704067207179575L, 1704070800000001L, 946684800000000L)
+    val want = micros.map(_ * 1000L)
+    val asLong = micros.map(_ * 1000L).toDF("ts")
+    val asTs = micros.toDF("us")
+      .select(timestamp_micros(col("us")).as("ts"))
+    // session TZ is UTC, so the TS→NTZ cast preserves the instant — the
+    // same convention the DuckDB oracle applies to naive timestamps
+    val asNtz = asTs.select(expr("CAST(ts AS TIMESTAMP_NTZ)").as("ts"))
+    def nanos(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      CdcBatch.normalizeTs(df).collect().map(_.getLong(0)).toSeq
+    assert(nanos(asLong) === want)
+    assert(nanos(asTs) === want)
+    assert(nanos(asNtz) === want)
+  }
+
   test("events.ts normalizes to epoch-nanos long whatever the file type") {
     val df = CdcBatch.readEvents(spark, sf0001)
     assert(df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
