@@ -33,7 +33,11 @@ object AnalyticsQueries extends QueryRegistry {
           round(sum("l_quantity"), 2).as("sum_qty"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
             .as("sum_disc_price"),
-          round(avg("l_quantity"), 6).as("avg_qty"),
+          // avg_qty: quantities are integral, so the mean is an exact
+          // integer ratio — tie-prone under round → floorAt (see Quant).
+          // avg_disc keeps round: the 2-decimal discounts are binary-
+          // inexact, so the mean's exact value has a huge denominator.
+          Quant.floorAt(avg("l_quantity"), 6).as("avg_qty"),
           round(avg("l_discount"), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))),
 
@@ -100,7 +104,8 @@ object AnalyticsQueries extends QueryRegistry {
         .filter(col("tb") > col("ta") && col("tb") <= col("ta") + 60)
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_pairs"),
-          round(avg(col("tb") - col("ta")), 6).as("avg_gap_s"),
+          Quant.floorAt(avg(col("tb") - col("ta")), 6) // int mean: see Quant
+            .as("avg_gap_s"),
           max(col("tb") - col("ta")).as("max_gap_s"))
     }),
 
@@ -255,7 +260,8 @@ object AnalyticsQueries extends QueryRegistry {
         .select(get_json_object(col("props"), "$.k").cast("int").as("k"),
                 col("event_type"))
         .groupBy("event_type")
-        .agg(round(avg("k"), 6).as("avg_k"), max("k").as("max_k"))),
+        .agg(Quant.floorAt(avg("k"), 6).as("avg_k"), // int mean: see Quant
+          max("k").as("max_k"))),
 
     // X8: 3-way star join — revenue by part brand for one nation's suppliers
     "q13_star_join" -> ((s, dir) => {
@@ -400,9 +406,10 @@ object AnalyticsQueries extends QueryRegistry {
         count(col("t_view")).as("n_view"),
         count(col("t_click")).as("n_click"),
         count(col("t_purchase")).as("n_purchase"),
-        round(count(col("t_click")).cast("double")
+        // count ratios → floorAt (see Quant)
+        Quant.floorAt(count(col("t_click")).cast("double")
           / greatest(count(col("t_view")), lit(1L)), 6).as("view_to_click"),
-        round(count(col("t_purchase")).cast("double")
+        Quant.floorAt(count(col("t_purchase")).cast("double")
           / greatest(count(col("t_click")), lit(1L)), 6).as("click_to_purchase"))
     }),
 
@@ -470,8 +477,9 @@ object AnalyticsQueries extends QueryRegistry {
           .agg((max("x") - min("x")).as("span_x"),
             (max("y") - min("y")).as("span_y"))
           .agg(lit(layout).as("layout"), count(lit(1)).as("n_buckets"),
-            round(avg("span_x"), 4).as("avg_span_x"),
-            round(avg("span_y"), 4).as("avg_span_y"))
+            // integer means → floorAt (see Quant)
+            Quant.floorAt(avg("span_x"), 4).as("avg_span_x"),
+            Quant.floorAt(avg("span_y"), 4).as("avg_span_y"))
       val zied = li.withColumn("bucket", shiftright(z, 6))
       val natural = li.withColumn("bucket", shiftright(col("l_orderkey"), 6))
       spans(zied, "zorder").unionByName(spans(natural, "roworder"))
@@ -526,7 +534,9 @@ object AnalyticsQueries extends QueryRegistry {
           (abs(col("value") - mean) > lit(3.0) * std).as("outlier"))
         .groupBy("event_type")
         .agg(max("n").as("n"),
-          round(max("mean_v"), 4).as("mean_v"),
+          // mean_v = cents/(n·100), an integer ratio → floorAt (see
+          // Quant); std_v keeps round (sqrt → huge denominator)
+          Quant.floorAt(max("mean_v"), 4).as("mean_v"),
           round(max("std_v"), 4).as("std_v"),
           count(when(col("outlier"), 1)).as("n_outliers"),
           coalesce(sum(when(col("outlier"), col("event_id"))), lit(0L))
@@ -664,7 +674,7 @@ object AnalyticsQueries extends QueryRegistry {
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
         | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        | round(avg(l_quantity), 6) AS avg_qty,
+        | floor(avg(l_quantity) * 1000000) / 1000000.0 AS avg_qty,
         | round(avg(l_discount), 6) AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
@@ -695,7 +705,7 @@ object AnalyticsQueries extends QueryRegistry {
       """WITH ev AS (SELECT user_id, epoch_ms(ts)//1000 AS tss, event_id
         |  FROM events)
         |SELECT a.user_id, count(*) AS n_pairs,
-        | round(avg(b.tss - a.tss), 6) AS avg_gap_s,
+        | floor(avg(b.tss - a.tss) * 1000000) / 1000000.0 AS avg_gap_s,
         | max(b.tss - a.tss) AS max_gap_s
         |FROM ev a JOIN ev b ON a.user_id = b.user_id
         |  AND b.tss > a.tss AND b.tss <= a.tss + 60
@@ -785,7 +795,8 @@ object AnalyticsQueries extends QueryRegistry {
         |FROM lineitem GROUP BY 1""".stripMargin,
     "q12_json" ->
       """SELECT event_type,
-        | round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+        | floor(avg(CAST(json_extract_string(props, '$.k') AS INT)) * 1000000)
+        |   / 1000000.0 AS avg_k,
         | max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
         |FROM events GROUP BY 1""".stripMargin,
     "q13_star_join" ->
@@ -832,7 +843,8 @@ object AnalyticsQueries extends QueryRegistry {
         |  sqrt(svv / (n * 10000.0) - (sv / (n * 100.0)) * (sv / (n * 100.0)))
         |    AS std_v
         | FROM st)
-        |SELECT event_type, max(n) AS n, round(max(mean_v), 4) AS mean_v,
+        |SELECT event_type, max(n) AS n,
+        | floor(max(mean_v) * 10000) / 10000.0 AS mean_v,
         | round(max(std_v), 4) AS std_v,
         | count(*) FILTER (WHERE abs(value - mean_v) > 3.0 * std_v)
         |   AS n_outliers,
@@ -938,10 +950,10 @@ object AnalyticsQueries extends QueryRegistry {
         | FROM s1)
         |SELECT count(t_view) AS n_view, count(t_click) AS n_click,
         | count(t_purchase) AS n_purchase,
-        | round(count(t_click) * 1.0 / greatest(count(t_view), 1), 6)
-        |   AS view_to_click,
-        | round(count(t_purchase) * 1.0 / greatest(count(t_click), 1), 6)
-        |   AS click_to_purchase
+        | floor(count(t_click) * 1.0 / greatest(count(t_view), 1)
+        |   * 1000000) / 1000000.0 AS view_to_click,
+        | floor(count(t_purchase) * 1.0 / greatest(count(t_click), 1)
+        |   * 1000000) / 1000000.0 AS click_to_purchase
         |FROM s2""".stripMargin,
     // the bloom pre-filter is removed by the exact semi-join, so the
     // oracle is the plain semi-join
@@ -965,10 +977,10 @@ object AnalyticsQueries extends QueryRegistry {
          |sn AS (SELECT bucket, max(x) - min(x) AS span_x,
          |  max(y) - min(y) AS span_y FROM nb GROUP BY 1)
          |SELECT 'zorder' AS layout, count(*) AS n_buckets,
-         |  round(avg(span_x), 4) AS avg_span_x,
-         |  round(avg(span_y), 4) AS avg_span_y FROM sz
+         |  floor(avg(span_x) * 10000) / 10000.0 AS avg_span_x,
+         |  floor(avg(span_y) * 10000) / 10000.0 AS avg_span_y FROM sz
          |UNION ALL
-         |SELECT 'roworder', count(*), round(avg(span_x), 4),
-         |  round(avg(span_y), 4) FROM sn""".stripMargin
+         |SELECT 'roworder', count(*), floor(avg(span_x) * 10000) / 10000.0,
+         |  floor(avg(span_y) * 10000) / 10000.0 FROM sn""".stripMargin
     })
 }

@@ -156,8 +156,9 @@ object DedupQueries extends QueryRegistry {
           "doc_a")
         .withColumn("containment", col("i").cast("double") / col("na"))
         .filter(col("containment") >= 0.9)
+        // floorAt: i/na is a small-denominator rational (see Quant)
         .select(col("doc_a"), col("doc_b"),
-          round(col("containment"), 6).as("containment"))
+          Quant.floorAt(col("containment"), 6).as("containment"))
     }),
     // X2/X3 fusion: cross-modal dedup consensus — agreement matrix between
     // text near-dup pairs (MinHash-LSH + exact Jaccard) and embedding
@@ -258,7 +259,8 @@ object DedupQueries extends QueryRegistry {
           size(t).cast("long").as("n_tokens"),
           size(filter(t, x => x.isin("the", "a"))).cast("long").as("n_stop"))
         .select(col("doc_id"),
-          round(least(lit(1.0), col("n_tokens") / lit(150.0))
+          // floorAt: rational product (n/150 × (1 − stop/n)) — see Quant
+          Quant.floorAt(least(lit(1.0), col("n_tokens") / lit(150.0))
             * (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")), 6)
             .as("quality_score"))
       q.join(clusters, Seq("doc_id"), "left")
@@ -382,7 +384,8 @@ object DedupQueries extends QueryRegistry {
        |  JOIN ex ea ON ea.doc_id = c.doc_a
        |  JOIN ex eb ON eb.doc_id = c.doc_b AND ea.s = eb.s
        |  GROUP BY 1, 2),
-       |p AS (SELECT doc_a, doc_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+       |p AS (SELECT doc_a, doc_b,
+       |   floor(i * 1.0 / (sa.n + sb.n - i) * 1000000) / 1000000.0 AS jaccard
        |  FROM inter
        |   JOIN sz sa ON sa.doc_id = doc_a
        |   JOIN sz sb ON sb.doc_id = doc_b
@@ -511,9 +514,9 @@ object DedupQueries extends QueryRegistry {
          |  FROM reach GROUP BY 1),
          |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |q AS (SELECT doc_id,
-         |  round(least(1.0, len(toks) / 150.0)
+         |  floor(least(1.0, len(toks) / 150.0)
          |    * (1.0 - len(list_filter(toks, x -> x IN ('the','a'))) * 1.0
-         |        / len(toks)), 6) AS quality_score
+         |        / len(toks)) * 1000000) / 1000000.0 AS quality_score
          |  FROM t),
          |wc AS (SELECT coalesce(cl.cluster_id, q.doc_id) AS cluster_id,
          |    q.doc_id, q.quality_score
@@ -559,7 +562,8 @@ object DedupQueries extends QueryRegistry {
         |   JOIN sh sa ON sa.doc_id = c.doc_a
         |   JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
         |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / n, 6) AS containment
+        |SELECT doc_a, doc_b,
+        | floor(CAST(i AS DOUBLE) / n * 1000000) / 1000000.0 AS containment
         |FROM inter JOIN sz ON sz.doc_id = doc_a
         |WHERE CAST(i AS DOUBLE) / n >= 0.9""".stripMargin,
     "dedup_consensus" -> {

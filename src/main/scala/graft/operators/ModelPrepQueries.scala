@@ -198,9 +198,17 @@ object ModelPrepQueries extends QueryRegistry {
         .select(col("doc_id"), col("c"), (col("c") * qln).as("contrib"))
         .groupBy("doc_id")
         .agg(sum("c").as("n_tokens"), sum("contrib").as("sw"))
+        // per-token output at 1e-6 grain via floor, NOT round: sw/n is a
+        // ratio of small integers, so it can land EXACTLY on a .5 tie at
+        // the output grain (one doc did at sf0.001) — and the engines
+        // break ties differently (Spark HALF_UP vs DuckDB's half-even
+        // nearbyint). floor is tie-free: sw*100 is an exact double
+        // (≪ 2^53) and the single division is correctly rounded, so both
+        // engines floor the IDENTICAL double. 1e-6 truncation vs rounding
+        // is semantically nil for a selection score.
         .select(col("doc_id"), col("n_tokens"),
-          round(col("sw").cast("double") / (col("n_tokens") * lit(1e4)), 6)
-            .as("logratio_per_tok"),
+          (floor(col("sw").cast("double") * lit(100) / col("n_tokens"))
+            / lit(1e6)).as("logratio_per_tok"),
           (col("sw") > 0L).as("keep"))
     }),
     // BPE tokenizer training, merge iteration 1: learn the top pair from
@@ -306,9 +314,12 @@ object ModelPrepQueries extends QueryRegistry {
           sum(col("c") * length(col("w"))).as("n_chars"),
           sum(col("c") * col("n_tok")).as("n_tokens"))
         .select(col("lang"), col("n_words"), col("n_tokens"),
-          round(col("n_tokens").cast("double") / col("n_words"), 6)
+          // floorAt: integer ratios — tie-prone under round (see Quant)
+          Quant.floorAt(
+            col("n_tokens").cast("double") / col("n_words"), 6)
             .as("tokens_per_word"),
-          round(col("n_chars").cast("double") / col("n_tokens"), 6)
+          Quant.floorAt(
+            col("n_chars").cast("double") / col("n_tokens"), 6)
             .as("chars_per_token"))
     }),
 
@@ -423,10 +434,12 @@ object ModelPrepQueries extends QueryRegistry {
        |  FROM seg$bpeMerges)
        |SELECT lang, CAST(sum(c) AS BIGINT) AS n_words,
        |  CAST(sum(c * n_tok) AS BIGINT) AS n_tokens,
-       |  round(CAST(sum(c * n_tok) AS BIGINT)
-       |    / CAST(sum(c) AS BIGINT)::DOUBLE, 6) AS tokens_per_word,
-       |  round(CAST(sum(c * length(w)) AS BIGINT)
-       |    / CAST(sum(c * n_tok) AS BIGINT)::DOUBLE, 6) AS chars_per_token
+       |  floor(CAST(sum(c * n_tok) AS BIGINT)::DOUBLE
+       |    / CAST(sum(c) AS BIGINT) * 1000000) / 1000000.0
+       |    AS tokens_per_word,
+       |  floor(CAST(sum(c * length(w)) AS BIGINT)::DOUBLE
+       |    / CAST(sum(c * n_tok) AS BIGINT) * 1000000) / 1000000.0
+       |    AS chars_per_token
        |FROM wcl JOIN tok USING (w) GROUP BY 1""".stripMargin
 
   // Mirror of text_pack_bpe: same per-(doc, word) histogram, same learned
@@ -501,8 +514,8 @@ object ModelPrepQueries extends QueryRegistry {
         |    AS contrib
         | FROM cnt JOIN model USING (w) CROSS JOIN scal)
         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-        | round(CAST(sum(contrib) AS BIGINT)
-        |   / (CAST(sum(c) AS BIGINT) * 10000.0), 6) AS logratio_per_tok,
+        | floor(CAST(sum(contrib) AS BIGINT) * 100.0
+        |   / CAST(sum(c) AS BIGINT)) / 1000000.0 AS logratio_per_tok,
         | CAST(sum(contrib) AS BIGINT) > 0 AS keep
         |FROM sc GROUP BY 1""".stripMargin,
     "text_bpe_merge1" ->

@@ -40,7 +40,9 @@ object MultimodalQueries extends QueryRegistry {
         (lit(1.0) - col("n_stop").cast("double") / col("n_tokens"))
       txt.join(emb, "doc_id")
         .select(col("doc_id"), col("lang"), col("label"), col("n_tokens"),
-          round(quality, 6).as("quality_score"),
+          // quality is a rational product → floorAt (see Quant); the
+          // emb magnitudes are float-derived (huge denominators) → round
+          Quant.floorAt(quality, 6).as("quality_score"),
           round(col("max_abs"), 6).as("emb_max_abs"),
           round(col("mean_abs"), 6).as("emb_mean_abs"),
           (quality > 0.3 && col("max_abs") < 0.5).as("keep"))
@@ -76,7 +78,8 @@ object MultimodalQueries extends QueryRegistry {
         .groupBy("format")
         .agg(count(lit(1)).as("n"),
           sum("n_bytes").as("total_bytes"),
-          round(avg("pixels"), 6).as("avg_pixels"))))
+          Quant.floorAt(avg("pixels"), 6) // int mean: see Quant
+            .as("avg_pixels"))))
 
   private val metaSql =
     """SELECT doc_id,
@@ -103,7 +106,7 @@ object MultimodalQueries extends QueryRegistry {
         |    AS quality
         | FROM txt JOIN emb ON txt.doc_id = emb.doc_id)
         |SELECT doc_id, lang, label, CAST(n_tokens AS BIGINT) AS n_tokens,
-        | round(quality, 6) AS quality_score,
+        | floor(quality * 1000000) / 1000000.0 AS quality_score,
         | round(max_abs, 6) AS emb_max_abs,
         | round(mean_abs, 6) AS emb_mean_abs,
         | (quality > 0.3 AND max_abs < 0.5) AS keep
@@ -132,6 +135,6 @@ object MultimodalQueries extends QueryRegistry {
     "mm_format_stats" ->
       s"""SELECT format, count(*) AS n,
          | CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
-         | round(avg(width * height), 6) AS avg_pixels
+         | floor(avg(width * height) * 1000000) / 1000000.0 AS avg_pixels
          |FROM ($metaSql) GROUP BY 1""".stripMargin)
 }

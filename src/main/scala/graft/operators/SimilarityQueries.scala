@@ -386,8 +386,12 @@ object SimilarityQueries extends QueryRegistry {
         .materialize() // feeds the stats AND dominant-label branches
       val stats = base.groupBy("cid")
         .agg(count(lit(1)).as("n_vecs"),
-          round(sum(round(col("csim") * 1e6, 0).cast("long")).cast("double")
-            / (count(lit(1)) * lit(1e6)), 6).as("mean_cohesion"))
+          // floorAt: quantized-long sum over n·1e6 is an integer ratio —
+          // tie-prone under round (see Quant); inner csim quantization
+          // keeps round (cosine: huge-denominator value, no tie risk)
+          Quant.floorAt(
+            sum(round(col("csim") * 1e6, 0).cast("long")).cast("double")
+              / (count(lit(1)) * lit(1e6)), 6).as("mean_cohesion"))
       // dominant label via a string-encoded argmax (zero-padded count +
       // label) — max(varchar) orders identically in both engines, so ties
       // break deterministically on the larger label
@@ -401,7 +405,8 @@ object SimilarityQueries extends QueryRegistry {
       stats.join(dom, "cid")
         .select(col("cid"), col("n_vecs"), col("mean_cohesion"),
           col("top_label"),
-          round(col("top_n").cast("double") / col("n_vecs"), 6).as("purity"))
+          Quant.floorAt(
+            col("top_n").cast("double") / col("n_vecs"), 6).as("purity"))
     }),
 
     // X3/X4 fusion: hybrid retrieval — sparse (doc-to-doc BM25 over the
@@ -755,8 +760,9 @@ object SimilarityQueries extends QueryRegistry {
          |   JOIN embeddings e ON e.vec_id = a.vec_id
          |   JOIN cent2 c ON c.cid = a.cid),
          |stats AS (SELECT cid, count(*) AS n_vecs,
-         |    round(CAST(sum(CAST(round(csim * 1000000) AS BIGINT)) AS BIGINT)
-         |      / (count(*) * 1000000.0), 6) AS mean_cohesion
+         |    floor(CAST(sum(CAST(round(csim * 1000000) AS BIGINT)) AS BIGINT)
+         |      / (count(*) * 1000000.0) * 1000000) / 1000000.0
+         |      AS mean_cohesion
          |  FROM base GROUP BY 1),
          |cnt AS (SELECT cid, label, count(*) AS nl FROM base GROUP BY 1, 2),
          |dom AS (SELECT cid,
@@ -766,7 +772,7 @@ object SimilarityQueries extends QueryRegistry {
          |      max(lpad(nl::VARCHAR, 10, '0') || ':' || label) AS enc
          |    FROM cnt GROUP BY 1))
          |SELECT cid, n_vecs, mean_cohesion, top_label,
-         |  round(top_n * 1.0 / n_vecs, 6) AS purity
+         |  floor(top_n * 1.0 / n_vecs * 1000000) / 1000000.0 AS purity
          |FROM stats JOIN dom USING (cid)""".stripMargin,
     "sim_pq_adc" -> pqSql,
     "sim_topk" ->

@@ -386,7 +386,11 @@ object TextDedup {
       .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("jaccard", col("i") / (col("na") + col("nb") - col("i")))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      // floorAt, not round: i/union is a small-denominator rational —
+      // it can tie exactly at the output grain and the engines break
+      // ties differently (see Quant)
+      .select(col("doc_a"), col("doc_b"),
+        Quant.floorAt(col("jaccard"), 6).as("jaccard"))
   }
 
   /** Cross-document repeated-substring accounting — the word-n-gram

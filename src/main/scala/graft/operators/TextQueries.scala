@@ -28,11 +28,13 @@ object TextQueries extends QueryRegistry {
       docs(s, dir)
         .select(col("doc_id"), col("n_chars"), nTok.cast("long").as("n_tokens"),
           nStop.cast("long").as("n_stop"))
+        // floorAt throughout: every output is a small-denominator
+        // rational (integer ratios / their products) — see Quant
         .select(col("doc_id"), col("n_tokens"), col("n_stop"),
-          round(stopRatio, 6).as("stop_ratio"),
-          round((col("n_chars") - col("n_tokens") + 1).cast("double")
+          Quant.floorAt(stopRatio, 6).as("stop_ratio"),
+          Quant.floorAt((col("n_chars") - col("n_tokens") + 1).cast("double")
             / col("n_tokens"), 6).as("avg_word_len"),
-          round(least(lit(1.0), col("n_tokens") / lit(150.0))
+          Quant.floorAt(least(lit(1.0), col("n_tokens") / lit(150.0))
             * (lit(1.0) - stopRatio), 6).as("quality_score"))
     }),
     // X4: token counting — whitespace + regex (BPE-ish) per language
@@ -45,7 +47,8 @@ object TextQueries extends QueryRegistry {
         .agg(count(lit(1)).as("n_docs"),
           sum("n_ws").as("n_ws_tokens"),
           sum("n_re").as("n_re_tokens"),
-          round(avg("n_chars"), 6).as("avg_chars"))),
+          Quant.floorAt(avg("n_chars"), 6) // int mean: see Quant
+            .as("avg_chars"))),
     // X4: corpus word frequencies (explode → count), deterministic top-20
     "text_wordcount" -> ((s, dir) =>
       docs(s, dir)
@@ -77,7 +80,10 @@ object TextQueries extends QueryRegistry {
       tf.join(df_, "word")
         .crossJoin(broadcast(nDocs))
         .withColumn("tfidf",
-          round(col("tf") *
+          // floorAt: tf (= c/dl) × quantized idf (= m/1e4) is a product
+          // of small-denominator rationals (see Quant); the inner idf
+          // quantization keeps round (log → huge denominator)
+          Quant.floorAt(col("tf") *
             (round(log(col("n_docs_total") / col("df")) * lit(1e4), 0) /
               lit(1e4)), 6))
         .withColumn("rk", row_number().over(w))
@@ -155,7 +161,9 @@ object TextQueries extends QueryRegistry {
         .agg(count(lit(1)).as("n_grams"),
           sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
         .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
-          round(col("n_dup_grams").cast("double") / col("n_grams"), 6)
+          // floorAt: integer ratio — tie-prone under round (see Quant)
+          Quant.floorAt(
+            col("n_dup_grams").cast("double") / col("n_grams"), 6)
             .as("dup_ratio"))
     }),
     // curation: Gopher-style repetition signals — duplicate-bigram ratio
@@ -178,8 +186,9 @@ object TextQueries extends QueryRegistry {
           (col("top_c").cast("double") / col("n")).as("top_token_ratio"))
       base.join(top, "doc_id")
         .select(col("doc_id"), col("n_tokens"),
-          round(col("dup_bigram_ratio"), 6).as("dup_bigram_ratio"),
-          round(col("top_token_ratio"), 6).as("top_token_ratio"),
+          // integer ratios → floorAt (see Quant); the flag compares RAW
+          Quant.floorAt(col("dup_bigram_ratio"), 6).as("dup_bigram_ratio"),
+          Quant.floorAt(col("top_token_ratio"), 6).as("top_token_ratio"),
           (col("dup_bigram_ratio") > 0.2 || col("top_token_ratio") > 0.2)
             .as("flagged"))
     }),
@@ -244,10 +253,12 @@ object TextQueries extends QueryRegistry {
         .withColumn("actual_share", col("n_docs") / col("n_total"))
         .withColumn("mix_weight",
           least(lit(3.0), (lit(1.0) / col("n_cells")) / col("actual_share")))
+        // share/weight/effective-count are all count ratios → floorAt
         .select(col("lang"), col("source"), col("n_docs"),
-          round(col("actual_share"), 6).as("actual_share"),
-          round(col("mix_weight"), 6).as("mix_weight"),
-          round(col("n_docs") * col("mix_weight"), 4).as("n_effective"))
+          Quant.floorAt(col("actual_share"), 6).as("actual_share"),
+          Quant.floorAt(col("mix_weight"), 6).as("mix_weight"),
+          Quant.floorAt(col("n_docs") * col("mix_weight"), 4)
+            .as("n_effective"))
     }),
 
     // curation: APPLY the domain-mixture reweighting text_mix plans — each
@@ -279,7 +290,7 @@ object TextQueries extends QueryRegistry {
         .groupBy("lang", "source")
         .agg(count(lit(1)).as("n_docs"),
           sum("rep").as("n_replicas"),
-          round(min("w"), 6).as("mix_weight"))
+          Quant.floorAt(min("w"), 6).as("mix_weight")) // count ratio
     }),
 
     // curation: corpus-frequency fluency score — a char-bigram "language
@@ -313,12 +324,16 @@ object TextQueries extends QueryRegistry {
         .groupBy("doc_id", "lang")
         .agg(sum("cnt").as("n"), sum(col("c") * col("cnt")).as("sc"))
         .withColumn("fluency", col("sc").cast("double") / col("n"))
+      // floor everywhere here, not round: fluency = sc/n is an integer
+      // ratio, so BOTH the per-doc 1e-6 quantization and the per-lang
+      // outputs are tie-prone under round (see Quant)
       fluency.groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
-          round(sum(round(col("fluency") * 1e6, 0).cast("long")).cast("double")
-            / (count(lit(1)) * lit(1e6)), 6).as("avg_fluency"),
-          round(min("fluency"), 6).as("min_fluency"),
-          round(max("fluency"), 6).as("max_fluency"))
+          Quant.floorAt(
+            sum(floor(col("fluency") * lit(1e6)).cast("long")).cast("double")
+              / (count(lit(1)) * lit(1e6)), 6).as("avg_fluency"),
+          Quant.floorAt(min("fluency"), 6).as("min_fluency"),
+          Quant.floorAt(max("fluency"), 6).as("max_fluency"))
     }),
 
     // curation: model-based quality filtering — batch inference of a
@@ -340,10 +355,14 @@ object TextQueries extends QueryRegistry {
       scored.groupBy("lang").agg(
         count(lit(1)).as("n_docs"),
         count(when(col("score") > 0.5, 1)).as("n_keep"),
-        round(count(when(col("score") > 0.5, 1)).cast("double")
+        // keep_rate is a count ratio → floorAt (see Quant); score-based
+        // columns keep round (inexact literals → huge denominator, no
+        // realistic tie)
+        Quant.floorAt(count(when(col("score") > 0.5, 1)).cast("double")
           / count(lit(1)), 6).as("keep_rate"),
-        round(sum(round(col("score") * 1e6, 0).cast("long")).cast("double")
-          / (count(lit(1)) * lit(1e6)), 6).as("avg_score"))
+        Quant.floorAt( // quantized-sum / n·1e6 is an integer ratio
+          sum(round(col("score") * 1e6, 0).cast("long")).cast("double")
+            / (count(lit(1)) * lit(1e6)), 6).as("avg_score"))
     }),
 
     // curation: document-length histogram per language (fixed 200-char
@@ -488,16 +507,17 @@ object TextQueries extends QueryRegistry {
         |m AS (SELECT doc_id, n_chars, len(toks) AS n_tokens,
         |  len(list_filter(toks, x -> x IN ('the','a'))) AS n_stop FROM t)
         |SELECT doc_id, n_tokens, n_stop,
-        | round(n_stop * 1.0 / n_tokens, 6) AS stop_ratio,
-        | round((n_chars - n_tokens + 1) * 1.0 / n_tokens, 6) AS avg_word_len,
-        | round(least(1.0, n_tokens / 150.0) * (1.0 - n_stop * 1.0 / n_tokens), 6)
-        |   AS quality_score
+        | floor(n_stop * 1.0 / n_tokens * 1000000) / 1000000.0 AS stop_ratio,
+        | floor((n_chars - n_tokens + 1) * 1.0 / n_tokens * 1000000)
+        |   / 1000000.0 AS avg_word_len,
+        | floor(least(1.0, n_tokens / 150.0) * (1.0 - n_stop * 1.0 / n_tokens)
+        |   * 1000000) / 1000000.0 AS quality_score
         |FROM m""".stripMargin,
     "text_tokens" ->
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_ws_tokens,
         | CAST(sum(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS n_re_tokens,
-        | round(avg(n_chars), 6) AS avg_chars
+        | floor(avg(n_chars) * 1000000) / 1000000.0 AS avg_chars
         |FROM documents GROUP BY 1""".stripMargin,
     "text_wordcount" ->
       """SELECT word, count(*) AS n
@@ -519,8 +539,8 @@ object TextQueries extends QueryRegistry {
         |df AS (SELECT word, count(*) AS df FROM
         |  (SELECT DISTINCT doc_id, word FROM tok) GROUP BY 1),
         |sc AS (SELECT lang, word, tf,
-        |  round(tf * (round(ln((SELECT count(*) FROM documents) * 1.0 / df)
-        |    * 10000) / 10000.0), 6) AS tfidf
+        |  floor(tf * (round(ln((SELECT count(*) FROM documents) * 1.0 / df)
+        |    * 10000) / 10000.0) * 1000000) / 1000000.0 AS tfidf
         | FROM tf JOIN df USING (word))
         |SELECT lang, rk, word, tfidf FROM (
         |  SELECT lang, word, tfidf,
@@ -568,8 +588,8 @@ object TextQueries extends QueryRegistry {
         |      AS n_dup_grams
         |  FROM g JOIN f USING (h) GROUP BY 1)
         |SELECT doc_id, n_grams, n_dup_grams,
-        |  round(CAST(n_dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
-        |    AS dup_ratio
+        |  floor(CAST(n_dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE)
+        |    * 1000000) / 1000000.0 AS dup_ratio
         |FROM pd""".stripMargin,
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -584,8 +604,8 @@ object TextQueries extends QueryRegistry {
         |top AS (SELECT doc_id, max(c) * 1.0 / CAST(sum(c) AS BIGINT) AS top_token_ratio
         | FROM cnt GROUP BY 1)
         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-        | round(dup_bigram_ratio, 6) AS dup_bigram_ratio,
-        | round(top_token_ratio, 6) AS top_token_ratio,
+        | floor(dup_bigram_ratio * 1000000) / 1000000.0 AS dup_bigram_ratio,
+        | floor(top_token_ratio * 1000000) / 1000000.0 AS top_token_ratio,
         | (dup_bigram_ratio > 0.2 OR top_token_ratio > 0.2) AS flagged
         |FROM base JOIN top USING (doc_id)""".stripMargin,
     "text_redact" ->
@@ -621,9 +641,9 @@ object TextQueries extends QueryRegistry {
         |  least(3.0, (1.0 / n_cells) / (n_docs * 1.0 / n_total)) AS mix_weight
         | FROM cells CROSS JOIN tot)
         |SELECT lang, source, n_docs,
-        | round(actual_share, 6) AS actual_share,
-        | round(mix_weight, 6) AS mix_weight,
-        | round(n_docs * mix_weight, 4) AS n_effective
+        | floor(actual_share * 1000000) / 1000000.0 AS actual_share,
+        | floor(mix_weight * 1000000) / 1000000.0 AS mix_weight,
+        | floor(n_docs * mix_weight * 10000) / 10000.0 AS n_effective
         |FROM j""".stripMargin,
     "text_mix_apply" ->
       """WITH cells AS (SELECT lang, source, count(*) AS n_docs
@@ -641,7 +661,7 @@ object TextQueries extends QueryRegistry {
         | FROM documents d JOIN wts USING (lang, source))
         |SELECT lang, source, count(*) AS n_docs,
         | CAST(sum(rep) AS BIGINT) AS n_replicas,
-        | round(min(w), 6) AS mix_weight
+        | floor(min(w) * 1000000) / 1000000.0 AS mix_weight
         |FROM r GROUP BY 1, 2""".stripMargin,
     "text_lm_score" ->
       """WITH cb AS (SELECT doc_id, lang,
@@ -654,10 +674,10 @@ object TextQueries extends QueryRegistry {
         | FROM cb JOIN model USING (lang, g) GROUP BY 1, 2),
         |f AS (SELECT doc_id, lang, sc * 1.0 / n AS fluency FROM scored)
         |SELECT lang, count(*) AS n_docs,
-        | round(CAST(sum(CAST(round(fluency * 1000000) AS BIGINT)) AS BIGINT)
-        |   / (count(*) * 1000000.0), 6) AS avg_fluency,
-        | round(min(fluency), 6) AS min_fluency,
-        | round(max(fluency), 6) AS max_fluency
+        | floor(CAST(sum(CAST(floor(fluency * 1000000) AS BIGINT)) AS BIGINT)
+        |   / (count(*) * 1000000.0) * 1000000) / 1000000.0 AS avg_fluency,
+        | floor(min(fluency) * 1000000) / 1000000.0 AS min_fluency,
+        | floor(max(fluency) * 1000000) / 1000000.0 AS max_fluency
         |FROM f GROUP BY 1""".stripMargin,
     // literals cast to DOUBLE: DuckDB's bare 0.004 is DECIMAL and its
     // exact arithmetic would diverge from Spark's IEEE doubles
@@ -674,10 +694,10 @@ object TextQueries extends QueryRegistry {
         | FROM m)
         |SELECT lang, count(*) AS n_docs,
         | count(*) FILTER (WHERE score > 0.5::DOUBLE) AS n_keep,
-        | round(count(*) FILTER (WHERE score > 0.5::DOUBLE) * 1.0 / count(*), 6)
-        |   AS keep_rate,
-        | round(CAST(sum(CAST(round(score * 1000000) AS BIGINT)) AS BIGINT)
-        |   / (count(*) * 1000000.0), 6) AS avg_score
+        | floor(count(*) FILTER (WHERE score > 0.5::DOUBLE) * 1.0 / count(*)
+        |   * 1000000) / 1000000.0 AS keep_rate,
+        | floor(CAST(sum(CAST(round(score * 1000000) AS BIGINT)) AS BIGINT)
+        |   / (count(*) * 1000000.0) * 1000000) / 1000000.0 AS avg_score
         |FROM sc GROUP BY 1""".stripMargin,
     "text_length_hist" ->
       """SELECT lang, (n_chars // 200) * 200 AS bucket_lo,
