@@ -72,16 +72,20 @@ object SimilarityQueries extends QueryRegistry {
         sum(round(col(s"x$i") * col(s"x$j") * 1e6, 0).cast("long"))
           .as(s"p${i}_$j") }
     def mean(i: Int) = col(s"s$i").cast("double") / (col("n") * lit(1e6))
+    // floorAt on covariance and means, not round: both are small-
+    // denominator rationals of the integer moment sums — tie-prone at
+    // the 1e-6 grain under the engines' divergent round tie-breaks
+    // (see Quant)
     def covExpr(i: Int, j: Int) = {
       val (a, b) = if (i <= j) (i, j) else (j, i)
-      round(col(s"p${a}_$b").cast("double") / (col("n") * lit(1e6))
+      Quant.floorAt(col(s"p${a}_$b").cast("double") / (col("n") * lit(1e6))
         - mean(a) * mean(b), 6)
     }
     val ij = for { i <- 0 until dims; j <- 0 until dims } yield (i, j)
     // the one corpus pass; head() moves dims²+dims scalars to the driver
     val moments = base.agg(aggs.head, aggs.tail: _*)
       .select(ij.map { case (i, j) => covExpr(i, j).as(s"c${i}_$j") } ++
-        (0 until dims).map(i => round(mean(i), 6).as(s"m$i")): _*)
+        (0 until dims).map(i => Quant.floorAt(mean(i), 6).as(s"m$i")): _*)
       .head()
     def get(nm: String): Option[Double] = {
       val idx = moments.fieldIndex(nm)
@@ -238,7 +242,8 @@ object SimilarityQueries extends QueryRegistry {
       def mean(i: Int) = col(s"s$i").cast("double") / (col("n") * lit(1e6))
       val rows = pairs.map { case (i, j) =>
         struct(lit(i).as("i"), lit(j).as("j"),
-          round(col(s"p${i}_$j").cast("double") / (col("n") * lit(1e6))
+          // floorAt: rational of the integer moment sums (see Quant)
+          Quant.floorAt(col(s"p${i}_$j").cast("double") / (col("n") * lit(1e6))
             - mean(i) * mean(j), 6).as("cov"))
       }
       base.agg(aggs.head, aggs.tail: _*)
@@ -510,7 +515,7 @@ object SimilarityQueries extends QueryRegistry {
       .mkString(",\n|  ")
     def covSql(i: Int, j: Int) = {
       val (a, b) = if (i <= j) (i, j) else (j, i)
-      s"round(p${a}_$b / (n * 1000000.0) - (s$a / (n * 1000000.0)) * (s$b / (n * 1000000.0)), 6)"
+      s"floor((p${a}_$b / (n * 1000000.0) - (s$a / (n * 1000000.0)) * (s$b / (n * 1000000.0))) * 1000000) / 1000000.0"
     }
     val cDefs = ij.map { case (i, j) => s"${covSql(i, j)} AS c${i}_$j" }
       .mkString(",\n|  ")
@@ -910,8 +915,9 @@ object SimilarityQueries extends QueryRegistry {
         s"CAST(sum(CAST(round(v[${i + 1}] * v[${j + 1}] * 1000000) AS BIGINT)) AS BIGINT) AS p${i}_$j" }
         .mkString(",\n|  ")
       val branches = pairs.map { case (i, j) =>
-        s"SELECT $i AS i, $j AS j, round(p${i}_$j / (n * 1000000.0)" +
-          s" - (s$i / (n * 1000000.0)) * (s$j / (n * 1000000.0)), 6) AS cov FROM st" }
+        s"SELECT $i AS i, $j AS j, floor((p${i}_$j / (n * 1000000.0)" +
+          s" - (s$i / (n * 1000000.0)) * (s$j / (n * 1000000.0))) * 1000000)" +
+          " / 1000000.0 AS cov FROM st" }
         .mkString("\n|UNION ALL ")
       s"""WITH v AS ($vSql),
          |st AS (SELECT count(*) AS n,
@@ -954,7 +960,8 @@ object SimilarityQueries extends QueryRegistry {
          |ld AS (SELECT ${(0 until dims)
             .map(i => s"round(v$i, 6) AS l$i").mkString(", ")} FROM fin1),
          |mm AS (SELECT ${(0 until dims)
-            .map(i => s"round(s$i / (n * 1000000.0), 6) AS m$i")
+            .map(i =>
+              s"floor(s$i / (n * 1000000.0) * 1000000) / 1000000.0 AS m$i")
             .mkString(", ")} FROM st)
          |SELECT vec_id, round($proj, 6) AS pc1
          |FROM v CROSS JOIN ld CROSS JOIN mm""".stripMargin

@@ -26,17 +26,21 @@ class PcaParitySpec extends SparkSuite {
         sum(round(col(s"x$i") * col(s"x$j") * 1e6, 0).cast("long"))
           .as(s"p${i}_$j") }
     def mean(i: Int) = col(s"s$i").cast("double") / (col("n") * lit(1e6))
+    // r8: cov/means quantize through tie-free floorAt (see Quant); the
+    // in-plan mirror must apply the identical quantization
     def covExpr(i: Int, j: Int) = {
       val (a, b) = if (i <= j) (i, j) else (j, i)
-      round(col(s"p${a}_$b").cast("double") / (col("n") * lit(1e6))
-        - mean(a) * mean(b), 6)
+      graft.operators.Quant.floorAt(
+        col(s"p${a}_$b").cast("double") / (col("n") * lit(1e6))
+          - mean(a) * mean(b), 6)
     }
     val ij = for { i <- 0 until dims; j <- 0 until dims } yield (i, j)
     val keep = ij.map { case (i, j) => col(s"c${i}_$j") } ++
       (0 until dims).map(i => col(s"m$i"))
     var st = base.agg(aggs.head, aggs.tail: _*)
       .select(ij.map { case (i, j) => covExpr(i, j).as(s"c${i}_$j") } ++
-        (0 until dims).map(i => round(mean(i), 6).as(s"m$i")): _*)
+        (0 until dims).map(i =>
+          graft.operators.Quant.floorAt(mean(i), 6).as(s"m$i")): _*)
       .select(col("*") +:
         ij.map { case (i, j) => col(s"c${i}_$j").as(s"b${i}_$j") }: _*)
       .materialize()
