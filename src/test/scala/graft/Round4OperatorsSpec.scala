@@ -165,8 +165,8 @@ class Round4OperatorsSpec extends SparkSuite {
       val p = rows.map(r => q(r(i) * r(j))).sum
       val cov = p / (n * 1e6) -
         (s(i) / (n * 1e6)) * (s(j) / (n * 1e6))
-      val exp = BigDecimal(cov).setScale(6,
-        BigDecimal.RoundingMode.HALF_UP).toDouble
+      // r8: outputs quantize tie-free via Quant.floorAt, not HALF_UP
+      val exp = math.floor(cov * 1e6) / 1e6
       assert(got((i, j)) === exp, s"cov($i,$j)")
     }
     // diagonal entries are variances — strictly positive on real data
