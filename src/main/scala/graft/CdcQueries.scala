@@ -208,7 +208,21 @@ object CdcQueries extends QueryRegistry {
         .withColumn("fields",
           when(col("cdc_action") === Types.Delete, lit("cdc_action,cdc_ts"))
             .otherwise(lit("cdc_action,cdc_ts,props,value")))
-        .groupBy("table", "fields").agg(count(lit(1)).as("n"))))
+        .groupBy("table", "fields").agg(count(lit(1)).as("n"))),
+    // A6 (cdc.py:125-133): the dump-trigger policy under the oracle gate —
+    // per-day accumulation vs DumpPolicy thresholds. `should_dump_ref`
+    // applies the reference's CacheMaxRows (cdc_config.py:41-42; false at
+    // fixture scale, as in a healthy deployment); `should_dump_demo`
+    // applies a demo threshold small enough to fire, so BOTH branches of
+    // the predicate are oracle-checked.
+    "cdc_dump_trigger" -> ((s, dir) =>
+      CdcBatch.changeLog(s, dir)
+        .groupBy(expr("cdc_ts div 86400").as("day"))
+        .agg(count(lit(1)).as("n_rows"))
+        .select(col("day"), col("n_rows"),
+          (col("n_rows") > CdcBatch.DumpPolicy.CacheMaxRows)
+            .as("should_dump_ref"),
+          (col("n_rows") > 100L).as("should_dump_demo"))))
 
   private val compactSql =
     s"""WITH ch AS ($changelogSql),
@@ -312,5 +326,11 @@ object CdcQueries extends QueryRegistry {
          | CASE WHEN cdc_action='delete' THEN 'cdc_action,cdc_ts'
          |      ELSE 'cdc_action,cdc_ts,props,value' END AS fields,
          | count(*) AS n
-         |FROM ($changelogSql) GROUP BY 1, 2""".stripMargin)
+         |FROM ($changelogSql) GROUP BY 1, 2""".stripMargin,
+    "cdc_dump_trigger" ->
+      s"""SELECT cdc_ts // 86400 AS day, count(*) AS n_rows,
+         | count(*) > ${CdcBatch.DumpPolicy.CacheMaxRows}
+         |   AS should_dump_ref,
+         | count(*) > 100 AS should_dump_demo
+         |FROM ($changelogSql) GROUP BY 1""".stripMargin)
 }
