@@ -11,6 +11,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Before ANY read: the fixture contract (Fixtures.eventTime) admits a
+    // timestamp[ns] events.parquet, which errors without this conf — set
+    // once here so the warm-up scans below can never silently skip a
+    // table and push its cold-read cost onto the first timed query
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // JVM/session warmup so the first timed query doesn't absorb executor
     // startup + codegen/JIT compiler warmup (~4s otherwise attributed to
     // it). Exercises the scan/join/window/agg/explode/md5 codegen paths on

@@ -71,6 +71,14 @@ object Upload {
     val dst = new Path(destRoot, date)
     val dfs = dst.getFileSystem(conf)
     dfs.mkdirs(dst)
+    // sweep orphaned partial transfers from a crashed prior run: a crash
+    // between copy and rename leaves <name>.inprogress at the destination,
+    // which no retry ever targets again (attempts always copy to a fresh
+    // temp) — without this, partial-transfer garbage accumulates and can be
+    // swept up by downstream wildcard listings/loads
+    dfs.listStatus(dst)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".inprogress"))
+      .foreach(st => dfs.delete(st.getPath, false))
     val csvs = sfs.listStatus(src)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".csv"))
       .sortBy(_.getPath.getName)
@@ -152,24 +160,38 @@ object Upload {
       .filter(f => f.length >= 5 && f(4) != "error")
       .map(f => f(1))
     val loaded = readLines(sfs, loadLogPath(src)).map(_.trim).toSet
-    ups.filterNot(loaded).map { uri =>
+    ups.filterNot(loaded).flatMap { uri =>
       val file = uri.substring(uri.lastIndexOf('/') + 1)
       val parts = file.split("\\.")
-      val (db, tb) = (parts(0), parts(1))
+      // uploadByDate transfers EVERY *.csv; only db.table.<ts>.csv names
+      // carry warehouse coordinates. A stray file (e.g. report.csv) must
+      // not abort the whole load plan — log and continue, as the
+      // reference does for its own malformed cases (dump2csv.py:241-246)
+      if (parts.length < 4) {
+        System.err.println(
+          s"[upload] skipping malformed upload name (want db.table.<ts>.csv): $file")
+        None
+      } else pendingLoadOf(parts, uri, schemaRoot, conf)
+    }
+  }
+
+  private def pendingLoadOf(
+      parts: Array[String], uri: String, schemaRoot: Option[String],
+      conf: org.apache.hadoop.conf.Configuration): Option[LoadSpec] = {
+    val (db, tb) = (parts(0), parts(1))
       val schema = schemaRoot.flatMap { root =>
         val p = new Path(new Path(root, db), tb)
         if (p.getFileSystem(conf).exists(p)) Some(p.toString) else None
       }
-      val cmd = schema match {
-        case Some(s) =>
-          s"bq load --schema=$s --skip_leading_rows=1 " +
-            s"--allow_quoted_newlines $db.$tb $uri"
-        case None =>
-          s"bq load --skip_leading_rows=1 --allow_quoted_newlines " +
-            s"$db.$tb $uri"
-      }
-      LoadSpec(db, tb, uri, schema, cmd)
+    val cmd = schema match {
+      case Some(s) =>
+        s"bq load --schema=$s --skip_leading_rows=1 " +
+          s"--allow_quoted_newlines $db.$tb $uri"
+      case None =>
+        s"bq load --skip_leading_rows=1 --allow_quoted_newlines " +
+          s"$db.$tb $uri"
     }
+    Some(LoadSpec(db, tb, uri, schema, cmd))
   }
 
   /** Ack one completed load (dump2csv.py:256-258: append the destination
@@ -177,6 +199,14 @@ object Upload {
     * `FileSystem.append` is unsupported on several stores (local
     * checksummed FS included); the log is one short line per file per
     * date, so the rewrite is trivially small.
+    *
+    * The rewrite goes through a temp file renamed into place (the same
+    * rename-into-place discipline [[uploadByDate]] uses): a direct
+    * `create(overwrite)` would truncate the log first, so a crash between
+    * truncate and close loses EVERY prior ack and the next cycle re-loads
+    * every file — worse than the reference's append, which at most loses
+    * the last ack. With rename, the log is never observable in a
+    * truncated state.
     */
   def markLoaded(spark: SparkSession, dateDir: String, uri: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -184,9 +214,15 @@ object Upload {
     val sfs = src.getFileSystem(conf)
     val log = loadLogPath(src)
     val lines = readLines(sfs, log) :+ uri
-    val os = sfs.create(log, true)
+    val tmp = new Path(src, log.getName + ".tmp")
+    val os = sfs.create(tmp, true)
     try os.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally os.close()
+    // FileContext.rename(OVERWRITE) is the atomic replace the FileSystem
+    // API lacks (FileSystem.rename refuses an existing destination on
+    // several stores)
+    org.apache.hadoop.fs.FileContext.getFileContext(log.toUri, conf)
+      .rename(tmp, log, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def readLines(

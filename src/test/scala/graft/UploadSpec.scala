@@ -142,4 +142,38 @@ class UploadSpec extends AnyFunSuite with SparkSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     }
   }
+
+  test("hardening: malformed csv names skipped in the plan, stale " +
+      ".inprogress orphans swept, ack log rewritten via rename") {
+    val root = java.nio.file.Files.createTempDirectory("graft_uph").toString
+    val dateDir = mkDump(s"$root/dump", "20160611", Map(
+      "db_test.a.1.csv" -> "h\n1\n",
+      "report.csv" -> "not warehouse-addressable\n")) // uploads, never loads
+    val dest = s"$root/bucket"
+    try {
+      // a crashed prior run left a partial transfer at the destination
+      val dstDate = new java.io.File(s"$dest/20160611")
+      dstDate.mkdirs()
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(
+        s"$dstDate/db_test.zz.9.csv.inprogress"), "partial garbage")
+      val r = Upload.uploadByDate(spark, dateDir, dest)
+      // both csvs upload (transport accepts any *.csv, like gsutil)
+      assert(r.map(_.result) === Seq("OK", "OK"))
+      val names = dstDate.listFiles().map(_.getName)
+        .filterNot(_.startsWith(".")).toSet
+      assert(!names.exists(_.endsWith(".inprogress")),
+        "stale .inprogress orphan survived the sweep")
+      // the plan carries only warehouse-addressable names; report.csv is
+      // logged-and-skipped, not an ArrayIndexOutOfBounds abort
+      val plan = Upload.pendingLoads(spark, dateDir)
+      assert(plan.map(p => (p.dataset, p.table)) === Seq(("db_test", "a")))
+      // acks go through a temp+rename: no .tmp remnant, log intact
+      Upload.markLoaded(spark, dateDir, plan.head.sourceUri)
+      assert(Upload.pendingLoads(spark, dateDir).isEmpty)
+      assert(!new java.io.File(dateDir).listFiles()
+        .map(_.getName).exists(_.contains("bqload.info.tmp")),
+        "markLoaded left its temp file behind")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+  }
 }
