@@ -34,7 +34,11 @@ object DedupQueries extends QueryRegistry {
   private val sharedLsh =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
   private def sharedLshParts(s: SparkSession, dir: String): (String, String) =
-    sharedLsh.computeIfAbsent(s.sparkContext.applicationId + "|" + dir, k => {
+    // the key folds in a fingerprint of the corpus file, not just the dir:
+    // a fixture regenerated mid-session (the round-7 failure class) must
+    // trigger a rebuild, not a silent probe of a stale index
+    sharedLsh.computeIfAbsent(s.sparkContext.applicationId + "|" +
+        TrainedCache.fingerprint(s"$dir/documents.parquet"), k => {
       val tag = java.security.MessageDigest.getInstance("MD5")
         .digest(k.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
       val tmp = java.nio.file.Files
@@ -174,7 +178,8 @@ object DedupQueries extends QueryRegistry {
         .join(ids.withColumnRenamed("vec_id", "doc_a"), Seq("doc_a"), "left_semi")
         .join(ids.withColumnRenamed("vec_id", "doc_b"), Seq("doc_b"), "left_semi")
         .withColumn("t", lit(1))
-      val ep = Similarity.nearDupPairs(emb, 16, 0.4)
+      val ep = Similarity.nearDupPairsWith(emb,
+          SimilarityQueries.sharedCentroids(s, dir), 0.4)
         .select(col("va").as("doc_a"), col("vb").as("doc_b"), lit(1).as("e"))
       tp.join(ep, Seq("doc_a", "doc_b"), "full_outer")
         .agg(
@@ -190,7 +195,8 @@ object DedupQueries extends QueryRegistry {
     // saltable) + one grouped min + a left join back to the id table.
     "dedup_semantic" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val drops = Similarity.nearDupPairs(e, 16, 0.4)
+      val drops = Similarity.nearDupPairsWith(e,
+          SimilarityQueries.sharedCentroids(s, dir), 0.4)
         .groupBy("vb").agg(min("va").as("dup_of"))
         .withColumnRenamed("vb", "vec_id")
       e.select("vec_id").join(drops, Seq("vec_id"), "left")

@@ -139,9 +139,18 @@ object Similarity {
     */
   def ivfTopK(
       emb: DataFrame, c: Int, queryPred: Column, k: Int,
-      kmeansIters: Int = 2, nprobe: Int = 2): DataFrame = {
+      kmeansIters: Int = 2, nprobe: Int = 2): DataFrame =
+    ivfTopKWith(emb, kmeansCentroids(emb, c, kmeansIters), queryPred, k,
+      nprobe)
+
+  /** [[ivfTopK]] against a caller-supplied (typically session-shared)
+    * trained quantizer — the amortized-probe form production runs:
+    * training is an occasional batch artifact, not a per-query cost.
+    */
+  def ivfTopKWith(
+      emb: DataFrame, cent: DataFrame, queryPred: Column, k: Int,
+      nprobe: Int = 2): DataFrame = {
     val v = vecs(emb)
-    val cent = kmeansCentroids(emb, c, kmeansIters)
     // data side: hash-aggregate argmax (no sort); query side: the full
     // centroid ranking, but only over the (tiny) filtered query set —
     // multi-probe needs ranks 1..nprobe there
@@ -264,16 +273,26 @@ object Similarity {
     }
   }
 
+  /** The raw-subvector PQ codebook [[pqAdcTopK]] trains inline — exposed
+    * so a session can train it once and pass it back via `cbOpt`.
+    */
+  def pqRawCodebook(
+      emb: DataFrame, mSub: Int, kCode: Int, trainRounds: Int = 2,
+      trainSample: Option[Int] = None): DataFrame =
+    pqTrain(pqSub(vecs(emb), mSub).materialize(), kCode, trainRounds,
+      trainSample)
+
   def pqAdcTopK(
       emb: DataFrame, mSub: Int, kCode: Int, queryPred: Column,
       k: Int, trainRounds: Int = 2,
-      trainSample: Option[Int] = None): DataFrame = {
+      trainSample: Option[Int] = None,
+      cbOpt: Option[DataFrame] = None): DataFrame = {
     require(trainRounds >= 1, s"trainRounds must be >= 1, got $trainRounds")
     val v = vecs(emb)
     // sub feeds three consumers (train assign, encode, query LUT) —
     // materialize once instead of re-running the scan + explode per branch
     val sub = pqSub(v, mSub).materialize()
-    val cb = pqTrain(sub, kCode, trainRounds, trainSample)
+    val cb = cbOpt.getOrElse(pqTrain(sub, kCode, trainRounds, trainSample))
     val codes = pqAssign(sub, cb).select("vec_id", "m", "code")
     val qsub = sub.filter(queryPred)
       .select(col("vec_id").as("qid"), col("m"), col("sv").as("qv"))
@@ -318,12 +337,40 @@ object Similarity {
     * is O(nprobe/c) of the corpus — the IVF promise — at 16× compressed
     * reads — the PQ promise.
     */
+  /** Residual subvector table (vec_id, cid, m, sv): assign to nearest
+    * cell, subtract the cell centroid, slice into subspaces — the shared
+    * first step of IVF-PQ training, encoding, and [[VecIndex]]'s
+    * build/append paths.
+    */
+  private[operators] def residualSub(
+      v: DataFrame, cent: DataFrame, mSub: Int): DataFrame = {
+    val resid = assignTo(v, cent)
+      .join(broadcast(cent), "cid")
+      .select(col("vec_id"), col("cid"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"))
+    pqSub(resid, mSub, "cid")
+  }
+
+  /** The residual PQ codebook [[ivfPqTopK]] trains inline — exposed so a
+    * session can train it once (against the same shared `cent`) and pass
+    * it back via `cbOpt`. Residuals derive deterministically from the
+    * centroids, so a codebook is reusable by exactly the callers that
+    * share its quantizer.
+    */
+  def ivfPqCodebook(
+      emb: DataFrame, cent: DataFrame, mSub: Int, kCode: Int,
+      trainRounds: Int = 2, trainSample: Option[Int] = None): DataFrame =
+    pqTrain(residualSub(vecs(emb), cent, mSub).materialize(), kCode,
+      trainRounds, trainSample)
+
   def ivfPqTopK(
       emb: DataFrame, c: Int, mSub: Int, kCode: Int, queryPred: Column,
       k: Int, nprobe: Int = 2, kmeansIters: Int = 2,
-      trainRounds: Int = 2, trainSample: Option[Int] = None): DataFrame = {
+      trainRounds: Int = 2, trainSample: Option[Int] = None,
+      centOpt: Option[DataFrame] = None,
+      cbOpt: Option[DataFrame] = None): DataFrame = {
     val v = vecs(emb)
-    val cent = kmeansCentroids(emb, c, kmeansIters)
+    val cent = centOpt.getOrElse(kmeansCentroids(emb, c, kmeansIters))
     val asn = assignTo(v, cent)
     // residuals feed train + encode; cid rides along so codes stay
     // cell-addressable without a second join
@@ -331,7 +378,7 @@ object Similarity {
       .select(col("vec_id"), col("cid"),
         zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"))
     val rsub = pqSub(resid, mSub, "cid").materialize()
-    val cb = pqTrain(rsub, kCode, trainRounds, trainSample)
+    val cb = cbOpt.getOrElse(pqTrain(rsub, kCode, trainRounds, trainSample))
     val codes = pqAssign(rsub, cb)
       .join(asn.select("vec_id", "cid"), "vec_id")
       .select("vec_id", "cid", "m", "code")
@@ -464,8 +511,12 @@ object Similarity {
     * At 100 TB: more cells (C scales with n) keeps cell² bounded; hot
     * cells shard via the same salting as [[nearDupPairs]].
     */
-  def knnGraph(emb: DataFrame, c: Int, k: Int): DataFrame = {
-    val asn = ivfAssign(emb, c).materialize() // both join sides read it
+  def knnGraph(emb: DataFrame, c: Int, k: Int): DataFrame =
+    knnGraphWith(emb, kmeansCentroids(emb, c, 2), k)
+
+  /** [[knnGraph]] against a caller-supplied trained quantizer. */
+  def knnGraphWith(emb: DataFrame, cent: DataFrame, k: Int): DataFrame = {
+    val asn = ivfAssignTo(emb, cent).materialize() // both join sides read it
     val nbr = asn.select(col("cid"), col("vec_id").as("nbr"),
       col("v").as("nv"))
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("nbr"))
@@ -528,10 +579,16 @@ object Similarity {
   }
 
   def nearDupPairs(
-      emb: DataFrame, c: Int, threshold: Double, salts: Int = 0): DataFrame = {
+      emb: DataFrame, c: Int, threshold: Double, salts: Int = 0): DataFrame =
+    nearDupPairsWith(emb, kmeansCentroids(emb, c, 2), threshold, salts)
+
+  /** [[nearDupPairs]] against a caller-supplied trained quantizer. */
+  def nearDupPairsWith(
+      emb: DataFrame, cent: DataFrame, threshold: Double,
+      salts: Int = 0): DataFrame = {
     // both sides of the self-join read the assignment — materialize once
     // (the salt-sizing pass reads the same checkpointed blocks)
-    val asn = ivfAssign(emb, c).materialize()
+    val asn = ivfAssignTo(emb, cent).materialize()
     val s = if (salts == 0) Skew.adaptiveSalts(asn, Seq("cid")) else salts
     Skew.saltedSelfJoin(asn, Seq("cid"), "vec_id", s)
       .select(col("l.vec_id").as("va"), col("r.vec_id").as("vb"),

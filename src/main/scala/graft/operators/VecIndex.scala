@@ -54,36 +54,32 @@ object VecIndex {
     * re-reads (an append cannot silently encode with different geometry
     * than the index was built with).
     */
+  /** `centOpt`/`cbOpt` let a session that already holds the trained
+    * artifacts (see [[TrainedCache]]) skip retraining — sound because the
+    * parquet round-trip of doubles is exact, so a persisted-then-reread
+    * centroid table is bitwise the training output either way.
+    */
   def build(
       emb: DataFrame, path: String, c: Int, mSub: Int, kCode: Int,
       kmeansIters: Int = 2, trainRounds: Int = 2,
-      trainSample: Option[Int] = None): Unit = {
+      trainSample: Option[Int] = None,
+      centOpt: Option[DataFrame] = None,
+      cbOpt: Option[DataFrame] = None): Unit = {
     val spark = emb.sparkSession
-    Similarity.kmeansCentroids(emb, c, kmeansIters)
+    centOpt.getOrElse(Similarity.kmeansCentroids(emb, c, kmeansIters))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     // downstream encode reads the PERSISTED artifact — the exact bits an
     // append/probe will see, not a re-derived plan
     val cent = spark.read.parquet(s"$path/centroids")
-    val rsub = residSub(Similarity.vecs(emb), cent, mSub).materialize()
-    Similarity.pqTrain(rsub, kCode, trainRounds, trainSample)
+    val rsub = Similarity.residualSub(Similarity.vecs(emb), cent, mSub)
+      .materialize()
+    cbOpt.getOrElse(Similarity.pqTrain(rsub, kCode, trainRounds, trainSample))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
     val cb = spark.read.parquet(s"$path/codebooks")
     writeCodes(rsub, cb, path, overwrite = true)
     spark.range(1)
       .select(lit(c).as("c"), lit(mSub).as("m_sub"), lit(kCode).as("k_code"))
       .coalesce(1).write.mode("overwrite").parquet(metaPath(path))
-  }
-
-  /** Residual subvector table (vec_id, cid, m, sv): assign to nearest
-    * cell, subtract the cell centroid, slice into subspaces. The shared
-    * first step of build, append, and (vs probed cells) the query side.
-    */
-  private def residSub(v: DataFrame, cent: DataFrame, mSub: Int): DataFrame = {
-    val resid = Similarity.assignTo(v, cent)
-      .join(broadcast(cent), "cid")
-      .select(col("vec_id"), col("cid"),
-        zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"))
-    Similarity.pqSub(resid, mSub, "cid")
   }
 
   private def writeCodes(
@@ -114,7 +110,9 @@ object VecIndex {
     val (_, mSub, _) = readMeta(spark, path)
     val cent = spark.read.parquet(s"$path/centroids")
     val cb = spark.read.parquet(s"$path/codebooks")
-    writeCodes(residSub(Similarity.vecs(newEmb), cent, mSub).materialize(),
+    writeCodes(
+      Similarity.residualSub(Similarity.vecs(newEmb), cent, mSub)
+        .materialize(),
       cb, path, overwrite = false)
   }
 

@@ -100,12 +100,14 @@ object StreamSim {
     * the offline artifact it is in production.
     */
   def nearDupStreamed(
-      spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+      spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      centOpt: Option[DataFrame] = None): DataFrame = {
     val name = "sim_nd_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
     val path = s"$sfDir/embeddings.parquet"
     val embStatic = spark.read.parquet(path)
-    val cent = Similarity.kmeansCentroids(embStatic, 16, 2).materialize()
+    val cent = centOpt.getOrElse(
+      Similarity.kmeansCentroids(embStatic, 16, 2).materialize())
     // the file stream source requires a DIRECTORY; the fixture is a single
     // parquet file — stage a link to it in a temp dir (a production lake
     // is a directory already)
