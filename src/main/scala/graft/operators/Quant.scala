@@ -32,4 +32,15 @@ object Quant {
     val p = math.pow(10, d)
     floor(x * lit(p)) / lit(p)
   }
+
+  /** Driver-side mirror of [[floorAt]], op for op: Spark's `floor` on a
+    * double is math.floor then a cast to LONG, and the divide promotes
+    * that long back to double — so a driver-side computation that must be
+    * bitwise equal to an in-plan floorAt (the PCA moment assembly) has to
+    * replicate exactly that sequence, not just `math.floor(x*p)/p`.
+    */
+  def floorAtD(x: Double, d: Int): Double = {
+    val p = math.pow(10, d)
+    math.floor(x * p).toLong / p
+  }
 }

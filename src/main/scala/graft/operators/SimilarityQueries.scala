@@ -62,6 +62,16 @@ object SimilarityQueries extends QueryRegistry {
       Similarity.pqRawCodebook(emb(s, dir), 16, 256)
     }
 
+  /** Session-shared PCA state (single literal row — trivially
+    * memoizable): emb_pca and emb_pca_project share one moment pass +
+    * eigensolve per (session, corpus) instead of each paying it.
+    */
+  private def sharedPcaState(s: SparkSession, dir: String): DataFrame =
+    TrainedCache.memoDf(s,
+      corpusKey(s, dir) + s"|pca|d=$PcaDims|sq=$PcaSquarings") {
+      pcaState(emb(s, dir))
+    }
+
   private val sharedIdx =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def sharedVecIndex(s: SparkSession, dir: String): String =
@@ -103,6 +113,89 @@ object SimilarityQueries extends QueryRegistry {
   private val PcaDims = 8
   private val PcaSquarings = 7
 
+  /** Row-shaped single-pass moment sums over the leading `dims` embedding
+    * dimensions: each input row explodes to
+    *   (-1, -1, 1)                       — the count marker,
+    *   (i, -1, round(xi·10⁶)::long)      — first moments,
+    *   (i, j≥i, round(xi·xj·10⁶)::long)  — second moments (i ≤ j),
+    * and ONE hash aggregate sums each key — d(d+1)/2 + d + 1 groups.
+    *
+    * This is the moment-pass ARCHITECTURE the PCA chain always claimed
+    * (d²+d scalars leave the corpus in one aggregation), now with a plan
+    * that is CONSTANT-size in dims: the previous form spelled each moment
+    * as its own aggregate COLUMN, which stops compiling around a few
+    * hundred dims (≈295k aggregate expressions at 768). Here the d² blowup
+    * happens per-ROW inside three HOF expressions; `Pca128Spec` pins a
+    * 128-dim corpus through the pass. The integer-quantized longs commute,
+    * so partial aggregation keeps the distributed sums bitwise equal to
+    * the single-node oracle, exactly as the column form did.
+    */
+  private[graft] def momentSums(e: DataFrame, dims: Int): DataFrame = {
+    // null embeddings contribute to the count but no moments — same as the
+    // column form, where count(1) saw every row and sum() skipped nulls
+    val v = slice(coalesce(col("embedding").cast("array<double>"),
+      array().cast("array<double>")), 1, dims)
+    val cnt = array(struct(lit(-1).as("i"), lit(-1).as("j"), lit(1L).as("p")))
+    val firsts = transform(v, (x, i) =>
+      struct(i.cast("int").as("i"), lit(-1).as("j"),
+        round(x * lit(1e6), 0).cast("long").as("p")))
+    // pair products from the i-th suffix slice: only i ≤ j is built, no
+    // discard-half filter
+    val prods = flatten(transform(v, (xi, i) =>
+      transform(slice(v, i + lit(1), lit(dims) - i), (xj, jr) =>
+        struct(i.cast("int").as("i"), (i + jr).cast("int").as("j"),
+          round(xi * xj * lit(1e6), 0).cast("long").as("p")))))
+    e.select(explode(concat(cnt, firsts, prods)).as("r"))
+      .select(col("r.i").as("i"), col("r.j").as("j"), col("r.p").as("p"))
+      .groupBy("i", "j").agg(sum("p").as("s"))
+  }
+
+  /** Driver-side view of [[momentSums]]: (n, s(i), p(i,j)) with absent or
+    * null groups as None — the SQL null-propagation contract (an empty
+    * corpus has no moment rows at all; a dimension that is null in every
+    * row sums to null).
+    */
+  private[graft] def collectMoments(e: DataFrame, dims: Int)
+      : (Long, Int => Option[Long], (Int, Int) => Option[Long]) = {
+    val m = momentSums(e, dims).collect().map { r =>
+      (r.getInt(0), r.getInt(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))
+    }.toMap
+    val n = m.getOrElse((-1, -1), None).getOrElse(0L)
+    (n,
+      i => m.getOrElse((i, -1), None),
+      (i, j) => m.getOrElse((math.min(i, j), math.max(i, j)), None))
+  }
+
+  /** The covariance cells from the collected moments — same IEEE ops in
+    * the same order as the oracle SQL (mean = s/(n·10⁶); cell =
+    * floorAt(p/(n·10⁶) − mean_a·mean_b, 6)); d² scalars of driver
+    * arithmetic, no data motion. Returns i ≤ j cells as a literal frame
+    * (null cells on an empty/degenerate corpus — the shape the old
+    * single-row explode produced).
+    */
+  private[graft] def covarianceRows(e: DataFrame, dims: Int): DataFrame = {
+    val (n, sM, pM) = collectMoments(e, dims)
+    def meanRaw(i: Int): Option[Double] =
+      if (n == 0L) None else sM(i).map(_.toDouble / (n * 1e6))
+    val rows: Seq[org.apache.spark.sql.Row] =
+      for { i <- 0 until dims; j <- i until dims } yield {
+        val cov = for { p <- pM(i, j); ma <- meanRaw(i); mb <- meanRaw(j) }
+          yield Quant.floorAtD(p.toDouble / (n * 1e6) - ma * mb, 6)
+        org.apache.spark.sql.Row(i, j,
+          cov.map(java.lang.Double.valueOf).orNull)
+      }
+    e.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("i",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("j",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("cov",
+          org.apache.spark.sql.types.DoubleType, nullable = true))))
+  }
+
   /** The emb_pca moment/eigensolve chain (see the emb_pca query comment
     * for the full derivation): ONE corpus pass for the integer-quantized
     * moment sums, then 7 trace-normalized matrix squarings and one
@@ -117,7 +210,9 @@ object SimilarityQueries extends QueryRegistry {
     * work in it. The earlier in-plan form expressed each squaring as
     * dims² expression columns — fine at dims=8, but the plan size grows
     * O(dims²·squarings) and would not compile at real embedding widths
-    * (768+). Driver-side, the same IEEE double ops run in the same
+    * (768+). The moment pass itself is ROW-shaped for the same reason
+    * (see [[momentSums]] — the last dims²-columns plan in the chain fell
+    * in round 9). Driver-side, the same IEEE double ops run in the same
     * association order (left-fold over k per entry, left-fold traces and
     * norms — Java has no implicit FMA), so the emitted loadings are
     * BITWISE identical to the in-plan chain (`PcaParitySpec`), and the
@@ -127,38 +222,25 @@ object SimilarityQueries extends QueryRegistry {
     */
   private def pcaState(e: DataFrame): DataFrame = {
     val dims = PcaDims; val squarings = PcaSquarings
-    val v = col("embedding").cast("array<double>")
-    val base = e.select((0 until dims).map(i =>
-      v.getItem(i).as(s"x$i")): _*)
-    val pairs = for { i <- 0 until dims; j <- i until dims } yield (i, j)
-    val aggs = Seq(count(lit(1)).as("n")) ++
-      (0 until dims).map(i =>
-        sum(round(col(s"x$i") * 1e6, 0).cast("long")).as(s"s$i")) ++
-      pairs.map { case (i, j) =>
-        sum(round(col(s"x$i") * col(s"x$j") * 1e6, 0).cast("long"))
-          .as(s"p${i}_$j") }
-    def mean(i: Int) = col(s"s$i").cast("double") / (col("n") * lit(1e6))
-    // floorAt on covariance and means, not round: both are small-
-    // denominator rationals of the integer moment sums — tie-prone at
-    // the 1e-6 grain under the engines' divergent round tie-breaks
-    // (see Quant)
-    def covExpr(i: Int, j: Int) = {
-      val (a, b) = if (i <= j) (i, j) else (j, i)
-      Quant.floorAt(col(s"p${a}_$b").cast("double") / (col("n") * lit(1e6))
-        - mean(a) * mean(b), 6)
+    // the one corpus pass — the row-shaped momentSums aggregate; the
+    // collect moves dims²+dims scalars to the driver
+    val (n, sM, pM) = collectMoments(e, dims)
+    // identical IEEE ops in the identical order to the previous in-plan
+    // expressions (and the oracle SQL): mean = s/(n·10⁶), cell =
+    // floorAt(p/(n·10⁶) − mean_a·mean_b, 6). floorAt on covariance and
+    // means, not round: both are small-denominator rationals of the
+    // integer moment sums — tie-prone at the 1e-6 grain under the
+    // engines' divergent round tie-breaks (see Quant)
+    def meanRaw(i: Int): Option[Double] =
+      if (n == 0L) None else sM(i).map(_.toDouble / (n * 1e6))
+    def covOpt(i: Int, j: Int): Option[Double] = {
+      val (a, b) = (math.min(i, j), math.max(i, j))
+      for { p <- pM(a, b); ma <- meanRaw(a); mb <- meanRaw(b) }
+        yield Quant.floorAtD(p.toDouble / (n * 1e6) - ma * mb, 6)
     }
     val ij = for { i <- 0 until dims; j <- 0 until dims } yield (i, j)
-    // the one corpus pass; head() moves dims²+dims scalars to the driver
-    val moments = base.agg(aggs.head, aggs.tail: _*)
-      .select(ij.map { case (i, j) => covExpr(i, j).as(s"c${i}_$j") } ++
-        (0 until dims).map(i => Quant.floorAt(mean(i), 6).as(s"m$i")): _*)
-      .head()
-    def get(nm: String): Option[Double] = {
-      val idx = moments.fieldIndex(nm)
-      if (moments.isNullAt(idx)) None else Some(moments.getDouble(idx))
-    }
-    val cOpt = Array.tabulate(dims, dims)((i, j) => get(s"c${i}_$j"))
-    val mOpt = (0 until dims).map(i => get(s"m$i"))
+    val cOpt = Array.tabulate(dims, dims)((i, j) => covOpt(i, j))
+    val mOpt = (0 until dims).map(i => meanRaw(i).map(Quant.floorAtD(_, 6)))
     val vOpt: IndexedSeq[Option[Double]] =
       if (cOpt.exists(_.exists(_.isEmpty))) IndexedSeq.fill(dims)(None)
       else {
@@ -289,36 +371,16 @@ object SimilarityQueries extends QueryRegistry {
     "sim_range_search" -> ((s, dir) =>
       Similarity.rangeSearch(emb(s, dir), col("vec_id") < 10, 0.3)),
     // X3/PCA prep: covariance matrix of the leading 8 embedding dimensions
-    // in ONE aggregation pass — count + 8 first-moment + 36 second-moment
-    // sums, all integer-quantized (round(x·10⁶) as long) so the partial
-    // aggregates commute and the distributed result matches the
-    // single-node oracle bitwise. At 100 TB this is the d²-sums pass that
-    // feeds a driver-side eigendecomposition (d² scalars, no data motion
-    // beyond one partial-agg tree); whitening/PCA then applies the learned
+    // in ONE row-shaped aggregation pass (see momentSums — count + first +
+    // second moments as integer-quantized (i, j, long) rows, so the
+    // partial aggregates commute, the distributed result matches the
+    // single-node oracle bitwise, AND the plan stays constant-size in
+    // dims; Pca128Spec pins the 128-dim case the old d²-columns form
+    // could not express). At 100 TB this is the d²-sums pass that feeds a
+    // driver-side eigendecomposition (d² scalars, no data motion beyond
+    // one partial-agg tree); whitening/PCA then applies the learned
     // projection as a broadcast map.
-    "emb_covariance" -> ((s, dir) => {
-      val dims = 8
-      val v = col("embedding").cast("array<double>")
-      val base = emb(s, dir).select((0 until dims).map(i =>
-        v.getItem(i).as(s"x$i")): _*)
-      val pairs = for { i <- 0 until dims; j <- i until dims } yield (i, j)
-      val aggs = Seq(count(lit(1)).as("n")) ++
-        (0 until dims).map(i =>
-          sum(round(col(s"x$i") * 1e6, 0).cast("long")).as(s"s$i")) ++
-        pairs.map { case (i, j) =>
-          sum(round(col(s"x$i") * col(s"x$j") * 1e6, 0).cast("long"))
-            .as(s"p${i}_$j") }
-      def mean(i: Int) = col(s"s$i").cast("double") / (col("n") * lit(1e6))
-      val rows = pairs.map { case (i, j) =>
-        struct(lit(i).as("i"), lit(j).as("j"),
-          // floorAt: rational of the integer moment sums (see Quant)
-          Quant.floorAt(col(s"p${i}_$j").cast("double") / (col("n") * lit(1e6))
-            - mean(i) * mean(j), 6).as("cov"))
-      }
-      base.agg(aggs.head, aggs.tail: _*)
-        .select(explode(array(rows: _*)).as("r"))
-        .select(col("r.i").as("i"), col("r.j").as("j"), col("r.cov").as("cov"))
-    }),
+    "emb_covariance" -> ((s, dir) => covarianceRows(emb(s, dir), 8)),
     // X3/PCA: leading principal component of the 8-dim covariance via
     // in-plan power iteration. The corpus contributes ONE pass (the same
     // integer-quantized moment sums as emb_covariance: 1 + 8 + 36 longs);
@@ -342,7 +404,7 @@ object SimilarityQueries extends QueryRegistry {
     // ORIGINAL C, not the normalized power.
     "emb_pca" -> ((s, dir) => {
       val dims = PcaDims
-      val st = pcaState(emb(s, dir))
+      val st = sharedPcaState(s, dir)
       def yExpr(i: Int, m: String) = (0 until dims)
         .map(j => col(s"$m${i}_$j") * col(s"v$j")).reduce(_ + _)
       val lam = (0 until dims).map(i => col(s"v$i") * yExpr(i, "c"))
@@ -371,7 +433,7 @@ object SimilarityQueries extends QueryRegistry {
     "emb_pca_project" -> ((s, dir) => {
       val dims = PcaDims
       val e = emb(s, dir)
-      val st = pcaState(e)
+      val st = sharedPcaState(s, dir)
       val params = st.select(
         (0 until dims).map(i => round(col(s"v$i"), 6).as(s"l$i")) ++
         (0 until dims).map(i => col(s"m$i")): _*)
