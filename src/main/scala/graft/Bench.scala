@@ -128,8 +128,9 @@ object Bench {
         Materialize.release(spark)
         dt
       }
-      name -> times.min
+      name -> times
     }
+    val mins = results.map { case (n, ts) => n -> ts.min }
     // The driver captures only the last ~2000 chars of output and parses the
     // JSON line out of that window; sbt prints ~75 chars of its own after us.
     // Keep the line under a safe budget: variable precision, and if the full
@@ -137,9 +138,17 @@ object Bench {
     // "_rest" sum (slowest queries are the ones worth per-query visibility).
     def fmt(v: Double): String =
       if (v >= 100) f"$v%.0f" else if (v >= 10) f"$v%.1f" else f"$v%.2f"
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val sorted = results.toSeq.sortBy { case (_, v) => -v }
+    val total = if (mins.nonEmpty) mins.values.sum else 0.0
+    val sorted = mins.toSeq.sortBy { case (_, v) => -v }
     val budget = 1700
+    // Per-pass times for the top-10 slowest: battery-position noise (r8:
+    // sim_ivf_topk 5.1 s in battery vs 1.1 s isolated) is invisible in a
+    // min — expose whether pass 1 or pass 2 carried the cost so a
+    // regression can be attributed to code vs residue without an isolated
+    // re-run.
+    val passJson = sorted.take(10).map { case (n, _) =>
+      "\"" + n + "\":[" + results(n).map(fmt).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     // bounded: a mass failure must not blow the driver's ~2000-char parse
     // window — show the first 12 names plus a count of the rest
     val failedJson = {
@@ -153,7 +162,7 @@ object Bench {
         if (rest > 0) entries :+ ("_rest" -> rest) else entries
       val qs = withRest.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failedJson,"passes":$passJson,"queries":$qs,"sf":"$sfDir"}"""
     }
     var keep = sorted.length
     var out = line(sorted, 0.0)

@@ -94,8 +94,21 @@ object Materialize {
     * query is referenced again.
     */
   def release(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sparkContext.getPersistentRDDs.valuesIterator
+    // Unpersisting a locally-checkpointed RDD makes every concrete RDD
+    // class logger (MapPartitionsRDD etc. under org.apache.spark.rdd)
+    // emit "was locally checkpointed ... cannot be recomputed" at WARN —
+    // INTENTIONAL here (released plans are never referenced again, see
+    // above), and hundreds of them bury real warnings in the tail the
+    // driver captures. Scope the package logger to ERROR for the
+    // unpersist loop only, restoring the prior level after.
+    val rddPkg = "org.apache.spark.rdd"
+    val prior = org.apache.logging.log4j.LogManager.getLogger(rddPkg).getLevel
+    org.apache.logging.log4j.core.config.Configurator
+      .setLevel(rddPkg, org.apache.logging.log4j.Level.ERROR)
+    try spark.sparkContext.getPersistentRDDs.valuesIterator
       .foreach(_.unpersist(blocking = false))
+    finally org.apache.logging.log4j.core.config.Configurator
+      .setLevel(rddPkg, prior)
     spark.catalog.clearCache()
     spark.catalog.listTables().filter("isTemporary").collect()
       .foreach(t => spark.catalog.dropTempView(t.name))
