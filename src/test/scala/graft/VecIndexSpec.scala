@@ -69,6 +69,37 @@ class VecIndexSpec extends SparkSuite {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("build with pretrained centOpt/cbOpt persists byte-identical " +
+    "artifacts to a self-training build") {
+    // the TrainedCache path: a session that already holds the trained
+    // artifacts hands them to build() — the persisted index must be
+    // indistinguishable from one that trained itself
+    val d1 = freshDir(); val d2 = freshDir()
+    try {
+      VecIndex.build(emb, d1, C, M, K)
+      val cent = Similarity.kmeansCentroids(emb, C, 2)
+      val cb = Similarity.ivfPqCodebook(emb, cent, M, K)
+      VecIndex.build(emb, d2, C, M, K, centOpt = Some(cent),
+        cbOpt = Some(cb))
+      // identical code files byte for byte (names differ by job UUID —
+      // compare the multisets of content hashes)
+      assert(codeFiles(d1).values.toSeq.sorted ===
+        codeFiles(d2).values.toSeq.sorted)
+      def artifact(p: String, sub: String) =
+        spark.read.parquet(s"$p/$sub").collect()
+          .map(_.toString).sorted.toSeq
+      assert(artifact(d1, "centroids") === artifact(d2, "centroids"))
+      assert(artifact(d1, "codebooks") === artifact(d2, "codebooks"))
+      assert(rows(VecIndex.probe(spark, d1, emb.filter(col("vec_id") < 5),
+        3, nprobe = 2)) ===
+        rows(VecIndex.probe(spark, d2, emb.filter(col("vec_id") < 5),
+          3, nprobe = 2)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d1))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d2))
+    }
+  }
+
   test("append: O(new) write volume, byte-identical settled files, " +
     "appended vectors searchable at distance 0") {
     val dir = freshDir()
