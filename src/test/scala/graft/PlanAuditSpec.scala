@@ -121,6 +121,29 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("PCA moment pass: one partial/final hash-aggregate pair, " +
+    "plan size independent of dims") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    def planOf(dims: Int) = graft.operators.SimilarityQueries
+      .momentSums(e, dims).queryExecution.executedPlan.toString
+    val p8 = planOf(8)
+    // map-side partial aggregation before the exchange — the property
+    // that makes the pass one bounded shuffle of d²-ish longs per
+    // partition at 100 TB
+    assert(p8.contains("HashAggregate"), p8.take(2000))
+    assert(p8.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      p8.take(2000))
+    assert(p8.linesIterator.count(_.contains("Exchange")) === 1,
+      p8.take(2000))
+    // the round-9 point: the plan TEXT is the same size at 128 dims as
+    // at 8 — the d² blowup lives inside three HOF expressions per row,
+    // not in d² aggregate columns (which stopped compiling ~a few
+    // hundred dims)
+    val p128 = planOf(128)
+    assert(math.abs(p128.length - p8.length) < 200,
+      s"plan grows with dims: ${p8.length} -> ${p128.length}")
+  }
+
   test("state partitioned by table prunes to one partition on filter") {
     val tmp = java.nio.file.Files.createTempDirectory("plan_state").toString
     try {
