@@ -222,7 +222,26 @@ object CdcQueries extends QueryRegistry {
         .select(col("day"), col("n_rows"),
           (col("n_rows") > CdcBatch.DumpPolicy.CacheMaxRows)
             .as("should_dump_ref"),
-          (col("n_rows") > 100L).as("should_dump_demo"))))
+          (col("n_rows") > 100L).as("should_dump_demo"))),
+    // A7 constructive half (beyond-reference — the reference TODOs ALTER
+    // TABLE): an ADDITIVELY drifted changelog compacts WITHOUT quarantine.
+    // The log's first half plays schema v1 (no props column at all); the
+    // second half plays v2 with props AND an added nullable props_len.
+    // Evolve.additiveUnion widens v1 rows with NULLs and the standard
+    // merge compaction runs unchanged over the union — keys whose life
+    // ended in v1 surface with NULL in the v2-only columns.
+    "cdc_schema_evolve" -> ((s, dir) => {
+      val ch = CdcBatch.changeLog(s, dir)
+        .crossJoin(broadcast(CdcBatch.changeLog(s, dir)
+          .agg((max("seq") / 2).cast("long").as("k"))))
+        .materialize() // one changelog scan feeds both version branches
+      val v1 = ch.filter(col("seq") <= col("k")).drop("k", "props")
+      val v2 = ch.filter(col("seq") > col("k")).drop("k")
+        .withColumn("props_len", length(col("props")).cast("long"))
+      Merge.compact(Evolve.additiveUnion(Seq(v1, v2)), Seq("table", "rid"))
+        .select("table", "rid", "cdc_action", "seq", "cdc_ts", "value",
+          "props", "props_len")
+    }))
 
   private val compactSql =
     s"""WITH ch AS ($changelogSql),
@@ -332,5 +351,26 @@ object CdcQueries extends QueryRegistry {
          | count(*) > ${CdcBatch.DumpPolicy.CacheMaxRows}
          |   AS should_dump_ref,
          | count(*) > 100 AS should_dump_demo
-         |FROM ($changelogSql) GROUP BY 1""".stripMargin)
+         |FROM ($changelogSql) GROUP BY 1""".stripMargin,
+    // v1 ∪BY NAME v2 mirrors Evolve.additiveUnion; the same merge fold
+    // then compacts the widened log. arg_max over the v2-only columns is
+    // safe because version membership is seq-ordered: a key's max-seq row
+    // is v2 whenever the key has ANY v2 row, so the argmax row's NULLs
+    // are exactly the keys whose life ended in v1 — on both engines.
+    "cdc_schema_evolve" ->
+      s"""WITH ch AS ($changelogSql),
+         |v1 AS (SELECT "table", rid, cdc_action, cdc_ts, seq, value
+         |  FROM ch WHERE seq <= (SELECT max(seq) // 2 FROM ch)),
+         |v2 AS (SELECT "table", rid, cdc_action, cdc_ts, seq, value, props,
+         |    CAST(length(props) AS BIGINT) AS props_len
+         |  FROM ch WHERE seq > (SELECT max(seq) // 2 FROM ch)),
+         |ev AS (SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2),
+         |c AS (SELECT "table", rid, $mergeFoldSql AS cdc_action,
+         |        max(seq) AS seq, arg_max(cdc_ts, seq) AS cdc_ts,
+         |        arg_max(value, seq) AS value, arg_max(props, seq) AS props,
+         |        arg_max(props_len, seq) AS props_len
+         |      FROM ev GROUP BY 1, 2)
+         |SELECT "table", rid, cdc_action, seq, cdc_ts, value, props,
+         |  props_len
+         |FROM c WHERE cdc_action <> 'none'""".stripMargin)
 }

@@ -61,6 +61,36 @@ object Csv {
     if (!quarantine.isEmpty) dumpCsv(quarantine, outDir + ".tmp", maxRows)
   }
 
+  /** A7 constructive half (beyond-reference — the reference TODOs ALTER
+    * TABLE, README.md:55-58): like [[dumpCsvWithQuarantine]], but a table
+    * whose distinct fingerprints form a CHAIN under field-set inclusion
+    * (purely additive drift — a column added with no default) dumps CLEAN
+    * in the wide schema, missing cells empty; only non-chain drift (type
+    * conflicts, renames/removals) quarantines.
+    *
+    * The per-table fingerprint sets are collected driver-side: their
+    * cardinality is (tables × live schema versions) — catalog-bounded,
+    * never data-bounded — so the collect is a few rows at any corpus size.
+    */
+  def dumpCsvEvolved(
+      df: DataFrame,
+      fingerprint: Column,
+      outDir: String,
+      maxRows: Long): Unit = {
+    val fp = df.withColumn("__fp", fingerprint)
+    val perTable = fp.select("table", "__fp").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (t, fps) => t -> fps.map(_._2).toSeq }
+    val conflicted = perTable.collect {
+      case (t, fps) if fps.size > 1 && !graft.Evolve.isAdditiveChain(fps) => t
+    }.toSeq
+    val clean = fp.filter(!col("table").isin(conflicted: _*)).drop("__fp")
+    dumpCsv(clean, outDir, maxRows)
+    if (conflicted.nonEmpty)
+      dumpCsv(fp.filter(col("table").isin(conflicted: _*)).drop("__fp"),
+        outDir + ".tmp", maxRows)
+  }
+
   /** F8: `/a/b/db.table.1465372800.csv` → `db.table` (loadcsv.py:83-89). */
   def tableFromFileName(fileCol: Column): Column =
     concat_ws(".",

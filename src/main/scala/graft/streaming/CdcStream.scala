@@ -270,6 +270,17 @@ object CdcStream {
     */
   private[graft] var afterStageHook: () => Unit = () => ()
 
+  /** Read the bucketed state dir with parquet schema MERGING: buckets
+    * written before an additive schema evolution carry the narrow schema,
+    * buckets touched after carry the wide one — `mergeSchema` unions the
+    * footers so consumers always see the widest, with NULLs where old rows
+    * predate the added column. Cost at scale is one footer read per file
+    * (no data pass); a managed table format's schema registry is the
+    * documented swap when footer reads themselves dominate.
+    */
+  def readState(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(stateDir)
+
   /** One micro-batch's state upsert (the foreachBatch body of [[run]]).
     *
     * Idempotent under replay AT ANY FAILURE POINT: the state dir is only
@@ -279,6 +290,15 @@ object CdcStream {
     * rewritten bucket equal the batch output, the anti-join removes the
     * batch's keys either way, and the union re-adds the survivors.
     * `StreamSpec` proves it by crashing after staging and replaying.
+    *
+    * Schema evolution (A7 constructive half): a batch that carries an
+    * ADDED nullable column upserts against narrower stored state — the
+    * state read merges schemas and the union fills missing sides with
+    * NULL, in both directions (a wide batch against narrow state, and a
+    * replayed narrow batch against already-widened state). Only touched
+    * buckets rewrite in the wide schema; settled buckets widen lazily at
+    * read time. Conflicting drift (a changed type) still fails the job —
+    * `Evolve.additiveUnion` is the batch-side gate for that class.
     */
   private[graft] def upsertBatch(batchDf: DataFrame, stateDir: String,
       nBuckets: Int): Unit = {
@@ -302,11 +322,12 @@ object CdcStream {
     val next =
       if (hasState) {
         // partition-pruned: only the touched buckets are scanned
-        val old = spark.read.parquet(stateDir)
+        val old = readState(spark, stateDir)
           .filter(col("bucket").isin(touched.toSeq: _*))
         old.join(updates.select("table", "rid"), Seq("table", "rid"),
             "left_anti")
-          .unionByName(updates.filter(col("cdc_action") =!= Types.None_))
+          .unionByName(updates.filter(col("cdc_action") =!= Types.None_),
+            allowMissingColumns = true)
       } else updates.filter(col("cdc_action") =!= Types.None_)
     // stage touched-bucket contents, then dynamic-overwrite: only the
     // partitions present in `next` are replaced, the rest untouched

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A7 constructive half (beyond-reference — the reference TODOs ALTER
+  * TABLE and quarantines ALL drift, dump2csv.py:78-87): purely ADDITIVE
+  * drift — a nullable column added with no default — flows through
+  * compaction, the CSV dump, and the bucketed streaming state sink,
+  * while conflicting drift still fails fast / quarantines.
+  */
+class SchemaEvolutionSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("isAdditiveChain: chains pass, conflicts don't") {
+    assert(Evolve.isAdditiveChain(Seq("a,b")))
+    assert(Evolve.isAdditiveChain(Seq("a,b", "a,b,c", "a,b,c,d")))
+    assert(Evolve.isAdditiveChain(Seq("a,b,c", "a,b")))   // order-free
+    assert(Evolve.isAdditiveChain(Seq("b,a", "a,b,c")))   // set, not string
+    assert(!Evolve.isAdditiveChain(Seq("a,b", "a,c")))    // fork
+    assert(!Evolve.isAdditiveChain(Seq("a,b", "b,c,d")))  // add + remove
+    assert(Evolve.isAdditiveChain(Seq("a,b", "a,b")))     // no drift
+  }
+
+  test("additiveUnion: widens with NULLs; type conflict fails fast") {
+    val v1 = Seq(("k1", 1L, 1.0), ("k2", 2L, 2.0)).toDF("rid", "seq", "value")
+    val v2 = Seq(("k2", 3L, 3.0, "new")).toDF("rid", "seq", "value", "tag")
+    val u = Evolve.additiveUnion(Seq(v1, v2))
+    assert(u.columns.toSeq === Seq("rid", "seq", "value", "tag"))
+    val rows = u.orderBy("seq").collect()
+    assert(rows.map(_.getAs[String]("tag")).toSeq === Seq(null, null, "new"))
+    // same column re-typed (double → string) is conflicting drift
+    val bad = Seq(("k3", 4L, "oops")).toDF("rid", "seq", "value")
+    val e = intercept[IllegalArgumentException](
+      Evolve.additiveUnion(Seq(v1, bad)))
+    assert(e.getMessage.contains("value"))
+  }
+
+  test("batch: an additively drifted changelog compacts without quarantine;" +
+      " v1-final keys carry NULL in the added column") {
+    val v1 = Seq(
+      ("t", "a", "insert", 1L, 10.0),
+      ("t", "b", "insert", 2L, 20.0),
+      ("t", "c", "insert", 3L, 30.0))
+      .toDF("table", "rid", "cdc_action", "seq", "value")
+    val v2 = Seq( // post-ALTER: adds nullable note
+      ("t", "a", "update", 4L, 11.0, "n1"),
+      ("t", "c", "delete", 5L, 0.0, null.asInstanceOf[String]),
+      ("t", "d", "insert", 6L, 40.0, "n2"))
+      .toDF("table", "rid", "cdc_action", "seq", "value", "note")
+    val out = Merge.compact(Evolve.additiveUnion(Seq(v1, v2)),
+      Seq("table", "rid"))
+      .orderBy("rid").collect()
+    // a: insert+update→insert with v2 payload; b: v1-final, note NULL;
+    // c: insert+delete annihilates; d: v2 insert
+    assert(out.map(_.getAs[String]("rid")).toSeq === Seq("a", "b", "d"))
+    assert(out.map(_.getAs[String]("note")).toSeq === Seq("n1", null, "n2"))
+    assert(out.map(_.getAs[String]("cdc_action")).toSeq ===
+      Seq("insert", "insert", "insert"))
+    assert(out.map(_.getAs[Double]("value")).toSeq === Seq(11.0, 20.0, 40.0))
+  }
+
+  test("csv dump: additive-chain table dumps clean; non-chain quarantines") {
+    val root = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    // additive drift on t1 (second version adds a field); FORK on t2
+    // (disjoint field sets — a rename) must still quarantine
+    val df = Seq(
+      ("t1", "r1", "a,b", "x"),
+      ("t1", "r2", "a,b,c", "y"),
+      ("t2", "r3", "a,b", "x"),
+      ("t2", "r4", "a,c", "y"))
+      .toDF("table", "rid", "fp", "payload")
+      .withColumn("dt", lit("20260814"))
+    try {
+      sources.Csv.dumpCsvEvolved(df, col("fp"), s"$root/dump", 1000L)
+      val clean = sources.Csv.loadCsv(spark, s"$root/dump")
+      assert(clean.select("table").distinct().as[String].collect().toSet
+        === Set("t1"))
+      val quarantined = sources.Csv.loadCsv(spark, s"$root/dump.tmp")
+      assert(quarantined.select("table").distinct().as[String].collect().toSet
+        === Set("t2"))
+      // the round-5-style regression guard: NO drift at all → everything
+      // clean, no .tmp dir
+      val root2 = java.nio.file.Files.createTempDirectory("graft_evo2").toString
+      try {
+        sources.Csv.dumpCsvEvolved(
+          df.withColumn("fp", lit("a,b")), col("fp"), s"$root2/dump", 1000L)
+        assert(!new java.io.File(s"$root2/dump.tmp").exists())
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(root2))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+  }
+
+  test("streaming sink: a widened batch upserts against narrow state, a " +
+      "narrow replay upserts against widened state, untouched buckets " +
+      "stay narrow on disk but read wide") {
+    val root = java.nio.file.Files.createTempDirectory("graft_evos").toString
+    val state = s"$root/state"
+    def stateDf() = streaming.CdcStream.readState(spark, state)
+    try {
+      // batch 1: narrow schema (pre-ALTER), many keys spread over buckets
+      val b1 = (1 to 40).map(i =>
+          ("t", s"k$i", "insert", i.toLong, i * 1.0))
+        .toDF("table", "rid", "cdc_action", "seq", "value")
+      streaming.CdcStream.upsertBatch(b1, state, nBuckets = 8)
+      assert(stateDf().count() === 40)
+      // batch 2: post-ALTER — adds nullable note, touches ONE key
+      val b2 = Seq(("t", "k1", "update", 100L, 1.5, "evolved"))
+        .toDF("table", "rid", "cdc_action", "seq", "value", "note")
+      val untouchedBefore = new java.io.File(state).listFiles()
+        .filter(_.getName.startsWith("bucket="))
+        .map(d => d.getName -> d.lastModified()).toMap
+      streaming.CdcStream.upsertBatch(b2, state, nBuckets = 8)
+      val s2 = stateDf()
+      assert(s2.columns.contains("note"), "state did not widen")
+      assert(s2.count() === 40)
+      assert(s2.filter(col("rid") === "k1").select("note").as[String]
+        .head() === "evolved")
+      // every pre-evolution row reads as NULL in the added column
+      assert(s2.filter(col("note").isNull).count() === 39)
+      // evolution did NOT rewrite settled buckets: only k1's bucket dir
+      // changed — old buckets stay narrow on disk, widened at read time
+      val untouchedAfter = new java.io.File(state).listFiles()
+        .filter(_.getName.startsWith("bucket="))
+        .map(d => d.getName -> d.lastModified()).toMap
+      assert(untouchedBefore.count { case (n, m) =>
+        untouchedAfter.get(n).exists(_ != m) } <= 1,
+        "additive evolution rewrote settled buckets")
+      // batch 3: a REPLAYED narrow batch (e.g. checkpoint recovery of a
+      // pre-ALTER micro-batch) still upserts against the widened state
+      val b3 = Seq(("t", "k2", "update", 101L, 2.5))
+        .toDF("table", "rid", "cdc_action", "seq", "value")
+      streaming.CdcStream.upsertBatch(b3, state, nBuckets = 8)
+      val s3 = stateDf()
+      assert(s3.filter(col("rid") === "k2").select("value").as[Double]
+        .head() === 2.5)
+      assert(s3.count() === 40)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+  }
+}

@@ -143,6 +143,80 @@ class UploadSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("load execution: the rendered command runs against a stub warehouse " +
+      "CLI; crash-replay re-submits only unacked loads; failed loads stay " +
+      "in the plan") {
+    val root = java.nio.file.Files.createTempDirectory("graft_upx").toString
+    val dateDir = mkDump(s"$root/dump", "20160612", Map(
+      "db_test.events.20.csv" -> "h\n1\n",
+      "db_test.orders.21.csv" -> "h\n2\n"))
+    val dest = s"$root/bucket"
+    // a stub `bq` on PATH: appends its argv to a ledger, exit code from a
+    // flag file — the external seam the reference crosses via subprocess
+    // (dump2csv.py:247-255) exercised end-to-end without a live warehouse
+    val bin = new java.io.File(s"$root/bin"); bin.mkdirs()
+    val ledger = s"$root/ledger.txt"
+    val exitFile = s"$root/exitcode"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(exitFile), "0")
+    val stub = java.nio.file.Paths.get(s"$bin/bq")
+    java.nio.file.Files.writeString(stub,
+      s"#!/bin/sh\necho \"$$@\" >> $ledger\nexit $$(cat $exitFile)\n")
+    stub.toFile.setExecutable(true)
+    def runLoad(cmd: String): Int = {
+      import scala.sys.process._
+      Process(Seq("/bin/sh", "-c", cmd), None,
+        "PATH" -> s"$bin:${sys.env("PATH")}").!
+    }
+    def ledgerLines() =
+      if (new java.io.File(ledger).exists())
+        java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(ledger)).toArray.toSeq.map(_.toString)
+      else Seq.empty[String]
+    try {
+      Upload.uploadByDate(spark, dateDir, dest)
+      // cycle 1: load events, ack it; load orders, then CRASH before the
+      // ack (the widest window — the warehouse committed, our log didn't)
+      val plan1 = Upload.pendingLoads(spark, dateDir)
+      assert(plan1.map(_.table) === Seq("events", "orders"))
+      assert(runLoad(plan1(0).command) === 0)
+      Upload.markLoaded(spark, dateDir, plan1(0).sourceUri)
+      assert(runLoad(plan1(1).command) === 0)
+      // <crash here: no markLoaded for orders>
+      assert(ledgerLines().size === 2)
+      // cycle 2 (replay): the acked load is NOT re-submitted; the unacked
+      // one is — at-least-once across the seam, exactly-once for acked work
+      val plan2 = Upload.pendingLoads(spark, dateDir)
+      assert(plan2.map(_.table) === Seq("orders"))
+      assert(runLoad(plan2(0).command) === 0)
+      Upload.markLoaded(spark, dateDir, plan2(0).sourceUri)
+      val lines = ledgerLines()
+      assert(lines.size === 3)
+      assert(lines.count(_.contains("db_test.orders.21.csv")) === 2)
+      assert(lines.count(_.contains("db_test.events.20.csv")) === 1)
+      // every submission carried the full rendered argv
+      assert(lines.forall(l => l.startsWith("load ") &&
+        l.contains("--skip_leading_rows=1")))
+      // cycle 3: everything acked — nothing to submit, ledger unchanged
+      assert(Upload.pendingLoads(spark, dateDir).isEmpty)
+      // a FAILED load (nonzero exit) must not be acked, so it stays in the
+      // plan for the next cycle — scheduler contract: ack only on exit 0
+      val extra = mkDump(s"$root/dump", "20160612",
+        Map("db_test.late.22.csv" -> "h\n3\n"))
+      assert(extra === dateDir)
+      Upload.uploadByDate(spark, dateDir, dest)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(exitFile), "1")
+      val plan3 = Upload.pendingLoads(spark, dateDir)
+      assert(plan3.map(_.table) === Seq("late"))
+      assert(runLoad(plan3(0).command) !== 0) // submit fails → no ack
+      assert(Upload.pendingLoads(spark, dateDir).map(_.table) === Seq("late"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(exitFile), "0")
+      assert(runLoad(plan3(0).command) === 0)
+      Upload.markLoaded(spark, dateDir, plan3(0).sourceUri)
+      assert(Upload.pendingLoads(spark, dateDir).isEmpty)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+  }
+
   test("hardening: malformed csv names skipped in the plan, stale " +
       ".inprogress orphans swept, ack log rewritten via rename") {
     val root = java.nio.file.Files.createTempDirectory("graft_uph").toString
