@@ -144,6 +144,21 @@ class PlanAuditSpec extends SparkSuite {
       s"plan grows with dims: ${p8.length} -> ${p128.length}")
   }
 
+  test("additive evolution is plan surgery: the evolved compact keeps " +
+    "cdc_compact's single exchange") {
+    val plan = SparkEntry.queries("cdc_schema_evolve")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // additiveUnion is unionByName — missing columns become null literals
+    // inside the projection, so the widened compact must still be ONE
+    // (table, rid) hash-aggregate shuffle, no sort, no extra data motion
+    val exchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected 1 exchange, plan:\n${plan.take(3000)}")
+    assert(plan.contains("Union"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("state partitioned by table prunes to one partition on filter") {
     val tmp = java.nio.file.Files.createTempDirectory("plan_state").toString
     try {

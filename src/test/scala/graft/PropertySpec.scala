@@ -87,4 +87,28 @@ class PropertySpec extends SparkSuite {
       assert(ws.exists(_ > 0) && ws.exists(_ < 0))
     }
   }
+
+  test("additive-chain classifier matches the pairwise-comparable " +
+    "definition on random fingerprint sets") {
+    val rnd = new Random(13)
+    val fields = ('a' to 'h').map(_.toString)
+    def randFp(): Set[String] = fields.filter(_ => rnd.nextBoolean()).toSet
+    for (_ <- 1 to 4000) {
+      val sets = Vector.fill(1 + rnd.nextInt(4))(randFp())
+      // ground truth: ADDITIVE drift = every pair of schema versions is
+      // comparable under inclusion (one is a prefix of the other's life)
+      val want = sets.forall(a =>
+        sets.forall(b => a.subsetOf(b) || b.subsetOf(a)))
+      // order- and formatting-independence: shuffled list, shuffled field
+      // order inside each fingerprint, duplicates allowed
+      val fps = rnd.shuffle(sets ++ sets.take(rnd.nextInt(sets.size + 1)))
+        .map(s => rnd.shuffle(s.toSeq).mkString(","))
+      assert(Evolve.isAdditiveChain(fps) === want,
+        s"sets=$sets fps=$fps want=$want")
+    }
+    // degenerate shapes
+    assert(Evolve.isAdditiveChain(Seq.empty))
+    assert(Evolve.isAdditiveChain(Seq("")))      // zero-field version
+    assert(Evolve.isAdditiveChain(Seq("", "a"))) // ∅ ⊆ {a}
+  }
 }
