@@ -23,12 +23,17 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSmoke {
 
-  /** The top-5 by r8/r9 bench cost, one per heavy family: LSH dedup,
-    * ANN search, gram explosion, streaming state sink, composed capstone.
+  /** The top queries by r8/r9 bench cost, one per heavy family: LSH
+    * dedup, ANN search, gram explosion, streaming state sink, composed
+    * capstone — plus the two that lead the battery after round 9's
+    * amortization (char-bigram LM scoring and containment dedup, both
+    * corpus-shuffle-bound), so every remaining top-cost query has a
+    * measured 10× datapoint, not just a plan argument.
     */
   private val Targets = Seq(
     "dedup_minhash_lsh", "sim_ivfpq", "text_dup_ngrams",
-    "cdc_state_sink", "curate_pipeline")
+    "cdc_state_sink", "curate_pipeline", "text_lm_score",
+    "dedup_containment")
 
   private def writeFlat(df: DataFrame, dir: String, name: String): Unit = {
     val tmp = s"$dir/_tmp_$name"
@@ -128,7 +133,12 @@ object ScaleSmoke {
       spark.read.parquet(s"$d/$t.parquet").count()
     shuffleWrite.set(0L)
 
-    val rows = Targets.map { q =>
+    // optional args: target-name substrings (local iteration aid, like
+    // Bench's); no args = the full target set
+    val targets =
+      if (args.isEmpty) Targets
+      else Targets.filter(t => args.exists(t.contains))
+    val rows = targets.map { q =>
       val (t01, sh01) = runOne(q, base)
       val (t1, sh1) = runOne(q, sf1)
       val r = t1.min / math.max(t01.min, 1e-9)
