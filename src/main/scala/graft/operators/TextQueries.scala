@@ -316,13 +316,18 @@ object TextQueries extends QueryRegistry {
       // UTF8String.substring walks bytes from offset 0 to locate char i,
       // so a substr-per-position transform is O(len²) PER DOCUMENT — the
       // sf1 scale smoke measured the old form 17.8× at 10× data (longer
-      // derived docs squared), the regex form is linear (4.5× faster at
-      // sf1, bitwise-identical bigrams incl. non-BMP text, where both
-      // forms agree surrogate-half for surrogate-half). (?s) so '.'
-      // crosses newlines, exactly like substr.
+      // derived docs squared); the regex form is linear. (?s) so '.'
+      // crosses newlines, exactly like substr. Both substr and Java
+      // regex '.' count CODE POINTS, but the zero-width scan also visits
+      // the UTF-16 position INSIDE a surrogate pair (capturing a lone
+      // low surrogate there); the (?![\uDC00-\uDFFF]) lookahead rejects
+      // any start sitting on a low surrogate — a position that exists
+      // only mid-pair in well-formed text — so non-BMP text (emoji-laden
+      // web corpora) yields exactly the len-1 code-point bigrams substr
+      // defines (TextQueriesSpec pins the equivalence).
       val cb = docs(s, dir).select(col("doc_id"), col("lang"),
         explode(regexp_extract_all(col("text"),
-          lit("(?s)(?=(..))"), lit(1))).as("g"))
+          lit("(?s)(?![\\uDC00-\\uDFFF])(?=(..))"), lit(1))).as("g"))
       val hist = cb.groupBy("doc_id", "lang", "g")
         .agg(count(lit(1)).as("cnt"))
         .materialize() // feeds the model build AND the scoring join

@@ -58,4 +58,31 @@ class TextQueriesSpec extends SparkSuite {
     assert(out(2L) === Some(0.8))     // 5 bigram slots, 1 distinct
     assert(out(3L) === Some(0.0))     // all distinct
   }
+
+  test("regex char-bigram scan is the substr-per-position bigram semantics") {
+    // text_lm_score extracts overlapping char bigrams with ONE
+    // regexp_extract_all lookahead scan; the reference semantics (and the
+    // DuckDB oracle) is substr(text, i, 2) for i in 1..len-1, which Spark
+    // can only express as an O(len²)-per-doc transform (the sf1 smoke
+    // measured it superlinear). Pin the two forms identical on the
+    // adversarial shapes: empty, 1-char, newlines mid-text ((?s) makes
+    // '.' cross them), repeated chars, multi-byte BMP chars, and non-BMP
+    // text — substr counts code points, so the scan must suppress the
+    // zero-width position INSIDE a surrogate pair (without the
+    // low-surrogate lookahead, an emoji doc emits one spurious extra
+    // bigram per emoji, first char a lone low surrogate).
+    import spark.implicits._
+    val docs = Seq("", "x", "ab", "line1\nline2\n", "aaaa", "aébé",
+      "mixed ascii with spaces", "emoji 😀 mid", "😀😀", "a😀").toDF("text")
+    val substrForm = docs.select(explode(when(length(col("text")) >= 2,
+      transform(sequence(lit(1), length(col("text")) - 1),
+        i => col("text").substr(i, lit(2))))
+      .otherwise(array().cast("array<string>"))).as("g"))
+      .groupBy("g").count()
+    val regexForm = docs.select(explode(regexp_extract_all(col("text"),
+      lit("(?s)(?![\\uDC00-\\uDFFF])(?=(..))"), lit(1))).as("g"))
+      .groupBy("g").count()
+    assert(substrForm.except(regexForm).union(regexForm.except(substrForm))
+      .count() === 0L)
+  }
 }
