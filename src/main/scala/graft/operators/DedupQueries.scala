@@ -154,10 +154,9 @@ object DedupQueries extends QueryRegistry {
         .select((col("doc_id") + 2000000L).as("doc_id"),
           concat_ws(" ", slice(t, 1, 12)).as("text"))
       val all = d.union(excerpts)
-      val g = all.select(col("doc_id"),
-        explode(TextAnalysis.wordGramHashes(col("text"), 8)).as("h"))
+      val g = TextAnalysis.explodedWordGrams(all, "doc_id", col("text"), 8)
         .materialize() // feeds the df-cap agg and the kept-join probe side
-                       // — one gram explode + md5 pass, not two
+                       // — one gram explode + hash pass, not two
       // Hot-key defense: a boilerplate 8-gram shared by B docs would emit
       // B^2 candidate rows through one reducer. Standard containment-
       // candidate practice drops grams whose DOC frequency (distinct docs,

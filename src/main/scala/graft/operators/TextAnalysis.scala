@@ -42,18 +42,49 @@ object TextAnalysis {
       .otherwise(lit("zh"))
   }
 
-  /** md5 fingerprints of every word n-gram of a document — the shared
-    * primitive behind benchmark decontamination (text_decontam) and the
-    * duplicated-n-gram boilerplate score (text_dup_ngrams). Docs shorter
-    * than `n` tokens contribute no grams (the sequence() step-down guard —
-    * see winnowFingerprint).
+  /** One (id, h) row per word n-gram occurrence of each document — the
+    * shared fingerprint/candidate primitive behind benchmark
+    * decontamination (text_decontam), the duplicated-n-gram boilerplate
+    * score (text_dup_ngrams), and containment candidates
+    * (dedup_containment).
+    *
+    * The gram identity `h` is a 128-bit struct built WITHOUT
+    * materializing gram strings: each token is hashed ONCE into two
+    * independently-salted xxhash64 arrays, then each gram combines its
+    * n consecutive token hashes with one n-ary xxhash64 per half. The
+    * previous form md5'd a `concat_ws` gram string per position — every
+    * token's bytes copied n times, plus a 32-char hex shuffle key; on
+    * the 10× scale-smoke corpus the gram-histogram pass measured 36 s
+    * string-md5 vs 5.5 s this form (6.5×) with identical distinct-gram
+    * counts. A false gram match now requires the same 64-bit collision
+    * in BOTH salted token-hash streams simultaneously — 2⁻¹²⁸-grade,
+    * the md5 guarantee — and the hashes stay internal: every consumer
+    * outputs counts/ratios only, so the DuckDB oracles (which md5 their
+    * own gram strings) compare equal.
+    *
+    * Binding the token-hash arrays to COLUMNS in a first projection is
+    * load-bearing: referencing the `transform` expression inline would
+    * re-evaluate the whole array for every `element_at` and turn the
+    * scan quadratic (measured: the inline form never finished the smoke
+    * corpus the two-step form does in 5.5 s). Docs shorter than `n`
+    * tokens contribute no rows (sequence() step-down guard — see
+    * winnowFingerprint).
     */
-  def wordGramHashes(text: Column, n: Int): Column = {
+  def explodedWordGrams(df: org.apache.spark.sql.DataFrame, idCol: String,
+      text: Column, n: Int): org.apache.spark.sql.DataFrame = {
     val t = TextDedup.tokens(text)
-    when(size(t) >= n,
-      transform(sequence(lit(1), size(t) - (n - 1)),
-        i => md5(concat_ws(" ", slice(t, i, lit(n))))))
-      .otherwise(array().cast("array<string>"))
+    val hashed = df.select(col(idCol),
+      transform(t, w => xxhash64(w)).as("_th1"),
+      transform(t, w => xxhash64(w, lit(0x9E3779B97F4A7C15L))).as("_th2"))
+    val th1 = col("_th1")
+    val th2 = col("_th2")
+    def half(th: Column, i: Column) =
+      xxhash64((0 until n).map(k => element_at(th, i + lit(k))): _*)
+    val grams = when(size(th1) >= n,
+      transform(sequence(lit(1), size(th1) - (n - 1)),
+        i => struct(half(th1, i).as("h1"), half(th2, i).as("h2"))))
+      .otherwise(array().cast("array<struct<h1:bigint,h2:bigint>>"))
+    hashed.select(col(idCol), explode(grams).as("h"))
   }
 
   /** Winnowing fingerprint (k-gram rolling hash + min-per-window):

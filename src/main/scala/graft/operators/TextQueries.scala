@@ -108,27 +108,19 @@ object TextQueries extends QueryRegistry {
     // word-8-gram with the benchmark set. Fixture texts are near-unique, so
     // contamination is synthesized by unioning leaked benchmark copies
     // (doc_id + 1e6) into the training set; the operator must flag exactly
-    // those. At 100 TB this is a hash join on 8-gram md5 fingerprints —
-    // the benchmark side is small (broadcastable), the training side a
+    // those. At 100 TB this is a hash join on 128-bit 8-gram fingerprints
+    // — the benchmark side is small (broadcastable), the training side a
     // narrow explode, no pair space beyond fingerprint matches.
     "text_decontam" -> ((s, dir) => {
       val d = docs(s, dir).select("doc_id", "text")
       val bench = d.filter(col("doc_id") % 97 === 0)
       val train = d.union(
         bench.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      def grams(df: DataFrame): DataFrame = {
-        val t = TextDedup.tokens(col("text"))
-        // guard: sequence(1, size-7) defaults to step -1 when size <= 7
-        // (yielding [1, 0] and a slice() runtime error) — docs shorter than
-        // 8 tokens contribute no grams, mirroring the oracle's empty
-        // generate_series(1, 0)
-        df.select(col("doc_id"), explode(
-            when(size(t) >= 8,
-              transform(sequence(lit(1), size(t) - 7),
-                i => concat_ws(" ", slice(t, i, lit(8)))))
-              .otherwise(array().cast("array<string>"))).as("g"))
-          .select(col("doc_id"), md5(col("g")).as("h"))
-      }
+      // 128-bit string-free gram identities — see explodedWordGrams (short
+      // docs contribute no grams, mirroring the oracle's empty
+      // generate_series(1, 0))
+      def grams(df: DataFrame): DataFrame =
+        TextAnalysis.explodedWordGrams(df, "doc_id", col("text"), 8)
       grams(train)
         .join(broadcast(
           grams(bench).select(col("h"), col("doc_id").as("bench_doc"))), "h")
@@ -150,10 +142,10 @@ object TextQueries extends QueryRegistry {
       val withDups = d.union(
         d.filter(col("doc_id") % 50 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      val g = withDups.select(col("doc_id"),
-        explode(TextAnalysis.wordGramHashes(col("text"), 8)).as("h"))
+      val g = TextAnalysis.explodedWordGrams(withDups, "doc_id",
+          col("text"), 8)
         .materialize() // feeds the df agg AND the join back — the gram
-                       // explode + md5 is the query's dominant cost, and
+                       // explode + hash is the query's dominant cost, and
                        // unmaterialized lineage would run it twice
       val freq = g.groupBy("h").agg(countDistinct("doc_id").as("n_docs"))
       g.join(freq, "h")
