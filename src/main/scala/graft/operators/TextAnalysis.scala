@@ -91,6 +91,16 @@ object TextAnalysis {
     * word 3-gram md5-prefix hashes, window of 4, distinct kept minima,
     * fingerprint = md5 of the sorted kept set. Standard document
     * fingerprinting (Schleimer et al., SIGMOD'03) in pure expressions.
+    *
+    * Column form: the repeated array subtrees (`t` under each
+    * `element_at`, `kgrams` under each window `slice`) stay linear only
+    * because the evaluator reuses the common subexpression — measured
+    * equal to the bound form at the 10× smoke corpus (~0.2 s both), but
+    * the same inline-reference shape DID evaluate quadratically in the
+    * explodedWordGrams case, so the reuse is evaluation-path-dependent,
+    * not guaranteed. The gate/production path is [[winnowFingerprints]],
+    * which binds each intermediate to a projected column and does not
+    * depend on it.
     */
   def winnowFingerprint(text: Column): Column = {
     val t = TextDedup.tokens(text)
@@ -98,19 +108,45 @@ object TextAnalysis {
     // index-0 error) — docs too short for a 3-gram (< 3 tokens) or for a
     // 4-window (< 6 tokens) keep an empty set, matching the oracle's empty
     // generate_series
-    val kgrams = when(size(t) >= 3,
+    val kgrams = kgramsOf(t)
+    val kept = keptOf(kgrams)
+    struct(
+      substring(md5(concat_ws("", kept)), 1, 16).as("fp"),
+      size(kept).as("n_kept"))
+  }
+
+  private def kgramsOf(t: Column): Column =
+    when(size(t) >= 3,
       transform(sequence(lit(1), size(t) - 2), i =>
         substring(
           md5(concat_ws(" ",
             element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))),
           1, 8))).otherwise(array().cast("array<string>"))
-    val kept = sort_array(array_distinct(
+
+  private def keptOf(kgrams: Column): Column =
+    sort_array(array_distinct(
       when(size(kgrams) >= 4,
         transform(sequence(lit(1), size(kgrams) - 3), p =>
           array_min(slice(kgrams, p, lit(4)))))
         .otherwise(array().cast("array<string>"))))
-    struct(
-      substring(md5(concat_ws("", kept)), 1, 16).as("fp"),
-      size(kept).as("n_kept"))
-  }
+
+  /** Winnowing over a whole table with each intermediate array (tokens,
+    * gram hashes, kept minima) BOUND to a column in its own projection
+    * before the next positional lambda reads it — the
+    * [[explodedWordGrams]] discipline. Identical values to
+    * [[winnowFingerprint]] (same expressions; equivalence spec-pinned):
+    * binding makes the linear scan STRUCTURAL instead of relying on the
+    * evaluator reusing an inline subtree per element access — reuse that
+    * measurably did not happen for the same shape in explodedWordGrams.
+    *
+    * Output: the input's `idCol` plus `w` = struct(fp, n_kept).
+    */
+  def winnowFingerprints(df: org.apache.spark.sql.DataFrame, idCol: String,
+      text: Column): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), TextDedup.tokens(text).as("_t"))
+      .select(col(idCol), kgramsOf(col("_t")).as("_kg"))
+      .select(col(idCol), keptOf(col("_kg")).as("_kept"))
+      .select(col(idCol), struct(
+        substring(md5(concat_ws("", col("_kept"))), 1, 16).as("fp"),
+        size(col("_kept")).as("n_kept")).as("w"))
 }

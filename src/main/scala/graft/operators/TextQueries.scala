@@ -480,11 +480,11 @@ object TextQueries extends QueryRegistry {
             .as("tokens_admitted"))
     }),
 
-    // X4: winnowing document fingerprints (rolling-hash min-per-window)
+    // X4: winnowing document fingerprints (rolling-hash min-per-window);
+    // the column-bound form — structurally linear rather than dependent
+    // on evaluator subtree reuse (see winnowFingerprints' scaladoc)
     "text_fingerprint" -> ((s, dir) =>
-      docs(s, dir)
-        .select(col("doc_id"),
-          TextAnalysis.winnowFingerprint(col("text")).as("w"))
+      TextAnalysis.winnowFingerprints(docs(s, dir), "doc_id", col("text"))
         .select(col("doc_id"), col("w.fp").as("fp"),
           col("w.n_kept").cast("long").as("n_kept"))))
 

@@ -59,6 +59,25 @@ class TextQueriesSpec extends SparkSuite {
     assert(out(3L) === Some(0.0))     // all distinct
   }
 
+  test("column-bound winnowing emits the single-expression form's values") {
+    // winnowFingerprints (linear: tokens and gram hashes bound as columns
+    // between positional lambdas) must be value-identical to the
+    // single-expression winnowFingerprint (quadratic: every element_at
+    // re-splits, every window slice re-md5s) — including the short-doc
+    // guard shapes.
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = (Seq("", "one", "a b c", "a b c d e",
+      (1 to 12).map(i => s"w$i").mkString(" "),
+      (1 to 40).map(i => s"tok${i % 7}").mkString(" ")))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val slow = docs.select(col("doc_id"),
+      TextAnalysis.winnowFingerprint(col("text")).as("w"))
+    val fast = TextAnalysis.winnowFingerprints(docs, "doc_id", col("text"))
+    assert(fast.except(slow).union(slow.except(fast)).count() === 0L)
+  }
+
   test("regex char-bigram scan is the substr-per-position bigram semantics") {
     // text_lm_score extracts overlapping char bigrams with ONE
     // regexp_extract_all lookahead scan; the reference semantics (and the
