@@ -49,6 +49,38 @@ class PropertySpec extends SparkSuite {
     assert((0 until 64).map(TextDedup.minhashA).distinct.length === 64)
   }
 
+  test("bigram regex scan matches code-point sliding windows on random unicode") {
+    // the text_lm_score scan — (?s)(?![\uDC00-\uDFFF])(?=(..)) — must
+    // emit exactly the code-point bigrams substr(i, 2) defines, for any
+    // input. Reference: JVM codePoints sliding windows. Pool mixes
+    // ASCII, whitespace/newlines ((?s) must cross them), multi-byte BMP,
+    // CJK, and non-BMP emoji (surrogate pairs — the lookahead must skip
+    // the mid-pair position).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val pool: IndexedSeq[Int] =
+      ("ab zé的\n\t" .codePoints().toArray.toIndexedSeq) ++
+        IndexedSeq(0x1F600, 0x1F680, 0x10348)
+    val rnd = new Random(11)
+    val docs = (0 until 400).map { i =>
+      val n = rnd.nextInt(12)
+      val cps = Array.fill(n)(pool(rnd.nextInt(pool.length)))
+      (i.toLong, new String(cps, 0, cps.length))
+    }
+    def expected(s: String): Seq[String] = {
+      val cps = s.codePoints().toArray
+      cps.sliding(2).filter(_.length == 2)
+        .map(w => new String(w, 0, 2)).toSeq
+    }
+    val got = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), regexp_extract_all(col("text"),
+        lit("(?s)(?![\\uDC00-\\uDFFF])(?=(..))"), lit(1)).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    for ((id, text) <- docs)
+      assert(got(id) === expected(text),
+        s"doc $id: ${text.map(c => f"\\u${c.toInt}%04x").mkString}")
+  }
+
   test("repeated-span stats and apply agree on every doc (real fixture)") {
     import graft.operators.TextDedup
     import org.apache.spark.sql.functions._
