@@ -509,7 +509,11 @@ object Similarity {
     * the all-vectors build: candidate volume is Σ cell² ≈ n²/C (not n²),
     * and the per-vector top-k is a window inside each cell's partition.
     * At 100 TB: more cells (C scales with n) keeps cell² bounded; hot
-    * cells shard via the same salting as [[nearDupPairs]].
+    * cells shard via the same salting as [[nearDupPairs]]. The C-tuning
+    * rule is measured, not argued: graft.ScaleSmoke's fixed-C=16 row is
+    * 26.9× time / 85× shuffle at 10× data (the n²/C space growing n²),
+    * while its constant-occupancy `@scaledC` variants of the same
+    * operators return to ~linear shuffle and sublinear time.
     */
   def knnGraph(emb: DataFrame, c: Int, k: Int): DataFrame =
     knnGraphWith(emb, kmeansCentroids(emb, c, 2), k)
