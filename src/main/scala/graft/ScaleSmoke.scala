@@ -60,15 +60,14 @@ object ScaleSmoke {
       : Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_stream_neardup@scaledC" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val c = math.max(16L, e.count() / 312).toInt
+      val c = graft.operators.Similarity.autoCells(e)
       graft.streaming.StreamSim.nearDupStreamed(s, dir,
         Some(graft.operators.Similarity.kmeansCentroids(e, c, 2)))
     }),
     "sim_neardup@scaledC" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val c = math.max(16L, e.count() / 312).toInt
-      graft.operators.Similarity.nearDupPairsWith(e,
-        graft.operators.Similarity.kmeansCentroids(e, c, 2), 0.4)
+      graft.operators.Similarity.nearDupPairs(e,
+        graft.operators.Similarity.autoCells(e), 0.4)
     }))
 
   private def writeFlat(df: DataFrame, dir: String, name: String): Unit = {

@@ -582,6 +582,22 @@ object Similarity {
     ranks.select(col("vec_id"), col("r"))
   }
 
+  /** The measured cell-count tuning rule for the all-pairs/all-vectors
+    * operators ([[nearDupPairs]], [[knnGraph]], the streaming cell
+    * index): keep cell OCCUPANCY constant rather than the cell count.
+    * In-cell candidate volume is Σ n_c² ≈ n²/C, so a FIXED C is
+    * quadratic in the corpus — graft.ScaleSmoke measured the pinned
+    * C=16 gate geometry at 26.9× time / 85× shuffle for 10× data, and
+    * this rule's configuration of the same operators at ~linear shuffle
+    * and sublinear time. The floor keeps tiny corpora at the gate
+    * geometry (the oracle-pinned C=16 at every fixture SF); the default
+    * occupancy reproduces it exactly at sf0.1 (5 000/312 → 16). Costs
+    * one count() action; at real scale feed the count from table stats
+    * and train the quantizer on a sample (see [[kmeansCentroids]]).
+    */
+  def autoCells(emb: DataFrame, targetOccupancy: Int = 312): Int =
+    math.max(16L, emb.count() / targetOccupancy).toInt
+
   def nearDupPairs(
       emb: DataFrame, c: Int, threshold: Double, salts: Int = 0): DataFrame =
     nearDupPairsWith(emb, kmeansCentroids(emb, c, 2), threshold, salts)

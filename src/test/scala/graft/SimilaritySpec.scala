@@ -10,6 +10,16 @@ import org.apache.spark.sql.functions._
   */
 class SimilaritySpec extends SparkSuite {
 
+  test("autoCells keeps the gate geometry small and occupancy constant large") {
+    import spark.implicits._
+    def corpus(n: Int) = (0 until n).map(_.toLong).toDF("vec_id")
+    assert(Similarity.autoCells(corpus(50)) === 16)     // sf0.001 shape
+    assert(Similarity.autoCells(corpus(5000)) === 16)   // sf0.1 shape: 5000/312
+    assert(Similarity.autoCells(corpus(50000)) === 160) // 10x: C scales
+    // occupancy stays ~constant as the corpus grows
+    assert(50000 / Similarity.autoCells(corpus(50000)) === 312)
+  }
+
   private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
 
   test("kmeans centroids are partitioning-invariant (integer-quantized sums)") {
