@@ -37,6 +37,10 @@ object ScaleSmoke {
     // iterative-graph and streaming-state families one order up: CC
     // round count grows log-slowly and keyed stream state stays bounded
     "dedup_clusters", "sim_stream_neardup",
+    // CDC core at 10× events: the one-shuffle compact and the
+    // flatMapGroupsWithState sessionizer (per-user cardinality constant
+    // in the derived corpus, so state rows scale linearly)
+    "cdc_compact", "cdc_stream_sessions",
     // the near-dup pair generators with the cell count SCALED to the
     // corpus (see Variants) — the production configuration of the same
     // operators the fixed-C gate rows measure
