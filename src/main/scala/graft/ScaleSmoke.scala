@@ -4,12 +4,14 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** One-order-of-magnitude scale smoke: derive an sf1 corpus (10× sf0.1)
-  * and time the heaviest battery queries at both scales in ONE session,
-  * with per-query shuffle-write volume — the datapoint that backs the
-  * "survives 100×" plan-audit claims with a measurement instead of an
-  * argument. Run: `sbt "runMain graft.ScaleSmoke"` (SPARK_GRAFT_CPUS=32
-  * for the bench shape).
+/** Order-of-magnitude scale smoke: derive an N× corpus from sf0.1
+  * (SPARK_GRAFT_SCALE_REPS, default 10; 100 gives the two-orders
+  * datapoint) and time the heaviest battery queries at both scales in
+  * ONE session, with per-query shuffle-write volume — the datapoint
+  * that backs the "survives 100×" plan-audit claims with a measurement
+  * instead of an argument. Run: `sbt "runMain graft.ScaleSmoke"`
+  * (SPARK_GRAFT_CPUS=32 for the bench shape; optional query-name
+  * args).
   *
   * The sf1 derivation replicates sf0.1 ten times with collision-free keys
   * and REPLICA-DISJOINT content: documents prefix every token with a
@@ -86,12 +88,16 @@ object ScaleSmoke {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
-  /** Derive the 10× corpus from `base` into `out` (only the tables the
-    * target queries read). Deterministic — no Date/random anywhere.
+  /** Derive the `nReps`× corpus from `base` into `out` (only the tables
+    * the target queries read). Deterministic — no Date/random anywhere.
+    * `nReps` = 10 is the standard smoke; SPARK_GRAFT_SCALE_REPS=100 gives
+    * the two-orders datapoint (still comfortably in local[32] range:
+    * ~220 M chars / 500 k docs / 10 M events derived from sf0.1).
     */
-  private def deriveSf1(spark: SparkSession, base: String, out: String): Unit = {
+  private def derive(spark: SparkSession, base: String, out: String,
+      nReps: Int): Unit = {
     new java.io.File(out).mkdirs()
-    val reps = broadcast(spark.range(10).select(col("id").as("rep")))
+    val reps = broadcast(spark.range(nReps).select(col("id").as("rep")))
 
     val docs = spark.read.parquet(s"$base/documents.parquet")
     writeFlat(docs.crossJoin(reps).select(
@@ -128,7 +134,9 @@ object ScaleSmoke {
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+    val nReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "10").toInt
+    val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
+      if (nReps == 10) "/tmp/graft_sf1" else s"/tmp/graft_sfx$nReps")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -141,8 +149,9 @@ object ScaleSmoke {
     graft.functions.GraftExtensions.register(spark)
 
     if (!new java.io.File(s"$sf1/documents.parquet").exists()) {
-      System.err.println(s"[scale] deriving sf1 corpus at $sf1 from $base")
-      deriveSf1(spark, base, sf1)
+      System.err.println(
+        s"[scale] deriving ${nReps}x corpus at $sf1 from $base")
+      derive(spark, base, sf1, nReps)
     }
 
     // per-query shuffle-write accounting via stage metrics; the listener
@@ -182,7 +191,7 @@ object ScaleSmoke {
       val (t1, sh1) = runOne(q, sf1)
       val r = t1.min / math.max(t01.min, 1e-9)
       System.err.println(f"[scale] $q%-20s sf0.1 ${t01.min}%6.2f s  " +
-        f"sf1 ${t1.min}%6.2f s  ratio ${r}%5.2f×  " +
+        f"${nReps}x ${t1.min}%6.2f s  ratio ${r}%5.2f×  " +
         f"shuffle ${sh01 / 1e6}%8.1f → ${sh1 / 1e6}%8.1f MB")
       (q, t01, sh01, t1, sh1)
     }
@@ -194,7 +203,8 @@ object ScaleSmoke {
         s""""shuffle_mb_sf1":${fmt(sh1 / 1e6)},""" +
         s""""ratio":${fmt(t1.min / math.max(t01.min, 1e-9))}}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_smoke","scale_up":10,"queries":$json}""")
+    println(
+      s"""{"metric":"scale_smoke","scale_up":$nReps,"queries":$json}""")
     spark.stop()
   }
 }
