@@ -72,10 +72,13 @@ object TextAnalysis {
     */
   def explodedWordGrams(df: org.apache.spark.sql.DataFrame, idCol: String,
       text: Column, n: Int): org.apache.spark.sql.DataFrame = {
-    val t = TextDedup.tokens(text)
-    val hashed = df.select(col(idCol),
-      transform(t, w => xxhash64(w)).as("_th1"),
-      transform(t, w => xxhash64(w, lit(0x9E3779B97F4A7C15L))).as("_th2"))
+    // tokens bound first so the two salted hash passes read one split
+    val hashed = df
+      .select(col(idCol), TextDedup.tokens(text).as("_t"))
+      .select(col(idCol),
+        transform(col("_t"), w => xxhash64(w)).as("_th1"),
+        transform(col("_t"),
+          w => xxhash64(w, lit(0x9E3779B97F4A7C15L))).as("_th2"))
     val th1 = col("_th1")
     val th2 = col("_th2")
     def half(th: Column, i: Column) =
