@@ -59,6 +59,31 @@ class TextQueriesSpec extends SparkSuite {
     assert(out(3L) === Some(0.0))     // all distinct
   }
 
+  test("explodedWordGrams: boundary counts, instance multiplicity, cross-doc equality") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val phrase = (1 to 8).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, (1 to 7).map(i => s"w$i").mkString(" ")),  // 7 tokens -> 0 grams
+      (2L, (1 to 8).map(i => s"w$i").mkString(" ")),  // 8 tokens -> 1 gram
+      (3L, (1 to 9).map(i => s"w$i").mkString(" ")),  // 9 tokens -> 2 grams
+      (4L, s"$phrase x $phrase"),  // repeated phrase -> its gram appears twice
+      (5L, phrase)                 // same phrase alone -> equal h to doc 4's
+    ).toDF("doc_id", "text")
+    val g = TextAnalysis.explodedWordGrams(docs, "doc_id", col("text"), 8)
+    val counts = g.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one row per POSITION (instances, not distinct grams): doc 4 has
+    // 17 tokens -> 10 positions
+    assert(counts === Map(2L -> 1L, 3L -> 2L, 4L -> 10L, 5L -> 1L))
+    // the repeated phrase's gram: same 128-bit h in doc 4 (twice) and doc 5
+    val h5 = g.filter(col("doc_id") === 5)
+      .select("h.h1", "h.h2").collect()(0)
+    assert(g.filter(col("doc_id") === 4)
+      .filter(col("h.h1") === h5.getLong(0) && col("h.h2") === h5.getLong(1))
+      .count() === 2L)
+  }
+
   test("column-bound winnowing emits the single-expression form's values") {
     // winnowFingerprints (linear: tokens and gram hashes bound as columns
     // between positional lambdas) must be value-identical to the
