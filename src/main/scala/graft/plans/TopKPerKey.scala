@@ -7,7 +7,7 @@ import scala.collection.mutable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BoundReference, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, BoundReference, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, GenerateUnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
@@ -154,6 +154,16 @@ case class TopKPerKeyPartialExec(
   }
 
   // ---- whole-stage codegen (blocking consumer, SortExec pattern) ----
+
+  // The keys/order columns ARE used — but only through the UnsafeRow the
+  // child's consume() materializes (rowVar.code), never as loose column
+  // vars. Reporting them here would make consume() ALSO emit their
+  // declarations via evaluateRequiredVariables, and whenever keys+order
+  // carry deferred (freshly computed) vars of a variable-producing child
+  // the two sites redeclare the same locals — Janino "Redefinition of
+  // local variable", silent interpreted fallback. SortExec declares the
+  // same empty set for the same reason.
+  override def usedInputs: AttributeSet = AttributeSet.empty
 
   override def inputRDDs(): Seq[RDD[InternalRow]] =
     child.asInstanceOf[CodegenSupport].inputRDDs()

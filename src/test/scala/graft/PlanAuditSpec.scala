@@ -159,6 +159,32 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("gate battery executes with zero codegen fallbacks (compile-or-die)") {
+    // Plan-text "*(n)" markers cannot catch a RUNTIME fallback: a stage
+    // that fails Janino compilation still PRINTS as codegen'd and then
+    // silently executes interpreted behind a WARN (round 9 shipped exactly
+    // that on TopKPerKeyPartial). These two configs turn both fallback
+    // layers into thrown errors: `codegen.fallback=false` for whole-stage
+    // compilation, `factoryMode=CODEGEN_ONLY` for generated projections /
+    // orderings / predicates. Every gate query must execute clean.
+    val fallbackWas = spark.conf.get("spark.sql.codegen.fallback")
+    val factoryWas = spark.conf.get("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      for ((name, q) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+        try q(spark, sf0001).write.format("noop").mode("overwrite").save()
+        catch {
+          case e: Throwable =>
+            fail(s"query $name fell back or failed under compile-or-die codegen: $e")
+        }
+      }
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", fallbackWas)
+      spark.conf.set("spark.sql.codegen.factoryMode", factoryWas)
+    }
+  }
+
   test("state partitioned by table prunes to one partition on filter") {
     val tmp = java.nio.file.Files.createTempDirectory("plan_state").toString
     try {
