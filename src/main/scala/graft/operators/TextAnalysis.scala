@@ -56,9 +56,12 @@ object TextAnalysis {
     * token's bytes copied n times, plus a 32-char hex shuffle key; on
     * the 10× scale-smoke corpus the gram-histogram pass measured 36 s
     * string-md5 vs 5.5 s this form (6.5×) with identical distinct-gram
-    * counts. A false gram match now requires the same 64-bit collision
-    * in BOTH salted token-hash streams simultaneously — 2⁻¹²⁸-grade,
-    * the md5 guarantee — and the hashes stay internal: every consumer
+    * counts. A false gram match now requires a simultaneous collision in
+    * both salted token-hash streams; with the salt hashed FIRST (so the
+    * second stream runs under an independent effective seed — see the
+    * inline comment) the two streams are independent and the pair is
+    * 2⁻¹²⁸-grade, the md5 guarantee — and the hashes stay internal: every
+    * consumer
     * outputs counts/ratios only, so the DuckDB oracles (which md5 their
     * own gram strings) compare equal.
     *
@@ -77,8 +80,14 @@ object TextAnalysis {
       .select(col(idCol), TextDedup.tokens(text).as("_t"))
       .select(col(idCol),
         transform(col("_t"), w => xxhash64(w)).as("_th1"),
+        // salt FIRST: multi-arg xxhash64 folds left-to-right with the
+        // running hash as seed, so hash(salt, w) evaluates w under the
+        // effective seed hash(salt, 42) — a genuinely different hash
+        // function from stream 1. The reversed order hash(w, salt) would
+        // make _th2 a deterministic function of _th1 (token collisions
+        // propagate to both halves, collapsing the pair to 64-bit grade).
         transform(col("_t"),
-          w => xxhash64(w, lit(0x9E3779B97F4A7C15L))).as("_th2"))
+          w => xxhash64(lit(0x9E3779B97F4A7C15L), w)).as("_th2"))
     val th1 = col("_th1")
     val th2 = col("_th2")
     def half(th: Column, i: Column) =
