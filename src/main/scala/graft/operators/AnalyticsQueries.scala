@@ -40,7 +40,8 @@ object AnalyticsQueries extends QueryRegistry {
       s: SparkSession, dir: String): (String, String) =
     sharedBuckets.computeIfAbsent(s.sparkContext.applicationId + "|" +
         TrainedCache.fingerprint(s"$dir/orders.parquet",
-          s"$dir/lineitem.parquet"), k => {
+          s"$dir/lineitem.parquet"),
+      k => TrainedCache.recordBuild("bucketed_facts") {
       val tag = java.security.MessageDigest.getInstance("MD5")
         .digest(k.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
       val tmp = java.nio.file.Files

@@ -76,7 +76,8 @@ object DedupQueries extends QueryRegistry {
   private def sharedLshPairs(s: SparkSession, dir: String): DataFrame = {
     val path = sharedPairs.computeIfAbsent(
       s.sparkContext.applicationId + "|" +
-        TrainedCache.fingerprint(s"$dir/documents.parquet"), _ => {
+        TrainedCache.fingerprint(s"$dir/documents.parquet"),
+      _ => TrainedCache.recordBuild("lsh_pair_snapshot") {
         val tmp = java.nio.file.Files
           .createTempDirectory("graft_lshpairs_shared").toString
         Runtime.getRuntime.addShutdownHook(new Thread(() =>

@@ -131,7 +131,8 @@ object ModelPrepQueries extends QueryRegistry {
     val path = sharedSeg.computeIfAbsent(
       s.sparkContext.applicationId + "|" +
         TrainedCache.fingerprint(s"$dir/documents.parquet") +
-        s"|bpeseg|m=$bpeMerges", _ => {
+        s"|bpeseg|m=$bpeMerges",
+      _ => TrainedCache.recordBuild("bpe_segmentation") {
         val tmp = java.nio.file.Files
           .createTempDirectory("graft_bpeseg_shared").toString
         Runtime.getRuntime.addShutdownHook(new Thread(() =>

@@ -41,7 +41,8 @@ object SimilarityQueries extends QueryRegistry {
     * the per-query work).
     */
   private[operators] def sharedCentroids(s: SparkSession, dir: String): DataFrame =
-    TrainedCache.memoDf(s, corpusKey(s, dir) + "|cent|c=16|i=2") {
+    TrainedCache.memoDf(s, corpusKey(s, dir) + "|cent|c=16|i=2",
+        name = "kmeans_centroids") {
       Similarity.kmeansCentroids(emb(s, dir), 16, 2)
     }
 
@@ -50,7 +51,8 @@ object SimilarityQueries extends QueryRegistry {
     * geometry.
     */
   private def sharedIvfPqCodebook(s: SparkSession, dir: String): DataFrame =
-    TrainedCache.memoDf(s, corpusKey(s, dir) + "|ivfpqcb|m=16|k=256|r=2") {
+    TrainedCache.memoDf(s, corpusKey(s, dir) + "|ivfpqcb|m=16|k=256|r=2",
+        name = "ivfpq_codebook") {
       Similarity.ivfPqCodebook(emb(s, dir), sharedCentroids(s, dir), 16, 256)
     }
 
@@ -58,7 +60,8 @@ object SimilarityQueries extends QueryRegistry {
     * geometry (no coarse quantizer; codes over raw vectors).
     */
   private def sharedPqCodebook(s: SparkSession, dir: String): DataFrame =
-    TrainedCache.memoDf(s, corpusKey(s, dir) + "|pqcb|m=16|k=256|r=2") {
+    TrainedCache.memoDf(s, corpusKey(s, dir) + "|pqcb|m=16|k=256|r=2",
+        name = "pq_codebook") {
       Similarity.pqRawCodebook(emb(s, dir), 16, 256)
     }
 
@@ -75,7 +78,7 @@ object SimilarityQueries extends QueryRegistry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def sharedKnnEdges(s: SparkSession, dir: String): DataFrame = {
     val path = sharedEdges.computeIfAbsent(corpusKey(s, dir) + "|knn|k=3",
-      _ => {
+      _ => TrainedCache.recordBuild("knn_edges") {
         val tmp = java.nio.file.Files
           .createTempDirectory("graft_knn_shared").toString
         Runtime.getRuntime.addShutdownHook(new Thread(() =>
@@ -96,14 +99,16 @@ object SimilarityQueries extends QueryRegistry {
     */
   private def sharedPcaState(s: SparkSession, dir: String): DataFrame =
     TrainedCache.memoDf(s,
-      corpusKey(s, dir) + s"|pca|d=$PcaDims|sq=$PcaSquarings") {
+      corpusKey(s, dir) + s"|pca|d=$PcaDims|sq=$PcaSquarings",
+      name = "pca_state") {
       pcaState(emb(s, dir))
     }
 
   private val sharedIdx =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def sharedVecIndex(s: SparkSession, dir: String): String =
-    sharedIdx.computeIfAbsent(corpusKey(s, dir), _ => {
+    sharedIdx.computeIfAbsent(corpusKey(s, dir),
+      _ => TrainedCache.recordBuild("vec_index") {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_vecidx_shared").toString
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
@@ -127,7 +132,8 @@ object SimilarityQueries extends QueryRegistry {
   private val refreshIdx =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def refreshReplica(s: SparkSession, dir: String): String =
-    refreshIdx.computeIfAbsent(corpusKey(s, dir), _ => {
+    refreshIdx.computeIfAbsent(corpusKey(s, dir),
+      _ => TrainedCache.recordBuild("vec_index_replica") {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_vecidx_replica").toString
       Runtime.getRuntime.addShutdownHook(new Thread(() =>

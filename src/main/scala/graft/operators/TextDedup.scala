@@ -551,8 +551,10 @@ object TextDedup {
       buckets: Int = 16): DataFrame = {
     val spark = docs.sparkSession
     if (!spark.catalog.tableExists(table))
-      LshIndex.build(docs.filter(!isNew), idCol, textCol,
-        path, table, k, bands, buckets)
+      TrainedCache.recordBuild("lsh_index_base") {
+        LshIndex.build(docs.filter(!isNew), idCol, textCol,
+          path, table, k, bands, buckets)
+      }
     LshIndex.ingest(spark, table, docs.filter(isNew), docs,
       idCol, textCol, threshold)
   }

@@ -34,16 +34,50 @@ object TrainedCache {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, (StructType, Array[Row])]()
 
+  /** Wall-seconds of each first-build this session, by short display
+    * name (summed if a name builds more than once, e.g. per corpus dir).
+    * Bench emits this as `"shared_builds"` in its JSON line so the
+    * pass-1/pass-2 asymmetry of whichever query first touches a shared
+    * artifact is attributed in the artifact itself instead of needing an
+    * isolated re-run.
+    */
+  private val buildSecs =
+    new java.util.concurrent.ConcurrentHashMap[String, Double]()
+
+  /** Time a first-build closure under `name` (no-op passthrough for
+    * name == ""). Used by [[memoDf]] and by the parquet-snapshot builders
+    * (LSH pair snapshots, kNN edges, persisted indexes) whose artifacts
+    * are data-sized and therefore bypass the driver-held row cache.
+    */
+  def recordBuild[A](name: String)(f: => A): A =
+    if (name.isEmpty) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      buildSecs.merge(name, (System.nanoTime() - t0) / 1e9, (a, b) => a + b)
+      r
+    }
+
+  /** Snapshot of first-build costs recorded so far (name → seconds). */
+  def buildTimes: Map[String, Double] = {
+    val b = Map.newBuilder[String, Double]
+    buildSecs.forEach((k, v) => b += (k -> v))
+    b.result()
+  }
+
   /** Compute-once-per-key: runs `f` on first use, collects, and rebuilds
     * a local DataFrame from the driver-held rows on every call. Only for
     * results that are small by construction (trained artifacts) — never
-    * for data-sized tables.
+    * for data-sized tables. `name` (optional) attributes the first-build
+    * cost in [[buildTimes]].
     */
-  def memoDf(spark: SparkSession, key: String)(f: => DataFrame): DataFrame = {
-    val (schema, rows) = cache.computeIfAbsent(key, _ => {
-      val df = f
-      (df.schema, df.collect())
-    })
+  def memoDf(spark: SparkSession, key: String, name: String = "")(
+      f: => DataFrame): DataFrame = {
+    val (schema, rows) = cache.computeIfAbsent(key, _ =>
+      recordBuild(name) {
+        val df = f
+        (df.schema, df.collect())
+      })
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
@@ -72,5 +106,5 @@ object TrainedCache {
   /** Test seam: drop every memoized artifact (a spec that rewrites a
     * corpus in place needs the next call to retrain).
     */
-  private[graft] def clear(): Unit = cache.clear()
+  private[graft] def clear(): Unit = { cache.clear(); buildSecs.clear() }
 }
