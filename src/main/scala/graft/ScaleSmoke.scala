@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   * (SPARK_GRAFT_CPUS=32 for the bench shape; optional query-name
   * args).
   *
-  * The sf1 derivation replicates sf0.1 ten times with collision-free keys
+  * The derivation replicates sf0.1 `nReps` times (SPARK_GRAFT_SCALE_REPS;
+  * default 10, 100 supported) with collision-free keys
   * and REPLICA-DISJOINT content: documents prefix every token with a
   * replica tag (shingle/gram spaces stay disjoint, so the near-dup pair
   * space grows linearly — replicating text verbatim would synthesize an

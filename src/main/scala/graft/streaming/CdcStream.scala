@@ -263,6 +263,85 @@ object CdcStream {
       }
       .start()
 
+  /** Untyped twin of [[run]] for payload-EVOLVING sources. A file stream's
+    * schema is declared at (re)start, so after an upstream `ALTER TABLE ADD
+    * COLUMN` the operator restarts the job on the SAME checkpoint with the
+    * widened schema: offsets resume (already-processed v1 segments are not
+    * re-read), v2 batches flow with the added column, and the sink widens
+    * per [[upsertBatch]]'s mergeSchema semantics. The typed [[run]] cannot
+    * straddle that restart — `Ch`'s row/state schema is compile-time fixed
+    * — which is exactly the production split: the ACTION state machine has
+    * a fixed core schema, the PAYLOAD evolves untyped around it.
+    *
+    * Cross-batch merge semantics match the typed fold (see [[foldBatch]]):
+    * stored rows re-enter the action state machine ahead of the batch's
+    * fresh changes, so insert+delete annihilates and delete+insert
+    * resurrects across micro-batches AND across the restart.
+    */
+  def runEvolving(spark: SparkSession, srcDir: String,
+      schema: StructType, stateDir: String, checkpointDir: String,
+      nBuckets: Int = 64,
+      trigger: Trigger = Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        foldBatch(batch.toDF(), stateDir, nBuckets)
+      }
+      .start()
+
+  /** One micro-batch of the untyped evolving path: fold the batch's
+    * changes into stored state THROUGH the action state machine.
+    *
+    * Stored touched-key rows are unioned (additively — the schema may
+    * differ across the evolution boundary) BELOW the batch's fresh
+    * changes and refolded by [[Merge.compact]]: the stored row's action
+    * seeds the fold exactly like `GroupState` seeds the typed one, so
+    * cross-batch transitions match. Replay-idempotent: a batch change
+    * at-or-below the stored high-water `seq` is dropped (the typed fold's
+    * `e.seq > seen` guard); keys whose fold annihilates are handed to
+    * [[upsertBatch]] as `none` tombstones so the anti-join removes them.
+    * Cost per batch is O(touched-bucket rows + batch) — the stored side
+    * is bucket-pruned then key-semi-joined, never a full state scan.
+    */
+  private[graft] def foldBatch(batchDf: DataFrame, stateDir: String,
+      nBuckets: Int): Unit = {
+    if (batchDf.isEmpty) return
+    val spark = batchDf.sparkSession
+    val keys = Seq("table", "rid")
+    val statePath = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasState = fs.exists(statePath) &&
+      fs.listStatus(statePath).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("bucket="))
+    if (!hasState) {
+      upsertBatch(graft.Merge.compact(batchDf, keys), stateDir, nBuckets)
+      return
+    }
+    val batch = batchDf.materialize() // feeds bucket probe, hw join, union
+    val touched = batch
+      .select(pmod(hash(col("table"), col("rid")), lit(nBuckets)).as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq // bounded by nBuckets
+    val touchedKeys = batch.select("table", "rid").distinct()
+    val stored = readState(spark, stateDir)
+      .filter(col("bucket").isin(touched: _*)).drop("bucket")
+      .join(touchedKeys, keys, "left_semi")
+    val hw = stored.select(col("table"), col("rid"), col("seq").as("_hw"))
+    val fresh = batch.join(hw, keys, "left")
+      .filter(col("_hw").isNull || col("seq") > col("_hw")).drop("_hw")
+    val merged = graft.Merge.compact(
+      graft.Evolve.additiveUnion(Seq(stored, fresh)), keys)
+    val tombs = touchedKeys
+      .join(merged.select("table", "rid"), keys, "left_anti")
+      .withColumn("cdc_action", lit(Types.None_))
+      .withColumn("seq", lit(0L))
+    upsertBatch(graft.Evolve.additiveUnion(Seq(merged, tombs)),
+      stateDir, nBuckets)
+  }
+
   /** Failure-injection seam for the replay spec: invoked between the `.next`
     * staging write and the dynamic partition overwrite — the widest window
     * in which a real crash leaves staged-but-uncommitted batch output. Tests
