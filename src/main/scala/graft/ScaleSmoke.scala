@@ -77,6 +77,107 @@ object ScaleSmoke {
         graft.operators.Similarity.autoCells(e), 0.4)
     }))
 
+  /** Width-scaling targets — the dims twin of the row smoke. The row
+    * datapoints scale n at fixed d = 64; these scale d at fixed n
+    * (row-replicated 10×, then widened to SPARK_GRAFT_DIMS, default 256)
+    * for the three embedding-path heads the architecture claims scale in
+    * width: the row-shaped moment pass (work ∝ d² BY DEFINITION — d(d+1)/2
+    * moments — so the pass is honest iff time tracks ~ (W/64)² with a
+    * CONSTANT-size plan), brute-force cosine top-k, and IVF-PQ train +
+    * probe (both ∝ d). Expected ratios at 256 dims: ~16× moments, ~4×
+    * the other two; materially above that is a width-scaling bug.
+    */
+  private val DimsTargets =
+    Seq("emb_moments@dims", "sim_topk@dims", "sim_ivfpq@dims")
+
+  /** The derived dims corpora are single ~15 MB parquet files — ONE input
+    * split under default maxPartitionBytes, which serializes the whole
+    * 33 000×-amplifying moment explode onto one core (measured: the first
+    * un-repartitioned run ground single-threaded for 10+ min). That is the
+    * narrow-input/wide-work hazard in miniature: partition count must
+    * track AMPLIFIED work, not input bytes. Production at 100 TB gets
+    * splits for free; a small-but-explosive input needs an explicit
+    * repartition (or a lower maxPartitionBytes) — so the variants
+    * repartition the scan to the session's parallelism and measure the
+    * OPERATOR, not the file-split accident.
+    */
+  private def embPar(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+      .repartition(s.sparkContext.defaultParallelism)
+
+  private val DimsVariants
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_moments@dims" -> ((s, dir) => {
+      val e = embPar(s, dir)
+      val d = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(size(col("embedding"))).head.getInt(0)
+      graft.operators.SimilarityQueries.momentSums(e, d)
+    }),
+    "sim_topk@dims" -> ((s, dir) =>
+      graft.operators.Similarity.topK(embPar(s, dir), col("vec_id") < 8, 10)),
+    // TrainedCache per dims corpus: pass 1 carries train + probe, pass 2
+    // is probe-only — one row reports both cost models in `passes`, and
+    // the min-based ratio compares steady-state probe width-scaling
+    // (retraining every pass drowned the width term in the ~60 small
+    // training stages: both widths measured ~12 s flat)
+    "sim_ivfpq@dims" -> ((s, dir) => {
+      import graft.operators.{Similarity, TrainedCache}
+      val e = embPar(s, dir)
+      val key = s.sparkContext.applicationId + "|" +
+        TrainedCache.fingerprint(s"$dir/embeddings.parquet") + "|dims"
+      val cent = TrainedCache.memoDf(s, key + "|cent", name = "dims_cent") {
+        Similarity.kmeansCentroids(e, 16, 2)
+      }
+      val cb = TrainedCache.memoDf(s, key + "|cb", name = "dims_cb") {
+        Similarity.ivfPqCodebook(e, cent, 16, 256)
+      }
+      Similarity.ivfPqTopK(e, 16, 16, 256, col("vec_id") < 8, 5,
+        centOpt = Some(cent), cbOpt = Some(cb))
+    }))
+
+  /** Derive the two dims corpora: `out64` = sf0.1 embeddings row-replicated
+    * `rowReps`× at native 64 dims (the constant-rows baseline), `outW` =
+    * the same rows widened to `widthFactor`× dims by concatenating rotated
+    * + per-copy-perturbed copies (rotation keeps PQ subspaces and k-means
+    * cells non-degenerate across copies). The widening reads the WRITTEN
+    * 64-dim corpus so the copied array is a scan attribute, not an inline
+    * computed subtree (the HOF re-evaluation hazard — see
+    * TextAnalysis.explodedWordGrams).
+    */
+  private def deriveDims(spark: SparkSession, base: String, out64: String,
+      outW: String, widthFactor: Int, rowReps: Int): Unit = {
+    if (!new java.io.File(s"$out64/embeddings.parquet").exists()) {
+      new java.io.File(out64).mkdirs()
+      val reps = broadcast(spark.range(rowReps).select(col("id").as("rep")))
+      val emb = spark.read.parquet(s"$base/embeddings.parquet")
+      val d = size(col("embedding"))
+      val rot = pmod(col("rep"), d)
+      writeFlat(emb.crossJoin(reps).select(
+        (col("vec_id") + col("rep") * 10000000L).as("vec_id"),
+        transform(
+          concat(slice(col("embedding"), rot + lit(1), d - rot),
+            slice(col("embedding"), lit(1), rot)),
+          (x, i) => (x + ((pmod(col("rep") * 7 + i, lit(5)) - lit(2))
+            .cast("float") * lit(0.001f))).cast("float")).as("embedding"),
+        col("label")), out64, "embeddings.parquet")
+    }
+    if (!new java.io.File(s"$outW/embeddings.parquet").exists()) {
+      new java.io.File(outW).mkdirs()
+      val e64 = spark.read.parquet(s"$out64/embeddings.parquet")
+      val d = size(col("embedding"))
+      writeFlat(e64.select(col("vec_id"),
+        flatten(transform(sequence(lit(0), lit(widthFactor - 1)), j => {
+          val rj = pmod(j * 17, d)
+          transform(
+            concat(slice(col("embedding"), rj + lit(1), d - rj),
+              slice(col("embedding"), lit(1), rj)),
+            (x, i) => (x + ((pmod(j * 13 + i, lit(7)) - lit(3))
+              .cast("float") * lit(0.003f))).cast("float"))
+        })).as("embedding"),
+        col("label")), outW, "embeddings.parquet")
+    }
+  }
+
   private def writeFlat(df: DataFrame, dir: String, name: String): Unit = {
     val tmp = s"$dir/_tmp_$name"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -165,7 +266,8 @@ object ScaleSmoke {
     })
 
     def runOne(name: String, dir: String): (Seq[Double], Long) = {
-      val fn = Variants.getOrElse(name, SparkEntry.queries(name))
+      val fn = Variants.getOrElse(name,
+        DimsVariants.getOrElse(name, SparkEntry.queries(name)))
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, dir).count()
@@ -184,15 +286,30 @@ object ScaleSmoke {
 
     // optional args: target-name substrings (local iteration aid, like
     // Bench's); no args = the full target set
+    val all = Targets ++ DimsTargets
     val targets =
-      if (args.isEmpty) Targets
-      else Targets.filter(t => args.exists(t.contains))
+      if (args.isEmpty) all
+      else all.filter(t => args.exists(t.contains))
+    // width datapoint corpora: constant rows (10x sf0.1), 64 vs W dims
+    val dimsW = sys.env.getOrElse("SPARK_GRAFT_DIMS", "256").toInt
+    val (dims64Dir, dimsWDir) = ("/tmp/graft_dims64", s"/tmp/graft_dims$dimsW")
+    if (targets.exists(_.endsWith("@dims"))) {
+      System.err.println(s"[scale] deriving dims corpora (64 / $dimsW) " +
+        s"at $dims64Dir, $dimsWDir")
+      deriveDims(spark, base, dims64Dir, dimsWDir, dimsW / 64, 10)
+      for (d <- Seq(dims64Dir, dimsWDir))
+        spark.read.parquet(s"$d/embeddings.parquet").count()
+      shuffleWrite.set(0L)
+    }
     val rows = targets.map { q =>
-      val (t01, sh01) = runOne(q, base)
-      val (t1, sh1) = runOne(q, sf1)
+      val dims = q.endsWith("@dims")
+      val (dirA, dirB) = if (dims) (dims64Dir, dimsWDir) else (base, sf1)
+      val (aLbl, bLbl) = if (dims) ("64d", s"${dimsW}d") else ("sf0.1", s"${nReps}x")
+      val (t01, sh01) = runOne(q, dirA)
+      val (t1, sh1) = runOne(q, dirB)
       val r = t1.min / math.max(t01.min, 1e-9)
-      System.err.println(f"[scale] $q%-20s sf0.1 ${t01.min}%6.2f s  " +
-        f"${nReps}x ${t1.min}%6.2f s  ratio ${r}%5.2f×  " +
+      System.err.println(f"[scale] $q%-20s $aLbl%5s ${t01.min}%6.2f s  " +
+        f"$bLbl%5s ${t1.min}%6.2f s  ratio ${r}%5.2f×  " +
         f"shuffle ${sh01 / 1e6}%8.1f → ${sh1 / 1e6}%8.1f MB")
       (q, t01, sh01, t1, sh1)
     }
