@@ -328,6 +328,17 @@ object SimilarityQueries extends QueryRegistry {
     // X2/X3: embedding-cosine near-dup pairs within IVF cells
     "sim_neardup" -> ((s, dir) =>
       Similarity.nearDupPairsWith(emb(s, dir), sharedCentroids(s, dir), 0.4)),
+    // X3: the PRODUCTION C ∝ n tuning under the hash gate — autoCells
+    // derives the cell count from the corpus (constant occupancy), the
+    // oracle re-derives it from count(*), so the scaled geometry itself
+    // is oracle-checked rather than living only in the scale smoke.
+    // Occupancy 24 keeps every fixture SF off the pinned C=16. Fresh
+    // train per call: C varies by corpus, so the shared C=16 artifacts
+    // do not apply.
+    "sim_neardup_scaledc" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.nearDupPairs(e, Similarity.autoCells(e, 24), 0.4)
+    }),
     // §2.8/X3: the STREAMING form of the same operator — embeddings
     // stream through the keyed cell-state index (graft.streaming.StreamSim)
     // and the verified pair set must hash-match the identical batch
@@ -744,9 +755,16 @@ object SimilarityQueries extends QueryRegistry {
   // ranking — mirrors Similarity.ivfAssign / rankedAssign with
   // kmeansIters = 2. `ranked` keeps all centroid ranks so the top-k query
   // can multi-probe (rk <= nprobe); `asn` is the rk = 1 cell assignment.
-  private[operators] val ivfCtes =
+  /** The coarse-quantizer CTE chain with the cell count C supplied as a
+    * SQL expression — `"16"` reproduces the pinned gate geometry; a
+    * count-derived scalar subquery oracle-checks [[Similarity.autoCells]]
+    * geometry itself (sim_neardup_scaledc).
+    */
+  private[operators] def ivfCtesWith(cSql: String) =
     s"""v AS ($vSql),
-       |cent0 AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 16),
+       |cc AS (SELECT ($cSql) AS c),
+       |cent0 AS (SELECT vec_id AS cid, v AS cv FROM v
+       |          WHERE vec_id < (SELECT c FROM cc)),
        |asn0 AS (${assignSql("cent0")}),
        |cent1 AS (${centUpdateSql("asn0")}),
        |asn1 AS (${assignSql("cent1")}),
@@ -756,6 +774,8 @@ object SimilarityQueries extends QueryRegistry {
        |      ORDER BY ${cos("a.v", "c.cv")} DESC, c.cid) AS rk
        |  FROM v a, cent2 c),
        |asn AS (SELECT vec_id, v, cid FROM ranked WHERE rk = 1)""".stripMargin
+
+  private[operators] val ivfCtes = ivfCtesWith("16")
 
   private def l2Sql(a: String, b: String): String =
     s"(list_dot_product($a, $a) - 2.0 * list_dot_product($a, $b) + list_dot_product($b, $b))"
@@ -856,12 +876,23 @@ object SimilarityQueries extends QueryRegistry {
        |  FROM adc)
        |WHERE rk <= 5""".stripMargin
 
-  private val nearDupSql =
-    s"""WITH $ivfCtes
+  private def nearDupSqlFor(ctes: String) =
+    s"""WITH $ctes
        |SELECT a.vec_id AS va, b.vec_id AS vb,
        |  round(${cos("a.v", "b.v")}, 6) AS sim
        |FROM asn a JOIN asn b USING (cid)
        |WHERE a.vec_id < b.vec_id AND ${cos("a.v", "b.v")} >= 0.4""".stripMargin
+
+  private val nearDupSql = nearDupSqlFor(ivfCtes)
+
+  /** C derived from the corpus count exactly as [[Similarity.autoCells]]
+    * does (integer division truncates in both engines): occupancy 24 puts
+    * the gate SFs OFF the pinned C=16 (sf0.01: 500/24 → 20; sf0.1:
+    * 2000/24 → 83), so the oracle checks the scaled geometry, not the
+    * fixed one.
+    */
+  private val nearDupSqlScaledC = nearDupSqlFor(ivfCtesWith(
+    "greatest(16, (SELECT count(*) FROM embeddings) // 24)"))
 
   def oracles: Map[String, String] = Map(
     "sim_ivfpq" -> ivfPqSql,
@@ -976,6 +1007,7 @@ object SimilarityQueries extends QueryRegistry {
         | round(avg(mean_err), 6) AS avg_mean_err
         |FROM m GROUP BY 1""".stripMargin,
     "sim_neardup" -> nearDupSql,
+    "sim_neardup_scaledc" -> nearDupSqlScaledC,
     // the streaming form must converge to the IDENTICAL batch answer —
     // one oracle text serves both gates
     "sim_stream_neardup" -> nearDupSql,
