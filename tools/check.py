@@ -31,7 +31,13 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # a filtered Verify run (3rd arg) writes oracle_sql.partial.json so the
+    # driver can never mistake a partial dump for the full gate; accept it
+    # here for local iteration
+    try:
+        oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    except FileNotFoundError:
+        oracle = json.load(open(f"{out_dir}/oracle_sql.partial.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
