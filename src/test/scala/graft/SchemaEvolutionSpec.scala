@@ -229,4 +229,43 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkSuite {
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(root))
   }
+
+  test("untyped foldBatch: cross-batch state machine parity — " +
+      "delete+insert resurrects as update, replays drop below the " +
+      "high-water seq, conflicting drift fails the batch") {
+    val root = java.nio.file.Files.createTempDirectory("graft_fold").toString
+    val state = s"$root/state"
+    def fold(df: org.apache.spark.sql.DataFrame): Unit =
+      streaming.CdcStream.foldBatch(df, state, nBuckets = 8)
+    def stateRows(): Map[String, (String, Double)] =
+      streaming.CdcStream.readState(spark, state)
+        .select("rid", "cdc_action", "value").collect()
+        .map(r => r.getString(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    try {
+      fold(Seq(("t", "a", "insert", 1L, 1.0), ("t", "b", "delete", 2L, 0.0))
+        .toDF("table", "rid", "cdc_action", "seq", "value"))
+      // bare delete with no prior stores as delete (typed-machine parity:
+      // mergeAction(None, delete) = delete)
+      assert(stateRows() === Map(
+        "a" -> (("insert", 1.0)), "b" -> (("delete", 0.0))))
+      // batch 2: stored delete + insert RESURRECTS as update
+      // (rcache.py:218-219); a REPLAYED change at seq 1 must be dropped by
+      // a's high-water guard, not refolded (insert+insert would stay
+      // insert here, but the guard is what makes ANY replay safe)
+      fold(Seq(("t", "b", "insert", 3L, 9.0), ("t", "a", "insert", 1L, 7.7))
+        .toDF("table", "rid", "cdc_action", "seq", "value"))
+      assert(stateRows() === Map(
+        "a" -> (("insert", 1.0)), "b" -> (("update", 9.0))))
+      // conflicting drift (value re-typed double → string) must FAIL the
+      // batch loudly — the quarantine class, never a silent cast
+      val bad = Seq(("t", "a", "update", 4L, "oops"))
+        .toDF("table", "rid", "cdc_action", "seq", "value")
+      val e = intercept[IllegalArgumentException](fold(bad))
+      assert(e.getMessage.contains("value"))
+      assert(stateRows() === Map(
+        "a" -> (("insert", 1.0)), "b" -> (("update", 9.0))),
+        "failed batch mutated state")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+  }
 }
