@@ -18,7 +18,8 @@ object SparkEntry {
     operators.ModelPrepQueries,
     operators.SimilarityQueries,
     operators.MultimodalQueries,
-    operators.PackingQueries)
+    operators.PackingQueries,
+    operators.LakeQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

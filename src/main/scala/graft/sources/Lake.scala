@@ -95,4 +95,32 @@ object Lake {
         sum("n_rows").as("n_rows"),
         sum("n_bytes").as("n_bytes"))
   }
+
+  /** Snapshot diff between two corpus versions — the dataset-versioning
+    * audit a training pipeline runs before switching its data dependency:
+    * which documents were ADDED, REMOVED, or CHANGED between snapshot A
+    * and snapshot B. Unchanged rows are excluded from the output — at
+    * 100 TB they are the overwhelming majority, and the diff's value is
+    * its smallness (the changed set is what re-enters dedup/decontam and
+    * what a reproducibility report cites).
+    *
+    * Scale shape: content reduces to an md5 MAP-SIDE before the join, so
+    * the single full-outer shuffle on the id carries (id, 32-char hash)
+    * rows — document bodies never move. Snapshots already bucketed on the
+    * id (the [[writeCurated]] layout sorted/partitioned by key) diff with
+    * zero exchange; otherwise this is one minimal id-keyed join.
+    */
+  def snapshotDiff(oldV: DataFrame, newV: DataFrame, idCol: String,
+      contentCol: String): DataFrame = {
+    val o = oldV.select(col(idCol), md5(col(contentCol)).as("old_hash"))
+    val n = newV.select(col(idCol), md5(col(contentCol)).as("new_hash"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("old_hash").isNull, lit("added"))
+          .when(col("new_hash").isNull, lit("removed"))
+          .when(col("old_hash") =!= col("new_hash"), lit("changed"))
+          .otherwise(lit("unchanged")).as("change"),
+        col("old_hash"), col("new_hash"))
+      .filter(col("change") =!= "unchanged")
+  }
 }
