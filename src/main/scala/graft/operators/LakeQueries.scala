@@ -42,12 +42,13 @@ object LakeQueries extends QueryRegistry {
         |  SELECT doc_id + 3000000 AS doc_id, text FROM v1 WHERE doc_id % 50 = 0),
         |o AS (SELECT doc_id, md5(text) AS old_hash FROM v1),
         |n AS (SELECT doc_id, md5(text) AS new_hash FROM v2),
-        |j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, old_hash, new_hash
+        |j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |        o.doc_id AS oid, n.doc_id AS nid, old_hash, new_hash
         |      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id),
         |c AS (SELECT doc_id,
-        |    CASE WHEN old_hash IS NULL THEN 'added'
-        |         WHEN new_hash IS NULL THEN 'removed'
-        |         WHEN old_hash <> new_hash THEN 'changed'
+        |    CASE WHEN oid IS NULL THEN 'added'
+        |         WHEN nid IS NULL THEN 'removed'
+        |         WHEN old_hash IS DISTINCT FROM new_hash THEN 'changed'
         |         ELSE 'unchanged' END AS change,
         |    old_hash, new_hash FROM j)
         |SELECT doc_id, change, old_hash, new_hash FROM c

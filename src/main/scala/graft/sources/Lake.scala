@@ -112,13 +112,20 @@ object Lake {
     */
   def snapshotDiff(oldV: DataFrame, newV: DataFrame, idCol: String,
       contentCol: String): DataFrame = {
-    val o = oldV.select(col(idCol), md5(col(contentCol)).as("old_hash"))
-    val n = newV.select(col(idCol), md5(col(contentCol)).as("new_hash"))
+    // presence is carried EXPLICITLY (not inferred from a null hash): a
+    // document whose content is NULL hashes to NULL, and hash-null-means-
+    // absent would misread it as added/removed; <=> (null-safe equality)
+    // then treats null-vs-null content as unchanged and null-vs-value as
+    // changed, matching SQL IS DISTINCT FROM
+    val o = oldV.select(col(idCol), md5(col(contentCol)).as("old_hash"),
+      lit(true).as("_in_old"))
+    val n = newV.select(col(idCol), md5(col(contentCol)).as("new_hash"),
+      lit(true).as("_in_new"))
     o.join(n, Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("old_hash").isNull, lit("added"))
-          .when(col("new_hash").isNull, lit("removed"))
-          .when(col("old_hash") =!= col("new_hash"), lit("changed"))
+        when(col("_in_old").isNull, lit("added"))
+          .when(col("_in_new").isNull, lit("removed"))
+          .when(!(col("old_hash") <=> col("new_hash")), lit("changed"))
           .otherwise(lit("unchanged")).as("change"),
         col("old_hash"), col("new_hash"))
       .filter(col("change") =!= "unchanged")

@@ -52,4 +52,30 @@ class LakeSpec extends SparkSuite {
         .deleteDirectory(new java.io.File(out))
     }
   }
+
+  test("snapshotDiff: change classes exact; NULL content is presence, " +
+      "not absence") {
+    import spark.implicits._
+    val v1 = Seq(
+      (1L, "same"), (2L, "edit me"), (3L, "drop me"),
+      (4L, null.asInstanceOf[String]), // null content, unchanged
+      (5L, null.asInstanceOf[String]), // null → value = changed
+      (6L, "value")                    // value → null = changed
+    ).toDF("doc_id", "text")
+    val v2 = Seq(
+      (1L, "same"), (2L, "edited"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "now set"),
+      (6L, null.asInstanceOf[String]),
+      (7L, "brand new")
+    ).toDF("doc_id", "text")
+    val got = sources.Lake.snapshotDiff(v1, v2, "doc_id", "text")
+      .select("doc_id", "change").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 1 unchanged (excluded), 4 null-null unchanged (excluded — a null
+    // hash must NOT read as added/removed)
+    assert(got === Map(
+      2L -> "changed", 3L -> "removed", 5L -> "changed",
+      6L -> "changed", 7L -> "added"))
+  }
 }
