@@ -138,6 +138,44 @@ object LshIndex {
     (prop(KProp), prop(BandsProp), buckets)
   }
 
+  /** Physical tombstone compaction: rewrite the index from its OWN band
+    * rows minus tombstoned docs — no corpus re-shingle, no re-minhash
+    * (the band rows already carry their band keys). One staged rewrite
+    * of the bucketed table, after which the tombstone side-table is
+    * spent and probes stop paying the per-candidate anti-join. Run it
+    * when the accumulated tombstone fraction makes that anti-join (or
+    * the dead rows' scan volume) material; [[build]] from the compacted
+    * doc store remains the full rebuild for k/bands/bucket-count CHANGES
+    * — this preserves them, and costs one index scan + write instead of
+    * re-shingling the corpus.
+    */
+  def compact(spark: SparkSession, table: String): Unit = {
+    val (k, bands, buckets) = meta(spark, table)
+    val cat = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val path = cat.location.toString
+    val tt = tombstoneTable(table)
+    val live =
+      if (!spark.catalog.tableExists(tt)) spark.table(table)
+      else {
+        val tomb = spark.table(tt).select(col("doc_id").as("_victim"))
+        spark.table(table)
+          .join(tomb, col("doc_id") === col("_victim"), "left_anti")
+      }
+    // stage first: saveAsTable cannot overwrite the table it is reading
+    val stage = path.stripSuffix("/") + ".compact"
+    live.write.mode("overwrite").parquet(stage)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.read.parquet(stage)
+      .write.mode("overwrite").option("path", path)
+      .bucketBy(buckets, "ikey").sortBy("ikey").saveAsTable(table)
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+      s"('$KProp' = '$k', '$BandsProp' = '$bands')")
+    spark.sql(s"DROP TABLE IF EXISTS $tt")
+    val sp = new org.apache.hadoop.fs.Path(stage)
+    sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+  }
+
   /** Append a new batch's band rows to the index WITHOUT probing (bulk
     * backfill). Write volume is O(new): settled bucket files are never
     * rewritten — the append lays new files into the same bucket layout.

@@ -227,6 +227,60 @@ class LshIndexSpec extends SparkSuite {
     }
   }
 
+  test("compact: physical tombstone compaction from the index's own rows " +
+    "— tombstones spent, dead rows gone, probes identical, lifecycle " +
+    "continues") {
+    val all = corpus()
+    val base = batchOf(all, 0)
+    val b1 = batchOf(all, 1)
+    val idxDir = Files.createTempDirectory("graft_lshidx_spec6")
+    val table = "lsh_compact_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      LshIndex.build(base, "doc_id", "text", s"$idxDir/index", table)
+      // tombstone only HALF the planted originals (%60, not %30): the
+      // surviving %30 originals keep producing probe pairs, so the
+      // pre/post-compact equality below compares NONEMPTY sets
+      val victims = base.filter(col("doc_id") % 60 === 0)
+        .select("doc_id").localCheckpoint()
+      val nVictims = victims.count()
+      assert(nVictims > 0)
+      LshIndex.remove(spark, table, victims)
+      val store = all.join(victims, Seq("doc_id"), "left_anti")
+      val preCompact = pairSet(
+        LshIndex.probe(spark, table, b1, store, "doc_id", "text"))
+      assert(preCompact.nonEmpty,
+        "fixture must keep at least one surviving probe pair")
+      val rowsBefore = spark.table(table).count()
+
+      LshIndex.compact(spark, table)
+
+      // tombstones spent; dead band rows physically gone (bands = 4 rows
+      // per tombstoned doc); probe results identical without the
+      // anti-join; k/bands/buckets metadata preserved so the lifecycle
+      // (ingest) continues on the compacted generation
+      assert(!spark.catalog.tableExists(LshIndex.tombstoneTable(table)),
+        "compact must drop the tombstone table")
+      assert(spark.table(table).count() === rowsBefore - 4 * nVictims,
+        "compact must drop exactly the tombstoned docs' band rows")
+      val postCompact = pairSet(
+        LshIndex.probe(spark, table, b1, store, "doc_id", "text"))
+      assert(postCompact === preCompact,
+        "compaction changed probe results")
+      val ingestedSet = pairSet(LshIndex.ingest(spark, table, b1,
+        store.union(b1).distinct(), "doc_id", "text"))
+      // ingest = probe's new×old pairs PLUS any new×new pairs the append
+      // makes visible — the new×old restriction must match the probe
+      assert(ingestedSet.filter(p =>
+        !(p._1 >= 600000L && p._2 >= 600000L)) === preCompact,
+        "post-compact ingest's new×old pairs must equal the probe's")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${LshIndex.tombstoneTable(table)}")
+      org.apache.commons.io.FileUtils.deleteDirectory(idxDir.toFile)
+    }
+  }
+
   test("append/probe refuse a table not built by LshIndex.build") {
     val wh = Files.createTempDirectory("graft_lshidx_spec3")
     val table = "lsh_not_an_index"
