@@ -183,10 +183,18 @@ object Bench {
     // output. Stop Spark and drain stderr BEFORE printing, so no late
     // executor/shutdown WARN can land between the JSON and process exit —
     // the r8/r9 artifacts had `parsed: null` because stop-phase noise
-    // invaded that window.
-    spark.stop()
-    System.err.flush()
-    Thread.sleep(200) // let any async log appender finish writing
+    // invaded that window. The drain must not be able to LOSE the line:
+    // a Throwable out of stop() after a fully-measured battery would
+    // otherwise discard the round's metrics, so the println sits outside
+    // the try.
+    try {
+      spark.stop()
+      System.err.flush()
+      Thread.sleep(200) // let any async log appender finish writing
+    } catch {
+      case t: Throwable =>
+        System.err.println(s"[bench] shutdown noise-drain failed: $t")
+    }
     println(out)
     System.out.flush()
   }

@@ -146,20 +146,13 @@ object ScaleSmoke {
     */
   private def deriveDims(spark: SparkSession, base: String, out64: String,
       outW: String, widthFactor: Int, rowReps: Int): Unit = {
+    require(widthFactor >= 2,
+      s"SPARK_GRAFT_DIMS must be >= 128 and a multiple of 64 " +
+        s"(widthFactor $widthFactor)")
     if (!new java.io.File(s"$out64/embeddings.parquet").exists()) {
       new java.io.File(out64).mkdirs()
-      val reps = broadcast(spark.range(rowReps).select(col("id").as("rep")))
-      val emb = spark.read.parquet(s"$base/embeddings.parquet")
-      val d = size(col("embedding"))
-      val rot = pmod(col("rep"), d)
-      writeFlat(emb.crossJoin(reps).select(
-        (col("vec_id") + col("rep") * 10000000L).as("vec_id"),
-        transform(
-          concat(slice(col("embedding"), rot + lit(1), d - rot),
-            slice(col("embedding"), lit(1), rot)),
-          (x, i) => (x + ((pmod(col("rep") * 7 + i, lit(5)) - lit(2))
-            .cast("float") * lit(0.001f))).cast("float")).as("embedding"),
-        col("label")), out64, "embeddings.parquet")
+      writeFlat(replicateEmbeddings(spark, base, rowReps),
+        out64, "embeddings.parquet")
     }
     if (!new java.io.File(s"$outW/embeddings.parquet").exists()) {
       new java.io.File(outW).mkdirs()
@@ -196,6 +189,27 @@ object ScaleSmoke {
     * the two-orders datapoint (still comfortably in local[32] range:
     * ~220 M chars / 500 k docs / 10 M events derived from sf0.1).
     */
+  /** Row-replicate an embeddings table `nReps`× with collision-free ids
+    * and per-replica rotation + perturbation (cross-replica cosines stay
+    * generic) — shared by the row smoke's derive() and the width smoke's
+    * 64-dim baseline so both measure the SAME corpus derivation.
+    */
+  private def replicateEmbeddings(spark: SparkSession, base: String,
+      nReps: Int): DataFrame = {
+    val reps = broadcast(spark.range(nReps).select(col("id").as("rep")))
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val d = size(col("embedding"))
+    val rot = pmod(col("rep"), d)
+    emb.crossJoin(reps).select(
+      (col("vec_id") + col("rep") * 10000000L).as("vec_id"),
+      transform(
+        concat(slice(col("embedding"), rot + lit(1), d - rot),
+          slice(col("embedding"), lit(1), rot)),
+        (x, i) => (x + ((pmod(col("rep") * 7 + i, lit(5)) - lit(2))
+          .cast("float") * lit(0.001f))).cast("float")).as("embedding"),
+      col("label"))
+  }
+
   private def derive(spark: SparkSession, base: String, out: String,
       nReps: Int): Unit = {
     new java.io.File(out).mkdirs()
@@ -213,17 +227,8 @@ object ScaleSmoke {
           w => concat(lit("r"), col("rep"), lit("_"), w)))))
         .cast("long").as("n_chars")), out, "documents.parquet")
 
-    val emb = spark.read.parquet(s"$base/embeddings.parquet")
-    val d = size(col("embedding"))
-    val rot = pmod(col("rep"), d)
-    writeFlat(emb.crossJoin(reps).select(
-      (col("vec_id") + col("rep") * 10000000L).as("vec_id"),
-      transform(
-        concat(slice(col("embedding"), rot + lit(1), d - rot),
-          slice(col("embedding"), lit(1), rot)),
-        (x, i) => (x + ((pmod(col("rep") * 7 + i, lit(5)) - lit(2))
-          .cast("float") * lit(0.001f))).cast("float")).as("embedding"),
-      col("label")), out, "embeddings.parquet")
+    writeFlat(replicateEmbeddings(spark, base, nReps),
+      out, "embeddings.parquet")
 
     val ev = spark.read.parquet(s"$base/events.parquet")
     writeFlat(ev.crossJoin(reps).select(
@@ -250,12 +255,6 @@ object ScaleSmoke {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.functions.GraftExtensions.register(spark)
 
-    if (!new java.io.File(s"$sf1/documents.parquet").exists()) {
-      System.err.println(
-        s"[scale] deriving ${nReps}x corpus at $sf1 from $base")
-      derive(spark, base, sf1, nReps)
-    }
-
     // per-query shuffle-write accounting via stage metrics; the listener
     // bus is async, so drain with a short settle after each query
     val shuffleWrite = new java.util.concurrent.atomic.AtomicLong()
@@ -279,19 +278,31 @@ object ScaleSmoke {
       (times, shuffleWrite.getAndSet(0L))
     }
 
-    // warm first-touch I/O at both dirs so timings measure compute
-    for (d <- Seq(base, sf1); t <- Seq("documents", "embeddings", "events"))
-      spark.read.parquet(s"$d/$t.parquet").count()
-    shuffleWrite.set(0L)
-
     // optional args: target-name substrings (local iteration aid, like
     // Bench's); no args = the full target set
     val all = Targets ++ DimsTargets
     val targets =
       if (args.isEmpty) all
       else all.filter(t => args.exists(t.contains))
+
+    // row-scaled corpus: derive + warm ONLY if a row target was selected
+    // (a dims-only invocation must not pay the ~220M-char derivation)
+    if (targets.exists(t => !t.endsWith("@dims"))) {
+      if (!new java.io.File(s"$sf1/documents.parquet").exists()) {
+        System.err.println(
+          s"[scale] deriving ${nReps}x corpus at $sf1 from $base")
+        derive(spark, base, sf1, nReps)
+      }
+      // warm first-touch I/O at both dirs so timings measure compute
+      for (d <- Seq(base, sf1); t <- Seq("documents", "embeddings", "events"))
+        spark.read.parquet(s"$d/$t.parquet").count()
+      shuffleWrite.set(0L)
+    }
     // width datapoint corpora: constant rows (10x sf0.1), 64 vs W dims
     val dimsW = sys.env.getOrElse("SPARK_GRAFT_DIMS", "256").toInt
+    require(dimsW >= 128 && dimsW % 64 == 0,
+      s"SPARK_GRAFT_DIMS=$dimsW must be >= 128 and a multiple of 64 — " +
+        "the widening concatenates whole rotated 64-dim copies")
     val (dims64Dir, dimsWDir) = ("/tmp/graft_dims64", s"/tmp/graft_dims$dimsW")
     if (targets.exists(_.endsWith("@dims"))) {
       System.err.println(s"[scale] deriving dims corpora (64 / $dimsW) " +
@@ -311,14 +322,17 @@ object ScaleSmoke {
       System.err.println(f"[scale] $q%-20s $aLbl%5s ${t01.min}%6.2f s  " +
         f"$bLbl%5s ${t1.min}%6.2f s  ratio ${r}%5.2f×  " +
         f"shuffle ${sh01 / 1e6}%8.1f → ${sh1 / 1e6}%8.1f MB")
-      (q, t01, sh01, t1, sh1)
+      (q, dims, t01, sh01, t1, sh1)
     }
     def fmt(v: Double): String = f"$v%.2f"
-    val json = rows.map { case (q, t01, sh01, t1, sh1) =>
-      s""""$q":{"sf01":[${t01.map(fmt).mkString(",")}],""" +
-        s""""sf1":[${t1.map(fmt).mkString(",")}],""" +
-        s""""shuffle_mb_sf01":${fmt(sh01 / 1e6)},""" +
-        s""""shuffle_mb_sf1":${fmt(sh1 / 1e6)},""" +
+    // dims rows carry WIDTH-scaling keys, not the row-scaling sf01/sf1 —
+    // mislabeled keys would read a 4x-width ratio as a 10x-row ratio
+    val json = rows.map { case (q, dims, t01, sh01, t1, sh1) =>
+      val (ka, kb) = if (dims) ("d64", s"d$dimsW") else ("sf01", "sf1")
+      s""""$q":{"$ka":[${t01.map(fmt).mkString(",")}],""" +
+        s""""$kb":[${t1.map(fmt).mkString(",")}],""" +
+        s""""shuffle_mb_$ka":${fmt(sh01 / 1e6)},""" +
+        s""""shuffle_mb_$kb":${fmt(sh1 / 1e6)},""" +
         s""""ratio":${fmt(t1.min / math.max(t01.min, 1e-9))}}"""
     }.mkString("{", ",", "}")
     println(

@@ -150,10 +150,24 @@ object LshIndex {
     * re-shingling the corpus.
     */
   def compact(spark: SparkSession, table: String): Unit = {
+    val tmpTable = s"${table}_compacting"
+    // self-heal a crash that landed between the old generation's DROP and
+    // the staged generation's RENAME: the staged table already holds the
+    // COMPLETE compacted generation (band rows + k/bands properties), so
+    // finishing the swap is one catalog op. Any other crash point leaves
+    // the live table untouched and at worst a stale staging table, which
+    // the next compact drops and rebuilds.
+    if (!spark.catalog.tableExists(table) &&
+        spark.catalog.tableExists(tmpTable)) {
+      spark.sql(s"ALTER TABLE $tmpTable RENAME TO $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${tombstoneTable(table)}")
+      return
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable") // stale leftover staging
     val (k, bands, buckets) = meta(spark, table)
     val cat = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table))
-    val path = cat.location.toString
+    val oldPath = cat.location.toString.stripSuffix("/")
     val tt = tombstoneTable(table)
     val live =
       if (!spark.catalog.tableExists(tt)) spark.table(table)
@@ -162,18 +176,21 @@ object LshIndex {
         spark.table(table)
           .join(tomb, col("doc_id") === col("_victim"), "left_anti")
       }
-    // stage first: saveAsTable cannot overwrite the table it is reading
-    val stage = path.stripSuffix("/") + ".compact"
-    live.write.mode("overwrite").parquet(stage)
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    spark.read.parquet(stage)
-      .write.mode("overwrite").option("path", path)
-      .bucketBy(buckets, "ikey").sortBy("ikey").saveAsTable(table)
-    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+    // generations ping-pong between <path> and <path>.next so repeated
+    // compactions don't grow the path; the new generation lands COMPLETE
+    // (data + properties) before the old one is touched
+    val newPath =
+      if (oldPath.endsWith(".next")) oldPath.stripSuffix(".next")
+      else oldPath + ".next"
+    live.write.mode("overwrite").option("path", newPath)
+      .bucketBy(buckets, "ikey").sortBy("ikey").saveAsTable(tmpTable)
+    spark.sql(s"ALTER TABLE $tmpTable SET TBLPROPERTIES " +
       s"('$KProp' = '$k', '$BandsProp' = '$bands')")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"ALTER TABLE $tmpTable RENAME TO $table")
     spark.sql(s"DROP TABLE IF EXISTS $tt")
-    val sp = new org.apache.hadoop.fs.Path(stage)
-    sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+    val op = new org.apache.hadoop.fs.Path(oldPath)
+    op.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(op, true)
   }
 
   /** Append a new batch's band rows to the index WITHOUT probing (bulk

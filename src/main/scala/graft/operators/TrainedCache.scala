@@ -44,18 +44,40 @@ object TrainedCache {
   private val buildSecs =
     new java.util.concurrent.ConcurrentHashMap[String, Double]()
 
+  /** Seconds already attributed to NESTED recordBuild calls on this
+    * thread — subtracted from the enclosing build so the registry's
+    * entries are additive, not overlapping (e.g. the IVF-PQ codebook's
+    * first build invokes the centroid first build; without the exclusion
+    * the centroid seconds would land in BOTH entries and shared_builds
+    * would overstate the total first-build cost).
+    */
+  private val nestedSecs = new ThreadLocal[Double] {
+    override def initialValue(): Double = 0.0
+  }
+
   /** Time a first-build closure under `name` (no-op passthrough for
     * name == ""). Used by [[memoDf]] and by the parquet-snapshot builders
     * (LSH pair snapshots, kNN edges, persisted indexes) whose artifacts
     * are data-sized and therefore bypass the driver-held row cache.
+    * Nested builds self-attribute: the outer entry records only its OWN
+    * seconds.
     */
   def recordBuild[A](name: String)(f: => A): A =
     if (name.isEmpty) f
     else {
+      val outerNested = nestedSecs.get()
+      nestedSecs.set(0.0)
       val t0 = System.nanoTime()
-      val r = f
-      buildSecs.merge(name, (System.nanoTime() - t0) / 1e9, (a, b) => a + b)
-      r
+      try {
+        val r = f
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        buildSecs.merge(name, math.max(0.0, elapsed - nestedSecs.get()),
+          (a, b) => a + b)
+        r
+      } finally {
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        nestedSecs.set(outerNested + elapsed)
+      }
     }
 
   /** Snapshot of first-build costs recorded so far (name → seconds). */

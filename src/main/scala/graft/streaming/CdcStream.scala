@@ -302,8 +302,21 @@ object CdcStream {
     * seeds the fold exactly like `GroupState` seeds the typed one, so
     * cross-batch transitions match. Replay-idempotent: a batch change
     * at-or-below the stored high-water `seq` is dropped (the typed fold's
-    * `e.seq > seen` guard); keys whose fold annihilates are handed to
-    * [[upsertBatch]] as `none` tombstones so the anti-join removes them.
+    * `e.seq > seen` guard).
+    *
+    * Annihilated keys keep a PERSISTENT `none` tombstone row carrying the
+    * key's high-water seq. The typed path doesn't need one — its
+    * checkpointed `GroupState` remembers the seen-seq across replays —
+    * but here the parquet sink IS the only state: dropping the row would
+    * drop the replay guard with it, and re-running an annihilating batch
+    * after a crash would refold the delete as a fresh bare delete. A
+    * stored tombstone contributes its seq to the guard but does NOT seed
+    * the fold (the typed machine holds no action state after an
+    * annihilation, so a later insert folds as a plain insert). Consumers
+    * read live rows as `cdc_action != 'none'`; tombstones are one row per
+    * annihilated key and a retention sweep can drop those older than the
+    * source's replay horizon.
+    *
     * Cost per batch is O(touched-bucket rows + batch) — the stored side
     * is bucket-pruned then key-semi-joined, never a full state scan.
     */
@@ -317,29 +330,45 @@ object CdcStream {
     val hasState = fs.exists(statePath) &&
       fs.listStatus(statePath).exists(st =>
         st.isDirectory && st.getPath.getName.startsWith("bucket="))
-    if (!hasState) {
-      upsertBatch(graft.Merge.compact(batchDf, keys), stateDir, nBuckets)
-      return
-    }
     val batch = batchDf.materialize() // feeds bucket probe, hw join, union
-    val touched = batch
-      .select(pmod(hash(col("table"), col("rid")), lit(nBuckets)).as("bucket"))
-      .distinct().collect().map(_.getInt(0)).toSeq // bounded by nBuckets
     val touchedKeys = batch.select("table", "rid").distinct()
-    val stored = readState(spark, stateDir)
-      .filter(col("bucket").isin(touched: _*)).drop("bucket")
-      .join(touchedKeys, keys, "left_semi")
-    val hw = stored.select(col("table"), col("rid"), col("seq").as("_hw"))
-    val fresh = batch.join(hw, keys, "left")
-      .filter(col("_hw").isNull || col("seq") > col("_hw")).drop("_hw")
-    val merged = graft.Merge.compact(
-      graft.Evolve.additiveUnion(Seq(stored, fresh)), keys)
+    val storedOpt =
+      if (!hasState) None
+      else {
+        val touched = batch
+          .select(pmod(hash(col("table"), col("rid")), lit(nBuckets))
+            .as("bucket"))
+          .distinct().collect().map(_.getInt(0)).toSeq // bounded by nBuckets
+        Some(readState(spark, stateDir)
+          .filter(col("bucket").isin(touched: _*)).drop("bucket")
+          .join(touchedKeys, keys, "left_semi")
+          .materialize()) // feeds the hw guard, the fold seed, and maxSeq
+      }
+    val fresh = storedOpt match {
+      case None => batch
+      case Some(st) =>
+        val hw = st.select(col("table"), col("rid"), col("seq").as("_hw"))
+        batch.join(hw, keys, "left")
+          .filter(col("_hw").isNull || col("seq") > col("_hw")).drop("_hw")
+    }
+    val merged = storedOpt match {
+      case None => graft.Merge.compact(fresh, keys)
+      case Some(st) =>
+        val seed = st.filter(col("cdc_action") =!= Types.None_)
+        graft.Merge.compact(graft.Evolve.additiveUnion(Seq(seed, fresh)), keys)
+    }
+    // high-water per touched key across stored row + batch — the seq the
+    // tombstone must carry so a replay of the annihilating batch is a no-op
+    val seqCols = (keys :+ "seq").map(col)
+    val maxSeq = storedOpt.map(_.select(seqCols: _*))
+      .foldLeft(batch.select(seqCols: _*))(_ unionByName _)
+      .groupBy(keys.map(col): _*).agg(max("seq").as("seq"))
     val tombs = touchedKeys
       .join(merged.select("table", "rid"), keys, "left_anti")
+      .join(maxSeq, keys)
       .withColumn("cdc_action", lit(Types.None_))
-      .withColumn("seq", lit(0L))
     upsertBatch(graft.Evolve.additiveUnion(Seq(merged, tombs)),
-      stateDir, nBuckets)
+      stateDir, nBuckets, keepTombstones = true)
   }
 
   /** Failure-injection seam for the replay spec: invoked between the `.next`
@@ -380,11 +409,16 @@ object CdcStream {
     * `Evolve.additiveUnion` is the batch-side gate for that class.
     */
   private[graft] def upsertBatch(batchDf: DataFrame, stateDir: String,
-      nBuckets: Int): Unit = {
+      nBuckets: Int, keepTombstones: Boolean = false): Unit = {
     val spark = batchDf.sparkSession
     val updates = Merge.latestPerKey(batchDf, Seq("table", "rid"), "seq")
       .withColumn("bucket", pmod(hash(col("table"), col("rid")), lit(nBuckets)))
       .materialize() // one computation feeds scan filter + anti-join + union
+    // typed path (default): a `none` tombstone only REMOVES the stored row
+    // (the checkpointed GroupState carries the replay guard). Untyped
+    // foldBatch keeps tombstone rows — the sink is its only state.
+    def liveOf(df: DataFrame): DataFrame =
+      if (keepTombstones) df else df.filter(col("cdc_action") =!= Types.None_)
     val touched = updates.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSet // bounded by nBuckets — tiny
     // "has state" = at least one bucket=* partition dir remains. A batch
@@ -405,9 +439,8 @@ object CdcStream {
           .filter(col("bucket").isin(touched.toSeq: _*))
         old.join(updates.select("table", "rid"), Seq("table", "rid"),
             "left_anti")
-          .unionByName(updates.filter(col("cdc_action") =!= Types.None_),
-            allowMissingColumns = true)
-      } else updates.filter(col("cdc_action") =!= Types.None_)
+          .unionByName(liveOf(updates), allowMissingColumns = true)
+      } else liveOf(updates)
     // stage touched-bucket contents, then dynamic-overwrite: only the
     // partitions present in `next` are replaced, the rest untouched
     val tmp = stateDir + ".next"

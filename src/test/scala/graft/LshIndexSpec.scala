@@ -267,6 +267,22 @@ class LshIndexSpec extends SparkSuite {
         LshIndex.probe(spark, table, b1, store, "doc_id", "text"))
       assert(postCompact === preCompact,
         "compaction changed probe results")
+      // crash-window heal: simulate dying between the old generation's
+      // DROP and the staged generation's RENAME (catalog state = live
+      // table gone, staging table complete) — the next compact() finishes
+      // the swap instead of failing table-not-found
+      spark.sql(s"ALTER TABLE $table RENAME TO ${table}_compacting")
+      LshIndex.compact(spark, table)
+      assert(spark.catalog.tableExists(table) &&
+        !spark.catalog.tableExists(s"${table}_compacting"))
+      assert(pairSet(LshIndex.probe(spark, table, b1, store, "doc_id",
+        "text")) === preCompact, "healed compaction changed probe results")
+
+      // repeated compaction ping-pongs the generation path, no growth
+      LshIndex.compact(spark, table)
+      assert(pairSet(LshIndex.probe(spark, table, b1, store, "doc_id",
+        "text")) === preCompact)
+
       val ingestedSet = pairSet(LshIndex.ingest(spark, table, b1,
         store.union(b1).distinct(), "doc_id", "text"))
       // ingest = probe's new×old pairs PLUS any new×new pairs the append
@@ -276,6 +292,7 @@ class LshIndexSpec extends SparkSuite {
         "post-compact ingest's new×old pairs must equal the probe's")
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_compacting")
       spark.sql(s"DROP TABLE IF EXISTS ${LshIndex.tombstoneTable(table)}")
       org.apache.commons.io.FileUtils.deleteDirectory(idxDir.toFile)
     }

@@ -202,7 +202,8 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkSuite {
       val q2 = streaming.CdcStream.runEvolving(spark, src, v2Schema,
         state, ckpt, trigger = Trigger.AvailableNow())
       q2.awaitTermination()
-      val s2 = streaming.CdcStream.readState(spark, state)
+      val s2all = streaming.CdcStream.readState(spark, state)
+      val s2 = s2all.filter(col("cdc_action") =!= "none")
         .select("rid", "cdc_action", "value", "note").collect()
         .map(r => r.getString(0) ->
           ((r.getString(1), r.getDouble(2), r.getString(3)))).toMap
@@ -213,6 +214,12 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkSuite {
         "a" -> (("insert", 11.0, "n1")),
         "b" -> (("insert", 20.0, null)),
         "d" -> (("insert", 40.0, "n2"))))
+      // c's annihilation leaves a `none` tombstone carrying the high-water
+      // seq — the replay guard the untyped sink must persist itself
+      val cTomb = s2all.filter(col("rid") === "c").select("cdc_action", "seq")
+        .collect()
+      assert(cTomb.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+        Seq(("none", 5L)))
       // the checkpoint carried the offsets across the restart: seg1 was NOT
       // re-read (b's single-key bucket files are byte-identical), so the
       // widened run did O(new segment), not a state rebuild
@@ -224,7 +231,8 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkSuite {
       val q3 = streaming.CdcStream.runEvolving(spark, src, v2Schema,
         state, ckpt, trigger = Trigger.AvailableNow())
       q3.awaitTermination()
-      assert(streaming.CdcStream.readState(spark, state).count() === 3)
+      assert(streaming.CdcStream.readState(spark, state)
+        .filter(col("cdc_action") =!= "none").count() === 3)
       assert(bucketFiles(bucket("b")) === bFilesAfterV1)
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(root))
@@ -239,8 +247,14 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkSuite {
       streaming.CdcStream.foldBatch(df, state, nBuckets = 8)
     def stateRows(): Map[String, (String, Double)] =
       streaming.CdcStream.readState(spark, state)
+        .filter(col("cdc_action") =!= "none")
         .select("rid", "cdc_action", "value").collect()
         .map(r => r.getString(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    def tombs(): Map[String, Long] =
+      streaming.CdcStream.readState(spark, state)
+        .filter(col("cdc_action") === "none")
+        .select("rid", "seq").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
     try {
       fold(Seq(("t", "a", "insert", 1L, 1.0), ("t", "b", "delete", 2L, 0.0))
         .toDF("table", "rid", "cdc_action", "seq", "value"))
@@ -256,14 +270,38 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkSuite {
         .toDF("table", "rid", "cdc_action", "seq", "value"))
       assert(stateRows() === Map(
         "a" -> (("insert", 1.0)), "b" -> (("update", 9.0))))
+      // batch 3 annihilates a (stored INSERT + delete — the one
+      // annihilating transition; update+delete stays a live 'delete' row
+      // per the rcache fallthrough): the live row goes, a `none` tombstone
+      // stays with the high-water seq — so REPLAYING the same annihilating
+      // batch is a no-op instead of refolding the delete as a fresh bare
+      // delete (the crash-replay failure mode a hash-only guard misses
+      // once the live row is gone)
+      val annihilate = Seq(("t", "a", "delete", 4L, 0.0))
+        .toDF("table", "rid", "cdc_action", "seq", "value")
+      fold(annihilate)
+      assert(stateRows() === Map("b" -> (("update", 9.0))))
+      assert(tombs() === Map("a" -> 4L))
+      fold(annihilate) // crash-replay of the committed batch
+      assert(stateRows() === Map("b" -> (("update", 9.0))),
+        "replayed annihilation resurrected a row")
+      assert(tombs() === Map("a" -> 4L))
+      // and the key resurrects cleanly AFTER annihilation: the tombstone
+      // guards the replay window but does not seed the fold
+      fold(Seq(("t", "a", "insert", 5L, 2.0))
+        .toDF("table", "rid", "cdc_action", "seq", "value"))
+      assert(stateRows() === Map(
+        "a" -> (("insert", 2.0)), "b" -> (("update", 9.0))))
+      assert(tombs() === Map.empty)
+
       // conflicting drift (value re-typed double → string) must FAIL the
       // batch loudly — the quarantine class, never a silent cast
-      val bad = Seq(("t", "a", "update", 4L, "oops"))
+      val bad = Seq(("t", "a", "update", 6L, "oops"))
         .toDF("table", "rid", "cdc_action", "seq", "value")
       val e = intercept[IllegalArgumentException](fold(bad))
       assert(e.getMessage.contains("value"))
       assert(stateRows() === Map(
-        "a" -> (("insert", 1.0)), "b" -> (("update", 9.0))),
+        "a" -> (("insert", 2.0)), "b" -> (("update", 9.0))),
         "failed batch mutated state")
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(root))

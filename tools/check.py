@@ -33,11 +33,15 @@ def main(sf_dir, out_dir):
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     # a filtered Verify run (3rd arg) writes oracle_sql.partial.json so the
     # driver can never mistake a partial dump for the full gate; accept it
-    # here for local iteration
-    try:
-        oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    except FileNotFoundError:
-        oracle = json.load(open(f"{out_dir}/oracle_sql.partial.json"))
+    # here for local iteration, preferring the NEWEST of the two (a stale
+    # full-run file must not shadow the fresh partial just written)
+    import os
+    candidates = [p for p in (f"{out_dir}/oracle_sql.json",
+                              f"{out_dir}/oracle_sql.partial.json")
+                  if os.path.exists(p)]
+    if not candidates:
+        raise FileNotFoundError(f"{out_dir}/oracle_sql[.partial].json")
+    oracle = json.load(open(max(candidates, key=os.path.getmtime)))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
