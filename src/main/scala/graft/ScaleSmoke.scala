@@ -47,7 +47,8 @@ object ScaleSmoke {
     // the near-dup pair generators with the cell count SCALED to the
     // corpus (see Variants) — the production configuration of the same
     // operators the fixed-C gate rows measure
-    "sim_stream_neardup@scaledC", "sim_neardup@scaledC")
+    "sim_stream_neardup@scaledC", "sim_neardup@scaledC",
+    "sim_cent@scaledC", "sim_neardup@scaledC2")
 
   /** Smoke-only variants: the gate queries pin the IVF cell count at
     * C = 16 because the ORACLE's pair-set semantics depend on it, which
@@ -68,12 +69,33 @@ object ScaleSmoke {
     "sim_stream_neardup@scaledC" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       val c = graft.operators.Similarity.autoCells(e)
+      // sample-trained quantizer (the sim_cent@scaledC row measured flat
+      // training quadratic in n at C ∝ n); the stream itself assigns each
+      // arrival against the broadcast centroids — O(batch·C), which the
+      // keyed cell state then bounds
       graft.streaming.StreamSim.nearDupStreamed(s, dir,
-        Some(graft.operators.Similarity.kmeansCentroids(e, c, 2)))
+        Some(graft.operators.Similarity.kmeansCentroids(
+          graft.operators.Similarity.trainSample(e, c), c, 2)))
     }),
     "sim_neardup@scaledC" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       graft.operators.Similarity.nearDupPairs(e,
+        graft.operators.Similarity.autoCells(e), 0.4)
+    }),
+    // train-only split of the scaled-C row: times autoCells + the flat
+    // Lloyd's train (two O(n·C) assignment passes) so a superlinear
+    // @scaledC ratio can be attributed to training vs candidate work
+    "sim_cent@scaledC" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Similarity.kmeansCentroids(e,
+        graft.operators.Similarity.autoCells(e), 2)
+    }),
+    // the production answer to the quadratic term the row above exposed:
+    // sample-trained quantizer (O(c²)) + two-level hierarchical final
+    // assignment (O(n·√C)) — same candidate/verify stages
+    "sim_neardup@scaledC2" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Similarity.nearDupPairsScaled(e,
         graft.operators.Similarity.autoCells(e), 0.4)
     }))
 

@@ -87,6 +87,71 @@ object Similarity {
       .agg(min("sc").as("best"), first("v").as("v"))
       .select(col("vec_id"), col("v"), col("best.cid").as("cid"))
 
+  /** Deterministic training sample for a C-cell coarse quantizer: the
+    * first `c` vectors (Lloyd's seeding contract) plus a hash-selected
+    * slice sized ~`perCell`·c. Quantizer quality needs samples-PER-CELL,
+    * not the corpus, so training cost becomes O(iters · perCell · c²) —
+    * independent of n. This is one half of the scaled-C production
+    * tuning: with C ∝ n, FULL-corpus Lloyd's assignment is O(n·C) =
+    * O(n²/occupancy) per round — the 100× scale smoke measured the flat
+    * form at 408 s of a 559 s run (73%), the quadratic term to the
+    * bottom. (The other half is [[assignToHier]] for the one full-corpus
+    * final assignment.)
+    */
+  def trainSample(emb: DataFrame, c: Int, perCell: Int = 64): DataFrame = {
+    val n = emb.count()
+    val target = perCell.toLong * c
+    if (n <= target) emb
+    else {
+      val keep = (Long.MaxValue.toDouble * (target.toDouble / n)).toLong
+      emb.filter(col("vec_id") < c || abs(xxhash64(col("vec_id"))) < keep)
+    }
+  }
+
+  /** Two-level nearest-centroid assignment: O(n·(√C + occupancy·√C/C))
+    * ≈ O(n·2√C) cosines instead of the flat O(n·C). The C centroids are
+    * themselves quantized into ~√C super-cells (a k-means over the
+    * CENTROID table — C rows, driver-scale); each vector finds its
+    * nearest super-cell, then argmins only that super-cell's member
+    * centroids. Approximate at super-cell boundaries — near-identical
+    * vectors follow the same two hops and land together, which is what
+    * candidate generation needs; the oracle-pinned gate queries keep the
+    * exact flat [[assignTo]]. Falls back to flat below `flatBelow`
+    * centroids, where the hierarchy would cost more than it saves.
+    */
+  private[graft] def assignToHier(v: DataFrame, cent: DataFrame,
+      flatBelow: Int = 128, superProbe: Int = 2): DataFrame = {
+    val centRows = cent.count() // driver action — cent is C rows, tiny
+    if (centRows < flatBelow) return assignTo(v, cent)
+    val nSuper = math.max(4, math.round(math.sqrt(centRows.toDouble)).toInt)
+    val superCent = kmeansCentroids(
+      cent.select(col("cid").as("vec_id"), col("cv").as("embedding")),
+      nSuper, 2)
+      .select(col("cid").as("scid"), col("cv").as("scv"))
+    // each centroid's super-cell (C × √C — tiny, computed once)
+    val centSuper = assignTo(
+      cent.select(col("cid").as("vec_id"), col("cv").as("v")),
+      superCent.select(col("scid").as("cid"), col("scv").as("cv")))
+      .select(col("vec_id").as("cid"), col("cid").as("scid"))
+    val members = broadcast(cent.join(centSuper, "cid")) // (cid, cv, scid)
+    // hop 1: score the √C super-cells and keep the top `superProbe` per
+    // vector through the bounded-heap TopK operator (no sort shuffle —
+    // one-probe measured only 74% cell agreement at small C; probing 2
+    // super-cells covers the boundary cases). hop 2: argmin over the
+    // probed supers' member centroids — the groupBy dedups across probes.
+    val scored = v.join(broadcast(superCent))
+      .select(col("vec_id"), col("v"), col("scid"),
+        cosine(col("v"), col("scv")).as("ssim"))
+    val topSupers = org.apache.spark.sql.graft.TopK.perKey(
+      scored, Seq("vec_id"), Seq(("ssim", true), ("scid", false)), superProbe)
+    topSupers.join(members, "scid")
+      .select(col("vec_id"), col("v"),
+        struct((-cosine(col("v"), col("cv"))).as("nsim"), col("cid")).as("sc"))
+      .groupBy("vec_id")
+      .agg(min("sc").as("best"), first("v").as("v"))
+      .select(col("vec_id"), col("v"), col("best.cid").as("cid"))
+  }
+
   /** Seeded deterministic Lloyd's k-means: seed = first `c` vectors by
     * vec_id, then `iters` rounds of (assign, recompute means). The mean is
     * sum(round(x·10⁶)::long) / (n·10⁶) per dimension — integer sums commute,
@@ -601,6 +666,26 @@ object Similarity {
   def nearDupPairs(
       emb: DataFrame, c: Int, threshold: Double, salts: Int = 0): DataFrame =
     nearDupPairsWith(emb, kmeansCentroids(emb, c, 2), threshold, salts)
+
+  /** The scaled-C (C ∝ n) production form of [[nearDupPairs]]: the
+    * quantizer trains on a [[trainSample]] (O(c²), not O(n·c) per round)
+    * and the one full-corpus assignment runs [[assignToHier]] (O(n·√C)).
+    * Both are approximate only at cell boundaries; candidate generation
+    * and exact-cosine verification are unchanged. The 100× smoke
+    * measures the difference — the flat form's training was 73% of its
+    * 559 s run and quadratic in n at constant occupancy.
+    */
+  def nearDupPairsScaled(
+      emb: DataFrame, c: Int, threshold: Double, salts: Int = 0): DataFrame = {
+    val cent = kmeansCentroids(trainSample(emb, c), c, 2)
+    val asn = assignToHier(vecs(emb), cent).materialize()
+    val s = if (salts == 0) Skew.adaptiveSalts(asn, Seq("cid")) else salts
+    Skew.saltedSelfJoin(asn, Seq("cid"), "vec_id", s)
+      .select(col("l.vec_id").as("va"), col("r.vec_id").as("vb"),
+        cosine(col("l.v"), col("r.v")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("va"), col("vb"), round(col("sim"), 6).as("sim"))
+  }
 
   /** [[nearDupPairs]] against a caller-supplied trained quantizer. */
   def nearDupPairsWith(

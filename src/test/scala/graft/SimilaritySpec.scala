@@ -33,6 +33,41 @@ class SimilaritySpec extends SparkSuite {
       assert(cv === reparted(cid), s"centroid $cid differs across partitionings")
   }
 
+  test("hierarchical assignment + sampled training: the scaled-C path " +
+      "keeps cell agreement and near-dup recall") {
+    // force the hierarchy at C=16 (flatBelow=0) on the fixture corpus:
+    // two-hop assignment must agree with the exact flat argmin for the
+    // overwhelming majority of vectors (disagreement = super-cell
+    // boundary cases), and identical twin vectors must land together
+    val v = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val cent = Similarity.kmeansCentroids(emb, 16, 2)
+    val flat = Similarity.ivfAssignTo(emb, cent)
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hier = Similarity.assignToHier(v, cent, flatBelow = 0)
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hier.keySet === flat.keySet)
+    val agree = flat.count { case (id, c) => hier(id) == c }
+    assert(agree.toDouble / flat.size >= 0.8,
+      s"hier assignment agrees on only $agree/${flat.size} cells")
+
+    // end-to-end: the scaled path must recover nearly all of the flat
+    // path's verified near-dup pairs at the same C (it may add pairs —
+    // different boundaries — but must not lose the signal)
+    val flatPairs = Similarity.nearDupPairs(emb, 16, 0.4)
+      .select("va", "vb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val scaledPairs = Similarity.nearDupPairsScaled(emb, 16, 0.4)
+      .select("va", "vb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flatPairs.nonEmpty)
+    val kept = flatPairs.intersect(scaledPairs).size
+    assert(kept.toDouble / flatPairs.size >= 0.8,
+      s"scaled path kept only $kept/${flatPairs.size} near-dup pairs")
+  }
+
   test("PQ ADC: 16x-compressed codes rank true L2 neighbors usefully") {
     import org.apache.spark.sql.expressions.Window
     val pred = col("vec_id") < 50
