@@ -161,6 +161,48 @@ object CdcQueries extends QueryRegistry {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
       res
     }),
+    // K1/A7 end-to-end UNDER THE HASH GATE: the untyped EVOLVING sink
+    // path across a real checkpoint restart straddling an additive schema
+    // change — v1 segments stream through runEvolving, the query is
+    // killed, v2 segments (adding props + props_len) land, and the job
+    // restarts on the SAME checkpoint with the widened schema. The final
+    // live state must equal the batch widened-union compact — the exact
+    // oracle text cdc_schema_evolve uses (one oracle serves both, the
+    // sim_neardup/stream pattern). Restart-resume, per-batch stored-state
+    // seeding, high-water replay guard, and none-tombstone filtering are
+    // all on the hash path here, not just in specs.
+    "cdc_state_sink_evolving" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_sink_ev").toString
+      val src = s"$tmp/src"
+      val ch = CdcBatch.changeLog(s, dir)
+        .crossJoin(broadcast(CdcBatch.changeLog(s, dir)
+          .agg((max("seq") / 2).cast("long").as("k"))))
+        .materialize() // one changelog scan feeds both version branches
+      val v1 = ch.filter(col("seq") <= col("k"))
+        .select("table", "rid", "cdc_action", "cdc_ts", "seq", "value")
+      val v2 = ch.filter(col("seq") > col("k"))
+        .withColumn("props_len", length(col("props")).cast("long"))
+        .select("table", "rid", "cdc_action", "cdc_ts", "seq", "value",
+          "props", "props_len")
+      v1.write.mode("overwrite").parquet(src)
+      val q1 = streaming.CdcStream.runEvolving(s, src, v1.schema,
+        s"$tmp/state", s"$tmp/ckpt", trigger = Trigger.AvailableNow())
+      q1.awaitTermination() // "kill": the pre-ALTER deployment ends
+      v2.write.mode("append").parquet(src) // post-ALTER segments land
+      val q2 = streaming.CdcStream.runEvolving(s, src, v2.schema,
+        s"$tmp/state", s"$tmp/ckpt", trigger = Trigger.AvailableNow())
+      q2.awaitTermination()
+      val res = streaming.CdcStream.readState(s, s"$tmp/state")
+        .filter(col("cdc_action") =!= "none") // live rows; tombstones are
+                                              // the sink's replay guard
+        .select("table", "rid", "cdc_action", "seq", "cdc_ts", "value",
+          "props", "props_len")
+        .materializeForced() // the temp state dir is deleted next
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      res
+    }),
     // time travel: the compacted snapshot AS OF the log's midpoint seq —
     // point-in-time recovery over the same merge machinery; the cutoff is
     // a scalar subquery (broadcast single-row cross join, no driver
@@ -357,7 +399,12 @@ object CdcQueries extends QueryRegistry {
     // safe because version membership is seq-ordered: a key's max-seq row
     // is v2 whenever the key has ANY v2 row, so the argmax row's NULLs
     // are exactly the keys whose life ended in v1 — on both engines.
-    "cdc_schema_evolve" ->
+    // the streaming evolving sink must converge to the IDENTICAL batch
+    // answer — one oracle text serves both gates
+    "cdc_state_sink_evolving" -> schemaEvolveSql,
+    "cdc_schema_evolve" -> schemaEvolveSql)
+
+  private lazy val schemaEvolveSql =
       s"""WITH ch AS ($changelogSql),
          |v1 AS (SELECT "table", rid, cdc_action, cdc_ts, seq, value
          |  FROM ch WHERE seq <= (SELECT max(seq) // 2 FROM ch)),
@@ -372,5 +419,5 @@ object CdcQueries extends QueryRegistry {
          |      FROM ev GROUP BY 1, 2)
          |SELECT "table", rid, cdc_action, seq, cdc_ts, value, props,
          |  props_len
-         |FROM c WHERE cdc_action <> 'none'""".stripMargin)
+         |FROM c WHERE cdc_action <> 'none'""".stripMargin
 }
