@@ -186,13 +186,18 @@ object CdcQueries extends QueryRegistry {
         .withColumn("props_len", length(col("props")).cast("long"))
         .select("table", "rid", "cdc_action", "cdc_ts", "seq", "value",
           "props", "props_len")
-      v1.write.mode("overwrite").parquet(src)
+      // few fat segment files and 16 state buckets: the measurement is
+      // the evolving-restart machinery, not file-count overhead (64
+      // buckets x 2 runs x staging was ~8s of mostly file ops at sf0.1)
+      v1.coalesce(4).write.mode("overwrite").parquet(src)
       val q1 = streaming.CdcStream.runEvolving(s, src, v1.schema,
-        s"$tmp/state", s"$tmp/ckpt", trigger = Trigger.AvailableNow())
+        s"$tmp/state", s"$tmp/ckpt", nBuckets = 16,
+        trigger = Trigger.AvailableNow())
       q1.awaitTermination() // "kill": the pre-ALTER deployment ends
-      v2.write.mode("append").parquet(src) // post-ALTER segments land
+      v2.coalesce(4).write.mode("append").parquet(src) // post-ALTER lands
       val q2 = streaming.CdcStream.runEvolving(s, src, v2.schema,
-        s"$tmp/state", s"$tmp/ckpt", trigger = Trigger.AvailableNow())
+        s"$tmp/state", s"$tmp/ckpt", nBuckets = 16,
+        trigger = Trigger.AvailableNow())
       q2.awaitTermination()
       val res = streaming.CdcStream.readState(s, s"$tmp/state")
         .filter(col("cdc_action") =!= "none") // live rows; tombstones are
