@@ -82,6 +82,8 @@ object ScaleSmoke {
       graft.operators.Similarity.nearDupPairs(e,
         graft.operators.Similarity.autoCells(e), 0.4)
     }),
+    // (the scaledC2 variant counts once and feeds both autoCells and the
+    // training sampler — no redundant full scans)
     // train-only split of the scaled-C row: times autoCells + the flat
     // Lloyd's train (two O(n·C) assignment passes) so a superlinear
     // @scaledC ratio can be attributed to training vs candidate work
@@ -95,8 +97,9 @@ object ScaleSmoke {
     // assignment (O(n·√C)) — same candidate/verify stages
     "sim_neardup@scaledC2" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val n = e.count()
       graft.operators.Similarity.nearDupPairsScaled(e,
-        graft.operators.Similarity.autoCells(e), 0.4)
+        graft.operators.Similarity.autoCellsFor(n), 0.4, nRows = n)
     }))
 
   /** Width-scaling targets — the dims twin of the row smoke. The row
@@ -168,9 +171,8 @@ object ScaleSmoke {
     */
   private def deriveDims(spark: SparkSession, base: String, out64: String,
       outW: String, widthFactor: Int, rowReps: Int): Unit = {
-    require(widthFactor >= 2,
-      s"SPARK_GRAFT_DIMS must be >= 128 and a multiple of 64 " +
-        s"(widthFactor $widthFactor)")
+    require(widthFactor >= 2, s"widthFactor $widthFactor must be >= 2 " +
+      "(the widening concatenates whole rotated base-width copies)")
     if (!new java.io.File(s"$out64/embeddings.parquet").exists()) {
       new java.io.File(out64).mkdirs()
       writeFlat(replicateEmbeddings(spark, base, rowReps),
@@ -322,11 +324,13 @@ object ScaleSmoke {
     }
     // width datapoint corpora: constant rows (10x sf0.1), 64 vs W dims
     val dimsW = sys.env.getOrElse("SPARK_GRAFT_DIMS", "256").toInt
-    require(dimsW >= 128 && dimsW % 64 == 0,
-      s"SPARK_GRAFT_DIMS=$dimsW must be >= 128 and a multiple of 64 — " +
-        "the widening concatenates whole rotated 64-dim copies")
     val (dims64Dir, dimsWDir) = ("/tmp/graft_dims64", s"/tmp/graft_dims$dimsW")
     if (targets.exists(_.endsWith("@dims"))) {
+      // validated only when a dims target runs — a stray env var must not
+      // abort row-only smokes that never touch the dims corpora
+      require(dimsW >= 128 && dimsW % 64 == 0,
+        s"SPARK_GRAFT_DIMS=$dimsW must be >= 128 and a multiple of 64 — " +
+          "the widening concatenates whole rotated 64-dim copies")
       System.err.println(s"[scale] deriving dims corpora (64 / $dimsW) " +
         s"at $dims64Dir, $dimsWDir")
       deriveDims(spark, base, dims64Dir, dimsWDir, dimsW / 64, 10)

@@ -161,6 +161,18 @@ object LshIndex {
         spark.catalog.tableExists(tmpTable)) {
       spark.sql(s"ALTER TABLE $tmpTable RENAME TO $table")
       spark.sql(s"DROP TABLE IF EXISTS ${tombstoneTable(table)}")
+      // the pre-crash generation's files are still on disk at the OTHER
+      // ping-pong path — delete them, or the index's footprint doubles
+      // until a future compaction happens to land back on that path
+      val healedPath = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+        .location.toString.stripSuffix("/")
+      val prevPath =
+        if (healedPath.endsWith(".next")) healedPath.stripSuffix(".next")
+        else healedPath + ".next"
+      val pp = new org.apache.hadoop.fs.Path(prevPath)
+      pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(pp, true)
       return
     }
     spark.sql(s"DROP TABLE IF EXISTS $tmpTable") // stale leftover staging

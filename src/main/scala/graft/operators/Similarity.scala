@@ -98,8 +98,9 @@ object Similarity {
     * bottom. (The other half is [[assignToHier]] for the one full-corpus
     * final assignment.)
     */
-  def trainSample(emb: DataFrame, c: Int, perCell: Int = 64): DataFrame = {
-    val n = emb.count()
+  def trainSample(emb: DataFrame, c: Int, perCell: Int = 64,
+      nRows: Long = -1L): DataFrame = {
+    val n = if (nRows >= 0) nRows else emb.count()
     val target = perCell.toLong * c
     if (n <= target) emb
     else {
@@ -134,12 +135,20 @@ object Similarity {
       superCent.select(col("scid").as("cid"), col("scv").as("cv")))
       .select(col("vec_id").as("cid"), col("cid").as("scid"))
     val members = broadcast(cent.join(centSuper, "cid")) // (cid, cv, scid)
+    // a super-centroid can end MEMBERLESS (kmeans drops empty cells on
+    // the PREVIOUS round's assignment, but centSuper re-assigns against
+    // the final means) — probing one would silently drop the vector at
+    // the inner member join, so memberless supers are removed from the
+    // probe set up front: every probed super then has ≥1 member and
+    // every vector survives to the argmin
+    val liveSuper = superCent.join(
+      centSuper.select("scid").distinct(), Seq("scid"), "left_semi")
     // hop 1: score the √C super-cells and keep the top `superProbe` per
     // vector through the bounded-heap TopK operator (no sort shuffle —
     // one-probe measured only 74% cell agreement at small C; probing 2
     // super-cells covers the boundary cases). hop 2: argmin over the
     // probed supers' member centroids — the groupBy dedups across probes.
-    val scored = v.join(broadcast(superCent))
+    val scored = v.join(broadcast(liveSuper))
       .select(col("vec_id"), col("v"), col("scid"),
         cosine(col("v"), col("scv")).as("ssim"))
     val topSupers = org.apache.spark.sql.graft.TopK.perKey(
@@ -661,7 +670,13 @@ object Similarity {
     * and train the quantizer on a sample (see [[kmeansCentroids]]).
     */
   def autoCells(emb: DataFrame, targetOccupancy: Int = 312): Int =
-    math.max(16L, emb.count() / targetOccupancy).toInt
+    autoCellsFor(emb.count(), targetOccupancy)
+
+  /** [[autoCells]] from a precomputed row count — callers that already
+    * counted (or read table stats) skip the second full scan.
+    */
+  def autoCellsFor(nRows: Long, targetOccupancy: Int = 312): Int =
+    math.max(16L, nRows / targetOccupancy).toInt
 
   def nearDupPairs(
       emb: DataFrame, c: Int, threshold: Double, salts: Int = 0): DataFrame =
@@ -676,9 +691,20 @@ object Similarity {
     * 559 s run and quadratic in n at constant occupancy.
     */
   def nearDupPairsScaled(
-      emb: DataFrame, c: Int, threshold: Double, salts: Int = 0): DataFrame = {
-    val cent = kmeansCentroids(trainSample(emb, c), c, 2)
-    val asn = assignToHier(vecs(emb), cent).materialize()
+      emb: DataFrame, c: Int, threshold: Double, salts: Int = 0,
+      perCell: Int = 64, flatBelow: Int = 128,
+      nRows: Long = -1L): DataFrame = {
+    val cent = kmeansCentroids(trainSample(emb, c, perCell, nRows), c, 2)
+    val asn = assignToHier(vecs(emb), cent, flatBelow).materialize()
+    pairsFromAssignment(asn, threshold, salts)
+  }
+
+  /** Shared candidate/verify tail of the near-dup family: salted in-cell
+    * self-join + exact-cosine threshold — one definition so the flat gate
+    * path and the scaled throughput path cannot silently diverge.
+    */
+  private def pairsFromAssignment(
+      asn: DataFrame, threshold: Double, salts: Int): DataFrame = {
     val s = if (salts == 0) Skew.adaptiveSalts(asn, Seq("cid")) else salts
     Skew.saltedSelfJoin(asn, Seq("cid"), "vec_id", s)
       .select(col("l.vec_id").as("va"), col("r.vec_id").as("vb"),
@@ -694,11 +720,6 @@ object Similarity {
     // both sides of the self-join read the assignment — materialize once
     // (the salt-sizing pass reads the same checkpointed blocks)
     val asn = ivfAssignTo(emb, cent).materialize()
-    val s = if (salts == 0) Skew.adaptiveSalts(asn, Seq("cid")) else salts
-    Skew.saltedSelfJoin(asn, Seq("cid"), "vec_id", s)
-      .select(col("l.vec_id").as("va"), col("r.vec_id").as("vb"),
-        cosine(col("l.v"), col("r.v")).as("sim"))
-      .filter(col("sim") >= threshold)
-      .select(col("va"), col("vb"), round(col("sim"), 6).as("sim"))
+    pairsFromAssignment(asn, threshold, salts)
   }
 }

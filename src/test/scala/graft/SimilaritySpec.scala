@@ -53,19 +53,43 @@ class SimilaritySpec extends SparkSuite {
     assert(agree.toDouble / flat.size >= 0.8,
       s"hier assignment agrees on only $agree/${flat.size} cells")
 
-    // end-to-end: the scaled path must recover nearly all of the flat
-    // path's verified near-dup pairs at the same C (it may add pairs —
-    // different boundaries — but must not lose the signal)
-    val flatPairs = Similarity.nearDupPairs(emb, 16, 0.4)
+    // end-to-end with the scaled machinery FORCED (perCell=8 → the
+    // 500-row corpus genuinely samples ~128 training vectors;
+    // flatBelow=0 → the two-hop assignment runs at C=16) against PLANTED
+    // twins: the fixture's own 0.4-threshold pairs are all boundary-grade
+    // generic cosines (max sim ≈ 0.41 — no real near-dups), so
+    // flat-vs-scaled set overlap there only measures boundary noise.
+    // True near-dups (cosine ≈ 1) must co-locate under ANY quantizer —
+    // the property candidate generation actually relies on.
+    val twins = emb.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 700000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x + (pmod(i, lit(3)).cast("float") - lit(1.0f)) * lit(0.002f))
+            .cast("float")).as("embedding"),
+        col("label"))
+    val corpus2 = emb.select("vec_id", "embedding", "label").union(twins)
+      .localCheckpoint()
+    val expected = emb.filter(col("vec_id") % 25 === 0)
+      .select("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 700000L)).toSet
+    assert(expected.size >= 15)
+    val scaledSet = Similarity.nearDupPairsScaled(corpus2, 16, 0.9,
+      perCell = 8, flatBelow = 0)
       .select("va", "vb").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val scaledPairs = Similarity.nearDupPairsScaled(emb, 16, 0.4)
-      .select("va", "vb").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(flatPairs.nonEmpty)
-    val kept = flatPairs.intersect(scaledPairs).size
-    assert(kept.toDouble / flatPairs.size >= 0.8,
-      s"scaled path kept only $kept/${flatPairs.size} near-dup pairs")
+    assert(expected.subsetOf(scaledSet),
+      s"scaled path missed planted twins: ${expected -- scaledSet}")
+  }
+
+  test("scaled assignment assigns EVERY vector (no silent drops at the " +
+      "memberless-super join)") {
+    val v = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val cent = Similarity.kmeansCentroids(
+      Similarity.trainSample(emb, 16, perCell = 8), 16, 2)
+    val asn = Similarity.assignToHier(v, cent, flatBelow = 0)
+    assert(asn.count() === emb.count(),
+      "hierarchical assignment lost vectors")
   }
 
   test("PQ ADC: 16x-compressed codes rank true L2 neighbors usefully") {
