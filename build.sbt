@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify artifact contract: the driver captures the last ~2000
+// chars of output and parses the final bare JSON line. sbt's default
+// LoggedOutput prefixes every forked-stdout line with "[info] ", which
+// defeats a line-anchored parse (BENCH_r08..r10 all had parsed:null with
+// the JSON visibly present but prefixed). StdoutOutput hands the forked
+// JVM sbt's raw stdout/stderr — no logger, no prefix.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

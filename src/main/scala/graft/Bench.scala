@@ -1,6 +1,34 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Conservative replica of the driver's artifact parse: scan the LAST
+    * `window` chars of captured run output for the last line that is a
+    * bare JSON object (starts with '{', ends with '}'). An sbt logger
+    * prefix ("[info] ") defeats exactly this — which is why build.sbt
+    * sets run/outputStrategy := StdoutOutput — and BenchTailSpec pins
+    * both directions (raw line found, prefixed line not). */
+  def parseTail(captured: String, window: Int = 2000): Option[String] = {
+    val tail = captured.takeRight(window)
+    tail.linesIterator.toSeq.reverseIterator
+      .map(_.trim)
+      .find(l => l.startsWith("{") && l.endsWith("}"))
+  }
+  /** The stdout line is one pipe away from loss (sbt logger config, tail
+    * truncation, late stderr). Also land the SAME bytes in bare files the
+    * driver — or a human adjudicator — can read directly. Best-effort per
+    * target: an unwritable /tmp must not kill the repo-root copy or the
+    * stdout line. Returns the paths actually written. */
+  def defaultSidecars: Seq[java.nio.file.Path] = Seq(
+    java.nio.file.Paths.get("/tmp/graft_bench.json"),
+    java.nio.file.Paths.get("BENCH_LOCAL.json"))
+  def writeSidecars(out: String,
+      targets: Seq[java.nio.file.Path] = defaultSidecars): Seq[String] =
+    targets.flatMap { p =>
+      try {
+        java.nio.file.Files.writeString(p, out + "\n")
+        Some(p.toString)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -187,6 +215,16 @@ object Bench {
     // a Throwable out of stop() after a fully-measured battery would
     // otherwise discard the round's metrics, so the println sits outside
     // the try.
+    // Sidecars FIRST: the metrics survive even if stop() hangs or the
+    // stdout pipe mangles the final line.
+    writeSidecars(out)
+    // stop() races completed streaming job groups and logs two
+    // "WARN DAGScheduler: Failed to cancel job group" lines — harmless
+    // cleanup noise, but it is noise in the artifact tail. Drop the
+    // session to ERROR for the shutdown phase; the battery is over, so
+    // nothing of value can be suppressed.
+    try spark.sparkContext.setLogLevel("ERROR")
+    catch { case scala.util.control.NonFatal(_) => () }
     try {
       spark.stop()
       System.err.flush()

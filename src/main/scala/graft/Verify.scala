@@ -69,6 +69,12 @@ object Verify {
     val oracleFile =
       if (only.isDefined) "oracle_sql.partial.json" else "oracle_sql.json"
     Files.writeString(Paths.get(s"$outDir/$oracleFile"), json)
+    // A FULL run supersedes any stale partial dump: check.py picks the
+    // newest of the two files, so a leftover partial from an earlier
+    // filtered run must not be able to shadow this full oracle set on a
+    // later re-check with a fresher mtime.
+    if (only.isEmpty)
+      Files.deleteIfExists(Paths.get(s"$outDir/oracle_sql.partial.json"))
     spark.stop()
   }
 }

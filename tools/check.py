@@ -41,7 +41,11 @@ def main(sf_dir, out_dir):
                   if os.path.exists(p)]
     if not candidates:
         raise FileNotFoundError(f"{out_dir}/oracle_sql[.partial].json")
-    oracle = json.load(open(max(candidates, key=os.path.getmtime)))
+    chosen = max(candidates, key=os.path.getmtime)
+    oracle = json.load(open(chosen))
+    # name the gate surface loudly: a partial file silently shadowing the
+    # full set would otherwise report "all pass" over a subset
+    print(f"oracle: {os.path.basename(chosen)} ({len(oracle)} queries)")
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
