@@ -314,7 +314,7 @@ object CdcStream {
     * the fold (the typed machine holds no action state after an
     * annihilation, so a later insert folds as a plain insert). Consumers
     * read live rows as `cdc_action != 'none'`; tombstones are one row per
-    * annihilated key and a retention sweep can drop those older than the
+    * annihilated key and [[sweepTombstones]] drops those older than the
     * source's replay horizon.
     *
     * Cost per batch is O(touched-bucket rows + batch) — the stored side
@@ -369,6 +369,61 @@ object CdcStream {
       .withColumn("cdc_action", lit(Types.None_))
     upsertBatch(graft.Evolve.additiveUnion(Seq(merged, tombs)),
       stateDir, nBuckets, keepTombstones = true)
+  }
+
+  /** Retention sweep for the `none` tombstones [[foldBatch]] persists.
+    *
+    * A tombstone carrying high-water seq H exists to make a REPLAY of the
+    * annihilating batch a no-op: it supplies the `seq > _hw` guard for
+    * changes with seq ≤ H. `olderThanSeq` is the source's replay horizon —
+    * the smallest seq the source can still re-deliver (checkpoint offset
+    * low-water, binlog retention edge). A tombstone with H < horizon can
+    * never guard anything again (every possible arrival has seq ≥ horizon
+    * > H and passes the guard regardless), so it is dead weight; one with
+    * H ≥ horizon still guards a live replay window and MUST stay.
+    *
+    * Cost is O(buckets holding aged tombstones), not O(state): the probe
+    * scan pushes `cdc_action='none' AND seq < horizon` into the parquet
+    * scan (row-group min/max skips settled buckets), and only buckets that
+    * actually hold aged tombstones are rewritten — the same staged
+    * dynamic-partition-overwrite discipline as [[upsertBatch]], so a crash
+    * at any point re-converges on the next sweep. Like foldBatch itself,
+    * the sweep assumes the single-writer maintenance slot: run it between
+    * micro-batches, not concurrently with one.
+    *
+    * Returns the number of tombstones dropped.
+    */
+  def sweepTombstones(spark: SparkSession, stateDir: String,
+      olderThanSeq: Long): Long = {
+    val statePath = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasState = fs.exists(statePath) &&
+      fs.listStatus(statePath).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("bucket="))
+    if (!hasState) return 0L
+    def isAged = col("cdc_action") === Types.None_ &&
+      col("seq") < olderThanSeq
+    val aged = readState(spark, stateDir).filter(isAged)
+    val touched = aged.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded by nBuckets — tiny
+    if (touched.isEmpty) return 0L
+    val dropped = aged.count()
+    val kept = readState(spark, stateDir)
+      .filter(col("bucket").isin(touched: _*))
+      .filter(!isAged)
+    val tmp = stateDir + ".sweep"
+    kept.write.mode("overwrite").parquet(tmp)
+    val staged = spark.read.parquet(tmp)
+    staged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(stateDir)
+    // a bucket holding ONLY aged tombstones has no surviving rows —
+    // dynamic overwrite can't rewrite it to empty, so drop its directory
+    val outBuckets = staged.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    for (b <- touched.toSet -- outBuckets)
+      fs.delete(new org.apache.hadoop.fs.Path(stateDir, s"bucket=$b"), true)
+    dropped
   }
 
   /** Failure-injection seam for the replay spec: invoked between the `.next`

@@ -306,4 +306,79 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkSuite {
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(root))
   }
+
+  test("sweepTombstones: drops only tombstones below the replay horizon, " +
+      "keeps the live replay guard working, leaves settled buckets " +
+      "untouched, and returns state to live rows after churn") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sweep").toString
+    val state = s"$root/state"
+    val nB = 8
+    def fold(rows: Seq[(String, String, String, Long, Double)]): Unit =
+      streaming.CdcStream.foldBatch(
+        rows.toDF("table", "rid", "cdc_action", "seq", "value"), state, nB)
+    def sweep(horizon: Long): Long =
+      streaming.CdcStream.sweepTombstones(spark, state, horizon)
+    def live(): Set[String] =
+      streaming.CdcStream.readState(spark, state)
+        .filter(col("cdc_action") =!= "none")
+        .select("rid").as[String].collect().toSet
+    def tombs(): Map[String, Long] =
+      streaming.CdcStream.readState(spark, state)
+        .filter(col("cdc_action") === "none")
+        .select("rid", "seq").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def bucket(r: String): Int = spark.range(1)
+      .select(pmod(hash(lit("t"), lit(r)), lit(nB))).head.getInt(0)
+    def bucketFiles(): Map[String, Seq[(String, Long)]] =
+      new java.io.File(state).listFiles()
+        .filter(_.getName.startsWith("bucket=")).map(d =>
+          d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => f.getName -> f.lastModified()).toSeq.sorted).toMap
+    try {
+      // 20 keys inserted; k1..k10 then annihilated at seqs 21..30
+      fold((1 to 20).map(i => ("t", s"k$i", "insert", i.toLong, i * 1.0)))
+      fold((1 to 10).map(i => ("t", s"k$i", "delete", 20L + i, 0.0)))
+      assert(live() === (11 to 20).map(i => s"k$i").toSet)
+      assert(tombs() === (1 to 10).map(i => s"k$i" -> (20L + i)).toMap)
+
+      // horizon 26: k1..k5 (tomb seqs 21..25) are unguardable dead weight;
+      // k6..k10 (26..30) still guard a live replay window
+      val before = bucketFiles()
+      val agedBuckets = (1 to 5).map(i => bucket(s"k$i")).toSet
+      assert(sweep(26L) === 5L)
+      assert(tombs() === (6 to 10).map(i => s"k$i" -> (20L + i)).toMap)
+      assert(live() === (11 to 20).map(i => s"k$i").toSet,
+        "sweep touched live rows")
+      // bucket-pruned: only buckets holding aged tombstones were rewritten
+      val after = bucketFiles()
+      val rewritten = before.keySet.filter(n =>
+        after.get(n).exists(_ != before(n))) ++ (after.keySet -- before.keySet)
+      assert(rewritten.forall(n =>
+        agedBuckets.contains(n.stripPrefix("bucket=").toInt)),
+        s"sweep rewrote settled buckets: $rewritten")
+
+      // a replay INSIDE the horizon is still a no-op: k7's annihilating
+      // delete (seq 27 ≥ horizon) re-arrives; the kept tombstone's
+      // high-water guard must drop it, not refold a bare delete
+      fold(Seq(("t", "k7", "delete", 27L, 0.0)))
+      assert(live() === (11 to 20).map(i => s"k$i").toSet,
+        "replayed annihilation inside the horizon resurrected a row")
+      assert(tombs()("k7") === 27L)
+
+      // a second sweep at the same horizon is a no-op (nothing aged left)
+      val quiescent = bucketFiles()
+      assert(sweep(26L) === 0L)
+      assert(bucketFiles() === quiescent, "no-op sweep rewrote state")
+
+      // churn done: advance the horizon past every tombstone — state
+      // returns to exactly the live rows
+      assert(sweep(31L) === 5L)
+      assert(tombs() === Map.empty)
+      assert(streaming.CdcStream.readState(spark, state).count() === 10)
+      // and the swept keys still resurrect cleanly as fresh inserts
+      fold(Seq(("t", "k3", "insert", 40L, 3.5)))
+      assert(live() === ((11 to 20).map(i => s"k$i").toSet + "k3"))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+  }
 }
