@@ -322,9 +322,18 @@ object ScaleSmoke {
         spark.read.parquet(s"$d/$t.parquet").count()
       shuffleWrite.set(0L)
     }
-    // width datapoint corpora: constant rows (10x sf0.1), 64 vs W dims
+    // width datapoint corpora: constant rows (10x sf0.1), 64 vs W dims.
+    // Cache dirs are keyed by the BASE corpus fingerprint and the row-rep
+    // factor (same discipline the row-scaled path got with
+    // /tmp/graft_sfx$nReps): deriveDims reuses an existing dir by
+    // existence check, so an unkeyed name would silently serve stale
+    // derived data after the base corpus or rep count changes.
     val dimsW = sys.env.getOrElse("SPARK_GRAFT_DIMS", "256").toInt
-    val (dims64Dir, dimsWDir) = ("/tmp/graft_dims64", s"/tmp/graft_dims$dimsW")
+    val dimsRowReps = 10
+    val dimsKey = graft.operators.TrainedCache
+      .fingerprint(s"$base/embeddings.parquet").take(8) + s"_r$dimsRowReps"
+    val (dims64Dir, dimsWDir) = (s"/tmp/graft_dims64_$dimsKey",
+      s"/tmp/graft_dims${dimsW}_$dimsKey")
     if (targets.exists(_.endsWith("@dims"))) {
       // validated only when a dims target runs — a stray env var must not
       // abort row-only smokes that never touch the dims corpora
@@ -333,7 +342,7 @@ object ScaleSmoke {
           "the widening concatenates whole rotated 64-dim copies")
       System.err.println(s"[scale] deriving dims corpora (64 / $dimsW) " +
         s"at $dims64Dir, $dimsWDir")
-      deriveDims(spark, base, dims64Dir, dimsWDir, dimsW / 64, 10)
+      deriveDims(spark, base, dims64Dir, dimsWDir, dimsW / 64, dimsRowReps)
       for (d <- Seq(dims64Dir, dimsWDir))
         spark.read.parquet(s"$d/embeddings.parquet").count()
       shuffleWrite.set(0L)

@@ -149,6 +149,13 @@ object LshIndex {
     * — this preserves them, and costs one index scan + write instead of
     * re-shingling the corpus.
     */
+  /** Failure/concurrency-injection seam: invoked right after [[compact]]
+    * snapshots the tombstone table — the widest window in which a
+    * concurrent remove() can land mid-compaction. Tests swap in a remove;
+    * production never touches it.
+    */
+  private[graft] var afterTombSnapshotHook: () => Unit = () => ()
+
   def compact(spark: SparkSession, table: String): Unit = {
     val tmpTable = s"${table}_compacting"
     // self-heal a crash that landed between the old generation's DROP and
@@ -160,7 +167,11 @@ object LshIndex {
     if (!spark.catalog.tableExists(table) &&
         spark.catalog.tableExists(tmpTable)) {
       spark.sql(s"ALTER TABLE $tmpTable RENAME TO $table")
-      spark.sql(s"DROP TABLE IF EXISTS ${tombstoneTable(table)}")
+      // tombstones are NOT dropped here: the crash lost the snapshot of
+      // which victims the staged generation applied, and a remove() that
+      // landed after it was taken must survive. Spent tombstones (docs the
+      // new generation no longer holds) are harmless — the probe anti-join
+      // matches nothing — and the next compact retires them.
       // the pre-crash generation's files are still on disk at the OTHER
       // ping-pong path — delete them, or the index's footprint doubles
       // until a future compaction happens to land back on that path
@@ -181,13 +192,24 @@ object LshIndex {
       spark.sessionState.sqlParser.parseTableIdentifier(table))
     val oldPath = cat.location.toString.stripSuffix("/")
     val tt = tombstoneTable(table)
-    val live =
-      if (!spark.catalog.tableExists(tt)) spark.table(table)
-      else {
-        val tomb = spark.table(tt).select(col("doc_id").as("_victim"))
+    // SNAPSHOT the victims this compaction applies (materializeForced: the
+    // ids must be concrete before the tombstone table can change under
+    // us). A remove() landing after this point still executes against the
+    // live tombstone table, and the finish step below retires ONLY the
+    // snapshot — so late removes survive the swap instead of being
+    // silently discarded by a wholesale DROP (the r10 advice hole: a doc
+    // removed mid-compaction would have resurrected in probe results).
+    val tombSnap =
+      if (!spark.catalog.tableExists(tt)) None
+      else Some(spark.table(tt).select(col("doc_id").as("_victim"))
+        .distinct().materializeForced())
+    afterTombSnapshotHook()
+    val live = tombSnap match {
+      case None => spark.table(table)
+      case Some(tomb) =>
         spark.table(table)
           .join(tomb, col("doc_id") === col("_victim"), "left_anti")
-      }
+    }
     // generations ping-pong between <path> and <path>.next so repeated
     // compactions don't grow the path; the new generation lands COMPLETE
     // (data + properties) before the old one is touched
@@ -200,7 +222,22 @@ object LshIndex {
       s"('$KProp' = '$k', '$BandsProp' = '$bands')")
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"ALTER TABLE $tmpTable RENAME TO $table")
-    spark.sql(s"DROP TABLE IF EXISTS $tt")
+    // Retire only the APPLIED victims: anything appended to the tombstone
+    // table since the snapshot is preserved (it was not anti-joined out of
+    // the new generation, so its guard is still needed). The survivors are
+    // concrete (materializeForced) before the table is overwritten under
+    // the plan that read it. A crash anywhere in this step leaves applied
+    // tombstones in place — conservative: their anti-join matches nothing
+    // and the next compact retires them. The residual race is the rewrite
+    // itself (ms, vs the index rewrite's minutes); a remove() truly
+    // concurrent with THAT still needs the single-writer maintenance slot.
+    tombSnap.foreach { applied =>
+      val remaining = spark.table(tt)
+        .join(applied, col("doc_id") === col("_victim"), "left_anti")
+        .materializeForced()
+      if (remaining.isEmpty) spark.sql(s"DROP TABLE IF EXISTS $tt")
+      else remaining.write.mode("overwrite").saveAsTable(tt)
+    }
     val op = new org.apache.hadoop.fs.Path(oldPath)
     op.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(op, true)
   }

@@ -97,6 +97,12 @@ object Similarity {
     * form at 408 s of a 559 s run (73%), the quadratic term to the
     * bottom. (The other half is [[assignToHier]] for the one full-corpus
     * final assignment.)
+    *
+    * Precondition (inherited from [[kmeansCentroids]], which enforces it
+    * loudly): vec_ids are dense from 0, so `vec_id < c` keeps exactly the
+    * trainer's seed rows. With offset/sparse ids the sample would carry
+    * fewer than c seeds and the sample-trained quantizer would silently
+    * degenerate — re-key ids before training, same as for the trainer.
     */
   def trainSample(emb: DataFrame, c: Int, perCell: Int = 64,
       nRows: Long = -1L): DataFrame = {
@@ -172,6 +178,19 @@ object Similarity {
     val v = vecs(emb)
     var cent = v.filter(col("vec_id") < c)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // dense-id seeding contract, enforced loudly: ids 0..c-1 must exist
+    // whenever the corpus has ≥ c rows. With offset/sparse ids the seed
+    // filter silently yields < c cells and the quantizer degenerates —
+    // the failure ADVICE r10 flagged on trainSample, whose `vec_id < c`
+    // slice inherits exactly this contract. The check costs one count of
+    // a ≤ c-row frame; the corpus count runs only on the failure path.
+    val seeded = cent.count()
+    if (seeded < c) {
+      val n = v.count()
+      require(n < c, s"kmeansCentroids: found $seeded of $c seed rows in a " +
+        s"$n-row corpus — vec_ids must be dense from 0 (ids 0..${c - 1} " +
+        "present); re-key the ids (e.g. row_number() - 1) before training")
+    }
     for (_ <- 0 until iters) {
       val sums = assignTo(v, cent)
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))

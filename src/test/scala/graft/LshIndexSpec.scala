@@ -298,6 +298,64 @@ class LshIndexSpec extends SparkSuite {
     }
   }
 
+  test("compact: a remove() landing mid-compaction (after the tombstone " +
+    "snapshot) survives the swap — tombstone kept, pairs excluded, " +
+    "retired physically by the NEXT compact") {
+    val all = corpus()
+    val base = batchOf(all, 0)
+    val b1 = batchOf(all, 1)
+    val idxDir = Files.createTempDirectory("graft_lshidx_spec7")
+    val table = "lsh_race_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      LshIndex.build(base, "doc_id", "text", s"$idxDir/index", table)
+      // victims applied by the compaction: half the planted originals
+      val applied = base.filter(col("doc_id") % 60 === 0)
+        .select("doc_id").localCheckpoint()
+      assert(applied.count() > 0)
+      LshIndex.remove(spark, table, applied)
+      // the LATE victims: the other half of the originals (still paired),
+      // removed mid-compaction via the injection seam — after the
+      // snapshot, before the swap. Pre-fix, compact's wholesale tombstone
+      // DROP discarded them and their pairs resurrected in probes.
+      val late = base.filter(col("doc_id") % 60 === 30)
+        .select("doc_id").localCheckpoint()
+      val lateIds = late.collect().map(_.getLong(0)).toSet
+      assert(lateIds.nonEmpty, "fixture needs late victims with pairs")
+      LshIndex.afterTombSnapshotHook =
+        () => LshIndex.remove(spark, table, late)
+      try LshIndex.compact(spark, table)
+      finally LshIndex.afterTombSnapshotHook = () => ()
+      // the late remove survived: tombstone table still there, holding
+      // EXACTLY the late ids (the applied ones were retired)
+      val tt = LshIndex.tombstoneTable(table)
+      assert(spark.catalog.tableExists(tt),
+        "compact discarded a concurrent remove")
+      assert(spark.table(tt).collect().map(_.getLong(0)).toSet === lateIds)
+      // probes exclude the late victims' pairs
+      val store = all.join(applied, Seq("doc_id"), "left_anti")
+        .join(late, Seq("doc_id"), "left_anti")
+      val probed = pairSet(
+        LshIndex.probe(spark, table, b1, store, "doc_id", "text"))
+      assert(probed.forall(p =>
+        !lateIds.contains(p._1) && !lateIds.contains(p._2)),
+        "a mid-compaction remove resurrected its pairs")
+      // and the NEXT compact retires them physically
+      val rowsBefore = spark.table(table).count()
+      LshIndex.compact(spark, table)
+      assert(!spark.catalog.tableExists(tt))
+      assert(spark.table(table).count() === rowsBefore - 4 * lateIds.size)
+      assert(pairSet(LshIndex.probe(spark, table, b1, store, "doc_id",
+        "text")) === probed, "second compaction changed probe results")
+    } finally {
+      LshIndex.afterTombSnapshotHook = () => ()
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_compacting")
+      spark.sql(s"DROP TABLE IF EXISTS ${LshIndex.tombstoneTable(table)}")
+      org.apache.commons.io.FileUtils.deleteDirectory(idxDir.toFile)
+    }
+  }
+
   test("append/probe refuse a table not built by LshIndex.build") {
     val wh = Files.createTempDirectory("graft_lshidx_spec3")
     val table = "lsh_not_an_index"
