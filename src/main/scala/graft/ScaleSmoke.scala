@@ -70,9 +70,10 @@ object ScaleSmoke {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       val c = graft.operators.Similarity.autoCells(e)
       // sample-trained quantizer (the sim_cent@scaledC row measured flat
-      // training quadratic in n at C ∝ n); the stream itself assigns each
-      // arrival against the broadcast centroids — O(batch·C), which the
-      // keyed cell state then bounds
+      // training quadratic in n at C ∝ n); per-arrival assignment goes
+      // through the hierarchical two-hop fold (cellRowsHier, O(batch·√C))
+      // once C ≥ 128 — the flat O(batch·C) fold at C ∝ n was the last
+      // family member carrying the quadratic
       graft.streaming.StreamSim.nearDupStreamed(s, dir,
         Some(graft.operators.Similarity.kmeansCentroids(
           graft.operators.Similarity.trainSample(e, c), c, 2)))
@@ -304,7 +305,8 @@ object ScaleSmoke {
 
     // optional args: target-name substrings (local iteration aid, like
     // Bench's); no args = the full target set
-    val all = Targets ++ DimsTargets
+    val all = Targets ++ DimsTargets ++
+      Seq("sim_recall@scaledC", "cdc_evolving@state")
     val targets =
       if (args.isEmpty) all
       else all.filter(t => args.exists(t.contains))
@@ -347,7 +349,138 @@ object ScaleSmoke {
         spark.read.parquet(s"$d/embeddings.parquet").count()
       shuffleWrite.set(0L)
     }
-    val rows = targets.map { q =>
+    // quality row, not a timing row: recall/precision of the scaled
+    // (sampled-train + hierarchical-assign) near-dup path against the
+    // exact flat path's pair set, overall AND on the boundary band
+    // [threshold, threshold+0.05) where cell-boundary approximation
+    // bites hardest. Run at sf0.1 and 10× only — the flat reference is
+    // the quadratic-training form this row exists to bound, so 100×
+    // would spend ~10 min computing the baseline.
+    val qualityTargets = targets.filter(_ == "sim_recall@scaledC")
+    for (_ <- qualityTargets.headOption) {
+      import graft.operators.Similarity
+      val thr = 0.4
+      for ((dir, lbl) <- Seq((base, "sf0.1"), (sf1, s"${nReps}x"))) {
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        val n = e.count()
+        val c = Similarity.autoCellsFor(n)
+        def pairs(df: DataFrame): Map[(Long, Long), Double] =
+          df.collect().map(r =>
+            (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        // ground truth by BRUTE FORCE, not the flat path: flat and scaled
+        // are both cell-partition approximations, and their symmetric
+        // difference only measures partition churn, not quality — each
+        // loses ~equal borderline pairs the other finds. 2×10⁸ cosines at
+        // 10× is seconds on 32 cores; this row is the one place the
+        // engine can afford an exact reference.
+        val v = e.select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        val truth = pairs(v.as("a")
+          .join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+            graft.operators.Similarity
+              .cosine(col("a.v"), col("b.v")).as("sim"))
+          .filter(col("sim") >= thr)
+          .select(col("va"), col("vb"), round(col("sim"), 6).as("sim")))
+        val flat = pairs(Similarity.nearDupPairs(e, c, thr))
+        val scaled = pairs(Similarity.nearDupPairsScaled(e, c, thr,
+          nRows = n))
+        // STRONG pairs (≥ thr+0.05) are boundary-free candidates; DUP
+        // pairs (≥ 0.7) are the true near-duplicates the operator exists
+        // to find; the band [thr, thr+0.05) is boundary churn
+        val strong = truth.filter(_._2 >= thr + 0.05).keySet
+        val dup = truth.filter(_._2 >= 0.7).keySet
+        def pct(num: Int, den: Int): Double =
+          if (den == 0) 1.0 else num.toDouble / den
+        def rec(s: Set[(Long, Long)], ref: Set[(Long, Long)]): Double =
+          pct((s & ref).size, ref.size)
+        System.err.println(f"[scale] sim_recall@scaledC $lbl%5s C=$c " +
+          f"truth=${truth.size} (strong=${strong.size} dup=${dup.size}) " +
+          f"flat=${flat.size} scaled=${scaled.size} | vs truth: " +
+          f"flatRecall=${rec(flat.keySet, truth.keySet)}%.3f " +
+          f"scaledRecall=${rec(scaled.keySet, truth.keySet)}%.3f " +
+          f"flatStrong=${rec(flat.keySet, strong)}%.3f " +
+          f"scaledStrong=${rec(scaled.keySet, strong)}%.3f " +
+          f"flatDup=${rec(flat.keySet, dup)}%.3f " +
+          f"scaledDup=${rec(scaled.keySet, dup)}%.3f | " +
+          f"scaled∩flat/flat=${rec(scaled.keySet, flat.keySet)}%.3f")
+        Materialize.release(spark)
+      }
+    }
+    // state-scaling row for the untyped evolving sink: foldBatch's
+    // O(touched-bucket rows + batch) claim, MEASURED instead of argued
+    // from the plan. Per scale: 3 bootstrap batches (seq-range slices of
+    // the event change log — state grows 0 → all keys), then 6 small
+    // incremental batches touching a FIXED 8-key set. Every batch is its
+    // own runEvolving invocation on the SAME checkpoint + state dir, so
+    // each one also exercises the restart path (offsets resume, settled
+    // segments are not re-read). Buckets scale with the key count
+    // (~300 keys/bucket) — the production tuning that keeps bucket size
+    // bounded; with it, an 8-key batch touches ≤ 8 buckets and its cost
+    // must stay FLAT as total state grows 10×/100× across the dirs.
+    val evolvingTargets = targets.filter(_ == "cdc_evolving@state")
+    for (_ <- evolvingTargets.headOption) {
+      import graft.streaming.CdcStream
+      import org.apache.spark.sql.streaming.Trigger
+      val bytesRead = new java.util.concurrent.atomic.AtomicLong()
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+          bytesRead.addAndGet(s.stageInfo.taskMetrics.inputMetrics.bytesRead)
+      })
+      for ((dir, lbl) <- Seq((base, "sf0.1"), (sf1, s"${nReps}x"))) {
+        val root =
+          java.nio.file.Files.createTempDirectory("graft_evsm").toString
+        val src = s"$root/src"; new java.io.File(src).mkdirs()
+        val state = s"$root/state"; val ckpt = s"$root/ckpt"
+        val log = graft.CdcBatch.changeLog(spark, dir)
+        val logSchema = log.schema
+        val stats = log.agg(min("seq"), max("seq"), countDistinct("rid")).head
+        val (minSeq, maxSeq, users) =
+          (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+        val nB = math.max(16L, users / 300L).toInt
+        def run(tag: String): Unit = {
+          val t0 = System.nanoTime(); val b0 = bytesRead.get()
+          val q = CdcStream.runEvolving(spark, src, logSchema, state, ckpt,
+            nBuckets = nB, trigger = Trigger.AvailableNow())
+          q.awaitTermination()
+          val dt = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(500) // drain stage-completed events
+          val mb = (bytesRead.get() - b0) / 1e6
+          val stRows = CdcStream.readState(spark, state).count()
+          val stMb = org.apache.commons.io.FileUtils
+            .sizeOfDirectory(new java.io.File(state)) / 1e6
+          System.err.println(f"[scale] cdc_evolving@state $lbl%5s " +
+            f"$tag%-5s ${dt}%6.2f s  read ${mb}%8.1f MB  " +
+            f"state $stRows%8d rows ${stMb}%7.1f MB  buckets=$nB")
+          Materialize.release(spark)
+        }
+        val span = (maxSeq - minSeq) / 3 + 1
+        for (i <- 0 until 3) {
+          val lo = minSeq + i * span
+          writeFlat(log.filter(col("seq") >= lo && col("seq") < lo + span),
+            src, s"boot$i.parquet")
+          run(s"boot$i")
+        }
+        val keys = log.select("rid").distinct().orderBy("rid").limit(8)
+          .collect().map(_.getString(0)).toSeq
+        import spark.implicits._
+        for (i <- 0 until 6) {
+          val batch = keys.zipWithIndex.map { case (k, j) =>
+            ("db_test.events", k, graft.Types.Update, 0L,
+              maxSeq + 1000000L + i * 100L + j, 1.0, null: String)
+          }.toDF("table", "rid", "cdc_action", "cdc_ts", "seq",
+            "value", "props")
+          writeFlat(batch, src, s"inc$i.parquet")
+          run(s"inc$i")
+        }
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(root))
+      }
+    }
+    val rows = targets
+      .filterNot(t => qualityTargets.contains(t) ||
+        evolvingTargets.contains(t))
+      .map { q =>
       val dims = q.endsWith("@dims")
       val (dirA, dirB) = if (dims) (dims64Dir, dimsWDir) else (base, sf1)
       val (aLbl, bLbl) = if (dims) ("64d", s"${dimsW}d") else ("sf0.1", s"${nReps}x")

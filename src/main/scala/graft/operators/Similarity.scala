@@ -131,15 +131,7 @@ object Similarity {
     val centRows = cent.count() // driver action — cent is C rows, tiny
     if (centRows < flatBelow) return assignTo(v, cent)
     val nSuper = math.max(4, math.round(math.sqrt(centRows.toDouble)).toInt)
-    val superCent = kmeansCentroids(
-      cent.select(col("cid").as("vec_id"), col("cv").as("embedding")),
-      nSuper, 2)
-      .select(col("cid").as("scid"), col("cv").as("scv"))
-    // each centroid's super-cell (C × √C — tiny, computed once)
-    val centSuper = assignTo(
-      cent.select(col("cid").as("vec_id"), col("cv").as("v")),
-      superCent.select(col("scid").as("cid"), col("scv").as("cv")))
-      .select(col("vec_id").as("cid"), col("cid").as("scid"))
+    val (superCent, centSuper) = trainSupers(cent, nSuper)
     val members = broadcast(cent.join(centSuper, "cid")) // (cid, cv, scid)
     // a super-centroid can end MEMBERLESS (kmeans drops empty cells on
     // the PREVIOUS round's assignment, but centSuper re-assigns against
@@ -165,6 +157,33 @@ object Similarity {
       .groupBy("vec_id")
       .agg(min("sc").as("best"), first("v").as("v"))
       .select(col("vec_id"), col("v"), col("best.cid").as("cid"))
+  }
+
+  /** Train the ~√C super-quantizer over a CENTROID table and assign each
+    * centroid to its super-cell — (superCent: (scid, scv), centSuper:
+    * (cid, scid)). Shared by the batch two-hop ([[assignToHier]]) and the
+    * streaming per-row fold (`StreamSim.cellRowsHier`) so both sides
+    * probe the IDENTICAL super geometry. The centroid table's cids may
+    * be SPARSE (Lloyd's drops memberless cells), so seeds are re-keyed
+    * by cid rank before training — the dense-id contract
+    * [[kmeansCentroids]] enforces; with no drops rank ≡ cid and the
+    * geometry is unchanged. The single-partition rank window is C rows —
+    * driver-scale, never the corpus.
+    */
+  private[graft] def trainSupers(cent: DataFrame, nSuper: Int)
+      : (DataFrame, DataFrame) = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("cid")
+    val centDense = cent.select(
+      (row_number().over(w) - 1).cast("long").as("vec_id"),
+      col("cv").as("embedding"))
+    val superCent = kmeansCentroids(centDense, nSuper, 2)
+      .select(col("cid").as("scid"), col("cv").as("scv"))
+    // each centroid's super-cell (C × √C — tiny, computed once)
+    val centSuper = assignTo(
+      cent.select(col("cid").as("vec_id"), col("cv").as("v")),
+      superCent.select(col("scid").as("cid"), col("scv").as("cv")))
+      .select(col("vec_id").as("cid"), col("cid").as("scid"))
+    (superCent, centSuper)
   }
 
   /** Seeded deterministic Lloyd's k-means: seed = first `c` vectors by

@@ -66,6 +66,86 @@ object StreamSim {
       .as[CellRow]
   }
 
+  /** Hierarchical per-row assignment — the streaming twin of the batch
+    * [[Similarity.assignToHier]], for the production C ∝ n geometry. The
+    * flat [[cellRows]] fold is O(batch·C) per micro-batch: with C ∝ n
+    * that re-introduces per-arrival the quadratic the batch path killed
+    * (the r10 scaled-C fix). Here each row folds the ~√C super-centroids
+    * (top-2 kept, matching the batch hop-1's superProbe=2 boundary
+    * coverage), then argmins only those two supers' member centroids —
+    * O(√C + 2·occupancy) ≈ O(√C) per row, still with NO per-row joins or
+    * shuffles: one broadcast of the nested (scid, scv, members) table.
+    *
+    * Parity with the batch two-hop is structural, not coincidental: the
+    * super geometry comes from the SAME [[Similarity.trainSupers]]
+    * artifact, supers are scid-sorted so the strictly-greater fold
+    * tie-breaks like the batch TopK's (ssim desc, scid asc), members are
+    * cid-sorted with an explicit lowest-cid tie clause like the batch
+    * argmin over struct(-sim, cid), and only member-having supers are
+    * packed (the batch's memberless-super pruning). `StreamSimSpec` pins
+    * row-for-row equality against [[Similarity.assignToHier]]. Below
+    * `flatBelow` centroids this falls back to the exact flat fold — the
+    * C = 16 gate query keeps its oracle-pinned geometry.
+    */
+  def cellRowsHier(emb: DataFrame, cent: DataFrame,
+      flatBelow: Int = 128): Dataset[CellRow] = {
+    import emb.sparkSession.implicits._
+    val centRows = cent.count() // driver action — cent is C rows, tiny
+    if (centRows < flatBelow) return cellRows(emb, cent)
+    val nSuper = math.max(4, math.round(math.sqrt(centRows.toDouble)).toInt)
+    val (superCent, centSuper) = Similarity.trainSupers(cent, nSuper)
+    // one nested broadcast row: supers scid-sorted, members cid-sorted
+    val packed = cent.join(centSuper, "cid")
+      .groupBy("scid")
+      .agg(array_sort(collect_list(struct(col("cid"), col("cv"))))
+        .as("members"))
+      .join(superCent, "scid")
+      .select(struct(col("scid"), col("scv"), col("members")).as("sentry"))
+      .agg(array_sort(collect_list(col("sentry"))).as("supers"))
+    val negInf = lit(Double.NegativeInfinity)
+    // hop 1: running top-2 supers by cosine; the accumulator carries the
+    // element INDEX (supers are scid-sorted, so lower index = lower scid
+    // = the batch TopK's tie-break) rather than member arrays — copying
+    // members through √C fold steps would cost O(C·d) per row, the flat
+    // bill again
+    val zero2 = struct(lit(0).as("i"),
+      struct(negInf.as("sim"), lit(0).as("idx")).as("b1"),
+      struct(negInf.as("sim"), lit(0).as("idx")).as("b2"))
+    val top2 = aggregate(col("supers"), zero2, (acc, s) => {
+      val sm = Similarity.cosine(col("v"), s("scv"))
+      val cand = struct(sm.as("sim"), acc("i").as("idx"))
+      val next = (acc("i") + 1).as("i")
+      when(sm > acc("b1")("sim"),
+        struct(next, cand.as("b1"), acc("b1").as("b2")))
+        .otherwise(when(sm > acc("b2")("sim"),
+          struct(next, acc("b1").as("b1"), cand.as("b2")))
+          .otherwise(struct(next, acc("b1").as("b1"), acc("b2").as("b2"))))
+    })
+    // hop 2 references BOTH probed supers — wrap the hop-1 result in a
+    // one-element array and transform over it so the √C fold evaluates
+    // once per row, not once per reference (the inline-HOF re-eval
+    // hazard). With a single live super b2 still points at index 0; the
+    // duplicated members cannot change an argmin.
+    val zeroBest = struct(negInf.as("sim"), lit(Long.MaxValue).as("cid"))
+    val assigned = transform(array(top2), t =>
+      aggregate(
+        concat(
+          element_at(col("supers"), t("b1")("idx") + 1)("members"),
+          element_at(col("supers"), t("b2")("idx") + 1)("members")),
+        zeroBest,
+        (acc, m) => {
+          val sm = Similarity.cosine(col("v"), m("cv"))
+          when(sm > acc("sim") ||
+              (sm === acc("sim") && m("cid") < acc("cid")),
+            struct(sm.as("sim"), m("cid").as("cid"))).otherwise(acc)
+        }))
+    emb.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .crossJoin(broadcast(packed))
+      .select(element_at(assigned, 1)("cid").as("cid"), col("vec_id"))
+      .as[CellRow]
+  }
+
   /** Stateful candidate generation: keyed state per cell holds occupant
     * ids; each arriving vector pairs with every prior occupant (and
     * earlier arrivals in the same batch). Pairs are canonical (va < vb);
@@ -102,8 +182,7 @@ object StreamSim {
   def nearDupStreamed(
       spark: org.apache.spark.sql.SparkSession, sfDir: String,
       centOpt: Option[DataFrame] = None): DataFrame = {
-    val name = "sim_nd_" +
-      java.util.UUID.randomUUID.toString.replace("-", "")
+    import spark.implicits._
     val path = s"$sfDir/embeddings.parquet"
     val embStatic = spark.read.parquet(path)
     val cent = centOpt.getOrElse(
@@ -120,13 +199,35 @@ object StreamSim {
     }
     val src = spark.readStream.schema(embStatic.schema)
       .parquet(streamDir.toString)
-    val q = candidates(cellRows(src, cent))
-      .writeStream.format("memory").queryName(name)
+    // hier assignment kicks in only at production C (≥ flatBelow); the
+    // C = 16 gate run falls back to the exact flat fold, so the oracle
+    // geometry is untouched
+    //
+    // Verification runs INSIDE foreachBatch (the stream-static join per
+    // micro-batch, as the scaladoc above describes) and only VERIFIED
+    // pairs reach the driver. The r10 shape parked raw candidates in a
+    // memory sink and verified once at the end — at 100× scaled-C that
+    // is ~78M candidate rows (Σ occupancy²/2 across C cells) collected
+    // driver-side, which broke spark.driver.maxResultSize; the verified
+    // set is O(true dups) at every scale because the derived corpora
+    // keep the pair space linear. Candidates are emitted exactly once
+    // per pair (BucketState.pairArrivals), so per-batch verify ∪ = the
+    // end-of-stream verify of the old shape.
+    val verified =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)]()
+    val q = candidates(cellRowsHier(src, cent))
+      .writeStream
       .outputMode("append")
+      .foreachBatch { (b: Dataset[CandPair], _: Long) =>
+        verifyPairs(b.toDF(), embStatic, 0.4).collect().foreach(r =>
+          verified.add((r.getLong(0), r.getLong(1), r.getDouble(2))))
+        ()
+      }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    verifyPairs(spark.table(name), embStatic, 0.4)
+    import scala.jdk.CollectionConverters._
+    verified.asScala.toSeq.toDF("va", "vb", "sim")
   }
 
   /** Exact-cosine verification of (deduped) candidates against the

@@ -31,6 +31,33 @@ class StreamSimSpec extends SparkSuite {
       assert(fold(id) === cid, s"vec $id: fold=${fold(id)} batch=$cid")
   }
 
+  test("hier fold assignment == batch assignToHier at production C " +
+      "(same winner, same tie-breaks, no drops)") {
+    val cent = Similarity.kmeansCentroids(emb, 192, 2).materialize()
+    assert(cent.count() >= 128,
+      "fixture must keep enough cells to engage the hier path")
+    val v = emb.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val batch = Similarity.assignToHier(v, cent)
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fold = StreamSim.cellRowsHier(emb, cent)
+      .collect().map(r => r.vec_id -> r.cid).toMap
+    assert(fold.size === batch.size, "hier fold dropped or duplicated rows")
+    for ((id, cid) <- batch)
+      assert(fold(id) === cid, s"vec $id: fold=${fold(id)} batch=$cid")
+  }
+
+  test("cellRowsHier below flatBelow falls back to the exact flat fold — " +
+      "the C = 16 gate geometry is untouched") {
+    val cent = Similarity.kmeansCentroids(emb, 16, 2).materialize()
+    val flat = StreamSim.cellRows(emb, cent)
+      .collect().map(r => r.vec_id -> r.cid).toMap
+    val hier = StreamSim.cellRowsHier(emb, cent)
+      .collect().map(r => r.vec_id -> r.cid).toMap
+    assert(hier === flat)
+  }
+
   test("streamed cell candidates + verify == batch nearDupPairs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
