@@ -390,10 +390,11 @@ object DedupQueries extends QueryRegistry {
           min("doc_id").as("min_doc"))
     }))
 
-  private val bigramsSql =
-    """SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-1),
-      |   i -> t[i] || ' ' || t[i+1])) AS bg
-      |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)""".stripMargin
+  private def bigramsSqlFrom(src: String) =
+    s"""SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-1),
+       |   i -> t[i] || ' ' || t[i+1])) AS bg
+       |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $src)""".stripMargin
+  private val bigramsSql = bigramsSqlFrom("documents")
 
   // Mirror of TextDedup.minhashSignatures: one md5 per shingle (first 15
   // hex digits -> bigint mod P), k = 16 affine permutations over P = 2^31-1
@@ -410,8 +411,12 @@ object DedupQueries extends QueryRegistry {
   // Full LSH pair chain ending in CTE `p` (doc_a, doc_b, jaccard) —
   // shared by the pair query, the clustering closure, and the cross-modal
   // consensus oracle.
-  private val lshPairCtes =
-    s"""sh AS ($bigramsSql),
+  /** The full LSH pair chain over an arbitrary (doc_id, text) source CTE —
+    * `lake_diff_curate`'s oracle runs it over the derived v2 corpus; the
+    * plain `documents` instantiation below serves everything else.
+    */
+  private[operators] def lshPairCtesFrom(src: String) =
+    s"""sh AS (${bigramsSqlFrom(src)}),
        |$minhashSigSql,
        |bands AS (SELECT doc_id, b,
        |    md5(sig[4*b+1] || '|' || sig[4*b+2] || '|' || sig[4*b+3] || '|' || sig[4*b+4]) AS bkey
@@ -431,6 +436,8 @@ object DedupQueries extends QueryRegistry {
        |   JOIN sz sa ON sa.doc_id = doc_a
        |   JOIN sz sb ON sb.doc_id = doc_b
        |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5)""".stripMargin
+
+  private val lshPairCtes = lshPairCtesFrom("documents")
 
   // Shared per-token coverage chain for the repeated-span pair (mirrors
   // TextDedup.repeatedSpanCoverage): 8-gram md5-prefix keys, df >= 2 over

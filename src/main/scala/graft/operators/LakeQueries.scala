@@ -15,20 +15,47 @@ object LakeQueries extends QueryRegistry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** The deterministic v2 corpus both engines derive from the fixture:
+    * every 70th doc removed, every 40th survivor edited, every 50th
+    * re-published under a new id — shared by the diff ledger query and
+    * the diff-driven re-curation capstone.
+    */
+  private def derivedV2(v1: DataFrame): DataFrame =
+    v1.filter(col("doc_id") % 70 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 40 === 0, concat(col("text"), lit(" [v2]")))
+          .otherwise(col("text")).as("text"))
+      .union(v1.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // [EXT] snapshot diff: v2 is derived deterministically from the
-    // fixture (every 70th doc removed, every 40th survivor edited, every
-    // 50th re-published under a new id) so both engines diff the same
-    // two versions. Output = the added/removed/changed ledger only.
+    // fixture so both engines diff the same two versions. Output = the
+    // added/removed/changed ledger only.
     "lake_snapshot_diff" -> ((s, dir) => {
       val v1 = docs(s, dir).select("doc_id", "text")
-      val v2 = v1.filter(col("doc_id") % 70 =!= 0)
-        .select(col("doc_id"),
-          when(col("doc_id") % 40 === 0, concat(col("text"), lit(" [v2]")))
-            .otherwise(col("text")).as("text"))
-        .union(v1.filter(col("doc_id") % 50 === 0)
-          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
-      Lake.snapshotDiff(v1, v2, "doc_id", "text")
+      Lake.snapshotDiff(v1, derivedV2(v1), "doc_id", "text")
+    }),
+    // [EXT] the production re-curation loop, composed end-to-end and
+    // hash-gated: a new dataset version lands, snapshotDiff names the
+    // added/changed docs, and ONLY those re-enter near-dup pairing — the
+    // settled corpus is banded into the persisted LSH index once and
+    // never re-paired against itself. The oracle recomputes the full v2
+    // pair set from scratch and restricts it to pairs touching a dirty
+    // doc, so the hash match PROVES incremental ≡ full recompute on the
+    // changed set. At 100 TB this is the difference between re-curating
+    // a day's delta and re-shingling the lake.
+    "lake_diff_curate" -> ((s, dir) => {
+      val v1 = docs(s, dir).select("doc_id", "text")
+      val v2 = derivedV2(v1)
+      val dirty = Lake.snapshotDiff(v1, v2, "doc_id", "text")
+        .filter(col("change").isin("added", "changed"))
+        .select(col("doc_id"), lit(true).as("_new"))
+      // membership flag joined on BEFORE the operator: its isNew column
+      // splits settled/new without a driver-side id list
+      val tagged = v2.join(dirty, Seq("doc_id"), "left")
+      TextDedup.minhashLshPairsIncremental(tagged,
+        coalesce(col("_new"), lit(false)), "doc_id", "text")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -52,5 +79,24 @@ object LakeQueries extends QueryRegistry {
         |         ELSE 'unchanged' END AS change,
         |    old_hash, new_hash FROM j)
         |SELECT doc_id, change, old_hash, new_hash FROM c
-        |WHERE change <> 'unchanged'""".stripMargin)
+        |WHERE change <> 'unchanged'""".stripMargin,
+    // full recompute from scratch: the complete LSH pair chain over the
+    // derived v2 corpus, restricted to pairs touching a dirty (added or
+    // changed) doc — the identity the incremental composition must match
+    "lake_diff_curate" ->
+      s"""WITH v1 AS (SELECT doc_id, text FROM documents),
+         |v2 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 40 = 0 THEN text || ' [v2]' ELSE text END AS text
+         |  FROM v1 WHERE doc_id % 70 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 3000000 AS doc_id, text FROM v1 WHERE doc_id % 50 = 0),
+         |${DedupQueries.lshPairCtesFrom("v2")},
+         |dirty AS (
+         |  SELECT doc_id FROM v1 WHERE doc_id % 40 = 0 AND doc_id % 70 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 3000000 AS doc_id FROM v1 WHERE doc_id % 50 = 0)
+         |SELECT doc_a, doc_b, jaccard FROM p
+         |WHERE doc_a IN (SELECT doc_id FROM dirty)
+         |   OR doc_b IN (SELECT doc_id FROM dirty)""".stripMargin)
 }
