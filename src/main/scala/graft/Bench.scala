@@ -39,6 +39,34 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // per-stream-start notices ("AQE not supported in streaming",
+    // "temporary checkpoint location created") fire during every
+    // measured streaming query — known-constant harness noise that can
+    // land inside the driver's ~2000-char tail window above the JSON
+    // line. Scope exactly those loggers; real streaming warnings
+    // (state-store, watermark) keep their channels.
+    for (l <- Seq( // Spark 4 package: execution.streaming.runtime
+        "org.apache.spark.sql.execution.streaming.runtime.ResolveWriteToStream",
+        "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution",
+        // once-per-session "Truncated the string representation of a
+        // plan" notice — a debug aid, not a signal
+        "org.apache.spark.util.SparkStringUtils",
+        // "Failed to cancel job group … Cannot find active jobs" fires
+        // from ASYNC streaming-cleanup threads at arbitrary points after
+        // a streaming query finishes — a shutdown-scoped level cannot
+        // catch it. DAGScheduler's WARN channel carries nothing the
+        // bench acts on (query failures surface via the bench's own
+        // failed[] reporting); Verify/test runs keep it at WARN.
+        "org.apache.spark.scheduler.DAGScheduler",
+        // "No Partition Defined for Window" — the repo's two global
+        // windows are audited bounded-cardinality sites where a single
+        // partition is the design (trainSupers' C-row centroid re-key,
+        // Packing's bucket-level prefix sums); the generic warning is
+        // correct advice for data-sized windows, which the plan audit
+        // (PLANS.md) guards instead
+        "org.apache.spark.sql.execution.window.WindowExec"))
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        l, org.apache.logging.log4j.Level.ERROR)
     // Before ANY read: the fixture contract (Fixtures.eventTime) admits a
     // timestamp[ns] events.parquet, which errors without this conf — set
     // once here so the warm-up scans below can never silently skip a
@@ -218,13 +246,20 @@ object Bench {
     // Sidecars FIRST: the metrics survive even if stop() hangs or the
     // stdout pipe mangles the final line.
     writeSidecars(out)
-    // stop() races completed streaming job groups and logs two
-    // "WARN DAGScheduler: Failed to cancel job group" lines — harmless
-    // cleanup noise, but it is noise in the artifact tail. Drop the
-    // session to ERROR for the shutdown phase; the battery is over, so
-    // nothing of value can be suppressed.
-    try spark.sparkContext.setLogLevel("ERROR")
-    catch { case scala.util.control.NonFatal(_) => () }
+    // stop() races completed streaming job groups and logs
+    // "WARN DAGScheduler: Failed to cancel job group" — harmless
+    // cleanup noise, but it is noise in the artifact tail, and it fires
+    // from the streaming cleanup threads BEFORE a session-level
+    // setLogLevel at stop time can reliably land. Scope the specific
+    // logger to ERROR (the Materialize.release pattern) and drop the
+    // session level too; the battery is over, nothing of value can be
+    // suppressed.
+    try {
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.scheduler.DAGScheduler",
+        org.apache.logging.log4j.Level.ERROR)
+      spark.sparkContext.setLogLevel("ERROR")
+    } catch { case scala.util.control.NonFatal(_) => () }
     try {
       spark.stop()
       System.err.flush()

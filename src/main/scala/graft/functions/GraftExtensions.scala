@@ -74,16 +74,33 @@ object GraftExtensions {
 
   /** Imperative registration for an already-built session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    // Idempotent: register() is called defensively by every query that
+    // needs the SQL surface, and repeat registration logs a "replaced a
+    // previously registered function" WARN per function per call. The
+    // merge UDAF registers LAST below, so its presence proves a prior
+    // call completed the whole sequence.
+    val registry = spark.sessionState.functionRegistry
+    if (registry.lookupFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_merge"))
+        .isDefined) {
+      registerPlanRules(spark) // strategies are per-session state too
+      return
+    }
     for ((id, info, builder) <-
         Seq(dotFunction, hammingFunction, bloomAggFunction,
           mightContainFunction))
-      spark.sessionState.functionRegistry
-        .registerFunction(id, info, builder)
+      registry.registerFunction(id, info, builder)
     // §2.9 UDAF surface: the merge fold as a SQL aggregate
     spark.udf.register("graft_merge",
       org.apache.spark.sql.functions.udaf(graft.MergeActionAgg))
-    // rank-limit windows → bounded-heap top-k: the rule needs its
-    // planning strategy registered alongside it (idempotent adds)
+    registerPlanRules(spark)
+  }
+
+  /** rank-limit windows → bounded-heap top-k: the rule needs its
+    * planning strategy registered alongside it (idempotent adds).
+    */
+  private def registerPlanRules(
+      spark: org.apache.spark.sql.SparkSession): Unit = {
     import org.apache.spark.sql.graft.{TopKStrategy, WindowToTopK}
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =
