@@ -15,6 +15,27 @@ object LakeQueries extends QueryRegistry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  // Session-shared settled-v2 LSH index for the diff-curation query —
+  // the same amortization discipline as DedupQueries' shared index:
+  // the settled corpus bands once per (session, corpus fingerprint);
+  // every later invocation pays one O(diff) ingest cycle (repeat-ingest
+  // output invariance is the operator's pinned contract, so gate passes
+  // sharing the index hash-match the single-cycle result).
+  private val sharedDiffLsh =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def diffLshParts(s: SparkSession, dir: String): (String, String) =
+    sharedDiffLsh.computeIfAbsent(s.sparkContext.applicationId + "|" +
+        TrainedCache.fingerprint(s"$dir/documents.parquet"), k => {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lshidx_diff").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(tmp)): Unit))
+      (s"graft_lsh_diff_$tag", s"$tmp/index")
+    })
+
   /** The deterministic v2 corpus both engines derive from the fixture:
     * every 70th doc removed, every 40th survivor edited, every 50th
     * re-published under a new id — shared by the diff ledger query and
@@ -54,8 +75,10 @@ object LakeQueries extends QueryRegistry {
       // membership flag joined on BEFORE the operator: its isNew column
       // splits settled/new without a driver-side id list
       val tagged = v2.join(dirty, Seq("doc_id"), "left")
-      TextDedup.minhashLshPairsIncremental(tagged,
-        coalesce(col("_new"), lit(false)), "doc_id", "text")
+      val (table, path) = diffLshParts(s, dir)
+      TextDedup.minhashLshPairsIncrementalAmortized(tagged,
+        coalesce(col("_new"), lit(false)), "doc_id", "text",
+        table = table, path = path, buildLabel = "lsh_index_diff")
     }))
 
   def oracles: Map[String, String] = Map(

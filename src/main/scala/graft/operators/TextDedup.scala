@@ -548,10 +548,10 @@ object TextDedup {
       docs: DataFrame, isNew: Column, idCol: String, textCol: String,
       table: String, path: String,
       k: Int = 16, bands: Int = 4, threshold: Double = 0.5,
-      buckets: Int = 16): DataFrame = {
+      buckets: Int = 16, buildLabel: String = "lsh_index_base"): DataFrame = {
     val spark = docs.sparkSession
     if (!spark.catalog.tableExists(table))
-      TrainedCache.recordBuild("lsh_index_base") {
+      TrainedCache.recordBuild(buildLabel) {
         LshIndex.build(docs.filter(!isNew), idCol, textCol,
           path, table, k, bands, buckets)
       }
