@@ -382,7 +382,11 @@ object ScaleSmoke {
               .cosine(col("a.v"), col("b.v")).as("sim"))
           .filter(col("sim") >= thr)
           .select(col("va"), col("vb"), round(col("sim"), 6).as("sim")))
-        val flat = pairs(Similarity.nearDupPairs(e, c, thr))
+        // one flat-trained quantizer shared by the flat and multi-probe
+        // rows so the mp delta isolates the probe count, not training
+        val cent = Similarity.kmeansCentroids(e, c, 2)
+        val flat = pairs(Similarity.nearDupPairsWith(e, cent, thr))
+        val mp = pairs(Similarity.nearDupPairsMultiProbe(e, cent, thr))
         val scaled = pairs(Similarity.nearDupPairsScaled(e, c, thr,
           nRows = n))
         // STRONG pairs (≥ thr+0.05) are boundary-free candidates; DUP
@@ -403,6 +407,8 @@ object ScaleSmoke {
           f"scaledStrong=${rec(scaled.keySet, strong)}%.3f " +
           f"flatDup=${rec(flat.keySet, dup)}%.3f " +
           f"scaledDup=${rec(scaled.keySet, dup)}%.3f | " +
+          f"mp2Recall=${rec(mp.keySet, truth.keySet)}%.3f " +
+          f"mp2Strong=${rec(mp.keySet, strong)}%.3f | " +
           f"scaled∩flat/flat=${rec(scaled.keySet, flat.keySet)}%.3f")
         Materialize.release(spark)
       }

@@ -737,6 +737,32 @@ object Similarity {
     pairsFromAssignment(asn, threshold, salts)
   }
 
+  /** Multi-probe near-dup: each vector joins its top-`probes` cells
+    * (bounded-heap TopK over the broadcast centroid scores — no sort
+    * shuffle) instead of only its argmax cell, so pairs whose members
+    * fall JUST across a cell boundary are recovered. The round-11
+    * recall measurement motivated this knob: single-probe IVF recalls
+    * only 0.11–0.25 of brute-force threshold-0.4 pairs on the fixture
+    * (flat and scaled alike — the loss is the boundary, not the
+    * approximation). Candidate volume is ≤ probes × the single-probe
+    * mass; duplicate pairs (vectors sharing several probed cells)
+    * collapse through the final distinct. Superset property: any pair
+    * sharing an argmax cell also shares it in the top-`probes` sets, so
+    * the result always contains the single-probe pair set —
+    * spec-pinned.
+    */
+  def nearDupPairsMultiProbe(emb: DataFrame, cent: DataFrame,
+      threshold: Double, probes: Int = 2, salts: Int = 0): DataFrame = {
+    val v = vecs(emb)
+    val scored = v.join(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("cid"),
+        cosine(col("v"), col("cv")).as("csim"))
+    val asn = org.apache.spark.sql.graft.TopK.perKey(
+      scored, Seq("vec_id"), Seq(("csim", true), ("cid", false)), probes)
+      .select(col("vec_id"), col("v"), col("cid"))
+    pairsFromAssignment(asn, threshold, salts).distinct()
+  }
+
   /** Shared candidate/verify tail of the near-dup family: salted in-cell
     * self-join + exact-cosine threshold — one definition so the flat gate
     * path and the scaled throughput path cannot silently diverge.

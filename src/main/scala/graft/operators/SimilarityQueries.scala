@@ -328,6 +328,13 @@ object SimilarityQueries extends QueryRegistry {
     // X2/X3: embedding-cosine near-dup pairs within IVF cells
     "sim_neardup" -> ((s, dir) =>
       Similarity.nearDupPairsWith(emb(s, dir), sharedCentroids(s, dir), 0.4)),
+    // X3: the multi-probe recall knob under the gate — each vector
+    // probes its top-2 cells (same shared quantizer), recovering pairs
+    // split by a cell boundary; oracle reuses the ivf chain's ranked
+    // CTE at rk <= 2 with the identical tie-break
+    "sim_neardup_multiprobe" -> ((s, dir) =>
+      Similarity.nearDupPairsMultiProbe(
+        emb(s, dir), sharedCentroids(s, dir), 0.4)),
     // X3: the PRODUCTION C ∝ n tuning under the hash gate — autoCells
     // derives the cell count from the corpus (constant occupancy), the
     // oracle re-derives it from count(*), so the scaled geometry itself
@@ -1016,6 +1023,13 @@ object SimilarityQueries extends QueryRegistry {
         | round(avg(mean_err), 6) AS avg_mean_err
         |FROM m GROUP BY 1""".stripMargin,
     "sim_neardup" -> nearDupSql,
+    "sim_neardup_multiprobe" ->
+      s"""WITH $ivfCtes,
+         |asn2 AS (SELECT vec_id, v, cid FROM ranked WHERE rk <= 2)
+         |SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
+         |  round(${cos("a.v", "b.v")}, 6) AS sim
+         |FROM asn2 a JOIN asn2 b USING (cid)
+         |WHERE a.vec_id < b.vec_id AND ${cos("a.v", "b.v")} >= 0.4""".stripMargin,
     "sim_neardup_scaledc" -> nearDupSqlScaledC,
     // the streaming form must converge to the IDENTICAL batch answer —
     // one oracle text serves both gates
