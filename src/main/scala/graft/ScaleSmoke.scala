@@ -389,6 +389,8 @@ object ScaleSmoke {
         val mp = pairs(Similarity.nearDupPairsMultiProbe(e, cent, thr))
         val scaled = pairs(Similarity.nearDupPairsScaled(e, c, thr,
           nRows = n))
+        val scaledMp = pairs(Similarity.nearDupPairsScaledMultiProbe(
+          e, c, thr, nRows = n))
         // STRONG pairs (≥ thr+0.05) are boundary-free candidates; DUP
         // pairs (≥ 0.7) are the true near-duplicates the operator exists
         // to find; the band [thr, thr+0.05) is boundary churn
@@ -408,7 +410,8 @@ object ScaleSmoke {
           f"flatDup=${rec(flat.keySet, dup)}%.3f " +
           f"scaledDup=${rec(scaled.keySet, dup)}%.3f | " +
           f"mp2Recall=${rec(mp.keySet, truth.keySet)}%.3f " +
-          f"mp2Strong=${rec(mp.keySet, strong)}%.3f | " +
+          f"mp2Strong=${rec(mp.keySet, strong)}%.3f " +
+          f"scaledMp2Recall=${rec(scaledMp.keySet, truth.keySet)}%.3f | " +
           f"scaled∩flat/flat=${rec(scaled.keySet, flat.keySet)}%.3f")
         Materialize.release(spark)
       }

@@ -130,6 +130,51 @@ object Similarity {
       flatBelow: Int = 128, superProbe: Int = 2): DataFrame = {
     val centRows = cent.count() // driver action — cent is C rows, tiny
     if (centRows < flatBelow) return assignTo(v, cent)
+    // hop 2: argmin over the probed supers' member centroids — the
+    // groupBy dedups across probes.
+    hierProbedMembers(v, cent, centRows, superProbe)
+      .select(col("vec_id"), col("v"),
+        struct((-cosine(col("v"), col("cv"))).as("nsim"), col("cid")).as("sc"))
+      .groupBy("vec_id")
+      .agg(min("sc").as("best"), first("v").as("v"))
+      .select(col("vec_id"), col("v"), col("best.cid").as("cid"))
+  }
+
+  /** Multi-probe twin of [[assignToHier]]: top-`probes` cells per vector
+    * instead of the argmin — the hop-2 TopK runs over exactly the same
+    * probed-super member candidates, so the result always CONTAINS the
+    * single-probe assignment. Below `flatBelow` the flat multi-probe
+    * (TopK over all centroids) applies, mirroring
+    * [[nearDupPairsMultiProbe]]'s assignment.
+    */
+  private[graft] def assignToHierMulti(v: DataFrame, cent: DataFrame,
+      flatBelow: Int = 128, superProbe: Int = 2,
+      probes: Int = 2): DataFrame = {
+    val centRows = cent.count() // driver action — cent is C rows, tiny
+    val scoredMembers =
+      if (centRows < flatBelow)
+        v.join(broadcast(cent))
+          .select(col("vec_id"), col("v"), col("cid"),
+            cosine(col("v"), col("cv")).as("msim"))
+      else
+        hierProbedMembers(v, cent, centRows, superProbe)
+          .select(col("vec_id"), col("v"), col("cid"),
+            cosine(col("v"), col("cv")).as("msim"))
+    org.apache.spark.sql.graft.TopK.perKey(
+      scoredMembers, Seq("vec_id"), Seq(("msim", true), ("cid", false)),
+      probes)
+      .select(col("vec_id"), col("v"), col("cid"))
+  }
+
+  /** Hop 1 of the two-level assignment, shared by the argmin and
+    * multi-probe forms: score the √C super-cells, keep the top
+    * `superProbe` per vector through the bounded-heap TopK operator (no
+    * sort shuffle — one-probe measured only 74% cell agreement at small
+    * C; probing 2 super-cells covers the boundary cases), and join the
+    * probed supers' member centroids. Returns (vec_id, v, cid, cv, …).
+    */
+  private def hierProbedMembers(v: DataFrame, cent: DataFrame,
+      centRows: Long, superProbe: Int): DataFrame = {
     val nSuper = math.max(4, math.round(math.sqrt(centRows.toDouble)).toInt)
     val (superCent, centSuper) = trainSupers(cent, nSuper)
     val members = broadcast(cent.join(centSuper, "cid")) // (cid, cv, scid)
@@ -138,25 +183,15 @@ object Similarity {
     // the final means) — probing one would silently drop the vector at
     // the inner member join, so memberless supers are removed from the
     // probe set up front: every probed super then has ≥1 member and
-    // every vector survives to the argmin
+    // every vector survives to the argmin/TopK
     val liveSuper = superCent.join(
       centSuper.select("scid").distinct(), Seq("scid"), "left_semi")
-    // hop 1: score the √C super-cells and keep the top `superProbe` per
-    // vector through the bounded-heap TopK operator (no sort shuffle —
-    // one-probe measured only 74% cell agreement at small C; probing 2
-    // super-cells covers the boundary cases). hop 2: argmin over the
-    // probed supers' member centroids — the groupBy dedups across probes.
     val scored = v.join(broadcast(liveSuper))
       .select(col("vec_id"), col("v"), col("scid"),
         cosine(col("v"), col("scv")).as("ssim"))
     val topSupers = org.apache.spark.sql.graft.TopK.perKey(
       scored, Seq("vec_id"), Seq(("ssim", true), ("scid", false)), superProbe)
     topSupers.join(members, "scid")
-      .select(col("vec_id"), col("v"),
-        struct((-cosine(col("v"), col("cv"))).as("nsim"), col("cid")).as("sc"))
-      .groupBy("vec_id")
-      .agg(min("sc").as("best"), first("v").as("v"))
-      .select(col("vec_id"), col("v"), col("best.cid").as("cid"))
   }
 
   /** Train the ~√C super-quantizer over a CENTROID table and assign each
@@ -735,6 +770,25 @@ object Similarity {
     val cent = kmeansCentroids(trainSample(emb, c, perCell, nRows), c, 2)
     val asn = assignToHier(vecs(emb), cent, flatBelow).materialize()
     pairsFromAssignment(asn, threshold, salts)
+  }
+
+  /** [[nearDupPairsScaled]] with the multi-probe recall knob: the same
+    * sampled training and two-level assignment, but each vector lands in
+    * its top-`probes` cells (hop-2 TopK over the identical probed-member
+    * candidates) — so the pair set always CONTAINS the single-probe
+    * scaled result, recovering boundary-split pairs at ≤ probes× the
+    * candidate mass. The 100 TB configuration when recall matters:
+    * training stays O(C²), assignment O(n·√C), candidates O(probes · n ·
+    * occupancy).
+    */
+  def nearDupPairsScaledMultiProbe(
+      emb: DataFrame, c: Int, threshold: Double, probes: Int = 2,
+      salts: Int = 0, perCell: Int = 64, flatBelow: Int = 128,
+      nRows: Long = -1L): DataFrame = {
+    val cent = kmeansCentroids(trainSample(emb, c, perCell, nRows), c, 2)
+    val asn = assignToHierMulti(vecs(emb), cent, flatBelow,
+      probes = probes).materialize()
+    pairsFromAssignment(asn, threshold, salts).distinct()
   }
 
   /** Multi-probe near-dup: each vector joins its top-`probes` cells

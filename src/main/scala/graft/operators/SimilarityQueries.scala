@@ -355,6 +355,23 @@ object SimilarityQueries extends QueryRegistry {
       }
       Similarity.nearDupPairsWith(e, cent, 0.4)
     }),
+    // X3: multi-probe × scaled-C — the 100 TB recall configuration's
+    // geometry under the gate. At gate scale the sampled-training and
+    // hier-assignment halves are inert (sample target ≥ n, C < flatBelow
+    // → exact flat multi-probe), which is exactly what makes the
+    // composition oracle-expressible: the scaled-C chain at rk <= 2.
+    // The production-scale halves are spec-pinned (containment + recall
+    // lift) and smoke-measured instead.
+    "sim_neardup_scaledc_mp" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val c = Similarity.autoCells(e, 24)
+      val cent = TrainedCache.memoDf(s,
+        corpusKey(s, dir) + s"|cent|c=$c|i=2|occ=24",
+        name = "kmeans_centroids_scaledc") {
+        Similarity.kmeansCentroids(e, c, 2)
+      }
+      Similarity.nearDupPairsMultiProbe(e, cent, 0.4)
+    }),
     // §2.8/X3: the STREAMING form of the same operator — embeddings
     // stream through the keyed cell-state index (graft.streaming.StreamSim)
     // and the verified pair set must hash-match the identical batch
@@ -907,8 +924,21 @@ object SimilarityQueries extends QueryRegistry {
     * 2000/24 → 83), so the oracle checks the scaled geometry, not the
     * fixed one.
     */
-  private val nearDupSqlScaledC = nearDupSqlFor(ivfCtesWith(
-    "greatest(16, (SELECT count(*) FROM embeddings) // 24)"))
+  private val scaledCSql =
+    "greatest(16, (SELECT count(*) FROM embeddings) // 24)"
+  private val nearDupSqlScaledC = nearDupSqlFor(ivfCtesWith(scaledCSql))
+
+  /** Multi-probe pair tail: top-2 cells per vector (the ivf chain's
+    * `ranked` CTE at rk <= 2, identical tie-break to the TopK), pairs
+    * deduped by DISTINCT across shared cells.
+    */
+  private def nearDupMpSqlFor(ctes: String) =
+    s"""WITH $ctes,
+       |asn2 AS (SELECT vec_id, v, cid FROM ranked WHERE rk <= 2)
+       |SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
+       |  round(${cos("a.v", "b.v")}, 6) AS sim
+       |FROM asn2 a JOIN asn2 b USING (cid)
+       |WHERE a.vec_id < b.vec_id AND ${cos("a.v", "b.v")} >= 0.4""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "sim_ivfpq" -> ivfPqSql,
@@ -1023,14 +1053,9 @@ object SimilarityQueries extends QueryRegistry {
         | round(avg(mean_err), 6) AS avg_mean_err
         |FROM m GROUP BY 1""".stripMargin,
     "sim_neardup" -> nearDupSql,
-    "sim_neardup_multiprobe" ->
-      s"""WITH $ivfCtes,
-         |asn2 AS (SELECT vec_id, v, cid FROM ranked WHERE rk <= 2)
-         |SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
-         |  round(${cos("a.v", "b.v")}, 6) AS sim
-         |FROM asn2 a JOIN asn2 b USING (cid)
-         |WHERE a.vec_id < b.vec_id AND ${cos("a.v", "b.v")} >= 0.4""".stripMargin,
+    "sim_neardup_multiprobe" -> nearDupMpSqlFor(ivfCtes),
     "sim_neardup_scaledc" -> nearDupSqlScaledC,
+    "sim_neardup_scaledc_mp" -> nearDupMpSqlFor(ivfCtesWith(scaledCSql)),
     // the streaming form must converge to the IDENTICAL batch answer —
     // one oracle text serves both gates
     "sim_stream_neardup" -> nearDupSql,

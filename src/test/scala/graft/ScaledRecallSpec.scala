@@ -91,5 +91,23 @@ class ScaledRecallSpec extends SparkSuite {
     info(f"recall vs truth: flat=$rFlat%.3f multiprobe=$rMp%.3f " +
       s"(truth=${truth.size}, flat=${flat.size}, mp=${mp.size})")
     assert(rMp > rFlat)
+
+    // and composed with the SCALED path (sampled train + hier assign):
+    // same containment and lift, since the hop-2 TopK runs over exactly
+    // the argmin's candidate set
+    val n = emb.count()
+    def spairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("va", "vb").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val scaled = spairs(
+      Similarity.nearDupPairsScaled(emb, c, 0.4, perCell = 16, nRows = n))
+    val scaledMp = spairs(Similarity.nearDupPairsScaledMultiProbe(
+      emb, c, 0.4, perCell = 16, nRows = n))
+    assert(scaled.subsetOf(scaledMp),
+      s"scaled multi-probe lost ${(scaled -- scaledMp).size} pairs")
+    val rScaled = (scaled & truth).size.toDouble / truth.size
+    val rScaledMp = (scaledMp & truth).size.toDouble / truth.size
+    info(f"scaled recall vs truth: single=$rScaled%.3f multi=$rScaledMp%.3f")
+    assert(rScaledMp > rScaled)
   }
 }
