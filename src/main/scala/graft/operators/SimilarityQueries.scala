@@ -380,6 +380,13 @@ object SimilarityQueries extends QueryRegistry {
     "sim_stream_neardup" -> ((s, dir) =>
       graft.streaming.StreamSim.nearDupStreamed(s, dir,
         Some(sharedCentroids(s, dir)))),
+    // X3: the streaming MULTI-PROBE form — each arrival lands in its
+    // top-2 cells' keyed state, recovering boundary-split pairs; must
+    // hash-match the batch multi-probe oracle (same recall knob, same
+    // pair set, via the streaming state machinery)
+    "sim_stream_neardup_mp" -> ((s, dir) =>
+      graft.streaming.StreamSim.nearDupStreamed(s, dir,
+        Some(sharedCentroids(s, dir)), probes = 2)),
     // X3: whole-corpus approximate kNN graph (top-3 within the IVF cell) —
     // the neighbor structure curation passes consume (see knnGraph)
     "sim_knn_graph" -> ((s, dir) =>
@@ -1059,6 +1066,9 @@ object SimilarityQueries extends QueryRegistry {
     // the streaming form must converge to the IDENTICAL batch answer —
     // one oracle text serves both gates
     "sim_stream_neardup" -> nearDupSql,
+    // streaming multi-probe converges to the batch multi-probe answer —
+    // one oracle text serves both gates
+    "sim_stream_neardup_mp" -> nearDupMpSqlFor(ivfCtes),
     "sim_hard_negatives" ->
       s"""WITH $ivfCtes,
          |l AS (SELECT vec_id, label FROM embeddings),

@@ -92,35 +92,9 @@ object StreamSim {
     import emb.sparkSession.implicits._
     val centRows = cent.count() // driver action — cent is C rows, tiny
     if (centRows < flatBelow) return cellRows(emb, cent)
-    val nSuper = math.max(4, math.round(math.sqrt(centRows.toDouble)).toInt)
-    val (superCent, centSuper) = Similarity.trainSupers(cent, nSuper)
-    // one nested broadcast row: supers scid-sorted, members cid-sorted
-    val packed = cent.join(centSuper, "cid")
-      .groupBy("scid")
-      .agg(array_sort(collect_list(struct(col("cid"), col("cv"))))
-        .as("members"))
-      .join(superCent, "scid")
-      .select(struct(col("scid"), col("scv"), col("members")).as("sentry"))
-      .agg(array_sort(collect_list(col("sentry"))).as("supers"))
+    val packed = packedSupers(cent, centRows)
     val negInf = lit(Double.NegativeInfinity)
-    // hop 1: running top-2 supers by cosine; the accumulator carries the
-    // element INDEX (supers are scid-sorted, so lower index = lower scid
-    // = the batch TopK's tie-break) rather than member arrays — copying
-    // members through √C fold steps would cost O(C·d) per row, the flat
-    // bill again
-    val zero2 = struct(lit(0).as("i"),
-      struct(negInf.as("sim"), lit(0).as("idx")).as("b1"),
-      struct(negInf.as("sim"), lit(0).as("idx")).as("b2"))
-    val top2 = aggregate(col("supers"), zero2, (acc, s) => {
-      val sm = Similarity.cosine(col("v"), s("scv"))
-      val cand = struct(sm.as("sim"), acc("i").as("idx"))
-      val next = (acc("i") + 1).as("i")
-      when(sm > acc("b1")("sim"),
-        struct(next, cand.as("b1"), acc("b1").as("b2")))
-        .otherwise(when(sm > acc("b2")("sim"),
-          struct(next, acc("b1").as("b1"), cand.as("b2")))
-          .otherwise(struct(next, acc("b1").as("b1"), acc("b2").as("b2"))))
-    })
+    val top2 = superTop2(col("supers"))
     // hop 2 references BOTH probed supers — wrap the hop-1 result in a
     // one-element array and transform over it so the √C fold evaluates
     // once per row, not once per reference (the inline-HOF re-eval
@@ -144,6 +118,123 @@ object StreamSim {
       .crossJoin(broadcast(packed))
       .select(element_at(assigned, 1)("cid").as("cid"), col("vec_id"))
       .as[CellRow]
+  }
+
+  /** Multi-probe per-row assignment: each arrival lands in its TOP-2
+    * cells' keyed state instead of only the argmax cell — the streaming
+    * twin of [[Similarity.nearDupPairsMultiProbe]]'s assignment, and the
+    * same recall knob (boundary-split pairs are recovered because both
+    * members share at least one probed cell). One row in, up to two
+    * (cid, vec_id) rows out; a pair sharing BOTH cells is emitted twice
+    * by the cell states and collapses in the verify stage's distinct.
+    * Tie-breaks mirror the batch TopK ((csim desc, cid asc)): the packed
+    * centroids are cid-sorted and the fold keeps strictly-greater.
+    */
+  def cellRowsMulti(emb: DataFrame, cent: DataFrame): Dataset[CellRow] = {
+    import emb.sparkSession.implicits._
+    val packed = cent.agg(
+      array_sort(collect_list(struct(col("cid"), col("cv")))).as("cents"))
+    emb.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .crossJoin(broadcast(packed))
+      .select(col("vec_id"),
+        explode(top2Cids(col("cents"), m => m("cv"), m => m("cid")))
+          .as("cid"))
+      .select(col("cid"), col("vec_id")).as[CellRow]
+  }
+
+  /** Hierarchical multi-probe: [[cellRowsHier]]'s two-hop fold with the
+    * hop-2 argmin widened to a top-2 — the per-row O(√C) twin of
+    * [[Similarity.assignToHierMulti]]. Falls back to the flat
+    * [[cellRowsMulti]] below `flatBelow` (the gate geometry).
+    */
+  def cellRowsHierMulti(emb: DataFrame, cent: DataFrame,
+      flatBelow: Int = 128): Dataset[CellRow] = {
+    import emb.sparkSession.implicits._
+    val centRows = cent.count() // driver action — cent is C rows, tiny
+    if (centRows < flatBelow) return cellRowsMulti(emb, cent)
+    val packed = packedSupers(cent, centRows)
+    val top2 = superTop2(col("supers"))
+    // both probed supers' members, deduped (single-live-super edge) —
+    // evaluated through the one-element-array transform so the hop-1
+    // fold runs once per row (see cellRowsHier)
+    val cids = transform(array(top2), t =>
+      top2Cids(
+        concat(
+          element_at(col("supers"), t("b1")("idx") + 1)("members"),
+          element_at(col("supers"), t("b2")("idx") + 1)("members")),
+        m => m("cv"), m => m("cid")))
+    emb.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .crossJoin(broadcast(packed))
+      .select(col("vec_id"), explode(element_at(cids, 1)).as("cid"))
+      .select(col("cid"), col("vec_id")).as[CellRow]
+  }
+
+  /** Top-2 (id) fold over a packed (…, vec, id) array by cosine against
+    * the row's `v` — strictly-greater keeps the earlier (lower-id, since
+    * inputs are id-sorted) element on ties, matching the batch TopK's
+    * (sim desc, id asc). The 4-arg aggregate's finish lambda emits the
+    * deduped id array directly, so the fold is referenced exactly once.
+    */
+  private def top2Cids(arr: org.apache.spark.sql.Column,
+      vecOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      idOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val negInf = lit(Double.NegativeInfinity)
+    val zero2 = struct(
+      struct(negInf.as("sim"), lit(-1L).as("cid")).as("b1"),
+      struct(negInf.as("sim"), lit(-1L).as("cid")).as("b2"))
+    aggregate(arr, zero2, (acc, e) => {
+      val sm = Similarity.cosine(col("v"), vecOf(e))
+      val cand = struct(sm.as("sim"), idOf(e).cast("long").as("cid"))
+      when(sm > acc("b1")("sim"),
+        struct(cand.as("b1"), acc("b1").as("b2")))
+        .otherwise(when(sm > acc("b2")("sim"),
+          struct(acc("b1").as("b1"), cand.as("b2")))
+          .otherwise(acc))
+    }, acc => array_distinct(filter(
+      array(acc("b1")("cid"), acc("b2")("cid")), x => x >= 0L)))
+  }
+
+  /** The nested (scid, scv, members) broadcast row shared by the hier
+    * folds: supers scid-sorted, members cid-sorted, memberless supers
+    * excluded (see [[cellRowsHier]]).
+    */
+  private def packedSupers(cent: DataFrame, centRows: Long): DataFrame = {
+    val nSuper = math.max(4, math.round(math.sqrt(centRows.toDouble)).toInt)
+    val (superCent, centSuper) = Similarity.trainSupers(cent, nSuper)
+    cent.join(centSuper, "cid")
+      .groupBy("scid")
+      .agg(array_sort(collect_list(struct(col("cid"), col("cv"))))
+        .as("members"))
+      .join(superCent, "scid")
+      .select(struct(col("scid"), col("scv"), col("members")).as("sentry"))
+      .agg(array_sort(collect_list(col("sentry"))).as("supers"))
+  }
+
+  /** Hop-1 running top-2 supers by cosine; the accumulator carries the
+    * element INDEX (supers are scid-sorted, so lower index = lower scid
+    * = the batch TopK's tie-break) rather than member arrays — copying
+    * members through √C fold steps would cost O(C·d) per row, the flat
+    * bill again.
+    */
+  private def superTop2(supers: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val negInf = lit(Double.NegativeInfinity)
+    val zero2 = struct(lit(0).as("i"),
+      struct(negInf.as("sim"), lit(0).as("idx")).as("b1"),
+      struct(negInf.as("sim"), lit(0).as("idx")).as("b2"))
+    aggregate(supers, zero2, (acc, s) => {
+      val sm = Similarity.cosine(col("v"), s("scv"))
+      val cand = struct(sm.as("sim"), acc("i").as("idx"))
+      val next = (acc("i") + 1).as("i")
+      when(sm > acc("b1")("sim"),
+        struct(next, cand.as("b1"), acc("b1").as("b2")))
+        .otherwise(when(sm > acc("b2")("sim"),
+          struct(next, acc("b1").as("b1"), cand.as("b2")))
+          .otherwise(struct(next, acc("b1").as("b1"), acc("b2").as("b2"))))
+    })
   }
 
   /** Stateful candidate generation: keyed state per cell holds occupant
@@ -181,7 +272,7 @@ object StreamSim {
     */
   def nearDupStreamed(
       spark: org.apache.spark.sql.SparkSession, sfDir: String,
-      centOpt: Option[DataFrame] = None): DataFrame = {
+      centOpt: Option[DataFrame] = None, probes: Int = 1): DataFrame = {
     import spark.implicits._
     val path = s"$sfDir/embeddings.parquet"
     val embStatic = spark.read.parquet(path)
@@ -215,7 +306,10 @@ object StreamSim {
     // end-of-stream verify of the old shape.
     val verified =
       new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)]()
-    val q = candidates(cellRowsHier(src, cent))
+    val assigned =
+      if (probes >= 2) cellRowsHierMulti(src, cent)
+      else cellRowsHier(src, cent)
+    val q = candidates(assigned)
       .writeStream
       .outputMode("append")
       .foreachBatch { (b: Dataset[CandPair], _: Long) =>
@@ -227,7 +321,10 @@ object StreamSim {
       .start()
     q.awaitTermination()
     import scala.jdk.CollectionConverters._
-    verified.asScala.toSeq.toDF("va", "vb", "sim")
+    // multi-probe can verify a both-cells pair twice within a batch
+    // (collapsed by verifyPairs' candidate distinct) — the final
+    // distinct guards the cross-batch composition too
+    verified.asScala.toSeq.toDF("va", "vb", "sim").distinct()
   }
 
   /** Exact-cosine verification of (deduped) candidates against the

@@ -58,6 +58,27 @@ class StreamSimSpec extends SparkSuite {
     assert(hier === flat)
   }
 
+  test("multi-probe fold assignment == batch assignToHierMulti, flat " +
+      "(C=16) and hier (C=192) regimes") {
+    for (c <- Seq(16, 192)) {
+      val cent = Similarity.kmeansCentroids(emb, c, 2).materialize()
+      val v = emb.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val batch = Similarity.assignToHierMulti(v, cent)
+        .select("vec_id", "cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val fold = StreamSim.cellRowsHierMulti(emb, cent)
+        .collect().map(r => (r.vec_id, r.cid)).toSet
+      assert(fold === batch, s"C=$c: stream multi-probe diverged " +
+        s"(missing=${(batch -- fold).size}, extra=${(fold -- batch).size})")
+      // and it contains the single-probe assignment (the recall-knob
+      // superset property, streamed)
+      val single = StreamSim.cellRowsHier(emb, cent)
+        .collect().map(r => (r.vec_id, r.cid)).toSet
+      assert(single.subsetOf(fold))
+    }
+  }
+
   test("streamed cell candidates + verify == batch nearDupPairs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
