@@ -48,7 +48,12 @@ object ScaleSmoke {
     // corpus (see Variants) — the production configuration of the same
     // operators the fixed-C gate rows measure
     "sim_stream_neardup@scaledC", "sim_neardup@scaledC",
-    "sim_cent@scaledC", "sim_neardup@scaledC2")
+    "sim_cent@scaledC", "sim_neardup@scaledC2",
+    // composed hier×multi×stream geometry — the production recall knob
+    // on the production assignment path; the r11 table pinned hier
+    // single-probe at 100× and mp@scaledC at 10×, this row closes the
+    // composition at the same scales
+    "sim_stream_neardup@scaledCmp")
 
   /** Smoke-only variants: the gate queries pin the IVF cell count at
     * C = 16 because the ORACLE's pair-set semantics depend on it, which
@@ -77,6 +82,14 @@ object ScaleSmoke {
       graft.streaming.StreamSim.nearDupStreamed(s, dir,
         Some(graft.operators.Similarity.kmeansCentroids(
           graft.operators.Similarity.trainSample(e, c), c, 2)))
+    }),
+    "sim_stream_neardup@scaledCmp" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val c = graft.operators.Similarity.autoCells(e)
+      graft.streaming.StreamSim.nearDupStreamed(s, dir,
+        Some(graft.operators.Similarity.kmeansCentroids(
+          graft.operators.Similarity.trainSample(e, c), c, 2)),
+        probes = 2)
     }),
     "sim_neardup@scaledC" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
