@@ -277,11 +277,28 @@ object CdcStream {
     * stored rows re-enter the action state machine ahead of the batch's
     * fresh changes, so insert+delete annihilates and delete+insert
     * resurrects across micro-batches AND across the restart.
+    *
+    * Tombstone retention is AUTOMATIC (`autoSweep`, default on): after each
+    * micro-batch folds, [[sweepTombstones]] runs with the horizon derived
+    * from the batch itself — when `foreachBatch(N)` fires, every batch < N
+    * is durably committed (Structured Streaming constructs batch N only
+    * after N−1's commit-log write), so the only changes the source can
+    * still RE-deliver are batch N and later. Under the binlog's monotone
+    * seq contract (batches arrive in seq order — the CDC invariant the
+    * whole pipeline rides on), the smallest seq the current batch carries
+    * IS the checkpoint's committed-offset replay low-water, read without a
+    * second checkpoint parse. A tombstone created by batch N carries
+    * H ≥ that minimum, so it survives exactly until the NEXT batch's sweep
+    * proves its replay window closed — net state stays ≈ live rows under
+    * churn with no manual sweep (`SchemaEvolutionSpec` pins it). Disable
+    * for sources that violate seq-monotonicity across batches (out-of-order
+    * backfills) and sweep manually from the true source horizon.
     */
   def runEvolving(spark: SparkSession, srcDir: String,
       schema: StructType, stateDir: String, checkpointDir: String,
       nBuckets: Int = 64,
-      trigger: Trigger = Trigger.ProcessingTime(0L))
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      autoSweep: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.schema(schema).parquet(srcDir)
       .writeStream
@@ -289,7 +306,9 @@ object CdcStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        foldBatch(batch.toDF(), stateDir, nBuckets)
+        val replayLowWater = foldBatch(batch.toDF(), stateDir, nBuckets)
+        if (autoSweep)
+          replayLowWater.foreach(sweepTombstones(spark, stateDir, _))
       }
       .start()
 
@@ -319,10 +338,14 @@ object CdcStream {
     *
     * Cost per batch is O(touched-bucket rows + batch) — the stored side
     * is bucket-pruned then key-semi-joined, never a full state scan.
+    *
+    * Returns the batch's smallest seq (None for an empty batch) — the
+    * replay low-water [[runEvolving]]'s auto-sweep feeds to
+    * [[sweepTombstones]].
     */
   private[graft] def foldBatch(batchDf: DataFrame, stateDir: String,
-      nBuckets: Int): Unit = {
-    if (batchDf.isEmpty) return
+      nBuckets: Int): Option[Long] = {
+    if (batchDf.isEmpty) return None
     val spark = batchDf.sparkSession
     val keys = Seq("table", "rid")
     val statePath = new org.apache.hadoop.fs.Path(stateDir)
@@ -369,6 +392,7 @@ object CdcStream {
       .withColumn("cdc_action", lit(Types.None_))
     upsertBatch(graft.Evolve.additiveUnion(Seq(merged, tombs)),
       stateDir, nBuckets, keepTombstones = true)
+    Some(batch.agg(min(col("seq").cast("long"))).head.getLong(0))
   }
 
   /** Retention sweep for the `none` tombstones [[foldBatch]] persists.
@@ -423,6 +447,10 @@ object CdcStream {
       .collect().map(_.getInt(0)).toSet
     for (b <- touched.toSet -- outBuckets)
       fs.delete(new org.apache.hadoop.fs.Path(stateDir, s"bucket=$b"), true)
+    // staging is committed — drop it (a crash before this line leaves a
+    // stale .sweep dir that the next sweep's overwrite replaces, so the
+    // delete is cleanup, not correctness)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     dropped
   }
 
@@ -511,5 +539,8 @@ object CdcStream {
       .collect().map(_.getInt(0)).toSet
     for (b <- touched -- outBuckets)
       fs.delete(new org.apache.hadoop.fs.Path(stateDir, s"bucket=$b"), true)
+    // staging is committed — drop it (replay after a crash anywhere above
+    // re-stages with mode=overwrite, so this is cleanup, not correctness)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 }

@@ -307,6 +307,79 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkSuite {
       .deleteDirectory(new java.io.File(root))
   }
 
+  test("runEvolving auto-sweep: churn keeps state ≈ live rows with NO " +
+      "manual sweep, an in-horizon replay after an automatic sweep is " +
+      "still a no-op, and staging dirs are deleted after commit") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_asw").toString
+    val src = s"$root/src"; new java.io.File(src).mkdirs()
+    val state = s"$root/state"; val ckpt = s"$root/ckpt"
+    val schema = Seq(("t", "r", "insert", 1L, 1.0))
+      .toDF("table", "rid", "cdc_action", "seq", "value").schema
+    def drop(name: String,
+        rows: Seq[(String, String, String, Long, Double)]): Unit = {
+      val tmp = s"$root/stage_$name"
+      rows.toDF("table", "rid", "cdc_action", "seq", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+    def run(): Unit = {
+      val q = streaming.CdcStream.runEvolving(spark, src, schema,
+        state, ckpt, nBuckets = 8, trigger = Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    def tombs(): Map[String, Long] =
+      streaming.CdcStream.readState(spark, state)
+        .filter(col("cdc_action") === "none")
+        .select("rid", "seq").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def live(): Set[String] =
+      streaming.CdcStream.readState(spark, state)
+        .filter(col("cdc_action") =!= "none")
+        .select("rid").as[String].collect().toSet
+    try {
+      // batch 1: 20 inserts; batch 2: annihilate k1..k10 (seqs 21..30).
+      // Batch 2's own sweep runs at horizon = 21 (its min seq) — its fresh
+      // tombstones (H 21..30) are INSIDE the replay window and must stay.
+      drop("b1", (1 to 20).map(i => ("t", s"k$i", "insert", i.toLong, 1.0)))
+      run()
+      drop("b2", (1 to 10).map(i => ("t", s"k$i", "delete", 20L + i, 0.0)))
+      run()
+      assert(live() === (11 to 20).map(i => s"k$i").toSet)
+      assert(tombs() === (1 to 10).map(i => s"k$i" -> (20L + i)).toMap,
+        "auto-sweep dropped tombstones still inside the replay window")
+      // an in-horizon replay of the committed annihilating batch (crash
+      // between foreachBatch and the commit-log write) is a no-op: the
+      // kept tombstones' high-water guard drops every change
+      streaming.CdcStream.foldBatch(
+        (1 to 10).map(i => ("t", s"k$i", "delete", 20L + i, 0.0))
+          .toDF("table", "rid", "cdc_action", "seq", "value"), state, 8)
+      assert(live() === (11 to 20).map(i => s"k$i").toSet,
+        "in-horizon replay resurrected a row")
+      assert(tombs() === (1 to 10).map(i => s"k$i" -> (20L + i)).toMap)
+      // batch 3 (seqs 31+): its auto-sweep proves batch 2's replay window
+      // closed and drops all 10 tombstones — state returns to live rows
+      // with NO manual sweepTombstones call anywhere in this test
+      drop("b3", (21 to 25).map(i => ("t", s"k$i", "insert", 10L + i, 1.0)))
+      run()
+      assert(live() ===
+        ((11 to 20) ++ (21 to 25)).map(i => s"k$i").toSet)
+      assert(tombs() === Map.empty,
+        "auto-sweep did not reclaim dead tombstones under churn")
+      assert(streaming.CdcStream.readState(spark, state).count() === 15)
+      // staging dirs are cleanup'd after commit — nothing accumulates
+      assert(!new java.io.File(state + ".next").exists(),
+        ".next staging dir left behind")
+      assert(!new java.io.File(state + ".sweep").exists(),
+        ".sweep staging dir left behind")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+  }
+
   test("sweepTombstones: drops only tombstones below the replay horizon, " +
       "keeps the live replay guard working, leaves settled buckets " +
       "untouched, and returns state to live rows after churn") {
