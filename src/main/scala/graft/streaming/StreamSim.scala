@@ -269,25 +269,59 @@ object StreamSim {
     * itself under the correctness gate (the sim analog of
     * `cdc_stream_dedup`). The quantizer is trained batch-side first, as
     * the offline artifact it is in production.
+    *
+    * `workDir` is the run's working root on storage EVERY executor can
+    * reach (hdfs://, s3a://, a cluster-mounted path) — resolved through
+    * the Hadoop FS API, it holds the staged stream source (`<workDir>/
+    * stream`, deleted on completion) and the verified-pairs sink
+    * (`<workDir>/pairs`, truncated at start, left in place as the run's
+    * durable output; the returned DataFrame scans it lazily). On a real
+    * cluster this parameter is REQUIRED: with `workDir = None` both dirs
+    * fall back to driver-local temp paths that remote executors cannot
+    * see, so the fallback refuses to run on a non-local master. The
+    * fallback cleans up after itself — the result is materialized
+    * (executor storage, or the checkpoint dir in `reliable` mode) and
+    * both temp dirs are deleted before returning.
     */
   def nearDupStreamed(
       spark: org.apache.spark.sql.SparkSession, sfDir: String,
-      centOpt: Option[DataFrame] = None, probes: Int = 1): DataFrame = {
+      centOpt: Option[DataFrame] = None, probes: Int = 1,
+      workDir: Option[String] = None): DataFrame = {
+    import org.apache.hadoop.fs.Path
     import spark.implicits._
+    require(workDir.isDefined || spark.sparkContext.isLocal,
+      "nearDupStreamed: the default workDir stages the stream source and " +
+        "pairs sink on the DRIVER's local disk, which executors on a " +
+        "non-local master cannot reach — pass workDir on shared storage " +
+        "(hdfs://, s3a://, cluster mount)")
+    val localTmp = workDir.isEmpty
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(workDir.getOrElse(java.nio.file.Files
+      .createTempDirectory("graft_ss").toString))
+    val fs = root.getFileSystem(hconf)
     val path = s"$sfDir/embeddings.parquet"
     val embStatic = spark.read.parquet(path)
     val cent = centOpt.getOrElse(
       Similarity.kmeansCentroids(embStatic, 16, 2).materialize())
     // the file stream source requires a DIRECTORY; the fixture is a single
-    // parquet file — stage a link to it in a temp dir (a production lake
-    // is a directory already)
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_ss")
-    val target = java.nio.file.Paths.get(path)
-    val staged = streamDir.resolve("part-0.parquet")
-    try java.nio.file.Files.createSymbolicLink(staged, target)
-    catch { case _: Exception =>
-      java.nio.file.Files.copy(target, staged); ()
+    // parquet file — stage a copy of it under the work root (a production
+    // lake is a directory already and skips this). Local fallback links
+    // instead of copying when the filesystem allows.
+    val streamDir = new Path(root, "stream")
+    fs.mkdirs(streamDir)
+    val srcFile = new Path(path)
+    val staged = new Path(streamDir, "part-0.parquet")
+    def hadoopCopy(): Unit = {
+      org.apache.hadoop.fs.FileUtil.copy(
+        srcFile.getFileSystem(hconf), srcFile, fs, staged, false, hconf)
+      ()
     }
+    if (localTmp) {
+      try java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(staged.toUri.getPath),
+        java.nio.file.Paths.get(path))
+      catch { case _: Exception => hadoopCopy() }
+    } else hadoopCopy()
     val src = spark.readStream.schema(embStatic.schema)
       .parquet(streamDir.toString)
     // hier assignment kicks in only at production C (≥ flatBelow); the
@@ -302,17 +336,20 @@ object StreamSim {
     // driver-side, which broke spark.driver.maxResultSize; r11 verified
     // in-batch but still collect()ed the VERIFIED pairs into a driver
     // queue — O(true dups) is fine at fixture scale but at 100 TB the
-    // verified set is itself data-sized. Now each batch's verified pairs
-    // append to a per-run parquet dir executor-side (the sink a real
+    // verified set is itself data-sized. Each batch's verified pairs
+    // append to the run's pairs dir executor-side (the sink a real
     // pipeline has anyway) and the result is a scan of that dir: the
-    // driver holds file paths, never rows, at any corpus dirtiness.
-    // Candidates are emitted exactly once per pair
-    // (BucketState.pairArrivals), so per-batch verify ∪ = the
+    // driver holds file paths, never rows, at any corpus dirtiness —
+    // PROVIDED the dir is executor-reachable, which is what `workDir`
+    // makes true off local[*]. Candidates are emitted exactly once per
+    // pair (BucketState.pairArrivals), so per-batch verify ∪ = the
     // end-of-stream verify of the old shape.
-    val pairsDir = java.nio.file.Files
-      .createTempDirectory("graft_ss_pairs").toString
-    // seed the dir with the (empty) schema so the final scan works even
-    // when the stream verified nothing
+    val pairsDir = new Path(root, "pairs").toString
+    // seed the sink with the (empty) schema so the final scan works even
+    // when the stream verified nothing. mode=overwrite also TRUNCATES a
+    // pre-existing pairs dir (a reused workDir) — the seed and the
+    // overwrite must stay paired, or stale pairs from a prior run would
+    // pollute this one's result.
     spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
@@ -335,8 +372,21 @@ object StreamSim {
     // multi-probe can verify a both-cells pair twice within a batch
     // (collapsed by verifyPairs' candidate distinct) — the final
     // distinct guards the cross-batch composition too
-    spark.read.parquet(pairsDir)
+    val pairs = spark.read.parquet(pairsDir)
       .select(col("va"), col("vb"), col("sim")).distinct()
+    if (localTmp) {
+      // temp fallback: sever lineage from the dirs, then remove them —
+      // repeated invocations must not leak /tmp dirs holding the full
+      // verified pair set
+      val out = pairs.materializeForced()
+      fs.delete(root, true)
+      out
+    } else {
+      // the staged source copy is scratch; the pairs dir is the caller's
+      // durable output and the lazy scan's backing store — keep it
+      fs.delete(streamDir, true)
+      pairs
+    }
   }
 
   /** Exact-cosine verification of (deduped) candidates against the

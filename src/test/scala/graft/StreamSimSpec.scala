@@ -114,6 +114,39 @@ class StreamSimSpec extends SparkSuite {
     assert(verified.toSet === batchPairs)
   }
 
+  test("nearDupStreamed: temp fallback leaks no work dirs; explicit " +
+      "workDir keeps the pairs sink, drops the staging dir, and matches " +
+      "the default result") {
+    def tmpDirs(): Set[String] =
+      new java.io.File(sys.props("java.io.tmpdir")).listFiles()
+        .filter(_.getName.startsWith("graft_ss")).map(_.getName).toSet
+    val before = tmpDirs()
+    val viaTmp = StreamSim.nearDupStreamed(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the fallback materialized its result and removed BOTH temp dirs —
+    // and the returned frame stays collectable after their deletion
+    assert(tmpDirs() === before, "temp-dir fallback leaked work dirs")
+    assert(viaTmp.nonEmpty, "fixture must produce near-dup pairs")
+    val root = java.nio.file.Files.createTempDirectory("graft_wd").toString
+    try {
+      val viaWd = StreamSim.nearDupStreamed(spark, sf0001,
+          workDir = Some(s"$root/run1"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(viaWd === viaTmp,
+        "workDir run diverged from the temp-fallback run")
+      // the pairs dir is the run's durable output and stays; the staged
+      // stream source is scratch and goes
+      val pairs = new java.io.File(s"$root/run1/pairs")
+      assert(pairs.exists() &&
+        pairs.listFiles().exists(_.getName.endsWith(".parquet")),
+        "pairs sink missing under workDir")
+      assert(!new java.io.File(s"$root/run1/stream").exists(),
+        "staging dir left under workDir")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+  }
+
   test("cell cap bounds fan-out and counts drops into the accumulator") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
