@@ -319,7 +319,7 @@ object ScaleSmoke {
     // optional args: target-name substrings (local iteration aid, like
     // Bench's); no args = the full target set
     val all = Targets ++ DimsTargets ++
-      Seq("sim_recall@scaledC", "cdc_evolving@state")
+      Seq("sim_recall@scaledC", "sim_recall@probes", "cdc_evolving@state")
     val targets =
       if (args.isEmpty) all
       else all.filter(t => args.exists(t.contains))
@@ -426,6 +426,63 @@ object ScaleSmoke {
           f"mp2Strong=${rec(mp.keySet, strong)}%.3f " +
           f"scaledMp2Recall=${rec(scaledMp.keySet, truth.keySet)}%.3f | " +
           f"scaled∩flat/flat=${rec(scaled.keySet, flat.keySet)}%.3f")
+        Materialize.release(spark)
+      }
+    }
+    // recall-vs-probes curve: the measurement behind the multi-probe
+    // knob's PRODUCTION DEFAULT. For probes ∈ {1, 2, 4, 8}, against the
+    // same brute-force truth as the row above: recall of the flat and the
+    // scaled (sampled-train + hier-assign) multi-probe paths, plus the
+    // CANDIDATE MASS each probe count buys (Σ over cells of n_c·(n_c−1)/2
+    // — the exact-verify bill, the quantity that must stay ~probes×
+    // linear for the knob to be affordable at 100 TB). Containment is
+    // asserted inline: pairs(p) ⊆ pairs(p') for p < p' — a violation
+    // prints loudly instead of silently skewing the curve.
+    val probeTargets = targets.filter(_ == "sim_recall@probes")
+    for (_ <- probeTargets.headOption) {
+      import graft.Materialize.Ops
+      import graft.operators.Similarity
+      val thr = 0.4
+      for ((dir, lbl) <- Seq((base, "sf0.1"), (sf1, s"${nReps}x"))) {
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        val n = e.count()
+        val c = Similarity.autoCellsFor(n)
+        val v = e.select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding").cast("array<double>").as("v")).materialize()
+        def keys(df: DataFrame): Set[(Long, Long)] =
+          df.select("va", "vb").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val truth = keys(v.as("a")
+          .join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+            Similarity.cosine(col("a.v"), col("b.v")).as("sim"))
+          .filter(col("sim") >= thr))
+        val cent = Similarity.kmeansCentroids(e, c, 2).materialize()
+        def rec(s: Set[(Long, Long)]): Double =
+          if (truth.isEmpty) 1.0 else (s & truth).size.toDouble / truth.size
+        var prevFlat = Set.empty[(Long, Long)]
+        var prevScaled = Set.empty[(Long, Long)]
+        var mass1 = 0L
+        for (p <- Seq(1, 2, 4, 8)) {
+          val asn = Similarity.assignMultiProbe(v, cent, p).materialize()
+          val mass = asn.groupBy("cid").agg(count(lit(1)).as("m"))
+            .agg(sum(col("m") * (col("m") - 1)).cast("long")).head
+            .getLong(0) / 2
+          if (p == 1) mass1 = mass
+          val mp = keys(Similarity.nearDupPairsMultiProbe(
+            e, cent, thr, probes = p))
+          val sMp = keys(Similarity.nearDupPairsScaledMultiProbe(
+            e, c, thr, probes = p, nRows = n))
+          val contained = prevFlat.subsetOf(mp) && prevScaled.subsetOf(sMp)
+          prevFlat = mp; prevScaled = sMp
+          System.err.println(f"[scale] sim_recall@probes $lbl%5s C=$c " +
+            f"p=$p truth=${truth.size} mpRecall=${rec(mp)}%.3f " +
+            f"scaledMpRecall=${rec(sMp)}%.3f mass=$mass%10d " +
+            f"massX=${mass.toDouble / math.max(mass1, 1L)}%5.2f " +
+            (if (contained) "contained" else "CONTAINMENT VIOLATED"))
+        }
+        // NOT inside the p loop: release() unpersists every checkpointed
+        // block, and v/cent are reused across probe counts
         Materialize.release(spark)
       }
     }

@@ -96,6 +96,16 @@ object LshIndex {
     * runs above the index join, never below it). The next [[build]]
     * (the explicit occasional compaction) clears the tombstones.
     *
+    * The side-table is an APPEND-ONLY delta log: a remove appends
+    * (doc_id, +1) rows; [[compact]]'s retire step appends (doc_id, −k)
+    * rows for the victims it applied; a doc is live-tombstoned iff its
+    * net sum is positive. No operation ever rewrites the log, so a
+    * remove() racing ANY phase of a compaction — snapshot, index
+    * rewrite, swap, or the retire append itself — cannot be lost: its
+    * +1 row commutes with every −k row (the r12 verdict's residual
+    * overwrite-under-reader race, closed structurally). The log's size
+    * is O(remove volume + compactions), reset by [[build]].
+    *
     * Contrast [[VecIndex.remove]]: codes there are PARTITIONED by cell,
     * so physical touched-partitions-only deletes are cheap; here the
     * bucketed-by-key layout makes deletion vectors the right trade.
@@ -106,23 +116,34 @@ object LshIndex {
   def remove(spark: SparkSession, table: String, ids: DataFrame): Unit = {
     meta(spark, table) // fail fast on a table build() never produced
     ids.toDF("doc_id").distinct()
+      .withColumn("delta", lit(1L))
       .write.mode("append").saveAsTable(tombstoneTable(table))
   }
 
-  /** Candidate pairs minus any pair touching a tombstoned doc. Runs on
-    * the candidate-restricted set (post index-join), so the bucketed
-    * probe shape and its no-exchange index side are unchanged.
+  /** Net-live tombstoned docs: per-doc delta sum over the append-only
+    * log, positive = still tombstoned. (doc_id, net) — O(log) aggregate,
+    * and the log is remove-volume-sized, never corpus-sized.
+    */
+  private[graft] def liveTombstones(
+      spark: SparkSession, table: String): Option[DataFrame] = {
+    val tt = tombstoneTable(table)
+    if (!spark.catalog.tableExists(tt)) None
+    else Some(spark.table(tt).groupBy("doc_id")
+      .agg(sum("delta").as("net")).filter(col("net") > 0))
+  }
+
+  /** Candidate pairs minus any pair touching a net-live tombstoned doc.
+    * Runs on the candidate-restricted set (post index-join), so the
+    * bucketed probe shape and its no-exchange index side are unchanged.
     */
   private def dropTombstoned(
-      spark: SparkSession, table: String, cand: DataFrame): DataFrame = {
-    val tt = tombstoneTable(table)
-    if (!spark.catalog.tableExists(tt)) cand
-    else {
-      val tomb = spark.table(tt)
-      cand.join(tomb, cand("doc_a") === tomb("doc_id"), "left_anti")
-        .join(tomb, cand("doc_b") === tomb("doc_id"), "left_anti")
+      spark: SparkSession, table: String, cand: DataFrame): DataFrame =
+    liveTombstones(spark, table) match {
+      case None => cand
+      case Some(tomb) =>
+        cand.join(tomb, cand("doc_a") === tomb("doc_id"), "left_anti")
+          .join(tomb, cand("doc_b") === tomb("doc_id"), "left_anti")
     }
-  }
 
   /** The index's recorded (k, bands, buckets) — the single source of truth
     * for every post-build operation.
@@ -155,6 +176,13 @@ object LshIndex {
     * production never touches it.
     */
   private[graft] var afterTombSnapshotHook: () => Unit = () => ()
+
+  /** Second injection seam: invoked right before [[compact]]'s retire
+    * step appends the applied (−k) markers — a remove() landing HERE is
+    * concurrent with the retire itself, the window the pre-r13 rewrite
+    * design could not survive without a single-writer slot.
+    */
+  private[graft] var beforeTombRetireHook: () => Unit = () => ()
 
   def compact(spark: SparkSession, table: String): Unit = {
     val tmpTable = s"${table}_compacting"
@@ -192,17 +220,18 @@ object LshIndex {
       spark.sessionState.sqlParser.parseTableIdentifier(table))
     val oldPath = cat.location.toString.stripSuffix("/")
     val tt = tombstoneTable(table)
-    // SNAPSHOT the victims this compaction applies (materializeForced: the
-    // ids must be concrete before the tombstone table can change under
-    // us). A remove() landing after this point still executes against the
-    // live tombstone table, and the finish step below retires ONLY the
-    // snapshot — so late removes survive the swap instead of being
-    // silently discarded by a wholesale DROP (the r10 advice hole: a doc
-    // removed mid-compaction would have resurrected in probe results).
+    // SNAPSHOT the net-live victims this compaction applies, WITH their
+    // net counts (materializeForced: the (id, net) pairs must be concrete
+    // before the log can grow under us). A remove() landing after this
+    // point appends to the live log, and the finish step below retires
+    // ONLY the snapshot's nets — so late removes survive the swap instead
+    // of being silently discarded by a wholesale DROP (the r10 advice
+    // hole: a doc removed mid-compaction would have resurrected in probe
+    // results).
     val tombSnap =
-      if (!spark.catalog.tableExists(tt)) None
-      else Some(spark.table(tt).select(col("doc_id").as("_victim"))
-        .distinct().materializeForced())
+      liveTombstones(spark, table).map(_
+        .select(col("doc_id").as("_victim"), col("net").as("_net"))
+        .materializeForced())
     afterTombSnapshotHook()
     val live = tombSnap match {
       case None => spark.table(table)
@@ -222,21 +251,21 @@ object LshIndex {
       s"('$KProp' = '$k', '$BandsProp' = '$bands')")
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"ALTER TABLE $tmpTable RENAME TO $table")
-    // Retire only the APPLIED victims: anything appended to the tombstone
-    // table since the snapshot is preserved (it was not anti-joined out of
-    // the new generation, so its guard is still needed). The survivors are
-    // concrete (materializeForced) before the table is overwritten under
-    // the plan that read it. A crash anywhere in this step leaves applied
-    // tombstones in place — conservative: their anti-join matches nothing
-    // and the next compact retires them. The residual race is the rewrite
-    // itself (ms, vs the index rewrite's minutes); a remove() truly
-    // concurrent with THAT still needs the single-writer maintenance slot.
+    // Retire only the APPLIED victims, by APPENDING their negated
+    // snapshot nets to the delta log — never a rewrite, never a DROP, so
+    // there is NO window in which a concurrent remove() can be lost: its
+    // +1 row commutes with these −k rows (a doc removed again mid-retire
+    // nets back to +1 and stays live). A crash before the append leaves
+    // the applied victims net-positive — conservative: their anti-join
+    // matches nothing in the new generation, and the next compact
+    // re-applies (no-op) and retires them. The log is physically reset
+    // only by [[build]], whose full-rebuild semantics are single-writer
+    // by contract anyway.
+    beforeTombRetireHook()
     tombSnap.foreach { applied =>
-      val remaining = spark.table(tt)
-        .join(applied, col("doc_id") === col("_victim"), "left_anti")
-        .materializeForced()
-      if (remaining.isEmpty) spark.sql(s"DROP TABLE IF EXISTS $tt")
-      else remaining.write.mode("overwrite").saveAsTable(tt)
+      applied
+        .select(col("_victim").as("doc_id"), (-col("_net")).as("delta"))
+        .write.mode("append").saveAsTable(tt)
     }
     val op = new org.apache.hadoop.fs.Path(oldPath)
     op.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(op, true)

@@ -806,15 +806,24 @@ object Similarity {
     * spec-pinned.
     */
   def nearDupPairsMultiProbe(emb: DataFrame, cent: DataFrame,
-      threshold: Double, probes: Int = 2, salts: Int = 0): DataFrame = {
-    val v = vecs(emb)
+      threshold: Double, probes: Int = 2, salts: Int = 0): DataFrame =
+    pairsFromAssignment(
+      assignMultiProbe(vecs(emb), cent, probes), threshold, salts).distinct()
+
+  /** The flat multi-probe assignment (top-`probes` cells per vector via
+    * the bounded-heap TopK — no sort shuffle), exposed so the recall
+    * smoke can weigh CANDIDATE MASS (Σ over cells of n_c·(n_c−1)/2, the
+    * verify bill the probe count buys) from the same assignment the pair
+    * path uses.
+    */
+  private[graft] def assignMultiProbe(
+      v: DataFrame, cent: DataFrame, probes: Int): DataFrame = {
     val scored = v.join(broadcast(cent))
       .select(col("vec_id"), col("v"), col("cid"),
         cosine(col("v"), col("cv")).as("csim"))
-    val asn = org.apache.spark.sql.graft.TopK.perKey(
+    org.apache.spark.sql.graft.TopK.perKey(
       scored, Seq("vec_id"), Seq(("csim", true), ("cid", false)), probes)
       .select(col("vec_id"), col("v"), col("cid"))
-    pairsFromAssignment(asn, threshold, salts).distinct()
   }
 
   /** Shared candidate/verify tail of the near-dup family: salted in-cell

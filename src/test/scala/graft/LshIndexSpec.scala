@@ -42,6 +42,12 @@ class LshIndexSpec extends SparkSuite {
   private def pairSet(df: DataFrame): Set[(Long, Long, Double)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
 
+  /** Net-live tombstoned ids — the delta log's observable state. */
+  private def liveIds(table: String): Set[Long] =
+    LshIndex.liveTombstones(spark, table)
+      .map(_.select("doc_id").collect().map(_.getLong(0)).toSet)
+      .getOrElse(Set.empty)
+
   private def parquetFiles(dir: Path): Map[String, String] = {
     val md = MessageDigest.getInstance("MD5")
     Files.walk(dir).iterator().asScala
@@ -255,12 +261,14 @@ class LshIndexSpec extends SparkSuite {
 
       LshIndex.compact(spark, table)
 
-      // tombstones spent; dead band rows physically gone (bands = 4 rows
-      // per tombstoned doc); probe results identical without the
-      // anti-join; k/bands/buckets metadata preserved so the lifecycle
-      // (ingest) continues on the compacted generation
-      assert(!spark.catalog.tableExists(LshIndex.tombstoneTable(table)),
-        "compact must drop the tombstone table")
+      // tombstones spent (net-zero in the append-only delta log — the log
+      // itself is never rewritten or dropped outside build()); dead band
+      // rows physically gone (bands = 4 rows per tombstoned doc); probe
+      // results identical without the anti-join; k/bands/buckets metadata
+      // preserved so the lifecycle (ingest) continues on the compacted
+      // generation
+      assert(liveIds(table).isEmpty,
+        "compact must retire the applied tombstones to net-zero")
       assert(spark.table(table).count() === rowsBefore - 4 * nVictims,
         "compact must drop exactly the tombstoned docs' band rows")
       val postCompact = pairSet(
@@ -326,12 +334,12 @@ class LshIndexSpec extends SparkSuite {
         () => LshIndex.remove(spark, table, late)
       try LshIndex.compact(spark, table)
       finally LshIndex.afterTombSnapshotHook = () => ()
-      // the late remove survived: tombstone table still there, holding
-      // EXACTLY the late ids (the applied ones were retired)
+      // the late remove survived: the delta log's net-live set is EXACTLY
+      // the late ids (the applied ones were retired to net-zero)
       val tt = LshIndex.tombstoneTable(table)
       assert(spark.catalog.tableExists(tt),
         "compact discarded a concurrent remove")
-      assert(spark.table(tt).collect().map(_.getLong(0)).toSet === lateIds)
+      assert(liveIds(table) === lateIds)
       // probes exclude the late victims' pairs
       val store = all.join(applied, Seq("doc_id"), "left_anti")
         .join(late, Seq("doc_id"), "left_anti")
@@ -343,12 +351,73 @@ class LshIndexSpec extends SparkSuite {
       // and the NEXT compact retires them physically
       val rowsBefore = spark.table(table).count()
       LshIndex.compact(spark, table)
-      assert(!spark.catalog.tableExists(tt))
+      assert(liveIds(table).isEmpty)
       assert(spark.table(table).count() === rowsBefore - 4 * lateIds.size)
       assert(pairSet(LshIndex.probe(spark, table, b1, store, "doc_id",
         "text")) === probed, "second compaction changed probe results")
     } finally {
       LshIndex.afterTombSnapshotHook = () => ()
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_compacting")
+      spark.sql(s"DROP TABLE IF EXISTS ${LshIndex.tombstoneTable(table)}")
+      org.apache.commons.io.FileUtils.deleteDirectory(idxDir.toFile)
+    }
+  }
+
+  test("compact: a remove() landing DURING the retire step survives " +
+    "without a single-writer slot — appends to the delta log commute " +
+    "with the retire's negated markers") {
+    val all = corpus()
+    val base = batchOf(all, 0)
+    val b1 = batchOf(all, 1)
+    val idxDir = Files.createTempDirectory("graft_lshidx_spec8")
+    val table = "lsh_retire_race_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      LshIndex.build(base, "doc_id", "text", s"$idxDir/index", table)
+      val applied = base.filter(col("doc_id") % 60 === 0)
+        .select("doc_id").localCheckpoint()
+      val appliedIds = applied.collect().map(_.getLong(0)).toSet
+      assert(appliedIds.nonEmpty)
+      LshIndex.remove(spark, table, applied)
+      // the race payload: fresh victims (the other originals) PLUS a
+      // RE-REMOVE of one doc the retire is retiring at that very moment —
+      // the pre-r13 rewrite design's unsurvivable interleaving (the
+      // rewrite would overwrite the re-remove's row)
+      val late = base.filter(col("doc_id") % 60 === 30)
+        .select("doc_id").localCheckpoint()
+      val lateIds = late.collect().map(_.getLong(0)).toSet
+      assert(lateIds.nonEmpty)
+      val reRemoved = appliedIds.min
+      import spark.implicits._
+      LshIndex.beforeTombRetireHook = () => {
+        LshIndex.remove(spark, table, late)
+        LshIndex.remove(spark, table, Seq(reRemoved).toDF("doc_id"))
+      }
+      try LshIndex.compact(spark, table)
+      finally LshIndex.beforeTombRetireHook = () => ()
+      // every mid-retire remove is net-live; every applied victim except
+      // the re-removed one nets to zero
+      assert(liveIds(table) === lateIds + reRemoved,
+        "the retire step lost a concurrent remove")
+      // probes exclude the late victims' pairs
+      val store = all.join(applied, Seq("doc_id"), "left_anti")
+        .join(late, Seq("doc_id"), "left_anti")
+      val probed = pairSet(
+        LshIndex.probe(spark, table, b1, store, "doc_id", "text"))
+      assert(probed.forall(p =>
+        !lateIds.contains(p._1) && !lateIds.contains(p._2)),
+        "a mid-retire remove resurrected its pairs")
+      // the next compact applies the late victims (and the re-removed
+      // doc's no-op — its band rows are already gone) and retires all
+      val rowsBefore = spark.table(table).count()
+      LshIndex.compact(spark, table)
+      assert(liveIds(table).isEmpty)
+      assert(spark.table(table).count() === rowsBefore - 4 * lateIds.size)
+      assert(pairSet(LshIndex.probe(spark, table, b1, store, "doc_id",
+        "text")) === probed, "follow-up compaction changed probe results")
+    } finally {
+      LshIndex.beforeTombRetireHook = () => ()
       spark.sql(s"DROP TABLE IF EXISTS $table")
       spark.sql(s"DROP TABLE IF EXISTS ${table}_compacting")
       spark.sql(s"DROP TABLE IF EXISTS ${LshIndex.tombstoneTable(table)}")
