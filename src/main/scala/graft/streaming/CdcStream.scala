@@ -345,7 +345,6 @@ object CdcStream {
     */
   private[graft] def foldBatch(batchDf: DataFrame, stateDir: String,
       nBuckets: Int): Option[Long] = {
-    if (batchDf.isEmpty) return None
     val spark = batchDf.sparkSession
     val keys = Seq("table", "rid")
     val statePath = new org.apache.hadoop.fs.Path(stateDir)
@@ -353,7 +352,10 @@ object CdcStream {
     val hasState = fs.exists(statePath) &&
       fs.listStatus(statePath).exists(st =>
         st.isDirectory && st.getPath.getName.startsWith("bucket="))
-    val batch = batchDf.materialize() // feeds bucket probe, hw join, union
+    val batch = batchDf.materialize() // feeds bucket probe, hw join, union,
+                                      // and the isEmpty probe below (one
+                                      // source pass, not two)
+    if (batch.isEmpty) return None
     val touchedKeys = batch.select("table", "rid").distinct()
     val storedOpt =
       if (!hasState) None
@@ -432,12 +434,16 @@ object CdcStream {
       .collect().map(_.getInt(0)).toSeq // bounded by nBuckets — tiny
     if (touched.isEmpty) return 0L
     val dropped = aged.count()
-    val kept = readState(spark, stateDir)
+    // concretize the survivors BEFORE the overwrite — the plan reads the
+    // same bucket files the dynamic overwrite replaces. forced local/
+    // reliable checkpointing severs that lineage without the staged
+    // parquet round-trip a .sweep dir would cost (one extra write+read
+    // of every touched bucket per sweep); a crash mid-overwrite replays
+    // convergently exactly as upsertBatch's does.
+    val staged = readState(spark, stateDir)
       .filter(col("bucket").isin(touched: _*))
       .filter(!isAged)
-    val tmp = stateDir + ".sweep"
-    kept.write.mode("overwrite").parquet(tmp)
-    val staged = spark.read.parquet(tmp)
+      .materializeForced()
     staged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket").parquet(stateDir)
@@ -447,17 +453,14 @@ object CdcStream {
       .collect().map(_.getInt(0)).toSet
     for (b <- touched.toSet -- outBuckets)
       fs.delete(new org.apache.hadoop.fs.Path(stateDir, s"bucket=$b"), true)
-    // staging is committed — drop it (a crash before this line leaves a
-    // stale .sweep dir that the next sweep's overwrite replaces, so the
-    // delete is cleanup, not correctness)
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     dropped
   }
 
-  /** Failure-injection seam for the replay spec: invoked between the `.next`
-    * staging write and the dynamic partition overwrite — the widest window
-    * in which a real crash leaves staged-but-uncommitted batch output. Tests
-    * swap in a throwing hook; production never touches it.
+  /** Failure-injection seam for the replay spec: invoked between the
+    * replacement's forced materialization and the dynamic partition
+    * overwrite — the widest window in which a real crash leaves computed-
+    * but-uncommitted batch output. Tests swap in a throwing hook;
+    * production never touches it.
     */
   private[graft] var afterStageHook: () => Unit = () => ()
 
@@ -524,12 +527,17 @@ object CdcStream {
             "left_anti")
           .unionByName(liveOf(updates), allowMissingColumns = true)
       } else liveOf(updates)
-    // stage touched-bucket contents, then dynamic-overwrite: only the
-    // partitions present in `next` are replaced, the rest untouched
-    val tmp = stateDir + ".next"
-    next.write.mode("overwrite").parquet(tmp)
+    // concretize the touched-bucket replacement, then dynamic-overwrite:
+    // only the partitions present in `next` are replaced, the rest
+    // untouched. The concretization (forced local/reliable checkpoint)
+    // severs `next`'s lineage from the very bucket files the overwrite
+    // replaces — the job a staged .next parquet dir used to do at the
+    // price of one extra write+read of every touched bucket per batch
+    // (the dominant per-micro-batch I/O constant). Crash-replay is
+    // unchanged: the state dir mutates only in the overwrite below, and
+    // a replay against pre- or partially-overwritten state converges.
+    val staged = next.materializeForced()
     afterStageHook()
-    val staged = spark.read.parquet(tmp)
     staged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket").parquet(stateDir)
@@ -539,8 +547,5 @@ object CdcStream {
       .collect().map(_.getInt(0)).toSet
     for (b <- touched -- outBuckets)
       fs.delete(new org.apache.hadoop.fs.Path(stateDir, s"bucket=$b"), true)
-    // staging is committed — drop it (replay after a crash anywhere above
-    // re-stages with mode=overwrite, so this is cleanup, not correctness)
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 }

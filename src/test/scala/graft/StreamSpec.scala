@@ -274,8 +274,9 @@ class StreamSpec extends SparkSuite {
     val preCrash = stateRows()
     assert(preCrash.keySet === Set("a", "b", "x"))
 
-    // crash the NEXT batch after the .next staging write but before the
-    // dynamic overwrite — the widest staged-but-uncommitted window
+    // crash the NEXT batch after the replacement is materialized but
+    // before the dynamic overwrite — the widest computed-but-uncommitted
+    // window
     CdcStream.afterStageHook =
       () => throw new RuntimeException("injected crash after staging")
     try {
