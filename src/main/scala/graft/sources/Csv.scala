@@ -117,4 +117,65 @@ object Csv {
     if (df.columns.contains("table")) df
     else df.withColumn("table", tableFromFileName(input_file_name()))
   }
+
+  /** Quarantine-to-recovery replay — the loop the reference leaves open.
+    * dump2csv.py:78-87 quarantines a drift-suspected group to `.tmp` and
+    * stops (the ALTER TABLE case is an explicit TODO, README.md:55-58);
+    * loadcsv.py:42-71 replays only clean CSVs. This operator closes the
+    * gap: the quarantined dump re-enters the pipeline through an
+    * OPERATOR-SUPPLIED column mapping — the one decision no tool can
+    * infer from the bytes (was the fork a rename, a retype, or two
+    * different tables?) — typed against the merge core's target schema.
+    *
+    * Contract, enforced loudly (silent column loss is exactly the
+    * failure quarantine exists to prevent):
+    *  - every quarantined column must be accounted for: renamed by
+    *    `mapping` (old-name → target-name), name-matched to `target`, or
+    *    listed in `dropped`;
+    *  - every `mapping` value must name a `target` column;
+    *  - a target column fed by BOTH a name-match and mapped old names
+    *    (the rename fork: v1 rows populate `value`, v2 rows `val2`)
+    *    coalesces across them — per row at most one side is non-null,
+    *    since the fingerprint fork that caused the quarantine means each
+    *    row carried exactly one schema version;
+    *  - target columns nothing feeds are typed NULLs (the additive
+    *    case); all values cast to the target types (CSV carries
+    *    strings).
+    *
+    * The result is a changelog frame ready for `Merge.compact` /
+    * `CdcStream.foldBatch` — `SchemaEvolutionSpec` pins quarantine →
+    * mapped replay → merged state ≡ a clean (never-drifted) run's.
+    * Scale shape: one CSV scan + a per-row projection; the accounting
+    * runs on column NAMES (catalog-bounded), never data.
+    */
+  def replayQuarantine(spark: SparkSession, quarantineDir: String,
+      target: org.apache.spark.sql.types.StructType,
+      mapping: Map[String, String] = Map.empty,
+      dropped: Set[String] = Set.empty): DataFrame = {
+    val raw = loadCsv(spark, quarantineDir)
+    val targetNames = target.fields.map(_.name).toSet
+    val badMap = mapping.collect {
+      case (s, t) if !targetNames.contains(t) => s"$s->$t"
+    }
+    require(badMap.isEmpty,
+      s"replayQuarantine: mapping targets ${badMap.mkString(", ")} are " +
+        "not columns of the target schema")
+    val unaccounted = raw.columns.filterNot(c =>
+      mapping.contains(c) || targetNames.contains(c) || dropped.contains(c))
+    require(unaccounted.isEmpty,
+      s"replayQuarantine: quarantined columns ${unaccounted.mkString(", ")}" +
+        " are neither mapped, target-named, nor explicitly dropped — " +
+        "resolve the drift, don't lose it")
+    val out = target.fields.toSeq.map { f =>
+      val sources =
+        (if (raw.columns.contains(f.name) && !dropped.contains(f.name) &&
+          !mapping.contains(f.name)) Seq(f.name) else Nil) ++
+          mapping.collect { case (s, t) if t == f.name => s }
+      val v =
+        if (sources.isEmpty) lit(null)
+        else coalesce(sources.map(col): _*)
+      v.cast(f.dataType).as(f.name)
+    }
+    raw.select(out: _*)
+  }
 }

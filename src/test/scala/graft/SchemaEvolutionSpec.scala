@@ -92,6 +92,65 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkSuite {
       .deleteDirectory(new java.io.File(root))
   }
 
+  test("quarantine-to-recovery replay: a fork-drifted table quarantines, " +
+      "replays through the supplied mapping, and merges to the clean " +
+      "run's state; unaccounted columns fail loudly") {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft_qr").toString
+    try {
+      // the CLEAN history: what the log would have been had the upstream
+      // ALTER never renamed the column
+      val clean = Seq(
+        ("t", "a", "insert", 1L, 10.0), ("t", "b", "insert", 2L, 20.0),
+        ("t", "a", "update", 3L, 11.0), ("t", "c", "insert", 4L, 30.0),
+        ("t", "b", "delete", 5L, 0.0))
+        .toDF("table", "rid", "cdc_action", "seq", "value")
+      val expected = Merge.compact(clean, Seq("table", "rid"))
+        .select("table", "rid", "cdc_action", "seq", "value")
+        .collect().map(_.toSeq).toSet
+      // the DRIFTED reality: seq > 3 rows carry the value under a renamed
+      // column (a FORK, not a chain — dumpCsvEvolved must quarantine)
+      val drifted = clean
+        .withColumn("val2", when(col("seq") > 3, col("value")))
+        .withColumn("value", when(col("seq") <= 3, col("value")))
+        .withColumn("dt", lit("20260814"))
+      val fpCol = when(col("seq") <= 3,
+        lit("cdc_action,seq,value")).otherwise(lit("cdc_action,seq,val2"))
+      sources.Csv.dumpCsvEvolved(drifted, fpCol, s"$root/dump", 1000L)
+      // the whole table went to quarantine, nothing dumped clean
+      assert(!new java.io.File(s"$root/dump/dt=20260814").exists())
+      assert(new java.io.File(s"$root/dump.tmp").exists())
+      // replay: the operator supplies the resolution (val2 was a rename of
+      // value) and the target types; dt is explicitly dropped
+      val target = StructType(Seq(
+        StructField("table", StringType), StructField("rid", StringType),
+        StructField("cdc_action", StringType),
+        StructField("seq", LongType), StructField("value", DoubleType)))
+      val replayed = sources.Csv.replayQuarantine(spark, s"$root/dump.tmp",
+        target, mapping = Map("val2" -> "value"), dropped = Set("dt"))
+      assert(replayed.schema === target)
+      val merged = Merge.compact(replayed, Seq("table", "rid"))
+        .select("table", "rid", "cdc_action", "seq", "value")
+        .collect().map(_.toSeq).toSet
+      assert(merged === expected,
+        "replayed quarantine did not merge to the clean run's state")
+      // accounting is loud: an unmapped, undropped quarantined column
+      // refuses to replay instead of silently vanishing
+      val e = intercept[IllegalArgumentException] {
+        sources.Csv.replayQuarantine(spark, s"$root/dump.tmp", target,
+          mapping = Map.empty, dropped = Set("dt"))
+      }
+      assert(e.getMessage.contains("val2"))
+      // and a mapping pointing outside the target schema fails too
+      val e2 = intercept[IllegalArgumentException] {
+        sources.Csv.replayQuarantine(spark, s"$root/dump.tmp", target,
+          mapping = Map("val2" -> "nope"), dropped = Set("dt"))
+      }
+      assert(e2.getMessage.contains("nope"))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+  }
+
   test("streaming sink: a widened batch upserts against narrow state, a " +
       "narrow replay upserts against widened state, untouched buckets " +
       "stay narrow on disk but read wide") {
