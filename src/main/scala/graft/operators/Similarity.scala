@@ -776,10 +776,14 @@ object Similarity {
     * sampled training and two-level assignment, but each vector lands in
     * its top-`probes` cells (hop-2 TopK over the identical probed-member
     * candidates) — so the pair set always CONTAINS the single-probe
-    * scaled result, recovering boundary-split pairs at ≤ probes× the
-    * candidate mass. The 100 TB configuration when recall matters:
-    * training stays O(C²), assignment O(n·√C), candidates O(probes · n ·
-    * occupancy).
+    * scaled result, recovering boundary-split pairs. Candidate mass
+    * (Σ n_c(n_c−1)/2, the verify bill) grows ~probes²: p probes raise
+    * every cell's occupancy ~p×, so mass ≈ p²·n·occupancy/2 — measured
+    * EXACTLY 4.0× / 16.0× / 64.2× at p = 2/4/8 on the r13 curve, still
+    * linear in n at C ∝ n. The 100 TB configuration when recall matters:
+    * training stays O(C²), assignment O(n·√C), candidates
+    * O(probes² · n · occupancy). See [[nearDupPairsMultiProbe]] for the
+    * measured recall curve and the production default.
     */
   def nearDupPairsScaledMultiProbe(
       emb: DataFrame, c: Int, threshold: Double, probes: Int = 2,
@@ -798,12 +802,25 @@ object Similarity {
     * recall measurement motivated this knob: single-probe IVF recalls
     * only 0.11–0.25 of brute-force threshold-0.4 pairs on the fixture
     * (flat and scaled alike — the loss is the boundary, not the
-    * approximation). Candidate volume is ≤ probes × the single-probe
-    * mass; duplicate pairs (vectors sharing several probed cells)
-    * collapse through the final distinct. Superset property: any pair
-    * sharing an argmax cell also shares it in the top-`probes` sets, so
-    * the result always contains the single-probe pair set —
-    * spec-pinned.
+    * approximation). Duplicate pairs (vectors sharing several probed
+    * cells) collapse through the final distinct. Superset property: any
+    * pair sharing an argmax cell also shares it in the top-`probes`
+    * sets, so p < p' pair sets nest — spec-pinned.
+    *
+    * The r13 measured curve (sf0.1 occupancy-312 geometry / 10×, vs
+    * brute-force threshold-0.4 truth; `sim_recall@probes` smoke):
+    * recall 0.25/0.11 at p=1 → 0.60/0.30 at p=2 → 0.95/0.67 at p=4 →
+    * 1.00/0.97 at p=8, at candidate mass EXACTLY p²× the single-probe
+    * mass (4.0× / 16.0× / 64.2×) — each probe multiplies every cell's
+    * occupancy, so the verify bill is quadratic in `probes` (not the
+    * naive "≤ probes×"), though still linear in n at C ∝ n.
+    * PRODUCTION DEFAULT: probes = 4 when recall matters (the knee of
+    * the curve — ~0.95 recall at production occupancy for 16× mass);
+    * probes = 2 (the code default, kept for the oracle-pinned gate
+    * geometry) when the boundary band is tolerable; probes = 8 only for
+    * recall-critical audits (64× mass buys the last few points).
+    * `ScaledRecallSpec` pins the containment chain and the p=4 recall
+    * floor.
     */
   def nearDupPairsMultiProbe(emb: DataFrame, cent: DataFrame,
       threshold: Double, probes: Int = 2, salts: Int = 0): DataFrame =

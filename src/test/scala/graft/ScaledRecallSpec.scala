@@ -110,4 +110,44 @@ class ScaledRecallSpec extends SparkSuite {
     info(f"scaled recall vs truth: single=$rScaled%.3f multi=$rScaledMp%.3f")
     assert(rScaledMp > rScaled)
   }
+
+  test("probes curve: pair sets nest monotonically across probes 1→2→4→8 " +
+      "and the production default (probes=4) meets its recall floor " +
+      "against brute-force truth") {
+    // autoCells geometry (C=16), the production occupancy tuning the r13
+    // curve measured at sf0.1/10× (recall 0.95/0.67 at p=4); this pins
+    // the same contract at fixture scale
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.01/embeddings.parquet").materialize()
+    val c = Similarity.autoCells(emb)
+    val cent = Similarity.kmeansCentroids(emb, c, 2).materialize()
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("va", "vb").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val v = emb.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val truth = pairs(v.as("a")
+      .join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        Similarity.cosine(col("a.v"), col("b.v")).as("sim"))
+      .filter(col("sim") >= 0.4))
+    assert(truth.nonEmpty)
+    val byProbes = Seq(1, 2, 4, 8).map(p =>
+      p -> pairs(Similarity.nearDupPairsMultiProbe(emb, cent, 0.4,
+        probes = p)))
+    for (Seq((pLo, lo), (pHi, hi)) <- byProbes.sliding(2))
+      assert(lo.subsetOf(hi),
+        s"probes=$pHi lost ${(lo -- hi).size} pairs probes=$pLo found")
+    val recalls = byProbes.map { case (p, s) =>
+      p -> (s & truth).size.toDouble / truth.size }.toMap
+    info(recalls.toSeq.sortBy(_._1)
+      .map { case (p, r) => f"p=$p: $r%.3f" }.mkString("recall ", ", ", ""))
+    // the curve must actually climb to the default...
+    assert(recalls(4) > recalls(1))
+    // ...and the default must clear its floor (measured 0.95/0.96 at
+    // sf0.1, 0.67 at 10×'s lower-occupancy C=64 geometry; fixture-scale
+    // occupancy sits between — 0.80 is the conservative contract)
+    assert(recalls(4) >= 0.80,
+      f"probes=4 recall ${recalls(4)}%.3f fell below the production floor")
+  }
 }
