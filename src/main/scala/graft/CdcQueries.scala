@@ -208,6 +208,46 @@ object CdcQueries extends QueryRegistry {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
       res
     }),
+    // K2 drift loop CLOSED (dump2csv.py:78-87 quarantines and stops; the
+    // reference TODOs the ALTER): a rename-forked changelog quarantines
+    // whole to .tmp, replays through Csv.replayQuarantine's supplied
+    // mapping (value2 was value), and the recovered rows compact to the
+    // same per-(table, action) aggregate as the never-drifted log — the
+    // oracle recomputes it straight from the parquet changelog, so the
+    // equality proves quarantine → mapped replay → merge loses nothing.
+    "csv_quarantine_replay" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_qrgate").toString
+      val ch = CdcBatch.changeLog(s, dir)
+        .crossJoin(broadcast(CdcBatch.changeLog(s, dir)
+          .agg((max("seq") / 2).cast("long").as("k"))))
+        .materialize() // one changelog scan feeds fp + both value branches
+      val drifted = ch
+        .withColumn("value2", when(col("seq") > col("k"), col("value")))
+        .withColumn("value", when(col("seq") <= col("k"), col("value")))
+        .withColumn("dt", lit("20260814"))
+      val fp = when(col("seq") <= col("k"), lit("base,value"))
+        .otherwise(lit("base,value2")) // a FORK — not an additive chain
+      sources.Csv.dumpCsvEvolved(drifted, fp, s"$tmp/dump", 1000000L)
+      val target = StructType(Seq(
+        StructField("table", StringType), StructField("rid", StringType),
+        StructField("cdc_action", StringType),
+        StructField("cdc_ts", LongType), StructField("seq", LongType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val replayed = sources.Csv.replayQuarantine(s, s"$tmp/dump.tmp",
+        target, mapping = Map("value2" -> "value"),
+        dropped = Set("dt", "k")) // dt is the dump partition, k the
+                                  // drift-synthesis scalar — both scaffolding
+      val res = Merge.compact(replayed, Seq("table", "rid"))
+        .groupBy("table", "cdc_action")
+        .agg(count(lit(1)).as("n"),
+          sum(col("seq")).as("sum_seq"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .materializeForced() // tmp is deleted next line
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      res
+    }),
     // time travel: the compacted snapshot AS OF the log's midpoint seq —
     // point-in-time recovery over the same merge machinery; the cutoff is
     // a scalar subquery (broadcast single-row cross join, no driver
@@ -407,7 +447,15 @@ object CdcQueries extends QueryRegistry {
     // the streaming evolving sink must converge to the IDENTICAL batch
     // answer — one oracle text serves both gates
     "cdc_state_sink_evolving" -> schemaEvolveSql,
-    "cdc_schema_evolve" -> schemaEvolveSql)
+    "cdc_schema_evolve" -> schemaEvolveSql,
+    // the oracle never sees the quarantine: it compacts the clean parquet
+    // changelog directly — matching it proves the CSV round-trip + mapped
+    // replay recovered every row and byte that matters to the merge
+    "csv_quarantine_replay" ->
+      s"""SELECT "table", cdc_action, count(*) AS n,
+         | CAST(sum(seq) AS BIGINT) AS sum_seq,
+         | round(sum(value), 2) AS sum_value
+         |FROM ($compactSql) GROUP BY 1, 2""".stripMargin)
 
   private lazy val schemaEvolveSql =
       s"""WITH ch AS ($changelogSql),

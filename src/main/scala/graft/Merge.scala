@@ -88,13 +88,21 @@ object Merge {
     * (after-image semantics, rcache.py:213 `return new`), and max(seq).
     * Annihilated keys (insert then delete) are ABSENT from the output —
     * matching the DEL/SREM tombstone removal (rcache.py:249-254).
+    *
+    * `keepNone = true` keeps the annihilated keys as `none` rows instead —
+    * carrying their high-water max(seq) and NULL payload (there is no
+    * after-image for a row that no longer exists). The evolving sink's
+    * foldBatch persists exactly these rows as its replay guard: emitting
+    * them from THIS aggregate saves the separate anti-join + high-water
+    * union + re-join the r12 shape paid per micro-batch.
     */
   def compact(
       changes: DataFrame,
       keyCols: Seq[String],
       seqCol: String = "seq",
       actionCol: String = "cdc_action",
-      payloadCols: Seq[String] = Nil): DataFrame = {
+      payloadCols: Seq[String] = Nil,
+      keepNone: Boolean = false): DataFrame = {
     val payload =
       if (payloadCols.nonEmpty) payloadCols
       else changes.columns.toSeq.diff(keyCols :+ seqCol :+ actionCol)
@@ -104,11 +112,16 @@ object Merge {
       folded.as(actionCol) +:
       max(col(seqCol)).as(seqCol) +:
       payload.map(c => max_by(col(c), col(seqCol)).as(c))
-    changes
+    val agg = changes
       .groupBy(keyCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
-      .filter(col(actionCol) =!= None_)
-      .select((keyCols :+ actionCol :+ seqCol).map(col) ++ payload.map(col): _*)
+    val out =
+      if (!keepNone) agg.filter(col(actionCol) =!= None_)
+      else agg.select((keyCols :+ actionCol :+ seqCol).map(col) ++
+        payload.map(c => when(col(actionCol) === None_, lit(null))
+          .otherwise(col(c)).as(c)): _*)
+    out.select(
+      (keyCols :+ actionCol :+ seqCol).map(col) ++ payload.map(col): _*)
   }
 }
 

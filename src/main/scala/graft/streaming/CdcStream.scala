@@ -352,23 +352,32 @@ object CdcStream {
     val hasState = fs.exists(statePath) &&
       fs.listStatus(statePath).exists(st =>
         st.isDirectory && st.getPath.getName.startsWith("bucket="))
-    val batch = batchDf.materialize() // feeds bucket probe, hw join, union,
-                                      // and the isEmpty probe below (one
-                                      // source pass, not two)
-    if (batch.isEmpty) return None
+    val batch = batchDf.materialize() // feeds the probe, hw join, union
+    // ONE probe job answers empty?, touched buckets, and the batch's min
+    // seq (the replay low-water the auto-sweep needs) — the r12 shape
+    // paid three driver round-trips for the same facts
+    val probe = batch
+      .groupBy(pmod(hash(col("table"), col("rid")), lit(nBuckets))
+        .as("bucket"))
+      .agg(min(col("seq").cast("long")).as("mn"))
+      .collect() // bounded by nBuckets — tiny
+    if (probe.isEmpty) return None
+    val minSeq = probe.map(_.getLong(1)).min
+    val touched = probe.map(_.getInt(0)).toSet
     val touchedKeys = batch.select("table", "rid").distinct()
-    val storedOpt =
+    // ONE read of the touched buckets' state serves the whole batch: the
+    // touched-key restriction below (fold seed + high-water guard) AND
+    // upsertBatch's carry-through of the buckets' other keys — the r12
+    // shape scanned the same buckets twice per micro-batch
+    val bucketRows =
       if (!hasState) None
-      else {
-        val touched = batch
-          .select(pmod(hash(col("table"), col("rid")), lit(nBuckets))
-            .as("bucket"))
-          .distinct().collect().map(_.getInt(0)).toSeq // bounded by nBuckets
-        Some(readState(spark, stateDir)
-          .filter(col("bucket").isin(touched: _*)).drop("bucket")
-          .join(touchedKeys, keys, "left_semi")
-          .materialize()) // feeds the hw guard, the fold seed, and maxSeq
-      }
+      else Some(readState(spark, stateDir)
+        .filter(col("bucket").isin(touched.toSeq: _*))
+        .materialize())
+    val storedOpt = bucketRows.map(_
+      .drop("bucket")
+      .join(touchedKeys, keys, "left_semi")
+      .materialize()) // feeds the hw guard and the fold seed
     val fresh = storedOpt match {
       case None => batch
       case Some(st) =>
@@ -376,26 +385,57 @@ object CdcStream {
         batch.join(hw, keys, "left")
           .filter(col("_hw").isNull || col("seq") > col("_hw")).drop("_hw")
     }
+    // keepNone: the SAME aggregate that folds the live rows emits each
+    // annihilated key as a `none` row carrying its high-water max(seq) —
+    // the tombstone the sink persists. (The r12 shape re-derived those
+    // rows per batch via a touched-keys anti-join + a stored∪batch
+    // high-water union + a re-join: three extra shuffles whose answer the
+    // fold already computed.) A key whose fresh changes ALL fall below
+    // the stored high-water contributes nothing here and its stored row
+    // — live or tombstone — survives upsertBatch's anti-join untouched,
+    // which is exactly the replayed-batch no-op.
     val merged = storedOpt match {
-      case None => graft.Merge.compact(fresh, keys)
+      case None => graft.Merge.compact(fresh, keys, keepNone = true)
       case Some(st) =>
         val seed = st.filter(col("cdc_action") =!= Types.None_)
-        graft.Merge.compact(graft.Evolve.additiveUnion(Seq(seed, fresh)), keys)
+        graft.Merge.compact(graft.Evolve.additiveUnion(Seq(seed, fresh)),
+          keys, keepNone = true)
     }
-    // high-water per touched key across stored row + batch — the seq the
-    // tombstone must carry so a replay of the annihilating batch is a no-op
-    val seqCols = (keys :+ "seq").map(col)
-    val maxSeq = storedOpt.map(_.select(seqCols: _*))
-      .foldLeft(batch.select(seqCols: _*))(_ unionByName _)
-      .groupBy(keys.map(col): _*).agg(max("seq").as("seq"))
-    val tombs = touchedKeys
-      .join(merged.select("table", "rid"), keys, "left_anti")
-      .join(maxSeq, keys)
-      .withColumn("cdc_action", lit(Types.None_))
-    upsertBatch(graft.Evolve.additiveUnion(Seq(merged, tombs)),
-      stateDir, nBuckets, keepTombstones = true)
-    Some(batch.agg(min(col("seq").cast("long"))).head.getLong(0))
+    upsertBatch(merged, stateDir, nBuckets, keepTombstones = true,
+      preDeduped = true,
+      precomputedOld = bucketRows.map(br => (br, touched)))
+    Some(minSeq)
   }
+
+  /** Which buckets of a state dir hold tombstones, and each bucket's
+    * minimum live tombstone seq — maintained by every state write in
+    * this JVM (upsertBatch and the sweep both learn it from the per-
+    * bucket aggregate they already collect) so the per-batch sweep probe
+    * can skip settled buckets WITHOUT scanning them. A state dir not in
+    * the map is unknown (cold start / restart): the first sweep seeds it
+    * with one full probe, after which the steady-state sweep of a
+    * tombstone-free stream is ZERO Spark jobs (the r13 @state smoke
+    * measured the uncached probe reading the whole tombstone column
+    * family per micro-batch — per-batch I/O linear in state, the exact
+    * class this sink exists to avoid). Soundness rides on the sink's
+    * existing single-writer contract: all writes to a state dir go
+    * through this object in this JVM between restarts; a restart merely
+    * drops back to the cold full probe.
+    */
+  private val tombMins =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Long]]()
+
+  /** Fold one write's per-bucket tombstone stats into the cache: buckets
+    * rewritten with ≥1 tombstone record their min seq, rewritten-clean
+    * (or deleted) buckets drop out. Only updates a SEEDED entry — before
+    * the cold probe there is no full-state knowledge to patch.
+    */
+  private def learnTombstones(stateDir: String, touched: Set[Int],
+      stats: Map[Int, (Long, Long)], seed: Boolean): Unit =
+    tombMins.compute(stateDir, (_, prev) =>
+      if (prev == null && !seed) null
+      else (Option(prev).getOrElse(Map.empty) -- touched) ++
+        stats.collect { case (b, (nt, mn)) if nt > 0 => b -> mn })
 
   /** Retention sweep for the `none` tombstones [[foldBatch]] persists.
     *
@@ -429,11 +469,40 @@ object CdcStream {
     if (!hasState) return 0L
     def isAged = col("cdc_action") === Types.None_ &&
       col("seq") < olderThanSeq
-    val aged = readState(spark, stateDir).filter(isAged)
-    val touched = aged.select("bucket").distinct()
-      .collect().map(_.getInt(0)).toSeq // bounded by nBuckets — tiny
-    if (touched.isEmpty) return 0L
-    val dropped = aged.count()
+    // probe scope from the cache: only buckets whose min live tombstone
+    // seq is inside the horizon can hold aged rows. Cache hit with no
+    // such bucket — the steady state of a stream between annihilation
+    // bursts — is ZERO Spark jobs; cache miss (cold start) probes the
+    // whole state once and seeds full knowledge.
+    val cached = Option(tombMins.get(stateDir))
+    val candidates = cached.map(_.filter(_._2 < olderThanSeq).keys.toSeq)
+    if (candidates.exists(_.isEmpty)) return 0L
+    val scope = candidates match {
+      case Some(bs) =>
+        readState(spark, stateDir).filter(col("bucket").isin(bs: _*))
+      case None => readState(spark, stateDir)
+    }
+    // one probe job over the scope: per bucket, live tombstone count,
+    // min seq, and the aged subset's size
+    val stats = scope.filter(col("cdc_action") === Types.None_)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("nt"), min("seq").as("mn"),
+        count(when(col("seq") < olderThanSeq, 1)).as("aged"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    candidates match {
+      case None => // cold probe covered everything — seed exact knowledge
+        tombMins.put(stateDir,
+          stats.map { case (b, (_, mn, _)) => b -> mn })
+      case Some(bs) =>
+        learnTombstones(stateDir, bs.toSet,
+          stats.map { case (b, (nt, mn, _)) => b -> ((nt, mn)) },
+          seed = false)
+    }
+    val agedBuckets = stats.collect { case (b, (_, _, a)) if a > 0 => b }.toSeq
+    if (agedBuckets.isEmpty) return 0L
+    val dropped = stats.valuesIterator.map(_._3).sum
     // concretize the survivors BEFORE the overwrite — the plan reads the
     // same bucket files the dynamic overwrite replaces. forced local/
     // reliable checkpointing severs that lineage without the staged
@@ -441,17 +510,24 @@ object CdcStream {
     // of every touched bucket per sweep); a crash mid-overwrite replays
     // convergently exactly as upsertBatch's does.
     val staged = readState(spark, stateDir)
-      .filter(col("bucket").isin(touched: _*))
+      .filter(col("bucket").isin(agedBuckets: _*))
       .filter(!isAged)
       .materializeForced()
     staged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket").parquet(stateDir)
     // a bucket holding ONLY aged tombstones has no surviving rows —
-    // dynamic overwrite can't rewrite it to empty, so drop its directory
-    val outBuckets = staged.select("bucket").distinct()
-      .collect().map(_.getInt(0)).toSet
-    for (b <- touched.toSet -- outBuckets)
+    // dynamic overwrite can't rewrite it to empty, so drop its directory.
+    // The same per-bucket aggregate that finds the surviving buckets
+    // refreshes the cache with their remaining tombstones.
+    val post = staged.groupBy("bucket")
+      .agg(count(when(col("cdc_action") === Types.None_, 1)).as("nt"),
+        coalesce(min(when(col("cdc_action") === Types.None_, col("seq"))),
+          lit(Long.MaxValue)).as("mn"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+    learnTombstones(stateDir, agedBuckets.toSet, post.toMap, seed = false)
+    val outBuckets = post.map(_._1).toSet
+    for (b <- agedBuckets.toSet -- outBuckets)
       fs.delete(new org.apache.hadoop.fs.Path(stateDir, s"bucket=$b"), true)
     dropped
   }
@@ -495,9 +571,17 @@ object CdcStream {
     * `Evolve.additiveUnion` is the batch-side gate for that class.
     */
   private[graft] def upsertBatch(batchDf: DataFrame, stateDir: String,
-      nBuckets: Int, keepTombstones: Boolean = false): Unit = {
+      nBuckets: Int, keepTombstones: Boolean = false,
+      preDeduped: Boolean = false,
+      precomputedOld: Option[(DataFrame, Set[Int])] = None): Unit = {
     val spark = batchDf.sparkSession
-    val updates = Merge.latestPerKey(batchDf, Seq("table", "rid"), "seq")
+    // preDeduped: foldBatch's compact already emits ≤ 1 row per key, so
+    // the latest-per-key window (a full sort shuffle per micro-batch)
+    // would re-derive what the aggregate guarantees
+    val deduped =
+      if (preDeduped) batchDf
+      else Merge.latestPerKey(batchDf, Seq("table", "rid"), "seq")
+    val updates = deduped
       .withColumn("bucket", pmod(hash(col("table"), col("rid")), lit(nBuckets)))
       .materialize() // one computation feeds scan filter + anti-join + union
     // typed path (default): a `none` tombstone only REMOVES the stored row
@@ -505,28 +589,42 @@ object CdcStream {
     // foldBatch keeps tombstone rows — the sink is its only state.
     def liveOf(df: DataFrame): DataFrame =
       if (keepTombstones) df else df.filter(col("cdc_action") =!= Types.None_)
-    val touched = updates.select("bucket").distinct()
-      .collect().map(_.getInt(0)).toSet // bounded by nBuckets — tiny
-    // "has state" = at least one bucket=* partition dir remains. A batch
-    // that annihilates every live key deletes all bucket dirs but leaves
-    // stateDir itself — reading that empty dir would fail schema
-    // inference, so treat it the same as a missing dir. Checked through
-    // the Hadoop FileSystem (same as the deletion path below), so
-    // hdfs://, s3a://, and local state dirs all behave identically.
     val statePath = new org.apache.hadoop.fs.Path(stateDir)
     val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasState = fs.exists(statePath) &&
-      fs.listStatus(statePath).exists(st =>
-        st.isDirectory && st.getPath.getName.startsWith("bucket="))
-    val next =
-      if (hasState) {
-        // partition-pruned: only the touched buckets are scanned
-        val old = readState(spark, stateDir)
-          .filter(col("bucket").isin(touched.toSeq: _*))
-        old.join(updates.select("table", "rid"), Seq("table", "rid"),
+    // precomputedOld: the caller already read the touched buckets' state
+    // (foldBatch reads it for its seed anyway) — reuse it instead of a
+    // second scan of the same buckets, and take the caller's touched set
+    // (a superset is fine: its extra buckets rewrite identically)
+    val (next, touched, freshDir) = precomputedOld match {
+      case Some((old, tb)) =>
+        (old.join(updates.select("table", "rid"), Seq("table", "rid"),
             "left_anti")
-          .unionByName(liveOf(updates), allowMissingColumns = true)
-      } else liveOf(updates)
+          .unionByName(liveOf(updates), allowMissingColumns = true), tb,
+          false)
+      case None =>
+        val tb = updates.select("bucket").distinct()
+          .collect().map(_.getInt(0)).toSet // bounded by nBuckets — tiny
+        // "has state" = at least one bucket=* partition dir remains. A
+        // batch that annihilates every live key deletes all bucket dirs
+        // but leaves stateDir itself — reading that empty dir would fail
+        // schema inference, so treat it the same as a missing dir.
+        // Checked through the Hadoop FileSystem (same as the deletion
+        // path below), so hdfs://, s3a://, and local state dirs all
+        // behave identically.
+        val hasState = fs.exists(statePath) &&
+          fs.listStatus(statePath).exists(st =>
+            st.isDirectory && st.getPath.getName.startsWith("bucket="))
+        val n =
+          if (hasState) {
+            // partition-pruned: only the touched buckets are scanned
+            val old = readState(spark, stateDir)
+              .filter(col("bucket").isin(tb.toSeq: _*))
+            old.join(updates.select("table", "rid"), Seq("table", "rid"),
+                "left_anti")
+              .unionByName(liveOf(updates), allowMissingColumns = true)
+          } else liveOf(updates)
+        (n, tb, !hasState)
+    }
     // concretize the touched-bucket replacement, then dynamic-overwrite:
     // only the partitions present in `next` are replaced, the rest
     // untouched. The concretization (forced local/reliable checkpoint)
@@ -542,9 +640,17 @@ object CdcStream {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket").parquet(stateDir)
     // a bucket whose keys ALL annihilated has no output rows — dynamic
-    // overwrite can't rewrite it to empty, so drop its directory
-    val outBuckets = staged.select("bucket").distinct()
-      .collect().map(_.getInt(0)).toSet
+    // overwrite can't rewrite it to empty, so drop its directory. The
+    // same per-bucket pass teaches the sweep cache which rewritten
+    // buckets now hold tombstones (a write into a FRESH dir is complete
+    // knowledge and seeds the cache outright).
+    val outStats = staged.groupBy("bucket")
+      .agg(count(when(col("cdc_action") === Types.None_, 1)).as("nt"),
+        coalesce(min(when(col("cdc_action") === Types.None_, col("seq"))),
+          lit(Long.MaxValue)).as("mn"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+    learnTombstones(stateDir, touched, outStats.toMap, seed = freshDir)
+    val outBuckets = outStats.map(_._1).toSet
     for (b <- touched -- outBuckets)
       fs.delete(new org.apache.hadoop.fs.Path(stateDir, s"bucket=$b"), true)
   }
