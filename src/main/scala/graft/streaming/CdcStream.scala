@@ -425,6 +425,14 @@ object CdcStream {
   private val tombMins =
     new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Long]]()
 
+  /** Test seam: forget the cached tombstone knowledge for a state dir —
+    * simulates a JVM restart so specs can pin the cold-probe reseed path.
+    */
+  private[graft] def forgetTombstoneCache(stateDir: String): Unit = {
+    tombMins.remove(stateDir)
+    ()
+  }
+
   /** Fold one write's per-bucket tombstone stats into the cache: buckets
     * rewritten with ≥1 tombstone record their min seq, rewritten-clean
     * (or deleted) buckets drop out. Only updates a SEEDED entry — before

@@ -439,6 +439,45 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkSuite {
       .deleteDirectory(new java.io.File(root))
   }
 
+  test("sweep tombstone cache survives a simulated JVM restart: the cold " +
+      "probe reseeds exact knowledge, drops nothing early, keeps nothing " +
+      "dead") {
+    val root = java.nio.file.Files.createTempDirectory("graft_tcache").toString
+    val state = s"$root/state"
+    def fold(rows: Seq[(String, String, String, Long, Double)]): Unit =
+      streaming.CdcStream.foldBatch(
+        rows.toDF("table", "rid", "cdc_action", "seq", "value"), state, 8)
+    def tombs(): Map[String, Long] =
+      streaming.CdcStream.readState(spark, state)
+        .filter(col("cdc_action") === "none")
+        .select("rid", "seq").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    try {
+      fold((1 to 12).map(i => ("t", s"k$i", "insert", i.toLong, 1.0)))
+      fold((1 to 6).map(i => ("t", s"k$i", "delete", 20L + i, 0.0)))
+      assert(tombs().size === 6)
+      // "restart": the writer JVM's cache is gone; the next sweep must
+      // fall back to the cold full probe and still behave exactly —
+      // in-horizon tombstones kept, aged ones dropped
+      streaming.CdcStream.forgetTombstoneCache(state)
+      assert(streaming.CdcStream.sweepTombstones(spark, state, 24L) === 3L)
+      assert(tombs() === (4 to 6).map(i => s"k$i" -> (20L + i)).toMap)
+      // the cold probe SEEDED exact knowledge: a horizon that ages
+      // nothing more is a zero-work no-op (cache hit), and advancing it
+      // through the cache still drops the remainder
+      assert(streaming.CdcStream.sweepTombstones(spark, state, 24L) === 0L)
+      assert(streaming.CdcStream.sweepTombstones(spark, state, 99L) === 3L)
+      assert(tombs() === Map.empty)
+      // and a fold AFTER the reseed keeps teaching the cache: new
+      // annihilations are swept without another cold probe
+      fold(Seq(("t", "k1", "insert", 50L, 1.0)))
+      fold(Seq(("t", "k1", "delete", 51L, 0.0)))
+      assert(streaming.CdcStream.sweepTombstones(spark, state, 60L) === 1L)
+      assert(tombs() === Map.empty)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+  }
+
   test("sweepTombstones: drops only tombstones below the replay horizon, " +
       "keeps the live replay guard working, leaves settled buckets " +
       "untouched, and returns state to live rows after churn") {
