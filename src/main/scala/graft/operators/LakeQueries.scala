@@ -79,6 +79,43 @@ object LakeQueries extends QueryRegistry {
       TextDedup.minhashLshPairsIncrementalAmortized(tagged,
         coalesce(col("_new"), lit(false)), "doc_id", "text",
         table = table, path = path, buildLabel = "lsh_index_diff")
+    }),
+    // [EXT] incremental compaction (the OPTIMIZE maintenance pass): the
+    // corpus is staged deliberately fragmented (per-file row cap forces
+    // many small files per lang dir), Lake.compact restores the layout
+    // in place via dynamic partition overwrite, and the output is an
+    // aggregate of what a consumer READS BACK from the compacted dirs —
+    // the hash match proves the rewrite moved bytes, not data. File-count
+    // and O(touched) assertions live in LakeCompactSpec (not
+    // SQL-expressible). The staging dir is gate-local scaffolding; the
+    // operator itself takes any Hadoop-FS path.
+    "lake_compact" -> ((s, dir) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_lake_compact").toString
+      try {
+        docs(s, dir)
+          .repartition(col("lang"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("maxRecordsPerFile", 40L)
+          .partitionBy("lang").parquet(work)
+        Lake.compact(s, work, Seq("lang"), Seq("doc_id"),
+          targetBytes = 32L * 1024 * 1024)
+        import graft.Materialize.Ops
+        // materializeForced: the temp staging dir is deleted below, so the
+        // returned plan must not retain lineage over it
+        s.read.parquet(work)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct("doc_id").as("n_ids"),
+            sum("n_chars").as("sum_chars"),
+            sum(length(col("text"))).as("sum_len"),
+            min("doc_id").as("min_id"),
+            max("doc_id").as("max_id"))
+          .materializeForced()
+      } finally {
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(work))
+      }
     }))
 
   def oracles: Map[String, String] = Map(
@@ -121,5 +158,12 @@ object LakeQueries extends QueryRegistry {
          |  SELECT doc_id + 3000000 AS doc_id FROM v1 WHERE doc_id % 50 = 0)
          |SELECT doc_a, doc_b, jaccard FROM p
          |WHERE doc_a IN (SELECT doc_id FROM dirty)
-         |   OR doc_b IN (SELECT doc_id FROM dirty)""".stripMargin)
+         |   OR doc_b IN (SELECT doc_id FROM dirty)""".stripMargin,
+    // compaction preserves data exactly: the read-back aggregate over the
+    // compacted dirs must equal the same aggregate over the source table
+    "lake_compact" ->
+      """SELECT lang, count(*) AS n_docs, count(DISTINCT doc_id) AS n_ids,
+        |  sum(n_chars) AS sum_chars, sum(length(text)) AS sum_len,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY lang""".stripMargin)
 }

@@ -96,6 +96,171 @@ object Lake {
         sum("n_bytes").as("n_bytes"))
   }
 
+  /** Incremental small-file compaction — the `OPTIMIZE` maintenance pass a
+    * 100 TB corpus needs between ingest cycles. Streaming sinks and
+    * per-batch appends fragment partition dirs into thousands of small
+    * files; every downstream scan then pays per-file open/footer cost and
+    * the scheduler drowns in splits. This operator restores the
+    * [[writeCurated]] layout contract WITHOUT rewriting the corpus:
+    *
+    *  - **decision is a metadata pass**: partition dirs are judged from the
+    *    Hadoop FS listing alone (file counts + byte sizes — no data read,
+    *    no footer open). A partition needs compaction when its file count
+    *    exceeds the ideal `ceil(bytes / targetBytes)` beyond `slackPct`
+    *    (+1 for range-boundary tasks, see below), or when any single file
+    *    is > 2× target (the unsplittable-hot-spot case — rewriting splits
+    *    it back into parallel-scannable units).
+    *  - **rewrite is O(touched bytes)**: only degenerate partitions are
+    *    read (partition-pruned scan) and re-landed via dynamic partition
+    *    overwrite — settled partitions' files are never opened, moved, or
+    *    rewritten (byte-identity is spec-pinned). Lineage is severed with
+    *    a forced materialization before the write because source and sink
+    *    are the same directory.
+    *  - **output layout is the one a scan wants**: touched rows are
+    *    range-partitioned on `partitionCols ++ sortCols` into
+    *    `ceil(touchedBytes / targetBytes)` tasks, so files land
+    *    ~target-sized AND range-disjoint on the sort key within each
+    *    partition — the zone-map quality `q26_zorder` measures comes back
+    *    for free, and a task never writes to more than the two partitions
+    *    its range boundary straddles (hence the +1 file slack in the
+    *    idempotence test: a re-run on a freshly compacted dir is a no-op).
+    *
+    * Returns a per-partition report (partition values as path-derived
+    * strings, `action` ∈ compacted|kept, file/byte counts before and
+    * after). Driver memory is O(#partition dirs) — the same bounded
+    * catalog-listing class as [[manifest]]'s join keys. Hive-style
+    * `%XX`-escaped partition values are decoded; `__HIVE_DEFAULT_PARTITION__`
+    * maps to null. Sizes compare compressed input bytes to a same-codec
+    * output, so the ideal-count estimate is stable across runs.
+    */
+  def compact(
+      spark: SparkSession,
+      dir: String,
+      partitionCols: Seq[String],
+      sortCols: Seq[String],
+      targetBytes: Long,
+      slackPct: Double = 0.25): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    require(partitionCols.nonEmpty || sortCols.nonEmpty,
+      "compact needs at least one partition or sort column")
+    import graft.Materialize.Ops
+
+    def stats(): Map[Seq[Option[String]], (Long, Long, Long)] = {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val rootUri = fs.makeQualified(root).toUri
+      val it = fs.listFiles(root, /* recursive = */ true)
+      val acc = scala.collection.mutable.Map
+        .empty[Seq[Option[String]], (Long, Long, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (st.isFile && name.endsWith(".parquet") && !name.startsWith(".") &&
+            !name.startsWith("_")) {
+          val rel = rootUri.relativize(fs.makeQualified(st.getPath).toUri)
+            .getPath
+          val dirsOnPath = rel.split('/').dropRight(1)
+          val vals = partitionCols.map { c =>
+            dirsOnPath.collectFirst {
+              case seg if seg.startsWith(c + "=") =>
+                unescapePartitionValue(seg.substring(c.length + 1))
+            }.getOrElse(throw new IllegalStateException(
+              s"compact: file $rel has no '$c=' dir — partitionCols do " +
+                "not match the layout"))
+          }
+          val (n, bytes, mx) = acc.getOrElse(vals, (0L, 0L, 0L))
+          acc(vals) = (n + 1, bytes + st.getLen, math.max(mx, st.getLen))
+        }
+      }
+      acc.toMap
+    }
+
+    val before = stats()
+    def ideal(bytes: Long): Long = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    def degenerate(s: (Long, Long, Long)): Boolean = {
+      val (nFiles, nBytes, maxB) = s
+      val allowed = ideal(nBytes) +
+        math.max(1L, math.ceil(ideal(nBytes) * slackPct).toLong)
+      nFiles > allowed || maxB > 2 * targetBytes
+    }
+    val touched = before.filter { case (_, s) => degenerate(s) }
+
+    if (touched.nonEmpty) {
+      // partition-pruned read of ONLY the degenerate partitions: the
+      // predicate references partition columns alone, so
+      // PruneFileSourcePartitions drops settled dirs before any task runs
+      val all = spark.read.parquet(dir)
+      val pred =
+        if (partitionCols.isEmpty) lit(true)
+        else touched.keys.map { vals =>
+          partitionCols.zip(vals).map { case (c, v) =>
+            v.map(col(c).cast("string") === lit(_)).getOrElse(col(c).isNull)
+          }.reduce(_ && _)
+        }.reduce(_ || _)
+      val touchedBytes = touched.valuesIterator.map(_._2).sum
+      val nTasks = math.max(1L, ideal(touchedBytes)).toInt
+      val keys = (partitionCols ++ sortCols).map(col)
+      val pinned = all.filter(pred).materializeForced()
+      val writer = pinned
+        .repartitionByRange(nTasks, keys: _*)
+        .sortWithinPartitions(keys: _*)
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+      (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+       else writer).parquet(dir)
+    }
+
+    val after = stats()
+    val schema = org.apache.spark.sql.types.StructType(
+      partitionCols.map(c =>
+        org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.StringType)) ++ Seq(
+        org.apache.spark.sql.types.StructField("action",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("files_before",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("bytes_before",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("files_after",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("bytes_after",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    val rows = before.toSeq.map { case (vals, (nF, nB, _)) =>
+      val (aF, aB, _) = after.getOrElse(vals, (0L, 0L, 0L))
+      val action = if (touched.contains(vals)) "compacted" else "kept"
+      org.apache.spark.sql.Row.fromSeq(
+        vals.map(_.orNull) ++ Seq(action, nF, nB, aF, aB))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Hive path-escaping inverse: `%XX` percent-decode only ('+' stays
+    * literal — URLDecoder's form-decoding rule would corrupt it), and the
+    * null-partition sentinel maps back to None.
+    */
+  private[graft] def unescapePartitionValue(s: String): Option[String] = {
+    if (s == "__HIVE_DEFAULT_PARTITION__") None
+    else if (!s.contains('%')) Some(s)
+    else {
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < s.length) {
+        val ch = s.charAt(i)
+        if (ch == '%' && i + 3 <= s.length) {
+          // a '%' at the tail with fewer than 2 hex chars left is literal
+          val hex = s.substring(i + 1, i + 3)
+          try {
+            out.write(Integer.parseInt(hex, 16)); i += 3
+          } catch {
+            case _: NumberFormatException => out.write(ch.toInt); i += 1
+          }
+        } else { out.write(ch.toInt); i += 1 }
+      }
+      Some(new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
   /** Snapshot diff between two corpus versions — the dataset-versioning
     * audit a training pipeline runs before switching its data dependency:
     * which documents were ADDED, REMOVED, or CHANGED between snapshot A
