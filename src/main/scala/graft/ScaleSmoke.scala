@@ -319,7 +319,8 @@ object ScaleSmoke {
     // optional args: target-name substrings (local iteration aid, like
     // Bench's); no args = the full target set
     val all = Targets ++ DimsTargets ++
-      Seq("sim_recall@scaledC", "sim_recall@probes", "cdc_evolving@state")
+      Seq("sim_recall@scaledC", "sim_recall@probes", "cdc_evolving@state",
+        "lake_compact@touched")
     val targets =
       if (args.isEmpty) all
       else all.filter(t => args.exists(t.contains))
@@ -556,9 +557,63 @@ object ScaleSmoke {
           .deleteDirectory(new java.io.File(root))
       }
     }
+    // Compaction scale row: the operator's two claims, measured — (1) the
+    // rewrite reads only degenerate partitions (input bytes ≈ the one
+    // fragmented dir, not the corpus), (2) the settled-corpus pass is a
+    // pure FS-metadata decision (zero Spark input bytes, no job beyond
+    // the report). "full" (every dir fragmented) is the O(corpus) bound
+    // the incremental pass avoids.
+    val compactTargets = targets.filter(_ == "lake_compact@touched")
+    for (_ <- compactTargets.headOption) {
+      import graft.sources.Lake
+      val bytesRead = new java.util.concurrent.atomic.AtomicLong()
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+          bytesRead.addAndGet(s.stageInfo.taskMetrics.inputMetrics.bytesRead)
+      })
+      for ((dir, lbl) <- Seq((base, "sf0.1"), (sf1, s"${nReps}x"))) {
+        val root =
+          java.nio.file.Files.createTempDirectory("graft_cptsm").toString
+        val out = s"$root/corpus"
+        val d = spark.read.parquet(s"$dir/documents.parquet")
+          .withColumn("pt", pmod(col("doc_id"), lit(32)))
+        def stage(fragmentAll: Boolean): Unit = {
+          val settled = if (fragmentAll) d.limit(0) else d.filter(col("pt") =!= 0)
+          settled.repartition(col("pt"))
+            .write.mode("overwrite").partitionBy("pt").parquet(out)
+          val frag = if (fragmentAll) d else d.filter(col("pt") === 0)
+          frag.repartition(col("pt"))
+            .write.mode("append").option("maxRecordsPerFile", 20L)
+            .partitionBy("pt").parquet(out)
+        }
+        def run(tag: String): Unit = {
+          Thread.sleep(300); bytesRead.set(0L)
+          val t0 = System.nanoTime()
+          val rep = Lake.compact(spark, out, Seq("pt"), Seq("doc_id"),
+            targetBytes = 64L * 1024 * 1024).collect()
+          val dt = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(500) // drain stage-completed events
+          val mb = bytesRead.get() / 1e6
+          val nC = rep.count(_.getAs[String]("action") == "compacted")
+          val fB = rep.map(_.getAs[Long]("files_before")).sum
+          val fA = rep.map(_.getAs[Long]("files_after")).sum
+          System.err.println(f"[scale] lake_compact@touched $lbl%5s " +
+            f"$tag%-8s ${dt}%6.2f s  read ${mb}%8.1f MB  " +
+            f"compacted $nC%2d/${rep.length}%2d dirs  files $fB%4d → $fA%4d")
+          Materialize.release(spark)
+        }
+        stage(fragmentAll = false)
+        run("touched") // one degenerate dir: reads ~corpus/32
+        run("noop")    // settled corpus: decision only, ~zero input bytes
+        stage(fragmentAll = true)
+        run("full")    // every dir degenerate: the O(corpus) upper bound
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(root))
+      }
+    }
     val rows = targets
       .filterNot(t => qualityTargets.contains(t) ||
-        evolvingTargets.contains(t))
+        evolvingTargets.contains(t) || compactTargets.contains(t))
       .map { q =>
       val dims = q.endsWith("@dims")
       val (dirA, dirB) = if (dims) (dims64Dir, dimsWDir) else (base, sf1)
