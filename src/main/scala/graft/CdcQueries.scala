@@ -113,6 +113,11 @@ object CdcQueries extends QueryRegistry {
     // machinery) — oracle = the lag/cumsum batch form at micros resolution
     "cdc_stream_sessions" -> ((s, dir) =>
       streaming.CdcStream.sessionStreamed(s, dir)),
+    // §2.8 ext: STREAM-STREAM interval join (watermark-bounded join
+    // state) — errors paired with same-user activity in the preceding 6 h;
+    // oracle = the equivalent batch interval self-join
+    "events_stream_join" -> ((s, dir) =>
+      streaming.CdcStream.intervalJoinStreamed(s, dir)),
     // K2+S8+F8: CSV sink → source roundtrip preserves the changelog
     "csv_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files
@@ -402,6 +407,13 @@ object CdcQueries extends QueryRegistry {
         |   WHERE c_custkey % 7 <> 0) c
         |  ON user_id = c_custkey
         |GROUP BY 1""".stripMargin,
+    "events_stream_join" ->
+      """SELECT e.event_id AS err_id, o.event_id AS ctx_id,
+        | o.event_type AS ctx_type
+        |FROM events e JOIN events o
+        | ON e.user_id = o.user_id
+        | AND e.event_type = 'error' AND o.event_type <> 'error'
+        | AND o.ts BETWEEN e.ts - INTERVAL 21600 SECOND AND e.ts""".stripMargin,
     "csv_roundtrip" -> roundtripOracle,
     "cdc_compact" -> compactSql,
     "cdc_tables" ->

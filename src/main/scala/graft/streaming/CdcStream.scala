@@ -224,6 +224,40 @@ object CdcStream {
         round(sum("value"), 2).as("sum_value"))
   }
 
+  /** §2.8 extension: STREAM-STREAM interval join run to completion — both
+    * sides of the join arrive as streams (two independent readers of the
+    * event log), matched on entity key within an event-time window: each
+    * `error` event pairs with the same user's non-error activity in the
+    * preceding 6 hours (the incident-context correlation every on-call
+    * pipeline runs). This is the join class [[enrichStreamed]] cannot
+    * express — the right side is not a static dimension but a stream
+    * buffered in watermark-bounded join state. Oracle = the equivalent
+    * batch interval self-join; the fixture stages as one file → one
+    * micro-batch, so no row is late relative to the initial watermark and
+    * the inner-join result is exactly the batch identity (cross-batch
+    * matching and late-drop semantics are pinned in `StreamJoinSpec`).
+    */
+  def intervalJoinStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "evt_ssj_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    def side(): DataFrame = rawEventStream(spark, sfDir)
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+    val errors = side().filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+        col("ets").as("err_ts"))
+    val ctx = side().filter(col("event_type") =!= "error")
+      .select(col("event_id").as("ctx_id"), col("user_id").as("ctx_user"),
+        col("event_type").as("ctx_type"), col("ets").as("ctx_ts"))
+    val q = StreamJoin.intervalJoin(errors, ctx,
+      leftKey = "err_user", rightKey = "ctx_user",
+      leftTs = "err_ts", rightTs = "ctx_ts",
+      lowerSec = 21600L, upperSec = 0L, watermarkDelay = "1 hour")
+      .select("err_id", "ctx_id", "ctx_type")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Keep streaming merge state in RocksDB instead of the default on-heap
     * HashMap provider. The merge state is one entry per live (table, rid)
     * key — at 100 TB key counts that exceeds executor heap; RocksDB spills

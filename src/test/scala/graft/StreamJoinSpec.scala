@@ -1,0 +1,119 @@
+package graft
+
+import graft.streaming.StreamJoin
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Stream-stream interval join contract: matches span micro-batch
+  * boundaries exactly as the batch interval join computes them, join
+  * state is bounded by the watermark (eviction really happens), and rows
+  * later than the watermark delay are dropped — the documented trade.
+  */
+class StreamJoinSpec extends SparkSuite {
+
+  // (key, event-time seconds, id) — times become timestamps via
+  // timestamp_seconds so watermark arithmetic is exact
+  private case class Ev(k: Long, tsSec: Long, id: Long)
+
+  private def drive(
+      leftBatches: Seq[Seq[Ev]],
+      rightBatches: Seq[Seq[Ev]],
+      lowerSec: Long,
+      upperSec: Long,
+      delay: String): (Seq[(Long, Long)], Long) = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[Ev]
+    val rMem = MemoryStream[Ev]
+    def shape(df: org.apache.spark.sql.DataFrame, p: String) =
+      df.select(col("k").as(s"${p}_k"),
+        timestamp_seconds(col("tsSec")).as(s"${p}_ts"),
+        col("id").as(s"${p}_id"))
+    val name = "ssj_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = StreamJoin.intervalJoin(
+      shape(lMem.toDF(), "l"), shape(rMem.toDF(), "r"),
+      "l_k", "r_k", "l_ts", "r_ts", lowerSec, upperSec, delay)
+      .select("l_id", "r_id")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    leftBatches.zipAll(rightBatches, Seq.empty[Ev], Seq.empty[Ev])
+      .foreach { case (lb, rb) =>
+        if (lb.nonEmpty) lMem.addData(lb)
+        if (rb.nonEmpty) rMem.addData(rb)
+        q.processAllAvailable()
+      }
+    val stateRows = Option(q.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+    q.stop()
+    val out = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    (out, stateRows)
+  }
+
+  private def batchJoin(
+      left: Seq[Ev], right: Seq[Ev],
+      lowerSec: Long, upperSec: Long): Seq[(Long, Long)] =
+    (for {
+      l <- left; r <- right
+      if l.k == r.k && r.tsSec >= l.tsSec - lowerSec &&
+        r.tsSec <= l.tsSec + upperSec
+    } yield (l.id, r.id)).sorted
+
+  test("cross-micro-batch matches equal the batch interval join") {
+    // left and right rows that must pair land in DIFFERENT batches in
+    // both directions (left-then-right and right-then-left), in event-time
+    // order; the buffered state must produce every batch pair
+    val l1 = Seq(Ev(1, 100, 1001), Ev(2, 120, 1002))
+    val r1 = Seq(Ev(1, 90, 2001))
+    val l2 = Seq(Ev(1, 200, 1003))
+    val r2 = Seq(Ev(1, 150, 2002), Ev(2, 130, 2003))
+    val l3 = Seq.empty[Ev]
+    val r3 = Seq(Ev(1, 210, 2004), Ev(2, 500, 2005))
+    val (got, _) = drive(Seq(l1, l2, l3), Seq(r1, r2, r3),
+      lowerSec = 60, upperSec = 30, delay = "1000 seconds")
+    val want = batchJoin(l1 ++ l2 ++ l3, r1 ++ r2 ++ r3, 60, 30)
+    assert(want.nonEmpty && got === want)
+    // the fixture really exercises cross-batch pairing: 1003(ts 200) ⋈
+    // 2002(ts 150, earlier batch) and 1001(ts 100) ⋈ 2002 must disagree
+    // with a per-batch-only join
+    assert(got.contains((1003L, 2002L)))
+  }
+
+  test("watermark bounds join state: buffered rows track the window, " +
+      "not the feed") {
+    // 40 batches of in-order data marching event time far past
+    // interval + delay: with eviction, total buffered state stays well
+    // under the 80 rows fed
+    // times start at 1000s, not epoch 0: a row timestamped exactly at the
+    // initial watermark (0) is dropped as late — boundary semantics, not
+    // part of this test
+    val left = (0 until 40).map(i => Seq(Ev(1, 1000L * (i + 1), 1000L + i)))
+    val right = (0 until 40).map(i => Seq(Ev(1, 1000L * (i + 1) + 1, 2000L + i)))
+    val (got, stateRows) = drive(left, right,
+      lowerSec = 10, upperSec = 10, delay = "5 seconds")
+    val wantAll = (0 until 40).map(i => (1000L + i, 2000L + i))
+    assert(got.size === 40, // each right row pairs with its same-tick left
+      s"missing: ${wantAll.filterNot(got.contains)}, extra: ${got.filterNot(wantAll.contains)}")
+    assert(stateRows >= 0, "no progress recorded")
+    assert(stateRows < 20,
+      s"state holds $stateRows rows — watermark eviction not happening")
+  }
+
+  test("rows later than the watermark delay are dropped, in-delay " +
+      "stragglers still join") {
+    // batch 1 advances the watermark to ~990 (max 1000 − 10 s delay);
+    // batch 2 delivers one straggler inside the delay (ts 995 — must
+    // join) and one beyond it (ts 500 — must be dropped silently)
+    val l1 = Seq(Ev(1, 1000, 1001))
+    val r1 = Seq(Ev(1, 999, 2001))
+    val l2 = Seq.empty[Ev]
+    val r2 = Seq(Ev(1, 995, 2002), Ev(1, 500, 2003))
+    val (got, _) = drive(Seq(l1, l2), Seq(r1, r2),
+      lowerSec = 600, upperSec = 0, delay = "10 seconds")
+    assert(got.contains((1001L, 2001L)))
+    assert(got.contains((1001L, 2002L)), "in-delay straggler was dropped")
+    assert(!got.exists(_._2 == 2003L),
+      "row older than the watermark joined — late-drop contract broken")
+  }
+}
