@@ -105,6 +105,11 @@ object CdcQueries extends QueryRegistry {
     // like the single-copy batch (oracle = plain batch SQL over events)
     "cdc_stream_dedup" -> ((s, dir) =>
       streaming.CdcStream.dedupStreamed(s, dir)),
+    // §2.8 ext: the state-bounded dedup form a standing deployment runs —
+    // dropDuplicatesWithinWatermark evicts entries past the reorder
+    // window; same oracle (all duplicates arrive inside the window here)
+    "cdc_stream_dedup_wm" -> ((s, dir) =>
+      streaming.CdcStream.dedupWithinWatermarkStreamed(s, dir)),
     // §2.8: stream-static dimension enrichment (broadcast per micro-batch,
     // left-join semantics) — oracle = the equivalent batch left join
     "cdc_stream_enrich" -> ((s, dir) =>
@@ -380,6 +385,10 @@ object CdcQueries extends QueryRegistry {
         | event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "cdc_stream_dedup" ->
+      """SELECT event_type, count(*) AS n_events,
+        | count(DISTINCT event_id) AS n_ids, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "cdc_stream_dedup_wm" ->
       """SELECT event_type, count(*) AS n_events,
         | count(DISTINCT event_id) AS n_ids, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,

@@ -53,7 +53,11 @@ object ScaleSmoke {
     // on the production assignment path; the r11 table pinned hier
     // single-probe at 100× and mp@scaledC at 10×, this row closes the
     // composition at the same scales
-    "sim_stream_neardup@scaledCmp")
+    "sim_stream_neardup@scaledCmp",
+    // r13 stream-stream interval join: derived users are rep-disjoint, so
+    // pairs and state both scale linearly — the row pins that the
+    // watermark-bounded join state machinery does too
+    "events_stream_join")
 
   /** Smoke-only variants: the gate queries pin the IVF cell count at
     * C = 16 because the ORACLE's pair-set semantics depend on it, which

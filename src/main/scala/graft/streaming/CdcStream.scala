@@ -224,6 +224,37 @@ object CdcStream {
         round(sum("value"), 2).as("sum_value"))
   }
 
+  /** §2.8 ext: the STATE-BOUNDED twin of [[dedupStreamed]] —
+    * `dropDuplicatesWithinWatermark` keeps a dedup entry only until the
+    * watermark passes its event time + delay, so state tracks the reorder
+    * window instead of the stream's lifetime. This is the form a standing
+    * 100 TB deployment actually runs (the unbounded `dropDuplicates` twin
+    * exists for exact replay semantics over finite drains); the trade is
+    * explicit: a duplicate arriving LATER than the delay after its first
+    * copy is re-emitted. The gate drains the doubled source with
+    * AvailableNow — every duplicate arrives within the window, so the
+    * downstream aggregate still equals the single-copy batch oracle, and
+    * `DedupWithinWatermarkSpec` pins the state bound + the re-emission
+    * trade the oracle cannot see.
+    */
+  def dedupWithinWatermarkStreamed(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "evt_dwm_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    def src(): DataFrame = rawEventStream(spark, sfDir)
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+    val q = src().union(src())
+      .withWatermark("ets", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_id")).as("n_ids"),
+        round(sum("value"), 2).as("sum_value"))
+  }
+
   /** §2.8 extension: STREAM-STREAM interval join run to completion — both
     * sides of the join arrive as streams (two independent readers of the
     * event log), matched on entity key within an event-time window: each

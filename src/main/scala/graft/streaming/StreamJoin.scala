@@ -45,15 +45,26 @@ object StreamJoin {
       rightTs: String,
       lowerSec: Long,
       upperSec: Long,
-      watermarkDelay: String): DataFrame = {
+      watermarkDelay: String,
+      joinType: String = "inner"): DataFrame = {
     require(lowerSec + upperSec >= 0,
       s"empty interval: [t-$lowerSec s, t+$upperSec s]")
+    require(joinType == "inner" || joinType == "left_outer",
+      s"intervalJoin supports inner|left_outer, got '$joinType'")
     val l = left.withWatermark(leftTs, watermarkDelay)
     val r = right.withWatermark(rightTs, watermarkDelay)
     val cond: Column =
       col(leftKey) === col(rightKey) &&
         col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lowerSec SECOND") &&
         col(rightTs) <= col(leftTs) + expr(s"INTERVAL $upperSec SECOND")
-    l.join(r, cond, "inner")
+    // left_outer: a left row with no match emits null-padded ONLY once the
+    // watermark passes the row's match horizon (leftTs + upper + delay) —
+    // before that a matching right row could still arrive. The delayed
+    // emission is therefore part of the semantics, not a quirk: an
+    // unmatched result is a PROVEN absence over the full interval, which
+    // is why the spec drives the watermark forward to collect them. A
+    // finite drain (AvailableNow) that never advances the watermark past
+    // the horizon reports matches only — document at call sites.
+    l.join(r, cond, joinType)
   }
 }

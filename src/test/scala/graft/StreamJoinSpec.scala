@@ -100,6 +100,54 @@ class StreamJoinSpec extends SparkSuite {
       s"state holds $stateRows rows — watermark eviction not happening")
   }
 
+  test("left_outer: unmatched left emits null-padded after its match " +
+      "horizon passes; matched rows never get a null twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[Ev]
+    val rMem = MemoryStream[Ev]
+    def shape(df: org.apache.spark.sql.DataFrame, p: String) =
+      df.select(col("k").as(s"${p}_k"),
+        timestamp_seconds(col("tsSec")).as(s"${p}_ts"),
+        col("id").as(s"${p}_id"))
+    val name = "ssjo_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = StreamJoin.intervalJoin(
+      shape(lMem.toDF(), "l"), shape(rMem.toDF(), "r"),
+      "l_k", "r_k", "l_ts", "r_ts", lowerSec = 10, upperSec = 10,
+      watermarkDelay = "5 seconds", joinType = "left_outer")
+      .select("l_id", "r_id")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    // batch 1: 101 matches 201; 102 has no partner
+    lMem.addData(Ev(1, 1000, 101), Ev(1, 1100, 102))
+    rMem.addData(Ev(1, 1005, 201))
+    q.processAllAvailable()
+    val early = spark.table(name).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString.toLong)))
+    assert(early.contains((101L, Some(201L))))
+    // 102's horizon (1100+10+5) has not passed — no null emission yet
+    assert(!early.exists(_._1 == 102L),
+      s"null-padded row emitted before the match horizon: ${early.toSeq}")
+
+    // batch 2 marches the watermark far past 102's horizon
+    lMem.addData(Ev(2, 5000, 103))
+    rMem.addData(Ev(2, 5001, 202))
+    q.processAllAvailable()
+    // outer results surface on the trigger AFTER the watermark advance
+    lMem.addData(Ev(2, 6000, 104))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table(name).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString.toLong)))
+      .toSeq
+    assert(out.contains((102L, None)),
+      s"unmatched left never emitted null-padded: $out")
+    // matched rows appear exactly once, never also as a null twin
+    assert(!out.contains((101L, None)), out.toString)
+    assert(out.count(_._1 == 101L) === 1)
+  }
+
   test("rows later than the watermark delay are dropped, in-delay " +
       "stragglers still join") {
     // batch 1 advances the watermark to ~990 (max 1000 − 10 s delay);
