@@ -101,6 +101,11 @@ object CdcQueries extends QueryRegistry {
     // streaming/batch parity on the aggregation surface (oracle = batch)
     "cdc_stream_windowed" -> ((s, dir) =>
       streaming.CdcStream.windowedStreamed(s, dir)),
+    // §2.8 ext: append-mode windowed aggregation — each window emitted
+    // exactly once when the watermark passes its end, state evicted;
+    // oracle = batch agg restricted to watermark-closed windows
+    "cdc_stream_windowed_append" -> ((s, dir) =>
+      streaming.CdcStream.windowedAppendStreamed(s, dir)),
     // §2.8: streaming exactly-once dedup — a doubled source must aggregate
     // like the single-copy batch (oracle = plain batch SQL over events)
     "cdc_stream_dedup" -> ((s, dir) =>
@@ -384,6 +389,13 @@ object CdcQueries extends QueryRegistry {
       """SELECT (epoch_ms(ts) // 1000) // 86400 * 86400 AS day_start,
         | event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "cdc_stream_windowed_append" ->
+      """SELECT (epoch_ms(ts) // 1000) // 86400 * 86400 AS day_start,
+        | event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events
+        |WHERE (epoch_ms(ts) // 1000) // 86400 * 86400 + 86400 <=
+        |  (SELECT epoch_ms(max(ts)) // 1000 - 86400 FROM events)
+        |GROUP BY 1, 2""".stripMargin,
     "cdc_stream_dedup" ->
       """SELECT event_type, count(*) AS n_events,
         | count(DISTINCT event_id) AS n_ids, round(sum(value), 2) AS sum_value

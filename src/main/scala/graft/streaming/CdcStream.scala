@@ -142,6 +142,35 @@ object CdcStream {
         col("n_events"), round(col("sv"), 2).as("sum_value"))
   }
 
+  /** §2.8 ext: the APPEND-MODE twin of [[windowedStreamed]] — the form a
+    * standing deployment runs. Complete mode re-emits every window each
+    * trigger and retains all window state forever; append mode + a
+    * watermark emits each window EXACTLY ONCE, when the watermark passes
+    * its end (the window is then provably complete), and evicts its state
+    * — output and state both bounded by the watermark horizon. The cost
+    * is the tail: windows still inside the horizon at drain end are NOT
+    * emitted (they are not complete). The oracle states that boundary
+    * exactly — the batch aggregate restricted to windows whose end ≤
+    * max(event time) − delay — so the hash gate pins both the
+    * finalization rule and the no-data batch that flushes it (the final
+    * AvailableNow micro-batch emits windows closed by the last watermark
+    * advance; without it the drain would end with zero rows).
+    */
+  def windowedAppendStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "evt_winA_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = rawEventStream(spark, sfDir)
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", "1 day")
+      .groupBy(window(col("ets"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sv"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("w.start").cast("long").as("day_start"), col("event_type"),
+        col("n_events"), round(col("sv"), 2).as("sum_value"))
+  }
+
   /** §2.8: exactly-once event dedup AS A STREAM — `dropDuplicates` on the
     * binlog position. The at-least-once condition is synthesized by
     * unioning the source with itself (every event arrives twice); the
