@@ -128,6 +128,10 @@ object CdcQueries extends QueryRegistry {
     // oracle = the equivalent batch interval self-join
     "events_stream_join" -> ((s, dir) =>
       streaming.CdcStream.intervalJoinStreamed(s, dir)),
+    // §2.8 ext: left-outer form — unmatched errors emit null-padded once
+    // the watermark proves their window empty; oracle states the horizon
+    "events_stream_join_outer" -> ((s, dir) =>
+      streaming.CdcStream.intervalJoinOuterStreamed(s, dir)),
     // K2+S8+F8: CSV sink → source roundtrip preserves the changelog
     "csv_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files
@@ -435,6 +439,23 @@ object CdcQueries extends QueryRegistry {
         | ON e.user_id = o.user_id
         | AND e.event_type = 'error' AND o.event_type <> 'error'
         | AND o.ts BETWEEN e.ts - INTERVAL 21600 SECOND AND e.ts""".stripMargin,
+    "events_stream_join_outer" ->
+      """WITH m AS (
+        | SELECT e.event_id AS err_id, o.event_id AS ctx_id,
+        |  o.event_type AS ctx_type
+        | FROM events e JOIN events o
+        |  ON e.user_id = o.user_id
+        |  AND e.event_type = 'error' AND o.event_type <> 'error'
+        |  AND o.ts BETWEEN e.ts - INTERVAL 21600 SECOND AND e.ts)
+        |SELECT err_id, ctx_id, ctx_type FROM m
+        |UNION ALL
+        |SELECT e.event_id AS err_id, CAST(NULL AS BIGINT) AS ctx_id,
+        | CAST(NULL AS VARCHAR) AS ctx_type
+        |FROM events e
+        |WHERE e.event_type = 'error'
+        | AND e.event_id NOT IN (SELECT err_id FROM m)
+        | AND e.ts + INTERVAL 3600 SECOND <
+        |     (SELECT max(ts) - INTERVAL 3600 SECOND FROM events)""".stripMargin,
     "csv_roundtrip" -> roundtripOracle,
     "cdc_compact" -> compactSql,
     "cdc_tables" ->

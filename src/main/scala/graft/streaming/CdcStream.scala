@@ -318,6 +318,44 @@ object CdcStream {
     spark.table(name)
   }
 
+  /** §2.8 ext: the LEFT-OUTER form of [[intervalJoinStreamed]] — errors
+    * with NO same-user activity in the window must still appear,
+    * null-padded (the alert shape: an error with no context is itself the
+    * signal). Outer emission is watermark-gated: an unmatched left row
+    * emits only when no in-watermark right row could still match. Spark
+    * derives that horizon CONSERVATIVELY — the left state watermark
+    * subtracts the right side's watermark delay once more, so the
+    * emission condition is `l.ts + upper + delay < watermark`
+    * (= max event time − 2·delay here), verified empirically against the
+    * gate fixture. The oracle states that horizon exactly (unmatched
+    * errors with ts + delay < max event time − delay), which makes the hash gate
+    * pin the outer finalization rule, the final no-data batch that
+    * flushes it, and the tail exclusion (errors too close to stream end
+    * are NOT emitted — their absence is not yet proven).
+    */
+  def intervalJoinOuterStreamed(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "evt_ssjo_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    def side(): DataFrame = rawEventStream(spark, sfDir)
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+    val errors = side().filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+        col("ets").as("err_ts"))
+    val ctx = side().filter(col("event_type") =!= "error")
+      .select(col("event_id").as("ctx_id"), col("user_id").as("ctx_user"),
+        col("event_type").as("ctx_type"), col("ets").as("ctx_ts"))
+    val q = StreamJoin.intervalJoin(errors, ctx,
+      leftKey = "err_user", rightKey = "ctx_user",
+      leftTs = "err_ts", rightTs = "ctx_ts",
+      lowerSec = 21600L, upperSec = 0L, watermarkDelay = "1 hour",
+      joinType = "left_outer")
+      .select("err_id", "ctx_id", "ctx_type")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Keep streaming merge state in RocksDB instead of the default on-heap
     * HashMap provider. The merge state is one entry per live (table, rid)
     * key — at 100 TB key counts that exceeds executor heap; RocksDB spills
