@@ -298,7 +298,6 @@ object CdcStream {
     * matching and late-drop semantics are pinned in `StreamJoinSpec`).
     */
   def intervalJoinStreamed(spark: SparkSession, sfDir: String): DataFrame = {
-    val name = "evt_ssj_" + java.util.UUID.randomUUID.toString.replace("-", "")
     def side(): DataFrame = rawEventStream(spark, sfDir)
       .withColumn("ets", timestamp_micros(expr("ts div 1000")))
     val errors = side().filter(col("event_type") === "error")
@@ -307,15 +306,36 @@ object CdcStream {
     val ctx = side().filter(col("event_type") =!= "error")
       .select(col("event_id").as("ctx_id"), col("user_id").as("ctx_user"),
         col("event_type").as("ctx_type"), col("ets").as("ctx_ts"))
-    val q = StreamJoin.intervalJoin(errors, ctx,
-      leftKey = "err_user", rightKey = "ctx_user",
-      leftTs = "err_ts", rightTs = "ctx_ts",
-      lowerSec = 21600L, upperSec = 0L, watermarkDelay = "1 hour")
-      .select("err_id", "ctx_id", "ctx_type")
-      .writeStream.format("memory").queryName(name)
+    drainToParquet(spark,
+      StreamJoin.intervalJoin(errors, ctx,
+        leftKey = "err_user", rightKey = "ctx_user",
+        leftTs = "err_ts", rightTs = "ctx_ts",
+        lowerSec = 21600L, upperSec = 0L, watermarkDelay = "1 hour")
+        .select("err_id", "ctx_id", "ctx_type"))
+  }
+
+  /** Drain a streaming result through a PARQUET sink and hand back the
+    * materialized read-back — the join ledger is O(matches), so a memory
+    * sink would put the one unbounded result of the streaming family in
+    * driver memory; through this path the driver holds file paths only
+    * (the r12/r13 sink discipline). Gate-local staging: the temp dir is
+    * driver-local disk, fine under the gate's local master; a deployment
+    * writes the sink where its checkpoints live.
+    */
+  private def drainToParquet(
+      spark: SparkSession, result: DataFrame): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ssj").toString
+    val q = result.writeStream.format("parquet")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(name)
+    // materializeForced: the temp dir is deleted before the caller
+    // consumes the plan — lineage must sever in every mode
+    val res = spark.read.parquet(s"$root/out").materializeForced()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    res
   }
 
   /** §2.8 ext: the LEFT-OUTER form of [[intervalJoinStreamed]] — errors
@@ -335,7 +355,6 @@ object CdcStream {
     */
   def intervalJoinOuterStreamed(
       spark: SparkSession, sfDir: String): DataFrame = {
-    val name = "evt_ssjo_" + java.util.UUID.randomUUID.toString.replace("-", "")
     def side(): DataFrame = rawEventStream(spark, sfDir)
       .withColumn("ets", timestamp_micros(expr("ts div 1000")))
     val errors = side().filter(col("event_type") === "error")
@@ -344,16 +363,13 @@ object CdcStream {
     val ctx = side().filter(col("event_type") =!= "error")
       .select(col("event_id").as("ctx_id"), col("user_id").as("ctx_user"),
         col("event_type").as("ctx_type"), col("ets").as("ctx_ts"))
-    val q = StreamJoin.intervalJoin(errors, ctx,
-      leftKey = "err_user", rightKey = "ctx_user",
-      leftTs = "err_ts", rightTs = "ctx_ts",
-      lowerSec = 21600L, upperSec = 0L, watermarkDelay = "1 hour",
-      joinType = "left_outer")
-      .select("err_id", "ctx_id", "ctx_type")
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(name)
+    drainToParquet(spark,
+      StreamJoin.intervalJoin(errors, ctx,
+        leftKey = "err_user", rightKey = "ctx_user",
+        leftTs = "err_ts", rightTs = "ctx_ts",
+        lowerSec = 21600L, upperSec = 0L, watermarkDelay = "1 hour",
+        joinType = "left_outer")
+        .select("err_id", "ctx_id", "ctx_type"))
   }
 
   /** Keep streaming merge state in RocksDB instead of the default on-heap
