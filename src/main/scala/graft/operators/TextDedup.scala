@@ -506,14 +506,22 @@ object TextDedup {
     * settled index files byte-identical — `LshIndexSpec`); the build here
     * exists only because a single self-contained query has no prior cycle
     * to inherit an index from.
+    *
+    * `workDir`: storage every executor can reach for the throwaway index
+    * (deleted before returning). The default driver-local temp dir is
+    * unreachable from remote executors, so it refuses non-local masters.
     */
   def minhashLshPairsIncremental(
       docs: DataFrame, isNew: Column, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, threshold: Double = 0.5,
-      buckets: Int = 16): DataFrame = {
+      buckets: Int = 16, workDir: Option[String] = None): DataFrame = {
     val spark = docs.sparkSession
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_lshidx").toString
+    require(workDir.isDefined || spark.sparkContext.isLocal,
+      "minhashLshPairsIncremental: the default workDir builds the " +
+        "throwaway index on the DRIVER's local disk, which executors on " +
+        "a non-local master cannot reach — pass workDir on shared storage")
+    val tmp = workDir.getOrElse(java.nio.file.Files
+      .createTempDirectory("graft_lshidx").toString)
     val tag = java.util.UUID.randomUUID.toString.replace("-", "").take(8)
     val it = s"graft_lsh_index_$tag"
     try {
@@ -525,8 +533,11 @@ object TextDedup {
                              // lineage must sever in EVERY mode, incl. none
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $it")
-      org.apache.commons.io.FileUtils
-        .deleteDirectory(new java.io.File(tmp))
+      // Hadoop-FS delete: works for the temp fallback AND an hdfs://
+      // or s3a:// workDir alike
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
     }
   }
 

@@ -207,15 +207,24 @@ object VecIndex {
     * cycle; the build here exists only because a single self-contained
     * query has no prior cycle to inherit an index from (the
     * [[TextDedup.minhashLshPairsIncremental]] pattern).
+    *
+    * `workDir`: storage every executor can reach for the throwaway index
+    * (deleted before returning). The default driver-local temp dir is
+    * unreachable from remote executors, so it refuses non-local masters.
     */
   def oneShotTopK(
       emb: DataFrame, c: Int, mSub: Int, kCode: Int,
       queryPred: org.apache.spark.sql.Column, k: Int,
       nprobe: Int = 2,
-      removePred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      removePred: Option[org.apache.spark.sql.Column] = None,
+      workDir: Option[String] = None): DataFrame = {
     val spark = emb.sparkSession
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_vecidx").toString
+    require(workDir.isDefined || spark.sparkContext.isLocal,
+      "oneShotTopK: the default workDir builds the throwaway index on " +
+        "the DRIVER's local disk, which executors on a non-local master " +
+        "cannot reach — pass workDir on shared storage")
+    val tmp = workDir.getOrElse(java.nio.file.Files
+      .createTempDirectory("graft_vecidx").toString)
     try {
       build(emb, tmp, c, mSub, kCode)
       // the delete cycle, when the demonstration includes one: remove
@@ -225,8 +234,11 @@ object VecIndex {
         .materializeForced() // tmp is deleted in the finally — lineage
                              // must sever in EVERY mode, incl. none
     } finally {
-      org.apache.commons.io.FileUtils
-        .deleteDirectory(new java.io.File(tmp))
+      // Hadoop-FS delete: works for the temp fallback AND an hdfs://
+      // or s3a:// workDir alike
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
     }
   }
 }

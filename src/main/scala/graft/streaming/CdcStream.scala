@@ -318,24 +318,47 @@ object CdcStream {
     * materialized read-back — the join ledger is O(matches), so a memory
     * sink would put the one unbounded result of the streaming family in
     * driver memory; through this path the driver holds file paths only
-    * (the r12/r13 sink discipline). Gate-local staging: the temp dir is
-    * driver-local disk, fine under the gate's local master; a deployment
-    * writes the sink where its checkpoints live.
+    * (the r12/r13 sink discipline).
+    *
+    * `workDir` is the drain's working root on storage EVERY executor can
+    * reach (hdfs://, s3a://, a cluster-mounted path), resolved through
+    * the Hadoop FS API; it holds the sink (`<workDir>/out`) and the
+    * checkpoint (`<workDir>/ckpt`). On a real cluster the parameter is
+    * REQUIRED — with `workDir = None` the drain falls back to a
+    * driver-local temp dir that remote executors cannot see, so the
+    * fallback refuses to run on a non-local master. An explicit workDir
+    * is caller-owned: `<workDir>/out` is left in place as the run's
+    * durable ledger (the checkpoint too, for restart forensics). The
+    * temp fallback cleans up after itself — the result is materialized
+    * (lineage severed) and the root deleted before returning.
     */
-  private def drainToParquet(
-      spark: SparkSession, result: DataFrame): DataFrame = {
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_ssj").toString
+  private[graft] def drainToParquet(
+      spark: SparkSession, result: DataFrame,
+      workDir: Option[String] = None): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    require(workDir.isDefined || spark.sparkContext.isLocal,
+      "drainToParquet: the default workDir puts the sink and checkpoint " +
+        "on the DRIVER's local disk, which executors on a non-local " +
+        "master cannot reach — pass workDir on shared storage " +
+        "(hdfs://, s3a://, cluster mount)")
+    val root = new Path(workDir.getOrElse(java.nio.file.Files
+      .createTempDirectory("graft_ssj").toString))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val q = result.writeStream.format("parquet")
-      .option("path", s"$root/out")
-      .option("checkpointLocation", s"$root/ckpt")
+      .option("path", new Path(root, "out").toString)
+      .option("checkpointLocation", new Path(root, "ckpt").toString)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    // materializeForced: the temp dir is deleted before the caller
-    // consumes the plan — lineage must sever in every mode
-    val res = spark.read.parquet(s"$root/out").materializeForced()
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
-    res
+    val out = spark.read.parquet(new Path(root, "out").toString)
+    if (workDir.isDefined) out
+    else {
+      // temp fallback: materializeForced severs lineage from the dir
+      // before it is deleted — repeated gate invocations must not leak
+      // /tmp dirs holding the full join ledger
+      val res = out.materializeForced()
+      fs.delete(root, true)
+      res
+    }
   }
 
   /** §2.8 ext: the LEFT-OUTER form of [[intervalJoinStreamed]] — errors

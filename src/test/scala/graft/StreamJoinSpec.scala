@@ -148,6 +148,38 @@ class StreamJoinSpec extends SparkSuite {
     assert(out.count(_._1 == 101L) === 1)
   }
 
+  test("drainToParquet: temp fallback leaks no work dirs and stays " +
+      "collectable; explicit workDir keeps the ledger in place") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def tmpDirs(): Set[String] =
+      new java.io.File(sys.props("java.io.tmpdir")).listFiles()
+        .filter(_.getName.startsWith("graft_ssj")).map(_.getName).toSet
+    def drainOnce(wd: Option[String]): Set[Long] = {
+      val mem = MemoryStream[Ev]
+      mem.addData(Ev(1, 100, 11), Ev(2, 200, 12))
+      streaming.CdcStream.drainToParquet(spark,
+          mem.toDF().withColumn("ets", timestamp_seconds(col("tsSec")))
+            .withWatermark("ets", "1 second").select("k", "id"), wd)
+        .collect().map(_.getLong(1)).toSet
+    }
+    val before = tmpDirs()
+    // the fallback materialized its result and removed the work root —
+    // and the returned frame stays collectable after the deletion
+    assert(drainOnce(None) === Set(11L, 12L))
+    assert(tmpDirs() === before, "temp-dir fallback leaked work dirs")
+    val root = java.nio.file.Files.createTempDirectory("graft_wdj").toString
+    try {
+      assert(drainOnce(Some(s"$root/run1")) === Set(11L, 12L))
+      // an explicit workDir is caller-owned: the drained ledger stays
+      val out = new java.io.File(s"$root/run1/out")
+      assert(out.exists() &&
+        out.listFiles().exists(_.getName.endsWith(".parquet")),
+        "ledger missing under explicit workDir")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+  }
+
   test("rows later than the watermark delay are dropped, in-delay " +
       "stragglers still join") {
     // batch 1 advances the watermark to ~990 (max 1000 − 10 s delay);
