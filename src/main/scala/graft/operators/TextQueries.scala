@@ -480,6 +480,39 @@ object TextQueries extends QueryRegistry {
             .as("tokens_admitted"))
     }),
 
+    // curation: the STREAMING form of text_token_budget — the same
+    // prefix-cap admission run through Quota.admit's
+    // flatMapGroupsWithState machinery (two longs of state per source)
+    // and drained to completion. The prefix rule makes stream ≡ batch
+    // exact, so the SAME oracle hash-checks both forms; QuotaSpec pins
+    // what the one-batch drain cannot see (cross-micro-batch state
+    // carry, out-of-order fail-fast).
+    "text_token_budget_stream" -> ((s, dir) => {
+      val sc = graft.streaming.CdcStream.stateScopedSession(s)
+      import sc.implicits._
+      val schema = sc.read.parquet(s"$dir/documents.parquet").schema
+      val nt = size(TextDedup.tokens(col("text"))).cast("long")
+      val src = sc.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(col("source"), col("doc_id"), nt.as("n_tokens"))
+        .as[graft.streaming.Quota.DocTokens]
+      val name = "quota_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = graft.streaming.Quota.admit(src, 30000L)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      sc.table(name)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("admitted"), 1)).as("n_admitted"),
+          count(when(!col("admitted"), 1)).as("n_rejected"),
+          coalesce(sum(when(col("admitted"), col("n_tokens"))), lit(0L))
+            .as("tokens_admitted"))
+    }),
+
     // X4: winnowing document fingerprints (rolling-hash min-per-window);
     // the column-bound form — structurally linear rather than dependent
     // on evaluator subtree reuse (see winnowFingerprints' scaladoc)
@@ -738,6 +771,20 @@ object TextQueries extends QueryRegistry {
         |   AS kept_tokens
         |FROM r GROUP BY 1, 2""".stripMargin,
     "text_token_budget" ->
+      """WITH t AS (SELECT source, doc_id,
+        |  len(string_split(text, ' ')) AS nt FROM documents),
+        |c AS (SELECT source, doc_id, nt,
+        |  sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM t)
+        |SELECT source, count(*) AS n_docs,
+        | count(*) FILTER (WHERE cum <= 30000) AS n_admitted,
+        | count(*) FILTER (WHERE cum > 30000) AS n_rejected,
+        | CAST(coalesce(sum(nt) FILTER (WHERE cum <= 30000), 0) AS BIGINT)
+        |   AS tokens_admitted
+        |FROM c GROUP BY 1""".stripMargin,
+    // identical oracle: the streaming form must produce the batch answer
+    "text_token_budget_stream" ->
       """WITH t AS (SELECT source, doc_id,
         |  len(string_split(text, ' ')) AS nt FROM documents),
         |c AS (SELECT source, doc_id, nt,

@@ -101,8 +101,9 @@ object CdcStream {
     * used by the `cdc_compact_stream` driver query.
     */
   def compactStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = stateScopedSession(spark)
     val name = "cdc_state_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = merged(changeLogStream(spark, sfDir)).writeStream
+    val q = merged(changeLogStream(s, sfDir)).writeStream
       .format("memory")
       .queryName(name)
       .outputMode("update")
@@ -110,7 +111,7 @@ object CdcStream {
       .start()
     q.awaitTermination()
     // collapse multi-batch updates: last update per key wins, drop tombstones
-    val updates = spark.table(name)
+    val updates = s.table(name)
     Merge.latestPerKey(updates, Seq("table", "rid"), "seq")
       .filter(col("cdc_action") =!= Types.None_)
       .select("table", "rid", "cdc_action", "seq", "cdc_ts", "value", "props")
@@ -129,15 +130,16 @@ object CdcStream {
     * the time range, not event volume).
     */
   def windowedStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = stateScopedSession(spark)
     val name = "evt_win_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = rawEventStream(spark, sfDir)
+    val q = rawEventStream(s, sfDir)
       .withColumn("ets", timestamp_micros(expr("ts div 1000")))
       .groupBy(window(col("ets"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum("value").as("sv"))
       .writeStream.format("memory").queryName(name)
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(name)
+    s.table(name)
       .select(col("w.start").cast("long").as("day_start"), col("event_type"),
         col("n_events"), round(col("sv"), 2).as("sum_value"))
   }
@@ -157,8 +159,9 @@ object CdcStream {
     * advance; without it the drain would end with zero rows).
     */
   def windowedAppendStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = stateScopedSession(spark)
     val name = "evt_winA_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = rawEventStream(spark, sfDir)
+    val q = rawEventStream(s, sfDir)
       .withColumn("ets", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ets", "1 day")
       .groupBy(window(col("ets"), "1 day").as("w"), col("event_type"))
@@ -166,7 +169,7 @@ object CdcStream {
       .writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(name)
+    s.table(name)
       .select(col("w.start").cast("long").as("day_start"), col("event_type"),
         col("n_events"), round(col("sv"), 2).as("sum_value"))
   }
@@ -185,14 +188,15 @@ object CdcStream {
     * (batch-equivalence is exact, not watermark-truncated).
     */
   def dedupStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = stateScopedSession(spark)
     val name = "evt_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val src = rawEventStream(spark, sfDir)
-    val q = src.union(rawEventStream(spark, sfDir))
+    val src = rawEventStream(s, sfDir)
+    val q = src.union(rawEventStream(s, sfDir))
       .dropDuplicates("event_id")
       .writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(name)
+    s.table(name)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("event_id")).as("n_ids"),
@@ -209,15 +213,16 @@ object CdcStream {
     * machinery (merging windows across micro-batches) under the hash gate.
     */
   def sessionStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = stateScopedSession(spark)
     val name = "evt_sess_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = rawEventStream(spark, sfDir)
+    val q = rawEventStream(s, sfDir)
       .withColumn("ets", timestamp_micros(expr("ts div 1000")))
       .groupBy(session_window(col("ets"), "1 hour").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum("value").as("sv"))
       .writeStream.format("memory").queryName(name)
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(name)
+    s.table(name)
       .select(col("user_id"),
         unix_micros(col("w.start")).as("session_start"),
         unix_micros(col("w.end")).as("session_end"),
@@ -268,8 +273,9 @@ object CdcStream {
     */
   def dedupWithinWatermarkStreamed(
       spark: SparkSession, sfDir: String): DataFrame = {
+    val scoped = stateScopedSession(spark)
     val name = "evt_dwm_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    def src(): DataFrame = rawEventStream(spark, sfDir)
+    def src(): DataFrame = rawEventStream(scoped, sfDir)
       .withColumn("ets", timestamp_micros(expr("ts div 1000")))
     val q = src().union(src())
       .withWatermark("ets", "1 hour")
@@ -277,7 +283,7 @@ object CdcStream {
       .writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(name)
+    scoped.table(name)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("event_id")).as("n_ids"),
@@ -298,7 +304,8 @@ object CdcStream {
     * matching and late-drop semantics are pinned in `StreamJoinSpec`).
     */
   def intervalJoinStreamed(spark: SparkSession, sfDir: String): DataFrame = {
-    def side(): DataFrame = rawEventStream(spark, sfDir)
+    val s = stateScopedSession(spark)
+    def side(): DataFrame = rawEventStream(s, sfDir)
       .withColumn("ets", timestamp_micros(expr("ts div 1000")))
     val errors = side().filter(col("event_type") === "error")
       .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
@@ -306,12 +313,33 @@ object CdcStream {
     val ctx = side().filter(col("event_type") =!= "error")
       .select(col("event_id").as("ctx_id"), col("user_id").as("ctx_user"),
         col("event_type").as("ctx_type"), col("ets").as("ctx_ts"))
-    drainToParquet(spark,
+    drainToParquet(s,
       StreamJoin.intervalJoin(errors, ctx,
         leftKey = "err_user", rightKey = "ctx_user",
         leftTs = "err_ts", rightTs = "ctx_ts",
         lowerSec = 21600L, upperSec = 0L, watermarkDelay = "1 hour")
         .select("err_id", "ctx_id", "ctx_type"))
+  }
+
+  /** A cloned session whose shuffle-partition count sizes the STATE
+    * geometry of the stateful query started on it — for a stream-stream
+    * join that count fixes 4 state-store instances per partition per
+    * side for the life of the checkpoint, each paying per-batch delta +
+    * maintenance I/O whether or not it holds rows. The right number
+    * tracks expected STATE volume (keys × window density — watermark-
+    * bounded, so orders of magnitude below input size), not input
+    * parallelism: the gate fixture's state is thousands of rows, so the
+    * default is deliberately small; a 100 TB deployment raises
+    * `spark.graft.statePartitions` into the hundreds. Batch queries on
+    * the main session keep their own shuffle width — the clone scopes
+    * the knob to the one stream started on it.
+    */
+  private[graft] def stateScopedSession(spark: SparkSession): SparkSession = {
+    val n = spark.conf.getOption("spark.graft.statePartitions")
+      .map(_.toInt).getOrElse(8)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", n)
+    s
   }
 
   /** Drain a streaming result through a PARQUET sink and hand back the
@@ -378,7 +406,8 @@ object CdcStream {
     */
   def intervalJoinOuterStreamed(
       spark: SparkSession, sfDir: String): DataFrame = {
-    def side(): DataFrame = rawEventStream(spark, sfDir)
+    val s = stateScopedSession(spark)
+    def side(): DataFrame = rawEventStream(s, sfDir)
       .withColumn("ets", timestamp_micros(expr("ts div 1000")))
     val errors = side().filter(col("event_type") === "error")
       .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
@@ -386,7 +415,7 @@ object CdcStream {
     val ctx = side().filter(col("event_type") =!= "error")
       .select(col("event_id").as("ctx_id"), col("user_id").as("ctx_user"),
         col("event_type").as("ctx_type"), col("ets").as("ctx_ts"))
-    drainToParquet(spark,
+    drainToParquet(s,
       StreamJoin.intervalJoin(errors, ctx,
         leftKey = "err_user", rightKey = "ctx_user",
         leftTs = "err_ts", rightTs = "ctx_ts",
