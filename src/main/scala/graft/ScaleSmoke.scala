@@ -295,6 +295,14 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the smoke measures 10×/100× corpora — the regime where the state
+    // geometry knob (DEPLOY.md: spark.graft.statePartitions) goes UP
+    // with state volume; the gate default (8) is sized for the sf0.1
+    // fixture and throttles the stateful join stage at 100× (measured:
+    // 6.5× wall at 8 wide vs 2.6× at full width). Production sizing =
+    // available cores here.
+    spark.conf.set("spark.graft.statePartitions",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     graft.functions.GraftExtensions.register(spark)
 
     // per-query shuffle-write accounting via stage metrics; the listener
