@@ -132,6 +132,11 @@ object CdcQueries extends QueryRegistry {
     // the watermark proves their window empty; oracle states the horizon
     "events_stream_join_outer" -> ((s, dir) =>
       streaming.CdcStream.intervalJoinOuterStreamed(s, dir)),
+    // §2.8 ext: full-outer form — both sides' unmatched rows surface,
+    // each past its OWN horizon (upper-bound rule for errors, mirrored
+    // lower-bound rule for context); oracle states both horizons
+    "events_stream_join_full" -> ((s, dir) =>
+      streaming.CdcStream.intervalJoinFullStreamed(s, dir)),
     // K2+S8+F8: CSV sink → source roundtrip preserves the changelog
     "csv_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files
@@ -456,6 +461,42 @@ object CdcQueries extends QueryRegistry {
         | AND e.event_id NOT IN (SELECT err_id FROM m)
         | AND e.ts + INTERVAL 3600 SECOND <
         |     (SELECT max(ts) - INTERVAL 3600 SECOND FROM events)""".stripMargin,
+    // both horizons stated, each against the OTHER side's watermark
+    // (wm_side = that side's max event time − delay — the sides differ
+    // here because the last error precedes the last context event by
+    // ~2009 s): unmatched errors emit past ts + upper(0) + delay <
+    // wm_ctx (the conservative extra-delay rule the left_outer gate
+    // pinned), unmatched context rows past ts + lower(21600) < wm_err —
+    // measured WITHOUT the extra delay (the boundary bracket at sf0.01
+    // is 515 s wide, so the two candidate rules differ by a full delay
+    // and the hash gate distinguishes them). A Spark-version change in
+    // either eviction rule surfaces as a gate diff, not silent drift.
+    "events_stream_join_full" ->
+      """WITH m AS (
+        | SELECT e.event_id AS err_id, o.event_id AS ctx_id,
+        |  o.event_type AS ctx_type
+        | FROM events e JOIN events o
+        |  ON e.user_id = o.user_id
+        |  AND e.event_type = 'error' AND o.event_type <> 'error'
+        |  AND o.ts BETWEEN e.ts - INTERVAL 21600 SECOND AND e.ts)
+        |SELECT err_id, ctx_id, ctx_type FROM m
+        |UNION ALL
+        |SELECT e.event_id AS err_id, CAST(NULL AS BIGINT) AS ctx_id,
+        | CAST(NULL AS VARCHAR) AS ctx_type
+        |FROM events e
+        |WHERE e.event_type = 'error'
+        | AND e.event_id NOT IN (SELECT err_id FROM m)
+        | AND e.ts + INTERVAL 3600 SECOND <
+        |     (SELECT max(ts) - INTERVAL 3600 SECOND FROM events)
+        |UNION ALL
+        |SELECT CAST(NULL AS BIGINT) AS err_id, o.event_id AS ctx_id,
+        | o.event_type AS ctx_type
+        |FROM events o
+        |WHERE o.event_type <> 'error'
+        | AND o.event_id NOT IN (SELECT ctx_id FROM m)
+        | AND o.ts + INTERVAL 21600 SECOND <
+        |     (SELECT max(ts) - INTERVAL 3600 SECOND FROM events
+        |      WHERE event_type = 'error')""".stripMargin,
     "csv_roundtrip" -> roundtripOracle,
     "cdc_compact" -> compactSql,
     "cdc_tables" ->

@@ -303,7 +303,18 @@ object CdcStream {
     * the inner-join result is exactly the batch identity (cross-batch
     * matching and late-drop semantics are pinned in `StreamJoinSpec`).
     */
-  def intervalJoinStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+  def intervalJoinStreamed(spark: SparkSession, sfDir: String): DataFrame =
+    errCtxIntervalJoin(spark, sfDir, "inner")
+
+  /** Shared body of the three stream-stream join gate forms: errors ⋈
+    * same-user non-error activity in the preceding 6 h, drained through
+    * the parquet ledger sink. The join TYPE is the only degree of
+    * freedom — inner (batch identity), left_outer (unmatched errors
+    * surface past their horizon), full_outer (unmatched context rows
+    * surface past the mirrored horizon too).
+    */
+  private def errCtxIntervalJoin(
+      spark: SparkSession, sfDir: String, joinType: String): DataFrame = {
     val s = stateScopedSession(spark)
     def side(): DataFrame = rawEventStream(s, sfDir)
       .withColumn("ets", timestamp_micros(expr("ts div 1000")))
@@ -317,7 +328,8 @@ object CdcStream {
       StreamJoin.intervalJoin(errors, ctx,
         leftKey = "err_user", rightKey = "ctx_user",
         leftTs = "err_ts", rightTs = "ctx_ts",
-        lowerSec = 21600L, upperSec = 0L, watermarkDelay = "1 hour")
+        lowerSec = 21600L, upperSec = 0L, watermarkDelay = "1 hour",
+        joinType = joinType)
         .select("err_id", "ctx_id", "ctx_type"))
   }
 
@@ -405,24 +417,26 @@ object CdcStream {
     * are NOT emitted — their absence is not yet proven).
     */
   def intervalJoinOuterStreamed(
-      spark: SparkSession, sfDir: String): DataFrame = {
-    val s = stateScopedSession(spark)
-    def side(): DataFrame = rawEventStream(s, sfDir)
-      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
-    val errors = side().filter(col("event_type") === "error")
-      .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
-        col("ets").as("err_ts"))
-    val ctx = side().filter(col("event_type") =!= "error")
-      .select(col("event_id").as("ctx_id"), col("user_id").as("ctx_user"),
-        col("event_type").as("ctx_type"), col("ets").as("ctx_ts"))
-    drainToParquet(s,
-      StreamJoin.intervalJoin(errors, ctx,
-        leftKey = "err_user", rightKey = "ctx_user",
-        leftTs = "err_ts", rightTs = "ctx_ts",
-        lowerSec = 21600L, upperSec = 0L, watermarkDelay = "1 hour",
-        joinType = "left_outer")
-        .select("err_id", "ctx_id", "ctx_type"))
-  }
+      spark: SparkSession, sfDir: String): DataFrame =
+    errCtxIntervalJoin(spark, sfDir, "left_outer")
+
+  /** §2.8 ext: the FULL-OUTER form — BOTH sides' unmatched rows surface
+    * null-padded, each once its own horizon is provably empty. The left
+    * (errors) horizon is [[intervalJoinOuterStreamed]]'s rule
+    * (`l.ts + upper + delay < wm`); the right (context) side mirrors it
+    * through the interval's other bound: a future error at `l.ts` can
+    * reach back to context rows with `ctx.ts >= l.ts − lower`, so a
+    * context row is provably unmatched only once
+    * `r.ts + lower + delay < wm` (= max event time − 2·delay here, with
+    * Spark's conservative extra-delay subtraction, verified empirically
+    * against the gate fixture like the left rule was). The oracle states
+    * BOTH horizons exactly, so the hash gate pins the two finalization
+    * rules, their asymmetry (upper vs lower), and the tail exclusions on
+    * both sides.
+    */
+  def intervalJoinFullStreamed(
+      spark: SparkSession, sfDir: String): DataFrame =
+    errCtxIntervalJoin(spark, sfDir, "full_outer")
 
   /** Keep streaming merge state in RocksDB instead of the default on-heap
     * HashMap provider. The merge state is one entry per live (table, rid)

@@ -49,8 +49,8 @@ object StreamJoin {
       joinType: String = "inner"): DataFrame = {
     require(lowerSec + upperSec >= 0,
       s"empty interval: [t-$lowerSec s, t+$upperSec s]")
-    require(joinType == "inner" || joinType == "left_outer",
-      s"intervalJoin supports inner|left_outer, got '$joinType'")
+    require(Set("inner", "left_outer", "full_outer")(joinType),
+      s"intervalJoin supports inner|left_outer|full_outer, got '$joinType'")
     val l = left.withWatermark(leftTs, watermarkDelay)
     val r = right.withWatermark(rightTs, watermarkDelay)
     val cond: Column =
@@ -65,6 +65,9 @@ object StreamJoin {
     // is why the spec drives the watermark forward to collect them. A
     // finite drain (AvailableNow) that never advances the watermark past
     // the horizon reports matches only — document at call sites.
+    // full_outer adds the mirrored rule for the right side: an unmatched
+    // right row emits once the watermark passes rightTs + lower + delay
+    // (the latest a future left row could still reach back to it).
     l.join(r, cond, joinType)
   }
 }

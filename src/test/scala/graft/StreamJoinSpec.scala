@@ -148,6 +148,51 @@ class StreamJoinSpec extends SparkSuite {
     assert(out.count(_._1 == 101L) === 1)
   }
 
+  test("full_outer: both sides' unmatched rows emit null-padded past " +
+      "their own horizons; matched rows never get a null twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[Ev]
+    val rMem = MemoryStream[Ev]
+    def shape(df: org.apache.spark.sql.DataFrame, p: String) =
+      df.select(col("k").as(s"${p}_k"),
+        timestamp_seconds(col("tsSec")).as(s"${p}_ts"),
+        col("id").as(s"${p}_id"))
+    val name = "ssjf_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = StreamJoin.intervalJoin(
+      shape(lMem.toDF(), "l"), shape(rMem.toDF(), "r"),
+      "l_k", "r_k", "l_ts", "r_ts", lowerSec = 10, upperSec = 10,
+      watermarkDelay = "5 seconds", joinType = "full_outer")
+      .select("l_id", "r_id")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    // batch 1: 101⋈201; 102 (left) and 203 (right) have no partner
+    lMem.addData(Ev(1, 1000, 101), Ev(2, 1050, 102))
+    rMem.addData(Ev(1, 1005, 201), Ev(3, 1100, 203))
+    q.processAllAvailable()
+    // march both watermarks far past every horizon, then one more
+    // trigger to surface the finalized outer rows
+    lMem.addData(Ev(9, 9000, 109))
+    rMem.addData(Ev(9, 9001, 209))
+    q.processAllAvailable()
+    lMem.addData(Ev(9, 9500, 110))
+    rMem.addData(Ev(9, 9501, 210))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table(name).collect()
+      .map(r => (Option(r.get(0)).map(_.toString.toLong),
+        Option(r.get(1)).map(_.toString.toLong))).toSeq
+    assert(out.contains((Some(101L), Some(201L))))
+    assert(out.contains((Some(102L), None)),
+      s"unmatched left never emitted: $out")
+    assert(out.contains((None, Some(203L))),
+      s"unmatched right never emitted: $out")
+    // matched rows appear exactly once — never also null-padded
+    assert(!out.contains((Some(101L), None)) &&
+      !out.contains((None, Some(201L))), out.toString)
+  }
+
   test("drainToParquet: temp fallback leaks no work dirs and stays " +
       "collectable; explicit workDir keeps the ledger in place") {
     import spark.implicits._
