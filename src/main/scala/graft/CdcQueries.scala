@@ -137,6 +137,12 @@ object CdcQueries extends QueryRegistry {
     // lower-bound rule for context); oracle states both horizons
     "events_stream_join_full" -> ((s, dir) =>
       streaming.CdcStream.intervalJoinFullStreamed(s, dir)),
+    // §2.8 ext: per-user error-burst alerts on Spark 4's
+    // transformWithState (typed list state, pruned to the trailing
+    // 6 h on every arrival) — oracle = the batch RANGE-frame window
+    // count, which the operator's semantics mirror exactly
+    "events_burst_alerts" -> ((s, dir) =>
+      streaming.CdcStream.burstAlertsStreamed(s, dir)),
     // K2+S8+F8: CSV sink → source roundtrip preserves the changelog
     "csv_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files
@@ -497,6 +503,17 @@ object CdcQueries extends QueryRegistry {
         | AND o.ts + INTERVAL 21600 SECOND <
         |     (SELECT max(ts) - INTERVAL 3600 SECOND FROM events
         |      WHERE event_type = 'error')""".stripMargin,
+    // the streaming detector's alert set IS the batch RANGE-window count
+    "events_burst_alerts" ->
+      """WITH e AS (SELECT user_id, ts FROM events
+        |  WHERE event_type = 'error'),
+        |c AS (SELECT user_id, ts, count(*) OVER (
+        |   PARTITION BY user_id ORDER BY ts
+        |   RANGE BETWEEN INTERVAL 21600 SECOND PRECEDING AND CURRENT ROW)
+        |  AS n_window
+        | FROM e)
+        |SELECT user_id, epoch_us(ts) AS ts_us, n_window
+        |FROM c WHERE n_window >= 2""".stripMargin,
     "csv_roundtrip" -> roundtripOracle,
     "cdc_compact" -> compactSql,
     "cdc_tables" ->

@@ -438,6 +438,37 @@ object CdcStream {
       spark: SparkSession, sfDir: String): DataFrame =
     errCtxIntervalJoin(spark, sfDir, "full_outer")
 
+  /** §2.8 ext: per-user error-burst alerts run as a stream to completion
+    * — [[BurstDetect]] on `transformWithState`, the Spark 4 arbitrary-
+    * state API (typed state variables + TTL + timers; the successor of
+    * the fMGWS machinery [[Quota]] and the session fold use). An alert
+    * fires for every error that is the 2nd-or-later error of its user
+    * within the trailing 6 h of event time; the oracle is the DuckDB
+    * RANGE-frame window count the operator's semantics mirror exactly.
+    * One file → one micro-batch, so the ordered-feed precondition holds
+    * trivially; `BurstDetectSpec` pins cross-batch state carry, pruning,
+    * and the out-of-order fail-fast the gate cannot see.
+    */
+  def burstAlertsStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = stateScopedSession(spark)
+    // transformWithState keeps each state variable in its own column
+    // family — a RocksDB-provider feature (the HDFS-backed provider is
+    // single-family). Session-scoped: the clone's conf dies with it.
+    useRocksDBStateStore(s)
+    import s.implicits._
+    val name = "evt_burst_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val errors = rawEventStream(s, sfDir)
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      .as[BurstDetect.ErrEvent]
+    val q = BurstDetect.alerts(errors, windowUs = 21600L * 1000000L,
+        minCount = 2)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).select("user_id", "ts_us", "n_window")
+  }
+
   /** Keep streaming merge state in RocksDB instead of the default on-heap
     * HashMap provider. The merge state is one entry per live (table, rid)
     * key — at 100 TB key counts that exceeds executor heap; RocksDB spills

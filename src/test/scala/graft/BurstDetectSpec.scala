@@ -1,0 +1,87 @@
+package graft
+
+import graft.streaming.BurstDetect
+import graft.streaming.BurstDetect.{Alert, ErrEvent}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+/** transformWithState burst-detector contract: the alert set equals the
+  * batch RANGE-window count restricted to count ≥ minCount, state
+  * carries across micro-batches, the trailing-window prune really
+  * evicts (boundary inclusive), and an out-of-order feed fails fast
+  * instead of silently diverging.
+  */
+class BurstDetectSpec extends SparkSuite {
+
+  // transformWithState needs the RocksDB provider (per-variable column
+  // families); a session CLONE scopes the conf to this suite's queries
+  private lazy val rdb: org.apache.spark.sql.SparkSession = {
+    val s = spark.newSession()
+    graft.streaming.CdcStream.useRocksDBStateStore(s)
+    s
+  }
+
+  private val W = 100L // window µs, small numbers for exactness
+
+  private def drive(batches: Seq[Seq[ErrEvent]], minCount: Int = 2)
+      : Either[Throwable, Seq[Alert]] = {
+    import rdb.implicits._
+    implicit val sqlCtx = rdb.sqlContext
+    val mem = MemoryStream[ErrEvent]
+    val name = "burst_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = BurstDetect.alerts(mem.toDS(), W, minCount)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      q.stop()
+      Right(rdb.table(name).as[Alert].collect().toSeq
+        .sortBy(a => (a.user_id, a.ts_us)))
+    } catch {
+      case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+        q.stop(); Left(e)
+    }
+  }
+
+  test("alerts equal the batch RANGE-window rule, across micro-batches") {
+    // user 1: errors at 0, 60, 200 — (0,60) in one window (alert at 60,
+    // n=2); 200 is 140 past 60, outside W=100, no alert. user 2: three
+    // errors 10 apart SPLIT ACROSS BATCHES — state must carry: alerts
+    // at the 2nd (n=2) and 3rd (n=3).
+    val got = drive(Seq(
+      Seq(ErrEvent(1, 0), ErrEvent(2, 10)),
+      Seq(ErrEvent(1, 60), ErrEvent(2, 20)),
+      Seq(ErrEvent(1, 200), ErrEvent(2, 30)))).toOption.get
+    assert(got === Seq(
+      Alert(1, 60, 2), Alert(2, 20, 2), Alert(2, 30, 3)))
+  }
+
+  test("trailing-window prune: boundary timestamp still counts, one µs " +
+      "older does not") {
+    // ts' = ts − W is IN window (RANGE frame inclusivity)
+    val inBoundary = drive(Seq(Seq(ErrEvent(7, 0)), Seq(ErrEvent(7, W))))
+      .toOption.get
+    assert(inBoundary === Seq(Alert(7, W, 2)))
+    val outBoundary = drive(Seq(Seq(ErrEvent(7, 0)), Seq(ErrEvent(7, W + 1))))
+      .toOption.get
+    assert(outBoundary.isEmpty)
+  }
+
+  test("state stays pruned: a long in-order feed keeps only the " +
+      "in-window stamps (alert counts never exceed the window density)") {
+    // 50 errors spaced 40 µs apart: window holds ≤ 3 stamps at a time,
+    // so n_window must plateau at 3 — a leak would grow it to 50
+    val feed = (0 until 50).map(i => Seq(ErrEvent(9, i * 40L)))
+    val got = drive(feed).toOption.get
+    assert(got.nonEmpty && got.map(_.n_window).max === 3L)
+  }
+
+  test("out-of-order cross-batch feed fails fast, naming the key") {
+    val res = drive(Seq(Seq(ErrEvent(5, 1000)), Seq(ErrEvent(5, 500))))
+    assert(res.isLeft)
+    val msg = res.swap.toOption.get.getMessage +
+      Option(res.swap.toOption.get.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("BurstDetect") || msg.contains("precondition"),
+      s"unexpected failure: $msg")
+  }
+}
