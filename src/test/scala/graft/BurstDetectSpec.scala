@@ -76,6 +76,49 @@ class BurstDetectSpec extends SparkSuite {
     assert(got.nonEmpty && got.map(_.n_window).max === 3L)
   }
 
+  test("warm start: batch-bootstrapped state + streamed tail equals the " +
+      "full-stream run from the cutoff on") {
+    import rdb.implicits._
+    implicit val sqlCtx = rdb.sqlContext
+    // history: user 1 has stamps {950, 980} in-window at cutoff 1000;
+    // user 2's only stamp (10) is already OUT of window; user 3 unseen
+    val history = Seq(
+      ErrEvent(1, 950), ErrEvent(1, 980), ErrEvent(2, 10))
+    val tail = Seq(
+      Seq(ErrEvent(1, 1020), ErrEvent(3, 1010)),
+      Seq(ErrEvent(2, 1040), ErrEvent(3, 1060)))
+    val cutoff = 1000L
+
+    // reference: one stream over history ++ tail, alerts after cutoff
+    val full = drive(Seq(history) ++ tail).toOption.get
+      .filter(_.ts_us > cutoff)
+
+    // warm start: the batch-computed in-window stamp list per key
+    // (exactly what a batch query over the historical corpus yields)
+    val warm = history.groupBy(_.user_id).toSeq.map { case (u, evs) =>
+      val last = evs.map(_.ts_us).max
+      BurstDetect.WarmState(u,
+        evs.map(_.ts_us).filter(_ >= last - W).sorted.toArray)
+    }
+    val mem = MemoryStream[ErrEvent]
+    val name = "burstw_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = BurstDetect.alertsWarmStarted(mem.toDS(),
+        rdb.createDataset(warm), W, minCount = 2)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    tail.foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = rdb.table(name).as[BurstDetect.Alert].collect().toSeq
+      .sortBy(a => (a.user_id, a.ts_us))
+    assert(full.nonEmpty, "fixture must alert after the cutoff")
+    assert(got === full,
+      s"warm-started run diverged from the full-stream reference: " +
+        s"got $got, want $full")
+    // the warm stamps really participated: user 1's alert at 1020
+    // counts both historical stamps (n=3)
+    assert(got.contains(BurstDetect.Alert(1, 1020, 3)))
+  }
+
   test("out-of-order cross-batch feed fails fast, naming the key") {
     val res = drive(Seq(Seq(ErrEvent(5, 1000)), Seq(ErrEvent(5, 500))))
     assert(res.isLeft)
