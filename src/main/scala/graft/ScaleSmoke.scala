@@ -57,7 +57,11 @@ object ScaleSmoke {
     // r13 stream-stream interval join: derived users are rep-disjoint, so
     // pairs and state both scale linearly — the row pins that the
     // watermark-bounded join state machinery does too
-    "events_stream_join")
+    "events_stream_join",
+    // r13 transformWithState burst detector: rep-disjoint users make
+    // alerts and state both linear; the row pins that the typed-state
+    // fold (RocksDB column families) scales with them
+    "events_burst_alerts")
 
   /** Smoke-only variants: the gate queries pin the IVF cell count at
     * C = 16 because the ORACLE's pair-set semantics depend on it, which
