@@ -225,6 +225,19 @@ class StreamJoinSpec extends SparkSuite {
       .deleteDirectory(new java.io.File(root))
   }
 
+  test("stateScopedSession: scopes the state width to the clone, " +
+      "leaves the parent's shuffle width untouched, honors the knob") {
+    val parentWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    val c1 = streaming.CdcStream.stateScopedSession(spark)
+    assert(c1.conf.get("spark.sql.shuffle.partitions") === "8")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === parentWidth)
+    spark.conf.set("spark.graft.statePartitions", "3")
+    try {
+      val c2 = streaming.CdcStream.stateScopedSession(spark)
+      assert(c2.conf.get("spark.sql.shuffle.partitions") === "3")
+    } finally spark.conf.unset("spark.graft.statePartitions")
+  }
+
   test("rows later than the watermark delay are dropped, in-delay " +
       "stragglers still join") {
     // batch 1 advances the watermark to ~990 (max 1000 − 10 s delay);
