@@ -123,6 +123,10 @@ object CdcQueries extends QueryRegistry {
     // machinery) — oracle = the lag/cumsum batch form at micros resolution
     "cdc_stream_sessions" -> ((s, dir) =>
       streaming.CdcStream.sessionStreamed(s, dir)),
+    // §2.8 ext: append-mode sessionization — each session emitted exactly
+    // once when the watermark passes its end; oracle states the horizon
+    "cdc_stream_sessions_append" -> ((s, dir) =>
+      streaming.CdcStream.sessionAppendStreamed(s, dir)),
     // §2.8 ext: STREAM-STREAM interval join (watermark-bounded join
     // state) — errors paired with same-user activity in the preceding 6 h;
     // oracle = the equivalent batch interval self-join
@@ -435,6 +439,27 @@ object CdcQueries extends QueryRegistry {
         | max(tus) + 3600000000 AS session_end,
         | count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    // the complete-mode sessions restricted to those the final watermark
+    // (max event time − 1 h delay) has provably closed
+    "cdc_stream_sessions_append" ->
+      """WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus, value
+        |  FROM events),
+        |m AS (SELECT user_id, tus, value,
+        |  CASE WHEN lag(tus) OVER w IS NULL THEN 1
+        |       WHEN tus - lag(tus) OVER w >= 3600000000 THEN 1
+        |       ELSE 0 END AS new_s
+        | FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+        |s AS (SELECT user_id, tus, value, CAST(sum(new_s) OVER (
+        |    PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS sid
+        | FROM m)
+        |SELECT * FROM (
+        | SELECT user_id, min(tus) AS session_start,
+        |  max(tus) + 3600000000 AS session_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        | FROM s GROUP BY user_id, sid)
+        |WHERE session_end <
+        |  (SELECT max(epoch_ns(ts) // 1000) - 3600000000 FROM events)""".stripMargin,
     "cdc_stream_enrich" ->
       """SELECT coalesce(c_mktsegment, '(none)') AS segment,
         | count(*) AS n_events, round(sum(value), 2) AS sum_value

@@ -229,6 +229,37 @@ object CdcStream {
         col("n_events"), round(col("sv"), 2).as("sum_value"))
   }
 
+  /** §2.8 ext: the APPEND-MODE twin of [[sessionStreamed]] — the standing
+    * deployment's form: with a watermark, each session is emitted EXACTLY
+    * ONCE, when the watermark passes its end (last event + gap; the
+    * session is then provably un-mergeable — no in-watermark event can
+    * extend it), and its state is evicted. Complete mode re-emits every
+    * session each trigger and keeps all of them forever; append mode
+    * bounds both output and state by the watermark horizon. The cost is
+    * the tail: sessions whose end is still inside the horizon at drain
+    * end are NOT emitted. The oracle states that boundary exactly — the
+    * gap-split batch sessions restricted to session_end < max(event
+    * time) − delay — so the hash gate pins the finalization rule and the
+    * final no-data batch that flushes it.
+    */
+  def sessionAppendStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = stateScopedSession(spark)
+    val name = "evt_sessA_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = rawEventStream(s, sfDir)
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", "1 hour")
+      .groupBy(session_window(col("ets"), "1 hour").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sv"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("session_start"),
+        unix_micros(col("w.end")).as("session_end"),
+        col("n_events"), round(col("sv"), 2).as("sum_value"))
+  }
+
   /** §2.8: stream-static dimension enrichment — the event stream joined per
     * micro-batch against a STATIC dimension table (the cache-join shape
     * every CDC consumer runs: stamp each change with the owning entity's
