@@ -141,4 +141,71 @@ object BurstDetect {
         TimeMode.None(), OutputMode.Append(),
         initial.groupByKey(_.user_id))
   }
+
+  /** An event with REAL event time (timestamp column, watermarked by the
+    * caller) — the input shape the timer-driven variant needs: event-time
+    * TIMERS only exist relative to a watermark. */
+  case class TimedEvent(user_id: Long, ets: java.sql.Timestamp)
+  /** kind = "alert" (burst threshold crossed, per arrival) or "closed"
+    * (the key went quiet: watermark passed last event + window). */
+  case class BurstEvent(user_id: Long, ts_us: Long, n: Long, kind: String)
+
+  /** The timer-driven variant: same alert rule, plus a CLOSE record when
+    * a key's burst provably ends — an event-time timer registered at
+    * (last event + window) fires once the watermark passes it, emits the
+    * final in-window count, and clears the key's state. This is the
+    * transformWithState surface the other variants don't touch: TimeMode
+    * EventTime, registerTimer/deleteTimer (one live timer per key,
+    * re-armed on every arrival), and handleExpiredTimer. The semantic
+    * twin of the close record is gap-based sessionization — which the
+    * hash gate pins via `cdc_stream_sessions_append` — so this variant
+    * is spec-verified ([[BurstDetectSpec]]): close fires exactly when
+    * the watermark passes the horizon, state is cleared (a later event
+    * starts a fresh count), and re-arming leaves no stale timers.
+    */
+  class ClosingDetector(windowUs: Long, minCount: Int)
+      extends StatefulProcessor[Long, TimedEvent, BurstEvent] {
+    @transient private var recent: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      recent = getHandle.getListState[Long]("recent", Encoders.scalaLong,
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TimedEvent],
+        timers: TimerValues): Iterator[BurstEvent] = {
+      val asUs = rows.map(e =>
+        ErrEvent(e.user_id, e.ets.getTime * 1000L)).iterator
+      val alerts = foldKey(key, asUs, recent, windowUs, minCount)
+        .map(a => BurstEvent(a.user_id, a.ts_us, a.n_window, "alert"))
+        .toVector
+      // re-arm THE key's close timer at (last stamp + window): timers are
+      // per-key wall-registry entries in ms, one live timer here — drop
+      // the stale one or the earlier horizon would fire a bogus close
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      if (recent.exists()) {
+        val lastMs = recent.get().toVector.last / 1000L
+        getHandle.registerTimer(lastMs + windowUs / 1000L)
+      }
+      alerts.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[BurstEvent] = {
+      val stamps = if (recent.exists()) recent.get().toVector else Vector.empty
+      recent.clear()
+      if (stamps.isEmpty) Iterator.empty
+      else Iterator.single(
+        BurstEvent(key, stamps.last, stamps.size.toLong, "closed"))
+    }
+  }
+
+  /** Timer-driven run over a WATERMARKED timestamp stream. */
+  def alertsWithClose(events: Dataset[TimedEvent], windowUs: Long,
+      minCount: Int): Dataset[BurstEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new ClosingDetector(windowUs, minCount),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

@@ -119,6 +119,55 @@ class BurstDetectSpec extends SparkSuite {
     assert(got.contains(BurstDetect.Alert(1, 1020, 3)))
   }
 
+  test("event-time timers: a quiet key closes its burst once the " +
+      "watermark passes last + window, state clears, timers re-arm") {
+    import rdb.implicits._
+    implicit val sqlCtx = rdb.sqlContext
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val Wus = 1000000L // 1 s window
+    val mem = MemoryStream[BurstDetect.TimedEvent]
+    val name = "burstc_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = BurstDetect.alertsWithClose(
+        mem.toDS().withWatermark("ets", "0 seconds"), Wus, minCount = 2)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def got(): Seq[BurstDetect.BurstEvent] =
+      rdb.table(name).as[BurstDetect.BurstEvent].collect().toSeq
+
+    // burst: u1 at 1.0 s and 1.5 s → alert at 1.5 (n=2); timer re-armed
+    // from 2.0 s to 2.5 s — the stale timer must NOT fire a close at 2.0
+    mem.addData(BurstDetect.TimedEvent(1, ts(1000)))
+    q.processAllAvailable()
+    mem.addData(BurstDetect.TimedEvent(1, ts(1500)))
+    q.processAllAvailable()
+    // march the watermark past 2.5 s via another key, then once more so
+    // the expired timer's emission surfaces
+    mem.addData(BurstDetect.TimedEvent(2, ts(10000)))
+    q.processAllAvailable()
+    mem.addData(BurstDetect.TimedEvent(2, ts(20000)))
+    q.processAllAvailable()
+    val afterClose = got()
+    assert(afterClose.contains(
+      BurstDetect.BurstEvent(1, 1500000L, 2, "alert")))
+    assert(afterClose.count(_.kind == "closed") >= 1)
+    assert(afterClose.contains(
+      BurstDetect.BurstEvent(1, 1500000L, 2, "closed")),
+      s"close must carry the burst's last stamp and final count: $afterClose")
+    assert(afterClose.count(e => e.user_id == 1 && e.kind == "closed") === 1,
+      s"stale timer fired a duplicate close: $afterClose")
+
+    // state cleared by the close: a fresh u1 pair counts from 1, not 3
+    mem.addData(BurstDetect.TimedEvent(1, ts(30000)))
+    q.processAllAvailable()
+    mem.addData(BurstDetect.TimedEvent(1, ts(30500)))
+    q.processAllAvailable()
+    q.stop()
+    val end = got()
+    assert(end.contains(BurstDetect.BurstEvent(1, 30500000L, 2, "alert")),
+      s"post-close count did not restart: $end")
+    assert(!end.exists(e => e.user_id == 1 && e.kind == "alert" && e.n > 2))
+  }
+
   test("out-of-order cross-batch feed fails fast, naming the key") {
     val res = drive(Seq(Seq(ErrEvent(5, 1000)), Seq(ErrEvent(5, 500))))
     assert(res.isLeft)
