@@ -127,6 +127,17 @@ object CdcQueries extends QueryRegistry {
     // once when the watermark passes its end; oracle states the horizon
     "cdc_stream_sessions_append" -> ((s, dir) =>
       streaming.CdcStream.sessionAppendStreamed(s, dir)),
+    // A1/K6 ext: offline state-store introspection — the merge fold's
+    // persisted state read back through the `statestore` data source
+    // must equal the batch compact (same oracle text as cdc_compact)
+    "cdc_state_inspect" -> ((s, dir) => {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_insp").toString
+      val res = streaming.CdcStream.stateInspect(s, dir, ckpt)
+        .materializeForced()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+      res
+    }),
     // §2.8 ext: STREAM-STREAM interval join (watermark-bounded join
     // state) — errors paired with same-user activity in the preceding 6 h;
     // oracle = the equivalent batch interval self-join
@@ -541,6 +552,8 @@ object CdcQueries extends QueryRegistry {
         |FROM c WHERE n_window >= 2""".stripMargin,
     "csv_roundtrip" -> roundtripOracle,
     "cdc_compact" -> compactSql,
+    // the persisted state store IS the compact: one oracle text
+    "cdc_state_inspect" -> compactSql,
     "cdc_tables" ->
       s"""SELECT "table", count(*) AS n_live_rows
          |FROM ($compactSql) GROUP BY 1""".stripMargin,

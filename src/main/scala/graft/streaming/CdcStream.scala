@@ -229,6 +229,44 @@ object CdcStream {
         col("n_events"), round(col("sv"), 2).as("sum_value"))
   }
 
+  /** OFFLINE state introspection — the state-store READER every standing
+    * deployment needs for debugging and audits: run the merge state
+    * machine to completion with a persistent checkpoint, then read the
+    * state store FILES directly through Spark 4's `statestore` data
+    * source (no running query, no sink replay — the store itself is the
+    * table). The [[merged]] fold keeps exactly the live (table, rid)
+    * rows (annihilated keys are `state.remove()`d), so the offline read
+    * must equal the batch compact — which is what the
+    * `cdc_state_inspect` gate query hash-proves against the same oracle
+    * `cdc_compact` uses. At 100 TB this read is a partitioned scan of
+    * the store's files (one task per state partition), the same shape as
+    * any other source; it is how an operator answers "what does the
+    * stream believe right now" without touching the running job.
+    *
+    * `ckptDir`: the query's checkpoint root (shared storage in a
+    * deployment; the gate wiring stages a local one and deletes it —
+    * the result is materialized first, severing lineage).
+    */
+  def stateInspect(spark: SparkSession, sfDir: String,
+      ckptDir: String): DataFrame = {
+    val s = stateScopedSession(spark)
+    val name = "cdc_insp_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = merged(changeLogStream(s, sfDir)).writeStream
+      .format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // fMGWS persists the user state under a `groupState` struct field
+    val st = col("value.groupState")
+    s.read.format("statestore").option("path", ckptDir).load()
+      .select(st.getField("table").as("table"), st.getField("rid").as("rid"),
+        st.getField("cdc_action").as("cdc_action"),
+        st.getField("seq").as("seq"), st.getField("cdc_ts").as("cdc_ts"),
+        st.getField("value").as("value"), st.getField("props").as("props"))
+  }
+
   /** §2.8 ext: the APPEND-MODE twin of [[sessionStreamed]] — the standing
     * deployment's form: with a watermark, each session is emitted EXACTLY
     * ONCE, when the watermark passes its end (last event + gap; the
