@@ -36,4 +36,53 @@ class StateInspectSpec extends SparkSuite {
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(ckpt))
   }
+
+  test("state CHANGE FEED: per-batch put/delete audit trail of the fold " +
+      "(RocksDB changelog checkpointing)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val s = spark.newSession()
+    CdcStream.useRocksDBStateStore(s)
+    s.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_cfeed").toString
+    try {
+      val mem = MemoryStream[CdcStream.Ch]
+      val name = "cf_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = CdcStream.merged(mem.toDS()).writeStream
+        .format("memory").queryName(name).outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0)).start()
+      // batch 0: two inserts; batch 1: r1 annihilates (insert+delete),
+      // r2 updates in place
+      mem.addData(CdcStream.Ch("t1", "r1", "insert", 10L, 1L, 1.0, null),
+        CdcStream.Ch("t1", "r2", "insert", 11L, 2L, 2.0, null))
+      q.processAllAvailable()
+      mem.addData(CdcStream.Ch("t1", "r1", "delete", 12L, 3L, 0.0, null),
+        CdcStream.Ch("t1", "r2", "update", 13L, 4L, 5.0, null))
+      q.processAllAvailable()
+      q.stop()
+      val feed = s.read.format("statestore")
+        .option("path", ckpt)
+        .option("readChangeFeed", "true")
+        .option("changeStartBatchId", "0")
+        .load()
+        .select(col("batch_id"), col("change_type"),
+          col("key._2").as("rid"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .toSet
+      // the audit trail: both keys written in batch 0; batch 1 removes
+      // the annihilated key and rewrites the updated one
+      assert(feed.contains((0L, "update", "r1")), feed.toString)
+      assert(feed.contains((0L, "update", "r2")), feed.toString)
+      assert(feed.contains((1L, "delete", "r1")), feed.toString)
+      assert(feed.contains((1L, "update", "r2")), feed.toString)
+      assert(!feed.contains((1L, "delete", "r2")), feed.toString)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(ckpt))
+  }
 }
