@@ -11,6 +11,8 @@ import org.apache.spark.sql.functions._
   */
 class StateInspectSpec extends SparkSuite {
 
+  private case class Ev(k: Long, tsSec: Long, id: Long)
+
   test("statestore read equals the fold's live rows; state-metadata " +
       "reports the knob's partition count") {
     val ckpt = java.nio.file.Files
@@ -33,6 +35,46 @@ class StateInspectSpec extends SparkSuite {
       // knob's effect observed from the persisted checkpoint itself
       assert(rows.head.getInt(1) === 8,
         s"state ran at width ${rows.head.getInt(1)}, knob says 8")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(ckpt))
+  }
+
+  test("join-state introspection: the interval join's buffered sides " +
+      "are readable offline via joinSide") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_jinsp").toString
+    try {
+      val lMem = MemoryStream[Ev]
+      val rMem = MemoryStream[Ev]
+      def shape(df: org.apache.spark.sql.DataFrame, p: String) =
+        df.select(col("k").as(s"${p}_k"),
+          timestamp_seconds(col("tsSec")).as(s"${p}_ts"),
+          col("id").as(s"${p}_id"))
+      val name = "ji_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = streaming.StreamJoin.intervalJoin(
+        shape(lMem.toDF(), "l"), shape(rMem.toDF(), "r"),
+        "l_k", "r_k", "l_ts", "r_ts", lowerSec = 10, upperSec = 10,
+        watermarkDelay = "1000 seconds")
+        .select("l_id", "r_id")
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      lMem.addData(Ev(1, 100, 11), Ev(2, 200, 12))
+      rMem.addData(Ev(1, 105, 21))
+      q.processAllAvailable()
+      q.stop()
+      // the wide watermark delay keeps everything buffered: the offline
+      // joinSide reads must show exactly the fed rows
+      def side(sideName: String, idField: String): Set[Long] =
+        spark.read.format("statestore").option("path", ckpt)
+          .option("joinSide", sideName).load()
+          .select(col(s"value.$idField")).collect().map(_.getLong(0)).toSet
+      assert(side("left", "l_id") === Set(11L, 12L))
+      assert(side("right", "r_id") === Set(21L))
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(ckpt))
   }
