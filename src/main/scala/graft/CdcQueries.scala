@@ -158,6 +158,11 @@ object CdcQueries extends QueryRegistry {
     // count, which the operator's semantics mirror exactly
     "events_burst_alerts" -> ((s, dir) =>
       streaming.CdcStream.burstAlertsStreamed(s, dir)),
+    // §2.8 ext: the warm-started twin — batch bootstrap of the detector
+    // state, stream over the tail only; oracle = the same RANGE-window
+    // count restricted past the cutoff (stream(warm)+tail ≡ full stream)
+    "events_burst_warm" -> ((s, dir) =>
+      streaming.CdcStream.burstAlertsWarmStreamed(s, dir)),
     // K2+S8+F8: CSV sink → source roundtrip preserves the changelog
     "csv_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files
@@ -550,6 +555,19 @@ object CdcQueries extends QueryRegistry {
         | FROM e)
         |SELECT user_id, epoch_us(ts) AS ts_us, n_window
         |FROM c WHERE n_window >= 2""".stripMargin,
+    // the warm-started run must reproduce the full-history alert set
+    // past the (data-derived) cutoff — same window count, one filter
+    "events_burst_warm" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events
+        |  WHERE event_type = 'error'),
+        |c AS (SELECT user_id, tus, count(*) OVER (
+        |   PARTITION BY user_id ORDER BY tus
+        |   RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)
+        |  AS n_window
+        | FROM e)
+        |SELECT user_id, tus AS ts_us, n_window
+        |FROM c WHERE n_window >= 2
+        | AND tus > (SELECT (min(tus) + max(tus)) // 2 FROM e)""".stripMargin,
     "csv_roundtrip" -> roundtripOracle,
     "cdc_compact" -> compactSql,
     // the persisted state store IS the compact: one oracle text

@@ -229,6 +229,52 @@ object CdcStream {
         col("n_events"), round(col("sv"), 2).as("sum_value"))
   }
 
+  /** §2.8 ext: [[burstAlertsStreamed]] WARM-STARTED — the batch-bootstrap
+    * → stream-continue shape under the hash gate: history (errors up to
+    * the fixture's midpoint event time) is folded OFFLINE into per-user
+    * warm state (the in-window stamps as of each user's last historical
+    * error), the stream runs only the tail, and the alert set past the
+    * cutoff must equal the full-history run's — which is exactly the
+    * batch RANGE-window oracle restricted to ts > cutoff. This puts
+    * `StatefulProcessorWithInitialState` itself under the oracle: a
+    * wrong seed (missed stamp, unpruned stamp, missed key) shifts alert
+    * counts and breaks the hash.
+    */
+  def burstAlertsWarmStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = stateScopedSession(spark)
+    useRocksDBStateStore(s)
+    import s.implicits._
+    val name = "evt_burstw_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val W = 21600L * 1000000L
+    val errs = graft.CdcBatch.readEvents(s, sfDir)
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+    // the cutoff is data-derived (midpoint of the error time range) so
+    // the oracle can state it in SQL
+    val cut = errs.agg(
+      ((min("ts_us") + max("ts_us")) / 2).cast("long")).head.getLong(0)
+    // batch bootstrap: each user's in-window stamps as of their last
+    // historical error — the exact state a full run would hold at cutoff
+    val warm = errs.filter(col("ts_us") <= cut)
+      .withColumn("last", max("ts_us").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+      .filter(col("ts_us") >= col("last") - lit(W))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list("ts_us")).as("stamps"))
+      .as[BurstDetect.WarmState]
+    // the stream delivers only the tail
+    val tail = rawEventStream(s, sfDir)
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      .filter(col("ts_us") > cut)
+      .as[BurstDetect.ErrEvent]
+    val q = BurstDetect.alertsWarmStarted(tail, warm, W, minCount = 2)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).select("user_id", "ts_us", "n_window")
+  }
+
   /** OFFLINE state introspection — the state-store READER every standing
     * deployment needs for debugging and audits: run the merge state
     * machine to completion with a persistent checkpoint, then read the
