@@ -84,4 +84,39 @@ object Multimodal {
           .otherwise(array().cast("array<binary>"))))
       .withColumnRenamed("pos", "frame_no")
       .withColumnRenamed("col", "frame")
+
+  /** Lake INGESTION for raw media — the step before [[mediaTable]]'s
+    * shape exists: media lands as one FILE per item (how cameras,
+    * crawlers, and upload endpoints deliver it), and Spark's
+    * `binaryFile` source turns the directory into the binary-column
+    * table downstream operators consume. At 100 TB the read is one task
+    * per file group (maxPartitionBytes governs grouping); the id is
+    * carried in the file name, the payload in `content`, and no decode
+    * happens on the scan — the opaque-binary contract every mm_*
+    * operator keeps. `pathGlobFilter` guards against sidecar files.
+    */
+  def ingestMediaFiles(s: SparkSession, dir: String): DataFrame =
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin").load(dir)
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.bin$", 1)
+          .cast("long").as("doc_id"),
+        col("length").as("n_bytes"),
+        md5(col("content")).as("content_md5"))
+
+  /** Stage each row's payload as one `<doc_id>.bin` file under `dir` —
+    * executor-side, one file per row (the gate's stand-in for the
+    * upstream system that delivers media as files). */
+  def writeMediaFiles(media: DataFrame, dir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    media.select(col("doc_id"), col("media"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"${r.getLong(0)}.bin"),
+            r.getAs[Array[Byte]]("media"))
+          ()
+        }
+      }
+  }
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Materialize.Ops
 import graft.QueryRegistry
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -20,6 +21,22 @@ object MultimodalQueries extends QueryRegistry {
         col("meta.format").as("format"),
         col("meta.width").as("width"),
         col("meta.height").as("height"))),
+    // X5: file-per-item media INGESTION roundtrip — payloads staged as
+    // one .bin file each (how media actually lands), read back through
+    // the binaryFile source; id from the file name, bytes + md5 from the
+    // content. The oracle computes the same from the source column, so
+    // the hash proves the write→binaryFile→table path loses nothing.
+    // Gate-local staging dir (local master); a deployment reads the
+    // object-store landing prefix directly.
+    "mm_binary_ingest" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_media").toString
+      Multimodal.writeMediaFiles(
+        Multimodal.mediaTable(s, dir).filter(col("doc_id") % 41 === 0), tmp)
+      val res = Multimodal.ingestMediaFiles(s, tmp).materializeForced()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      res
+    }),
     // X5/X4/X3 fusion: cross-modal curation scorecard — text-side signals
     // (token/stopword quality) joined with embedding-side signals
     // (coordinate concentration of the unit vector) into one per-item keep
@@ -112,6 +129,12 @@ object MultimodalQueries extends QueryRegistry {
         | (quality > 0.3 AND max_abs < 0.5) AS keep
         |FROM j""".stripMargin,
     "mm_binary_meta" -> metaSql,
+    // the staged-file roundtrip must reproduce the source column exactly
+    "mm_binary_ingest" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | md5(text) AS content_md5
+        |FROM documents WHERE doc_id % 41 = 0""".stripMargin,
     "mm_frame_sample" ->
       s"""WITH m AS (SELECT doc_id, format, n_bytes AS len FROM ($metaSql)),
          |f AS (SELECT doc_id, format,
