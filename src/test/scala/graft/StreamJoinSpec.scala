@@ -225,6 +225,59 @@ class StreamJoinSpec extends SparkSuite {
       .deleteDirectory(new java.io.File(root))
   }
 
+  test("checkpoint recovery: a restarted join pairs new arrivals against " +
+      "state buffered by the PREVIOUS run") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ssjr").toString
+    def stage(side: String, rows: Seq[(Long, Long, Long)]): Unit =
+      rows.toDF("k", "tsSec", "id").coalesce(1)
+        .write.mode("append").parquet(s"$root/$side")
+    def runOnce(): Unit = {
+      def src(side: String, p: String) =
+        spark.readStream
+          .schema("k LONG, tsSec LONG, id LONG").parquet(s"$root/$side")
+          .select(col("k").as(s"${p}_k"),
+            timestamp_seconds(col("tsSec")).as(s"${p}_ts"),
+            col("id").as(s"${p}_id"))
+      val q = StreamJoin.intervalJoin(src("l", "l"), src("r", "r"),
+        "l_k", "r_k", "l_ts", "r_ts", lowerSec = 20, upperSec = 20,
+        watermarkDelay = "1000 seconds")
+        .select("l_id", "r_id")
+        .writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    try {
+      // run 1: one pair within the drain
+      stage("l", Seq((1L, 100L, 11L)))
+      stage("r", Seq((1L, 105L, 21L)))
+      runOnce()
+      // the "deployment restart": new files land, a NEW query resumes
+      // from the same checkpoint — offsets skip run 1's files, and the
+      // restored join state must pair across the boundary in BOTH
+      // directions (old-left × new-right, new-left × old-right)
+      stage("l", Seq((1L, 120L, 12L)))
+      stage("r", Seq((1L, 110L, 22L)))
+      runOnce()
+      val got = spark.read.parquet(s"$root/out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = batchJoin(
+        Seq(Ev(1, 100, 11), Ev(1, 120, 12)),
+        Seq(Ev(1, 105, 21), Ev(1, 110, 22)), 20, 20).toSet
+      assert(got === want, s"got $got, want $want")
+      assert(got.contains((11L, 22L)) && got.contains((12L, 21L)),
+        "cross-restart pairs missing — join state not restored")
+      // each pair exactly once: replayed offsets must not double-emit
+      val all = spark.read.parquet(s"$root/out").count()
+      assert(all === want.size.toLong, s"duplicate emissions: $all")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+  }
+
   test("stateScopedSession: scopes the state width to the clone, " +
       "leaves the parent's shuffle width untouched, honors the knob") {
     val parentWidth = spark.conf.get("spark.sql.shuffle.partitions")
