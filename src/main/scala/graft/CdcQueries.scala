@@ -152,6 +152,11 @@ object CdcQueries extends QueryRegistry {
     // lower-bound rule for context); oracle states both horizons
     "events_stream_join_full" -> ((s, dir) =>
       streaming.CdcStream.intervalJoinFullStreamed(s, dir)),
+    // §2.8 ext: streaming AS-OF join — each error's single most recent
+    // same-user context event; interval-join state + latest-per-key on
+    // the O(matches) ledger. Oracle = the batch QUALIFY row_number form
+    "events_stream_asof" -> ((s, dir) =>
+      streaming.CdcStream.asofJoinStreamed(s, dir)),
     // §2.8 ext: per-user error-burst alerts on Spark 4's
     // transformWithState (typed list state, pruned to the trailing
     // 6 h on every arrival) — oracle = the batch RANGE-frame window
@@ -544,6 +549,15 @@ object CdcQueries extends QueryRegistry {
         | AND o.ts + INTERVAL 21600 SECOND <
         |     (SELECT max(ts) - INTERVAL 3600 SECOND FROM events
         |      WHERE event_type = 'error')""".stripMargin,
+    "events_stream_asof" ->
+      """SELECT e.event_id AS err_id, o.event_id AS ctx_id,
+        | o.event_type AS ctx_type, epoch_us(o.ts) AS ctx_tus
+        |FROM events e JOIN events o
+        | ON e.user_id = o.user_id
+        | AND e.event_type = 'error' AND o.event_type <> 'error'
+        | AND o.ts BETWEEN e.ts - INTERVAL 21600 SECOND AND e.ts
+        |QUALIFY row_number() OVER (PARTITION BY e.event_id
+        |  ORDER BY o.ts DESC, o.event_id DESC) = 1""".stripMargin,
     // the streaming detector's alert set IS the batch RANGE-window count
     "events_burst_alerts" ->
       """WITH e AS (SELECT user_id, ts FROM events

@@ -429,7 +429,8 @@ object CdcStream {
     * surface past the mirrored horizon too).
     */
   private def errCtxIntervalJoin(
-      spark: SparkSession, sfDir: String, joinType: String): DataFrame = {
+      spark: SparkSession, sfDir: String, joinType: String,
+      keepCtxTs: Boolean = false): DataFrame = {
     val s = stateScopedSession(spark)
     def side(): DataFrame = rawEventStream(s, sfDir)
       .withColumn("ets", timestamp_micros(expr("ts div 1000")))
@@ -439,13 +440,35 @@ object CdcStream {
     val ctx = side().filter(col("event_type") =!= "error")
       .select(col("event_id").as("ctx_id"), col("user_id").as("ctx_user"),
         col("event_type").as("ctx_type"), col("ets").as("ctx_ts"))
+    val cols = Seq("err_id", "ctx_id", "ctx_type") ++
+      (if (keepCtxTs) Seq("ctx_ts") else Nil)
     drainToParquet(s,
       StreamJoin.intervalJoin(errors, ctx,
         leftKey = "err_user", rightKey = "ctx_user",
         leftTs = "err_ts", rightTs = "ctx_ts",
         lowerSec = 21600L, upperSec = 0L, watermarkDelay = "1 hour",
         joinType = joinType)
-        .select("err_id", "ctx_id", "ctx_type"))
+        .select(cols.head, cols.tail: _*))
+  }
+
+  /** §2.8 ext: the streaming AS-OF join — each error paired with the
+    * SINGLE most recent same-user context event in the preceding 6 h
+    * (the batch q18 semantics, fed by streams). Structured Streaming has
+    * no native as-of operator; the scale-correct composition is the
+    * watermark-bounded interval join (state ≈ one window per key)
+    * drained to the ledger, then latest-per-key on the O(matches) ledger
+    * — a BATCH reduction over the sink, not more stream state. Ties on
+    * ctx_ts break by ctx_id (the oracle states the same order).
+    */
+  def asofJoinStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    val ledger = errCtxIntervalJoin(spark, sfDir, "inner", keepCtxTs = true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("err_id")
+      .orderBy(col("ctx_ts").desc, col("ctx_id").desc)
+    ledger.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("err_id"), col("ctx_id"), col("ctx_type"),
+        unix_micros(col("ctx_ts")).as("ctx_tus"))
   }
 
   /** A cloned session whose shuffle-partition count sizes the STATE
