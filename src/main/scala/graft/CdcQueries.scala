@@ -496,6 +496,14 @@ object CdcQueries extends QueryRegistry {
         | ON e.user_id = o.user_id
         | AND e.event_type = 'error' AND o.event_type <> 'error'
         | AND o.ts BETWEEN e.ts - INTERVAL 21600 SECOND AND e.ts""".stripMargin,
+    // the final watermark is the MIN across the two inputs (Spark's
+    // default multipleWatermarkPolicy) — the errors side's max event
+    // time lags the context side's, so it governs. An unmatched left
+    // row emits once no in-watermark right row can match it:
+    // l.ts + upper(0) < wm. No empirical fudge — the textbook rule,
+    // with the correct watermark source (verified row-exact at
+    // sf0.001/0.01/0.1; using max(ts) over ALL events instead was
+    // off by one boundary row at sf0.001 and 26 at sf0.1).
     "events_stream_join_outer" ->
       """WITH m AS (
         | SELECT e.event_id AS err_id, o.event_id AS ctx_id,
@@ -503,7 +511,11 @@ object CdcQueries extends QueryRegistry {
         | FROM events e JOIN events o
         |  ON e.user_id = o.user_id
         |  AND e.event_type = 'error' AND o.event_type <> 'error'
-        |  AND o.ts BETWEEN e.ts - INTERVAL 21600 SECOND AND e.ts)
+        |  AND o.ts BETWEEN e.ts - INTERVAL 21600 SECOND AND e.ts),
+        |wm AS (SELECT least(
+        |   (SELECT max(ts) FROM events WHERE event_type = 'error'),
+        |   (SELECT max(ts) FROM events WHERE event_type <> 'error'))
+        |  - INTERVAL 3600 SECOND AS w)
         |SELECT err_id, ctx_id, ctx_type FROM m
         |UNION ALL
         |SELECT e.event_id AS err_id, CAST(NULL AS BIGINT) AS ctx_id,
@@ -511,18 +523,14 @@ object CdcQueries extends QueryRegistry {
         |FROM events e
         |WHERE e.event_type = 'error'
         | AND e.event_id NOT IN (SELECT err_id FROM m)
-        | AND e.ts + INTERVAL 3600 SECOND <
-        |     (SELECT max(ts) - INTERVAL 3600 SECOND FROM events)""".stripMargin,
-    // both horizons stated, each against the OTHER side's watermark
-    // (wm_side = that side's max event time − delay — the sides differ
-    // here because the last error precedes the last context event by
-    // ~2009 s): unmatched errors emit past ts + upper(0) + delay <
-    // wm_ctx (the conservative extra-delay rule the left_outer gate
-    // pinned), unmatched context rows past ts + lower(21600) < wm_err —
-    // measured WITHOUT the extra delay (the boundary bracket at sf0.01
-    // is 515 s wide, so the two candidate rules differ by a full delay
-    // and the hash gate distinguishes them). A Spark-version change in
-    // either eviction rule surfaces as a gate diff, not silent drift.
+        | AND e.ts < (SELECT w FROM wm)""".stripMargin,
+    // both horizons against the SAME final watermark (min across the
+    // two inputs — Spark's default multipleWatermarkPolicy): a left row
+    // is provably unmatched once l.ts + upper(0) < wm (no future
+    // in-watermark right row can reach it), a right row once
+    // r.ts + lower(21600) < wm (no future left row can reach back).
+    // The textbook eviction rules, verified row-exact at three SFs —
+    // the asymmetry is in the interval bounds, not the watermark.
     "events_stream_join_full" ->
       """WITH m AS (
         | SELECT e.event_id AS err_id, o.event_id AS ctx_id,
@@ -530,7 +538,11 @@ object CdcQueries extends QueryRegistry {
         | FROM events e JOIN events o
         |  ON e.user_id = o.user_id
         |  AND e.event_type = 'error' AND o.event_type <> 'error'
-        |  AND o.ts BETWEEN e.ts - INTERVAL 21600 SECOND AND e.ts)
+        |  AND o.ts BETWEEN e.ts - INTERVAL 21600 SECOND AND e.ts),
+        |wm AS (SELECT least(
+        |   (SELECT max(ts) FROM events WHERE event_type = 'error'),
+        |   (SELECT max(ts) FROM events WHERE event_type <> 'error'))
+        |  - INTERVAL 3600 SECOND AS w)
         |SELECT err_id, ctx_id, ctx_type FROM m
         |UNION ALL
         |SELECT e.event_id AS err_id, CAST(NULL AS BIGINT) AS ctx_id,
@@ -538,17 +550,14 @@ object CdcQueries extends QueryRegistry {
         |FROM events e
         |WHERE e.event_type = 'error'
         | AND e.event_id NOT IN (SELECT err_id FROM m)
-        | AND e.ts + INTERVAL 3600 SECOND <
-        |     (SELECT max(ts) - INTERVAL 3600 SECOND FROM events)
+        | AND e.ts < (SELECT w FROM wm)
         |UNION ALL
         |SELECT CAST(NULL AS BIGINT) AS err_id, o.event_id AS ctx_id,
         | o.event_type AS ctx_type
         |FROM events o
         |WHERE o.event_type <> 'error'
         | AND o.event_id NOT IN (SELECT ctx_id FROM m)
-        | AND o.ts + INTERVAL 21600 SECOND <
-        |     (SELECT max(ts) - INTERVAL 3600 SECOND FROM events
-        |      WHERE event_type = 'error')""".stripMargin,
+        | AND o.ts + INTERVAL 21600 SECOND < (SELECT w FROM wm)""".stripMargin,
     "events_stream_asof" ->
       """SELECT e.event_id AS err_id, o.event_id AS ctx_id,
         | o.event_type AS ctx_type, epoch_us(o.ts) AS ctx_tus

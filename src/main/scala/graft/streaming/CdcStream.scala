@@ -543,34 +543,32 @@ object CdcStream {
     * with NO same-user activity in the window must still appear,
     * null-padded (the alert shape: an error with no context is itself the
     * signal). Outer emission is watermark-gated: an unmatched left row
-    * emits only when no in-watermark right row could still match. Spark
-    * derives that horizon CONSERVATIVELY — the left state watermark
-    * subtracts the right side's watermark delay once more, so the
-    * emission condition is `l.ts + upper + delay < watermark`
-    * (= max event time − 2·delay here), verified empirically against the
-    * gate fixture. The oracle states that horizon exactly (unmatched
-    * errors with ts + delay < max event time − delay), which makes the hash gate
-    * pin the outer finalization rule, the final no-data batch that
-    * flushes it, and the tail exclusion (errors too close to stream end
-    * are NOT emitted — their absence is not yet proven).
+    * emits only once no in-watermark right row could still match —
+    * `l.ts + upper < wm`, where wm is the query's FINAL watermark: the
+    * MIN across the two inputs' (max event time − delay), Spark's
+    * default multipleWatermarkPolicy. The errors side's max event time
+    * lags the context side's in the fixture, so it governs — the oracle
+    * states exactly that rule (verified row-exact at sf0.001/0.01/0.1;
+    * a max-over-ALL-events watermark was off by precisely the boundary
+    * rows, 1 at sf0.001 and 26 at sf0.1). The hash gate thus pins the
+    * finalization rule, the min-policy watermark source, the final
+    * no-data batch that flushes it, and the tail exclusion (errors too
+    * close to stream end are NOT emitted — their absence is unproven).
     */
   def intervalJoinOuterStreamed(
       spark: SparkSession, sfDir: String): DataFrame =
     errCtxIntervalJoin(spark, sfDir, "left_outer")
 
   /** §2.8 ext: the FULL-OUTER form — BOTH sides' unmatched rows surface
-    * null-padded, each once its own horizon is provably empty. The left
-    * (errors) horizon is [[intervalJoinOuterStreamed]]'s rule
-    * (`l.ts + upper + delay < wm`); the right (context) side mirrors it
-    * through the interval's other bound: a future error at `l.ts` can
-    * reach back to context rows with `ctx.ts >= l.ts − lower`, so a
-    * context row is provably unmatched only once
-    * `r.ts + lower + delay < wm` (= max event time − 2·delay here, with
-    * Spark's conservative extra-delay subtraction, verified empirically
-    * against the gate fixture like the left rule was). The oracle states
-    * BOTH horizons exactly, so the hash gate pins the two finalization
-    * rules, their asymmetry (upper vs lower), and the tail exclusions on
-    * both sides.
+    * null-padded, each once its own horizon is provably empty against
+    * the SAME final watermark (the min-policy wm of
+    * [[intervalJoinOuterStreamed]]): the left side once
+    * `l.ts + upper < wm` (no future right row can reach it), the right
+    * side once `r.ts + lower < wm` (no future left row can reach back —
+    * the interval's other bound). The oracle states both horizons
+    * exactly, so the hash gate pins the two finalization rules, their
+    * asymmetry (upper vs lower), and the tail exclusions on both sides
+    * — verified row-exact at three SFs.
     */
   def intervalJoinFullStreamed(
       spark: SparkSession, sfDir: String): DataFrame =

@@ -57,17 +57,19 @@ object StreamJoin {
       col(leftKey) === col(rightKey) &&
         col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lowerSec SECOND") &&
         col(rightTs) <= col(leftTs) + expr(s"INTERVAL $upperSec SECOND")
-    // left_outer: a left row with no match emits null-padded ONLY once the
-    // watermark passes the row's match horizon (leftTs + upper + delay) —
-    // before that a matching right row could still arrive. The delayed
-    // emission is therefore part of the semantics, not a quirk: an
-    // unmatched result is a PROVEN absence over the full interval, which
-    // is why the spec drives the watermark forward to collect them. A
-    // finite drain (AvailableNow) that never advances the watermark past
-    // the horizon reports matches only — document at call sites.
-    // full_outer adds the mirrored rule for the right side: an unmatched
-    // right row emits once the watermark passes rightTs + lower + delay
-    // (the latest a future left row could still reach back to it).
+    // left_outer: a left row with no match emits null-padded ONLY once
+    // the query watermark passes its match horizon (leftTs + upper) —
+    // before that a matching right row could still arrive. The query
+    // watermark is the MIN across both inputs' (max event time − delay),
+    // Spark's default multipleWatermarkPolicy — the lagging side
+    // governs. The delayed emission is therefore part of the semantics,
+    // not a quirk: an unmatched result is a PROVEN absence over the full
+    // interval, which is why the spec drives the watermark forward to
+    // collect them. A finite drain (AvailableNow) that never advances
+    // the watermark past the horizon reports matches only — document at
+    // call sites. full_outer adds the mirrored rule for the right side:
+    // an unmatched right row emits once the watermark passes
+    // rightTs + lower (the latest a future left row could reach back).
     l.join(r, cond, joinType)
   }
 }
