@@ -61,7 +61,11 @@ object ScaleSmoke {
     // r13 transformWithState burst detector: rep-disjoint users make
     // alerts and state both linear; the row pins that the typed-state
     // fold (RocksDB column families) scales with them
-    "events_burst_alerts")
+    "events_burst_alerts",
+    // r13 streaming as-of: interval-join state + latest-per-key over the
+    // O(matches) ledger — the row pins that the batch reduction stays
+    // proportional to matches, not events
+    "events_stream_asof")
 
   /** Smoke-only variants: the gate queries pin the IVF cell count at
     * C = 16 because the ORACLE's pair-set semantics depend on it, which
