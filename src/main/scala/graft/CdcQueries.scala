@@ -152,6 +152,12 @@ object CdcQueries extends QueryRegistry {
     // lower-bound rule for context); oracle states both horizons
     "events_stream_join_full" -> ((s, dir) =>
       streaming.CdcStream.intervalJoinFullStreamed(s, dir)),
+    // §2.8 ext: streaming TRENDING — top-3 users per watermark-closed
+    // daily window; append windowed count + batch rank over the drained
+    // aggregate. Oracle = the batch count QUALIFY'd to k, restricted to
+    // closed windows
+    "events_stream_topk" -> ((s, dir) =>
+      streaming.CdcStream.topkStreamed(s, dir)),
     // §2.8 ext: streaming AS-OF join — each error's single most recent
     // same-user context event; interval-join state + latest-per-key on
     // the O(matches) ledger. Oracle = the batch QUALIFY row_number form
@@ -558,6 +564,19 @@ object CdcQueries extends QueryRegistry {
         |WHERE o.event_type <> 'error'
         | AND o.event_id NOT IN (SELECT ctx_id FROM m)
         | AND o.ts + INTERVAL 21600 SECOND < (SELECT w FROM wm)""".stripMargin,
+    // same closed-window rule as cdc_stream_windowed_append, ranked
+    "events_stream_topk" ->
+      """WITH c AS (
+        | SELECT (epoch_ms(ts) // 1000) // 86400 * 86400 AS day_start,
+        |  user_id, count(*) AS n_events
+        | FROM events
+        | WHERE (epoch_ms(ts) // 1000) // 86400 * 86400 + 86400 <=
+        |   (SELECT epoch_ms(max(ts)) // 1000 - 86400 FROM events)
+        | GROUP BY 1, 2)
+        |SELECT day_start, user_id, n_events,
+        | CAST(row_number() OVER (PARTITION BY day_start
+        |   ORDER BY n_events DESC, user_id) AS INT) AS rk
+        |FROM c QUALIFY rk <= 3""".stripMargin,
     "events_stream_asof" ->
       """SELECT e.event_id AS err_id, o.event_id AS ctx_id,
         | o.event_type AS ctx_type, epoch_us(o.ts) AS ctx_tus

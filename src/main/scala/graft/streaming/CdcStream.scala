@@ -203,6 +203,37 @@ object CdcStream {
         round(sum("value"), 2).as("sum_value"))
   }
 
+  /** §2.8 ext: streaming TRENDING — top-k users by activity per CLOSED
+    * tumbling window. The scale-correct split mirrors [[asofJoinStreamed]]:
+    * the stream side is the append-mode windowed count (state ≈ open
+    * windows, each (window, user) emitted exactly once at finalization),
+    * and the rank is a batch window over the drained O(windows × users)
+    * aggregate — ranking inside the stream would need non-monotone
+    * retractions (a later count can demote an earlier leader), which
+    * append semantics rightly cannot express. Ties break by user_id
+    * (oracle states the same order).
+    */
+  def topkStreamed(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val s = stateScopedSession(spark)
+    val name = "evt_topk_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = rawEventStream(s, sfDir)
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", "1 day")
+      .groupBy(window(col("ets"), "1 day").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy("day_start")
+      .orderBy(col("n_events").desc, col("user_id"))
+    s.table(name)
+      .select(col("w.start").cast("long").as("day_start"),
+        col("user_id"), col("n_events"))
+      .withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= k)
+  }
+
   /** §2.8: gap-based sessionization AS A STREAM — `session_window` with a
     * 1-hour gap per user, run to completion (complete mode emits every
     * session's final extent). Boundary semantics are exact-microsecond: an
