@@ -1,0 +1,203 @@
+package graft
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Versioned-generation replacement for "rewrite some partitions of a live
+  * directory" — the safe form of dynamic partition overwrite.
+  *
+  * The overwrite-in-place pattern this replaces had two structural flaws
+  * (both observed, not theoretical — the round-13 `lake_compact` gate went
+  * intermittently hash-red under battery load):
+  *
+  *  1. **The writing plan read the very files the overwrite deletes**, so
+  *     correctness hinged on a forced checkpoint materializing 100% of the
+  *     replacement before the first delete — and a `localCheckpoint`'s
+  *     blocks are executor-pinned, non-fault-tolerant storage. Any
+  *     eviction/loss mid-overwrite recomputes lineage over
+  *     already-deleted files: silently lost or duplicated rows.
+  *  2. **Readers listing the directory mid-rewrite saw partial state** —
+  *     plain parquet has no transaction log, and dynamic overwrite deletes
+  *     then re-adds partition contents file by file.
+  *
+  * The generation discipline removes the checkpoint dependency instead of
+  * hardening it: the replacement is written to a HIDDEN sibling directory
+  * inside the root (`.graft-gen-<uuid>` — Spark's file listing skips
+  * dot-prefixed components, so readers never see it), while the source
+  * files stay untouched for the whole job — pure lineage over stable
+  * files, no materialization needed in ANY `spark.graft.materialize`
+  * mode. [[commit]] then swaps each written leaf partition directory into
+  * place with two metadata renames (old leaf → `.graft-old-<uuid>`, gen
+  * leaf → root), atomic per leaf on HDFS and local filesystems.
+  *
+  * Crash safety ([[recover]], run by every [[begin]]): leftover `.graft-*`
+  * dirs from a crashed run are healed before new work starts — partitions
+  * evacuated but not yet replaced are renamed back, and (for the
+  * unpartitioned root-file case) a write-ahead intent manifest lets
+  * recovery delete partially-moved-in new files before restoring, so a
+  * crash at ANY point yields either the old generation or the new one per
+  * leaf — never a mix of duplicated rows. Unpartitioned commits are
+  * atomic-or-rolled-back as a whole; partitioned commits are per-leaf
+  * atomic (a crash can land some leaves new, some old — convergent for
+  * every caller: compaction re-judges, the CDC sink replays the batch).
+  *
+  * Single-writer assumption (same as the overwrite it replaces): two
+  * concurrent mutators of one directory race regardless of mechanism —
+  * serialize maintenance passes per table.
+  *
+  * Object stores without atomic rename (raw S3): rename is copy+delete, so
+  * the per-leaf swap degrades to the same non-atomicity dynamic overwrite
+  * always had there — use a table format with a real transaction log
+  * (Iceberg/Delta) on such stores; this helper targets HDFS-semantics
+  * filesystems.
+  */
+object GenSwap {
+  private val GenPrefix = ".graft-gen-"
+  private val OldPrefix = ".graft-old-"
+  /** Intent manifest for root-level (unpartitioned) swaps: the gen file
+    * names about to move into the root, written BEFORE any root mutation.
+    */
+  private val ManifestName = "_ROOT_MANIFEST"
+
+  final case class Gen(fs: FileSystem, root: Path, gen: Path, old: Path) {
+    /** The staging directory: write the replacement generation here
+      * (`df.write...parquet(genDir)`), optionally read it back (e.g. for
+      * post-write stats — it is a plain parquet dir), then [[commit]].
+      */
+    def genDir: String = gen.toString
+  }
+
+  /** Heal leftovers of any crashed prior run, then mint fresh staging
+    * paths. The root need not exist yet (first write).
+    */
+  def begin(spark: SparkSession, dir: String): Gen = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(fs, root)
+    val id = java.util.UUID.randomUUID().toString
+    Gen(fs, root,
+      new Path(root, GenPrefix + id), new Path(root, OldPrefix + id))
+  }
+
+  /** Crash recovery: for each leftover `.graft-old-*` dir, first undo any
+    * partial root-file move-in its intent manifest records, then rename
+    * back every preserved leaf missing from the root; finally drop all
+    * leftover staging dirs. Idempotent; no-op on a clean directory.
+    */
+  def recover(fs: FileSystem, root: Path): Unit = {
+    if (!fs.exists(root)) return
+    val children = fs.listStatus(root)
+    for (st <- children
+         if st.isDirectory && st.getPath.getName.startsWith(OldPrefix)) {
+      val old = st.getPath
+      val mf = new Path(old, ManifestName)
+      if (fs.exists(mf)) {
+        val in = fs.open(mf)
+        val names =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        for (n <- names if n.nonEmpty) {
+          val p = new Path(root, n)
+          if (fs.exists(p)) fs.delete(p, false)
+        }
+      }
+      for ((rel, _) <- leaves(fs, old)) {
+        val dst = new Path(root, rel)
+        if (!fs.exists(dst)) {
+          val parent = dst.getParent
+          if (!fs.exists(parent)) fs.mkdirs(parent)
+          renameOrFail(fs, new Path(old, rel), dst)
+        }
+      }
+      fs.delete(old, true)
+    }
+    for (st <- children
+         if st.isDirectory && st.getPath.getName.startsWith(GenPrefix))
+      fs.delete(st.getPath, true)
+  }
+
+  /** Swap the generation into place. Every leaf partition dir present in
+    * the gen replaces its root counterpart (two renames); root-level data
+    * files (unpartitioned layout) are swapped as a set behind the intent
+    * manifest. Leaves absent from the gen are untouched — settled
+    * partitions' files are never opened, moved, or rewritten. Staging
+    * dirs are deleted at the end; their absence is the commit marker.
+    */
+  def commit(g: Gen): Unit = {
+    val Gen(fs, root, gen, old) = g
+    if (!fs.exists(root)) fs.mkdirs(root)
+    val genLeaves = leaves(fs, gen)
+    val rootFiles = genLeaves.collect { case (rel, false) => rel }
+    val dirLeaves = genLeaves.collect { case (rel, true) => rel }
+    if (rootFiles.nonEmpty) {
+      fs.mkdirs(old)
+      val tmp = new Path(old, "." + ManifestName + ".tmp")
+      val os = fs.create(tmp, true)
+      try os.write(rootFiles.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally os.close()
+      renameOrFail(fs, tmp, new Path(old, ManifestName))
+      // evacuate ALL current root-level data files (the unpartitioned
+      // layout replaces the whole root set), then move the gen's in
+      for (c <- fs.listStatus(root)
+           if c.isFile && isDataName(c.getPath.getName))
+        renameOrFail(fs, c.getPath, new Path(old, c.getPath.getName))
+      for (rel <- rootFiles)
+        renameOrFail(fs, new Path(gen, rel), new Path(root, rel))
+    }
+    for (rel <- dirLeaves) {
+      val dst = new Path(root, rel)
+      if (fs.exists(dst)) {
+        val kept = new Path(old, rel)
+        val parent = kept.getParent
+        if (!fs.exists(parent)) fs.mkdirs(parent)
+        renameOrFail(fs, dst, kept)
+      } else {
+        val parent = dst.getParent
+        if (!fs.exists(parent)) fs.mkdirs(parent)
+      }
+      renameOrFail(fs, new Path(gen, rel), dst)
+    }
+    fs.delete(old, true)
+    fs.delete(gen, true)
+  }
+
+  /** Drop the staging dirs without touching the root (error paths). */
+  def abort(g: Gen): Unit = {
+    g.fs.delete(g.gen, true)
+    g.fs.delete(g.old, true)
+  }
+
+  /** Relative leaf units under `base`: (relPath, isDir) where isDir=false
+    * is a data file directly at the base root (unpartitioned layout) and
+    * isDir=true is a directory that directly contains data files (the
+    * deepest `col=value` level of a partitioned layout). Metadata names
+    * (`_SUCCESS`, dot-files, the manifest) are never leaves.
+    */
+  private[graft] def leaves(
+      fs: FileSystem, base: Path): Seq[(String, Boolean)] = {
+    if (!fs.exists(base)) return Nil
+    val baseUri = fs.makeQualified(base).toUri
+    val it = fs.listFiles(base, /* recursive = */ true)
+    val dirLeaves = scala.collection.mutable.LinkedHashSet.empty[String]
+    val rootFiles = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && isDataName(st.getPath.getName)) {
+        val rel = baseUri
+          .relativize(fs.makeQualified(st.getPath).toUri).getPath
+        val slash = rel.lastIndexOf('/')
+        if (slash < 0) rootFiles += rel
+        else dirLeaves += rel.substring(0, slash)
+      }
+    }
+    rootFiles.map(_ -> false).toSeq ++ dirLeaves.toSeq.map(_ -> true)
+  }
+
+  private[graft] def isDataName(n: String): Boolean =
+    !n.startsWith(".") && !n.startsWith("_")
+
+  private def renameOrFail(fs: FileSystem, src: Path, dst: Path): Unit =
+    if (!fs.rename(src, dst)) throw new IllegalStateException(
+      s"GenSwap: rename $src -> $dst failed (fs returned false)")
+}

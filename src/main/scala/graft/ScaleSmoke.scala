@@ -633,6 +633,7 @@ object ScaleSmoke {
     }
     val rows = targets
       .filterNot(t => qualityTargets.contains(t) ||
+        probeTargets.contains(t) ||
         evolvingTargets.contains(t) || compactTargets.contains(t))
       .map { q =>
       val dims = q.endsWith("@dims")

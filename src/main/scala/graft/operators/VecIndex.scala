@@ -142,21 +142,29 @@ object VecIndex {
     val touched = codes.join(victims, Seq("vec_id"))
       .select("cid").distinct().collect().map(_.getInt(0)).toSet
     if (touched.isEmpty) return
-    val survivors = codes
-      .filter(col("cid").isin(touched.toSeq: _*)) // partition-pruned scan
-      .join(victims, Seq("vec_id"), "left_anti")
-      .select(col("vec_id"), col("m"), col("code"), col("cid"))
-      .materializeForced() // sever lineage from files about to be replaced
-                           // in EVERY mode, incl. none
-    survivors.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cid").parquet(codesDir)
-    val outCells = survivors.select("cid").distinct()
-      .collect().map(_.getInt(0)).toSet
-    val fs = new org.apache.hadoop.fs.Path(codesDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for (c <- touched -- outCells)
-      fs.delete(new org.apache.hadoop.fs.Path(codesDir, s"cid=$c"), true)
+    // stage survivors in a hidden generation dir inside codes/, then swap
+    // ([[graft.GenSwap]]): the scan's source cell files stay untouched on
+    // disk for the whole write — no checkpoint needed, no overwrite-of-
+    // own-source window, and concurrent probes see whole cells only
+    val g = graft.GenSwap.begin(spark, codesDir)
+    val fs = g.fs
+    try {
+      codes
+        .filter(col("cid").isin(touched.toSeq: _*)) // partition-pruned scan
+        .join(victims, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("m"), col("code"), col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(g.genDir)
+      // cells with survivors = the generation's partition dirs — a pure
+      // listing, no second Spark job over the survivor plan
+      val outCells = graft.GenSwap
+        .leaves(fs, new org.apache.hadoop.fs.Path(g.genDir))
+        .collect { case (rel, true) if rel.startsWith("cid=") =>
+          rel.stripPrefix("cid=").toInt }
+        .toSet
+      graft.GenSwap.commit(g)
+      for (c <- touched -- outCells)
+        fs.delete(new org.apache.hadoop.fs.Path(codesDir, s"cid=$c"), true)
+    } catch { case t: Throwable => graft.GenSwap.abort(g); throw t }
   }
 
   /** ADC top-k for `queries` (emb-format: vec_id, embedding) against the

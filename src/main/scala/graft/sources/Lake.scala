@@ -111,11 +111,20 @@ object Lake {
     *    is > 2× target (the unsplittable-hot-spot case — rewriting splits
     *    it back into parallel-scannable units).
     *  - **rewrite is O(touched bytes)**: only degenerate partitions are
-    *    read (partition-pruned scan) and re-landed via dynamic partition
-    *    overwrite — settled partitions' files are never opened, moved, or
-    *    rewritten (byte-identity is spec-pinned). Lineage is severed with
-    *    a forced materialization before the write because source and sink
-    *    are the same directory.
+    *    read (partition-pruned scan) and re-landed — settled partitions'
+    *    files are never opened, moved, or rewritten (byte-identity is
+    *    spec-pinned).
+    *  - **the rewrite is a versioned generation + atomic swap**
+    *    ([[graft.GenSwap]]): the compacted output lands in a hidden
+    *    sibling dir inside the root while the source files stay untouched
+    *    for the whole job (pure lineage over stable files — no checkpoint
+    *    of any kind), then each touched partition dir swaps in with two
+    *    metadata renames. Concurrent readers see either the old or the
+    *    new generation of a partition, never a half-rewritten one, and a
+    *    crash at any point is healed by the next run's recovery sweep —
+    *    the in-place dynamic-overwrite design this replaced could lose or
+    *    duplicate rows if its forced local checkpoint lost blocks
+    *    mid-overwrite, and exposed partial state to concurrent listers.
     *  - **output layout is the one a scan wants**: touched rows are
     *    range-partitioned on `partitionCols ++ sortCols` into
     *    `ceil(touchedBytes / targetBytes)` tasks, so files land
@@ -143,11 +152,13 @@ object Lake {
     require(targetBytes > 0, "targetBytes must be positive")
     require(partitionCols.nonEmpty || sortCols.nonEmpty,
       "compact needs at least one partition or sort column")
-    import graft.Materialize.Ops
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // heal any crashed prior pass BEFORE judging: a leftover generation
+    // dir must neither pollute the stats nor shadow restored partitions
+    graft.GenSwap.recover(fs, root)
 
     def stats(): Map[Seq[Option[String]], (Long, Long, Long)] = {
-      val root = new org.apache.hadoop.fs.Path(dir)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val rootUri = fs.makeQualified(root).toUri
       val it = fs.listFiles(root, /* recursive = */ true)
       val acc = scala.collection.mutable.Map
@@ -160,16 +171,20 @@ object Lake {
           val rel = rootUri.relativize(fs.makeQualified(st.getPath).toUri)
             .getPath
           val dirsOnPath = rel.split('/').dropRight(1)
-          val vals = partitionCols.map { c =>
-            dirsOnPath.collectFirst {
-              case seg if seg.startsWith(c + "=") =>
-                unescapePartitionValue(seg.substring(c.length + 1))
-            }.getOrElse(throw new IllegalStateException(
-              s"compact: file $rel has no '$c=' dir — partitionCols do " +
-                "not match the layout"))
+          // skip anything inside hidden/metadata dirs (staging leftovers)
+          // — Spark's own listing ignores them, so must the accounting
+          if (!dirsOnPath.exists(d => d.startsWith(".") || d.startsWith("_"))) {
+            val vals = partitionCols.map { c =>
+              dirsOnPath.collectFirst {
+                case seg if seg.startsWith(c + "=") =>
+                  unescapePartitionValue(seg.substring(c.length + 1))
+              }.getOrElse(throw new IllegalStateException(
+                s"compact: file $rel has no '$c=' dir — partitionCols do " +
+                  "not match the layout"))
+            }
+            val (n, bytes, mx) = acc.getOrElse(vals, (0L, 0L, 0L))
+            acc(vals) = (n + 1, bytes + st.getLen, math.max(mx, st.getLen))
           }
-          val (n, bytes, mx) = acc.getOrElse(vals, (0L, 0L, 0L))
-          acc(vals) = (n + 1, bytes + st.getLen, math.max(mx, st.getLen))
         }
       }
       acc.toMap
@@ -200,14 +215,20 @@ object Lake {
       val touchedBytes = touched.valuesIterator.map(_._2).sum
       val nTasks = math.max(1L, ideal(touchedBytes)).toInt
       val keys = (partitionCols ++ sortCols).map(col)
-      val pinned = all.filter(pred).materializeForced()
-      val writer = pinned
-        .repartitionByRange(nTasks, keys: _*)
-        .sortWithinPartitions(keys: _*)
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-      (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
-       else writer).parquet(dir)
+      // stage the compacted generation in a hidden sibling, then swap:
+      // the source files stay on disk untouched for the whole write, so
+      // the plan is pure lineage over stable files — no checkpoint, no
+      // dependency on executor-pinned blocks while the corpus mutates
+      val g = graft.GenSwap.begin(spark, dir)
+      try {
+        val writer = all.filter(pred)
+          .repartitionByRange(nTasks, keys: _*)
+          .sortWithinPartitions(keys: _*)
+          .write.mode(SaveMode.Overwrite)
+        (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+         else writer).parquet(g.genDir)
+        graft.GenSwap.commit(g)
+      } catch { case t: Throwable => graft.GenSwap.abort(g); throw t }
     }
 
     val after = stats()

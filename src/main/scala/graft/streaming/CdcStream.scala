@@ -923,28 +923,40 @@ object CdcStream {
     val agedBuckets = stats.collect { case (b, (_, _, a)) if a > 0 => b }.toSeq
     if (agedBuckets.isEmpty) return 0L
     val dropped = stats.valuesIterator.map(_._3).sum
-    // concretize the survivors BEFORE the overwrite — the plan reads the
-    // same bucket files the dynamic overwrite replaces. forced local/
-    // reliable checkpointing severs that lineage without the staged
-    // parquet round-trip a .sweep dir would cost (one extra write+read
-    // of every touched bucket per sweep); a crash mid-overwrite replays
-    // convergently exactly as upsertBatch's does.
-    val staged = readState(spark, stateDir)
-      .filter(col("bucket").isin(agedBuckets: _*))
-      .filter(!isAged)
-      .materializeForced()
-    staged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(stateDir)
-    // a bucket holding ONLY aged tombstones has no surviving rows —
-    // dynamic overwrite can't rewrite it to empty, so drop its directory.
-    // The same per-bucket aggregate that finds the surviving buckets
-    // refreshes the cache with their remaining tombstones.
-    val post = staged.groupBy("bucket")
-      .agg(count(when(col("cdc_action") === Types.None_, 1)).as("nt"),
-        coalesce(min(when(col("cdc_action") === Types.None_, col("seq"))),
-          lit(Long.MaxValue)).as("mn"))
-      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+    // stage the survivors in a hidden generation dir, then swap
+    // ([[graft.GenSwap]], same discipline as upsertBatch): the plan reads
+    // the touched bucket files while they sit untouched on disk — no
+    // checkpoint, no overwrite-of-own-source window; a crash at any point
+    // is healed by the next begin()'s recovery sweep and the sweep simply
+    // re-runs (it is idempotent on the retained set).
+    val g = graft.GenSwap.begin(spark, stateDir)
+    val post = try {
+      readState(spark, stateDir)
+        .filter(col("bucket").isin(agedBuckets: _*))
+        .filter(!isAged)
+        .write.mode("overwrite").partitionBy("bucket").parquet(g.genDir)
+      // surviving buckets' remaining-tombstone stats from the generation
+      // readback; a bucket holding ONLY aged tombstones has no surviving
+      // rows — absent from the generation, its directory drops below
+      val genPath = new org.apache.hadoop.fs.Path(g.genDir)
+      // explicit bucket-dir roots + basePath: see upsertBatch
+      val bucketDirs =
+        if (!fs.exists(genPath)) Array.empty[String]
+        else fs.listStatus(genPath)
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("bucket="))
+          .map(_.getPath.toString)
+      val p0 =
+        if (bucketDirs.isEmpty) Array.empty[(Int, (Long, Long))]
+        else spark.read.option("basePath", g.genDir)
+          .parquet(bucketDirs.toIndexedSeq: _*).groupBy("bucket")
+          .agg(count(when(col("cdc_action") === Types.None_, 1)).as("nt"),
+            coalesce(min(when(col("cdc_action") === Types.None_,
+              col("seq"))), lit(Long.MaxValue)).as("mn"))
+          .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+      graft.GenSwap.commit(g)
+      p0
+    } catch { case t: Throwable => graft.GenSwap.abort(g); throw t }
     learnTombstones(stateDir, agedBuckets.toSet, post.toMap, seed = false)
     val outBuckets = post.map(_._1).toSet
     for (b <- agedBuckets.toSet -- outBuckets)
@@ -952,11 +964,11 @@ object CdcStream {
     dropped
   }
 
-  /** Failure-injection seam for the replay spec: invoked between the
-    * replacement's forced materialization and the dynamic partition
-    * overwrite — the widest window in which a real crash leaves computed-
-    * but-uncommitted batch output. Tests swap in a throwing hook;
-    * production never touches it.
+  /** Failure-injection seam for the replay spec: invoked after the
+    * replacement generation is fully staged but before the swap commits —
+    * the widest window in which a real crash leaves computed-but-
+    * uncommitted batch output. Tests swap in a throwing hook; production
+    * never touches it.
     */
   private[graft] var afterStageHook: () => Unit = () => ()
 
@@ -1045,30 +1057,50 @@ object CdcStream {
           } else liveOf(updates)
         (n, tb, !hasState)
     }
-    // concretize the touched-bucket replacement, then dynamic-overwrite:
-    // only the partitions present in `next` are replaced, the rest
-    // untouched. The concretization (forced local/reliable checkpoint)
-    // severs `next`'s lineage from the very bucket files the overwrite
-    // replaces — the job a staged .next parquet dir used to do at the
-    // price of one extra write+read of every touched bucket per batch
-    // (the dominant per-micro-batch I/O constant). Crash-replay is
-    // unchanged: the state dir mutates only in the overwrite below, and
-    // a replay against pre- or partially-overwritten state converges.
-    val staged = next.materializeForced()
-    afterStageHook()
-    staged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(stateDir)
-    // a bucket whose keys ALL annihilated has no output rows — dynamic
-    // overwrite can't rewrite it to empty, so drop its directory. The
-    // same per-bucket pass teaches the sweep cache which rewritten
-    // buckets now hold tombstones (a write into a FRESH dir is complete
-    // knowledge and seeds the cache outright).
-    val outStats = staged.groupBy("bucket")
-      .agg(count(when(col("cdc_action") === Types.None_, 1)).as("nt"),
-        coalesce(min(when(col("cdc_action") === Types.None_, col("seq"))),
-          lit(Long.MaxValue)).as("mn"))
-      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+    // stage the touched-bucket replacement in a hidden generation dir
+    // inside the state dir, then swap it in ([[graft.GenSwap]]): the
+    // plan's source bucket files stay on disk untouched for the whole
+    // write, so NO checkpoint of any kind is needed — the r13 design
+    // (forced localCheckpoint → dynamic overwrite of the same files) made
+    // the state rewrite depend on executor-pinned, non-fault-tolerant
+    // blocks mid-overwrite, the exact stage→overwrite-own-source pattern
+    // that went intermittently nondeterministic in lake_compact. The swap
+    // is two metadata renames per touched bucket; a crash at any point is
+    // healed by the next batch's recovery sweep, and the streaming
+    // checkpoint replays the batch convergently exactly as before (the
+    // state dir still mutates only at commit).
+    val g = graft.GenSwap.begin(spark, stateDir)
+    val outStats = try {
+      next.write.mode("overwrite").partitionBy("bucket").parquet(g.genDir)
+      // per-bucket tombstone stats from the freshly-written generation (a
+      // cheap scan of small local files — replaces the second pass over
+      // the checkpointed plan). A bucket whose keys ALL annihilated has
+      // no output rows — absent from the generation, its old directory
+      // is dropped below. The same pass teaches the sweep cache which
+      // rewritten buckets now hold tombstones (a write into a FRESH dir
+      // is complete knowledge and seeds the cache outright).
+      val genPath = new org.apache.hadoop.fs.Path(g.genDir)
+      // read via the bucket dirs as explicit roots (+basePath for the
+      // partition column): a dot-named root makes DataSource emit a
+      // spurious "All paths were ignored" WARN per batch
+      val bucketDirs =
+        if (!fs.exists(genPath)) Array.empty[String]
+        else fs.listStatus(genPath)
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("bucket="))
+          .map(_.getPath.toString)
+      val stats0 =
+        if (bucketDirs.isEmpty) Array.empty[(Int, (Long, Long))]
+        else spark.read.option("basePath", g.genDir)
+          .parquet(bucketDirs.toIndexedSeq: _*).groupBy("bucket")
+          .agg(count(when(col("cdc_action") === Types.None_, 1)).as("nt"),
+            coalesce(min(when(col("cdc_action") === Types.None_,
+              col("seq"))), lit(Long.MaxValue)).as("mn"))
+          .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+      afterStageHook()
+      graft.GenSwap.commit(g)
+      stats0
+    } catch { case t: Throwable => graft.GenSwap.abort(g); throw t }
     learnTombstones(stateDir, touched, outStats.toMap, seed = freshDir)
     val outBuckets = outStats.map(_._1).toSet
     for (b <- touched -- outBuckets)

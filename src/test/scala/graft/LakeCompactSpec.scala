@@ -159,6 +159,83 @@ class LakeCompactSpec extends SparkSuite {
       .deleteDirectory(new java.io.File(out))
   }
 
+  test("compact: repeat-invariance under concurrent load — N stage/" +
+      "compact/readback cycles agree exactly (battery conditions)") {
+    // the round-13 driver gate caught lake_compact intermittently
+    // hash-red ONLY under full-battery load: an integer aggregate read
+    // back after compaction differed between runs. This pins the fix
+    // (versioned generation + swap, no checkpoint feeding an overwrite of
+    // its own source): repeated cycles in one JVM, with a background
+    // thread keeping the scheduler and block manager busy, must produce
+    // byte-identical aggregates every time.
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val noise = new Thread(() => {
+      val d = docs
+      while (!stop.get()) {
+        d.groupBy("lang").agg(sum(length(col("text"))))
+          .collect() // shuffles + blocks churning concurrently
+      }
+    })
+    noise.setDaemon(true)
+    noise.start()
+    try {
+      def cycle(): Seq[String] = {
+        val work = java.nio.file.Files
+          .createTempDirectory("graft_cpt_rep").toString
+        try {
+          docs.repartition(col("lang"))
+            .write.mode("overwrite").option("maxRecordsPerFile", 40L)
+            .partitionBy("lang").parquet(work)
+          Lake.compact(spark, work, Seq("lang"), Seq("doc_id"),
+            targetBytes = 32L * 1024 * 1024)
+          spark.read.parquet(work).groupBy("lang")
+            .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("ids"),
+              sum("n_chars").as("chars"), sum(length(col("text"))).as("len"),
+              min("doc_id").as("lo"), max("doc_id").as("hi"))
+            .collect().map(_.mkString("|")).sorted.toSeq
+        } finally org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(work))
+      }
+      val first = cycle()
+      assert(first.nonEmpty)
+      (1 to 4).foreach { i =>
+        assert(cycle() === first, s"cycle $i diverged from cycle 0")
+      }
+    } finally {
+      stop.set(true)
+      noise.join(10000)
+    }
+  }
+
+  test("compact: crashed prior pass heals on the next run") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cpt5").toString
+    try {
+      docs.repartition(col("lang"))
+        .write.mode("overwrite").option("maxRecordsPerFile", 25L)
+        .partitionBy("lang").parquet(out)
+      val before = sortedRows(out)
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // simulate a crash: a partition evacuated to an old dir but its
+      // replacement never moved in, plus an orphaned generation dir
+      val old = new org.apache.hadoop.fs.Path(out, ".graft-old-crashed")
+      fs.mkdirs(old)
+      val langDir = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+        .map(_.getPath).find(_.getName.startsWith("lang=")).get
+      assert(fs.rename(langDir,
+        new org.apache.hadoop.fs.Path(old, langDir.getName)))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(out, ".graft-gen-crashed"))
+
+      val r = Lake.compact(spark, out, Seq("lang"), Seq("doc_id"),
+        targetBytes = 32L * 1024 * 1024).collect()
+      assert(r.nonEmpty)
+      assert(sortedRows(out) === before, "recovery lost or duplicated rows")
+      assert(!fs.listStatus(new org.apache.hadoop.fs.Path(out))
+        .exists(_.getPath.getName.startsWith(".graft-")))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(out))
+  }
+
   test("unescapePartitionValue: percent decode, literal '+', tail '%'") {
     assert(Lake.unescapePartitionValue("a%20b") === Some("a b"))
     assert(Lake.unescapePartitionValue("a+b") === Some("a+b"))
