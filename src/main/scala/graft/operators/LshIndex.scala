@@ -120,16 +120,60 @@ object LshIndex {
       .write.mode("append").saveAsTable(tombstoneTable(table))
   }
 
+  /** Per-JVM memo: log-version fingerprint → does the log net to ANY
+    * live tombstone? Bounds the probe-side cost of the append-only delta
+    * log: without it every probe paid one groupBy-sum job over the log
+    * even in the steady state where [[compact]] has retired everything
+    * (net ≤ 0 for every doc) — the r13 `dedup_incremental` perf finding.
+    * The fingerprint is the log table's file listing (path:len:mtime
+    * through the Hadoop FS, so hdfs:// and s3a:// logs version the same
+    * way), so any append — a remove() or a retire — invalidates exactly
+    * one entry and the next probe re-aggregates once. A remove racing a
+    * probe may or may not be seen by that probe (same as before the memo:
+    * concurrent remove/probe are unordered); it is always seen by every
+    * probe that starts after it lands.
+    */
+  private val liveCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
+  private def logFingerprint(spark: SparkSession, tt: String): String = {
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(tt)).location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (fs.exists(loc)) {
+      val it = fs.listFiles(loc, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile)
+          parts += s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
+      }
+    }
+    tt + "|" + java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.sorted.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
   /** Net-live tombstoned docs: per-doc delta sum over the append-only
     * log, positive = still tombstoned. (doc_id, net) — O(log) aggregate,
-    * and the log is remove-volume-sized, never corpus-sized.
+    * and the log is remove-volume-sized, never corpus-sized. Returns None
+    * (zero downstream cost) when the log is absent OR nets to empty —
+    * the latter memoized per log version (see [[liveCache]]), so the
+    * steady state after a compaction pays a listing, not a Spark job.
     */
   private[graft] def liveTombstones(
       spark: SparkSession, table: String): Option[DataFrame] = {
     val tt = tombstoneTable(table)
     if (!spark.catalog.tableExists(tt)) None
-    else Some(spark.table(tt).groupBy("doc_id")
-      .agg(sum("delta").as("net")).filter(col("net") > 0))
+    else {
+      def agg = spark.table(tt).groupBy("doc_id")
+        .agg(sum("delta").as("net")).filter(col("net") > 0)
+      if (liveCache.size > 256) liveCache.clear() // stale-version bound
+      val hasLive = liveCache.computeIfAbsent(
+        logFingerprint(spark, tt), _ => !agg.isEmpty)
+      if (hasLive) Some(agg) else None
+    }
   }
 
   /** Candidate pairs minus any pair touching a net-live tombstoned doc.

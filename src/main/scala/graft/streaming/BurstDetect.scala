@@ -47,27 +47,38 @@ object BurstDetect {
 
   /** The per-key fold both detector variants run: read the stamp list,
     * fail fast on cross-batch time regression, prune-and-count each
-    * sorted arrival, write the list back. */
+    * sorted arrival, write the list back.
+    *
+    * The in-window stamps live in a mutable ArrayDeque while folding:
+    * every stamp enters and leaves the deque exactly once, so a batch
+    * costs O(batch log batch + window) per key — the natural sliding-
+    * window amortization. (The previous immutable-Vector fold rebuilt
+    * the window per arrival (`dropWhile ... :+`), O(burst²) for a hot
+    * key: a bot erroring every few seconds across a 6 h window holds
+    * ~10⁴ in-window stamps, and quadratic there is ~10⁸ vector ops per
+    * batch for that one key.)
+    */
   private def foldKey(key: Long, rows: Iterator[ErrEvent],
       recent: ListState[Long], windowUs: Long, minCount: Int)
       : Iterator[Alert] = {
     val sorted = rows.toArray.sortBy(_.ts_us)
-    var kept = if (recent.exists()) recent.get().toVector else Vector.empty
-    kept.lastOption.filter(sorted.nonEmpty && _ > sorted.head.ts_us)
-      .foreach { last =>
-        throw new IllegalStateException(
-          s"BurstDetect: key $key delivered event ts ${sorted.head.ts_us}" +
-            s" µs after already counting ts $last µs — cross-batch" +
-            " event-time order is an API precondition (the stream ≡" +
-            " batch RANGE-window identity needs one visit order)")
-      }
+    val kept = scala.collection.mutable.ArrayDeque.empty[Long]
+    if (recent.exists()) kept ++= recent.get()
+    if (sorted.nonEmpty && kept.nonEmpty && kept.last > sorted.head.ts_us)
+      throw new IllegalStateException(
+        s"BurstDetect: key $key delivered event ts ${sorted.head.ts_us}" +
+          s" µs after already counting ts ${kept.last} µs — cross-batch" +
+          " event-time order is an API precondition (the stream ≡" +
+          " batch RANGE-window identity needs one visit order)")
     val out = Vector.newBuilder[Alert]
     sorted.foreach { e =>
       // prune to the trailing window — boundary INCLUSIVE, matching
       // the RANGE frame (ts' = ts − W is in-window) — then count
       // THIS event in
-      kept = kept.dropWhile(_ < e.ts_us - windowUs) :+ e.ts_us
-      if (kept.size >= minCount) out += Alert(key, e.ts_us, kept.size)
+      val lo = e.ts_us - windowUs
+      while (kept.nonEmpty && kept.head < lo) kept.removeHead()
+      kept.append(e.ts_us)
+      if (kept.size >= minCount) out += Alert(key, e.ts_us, kept.size.toLong)
     }
     if (kept.isEmpty) recent.clear() else recent.put(kept.toArray)
     out.result().iterator
@@ -173,8 +184,12 @@ object BurstDetect {
 
     override def handleInputRows(key: Long, rows: Iterator[TimedEvent],
         timers: TimerValues): Iterator[BurstEvent] = {
+      // exact-µs conversion: getTime is ms-truncated, the sub-ms µs live
+      // in getNanos — dropping them would run this variant's horizons at
+      // ms granularity while the rest of the family is µs-exact
       val asUs = rows.map(e =>
-        ErrEvent(e.user_id, e.ets.getTime * 1000L)).iterator
+        ErrEvent(e.user_id,
+          e.ets.getTime * 1000L + e.ets.getNanos / 1000L % 1000L)).iterator
       val alerts = foldKey(key, asUs, recent, windowUs, minCount)
         .map(a => BurstEvent(a.user_id, a.ts_us, a.n_window, "alert"))
         .toVector
@@ -183,8 +198,13 @@ object BurstDetect {
       // the stale one or the earlier horizon would fire a bogus close
       getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
       if (recent.exists()) {
-        val lastMs = recent.get().toVector.last / 1000L
-        getHandle.registerTimer(lastMs + windowUs / 1000L)
+        var lastUs = Long.MinValue
+        val it = recent.get()
+        while (it.hasNext) lastUs = it.next() // stamps are sorted; last wins
+        // CEIL to ms: timers are ms-granular, and flooring a µs horizon
+        // would let the close fire up to 1 ms before the watermark truly
+        // passed (last + window)
+        getHandle.registerTimer((lastUs + windowUs + 999L) / 1000L)
       }
       alerts.iterator
     }

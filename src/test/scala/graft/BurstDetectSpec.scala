@@ -168,6 +168,37 @@ class BurstDetectSpec extends SparkSuite {
     assert(!end.exists(e => e.user_id == 1 && e.kind == "alert" && e.n > 2))
   }
 
+  test("hot key: ~10⁴ in-window stamps fold in amortized-linear time " +
+      "with exact counts") {
+    // one bot-like key whose entire history stays in-window: the r13
+    // fold rebuilt an immutable Vector per arrival (O(burst²) — ~10⁸
+    // vector ops for this fixture); the deque fold is O(batch + window).
+    // Counts pin correctness (n_window = arrival index + 1, every event
+    // past minCount alerts); the suite's timeout is the time bound.
+    val n = 10000
+    val wide = 10L * n // window comfortably covers all stamps
+    import rdb.implicits._
+    implicit val sqlCtx = rdb.sqlContext
+    val mem = MemoryStream[ErrEvent]
+    val name = "burst_hot_" + java.util.UUID.randomUUID.toString
+      .replace("-", "")
+    val q = BurstDetect.alerts(mem.toDS(), wide, minCount = 2)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // two batches so the full 5k-stamp window round-trips ListState
+      mem.addData((0 until n / 2).map(i => ErrEvent(7L, i.toLong)))
+      q.processAllAvailable()
+      mem.addData((n / 2 until n).map(i => ErrEvent(7L, i.toLong)))
+      q.processAllAvailable()
+      q.stop()
+      val got = rdb.table(name).as[Alert].collect().sortBy(_.ts_us)
+      assert(got.length === n - 1)
+      assert(got.zipWithIndex.forall { case (a, i) =>
+        a.ts_us == i + 1L && a.n_window == i + 2L })
+    } finally if (q.isActive) q.stop()
+  }
+
   test("out-of-order cross-batch feed fails fast, naming the key") {
     val res = drive(Seq(Seq(ErrEvent(5, 1000)), Seq(ErrEvent(5, 500))))
     assert(res.isLeft)

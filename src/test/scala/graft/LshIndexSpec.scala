@@ -425,6 +425,47 @@ class LshIndexSpec extends SparkSuite {
     }
   }
 
+  test("tombstone-log memo: steady state after compact is None (no " +
+    "per-probe log aggregate); a fresh remove re-arms it") {
+    val all = corpus()
+    val base = batchOf(all, 0)
+    val idxDir = Files.createTempDirectory("graft_lshidx_spec7")
+    val table = "lsh_memo_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      LshIndex.build(base, "doc_id", "text", s"$idxDir/index", table)
+      // no log at all → None
+      assert(LshIndex.liveTombstones(spark, table).isEmpty)
+      val victims = base.filter(col("doc_id") % 60 === 0)
+        .select("doc_id").localCheckpoint()
+      assert(victims.count() > 0)
+      LshIndex.remove(spark, table, victims)
+      // live removes → Some (the anti-join must run)
+      assert(LshIndex.liveTombstones(spark, table).isDefined)
+      LshIndex.compact(spark, table)
+      // steady state: the log still EXISTS (append-only, never dropped
+      // outside build) but nets to empty — the memo must collapse this to
+      // None so probes pay a listing, not a Spark job, per call
+      assert(spark.catalog.tableExists(LshIndex.tombstoneTable(table)))
+      assert(LshIndex.liveTombstones(spark, table).isEmpty)
+      assert(LshIndex.liveTombstones(spark, table).isEmpty) // memo hit
+      // a NEW remove appends a file → fingerprint changes → re-armed
+      val again = base.filter(col("doc_id") % 90 === 30)
+        .select("doc_id").localCheckpoint()
+      assert(again.count() > 0)
+      LshIndex.remove(spark, table, again)
+      val live = LshIndex.liveTombstones(spark, table)
+      assert(live.isDefined)
+      val ids = live.get.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids === again.collect().map(_.getLong(0)).toSet)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_compacting")
+      spark.sql(s"DROP TABLE IF EXISTS ${LshIndex.tombstoneTable(table)}")
+      org.apache.commons.io.FileUtils.deleteDirectory(idxDir.toFile)
+    }
+  }
+
   test("append/probe refuse a table not built by LshIndex.build") {
     val wh = Files.createTempDirectory("graft_lshidx_spec3")
     val table = "lsh_not_an_index"
