@@ -1080,23 +1080,38 @@ object CdcStream {
       // rewritten buckets now hold tombstones (a write into a FRESH dir
       // is complete knowledge and seeds the cache outright).
       val genPath = new org.apache.hadoop.fs.Path(g.genDir)
-      // read via the bucket dirs as explicit roots (+basePath for the
-      // partition column): a dot-named root makes DataSource emit a
-      // spurious "All paths were ignored" WARN per batch
+      // written buckets from the generation's partition dirs — a pure
+      // listing, no Spark job (also the read roots below: a dot-named
+      // root makes DataSource emit a spurious "All paths were ignored"
+      // WARN per batch)
       val bucketDirs =
-        if (!fs.exists(genPath)) Array.empty[String]
+        if (!fs.exists(genPath)) Array.empty[org.apache.hadoop.fs.Path]
         else fs.listStatus(genPath)
           .filter(st => st.isDirectory &&
             st.getPath.getName.startsWith("bucket="))
-          .map(_.getPath.toString)
+          .map(_.getPath)
       val stats0 =
         if (bucketDirs.isEmpty) Array.empty[(Int, (Long, Long))]
-        else spark.read.option("basePath", g.genDir)
-          .parquet(bucketDirs.toIndexedSeq: _*).groupBy("bucket")
-          .agg(count(when(col("cdc_action") === Types.None_, 1)).as("nt"),
-            coalesce(min(when(col("cdc_action") === Types.None_,
-              col("seq"))), lit(Long.MaxValue)).as("mn"))
-          .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+        else if (!keepTombstones)
+          // typed path: liveOf filtered every tombstone out of `next`, so
+          // the stored generation PROVABLY holds none — synthesize the
+          // per-bucket stats from the listing, zero readback jobs (the
+          // dominant per-micro-batch constant after the staged write)
+          bucketDirs.map(p =>
+            p.getName.stripPrefix("bucket=").toInt ->
+              ((0L, Long.MaxValue)))
+        else
+          // untyped/evolving path: tombstones are stored (the sink is the
+          // only state), so the sweep cache needs real counts. Explicit
+          // schema (the writer's own) skips per-batch footer inference.
+          spark.read.option("basePath", g.genDir).schema(next.schema)
+            .parquet(bucketDirs.map(_.toString).toIndexedSeq: _*)
+            .groupBy("bucket")
+            .agg(count(when(col("cdc_action") === Types.None_, 1)).as("nt"),
+              coalesce(min(when(col("cdc_action") === Types.None_,
+                col("seq"))), lit(Long.MaxValue)).as("mn"))
+            .collect()
+            .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
       afterStageHook()
       graft.GenSwap.commit(g)
       stats0
