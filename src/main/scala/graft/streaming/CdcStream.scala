@@ -1071,7 +1071,29 @@ object CdcStream {
     // state dir still mutates only at commit).
     val g = graft.GenSwap.begin(spark, stateDir)
     val outStats = try {
-      next.write.mode("overwrite").partitionBy("bucket").parquet(g.genDir)
+      // untyped/evolving path: tombstones are stored (the sink is the only
+      // state), so the sweep cache needs real per-bucket counts — observed
+      // ON the write job itself (conditional aggregates per touched
+      // bucket, one codegen'd pass, bounded by nBuckets ≤ 64 × 2 exprs)
+      // instead of a separate readback job per micro-batch (~180 ms of
+      // the per-batch constant the r12/r13 asks chased).
+      val obs =
+        if (!keepTombstones || touched.isEmpty) None
+        else Some((new org.apache.spark.sql.Observation(
+          "graft_sink_stats_" + java.util.UUID.randomUUID()),
+          touched.toSeq.sorted))
+      val toWrite = obs match {
+        case None => next
+        case Some((o, tb)) =>
+          val exprs = tb.flatMap { b =>
+            val isTomb = col("cdc_action") === Types.None_ &&
+              col("bucket") === b
+            Seq(count(when(isTomb, 1)).as(s"nt_$b"),
+              min(when(isTomb, col("seq"))).as(s"mn_$b"))
+          }
+          next.observe(o, exprs.head, exprs.tail: _*)
+      }
+      toWrite.write.mode("overwrite").partitionBy("bucket").parquet(g.genDir)
       // per-bucket tombstone stats from the freshly-written generation (a
       // cheap scan of small local files — replaces the second pass over
       // the checkpointed plan). A bucket whose keys ALL annihilated has
@@ -1092,26 +1114,25 @@ object CdcStream {
           .map(_.getPath)
       val stats0 =
         if (bucketDirs.isEmpty) Array.empty[(Int, (Long, Long))]
-        else if (!keepTombstones)
-          // typed path: liveOf filtered every tombstone out of `next`, so
-          // the stored generation PROVABLY holds none — synthesize the
-          // per-bucket stats from the listing, zero readback jobs (the
-          // dominant per-micro-batch constant after the staged write)
-          bucketDirs.map(p =>
-            p.getName.stripPrefix("bucket=").toInt ->
-              ((0L, Long.MaxValue)))
-        else
-          // untyped/evolving path: tombstones are stored (the sink is the
-          // only state), so the sweep cache needs real counts. Explicit
-          // schema (the writer's own) skips per-batch footer inference.
-          spark.read.option("basePath", g.genDir).schema(next.schema)
-            .parquet(bucketDirs.map(_.toString).toIndexedSeq: _*)
-            .groupBy("bucket")
-            .agg(count(when(col("cdc_action") === Types.None_, 1)).as("nt"),
-              coalesce(min(when(col("cdc_action") === Types.None_,
-                col("seq"))), lit(Long.MaxValue)).as("mn"))
-            .collect()
-            .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+        else obs match {
+          case None =>
+            // typed path: liveOf filtered every tombstone out of `next`,
+            // so the stored generation PROVABLY holds none — synthesize
+            // the per-bucket stats from the listing, zero extra jobs
+            bucketDirs.map(p =>
+              p.getName.stripPrefix("bucket=").toInt ->
+                ((0L, Long.MaxValue)))
+          case Some((o, _)) =>
+            // observed metrics from the completed write job
+            val m = o.get
+            bucketDirs.map { p =>
+              val b = p.getName.stripPrefix("bucket=").toInt
+              val nt = m(s"nt_$b").asInstanceOf[Long]
+              val mn = Option(m(s"mn_$b")).map(_.asInstanceOf[Long])
+                .getOrElse(Long.MaxValue)
+              b -> ((nt, mn))
+            }
+        }
       afterStageHook()
       graft.GenSwap.commit(g)
       stats0
