@@ -58,4 +58,75 @@ class MonitorSpec extends SparkSuite {
         .filter(col("name") === name).count() === 0)
     } finally Monitor.detach(spark, mon)
   }
+
+  test("retain: periodic flushes land every batch exactly once across " +
+      "ring eviction; a reseeded monitor never re-appends") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hist = java.nio.file.Files
+      .createTempDirectory("graft_mon_hist").toString + "/history"
+    // tiny ring (2) so eviction happens constantly: without the per-batch
+    // flush cadence, most batches would be lost to the ring before any
+    // retention — the test proves flush-then-evict keeps them durable
+    val mon = Monitor.attach(spark, capacity = 2)
+    // a second, never-flushed monitor captures the same stream: its
+    // retain() at the end exercises the RESEED path (fresh high-water
+    // map, ring rows already durable via mon's flushes)
+    val mon2 = Monitor.attach(spark, capacity = 2)
+    try {
+      val mem = MemoryStream[Ev]
+      val name = "monr_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = mem.toDF()
+        .select(col("k"), timestamp_seconds(col("tsSec")).as("ets"))
+        .withWatermark("ets", "10 seconds")
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+      val nBatches = 6
+      (1 to nBatches).foreach { i =>
+        mem.addData(Ev(i.toLong, i * 100L))
+        q.processAllAvailable()
+        // wait for the async listener to deliver batch i-1's progress,
+        // then flush — the cadence contract (≥ ring turnover)
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (mon.snapshot(spark).filter(col("name") === name)
+            .agg(max("batch_id")).collect()(0).isNullAt(0) ||
+          mon.snapshot(spark).filter(col("name") === name)
+            .agg(max("batch_id")).collect()(0).getLong(0) < i - 1) {
+          assert(System.nanoTime() < deadline, "listener never delivered")
+          Thread.sleep(50)
+        }
+        mon.retain(spark, hist)
+      }
+      q.stop()
+      Thread.sleep(300) // drain any final progress event
+      mon.retain(spark, hist) // overlapping flush: must not duplicate
+      val rows = spark.read.parquet(hist).filter(col("name") === name)
+        .select("batch_id").collect().map(_.getLong(0)).sorted
+      // every flushed batch exactly once — no duplicates from overlapping
+      // flush windows, no gaps despite the size-2 ring having evicted
+      // most of the history
+      assert(rows.distinct.length === rows.length,
+        s"duplicated batches: ${rows.mkString(",")}")
+      assert(rows.length >= nBatches - 1,
+        s"gapped history: ${rows.mkString(",")}")
+      assert(rows.toSeq === (rows.min to rows.max),
+        s"non-contiguous: ${rows.mkString(",")}")
+      // restart-idempotence: mon2 is a FRESH retainer (empty high-water
+      // map) whose ring holds rows mon already made durable — its first
+      // retain() reseeds from the table and appends nothing
+      assert(mon2.retain(spark, hist) === 0L,
+        "reseeded monitor re-appended already-retained rows")
+      // and the original monitor's overlapping re-flush is also a no-op
+      assert(mon.retain(spark, hist) === 0L)
+      val after = spark.read.parquet(hist).filter(col("name") === name)
+        .count()
+      assert(after === rows.length.toLong)
+    } finally {
+      Monitor.detach(spark, mon)
+      Monitor.detach(spark, mon2)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(hist).getParentFile)
+    }
+  }
 }
