@@ -65,7 +65,12 @@ object ScaleSmoke {
     // r13 streaming as-of: interval-join state + latest-per-key over the
     // O(matches) ledger — the row pins that the batch reduction stays
     // proportional to matches, not events
-    "events_stream_asof")
+    "events_stream_asof",
+    // r13 streaming top-k: append windowed count + batch rank over the
+    // drained aggregate — its parts were measured separately through r13;
+    // this row pins the COMPOSITION (state ≈ open windows, rank input ≈
+    // closed windows × users, both linear in the derived corpus)
+    "events_stream_topk")
 
   /** Smoke-only variants: the gate queries pin the IVF cell count at
     * C = 16 because the ORACLE's pair-set semantics depend on it, which
