@@ -30,6 +30,16 @@ import org.apache.spark.sql.SparkSession
   * place with two metadata renames (old leaf → `.graft-old-<uuid>`, gen
   * leaf → root), atomic per leaf on HDFS and local filesystems.
   *
+  * Reader guarantee (spec-pinned by `GenSwapSpec`'s concurrent-reader
+  * test): a scan NEVER observes a mixed or half-rewritten leaf — every
+  * leaf it reads is all-old or all-new. A reader can still (a) catch the
+  * sub-ms window between a leaf's two renames and see that leaf absent,
+  * or (b) have listed old files that a concurrent commit renames away
+  * before its tasks run (FileNotFound — the failure mode dynamic
+  * overwrite always had; retry the read). Closing those two windows as
+  * well takes a log-structured table format (Iceberg/Delta), not a
+  * filesystem layout.
+  *
   * Crash safety ([[recover]], run by every [[begin]]): leftover `.graft-*`
   * dirs from a crashed run are healed before new work starts — partitions
   * evacuated but not yet replaced are renamed back, and (for the

@@ -119,12 +119,15 @@ object Lake {
     *    sibling dir inside the root while the source files stay untouched
     *    for the whole job (pure lineage over stable files — no checkpoint
     *    of any kind), then each touched partition dir swaps in with two
-    *    metadata renames. Concurrent readers see either the old or the
-    *    new generation of a partition, never a half-rewritten one, and a
-    *    crash at any point is healed by the next run's recovery sweep —
-    *    the in-place dynamic-overwrite design this replaced could lose or
-    *    duplicate rows if its forced local checkpoint lost blocks
-    *    mid-overwrite, and exposed partial state to concurrent listers.
+    *    metadata renames. A concurrent reader never observes a mixed or
+    *    half-rewritten partition — each leaf it reads is all-old or
+    *    all-new (it can still briefly see a leaf absent between the two
+    *    renames, or lose already-listed files to the swap — retry; see
+    *    [[graft.GenSwap]]'s reader guarantee), and a crash at any point
+    *    is healed by the next run's recovery sweep — the in-place
+    *    dynamic-overwrite design this replaced could lose or duplicate
+    *    rows if its forced local checkpoint lost blocks mid-overwrite,
+    *    and exposed PARTIAL file sets to concurrent listers.
     *  - **output layout is the one a scan wants**: touched rows are
     *    range-partitioned on `partitionCols ++ sortCols` into
     *    `ceil(touchedBytes / targetBytes)` tasks, so files land

@@ -161,6 +161,66 @@ class GenSwapSpec extends SparkSuite {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("concurrent reader never observes a mixed or half-rewritten leaf " +
+      "across repeated swaps") {
+    // generations are tagged in a column; a reader loop scans the dir
+    // while commits replace both partitions repeatedly. The pinned
+    // guarantee: every (partition, read) observes EXACTLY ONE generation
+    // value — all-old or all-new, never a blend (the old dynamic
+    // overwrite exposed partial file sets). Reads that race the sub-ms
+    // rename window (absent leaf / vanished listed files) surface as
+    // empty partitions or FileNotFound — both allowed and retried, per
+    // the documented reader contract.
+    val dir = tmp("c")
+    try {
+      def gen(i: Int) = (0 until 40)
+        .map(j => (j.toLong, s"g${j % 2}", i)).toDF("id", "k", "generation")
+      gen(0).repartition(2).write.mode("overwrite").partitionBy("k")
+        .parquet(dir)
+      val mixed = new java.util.concurrent.atomic.AtomicReference[String](null)
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val reader = new Thread(() => {
+        while (!stop.get() && mixed.get() == null) {
+          try {
+            val perLeaf = spark.read.parquet(dir)
+              .groupBy("k").agg(countDistinct("generation").as("ng"),
+                count(lit(1)).as("n"))
+              .collect()
+            perLeaf.foreach { r =>
+              if (r.getLong(1) > 1)
+                mixed.compareAndSet(null,
+                  s"leaf ${r.getString(0)} mixed ${r.getLong(1)} generations")
+              // a visible leaf must be a COMPLETE generation (20 rows)
+              else if (r.getLong(2) != 20L)
+                mixed.compareAndSet(null,
+                  s"leaf ${r.getString(0)} partial: ${r.getLong(2)} rows")
+            }
+          } catch {
+            // vanished files / listed-then-moved / mid-list races are the
+            // documented retry-class failures — only DATA anomalies
+            // (mixed or partial leaves, checked above) fail the spec
+            case _: Exception => ()
+          }
+        }
+      })
+      reader.start()
+      try {
+        (1 to 12).foreach { i =>
+          val g = GenSwap.begin(spark, dir)
+          gen(i).repartition(2).write.mode("overwrite").partitionBy("k")
+            .parquet(g.genDir)
+          GenSwap.commit(g)
+        }
+      } finally { stop.set(true); reader.join(20000) }
+      assert(mixed.get() == null, String.valueOf(mixed.get()))
+      // final state: generation 12 everywhere
+      val fin = spark.read.parquet(dir).select("generation").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      assert(fin === Seq(12))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("nested partition leaves swap at the deepest level") {
     val dir = tmp("n")
     try {
