@@ -116,6 +116,56 @@ object LakeQueries extends QueryRegistry {
         org.apache.commons.io.FileUtils
           .deleteDirectory(new java.io.File(work))
       }
+    }),
+    // [EXT] versioned publishing (MVCC-lite): v1 and a deterministic v2
+    // are published as immutable generations behind the atomic _CURRENT
+    // pointer; the output proves (a) the pinned OLD generation still
+    // reads exactly v1 after v2 shipped (time travel / reproducibility),
+    // (b) the pointer read is v2, and (c) one rollbackTo flip makes the
+    // current read v1 again — no data movement. Each leg is an integer
+    // aggregate the oracle recomputes from the fixture, so the hash
+    // match pins the whole version lifecycle, not just "rows came back".
+    // The staging root is gate-local scaffolding; the operator takes any
+    // Hadoop-FS path.
+    "lake_publish_versions" -> ((s, dir) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_lake_ver").toString
+      val root = s"$work/lake"
+      try {
+        val v1 = docs(s, dir).select("doc_id", "text", "lang")
+        // the lake_snapshot_diff v2 transform, carrying lang for the
+        // partition layout (added docs inherit their source doc's lang)
+        val v2 = v1.filter(col("doc_id") % 70 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 40 === 0, concat(col("text"), lit(" [v2]")))
+              .otherwise(col("text")).as("text"), col("lang"))
+          .union(v1.filter(col("doc_id") % 50 === 0)
+            .select((col("doc_id") + 3000000L).as("doc_id"), col("text"),
+              col("lang")))
+        val ver1 = Lake.publishVersion(v1, root, Seq("lang"), Seq("doc_id"),
+          maxRecordsPerFile = 1000000L)
+        Lake.publishVersion(v2, root, Seq("lang"), Seq("doc_id"),
+          maxRecordsPerFile = 1000000L)
+        def agg(df: DataFrame, which: String): DataFrame = df
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct("doc_id").as("n_ids"),
+            sum(length(col("text"))).as("sum_len"),
+            min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+          .select(lit(which).as("which"), col("lang"), col("n_docs"),
+            col("n_ids"), col("sum_len"), col("min_id"), col("max_id"))
+        val pinnedOld = agg(
+          Lake.readVersion(s, root, Some(ver1)), "pinned_v1")
+        val current = agg(Lake.readVersion(s, root), "current_v2")
+        Lake.rollbackTo(s, root, ver1)
+        val rolledBack = agg(Lake.readVersion(s, root), "rolled_back")
+        import graft.Materialize.Ops
+        // the staging root is deleted below — lineage must not reach it
+        pinnedOld.unionAll(current).unionAll(rolledBack).materializeForced()
+      } finally {
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(work))
+      }
     }))
 
   def oracles: Map[String, String] = Map(
@@ -165,5 +215,34 @@ object LakeQueries extends QueryRegistry {
       """SELECT lang, count(*) AS n_docs, count(DISTINCT doc_id) AS n_ids,
         |  sum(n_chars) AS sum_chars, sum(length(text)) AS sum_len,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
-        |FROM documents GROUP BY lang""".stripMargin)
+        |FROM documents GROUP BY lang""".stripMargin,
+    // version lifecycle: the pinned old generation and the post-rollback
+    // current read must both equal the v1 aggregates; the pointer read
+    // between them must equal the v2 aggregates (same derived-v2
+    // transform as lake_snapshot_diff, carrying lang)
+    "lake_publish_versions" ->
+      """WITH v1 AS (SELECT doc_id, text, lang FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 40 = 0 THEN text || ' [v2]' ELSE text END AS text,
+        |    lang
+        |  FROM v1 WHERE doc_id % 70 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id, text, lang
+        |  FROM v1 WHERE doc_id % 50 = 0),
+        |a1 AS (SELECT lang, count(*) AS n_docs,
+        |         count(DISTINCT doc_id) AS n_ids,
+        |         sum(length(text)) AS sum_len,
+        |         min(doc_id) AS min_id, max(doc_id) AS max_id
+        |       FROM v1 GROUP BY lang),
+        |a2 AS (SELECT lang, count(*) AS n_docs,
+        |         count(DISTINCT doc_id) AS n_ids,
+        |         sum(length(text)) AS sum_len,
+        |         min(doc_id) AS min_id, max(doc_id) AS max_id
+        |       FROM v2 GROUP BY lang)
+        |SELECT 'pinned_v1' AS which, * FROM a1
+        |UNION ALL
+        |SELECT 'current_v2' AS which, * FROM a2
+        |UNION ALL
+        |SELECT 'rolled_back' AS which, * FROM a1""".stripMargin)
 }

@@ -42,6 +42,150 @@ object Lake {
     manifest(spark, outDir, partitionCols)
   }
 
+  // ------------------------------------------------------------------
+  // Versioned publishing (MVCC-lite): immutable generations + an atomic
+  // pointer. [[graft.GenSwap]] mutates a directory in place with per-leaf
+  // atomicity, which leaves two unavoidable reader races (absent-leaf
+  // window, listed-then-moved files). This surface closes both, the way
+  // a log-structured table format does, with one tiny piece of metadata:
+  //
+  //  - every [[publishVersion]] writes a COMPLETE generation under
+  //    `root/v=<n>/` (the [[writeCurated]] layout inside) and only then
+  //    flips `root/_CURRENT` via tmp-write + atomic rename;
+  //  - a published generation is IMMUTABLE — nothing inside it is ever
+  //    renamed, rewritten, or deleted while inside the retention horizon,
+  //    so a reader that resolved the pointer scans frozen files: no
+  //    torn reads, no vanished files, however long the scan runs;
+  //  - [[rollbackTo]] is one pointer flip (O(1) — the operational win of
+  //    versioning: a bad curation run un-ships instantly);
+  //  - retention keeps the last `keep` generations; pruning deletes only
+  //    generations `≤ current − keep`, so any reader within the horizon
+  //    is safe (the standard MVCC-vacuum contract — size `keep` to the
+  //    longest consumer).
+  //
+  // Crash safety (single writer per root, as with every maintenance
+  // pass): a crash before the pointer flip leaves an orphaned `v=<n>`
+  // dir that the next publish deletes (any version above the pointer is
+  // by definition unpublished); a crash during the flip leaves at worst
+  // a stale `._CURRENT.tmp`, overwritten next time. The generic
+  // FileSystem rename cannot clobber, so the flip is delete-then-rename:
+  // a reader racing the flip itself can momentarily find no pointer
+  // ("no published version") — retry-class, two metadata ops wide; on
+  // HDFS swap in the OVERWRITE rename to close even that. The pointer
+  // file is underscore-named, so no Spark listing ever sees it;
+  // generation dirs use the `v=<n>` partition-dir convention, so reading
+  // the ROOT (rather than one generation) is also well-defined — the
+  // full history with `v` as a column — though [[readVersion]] is the
+  // consumer API.
+  //
+  // At 100 TB the cost over in-place curation is storage for `keep`
+  // generations — the price every versioned lake pays; publish cost is
+  // the same one corpus write, and the pointer adds one ~10-byte file.
+  // ------------------------------------------------------------------
+
+  private val CurrentPointer = "_CURRENT"
+
+  private def fsOf(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** The published version the pointer names, if any. */
+  def currentVersion(spark: SparkSession, rootDir: String): Option[Long] = {
+    val (fs, root) = fsOf(spark, rootDir)
+    val ptr = new org.apache.hadoop.fs.Path(root, CurrentPointer)
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      Some(s.toLong)
+    }
+  }
+
+  private def genDirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.collect {
+      case st if st.isDirectory && st.getPath.getName.startsWith("v=") =>
+        st.getPath.getName.stripPrefix("v=").toLong -> st.getPath
+    }
+
+  private def flipPointer(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, version: Long): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(root, "." + CurrentPointer + ".tmp")
+    val os = fs.create(tmp, true)
+    try os.write(version.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+    val ptr = new org.apache.hadoop.fs.Path(root, CurrentPointer)
+    if (fs.exists(ptr)) fs.delete(ptr, false) // local FS rename won't clobber
+    if (!fs.rename(tmp, ptr)) throw new IllegalStateException(
+      s"Lake: pointer flip to v=$version failed (rename returned false)")
+  }
+
+  /** Publish `df` as the next generation and flip the pointer. Returns
+    * the new version number. Unpublished orphans (a crashed prior
+    * publish) are cleaned first; generations older than `keep` behind
+    * the new pointer are pruned after the flip.
+    */
+  def publishVersion(
+      df: DataFrame, rootDir: String,
+      partitionCols: Seq[String], sortCols: Seq[String],
+      maxRecordsPerFile: Long, keep: Int = 3): Long = {
+    require(keep >= 1, "keep must retain at least the current generation")
+    val spark = df.sparkSession
+    val (fs, root) = fsOf(spark, rootDir)
+    val cur = currentVersion(spark, rootDir)
+    // a generation above the pointer is a crashed, never-published
+    // publish — its files were never readable (readers go through the
+    // pointer), so deleting is safe under the single-writer contract
+    for ((v, p) <- genDirs(fs, root) if v > cur.getOrElse(-1L))
+      fs.delete(p, true)
+    val next = cur.getOrElse(-1L) + 1
+    writeCurated(df, s"$rootDir/v=$next", partitionCols, sortCols,
+      maxRecordsPerFile)
+    flipPointer(fs, root, next)
+    for ((v, p) <- genDirs(fs, root) if v <= next - keep)
+      fs.delete(p, true)
+    next
+  }
+
+  /** Read one immutable generation: the pointer's (default) or a pinned
+    * `version` (time travel — reproduce exactly what a past training run
+    * consumed, within the retention horizon). Fails loudly on a version
+    * that was never published or has been pruned.
+    */
+  def readVersion(spark: SparkSession, rootDir: String,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(currentVersion(spark, rootDir)).getOrElse(
+      throw new IllegalStateException(
+        s"Lake: $rootDir has no published version"))
+    val (fs, root) = fsOf(spark, rootDir)
+    val dir = new org.apache.hadoop.fs.Path(root, s"v=$v")
+    if (!fs.exists(dir)) throw new IllegalStateException(
+      s"Lake: version $v of $rootDir was never published or has been " +
+        s"pruned (current=${currentVersion(spark, rootDir).orNull})")
+    if (version.exists(v => currentVersion(spark, rootDir).exists(_ < v)))
+      throw new IllegalStateException(
+        s"Lake: version $v of $rootDir is not published")
+    spark.read.parquet(dir.toString)
+  }
+
+  /** Point the lake back at an already-published generation — one atomic
+    * pointer flip, no data movement. The rolled-back-over generations
+    * stay on disk (they are above the pointer now) and are cleaned by
+    * the next publish.
+    */
+  def rollbackTo(spark: SparkSession, rootDir: String, version: Long): Unit = {
+    val (fs, root) = fsOf(spark, rootDir)
+    val dir = new org.apache.hadoop.fs.Path(root, s"v=$version")
+    if (!fs.exists(dir)) throw new IllegalStateException(
+      s"Lake: cannot rollback $rootDir to v=$version — not on disk " +
+        "(pruned or never published)")
+    flipPointer(fs, root, version)
+  }
+
   /** Per-partition accounting of what landed: file/row/byte counts from
     * the written files themselves (not the writer's intent). File listing
     * goes through the Hadoop FileSystem API so the manifest is correct on

@@ -1,0 +1,136 @@
+package graft
+
+import graft.sources.Lake
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** Versioned-publishing contract: generations are immutable once
+  * published, the pointer flip is the only mutation a reader can observe,
+  * time travel reproduces exactly what an old pointer read, rollback is a
+  * pure flip, retention prunes only beyond the horizon, crashed publishes
+  * heal, and a concurrent reader NEVER fails or sees a torn generation —
+  * the guarantee the in-place swap cannot give.
+  */
+class LakeVersionSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def fsOf(dir: String) = new Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def genOf(n: Int, rows: Int = 40) = (0 until rows)
+    .map(j => (j.toLong, s"g${j % 2}", n)).toDF("id", "k", "generation")
+
+  private def tmp() = java.nio.file.Files
+    .createTempDirectory("graft_lakever").toString + "/lake"
+
+  private def listing(dir: String): Map[String, (Long, Long)] = {
+    val fs = fsOf(dir)
+    val it = fs.listFiles(new Path(dir), true)
+    val b = Map.newBuilder[String, (Long, Long)]
+    while (it.hasNext) { val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+        b += (st.getPath.toString -> ((st.getLen, st.getModificationTime))) }
+    b.result()
+  }
+
+  test("publish → read → time travel → rollback; published generations " +
+      "are byte-immutable") {
+    val root = tmp()
+    try {
+      assert(Lake.currentVersion(spark, root).isEmpty)
+      val v0 = Lake.publishVersion(genOf(0), root, Seq("k"), Seq("id"), 1000L)
+      assert(v0 === 0L)
+      assert(Lake.currentVersion(spark, root).contains(0L))
+      val gen0Files = listing(s"$root/v=0")
+      assert(gen0Files.nonEmpty)
+
+      val v1 = Lake.publishVersion(genOf(1), root, Seq("k"), Seq("id"), 1000L)
+      assert(v1 === 1L && Lake.currentVersion(spark, root).contains(1L))
+      // immutability: publishing v1 moved/rewrote NOTHING inside v=0
+      assert(listing(s"$root/v=0") === gen0Files)
+
+      def gens(df: org.apache.spark.sql.DataFrame): Set[Int] =
+        df.select("generation").distinct().collect().map(_.getInt(0)).toSet
+      assert(gens(Lake.readVersion(spark, root)) === Set(1))
+      assert(gens(Lake.readVersion(spark, root, Some(0L))) === Set(0))
+
+      Lake.rollbackTo(spark, root, 0L)
+      assert(Lake.currentVersion(spark, root).contains(0L))
+      assert(gens(Lake.readVersion(spark, root)) === Set(0))
+      // the rolled-back-over generation is unpublished now
+      intercept[IllegalStateException] {
+        Lake.readVersion(spark, root, Some(1L))
+      }
+      // the next publish cleans the orphan and reuses its number
+      val v1b = Lake.publishVersion(genOf(7), root, Seq("k"), Seq("id"), 1000L)
+      assert(v1b === 1L)
+      assert(gens(Lake.readVersion(spark, root)) === Set(7))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root).getParentFile)
+  }
+
+  test("retention prunes only beyond the horizon; pruned versions fail " +
+      "loudly; crashed publishes heal") {
+    val root = tmp()
+    try {
+      (0 to 3).foreach(i =>
+        Lake.publishVersion(genOf(i), root, Seq("k"), Seq("id"), 1000L,
+          keep = 2))
+      val fs = fsOf(root)
+      val dirs = fs.listStatus(new Path(root))
+        .filter(_.getPath.getName.startsWith("v="))
+        .map(_.getPath.getName).sorted.toSeq
+      assert(dirs === Seq("v=2", "v=3"), dirs.toString)
+      val e = intercept[IllegalStateException] {
+        Lake.readVersion(spark, root, Some(0L))
+      }
+      assert(e.getMessage.contains("pruned") ||
+        e.getMessage.contains("never published"))
+      // crash simulation: an orphaned generation ABOVE the pointer (a
+      // publish that died before its flip) is removed by the next publish
+      fs.mkdirs(new Path(root, "v=9"))
+      val v4 = Lake.publishVersion(genOf(4), root, Seq("k"), Seq("id"),
+        1000L, keep = 2)
+      assert(v4 === 4L)
+      assert(!fs.exists(new Path(root, "v=9")))
+      assert(Lake.readVersion(spark, root).select("generation").distinct()
+        .collect().map(_.getInt(0)).toSeq === Seq(4))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root).getParentFile)
+  }
+
+  test("a concurrent reader through the pointer NEVER fails and always " +
+      "sees one complete generation") {
+    val root = tmp()
+    try {
+      Lake.publishVersion(genOf(0), root, Seq("k"), Seq("id"), 1000L,
+        keep = 100) // horizon >> test length: no pruning under readers
+      val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val reader = new Thread(() => {
+        while (!stop.get() && bad.get() == null) {
+          try {
+            val r = Lake.readVersion(spark, root)
+              .groupBy("generation").agg(count(lit(1)).as("n")).collect()
+            if (r.length != 1)
+              bad.compareAndSet(null, s"${r.length} generations in one read")
+            else if (r.head.getLong(1) != 40L)
+              bad.compareAndSet(null, s"torn read: ${r.head.getLong(1)} rows")
+          } catch {
+            // NO exception is acceptable here — that is the whole point
+            // of pointer-resolved immutable generations
+            case t: Throwable =>
+              bad.compareAndSet(null, s"reader threw: $t")
+          }
+        }
+      })
+      reader.start()
+      try (1 to 8).foreach(i =>
+        Lake.publishVersion(genOf(i), root, Seq("k"), Seq("id"), 1000L,
+          keep = 100))
+      finally { stop.set(true); reader.join(30000) }
+      assert(bad.get() == null, String.valueOf(bad.get()))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root).getParentFile)
+  }
+}
