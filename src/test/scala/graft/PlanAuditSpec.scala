@@ -185,6 +185,32 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("versioned-lake read keeps partition pruning and sort-key " +
+      "pushdown inside the generation") {
+    val tmp = java.nio.file.Files.createTempDirectory("plan_lakev").toString
+    try {
+      import spark.implicits._
+      val df = (0 until 200)
+        .map(j => (j.toLong, s"g${j % 4}", s"doc $j")).toDF("id", "k", "text")
+      graft.sources.Lake.publishVersion(df, s"$tmp/lake", Seq("k"),
+        Seq("id"), 1000L)
+      val rd = graft.sources.Lake.readVersion(spark, s"$tmp/lake")
+        .filter(col("k") === "g1" && col("id") > 150L)
+        .select("id", "text")
+      val plan = rd.queryExecution.executedPlan.toString
+      // the generation dir is a plain writeCurated layout, so the lake's
+      // scan quality survives versioning: the partition predicate prunes
+      // dirs at planning and the sort-key predicate reaches the parquet
+      // footer (rowgroup min/max on the in-file ordering)
+      assert(plan.contains("PartitionFilters"), plan.take(1500))
+      assert(plan.contains("PushedFilters"), plan.take(1500))
+      assert(rd.count() === (151 until 200).count(_ % 4 == 1))
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("state partitioned by table prunes to one partition on filter") {
     val tmp = java.nio.file.Files.createTempDirectory("plan_state").toString
     try {
