@@ -172,6 +172,19 @@ object Lake {
     spark.read.parquet(dir.toString)
   }
 
+  /** [[snapshotDiff]] between two published generations of a versioned
+    * lake — the audit a training pipeline runs before moving its data
+    * dependency from version A to version B: both sides are immutable
+    * dirs, so the diff is reproducible for as long as retention holds
+    * them.
+    */
+  def diffVersions(spark: SparkSession, rootDir: String,
+      oldVersion: Long, newVersion: Long,
+      idCol: String, contentCol: String): DataFrame =
+    snapshotDiff(
+      readVersion(spark, rootDir, Some(oldVersion)),
+      readVersion(spark, rootDir, Some(newVersion)), idCol, contentCol)
+
   /** Point the lake back at an already-published generation — one atomic
     * pointer flip, no data movement. The rolled-back-over generations
     * stay on disk (they are above the pointer now) and are cleaned by

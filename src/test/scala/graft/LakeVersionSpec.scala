@@ -18,7 +18,8 @@ class LakeVersionSpec extends SparkSuite {
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def genOf(n: Int, rows: Int = 40) = (0 until rows)
-    .map(j => (j.toLong, s"g${j % 2}", n)).toDF("id", "k", "generation")
+    .map(j => (j.toLong, s"g${j % 2}", n, s"doc $j gen $n"))
+    .toDF("id", "k", "generation", "text")
 
   private def tmp() = java.nio.file.Files
     .createTempDirectory("graft_lakever").toString + "/lake"
@@ -65,6 +66,12 @@ class LakeVersionSpec extends SparkSuite {
       val v1b = Lake.publishVersion(genOf(7), root, Seq("k"), Seq("id"), 1000L)
       assert(v1b === 1L)
       assert(gens(Lake.readVersion(spark, root)) === Set(7))
+      // version-to-version diff: ids identical, every content differs
+      // (generation stamp in the text) — all 'changed', none added/removed
+      val d = Lake.diffVersions(spark, root, 0L, 1L, "id", "text")
+        .groupBy("change").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(d === Map("changed" -> 40L), d.toString)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(root).getParentFile)
   }
