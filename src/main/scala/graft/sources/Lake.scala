@@ -32,15 +32,28 @@ object Lake {
       partitionCols: Seq[String],
       sortCols: Seq[String],
       maxRecordsPerFile: Long): DataFrame = {
-    val spark = df.sparkSession
+    writeLayout(df, outDir, partitionCols, sortCols, maxRecordsPerFile)
+    manifest(df.sparkSession, outDir, partitionCols)
+  }
+
+  /** The layout write alone (no manifest read-back): the shared write
+    * path of [[writeCurated]] and [[publishVersion]] — the latter must
+    * not silently pay a full generation scan per publish just to discard
+    * the accounting ([[manifest]] counts rows by READING them; call it
+    * explicitly when the accounting is wanted).
+    */
+  private def writeLayout(
+      df: DataFrame,
+      outDir: String,
+      partitionCols: Seq[String],
+      sortCols: Seq[String],
+      maxRecordsPerFile: Long): Unit =
     df.repartition(partitionCols.map(col): _*)
       .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
       .write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*)
       .parquet(outDir)
-    manifest(spark, outDir, partitionCols)
-  }
 
   // ------------------------------------------------------------------
   // Versioned publishing (MVCC-lite): immutable generations + an atomic
@@ -143,7 +156,9 @@ object Lake {
     for ((v, p) <- genDirs(fs, root) if v > cur.getOrElse(-1L))
       fs.delete(p, true)
     val next = cur.getOrElse(-1L) + 1
-    writeCurated(df, s"$rootDir/v=$next", partitionCols, sortCols,
+    // layout write only — no manifest read-back; a publisher wanting the
+    // per-partition accounting calls manifest(s"$root/v=$next") after
+    writeLayout(df, s"$rootDir/v=$next", partitionCols, sortCols,
       maxRecordsPerFile)
     flipPointer(fs, root, next)
     for ((v, p) <- genDirs(fs, root) if v <= next - keep)
