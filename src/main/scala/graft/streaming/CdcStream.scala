@@ -764,7 +764,13 @@ object CdcStream {
     val hasState = fs.exists(statePath) &&
       fs.listStatus(statePath).exists(st =>
         st.isDirectory && st.getPath.getName.startsWith("bucket="))
-    val batch = batchDf.materialize() // feeds the probe, hw join, union
+    // the batch is deliberately NOT materialized: its three consumers
+    // (probe aggregate, high-water join, fold union) re-read the source's
+    // micro-batch slice — a small, page-cached parquet segment — which is
+    // cheaper than a per-batch localCheckpoint job that reads the same
+    // slice once and pins it anyway (the jobs, not the bytes, are the
+    // dominant micro-batch constant; measured in the r14 fold profile)
+    val batch = batchDf
     // ONE probe job answers empty?, touched buckets, and the batch's min
     // seq (the replay low-water the auto-sweep needs) — the r12 shape
     // paid three driver round-trips for the same facts
@@ -786,10 +792,13 @@ object CdcStream {
       else Some(readState(spark, stateDir)
         .filter(col("bucket").isin(touched.toSeq: _*))
         .materialize())
+    // hw guard and fold seed both live inside the ONE downstream write
+    // job, over the already-materialized bucketRows — evaluating this
+    // semi-join twice there is cheaper than a third per-batch
+    // checkpoint job
     val storedOpt = bucketRows.map(_
       .drop("bucket")
-      .join(touchedKeys, keys, "left_semi")
-      .materialize()) // feeds the hw guard and the fold seed
+      .join(touchedKeys, keys, "left_semi"))
     val fresh = storedOpt match {
       case None => batch
       case Some(st) =>
@@ -1013,9 +1022,17 @@ object CdcStream {
     val deduped =
       if (preDeduped) batchDf
       else Merge.latestPerKey(batchDf, Seq("table", "rid"), "seq")
-    val updates = deduped
+    val updatesPlan = deduped
       .withColumn("bucket", pmod(hash(col("table"), col("rid")), lit(nBuckets)))
-      .materialize() // one computation feeds scan filter + anti-join + union
+    // default path: one computation feeds the touched-bucket collect, the
+    // anti-join, and the union — materialize. precomputedOld path: the
+    // caller already supplies the touched set, so BOTH remaining
+    // consumers live inside the single staged-write job — evaluating the
+    // (small, pre-deduped) batch fold twice there is cheaper than one
+    // more per-micro-batch checkpoint job (the job count, not the bytes,
+    // is the dominant evolving-sink constant — r14 fold profile)
+    val updates =
+      if (precomputedOld.isDefined) updatesPlan else updatesPlan.materialize()
     // typed path (default): a `none` tombstone only REMOVES the stored row
     // (the checkpointed GroupState carries the replay guard). Untyped
     // foldBatch keeps tombstone rows — the sink is its only state.
