@@ -145,6 +145,63 @@ class GenSwapSpec extends SparkSuite {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("recovery after a crash between a completed swap and the staging " +
+      "deletes: partitioned keeps the new generation, unpartitioned " +
+      "rolls back whole — never duplicates") {
+    // partitioned: leaf fully swapped (old evacuated, new in place), crash
+    // before the old/gen dirs were deleted — recovery must keep the NEW
+    // leaf (root path present → no restore) and just clean the staging
+    val dirP = tmp("pc")
+    try {
+      writePartitioned(dirP, 0 until 20, _ => "g0")
+      val fs = fsOf(dirP)
+      val g = GenSwap.begin(spark, dirP)
+      (0 until 10).map(i => (i + 700L, "g0")).toDF("id", "k")
+        .repartition(1).write.mode("overwrite").partitionBy("k")
+        .parquet(g.genDir)
+      fs.mkdirs(g.old)
+      assert(fs.rename(new Path(dirP, "k=g0"), new Path(g.old, "k=g0")))
+      assert(fs.rename(new Path(g.genDir, "k=g0"), new Path(dirP, "k=g0")))
+      // crash here: swap complete, deletes never ran
+      GenSwap.recover(fs, new Path(dirP))
+      assert(rows(dirP) === (0 until 10).map(i => (i + 700L, "g0")).toSet)
+      assert(!fs.listStatus(new Path(dirP))
+        .exists(_.getPath.getName.startsWith(".graft-")))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dirP))
+
+    // unpartitioned: all old files evacuated and all new files moved in,
+    // crash before the deletes — recovery ROLLS BACK whole (the manifest
+    // removes the moved-in set, the old set restores): the caller re-runs
+    // and converges, and at no point do old and new rows coexist
+    val dirU = tmp("uc")
+    try {
+      (0L until 10L).toDF("id").withColumn("k", lit("old"))
+        .repartition(2).write.mode("overwrite").parquet(dirU)
+      val before = rows(dirU)
+      val fs = fsOf(dirU)
+      val g = GenSwap.begin(spark, dirU)
+      (100L until 110L).toDF("id").withColumn("k", lit("new"))
+        .repartition(2).write.mode("overwrite").parquet(g.genDir)
+      val genFiles = GenSwap.leaves(fs, new Path(g.genDir))
+        .collect { case (rel, false) => rel }
+      fs.mkdirs(g.old)
+      val os = fs.create(new Path(g.old, "_ROOT_MANIFEST"), true)
+      os.write(genFiles.mkString("\n").getBytes("UTF-8")); os.close()
+      for (st <- fs.listStatus(new Path(dirU))
+           if st.isFile && GenSwap.isDataName(st.getPath.getName))
+        assert(fs.rename(st.getPath, new Path(g.old, st.getPath.getName)))
+      for (rel <- genFiles)
+        assert(fs.rename(new Path(g.genDir, rel), new Path(dirU, rel)))
+      // crash here: move-in complete, deletes never ran
+      GenSwap.recover(fs, new Path(dirU))
+      assert(rows(dirU) === before, "rollback duplicated or lost rows")
+      assert(!fs.listStatus(new Path(dirU))
+        .exists(_.getPath.getName.startsWith(".graft-")))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dirU))
+  }
+
   test("abort leaves the root untouched") {
     val dir = tmp("a")
     try {
