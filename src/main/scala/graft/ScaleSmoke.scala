@@ -345,7 +345,7 @@ object ScaleSmoke {
     // Bench's); no args = the full target set
     val all = Targets ++ DimsTargets ++
       Seq("sim_recall@scaledC", "sim_recall@probes", "cdc_evolving@state",
-        "lake_compact@touched")
+        "lake_compact@touched", "lake_versions@pub")
     val targets =
       if (args.isEmpty) all
       else all.filter(t => args.exists(t.contains))
@@ -636,8 +636,45 @@ object ScaleSmoke {
           .deleteDirectory(new java.io.File(root))
       }
     }
+    // versioned publishing: (1) publish cost tracks the corpus (it IS the
+    // curated write), (2) the pointer read resolves in constant metadata
+    // time, and (3) rollback is O(1) — independent of corpus size — the
+    // operational claim the MVCC-lite design makes. Measured, not assumed.
+    val versionTargets = targets.filter(_ == "lake_versions@pub")
+    for (_ <- versionTargets.headOption) {
+      import graft.sources.Lake
+      for ((dir, lbl) <- Seq((base, "sf0.1"), (sf1, s"${nReps}x"))) {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_versm").toString
+        val lake = s"$root/lake"
+        val d = spark.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text", "lang")
+        def timed[A](body: => A): (A, Double) = {
+          val t0 = System.nanoTime()
+          val a = body
+          (a, (System.nanoTime() - t0) / 1e9)
+        }
+        val (_, tPub0) = timed(Lake.publishVersion(d, lake, Seq("lang"),
+          Seq("doc_id"), maxRecordsPerFile = 2000000L))
+        val (_, tPub1) = timed(Lake.publishVersion(
+          d.withColumn("text", concat(col("text"), lit(" v2"))), lake,
+          Seq("lang"), Seq("doc_id"), maxRecordsPerFile = 2000000L))
+        val (n1, tRead) = timed(Lake.readVersion(spark, lake).count())
+        val (_, tRb) = timed(Lake.rollbackTo(spark, lake, 0L))
+        val (n0, tRead0) = timed(Lake.readVersion(spark, lake).count())
+        System.err.println(f"[scale] lake_versions@pub $lbl%5s " +
+          f"pub0 ${tPub0}%6.2f s  pub1 ${tPub1}%6.2f s  " +
+          f"read ${tRead}%5.2f s ($n1%7d rows)  " +
+          f"ROLLBACK ${tRb * 1000}%7.1f ms  read@v0 ${tRead0}%5.2f s " +
+          f"($n0%7d rows)")
+        Materialize.release(spark)
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(root))
+      }
+    }
     val rows = targets
       .filterNot(t => qualityTargets.contains(t) ||
+        versionTargets.contains(t) ||
         probeTargets.contains(t) ||
         evolvingTargets.contains(t) || compactTargets.contains(t))
       .map { q =>
