@@ -166,7 +166,7 @@ object ScaleSmoke {
     "emb_moments@dims" -> ((s, dir) => {
       val e = embPar(s, dir)
       val d = s.read.parquet(s"$dir/embeddings.parquet")
-        .select(size(col("embedding"))).head.getInt(0)
+        .select(size(col("embedding"))).head().getInt(0)
       graft.operators.SimilarityQueries.momentSums(e, d)
     }),
     "sim_topk@dims" -> ((s, dir) =>
@@ -492,7 +492,7 @@ object ScaleSmoke {
         for (p <- Seq(1, 2, 4, 8)) {
           val asn = Similarity.assignMultiProbe(v, cent, p).materialize()
           val mass = asn.groupBy("cid").agg(count(lit(1)).as("m"))
-            .agg(sum(col("m") * (col("m") - 1)).cast("long")).head
+            .agg(sum(col("m") * (col("m") - 1)).cast("long")).head()
             .getLong(0) / 2
           if (p == 1) mass1 = mass
           val mp = keys(Similarity.nearDupPairsMultiProbe(
@@ -539,7 +539,7 @@ object ScaleSmoke {
         val state = s"$root/state"; val ckpt = s"$root/ckpt"
         val log = graft.CdcBatch.changeLog(spark, dir)
         val logSchema = log.schema
-        val stats = log.agg(min("seq"), max("seq"), countDistinct("rid")).head
+        val stats = log.agg(min("seq"), max("seq"), countDistinct("rid")).head()
         val (minSeq, maxSeq, users) =
           (stats.getLong(0), stats.getLong(1), stats.getLong(2))
         val nB = math.max(16L, users / 300L).toInt
