@@ -283,7 +283,7 @@ object CdcStream {
     // the cutoff is data-derived (midpoint of the error time range) so
     // the oracle can state it in SQL
     val cut = errs.agg(
-      ((min("ts_us") + max("ts_us")) / 2).cast("long")).head.getLong(0)
+      ((min("ts_us") + max("ts_us")) / 2).cast("long")).head().getLong(0)
     // batch bootstrap: each user's in-window stamps as of their last
     // historical error — the exact state a full run would hold at cutoff
     val warm = errs.filter(col("ts_us") <= cut)

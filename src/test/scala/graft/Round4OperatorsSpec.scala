@@ -322,7 +322,7 @@ class Round4OperatorsSpec extends SparkSuite {
         r.getLong(4)))
     val d = spark.read.parquet(s"$sf0001/documents.parquet")
     val total = d.select(sum(length(col("text").cast("binary")).cast("long")))
-      .head.getLong(0)
+      .head().getLong(0)
     assert(rows.map(_._1).toSeq === (0L until rows.length))
     assert(rows.map(_._2).sum === d.count())
     assert(rows.map(_._3).sum === total)

@@ -224,7 +224,7 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
     def bucket(r: String): Int = spark.range(1)
-      .select(pmod(hash(lit("t"), lit(r)), lit(64))).head.getInt(0)
+      .select(pmod(hash(lit("t"), lit(r)), lit(64))).head().getInt(0)
     def bucketFiles(b: Int): Map[String, Long] = {
       val d = new java.io.File(s"$state/bucket=$b")
       if (!d.exists) Map.empty
@@ -499,7 +499,7 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkSuite {
         .select("rid", "seq").collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
     def bucket(r: String): Int = spark.range(1)
-      .select(pmod(hash(lit("t"), lit(r)), lit(nB))).head.getInt(0)
+      .select(pmod(hash(lit("t"), lit(r)), lit(nB))).head().getInt(0)
     def bucketFiles(): Map[String, Seq[(String, Long)]] =
       new java.io.File(state).listFiles()
         .filter(_.getName.startsWith("bucket=")).map(d =>

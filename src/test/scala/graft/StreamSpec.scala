@@ -214,7 +214,7 @@ class StreamSpec extends SparkSuite {
     // land in distinct buckets, which the assertions below rely on
     val buckets = Seq("a", "b", "c").map { r =>
       r -> spark.range(1).select(
-        pmod(hash(lit("db.t"), lit(r)), lit(64))).head.getInt(0)
+        pmod(hash(lit("db.t"), lit(r)), lit(64))).head().getInt(0)
     }.toMap
     assert(buckets.values.toSet.size === 3, s"fixture keys collide: $buckets")
     def bucketFiles(b: Int): Map[String, (Long, Long)] = {
@@ -256,7 +256,7 @@ class StreamSpec extends SparkSuite {
     val state = s"$dir/state"
 
     def bucket(r: String): Int = spark.range(1)
-      .select(pmod(hash(lit("db.t"), lit(r)), lit(64))).head.getInt(0)
+      .select(pmod(hash(lit("db.t"), lit(r)), lit(64))).head().getInt(0)
     // x must be alone in its bucket so the replay also exercises the
     // annihilated-bucket directory delete
     assert(Seq("a", "b", "c").map(bucket).distinct.size === 3)

@@ -62,7 +62,7 @@ class RidSparkSpec extends SparkSuite {
   test("composite rid = '&'.join(values) (rcache.py:190-191)") {
     import spark.implicits._
     val df = Seq((1, "x", 2.5)).toDF("a", "b", "c")
-    val rid = df.select(Rid.rid(Seq("a", "b", "c"))).head.getString(0)
+    val rid = df.select(Rid.rid(Seq("a", "b", "c"))).head().getString(0)
     assert(rid === "1&x&2.5")
   }
 }
