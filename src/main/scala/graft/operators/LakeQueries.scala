@@ -211,9 +211,14 @@ object LakeQueries extends QueryRegistry {
          |   OR doc_b IN (SELECT doc_id FROM dirty)""".stripMargin,
     // compaction preserves data exactly: the read-back aggregate over the
     // compacted dirs must equal the same aggregate over the source table
+    // CAST the integer sums: DuckDB sum(BIGINT) returns HUGEINT, which the
+    // driver's hasher materializes as float (64437.0 vs Spark's 64437) —
+    // rows and schema match but the hash fails deterministically. Same
+    // house pattern as every other oracle (e.g. CdcQueries).
     "lake_compact" ->
       """SELECT lang, count(*) AS n_docs, count(DISTINCT doc_id) AS n_ids,
-        |  sum(n_chars) AS sum_chars, sum(length(text)) AS sum_len,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_len,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY lang""".stripMargin,
     // version lifecycle: the pinned old generation and the post-rollback
@@ -232,12 +237,12 @@ object LakeQueries extends QueryRegistry {
         |  FROM v1 WHERE doc_id % 50 = 0),
         |a1 AS (SELECT lang, count(*) AS n_docs,
         |         count(DISTINCT doc_id) AS n_ids,
-        |         sum(length(text)) AS sum_len,
+        |         CAST(sum(length(text)) AS BIGINT) AS sum_len,
         |         min(doc_id) AS min_id, max(doc_id) AS max_id
         |       FROM v1 GROUP BY lang),
         |a2 AS (SELECT lang, count(*) AS n_docs,
         |         count(DISTINCT doc_id) AS n_ids,
-        |         sum(length(text)) AS sum_len,
+        |         CAST(sum(length(text)) AS BIGINT) AS sum_len,
         |         min(doc_id) AS min_id, max(doc_id) AS max_id
         |       FROM v2 GROUP BY lang)
         |SELECT 'pinned_v1' AS which, * FROM a1

@@ -18,6 +18,45 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def kind_class(dtype):
+    """Collapse a pandas dtype into the class the driver's hasher cares
+    about. Integer widths are normalized by the driver (int32 vs int64 is
+    green historically); int-vs-float and object-vs-numeric are NOT — the
+    hasher materializes them differently (64437.0 vs 64437) and fails the
+    hash even when every value compares numerically equal."""
+    k = getattr(dtype, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k in ("M", "m"):
+        return "datetime"
+    return "object"
+
+
+def dtype_divergence(want, got):
+    """Return list of (col, oracle_class, spark_class) pairs that WILL fail
+    the driver hash regardless of value equality."""
+    bad = []
+    for c in want.columns:
+        wk, gk = kind_class(want[c].dtype), kind_class(got[c].dtype)
+        if wk == gk:
+            continue
+        pair = {wk, gk}
+        # int-vs-float: the class that burned rounds 13+14 (DuckDB
+        # sum(BIGINT) -> HUGEINT -> float64 vs Spark int64). object-vs-
+        # numeric: same failure shape via string/decimal materialization.
+        # EXCEPTION: float-vs-int where the float side is nullable-int-
+        # promoted is indistinguishable here, so we do NOT except it —
+        # cast the oracle instead (house rule: CAST(sum(..) AS BIGINT)).
+        if pair == {"int", "float"} or \
+                ("object" in pair and ("int" in pair or "float" in pair)):
+            bad.append((c, wk, gk))
+    return bad
+
+
 def norm(v):
     if isinstance(v, float):
         return round(v, 9)
@@ -67,6 +106,14 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         want, got = want[wcols], got[gcols]
+        div = dtype_divergence(want, got)
+        if div:
+            desc = ", ".join(f"{c}: oracle={w} spark={g}" for c, w, g in div)
+            print(f"FAIL {name}: dtype divergence ({desc}) — values may be "
+                  f"equal but this WILL fail the driver hash; cast the "
+                  f"oracle (e.g. CAST(sum(..) AS BIGINT))")
+            n_fail += 1
+            continue
         wrows = sorted(map(tuple, want.itertuples(index=False)), key=repr)
         grows = sorted(map(tuple, got.itertuples(index=False)), key=repr)
         if len(wrows) != len(grows):
