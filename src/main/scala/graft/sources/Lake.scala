@@ -72,24 +72,48 @@ object Lake {
   //  - [[rollbackTo]] is one pointer flip (O(1) — the operational win of
   //    versioning: a bad curation run un-ships instantly);
   //  - retention keeps the last `keep` generations; pruning deletes only
-  //    generations `≤ current − keep`, so any reader within the horizon
+  //    generations `≤ published − keep`, so any reader within the horizon
   //    is safe (the standard MVCC-vacuum contract — size `keep` to the
   //    longest consumer).
   //
   // Crash safety (single writer per root, as with every maintenance
-  // pass): a crash before the pointer flip leaves an orphaned `v=<n>`
-  // dir that the next publish deletes (any version above the pointer is
-  // by definition unpublished); a crash during the flip leaves at worst
-  // a stale `._CURRENT.tmp`, overwritten next time. The generic
-  // FileSystem rename cannot clobber, so the flip is delete-then-rename:
-  // a reader racing the flip itself can momentarily find no pointer
-  // ("no published version") — retry-class, two metadata ops wide; on
-  // HDFS swap in the OVERWRITE rename to close even that. The pointer
-  // file is underscore-named, so no Spark listing ever sees it;
-  // generation dirs use the `v=<n>` partition-dir convention, so reading
-  // the ROOT (rather than one generation) is also well-defined — the
-  // full history with `v` as a column — though [[readVersion]] is the
-  // consumer API.
+  // pass). TWO pointers, each flipped via tmp-write + rename:
+  //
+  //  - `_CURRENT` — what readers resolve;
+  //  - `_HIGH` — the published high-water mark: the largest version whose
+  //    generation write COMPLETED and whose publish committed. It is
+  //    flipped to `next` immediately before `_CURRENT`, so at every
+  //    instant `v ≤ max(_HIGH, _CURRENT)` ⇔ "v's data is complete" —
+  //    which is exactly the predicate orphan cleanup and pinned reads
+  //    need. Versions are allocated monotonically above the high-water,
+  //    so a rollback never causes number reuse, and a rolled-back-over
+  //    generation stays pinned-readable until retention prunes it (it
+  //    WAS published; a consumer may still be mid-scan on it).
+  //
+  // The crash windows, exhaustively:
+  //  - before `_HIGH` flips: `v=<next>` is an orphan above the high-water
+  //    — the next publish deletes it (readers never saw it: they resolve
+  //    pointers, and both still point below it);
+  //  - between the `_HIGH` and `_CURRENT` flips: `v=<next>` is complete
+  //    and counted published, but never became current — it remains
+  //    pinned-readable, the next publish allocates above it; harmless;
+  //  - mid-flip (the generic FileSystem rename cannot clobber, so each
+  //    flip is delete-then-rename): the pointer file is briefly absent
+  //    but `._<name>.tmp` — written BEFORE the delete — holds the new
+  //    value for the whole window. Readers fall back to the tmp, and the
+  //    writer completes the interrupted rename before its next
+  //    publish/rollback ([[recoverPointers]]). The one residual hazard —
+  //    a pointer lost by means OUTSIDE the protocol (manual delete, FS
+  //    corruption) — recovers by adopting the highest on-disk generation
+  //    rather than ever treating a populated root as empty: orphan
+  //    cleanup is NOT allowed to run when the pointer state is
+  //    irrecoverable, so no crash shape wipes published history.
+  //
+  // The pointer files are underscore-named, so no Spark listing ever
+  // sees them; generation dirs use the `v=<n>` partition-dir convention,
+  // so reading the ROOT (rather than one generation) is also
+  // well-defined — the full history with `v` as a column — though
+  // [[readVersion]] is the consumer API.
   //
   // At 100 TB the cost over in-place curation is storage for `keep`
   // generations — the price every versioned lake pays; publish cost is
@@ -97,22 +121,83 @@ object Lake {
   // ------------------------------------------------------------------
 
   private val CurrentPointer = "_CURRENT"
+  private val HighPointer = "_HIGH"
 
   private def fsOf(spark: SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** The published version the pointer names, if any. */
-  def currentVersion(spark: SparkSession, rootDir: String): Option[Long] = {
-    val (fs, root) = fsOf(spark, rootDir)
-    val ptr = new org.apache.hadoop.fs.Path(root, CurrentPointer)
-    if (!fs.exists(ptr)) None
-    else {
-      val in = fs.open(ptr)
+  private def readLong(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[Long] =
+    try {
+      val in = fs.open(p)
       val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
       Some(s.toLong)
+    } catch { // absent, or renamed away between a caller's exists and open
+      case _: java.io.FileNotFoundException => None
+    }
+
+  /** Resolve pointer `name`: the committed file, else — during the two-
+    * metadata-op rename window of a concurrent flip — its tmp, which is
+    * written BEFORE the committed file is deleted and already holds the
+    * new value. One re-check of the committed file closes the remaining
+    * tmp-renamed-away-underneath race; only a root with no pointer at
+    * all resolves to None.
+    */
+  private def readPointer(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, name: String): Option[Long] = {
+    val ptr = new org.apache.hadoop.fs.Path(root, name)
+    readLong(fs, ptr)
+      .orElse(readLong(fs, new org.apache.hadoop.fs.Path(root,
+        "." + name + ".tmp")))
+      .orElse(readLong(fs, ptr))
+  }
+
+  /** The published version the pointer names, if any. */
+  def currentVersion(spark: SparkSession, rootDir: String): Option[Long] = {
+    val (fs, root) = fsOf(spark, rootDir)
+    readPointer(fs, root, CurrentPointer)
+  }
+
+  /** The largest version ever published to this root (≥ current after a
+    * rollback; = current otherwise). Roots written before the `_HIGH`
+    * pointer existed resolve to the current pointer.
+    */
+  def publishedHighWater(spark: SparkSession,
+      rootDir: String): Option[Long] = {
+    val (fs, root) = fsOf(spark, rootDir)
+    highWater(fs, root)
+  }
+
+  private def highWater(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[Long] = {
+    val h = readPointer(fs, root, HighPointer)
+    val c = readPointer(fs, root, CurrentPointer)
+    (h ++ c).maxOption
+  }
+
+  /** Writer-side crash recovery, run before any publish/rollback mutates
+    * the root. Completes a flip interrupted between its delete and
+    * rename (the tmp holds the committed value); if the current pointer
+    * is gone with no tmp either — a loss outside the protocol — adopts
+    * the highest on-disk generation instead of ever treating a populated
+    * root as version-less, because the caller's orphan cleanup would
+    * otherwise delete every generation.
+    */
+  private def recoverPointers(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    for (name <- Seq(CurrentPointer, HighPointer)) {
+      val ptr = new org.apache.hadoop.fs.Path(root, name)
+      val tmp = new org.apache.hadoop.fs.Path(root, "." + name + ".tmp")
+      if (!fs.exists(ptr) && fs.exists(tmp)) fs.rename(tmp, ptr): Unit
+    }
+    val ptr = new org.apache.hadoop.fs.Path(root, CurrentPointer)
+    if (!fs.exists(ptr)) {
+      val gens = genDirs(fs, root)
+      if (gens.nonEmpty)
+        flipPointer(fs, root, CurrentPointer, gens.map(_._1).max)
     }
   }
 
@@ -125,22 +210,24 @@ object Lake {
     }
 
   private def flipPointer(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, version: Long): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(root, "." + CurrentPointer + ".tmp")
+      root: org.apache.hadoop.fs.Path, name: String, version: Long): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(root, "." + name + ".tmp")
     val os = fs.create(tmp, true)
     try os.write(version.toString
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally os.close()
-    val ptr = new org.apache.hadoop.fs.Path(root, CurrentPointer)
+    val ptr = new org.apache.hadoop.fs.Path(root, name)
     if (fs.exists(ptr)) fs.delete(ptr, false) // local FS rename won't clobber
     if (!fs.rename(tmp, ptr)) throw new IllegalStateException(
-      s"Lake: pointer flip to v=$version failed (rename returned false)")
+      s"Lake: $name flip to v=$version failed (rename returned false)")
   }
 
   /** Publish `df` as the next generation and flip the pointer. Returns
-    * the new version number. Unpublished orphans (a crashed prior
-    * publish) are cleaned first; generations older than `keep` behind
-    * the new pointer are pruned after the flip.
+    * the new version number — allocated above the published high-water,
+    * so numbers are monotonic across rollbacks and never reused.
+    * Interrupted pointer flips are recovered and unpublished orphans
+    * (a crashed prior publish) cleaned first; generations more than
+    * `keep` behind the new version are pruned after the flip.
     */
   def publishVersion(
       df: DataFrame, rootDir: String,
@@ -149,18 +236,26 @@ object Lake {
     require(keep >= 1, "keep must retain at least the current generation")
     val spark = df.sparkSession
     val (fs, root) = fsOf(spark, rootDir)
-    val cur = currentVersion(spark, rootDir)
-    // a generation above the pointer is a crashed, never-published
-    // publish — its files were never readable (readers go through the
-    // pointer), so deleting is safe under the single-writer contract
-    for ((v, p) <- genDirs(fs, root) if v > cur.getOrElse(-1L))
+    recoverPointers(fs, root)
+    val high = highWater(fs, root)
+    // a generation above the high-water is a crashed publish that never
+    // committed — its files were never readable (pinned reads are capped
+    // at the high-water; the pointer never reached it), so deleting is
+    // safe under the single-writer contract. Generations BETWEEN the
+    // current pointer and the high-water (rolled-back-over) were
+    // published and stay until retention prunes them.
+    for ((v, p) <- genDirs(fs, root) if v > high.getOrElse(-1L))
       fs.delete(p, true)
-    val next = cur.getOrElse(-1L) + 1
+    val next = high.getOrElse(-1L) + 1
     // layout write only — no manifest read-back; a publisher wanting the
     // per-partition accounting calls manifest(s"$root/v=$next") after
     writeLayout(df, s"$rootDir/v=$next", partitionCols, sortCols,
       maxRecordsPerFile)
-    flipPointer(fs, root, next)
+    // high-water first: from here v=next is complete-and-published even
+    // if the _CURRENT flip below never runs (it just never became
+    // current — the next publish allocates above it)
+    flipPointer(fs, root, HighPointer, next)
+    flipPointer(fs, root, CurrentPointer, next)
     for ((v, p) <- genDirs(fs, root) if v <= next - keep)
       fs.delete(p, true)
     next
@@ -173,17 +268,23 @@ object Lake {
     */
   def readVersion(spark: SparkSession, rootDir: String,
       version: Option[Long] = None): DataFrame = {
-    val v = version.orElse(currentVersion(spark, rootDir)).getOrElse(
+    val (fs, root) = fsOf(spark, rootDir)
+    val v = version.orElse(readPointer(fs, root, CurrentPointer)).getOrElse(
       throw new IllegalStateException(
         s"Lake: $rootDir has no published version"))
-    val (fs, root) = fsOf(spark, rootDir)
+    // pinned reads are allowed up to the published HIGH-WATER, not just
+    // the current pointer: a rolled-back-over generation was published,
+    // is within retention, and a consumer may need to reproduce exactly
+    // what it read from it. Above the high-water = a crashed publish's
+    // incomplete files — never readable.
+    if (version.exists(v => highWater(fs, root).forall(_ < v)))
+      throw new IllegalStateException(
+        s"Lake: version $v of $rootDir was never published " +
+          s"(high-water=${highWater(fs, root).orNull})")
     val dir = new org.apache.hadoop.fs.Path(root, s"v=$v")
     if (!fs.exists(dir)) throw new IllegalStateException(
       s"Lake: version $v of $rootDir was never published or has been " +
         s"pruned (current=${currentVersion(spark, rootDir).orNull})")
-    if (version.exists(v => currentVersion(spark, rootDir).exists(_ < v)))
-      throw new IllegalStateException(
-        s"Lake: version $v of $rootDir is not published")
     spark.read.parquet(dir.toString)
   }
 
@@ -202,16 +303,22 @@ object Lake {
 
   /** Point the lake back at an already-published generation — one atomic
     * pointer flip, no data movement. The rolled-back-over generations
-    * stay on disk (they are above the pointer now) and are cleaned by
-    * the next publish.
+    * stay on disk and remain pinned-readable (they are below the
+    * high-water) until retention prunes them; the next publish allocates
+    * above them, never reusing a number.
     */
   def rollbackTo(spark: SparkSession, rootDir: String, version: Long): Unit = {
     val (fs, root) = fsOf(spark, rootDir)
+    recoverPointers(fs, root)
+    if (highWater(fs, root).forall(_ < version))
+      throw new IllegalStateException(
+        s"Lake: cannot rollback $rootDir to v=$version — never published " +
+          s"(high-water=${highWater(fs, root).orNull})")
     val dir = new org.apache.hadoop.fs.Path(root, s"v=$version")
     if (!fs.exists(dir)) throw new IllegalStateException(
       s"Lake: cannot rollback $rootDir to v=$version — not on disk " +
         "(pruned or never published)")
-    flipPointer(fs, root, version)
+    flipPointer(fs, root, CurrentPointer, version)
   }
 
   /** Per-partition accounting of what landed: file/row/byte counts from

@@ -58,14 +58,21 @@ class LakeVersionSpec extends SparkSuite {
       Lake.rollbackTo(spark, root, 0L)
       assert(Lake.currentVersion(spark, root).contains(0L))
       assert(gens(Lake.readVersion(spark, root)) === Set(0))
-      // the rolled-back-over generation is unpublished now
-      intercept[IllegalStateException] {
-        Lake.readVersion(spark, root, Some(1L))
-      }
-      // the next publish cleans the orphan and reuses its number
-      val v1b = Lake.publishVersion(genOf(7), root, Seq("k"), Seq("id"), 1000L)
-      assert(v1b === 1L)
+      // the rolled-back-over generation WAS published and is within
+      // retention — a pinned consumer can still reproduce what it read
+      assert(gens(Lake.readVersion(spark, root, Some(1L))) === Set(1))
+      assert(Lake.publishedHighWater(spark, root).contains(1L))
+      // the next publish allocates ABOVE the high-water: no number reuse
+      val v2 = Lake.publishVersion(genOf(7), root, Seq("k"), Seq("id"), 1000L)
+      assert(v2 === 2L)
       assert(gens(Lake.readVersion(spark, root)) === Set(7))
+      // ...and the rolled-back-over generation survives it (retention,
+      // not publish, is what removes published history)
+      assert(gens(Lake.readVersion(spark, root, Some(1L))) === Set(1))
+      // a version above the high-water was never published
+      intercept[IllegalStateException] {
+        Lake.readVersion(spark, root, Some(9L))
+      }
       // version-to-version diff: ids identical, every content differs
       // (generation stamp in the text) — all 'changed', none added/removed
       val d = Lake.diffVersions(spark, root, 0L, 1L, "id", "text")
@@ -102,6 +109,76 @@ class LakeVersionSpec extends SparkSuite {
       assert(!fs.exists(new Path(root, "v=9")))
       assert(Lake.readVersion(spark, root).select("generation").distinct()
         .collect().map(_.getInt(0)).toSeq === Seq(4))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root).getParentFile)
+  }
+
+  test("a crash mid pointer-flip (tmp written, committed file deleted) " +
+      "never loses history: readers resolve the tmp, the next publish " +
+      "completes the flip instead of wiping") {
+    val root = tmp()
+    try {
+      Lake.publishVersion(genOf(0), root, Seq("k"), Seq("id"), 1000L)
+      Lake.publishVersion(genOf(1), root, Seq("k"), Seq("id"), 1000L)
+      val fs = fsOf(root)
+      // simulate the exact delete-then-rename window of a rollback to 0:
+      // tmp holds the new value, the committed pointer is gone
+      val os = fs.create(new Path(root, "._CURRENT.tmp"), true)
+      os.write("0".getBytes("UTF-8")); os.close()
+      fs.delete(new Path(root, "_CURRENT"), false)
+      // a reader inside the window still resolves a version (the tmp)
+      assert(Lake.currentVersion(spark, root).contains(0L))
+      assert(Lake.readVersion(spark, root).select("generation").distinct()
+        .collect().map(_.getInt(0)).toSeq === Seq(0))
+      // the next publish recovers (completes the flip) — it must NOT
+      // treat the root as empty and delete the published generations
+      val v2 = Lake.publishVersion(genOf(2), root, Seq("k"), Seq("id"), 1000L)
+      assert(v2 === 2L, "recovery must resume numbering, not restart at 0")
+      assert(fs.exists(new Path(root, "v=0")) &&
+        fs.exists(new Path(root, "v=1")), "published history survived")
+      assert(Lake.readVersion(spark, root, Some(1L)).count() === 40L)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root).getParentFile)
+  }
+
+  test("a pointer lost OUTSIDE the protocol (no tmp either) adopts the " +
+      "highest on-disk generation — orphan cleanup never wipes a " +
+      "populated root") {
+    val root = tmp()
+    try {
+      Lake.publishVersion(genOf(0), root, Seq("k"), Seq("id"), 1000L)
+      Lake.publishVersion(genOf(1), root, Seq("k"), Seq("id"), 1000L)
+      val fs = fsOf(root)
+      fs.delete(new Path(root, "_CURRENT"), false)
+      fs.delete(new Path(root, "_HIGH"), false)
+      val v2 = Lake.publishVersion(genOf(2), root, Seq("k"), Seq("id"), 1000L)
+      assert(v2 === 2L)
+      assert(fs.exists(new Path(root, "v=0")) &&
+        fs.exists(new Path(root, "v=1")), "published history survived")
+      assert(Lake.readVersion(spark, root).select("generation").distinct()
+        .collect().map(_.getInt(0)).toSeq === Seq(2))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root).getParentFile)
+  }
+
+  test("a crash between the _HIGH and _CURRENT flips leaves a complete, " +
+      "pinned-readable generation that is never re-numbered or deleted") {
+    val root = tmp()
+    try {
+      Lake.publishVersion(genOf(0), root, Seq("k"), Seq("id"), 1000L)
+      Lake.publishVersion(genOf(1), root, Seq("k"), Seq("id"), 1000L)
+      val fs = fsOf(root)
+      // simulate: v=1's publish committed _HIGH but died before _CURRENT
+      // (equivalently: roll _CURRENT back to 0 by hand, keeping _HIGH=1)
+      val os = fs.create(new Path(root, "_CURRENT"), true)
+      os.write("0".getBytes("UTF-8")); os.close()
+      assert(Lake.currentVersion(spark, root).contains(0L))
+      // v=1 is complete and below the high-water: pinned-readable
+      assert(Lake.readVersion(spark, root, Some(1L)).count() === 40L)
+      // the next publish allocates ABOVE it and leaves it on disk
+      val v2 = Lake.publishVersion(genOf(2), root, Seq("k"), Seq("id"), 1000L)
+      assert(v2 === 2L)
+      assert(fs.exists(new Path(root, "v=1")))
     } finally org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(root).getParentFile)
   }
