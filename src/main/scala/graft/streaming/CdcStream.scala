@@ -761,6 +761,13 @@ object CdcStream {
     val keys = Seq("table", "rid")
     val statePath = new org.apache.hadoop.fs.Path(stateDir)
     val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // heal a crashed prior swap BEFORE listing or reading the state dir:
+    // after a crash between a leaf's two commit renames, a bucket sits
+    // evacuated in .graft-old-* — an eagerly-resolved listing taken now
+    // would miss it, and begin()'s recovery (which runs later, inside the
+    // write) would restore it AFTER the plan was built without its rows,
+    // silently dropping that bucket's untouched keys on the swap
+    graft.GenSwap.recover(fs, statePath)
     val hasState = fs.exists(statePath) &&
       fs.listStatus(statePath).exists(st =>
         st.isDirectory && st.getPath.getName.startsWith("bucket="))
@@ -892,6 +899,10 @@ object CdcStream {
       olderThanSeq: Long): Long = {
     val statePath = new org.apache.hadoop.fs.Path(stateDir)
     val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // heal a crashed prior swap BEFORE the stats scan: an evacuated
+    // bucket invisible to this listing would make the sweep's rewrite
+    // plan (and the cache reseed) run without that bucket's rows
+    graft.GenSwap.recover(fs, statePath)
     val hasState = fs.exists(statePath) &&
       fs.listStatus(statePath).exists(st =>
         st.isDirectory && st.getPath.getName.startsWith("bucket="))
@@ -1040,6 +1051,13 @@ object CdcStream {
       if (keepTombstones) df else df.filter(col("cdc_action") =!= Types.None_)
     val statePath = new org.apache.hadoop.fs.Path(stateDir)
     val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // heal a crashed prior swap BEFORE the listing / state read below —
+    // begin()'s own recovery runs too late for a plan that eagerly
+    // resolved the parquet listing while a bucket sat evacuated in
+    // .graft-old-* (its untouched keys would be dropped by the swap).
+    // precomputedOld is exempt only because foldBatch (the sole supplier)
+    // now recovers before ITS read of the same dir.
+    if (precomputedOld.isEmpty) graft.GenSwap.recover(fs, statePath)
     // precomputedOld: the caller already read the touched buckets' state
     // (foldBatch reads it for its seed anyway) — reuse it instead of a
     // second scan of the same buckets, and take the caller's touched set

@@ -314,6 +314,60 @@ class StreamSpec extends SparkSuite {
       "c" -> (("insert", 0.0))), "committed-batch replay was not idempotent")
   }
 
+  test("mid-commit crash (bucket evacuated to .graft-old-*) heals BEFORE " +
+      "the next batch plans its state read — cohabiting keys survive") {
+    import spark.implicits._
+    // the hazard: a crash between a leaf's two commit renames leaves the
+    // bucket evacuated in .graft-old-*. If the next batch eagerly resolves
+    // its parquet listing BEFORE recovery runs (begin()'s sweep is too
+    // late — it runs inside the write), the evacuated bucket's rows are
+    // invisible to the anti-join, and the swap then replaces the restored
+    // leaf with output computed without them: silent key drop. Both state
+    // writers must therefore recover before their first listing/read.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_midcommit").toString
+    // two rids sharing a bucket (k1 touched, k2 the cohabitant that a
+    // pre-recovery listing would drop) + one rid elsewhere
+    val bk = (0 until 64).map(i => s"r$i").toDF("rid")
+      .select(col("rid"), pmod(hash(lit("db.t"), col("rid")), lit(64))
+        .as("b")).collect().map(r => r.getString(0) -> r.getInt(1))
+    val (bShared, pair) = bk.groupBy(_._2).find(_._2.length >= 2).get
+    val Array(k1, k2) = pair.take(2).map(_._1)
+    val other = bk.find(_._2 != bShared).get._1
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def evacuate(state: String): Unit = {
+      fs.mkdirs(new org.apache.hadoop.fs.Path(state, ".graft-old-crashed"))
+      assert(fs.rename(
+        new org.apache.hadoop.fs.Path(state, s"bucket=$bShared"),
+        new org.apache.hadoop.fs.Path(state,
+          s".graft-old-crashed/bucket=$bShared")))
+    }
+    def rows(state: String): Map[String, Double] =
+      spark.read.parquet(state).select("rid", "value").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    // typed sink path (upsertBatch)
+    val s1 = s"$dir/state_upsert"
+    CdcStream.upsertBatch(Seq(ch(k1, "insert", 1, 1.0),
+      ch(k2, "insert", 2, 2.0), ch(other, "insert", 3, 3.0)).toDF(), s1, 64)
+    evacuate(s1)
+    CdcStream.upsertBatch(Seq(ch(k1, "update", 4, 9.0)).toDF(), s1, 64)
+    assert(rows(s1) === Map(k1 -> 9.0, k2 -> 2.0, other -> 3.0),
+      "evacuated bucket's untouched key was dropped (upsertBatch)")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s1, ".graft-old-crashed")))
+
+    // untyped/evolving fold path (foldBatch → upsertBatch(precomputedOld))
+    val s2 = s"$dir/state_fold"
+    CdcStream.foldBatch(Seq(ch(k1, "insert", 1, 1.0),
+      ch(k2, "insert", 2, 2.0), ch(other, "insert", 3, 3.0)).toDF(), s2, 64)
+    evacuate(s2)
+    CdcStream.foldBatch(Seq(ch(k1, "update", 4, 9.0)).toDF(), s2, 64)
+    assert(rows(s2) === Map(k1 -> 9.0, k2 -> 2.0, other -> 3.0),
+      "evacuated bucket's untouched key was dropped (foldBatch)")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s2, ".graft-old-crashed")))
+  }
+
   test("state sink survives a batch annihilating EVERY live key") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
