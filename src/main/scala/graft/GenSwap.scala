@@ -133,7 +133,19 @@ object GenSwap {
     * partitions' files are never opened, moved, or rewritten. Staging
     * dirs are deleted at the end; their absence is the commit marker.
     */
-  def commit(g: Gen): Unit = {
+  /** `dropLeaves`: leaf partition dirs to REMOVE as part of the same
+    * commit (a rewrite that leaves a partition empty — e.g. every vector
+    * of an IVF cell deleted — has no gen counterpart to swap in; plain
+    * partitioned writes cannot express "now empty"). A drop is the
+    * evacuation half of a replacement: the root leaf renames into the
+    * old-generation staging dir and nothing moves in, so it is atomic
+    * per leaf and covered by [[recover]] exactly like a replacement — a
+    * crash before the commit point restores the leaf, after it the drop
+    * is durable. A post-commit `fs.delete` would instead sit OUTSIDE
+    * recovery: staging dirs gone = recover is a no-op, and the
+    * should-have-been-deleted leaf survives with no converging replay.
+    */
+  def commit(g: Gen, dropLeaves: Seq[String] = Nil): Unit = {
     val Gen(fs, root, gen, old) = g
     if (!fs.exists(root)) fs.mkdirs(root)
     val genLeaves = leaves(fs, gen)
@@ -154,6 +166,15 @@ object GenSwap {
         renameOrFail(fs, c.getPath, new Path(old, c.getPath.getName))
       for (rel <- rootFiles)
         renameOrFail(fs, new Path(gen, rel), new Path(root, rel))
+    }
+    for (rel <- dropLeaves) {
+      val src = new Path(root, rel)
+      if (fs.exists(src)) {
+        val kept = new Path(old, rel)
+        val parent = kept.getParent
+        if (!fs.exists(parent)) fs.mkdirs(parent)
+        renameOrFail(fs, src, kept)
+      }
     }
     for (rel <- dirLeaves) {
       val dst = new Path(root, rel)

@@ -123,8 +123,10 @@ object VecIndex {
     * survivors of touched cells are recomputed from a partition-pruned
     * scan and dynamic-partition-overwritten; settled cells' files are
     * never touched. A cell whose vectors ALL leave has no output rows —
-    * dynamic overwrite cannot rewrite it to empty, so its directory is
-    * dropped through the Hadoop FileSystem (object-store-safe).
+    * a partitioned write cannot express "now empty", so its directory is
+    * dropped THROUGH the generation commit (`dropLeaves`): the drop is
+    * evacuated like any replacement and covered by crash recovery, and a
+    * re-run of the same delete batch converges from any crash point.
     *
     * Centroids and codebooks are deliberately retained: they are trained
     * artifacts, not per-row state — deletions degrade cell balance only
@@ -135,6 +137,14 @@ object VecIndex {
   def remove(spark: SparkSession, path: String, ids: DataFrame): Unit = {
     readMeta(spark, path) // fail fast on a path build() never produced
     val codesDir = s"$path/codes"
+    val codesPath = new org.apache.hadoop.fs.Path(codesDir)
+    // heal a crashed prior pass BEFORE the victim scan resolves its
+    // parquet listing: a cell evacuated in .graft-old-* is invisible to
+    // the join, so its victims would be silently skipped (they come back
+    // when begin()'s later recovery restores the dir)
+    graft.GenSwap.recover(
+      codesPath.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      codesPath)
     val victims = ids.select(col("vec_id")).distinct().materialize()
     val codes = spark.read.parquet(codesDir)
     // cells holding a victim — bounded by c (broadcast-scale), same
@@ -161,9 +171,11 @@ object VecIndex {
         .collect { case (rel, true) if rel.startsWith("cid=") =>
           rel.stripPrefix("cid=").toInt }
         .toSet
-      graft.GenSwap.commit(g)
-      for (c <- touched -- outCells)
-        fs.delete(new org.apache.hadoop.fs.Path(codesDir, s"cid=$c"), true)
+      // all-victim cells have no survivor rows, so no gen leaf to swap
+      // in — drop them THROUGH the commit (evacuate + recover coverage),
+      // not a post-commit fs.delete that a crash would strand live
+      graft.GenSwap.commit(g,
+        dropLeaves = (touched -- outCells).toSeq.sorted.map(c => s"cid=$c"))
     } catch { case t: Throwable => graft.GenSwap.abort(g); throw t }
   }
 

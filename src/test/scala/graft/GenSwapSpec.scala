@@ -145,6 +145,40 @@ class GenSwapSpec extends SparkSuite {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("dropLeaves: a dropped leaf is evacuated atomically with the " +
+      "commit; a crash before the commit point restores it") {
+    val dir = tmp("dl")
+    try {
+      writePartitioned(dir, 0 until 30, i => s"g${i % 3}")
+      val before = rows(dir)
+      val fs = fsOf(dir)
+      // committed drop: g2 removed, g0 replaced, g1 settled
+      val g = GenSwap.begin(spark, dir)
+      (0 until 10).map(i => (i + 800L, "g0")).toDF("id", "k")
+        .repartition(1).write.mode("overwrite").partitionBy("k")
+        .parquet(g.genDir)
+      GenSwap.commit(g, dropLeaves = Seq("k=g2"))
+      val g0New = (0 until 10).map(i => (i + 800L, "g0")).toSet
+      assert(rows(dir) === g0New ++ before.filter(_._2 == "g1"))
+      assert(!fs.exists(new Path(dir, "k=g2")))
+      assert(!fs.listStatus(new Path(dir))
+        .exists(_.getPath.getName.startsWith(".graft-")))
+
+      // crashed drop: by hand, evacuate the drop target but "crash"
+      // before the staging delete (the commit point) — recovery must
+      // restore the leaf, not lose it
+      val g2 = GenSwap.begin(spark, dir)
+      fs.mkdirs(g2.old)
+      assert(fs.rename(new Path(dir, "k=g1"), new Path(g2.old, "k=g1")))
+      GenSwap.recover(fs, new Path(dir))
+      assert(rows(dir) === g0New ++ before.filter(_._2 == "g1"),
+        "crashed drop must restore the evacuated leaf")
+      assert(!fs.listStatus(new Path(dir))
+        .exists(_.getPath.getName.startsWith(".graft-")))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("recovery after a crash between a completed swap and the staging " +
       "deletes: partitioned keeps the new generation, unpartitioned " +
       "rolls back whole — never duplicates") {

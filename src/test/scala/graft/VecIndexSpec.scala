@@ -182,6 +182,42 @@ class VecIndexSpec extends SparkSuite {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("remove heals a crashed prior pass BEFORE planning: victims in an " +
+      "evacuated cell are still removed, and an annihilated cell's drop " +
+      "is covered by the commit") {
+    import spark.implicits._
+    val dir = freshDir()
+    try {
+      VecIndex.build(emb, dir, C, M, K)
+      val codes0 = spark.read.parquet(s"$dir/codes")
+        .select("vec_id", "cid").distinct().collect()
+        .map(r => r.getLong(0) -> r.getInt(1))
+      val byCell = codes0.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+      // evacuate one multi-vector cell into .graft-old-* — the state a
+      // crash between a prior remove's two commit renames leaves behind
+      val crashCell = byCell.filter(_._2.length >= 2).keys.min
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/codes/.graft-old-x"))
+      assert(fs.rename(
+        new org.apache.hadoop.fs.Path(s"$dir/codes/cid=$crashCell"),
+        new org.apache.hadoop.fs.Path(
+          s"$dir/codes/.graft-old-x/cid=$crashCell")))
+      // victims live in the evacuated cell: a pre-recovery plan would
+      // not see them (silently skipping the removal)
+      val victims = byCell(crashCell).sorted.take(1).toSeq
+      VecIndex.remove(spark, dir, victims.toDF("vec_id"))
+      val left = spark.read.parquet(s"$dir/codes")
+        .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(victims.forall(!left.contains(_)),
+        "victims in the evacuated cell were silently skipped")
+      assert(left === codes0.map(_._1).toSet -- victims)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/codes/.graft-old-x")))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("copy → remove → probe equals one-shot build+remove+probe " +
       "(the gate's shared-index refresh shape)") {
     // sim_index_refresh amortizes the build by copying the shared session
