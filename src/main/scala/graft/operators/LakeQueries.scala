@@ -49,6 +49,19 @@ object LakeQueries extends QueryRegistry {
       .union(v1.filter(col("doc_id") % 50 === 0)
         .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
 
+  /** [[derivedV2]] carrying `lang` for the published partition layout
+    * (added docs inherit their source doc's lang) — shared by the two
+    * versioned-lake gate queries.
+    */
+  private def derivedV2Lang(v1: DataFrame): DataFrame =
+    v1.filter(col("doc_id") % 70 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 40 === 0, concat(col("text"), lit(" [v2]")))
+          .otherwise(col("text")).as("text"), col("lang"))
+      .union(v1.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text"),
+          col("lang")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // [EXT] snapshot diff: v2 is derived deterministically from the
     // fixture so both engines diff the same two versions. Output = the
@@ -133,15 +146,7 @@ object LakeQueries extends QueryRegistry {
       val root = s"$work/lake"
       try {
         val v1 = docs(s, dir).select("doc_id", "text", "lang")
-        // the lake_snapshot_diff v2 transform, carrying lang for the
-        // partition layout (added docs inherit their source doc's lang)
-        val v2 = v1.filter(col("doc_id") % 70 =!= 0)
-          .select(col("doc_id"),
-            when(col("doc_id") % 40 === 0, concat(col("text"), lit(" [v2]")))
-              .otherwise(col("text")).as("text"), col("lang"))
-          .union(v1.filter(col("doc_id") % 50 === 0)
-            .select((col("doc_id") + 3000000L).as("doc_id"), col("text"),
-              col("lang")))
+        val v2 = derivedV2Lang(v1)
         val ver1 = Lake.publishVersion(v1, root, Seq("lang"), Seq("doc_id"),
           maxRecordsPerFile = 1000000L)
         Lake.publishVersion(v2, root, Seq("lang"), Seq("doc_id"),
@@ -166,11 +171,38 @@ object LakeQueries extends QueryRegistry {
         org.apache.commons.io.FileUtils
           .deleteDirectory(new java.io.File(work))
       }
+    }),
+    // [EXT] the audit a pipeline runs before moving its data dependency
+    // from one PUBLISHED version to another: both diff sides come back
+    // through readVersion (pinned, immutable generations) — proving the
+    // versioned read path feeds snapshotDiff exactly what the pointer
+    // writes published. The oracle recomputes the same ledger from the
+    // fixture, so the hash match pins publish → readVersion → diff
+    // end-to-end, not just "rows came back".
+    "lake_version_diff" -> ((s, dir) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_lake_vdiff").toString
+      val root = s"$work/lake"
+      try {
+        val v1 = docs(s, dir).select("doc_id", "text", "lang")
+        val ver1 = Lake.publishVersion(v1, root, Seq("lang"), Seq("doc_id"),
+          maxRecordsPerFile = 1000000L)
+        val ver2 = Lake.publishVersion(derivedV2Lang(v1), root, Seq("lang"),
+          Seq("doc_id"), maxRecordsPerFile = 1000000L)
+        import graft.Materialize.Ops
+        // the staging root is deleted below — lineage must not reach it
+        Lake.diffVersions(s, root, ver1, ver2, "doc_id", "text")
+          .materializeForced()
+      } finally {
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(work))
+      }
     }))
 
-  def oracles: Map[String, String] = Map(
-    "lake_snapshot_diff" ->
-      """WITH v1 AS (SELECT doc_id, text FROM documents),
+  // shared by lake_snapshot_diff and lake_version_diff: the versioned
+  // query publishes the same two corpora and must produce the same ledger
+  private val snapshotDiffSql =
+    """WITH v1 AS (SELECT doc_id, text FROM documents),
         |v2 AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 40 = 0 THEN text || ' [v2]' ELSE text END AS text
@@ -189,7 +221,11 @@ object LakeQueries extends QueryRegistry {
         |         ELSE 'unchanged' END AS change,
         |    old_hash, new_hash FROM j)
         |SELECT doc_id, change, old_hash, new_hash FROM c
-        |WHERE change <> 'unchanged'""".stripMargin,
+        |WHERE change <> 'unchanged'""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "lake_snapshot_diff" -> snapshotDiffSql,
+    "lake_version_diff" -> snapshotDiffSql,
     // full recompute from scratch: the complete LSH pair chain over the
     // derived v2 corpus, restricted to pairs touching a dirty (added or
     // changed) doc — the identity the incremental composition must match
