@@ -755,6 +755,19 @@ object CdcStream {
     * replay low-water [[runEvolving]]'s auto-sweep feeds to
     * [[sweepTombstones]].
     */
+  /** Run `f` with a Spark job description — the sink's per-batch jobs
+    * otherwise all report the stream's `.start()` callsite, which makes
+    * the UI (and any job-census profiling) unable to attribute the
+    * micro-batch constant to its phases. Restores the previous
+    * description (thread-local) so the label never leaks.
+    */
+  private def described[T](spark: SparkSession, desc: String)(f: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try f finally sc.setJobDescription(prev)
+  }
+
   private[graft] def foldBatch(batchDf: DataFrame, stateDir: String,
       nBuckets: Int): Option[Long] = {
     val spark = batchDf.sparkSession
@@ -781,11 +794,11 @@ object CdcStream {
     // ONE probe job answers empty?, touched buckets, and the batch's min
     // seq (the replay low-water the auto-sweep needs) — the r12 shape
     // paid three driver round-trips for the same facts
-    val probe = batch
+    val probe = described(spark, "graft: fold probe") { batch
       .groupBy(pmod(hash(col("table"), col("rid")), lit(nBuckets))
         .as("bucket"))
       .agg(min(col("seq").cast("long")).as("mn"))
-      .collect() // bounded by nBuckets — tiny
+      .collect() } // bounded by nBuckets — tiny
     if (probe.isEmpty) return None
     val minSeq = probe.map(_.getLong(1)).min
     val touched = probe.map(_.getInt(0)).toSet
@@ -796,9 +809,10 @@ object CdcStream {
     // shape scanned the same buckets twice per micro-batch
     val bucketRows =
       if (!hasState) None
-      else Some(readState(spark, stateDir)
-        .filter(col("bucket").isin(touched.toSeq: _*))
-        .materialize())
+      else Some(described(spark, "graft: fold state read") {
+        readState(spark, stateDir)
+          .filter(col("bucket").isin(touched.toSeq: _*))
+          .materialize() })
     // hw guard and fold seed both live inside the ONE downstream write
     // job, over the already-materialized bucketRows — evaluating this
     // semi-join twice there is cheaper than a third per-batch
@@ -917,32 +931,23 @@ object CdcStream {
     val cached = Option(tombMins.get(stateDir))
     val candidates = cached.map(_.filter(_._2 < olderThanSeq).keys.toSeq)
     if (candidates.exists(_.isEmpty)) return 0L
-    val scope = candidates match {
-      case Some(bs) =>
-        readState(spark, stateDir).filter(col("bucket").isin(bs: _*))
-      case None => readState(spark, stateDir)
+    val agedBuckets = candidates.getOrElse {
+      // cold probe over the full state: per bucket, live tombstone count
+      // + min seq — seeds the cache, names the aged buckets. The CACHED
+      // path skips this job entirely: the cached min-seq is exact
+      // per-bucket knowledge (every fold/sweep records complete stats for
+      // the buckets it rewrites), so mn < horizon PROVES ≥1 aged row.
+      val stats = described(spark, "graft: sweep cold probe") {
+        readState(spark, stateDir)
+          .filter(col("cdc_action") === Types.None_)
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("nt"), min("seq").as("mn"))
+          .collect() }
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      tombMins.put(stateDir, stats.map { case (b, (_, mn)) => b -> mn })
+      stats.collect { case (b, (_, mn)) if mn < olderThanSeq => b }.toSeq
     }
-    // one probe job over the scope: per bucket, live tombstone count,
-    // min seq, and the aged subset's size
-    val stats = scope.filter(col("cdc_action") === Types.None_)
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("nt"), min("seq").as("mn"),
-        count(when(col("seq") < olderThanSeq, 1)).as("aged"))
-      .collect()
-      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
-      .toMap
-    candidates match {
-      case None => // cold probe covered everything — seed exact knowledge
-        tombMins.put(stateDir,
-          stats.map { case (b, (_, mn, _)) => b -> mn })
-      case Some(bs) =>
-        learnTombstones(stateDir, bs.toSet,
-          stats.map { case (b, (nt, mn, _)) => b -> ((nt, mn)) },
-          seed = false)
-    }
-    val agedBuckets = stats.collect { case (b, (_, _, a)) if a > 0 => b }.toSeq
     if (agedBuckets.isEmpty) return 0L
-    val dropped = stats.valuesIterator.map(_._3).sum
     // stage the survivors in a hidden generation dir, then swap
     // ([[graft.GenSwap]], same discipline as upsertBatch): the plan reads
     // the touched bucket files while they sit untouched on disk — no
@@ -950,37 +955,52 @@ object CdcStream {
     // is healed by the next begin()'s recovery sweep and the sweep simply
     // re-runs (it is idempotent on the retained set).
     val g = graft.GenSwap.begin(spark, stateDir)
-    val post = try {
-      readState(spark, stateDir)
-        .filter(col("bucket").isin(agedBuckets: _*))
-        .filter(!isAged)
-        .write.mode("overwrite").partitionBy("bucket").parquet(g.genDir)
-      // surviving buckets' remaining-tombstone stats from the generation
-      // readback; a bucket holding ONLY aged tombstones has no surviving
-      // rows — absent from the generation, its directory drops below
+    val (dropped, post) = try {
+      // dropped count + surviving-tombstone stats observed ON the rewrite
+      // job (the upsertBatch Observation discipline): one CollectMetrics
+      // node placed BEFORE the aged filter sees every scoped row — 3
+      // conditional aggregates per aged bucket, bounded by nBuckets.
+      // This replaced a separate probe job AND a generation-readback job
+      // per sweeping micro-batch (the r12→r15 evolving-constant chase).
+      val o = new org.apache.spark.sql.Observation(
+        "graft_sweep_stats_" + java.util.UUID.randomUUID())
+      val exprs = agedBuckets.sorted.flatMap { b =>
+        val tomb = col("cdc_action") === Types.None_ && col("bucket") === b
+        Seq(count(when(tomb && col("seq") < olderThanSeq, 1)).as(s"ag_$b"),
+          count(when(tomb && col("seq") >= olderThanSeq, 1)).as(s"nt_$b"),
+          min(when(tomb && col("seq") >= olderThanSeq, col("seq")))
+            .as(s"mn_$b"))
+      }
+      described(spark, "graft: sweep rewrite") {
+        readState(spark, stateDir)
+          .filter(col("bucket").isin(agedBuckets: _*))
+          .observe(o, exprs.head, exprs.tail: _*)
+          .filter(!isAged)
+          .write.mode("overwrite").partitionBy("bucket").parquet(g.genDir) }
+      val m = o.get
+      val drop = agedBuckets.map(b => m(s"ag_$b").asInstanceOf[Long]).sum
+      val stats0 = agedBuckets.map { b =>
+        val nt = m(s"nt_$b").asInstanceOf[Long]
+        val mn = Option(m(s"mn_$b")).map(_.asInstanceOf[Long])
+          .getOrElse(Long.MaxValue)
+        b -> ((nt, mn))
+      }
+      // a bucket holding ONLY aged tombstones has no surviving rows —
+      // absent from the generation (pure listing, no job); its directory
+      // is dropped THROUGH the commit, so the delete is crash-covered
+      // like any leaf replacement (see GenSwap.commit dropLeaves)
       val genPath = new org.apache.hadoop.fs.Path(g.genDir)
-      // explicit bucket-dir roots + basePath: see upsertBatch
-      val bucketDirs =
-        if (!fs.exists(genPath)) Array.empty[String]
+      val outBuckets =
+        if (!fs.exists(genPath)) Set.empty[Int]
         else fs.listStatus(genPath)
           .filter(st => st.isDirectory &&
             st.getPath.getName.startsWith("bucket="))
-          .map(_.getPath.toString)
-      val p0 =
-        if (bucketDirs.isEmpty) Array.empty[(Int, (Long, Long))]
-        else spark.read.option("basePath", g.genDir)
-          .parquet(bucketDirs.toIndexedSeq: _*).groupBy("bucket")
-          .agg(count(when(col("cdc_action") === Types.None_, 1)).as("nt"),
-            coalesce(min(when(col("cdc_action") === Types.None_,
-              col("seq"))), lit(Long.MaxValue)).as("mn"))
-          .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
-      graft.GenSwap.commit(g)
-      p0
+          .map(_.getPath.getName.stripPrefix("bucket=").toInt).toSet
+      graft.GenSwap.commit(g, dropLeaves = (agedBuckets.toSet -- outBuckets)
+        .toSeq.sorted.map(b => s"bucket=$b"))
+      (drop, stats0)
     } catch { case t: Throwable => graft.GenSwap.abort(g); throw t }
     learnTombstones(stateDir, agedBuckets.toSet, post.toMap, seed = false)
-    val outBuckets = post.map(_._1).toSet
-    for (b <- agedBuckets.toSet -- outBuckets)
-      fs.delete(new org.apache.hadoop.fs.Path(stateDir, s"bucket=$b"), true)
     dropped
   }
 
@@ -1128,7 +1148,9 @@ object CdcStream {
           }
           next.observe(o, exprs.head, exprs.tail: _*)
       }
-      toWrite.write.mode("overwrite").partitionBy("bucket").parquet(g.genDir)
+      described(spark, "graft: sink stage write") {
+        toWrite.write.mode("overwrite").partitionBy("bucket")
+          .parquet(g.genDir) }
       // per-bucket tombstone stats from the freshly-written generation (a
       // cheap scan of small local files — replaces the second pass over
       // the checkpointed plan). A bucket whose keys ALL annihilated has
@@ -1169,12 +1191,15 @@ object CdcStream {
             }
         }
       afterStageHook()
-      graft.GenSwap.commit(g)
+      // buckets whose keys ALL annihilated have no generation leaf — drop
+      // their directories THROUGH the commit (crash-covered evacuation,
+      // not a post-commit delete a crash could strand; the streaming
+      // replay converged either way, but recovery now needs no replay)
+      val outB = stats0.map(_._1).toSet
+      graft.GenSwap.commit(g, dropLeaves = (touched -- outB)
+        .toSeq.sorted.map(b => s"bucket=$b"))
       stats0
     } catch { case t: Throwable => graft.GenSwap.abort(g); throw t }
     learnTombstones(stateDir, touched, outStats.toMap, seed = freshDir)
-    val outBuckets = outStats.map(_._1).toSet
-    for (b <- touched -- outBuckets)
-      fs.delete(new org.apache.hadoop.fs.Path(stateDir, s"bucket=$b"), true)
   }
 }
