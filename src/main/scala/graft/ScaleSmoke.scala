@@ -662,11 +662,28 @@ object ScaleSmoke {
         val (n1, tRead) = timed(Lake.readVersion(spark, lake).count())
         val (_, tRb) = timed(Lake.rollbackTo(spark, lake, 0L))
         val (n0, tRead0) = timed(Lake.readVersion(spark, lake).count())
+        // retention (the MVCC-vacuum contract, measured): a keep=2
+        // publish prunes every generation ≤ published−2 — v0 (the
+        // rolled-back-to current until this flip) leaves the horizon.
+        // Prune cost = the publish's delta over the same corpus write
+        // above (it is fs.delete of aged generation dirs — metadata, no
+        // data pass), and a reader pinned below the horizon must fail
+        // LOUDLY, never silently read a half-deleted generation.
+        val (v2, tPrune) = timed(Lake.publishVersion(d, lake, Seq("lang"),
+          Seq("doc_id"), maxRecordsPerFile = 2000000L, keep = 2))
+        val prunedLoud =
+          try { Lake.readVersion(spark, lake, Some(0L)); false }
+          catch { case _: IllegalStateException => true }
+        require(prunedLoud,
+          "pinned read of a pruned generation did not fail loudly")
+        require(Lake.readVersion(spark, lake).count() == n0,
+          "current read changed across the pruning publish")
         System.err.println(f"[scale] lake_versions@pub $lbl%5s " +
           f"pub0 ${tPub0}%6.2f s  pub1 ${tPub1}%6.2f s  " +
           f"read ${tRead}%5.2f s ($n1%7d rows)  " +
           f"ROLLBACK ${tRb * 1000}%7.1f ms  read@v0 ${tRead0}%5.2f s " +
-          f"($n0%7d rows)")
+          f"($n0%7d rows)  prunePub(v=$v2,keep=2) ${tPrune}%6.2f s " +
+          f"pruned-read=loud")
         Materialize.release(spark)
         org.apache.commons.io.FileUtils
           .deleteDirectory(new java.io.File(root))
