@@ -93,6 +93,17 @@ object GenSwap {
     * partial root-file move-in its intent manifest records, then rename
     * back every preserved leaf missing from the root; finally drop all
     * leftover staging dirs. Idempotent; no-op on a clean directory.
+    *
+    * WRITER-side only: every mutator runs it before its first listing or
+    * read of the directory ("healed before new work starts"). A pure
+    * READER must NOT call it — recovery racing a live commit would
+    * "restore" a leaf the writer just evacuated. The corollary: between
+    * a crash and the next write, a reader can see the crashed commit's
+    * per-leaf mix (some leaves new, some old, an evacuated leaf absent)
+    * — converged by the owning operator's next write (the CDC sink's
+    * batch replay, compaction's re-judge, remove's re-run), which is the
+    * same convergence those operators already rely on for the crash
+    * itself.
     */
   def recover(fs: FileSystem, root: Path): Unit = {
     if (!fs.exists(root)) return

@@ -197,6 +197,85 @@ object LakeQueries extends QueryRegistry {
         org.apache.commons.io.FileUtils
           .deleteDirectory(new java.io.File(work))
       }
+    }),
+    // [EXT] the version ledger (DESCRIBE HISTORY): after publishing v1
+    // and the derived v2, the history must name both generations
+    // published, exactly one current, with the exact fixture row counts
+    // — the oracle recomputes both counts, so the hash pins the ledger's
+    // bookkeeping (pointer flags + per-generation accounting), not just
+    // its shape.
+    "lake_history" -> ((s, dir) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_lake_hist").toString
+      val root = s"$work/lake"
+      try {
+        val v1 = docs(s, dir).select("doc_id", "text", "lang")
+        Lake.publishVersion(v1, root, Seq("lang"), Seq("doc_id"),
+          maxRecordsPerFile = 1000000L)
+        Lake.publishVersion(derivedV2Lang(v1), root, Seq("lang"),
+          Seq("doc_id"), maxRecordsPerFile = 1000000L)
+        import graft.Materialize.Ops
+        Lake.history(s, root)
+          .select(col("v"), col("published"),
+            col("current").as("is_current"), col("n_rows"))
+          .materializeForced()
+      } finally {
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(work))
+      }
+    }),
+    // [EXT] continuous publishing E2E: the corpus streams through a file
+    // source as two ordered micro-batches (curated drops), each published
+    // as an immutable generation by the streaming publisher. The output
+    // reads drop 0 PINNED (after the pointer moved past it) and the
+    // current drop through the pointer — so the hash pins the
+    // stream→generation→pointer lifecycle, including that batch 0's drop
+    // is still exactly reproducible after batch 1 shipped.
+    "lake_stream_publish" -> ((s, dir) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_lake_spub").toString
+      val src = s"$work/src"; val root = s"$work/lake"
+      new java.io.File(src).mkdirs()
+      try {
+        val d = docs(s, dir).select("doc_id", "text", "lang")
+        // two single-file drops in path order: the file source (ordered
+        // by mtime then path, one file per trigger) delivers b0 then b1
+        def writeFlat(df: DataFrame, name: String): Unit = {
+          val tmp = s"$src/_tmp_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file under $tmp"))
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(s"$src/$name"))
+          org.apache.commons.io.FileUtils
+            .deleteDirectory(new java.io.File(tmp))
+        }
+        writeFlat(d.filter(col("doc_id") % 2 === 0), "b0.parquet")
+        writeFlat(d.filter(col("doc_id") % 2 =!= 0), "b1.parquet")
+        val q = Lake.publishStream(
+          s.readStream.schema(d.schema).option("maxFilesPerTrigger", 1)
+            .parquet(src),
+          root, s"$work/ckpt", Seq("lang"), Seq("doc_id"),
+          maxRecordsPerFile = 1000000L,
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        q.awaitTermination()
+        def agg(df: DataFrame, which: String): DataFrame = df
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("sum_len"),
+            min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+          .select(lit(which).as("which"), col("lang"), col("n_docs"),
+            col("sum_len"), col("min_id"), col("max_id"))
+        import graft.Materialize.Ops
+        agg(Lake.readVersion(s, root, Some(0L)), "drop0_pinned")
+          .unionAll(agg(Lake.readVersion(s, root), "drop1_current"))
+          .materializeForced()
+      } finally {
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(work))
+      }
     }))
 
   // shared by lake_snapshot_diff and lake_version_diff: the versioned
@@ -226,6 +305,33 @@ object LakeQueries extends QueryRegistry {
   def oracles: Map[String, String] = Map(
     "lake_snapshot_diff" -> snapshotDiffSql,
     "lake_version_diff" -> snapshotDiffSql,
+    "lake_history" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 40 = 0 THEN text || ' [v2]' ELSE text END AS text
+        |  FROM v1 WHERE doc_id % 70 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id, text FROM v1 WHERE doc_id % 50 = 0)
+        |SELECT CAST(0 AS BIGINT) AS v, TRUE AS published,
+        |  FALSE AS is_current,
+        |  CAST((SELECT count(*) FROM v1) AS BIGINT) AS n_rows
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), TRUE, TRUE,
+        |  CAST((SELECT count(*) FROM v2) AS BIGINT)""".stripMargin,
+    "lake_stream_publish" ->
+      """WITH d AS (SELECT doc_id, text, lang FROM documents),
+        |a0 AS (SELECT 'drop0_pinned' AS which, lang,
+        |         count(*) AS n_docs,
+        |         CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        |         min(doc_id) AS min_id, max(doc_id) AS max_id
+        |       FROM d WHERE doc_id % 2 = 0 GROUP BY lang),
+        |a1 AS (SELECT 'drop1_current' AS which, lang,
+        |         count(*) AS n_docs,
+        |         CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        |         min(doc_id) AS min_id, max(doc_id) AS max_id
+        |       FROM d WHERE doc_id % 2 <> 0 GROUP BY lang)
+        |SELECT * FROM a0 UNION ALL SELECT * FROM a1""".stripMargin,
     // full recompute from scratch: the complete LSH pair chain over the
     // derived v2 corpus, restricted to pairs touching a dirty (added or
     // changed) doc — the identity the incremental composition must match

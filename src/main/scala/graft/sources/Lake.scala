@@ -122,6 +122,7 @@ object Lake {
 
   private val CurrentPointer = "_CURRENT"
   private val HighPointer = "_HIGH"
+  private val BatchMarker = "_BATCH"
 
   private def fsOf(spark: SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -232,7 +233,8 @@ object Lake {
   def publishVersion(
       df: DataFrame, rootDir: String,
       partitionCols: Seq[String], sortCols: Seq[String],
-      maxRecordsPerFile: Long, keep: Int = 3): Long = {
+      maxRecordsPerFile: Long, keep: Int = 3,
+      genMarker: Option[Long] = None): Long = {
     require(keep >= 1, "keep must retain at least the current generation")
     val spark = df.sparkSession
     val (fs, root) = fsOf(spark, rootDir)
@@ -251,6 +253,17 @@ object Lake {
     // per-partition accounting calls manifest(s"$root/v=$next") after
     writeLayout(df, s"$rootDir/v=$next", partitionCols, sortCols,
       maxRecordsPerFile)
+    // the caller's provenance marker (e.g. [[publishStream]]'s batch id)
+    // lands INSIDE the generation before the high-water flip, so a
+    // generation counted published always carries it — the replay-dedup
+    // protocol reads it through the same pointer ordering it writes
+    for (m <- genMarker) {
+      val os = fs.create(
+        new org.apache.hadoop.fs.Path(root, s"v=$next/$BatchMarker"), true)
+      try os.write(m.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally os.close()
+    }
     // high-water first: from here v=next is complete-and-published even
     // if the _CURRENT flip below never runs (it just never became
     // current — the next publish allocates above it)
@@ -319,6 +332,105 @@ object Lake {
       s"Lake: cannot rollback $rootDir to v=$version — not on disk " +
         "(pruned or never published)")
     flipPointer(fs, root, CurrentPointer, version)
+  }
+
+  /** The lake's version ledger — one row per on-disk generation:
+    * `(v, published, current, batch_id, n_rows, n_files, bytes)`.
+    * The audit surface a DESCRIBE HISTORY gives a table format: what
+    * shipped, what is current, what a rollback would return to, which
+    * stream batch produced it. `published=false` marks a crashed
+    * publish's orphan awaiting cleanup. Files/bytes come from the
+    * listing (metadata only); `n_rows` is one count per generation —
+    * parquet footer arithmetic, no column read — bounded by the
+    * retention horizon, so the op is O(keep), not O(corpus).
+    */
+  def history(spark: SparkSession, rootDir: String): DataFrame = {
+    val (fs, root) = fsOf(spark, rootDir)
+    val cur = readPointer(fs, root, CurrentPointer)
+    val high = highWater(fs, root)
+    val rows = genDirs(fs, root).sortBy(_._1).map { case (v, p) =>
+      var nf = 0L; var nb = 0L
+      def walk(d: org.apache.hadoop.fs.Path): Unit =
+        for (st <- fs.listStatus(d)) {
+          val n = st.getPath.getName
+          if (st.isDirectory) { if (graft.GenSwap.isDataName(n)) walk(st.getPath) }
+          else if (graft.GenSwap.isDataName(n)) { nf += 1; nb += st.getLen }
+        }
+      walk(p)
+      val batchId = readLong(fs,
+        new org.apache.hadoop.fs.Path(p, BatchMarker))
+      // a crashed orphan can be an empty dir — don't schema-infer nothing
+      val nRows = if (nf == 0) 0L
+        else spark.read.parquet(p.toString).count()
+      (v, high.exists(v <= _), cur.contains(v), batchId, nRows, nf, nb)
+    }
+    import spark.implicits._
+    rows.toDF("v", "published", "current", "batch_id", "n_rows",
+      "n_files", "bytes")
+  }
+
+  /** Continuous publishing: every non-empty micro-batch of `df` (a
+    * STREAMING DataFrame) ships as one immutable generation — the
+    * curated-drop pattern where each batch IS a complete dataset drop
+    * (a day's curation output, a backfill segment), consumers read the
+    * current drop through the pointer, and any drop within retention is
+    * pinned-readable / rollback-able.
+    *
+    * EXACTLY-ONCE currency under replay, from two pieces already in the
+    * protocol: (1) [[publishVersion]] stamps the batch id INSIDE the
+    * generation before the high-water flip, so a generation counted
+    * published always names its batch; (2) a replayed batch first reads
+    * the high-water generation's stamp — if it matches, the data landed
+    * before the crash and the replay only re-points `_CURRENT` (pure
+    * metadata); if the crash hit before the high-water flip, the partial
+    * generation is an unpublished orphan that publishVersion's own
+    * cleanup removes before re-publishing. No crash point yields a
+    * duplicated or half-published drop.
+    */
+  def publishStream(df: DataFrame, rootDir: String, checkpointDir: String,
+      partitionCols: Seq[String], sortCols: Seq[String],
+      maxRecordsPerFile: Long, keep: Int = 3,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        publishBatch(batch, rootDir, partitionCols, sortCols,
+          maxRecordsPerFile, keep, batchId)
+      }
+      .start()
+
+  /** One micro-batch of [[publishStream]] — also the direct entry for a
+    * caller replaying a committed batch by hand. Idempotent on
+    * `batchId`: see publishStream's exactly-once note.
+    */
+  private[graft] def publishBatch(batch: DataFrame, rootDir: String,
+      partitionCols: Seq[String], sortCols: Seq[String],
+      maxRecordsPerFile: Long, keep: Int, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val (fs, root) = fsOf(spark, rootDir)
+    recoverPointers(fs, root)
+    val high = highWater(fs, root)
+    val highStamp = high.flatMap(v => readLong(fs,
+      new org.apache.hadoop.fs.Path(root, s"v=$v/$BatchMarker")))
+    if (highStamp.exists(_ >= batchId)) {
+      // this batch's generation landed before a crash (or this is an
+      // older batch's replay): publish nothing — at most finish the
+      // interrupted _CURRENT flip so the drop is actually current
+      if (highStamp.contains(batchId) &&
+          readPointer(fs, root, CurrentPointer) != high)
+        flipPointer(fs, root, CurrentPointer, high.get)
+      return
+    }
+    // AvailableNow ends with a trailing empty batch — an empty drop is
+    // not a dataset version, skip it (the marker is untouched, so a
+    // replayed empty batch skips again)
+    if (batch.isEmpty) return
+    publishVersion(batch, rootDir, partitionCols, sortCols,
+      maxRecordsPerFile, keep, genMarker = Some(batchId)): Unit
   }
 
   /** Per-partition accounting of what landed: file/row/byte counts from

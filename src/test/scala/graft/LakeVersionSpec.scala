@@ -183,6 +183,58 @@ class LakeVersionSpec extends SparkSuite {
       new java.io.File(root).getParentFile)
   }
 
+  test("publishBatch is exactly-once on batch id across every replay " +
+      "crash window") {
+    val root = tmp()
+    try {
+      def pub(n: Int, batchId: Long): Unit = Lake.publishBatch(genOf(n),
+        root, Seq("k"), Seq("id"), 1000L, keep = 10, batchId = batchId)
+      def gens(df: org.apache.spark.sql.DataFrame): Set[Int] =
+        df.select("generation").distinct().collect().map(_.getInt(0)).toSet
+      val fs = fsOf(root)
+
+      pub(0, batchId = 0L); pub(1, batchId = 1L)
+      assert(Lake.currentVersion(spark, root).contains(1L))
+      assert(gens(Lake.readVersion(spark, root)) === Set(1))
+      assert(gens(Lake.readVersion(spark, root, Some(0L))) === Set(0))
+      // history names each drop's producing batch
+      val hist = Lake.history(spark, root)
+        .select("v", "batch_id", "current").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      assert(hist === Map(0L -> ((0L, false)), 1L -> ((1L, true))))
+
+      // plain replay of a committed batch: publishes NOTHING new
+      pub(7, batchId = 1L) // even with different data — the id governs
+      assert(Lake.publishedHighWater(spark, root).contains(1L))
+      assert(gens(Lake.readVersion(spark, root)) === Set(1))
+
+      // crash between the _HIGH and _CURRENT flips: data landed, stamp
+      // landed, pointer didn't move — the replay must only re-point
+      val os = fs.create(new Path(root, "_CURRENT"), true)
+      os.write("0".getBytes("UTF-8")); os.close()
+      pub(7, batchId = 1L)
+      assert(Lake.currentVersion(spark, root).contains(1L),
+        "replay did not finish the interrupted pointer flip")
+      assert(gens(Lake.readVersion(spark, root)) === Set(1),
+        "replay re-published an already-landed batch")
+
+      // crash before the _HIGH flip: the partial generation is an
+      // unpublished orphan — the replay wipes it and publishes cleanly
+      fs.mkdirs(new Path(root, "v=2"))
+      pub(2, batchId = 2L)
+      assert(Lake.currentVersion(spark, root).contains(2L))
+      assert(gens(Lake.readVersion(spark, root)) === Set(2))
+
+      // an empty batch is not a dataset version
+      pub(3, batchId = 3L)
+      Lake.publishBatch(genOf(9).limit(0), root, Seq("k"), Seq("id"),
+        1000L, keep = 10, batchId = 4L)
+      assert(Lake.publishedHighWater(spark, root).contains(3L))
+      assert(gens(Lake.readVersion(spark, root)) === Set(3))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root).getParentFile)
+  }
+
   test("a concurrent reader through the pointer NEVER fails and always " +
       "sees one complete generation") {
     val root = tmp()
