@@ -221,6 +221,11 @@ class LakeVersionSpec extends SparkSuite {
       // crash before the _HIGH flip: the partial generation is an
       // unpublished orphan — the replay wipes it and publishes cleanly
       fs.mkdirs(new Path(root, "v=2"))
+      // ...and the ledger names it for what it is while it sits there
+      val orphanRow = Lake.history(spark, root)
+        .filter(col("v") === 2L).select("published", "n_rows").collect()
+      assert(orphanRow.map(r => (r.getBoolean(0), r.getLong(1))).toSeq ===
+        Seq((false, 0L)))
       pub(2, batchId = 2L)
       assert(Lake.currentVersion(spark, root).contains(2L))
       assert(gens(Lake.readVersion(spark, root)) === Set(2))
