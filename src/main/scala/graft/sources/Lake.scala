@@ -348,21 +348,29 @@ object Lake {
     val (fs, root) = fsOf(spark, rootDir)
     val cur = readPointer(fs, root, CurrentPointer)
     val high = highWater(fs, root)
-    val rows = genDirs(fs, root).sortBy(_._1).map { case (v, p) =>
-      var nf = 0L; var nb = 0L
-      def walk(d: org.apache.hadoop.fs.Path): Unit =
-        for (st <- fs.listStatus(d)) {
-          val n = st.getPath.getName
-          if (st.isDirectory) { if (graft.GenSwap.isDataName(n)) walk(st.getPath) }
-          else if (graft.GenSwap.isDataName(n)) { nf += 1; nb += st.getLen }
-        }
-      walk(p)
-      val batchId = readLong(fs,
-        new org.apache.hadoop.fs.Path(p, BatchMarker))
-      // a crashed orphan can be an empty dir — don't schema-infer nothing
-      val nRows = if (nf == 0) 0L
-        else spark.read.parquet(p.toString).count()
-      (v, high.exists(v <= _), cur.contains(v), batchId, nRows, nf, nb)
+    val rows = genDirs(fs, root).sortBy(_._1).flatMap { case (v, p) =>
+      try {
+        var nf = 0L; var nb = 0L
+        def walk(d: org.apache.hadoop.fs.Path): Unit =
+          for (st <- fs.listStatus(d)) {
+            val n = st.getPath.getName
+            if (st.isDirectory) {
+              if (graft.GenSwap.isDataName(n)) walk(st.getPath)
+            } else if (graft.GenSwap.isDataName(n)) { nf += 1; nb += st.getLen }
+          }
+        walk(p)
+        val batchId = readLong(fs,
+          new org.apache.hadoop.fs.Path(p, BatchMarker))
+        // a crashed orphan can be an empty dir — don't schema-infer nothing
+        val nRows = if (nf == 0) 0L
+          else spark.read.parquet(p.toString).count()
+        Some((v, high.exists(v <= _), cur.contains(v), batchId, nRows, nf, nb))
+      } catch {
+        // a generation pruned (or a crashed orphan cleaned) between the
+        // root listing and this walk simply drops out of the ledger —
+        // the same listed-then-moved race any directory listing has
+        case _: java.io.FileNotFoundException => None
+      }
     }
     import spark.implicits._
     rows.toDF("v", "published", "current", "batch_id", "n_rows",
