@@ -394,6 +394,14 @@ object Lake {
     * generation is an unpublished orphan that publishVersion's own
     * cleanup removes before re-publishing. No crash point yields a
     * duplicated or half-published drop.
+    *
+    * The stream OWNS the root (the single-writer contract every lake
+    * mutator carries): a manual publishVersion interleaved with a live
+    * publisher has no batch stamp, so a later crash-replay could not
+    * see it as newer and would re-point currency at the replayed drop.
+    * Rollback while the stream is STOPPED composes fine — the next
+    * drop's id is above the stamp, so it publishes normally above the
+    * rolled-back-to generation.
     */
   def publishStream(df: DataFrame, rootDir: String, checkpointDir: String,
       partitionCols: Seq[String], sortCols: Seq[String],
