@@ -647,6 +647,7 @@ object ScaleSmoke {
         val root = java.nio.file.Files
           .createTempDirectory("graft_versm").toString
         val lake = s"$root/lake"
+        import graft.Materialize.Ops
         val d = spark.read.parquet(s"$dir/documents.parquet")
           .select("doc_id", "text", "lang")
         def timed[A](body: => A): (A, Double) = {
@@ -678,12 +679,30 @@ object ScaleSmoke {
           "pinned read of a pruned generation did not fail loudly")
         require(Lake.readVersion(spark, lake).count() == n0,
           "current read changed across the pruning publish")
+        // delta publish: rewrite ONE lang partition on top of the
+        // pruning publish's full generation — the physical write must
+        // track the partition, not the corpus (compare tDelta against
+        // tPrune/tPub*, which each write the whole corpus)
+        val oneLang = d
+          .crossJoin(broadcast(d.agg(min("lang").as("_ml"))))
+          .filter(col("lang") === col("_ml"))
+          .select(col("doc_id"),
+            concat(col("text"), lit(" dX")).as("text"), col("lang"))
+          .materialize() // derive outside the timer: the row measures
+                         // the PUBLISH (write + manifest), not the
+                         // caller's delta derivation
+        val (_, tDelta) = timed(Lake.publishDelta(oneLang, lake,
+          Seq("lang"), Seq("doc_id"), maxRecordsPerFile = 2000000L,
+          keep = 2))
+        val (nD, tReadD) = timed(Lake.readVersion(spark, lake).count())
+        require(nD == n0, "delta resolution changed the corpus row count")
         System.err.println(f"[scale] lake_versions@pub $lbl%5s " +
           f"pub0 ${tPub0}%6.2f s  pub1 ${tPub1}%6.2f s  " +
           f"read ${tRead}%5.2f s ($n1%7d rows)  " +
           f"ROLLBACK ${tRb * 1000}%7.1f ms  read@v0 ${tRead0}%5.2f s " +
           f"($n0%7d rows)  prunePub(v=$v2,keep=2) ${tPrune}%6.2f s " +
-          f"pruned-read=loud")
+          f"pruned-read=loud  DELTA(1 lang) ${tDelta}%6.2f s " +
+          f"readΔ ${tReadD}%5.2f s")
         Materialize.release(spark)
         org.apache.commons.io.FileUtils
           .deleteDirectory(new java.io.File(root))

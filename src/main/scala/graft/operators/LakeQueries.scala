@@ -276,6 +276,51 @@ object LakeQueries extends QueryRegistry {
         org.apache.commons.io.FileUtils
           .deleteDirectory(new java.io.File(work))
       }
+    }),
+    // [EXT] delta publishing (versioned dynamic partition overwrite):
+    // the base is published in full, then ONE lang partition is
+    // rewritten and a new one added by a delta whose physical payload is
+    // just those two partitions — the unchanged corpus is inherited by
+    // reference, never copied or scanned. The output reads the CURRENT
+    // resolution (delta applied) AND the pinned base, so the hash pins
+    // both the reference resolution and that the base stayed intact
+    // underneath it. At 100 TB this is what makes a daily publish cost
+    // O(changed), not O(corpus).
+    "lake_publish_delta" -> ((s, dir) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_lake_delta").toString
+      val root = s"$work/lake"
+      try {
+        val d = docs(s, dir).select("doc_id", "text", "lang")
+        Lake.publishVersion(d, root, Seq("lang"), Seq("doc_id"),
+          maxRecordsPerFile = 1000000L)
+        // the delta: min(lang)'s docs re-curated (suffix stamp) + a new
+        // synthetic partition of re-keyed docs — derived in-plan
+        val delta = d
+          .crossJoin(broadcast(d.agg(min("lang").as("_ml"))))
+          .filter(col("lang") === col("_ml"))
+          .select(col("doc_id"),
+            concat(col("text"), lit(" [d]")).as("text"), col("lang"))
+          .union(d.filter(col("doc_id") % 97 === 0)
+            .select((col("doc_id") + 5000000L).as("doc_id"), col("text"),
+              lit("zz").as("lang")))
+        Lake.publishDelta(delta, root, Seq("lang"), Seq("doc_id"),
+          maxRecordsPerFile = 1000000L)
+        def agg2(df: DataFrame, which: String): DataFrame = df
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("sum_len"),
+            min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+          .select(lit(which).as("which"), col("lang"), col("n_docs"),
+            col("sum_len"), col("min_id"), col("max_id"))
+        import graft.Materialize.Ops
+        agg2(Lake.readVersion(s, root), "current_delta")
+          .unionAll(agg2(Lake.readVersion(s, root, Some(0L)), "pinned_base"))
+          .materializeForced()
+      } finally {
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(work))
+      }
     }))
 
   // shared by lake_snapshot_diff and lake_version_diff: the versioned
@@ -319,6 +364,27 @@ object LakeQueries extends QueryRegistry {
         |UNION ALL
         |SELECT CAST(1 AS BIGINT), TRUE, TRUE,
         |  CAST((SELECT count(*) FROM v2) AS BIGINT)""".stripMargin,
+    "lake_publish_delta" ->
+      """WITH d AS (SELECT doc_id, text, lang FROM documents),
+        |cur AS (
+        |  SELECT doc_id,
+        |    CASE WHEN lang = (SELECT min(lang) FROM d)
+        |         THEN text || ' [d]' ELSE text END AS text, lang
+        |  FROM d
+        |  UNION ALL
+        |  SELECT doc_id + 5000000 AS doc_id, text, 'zz' AS lang
+        |  FROM d WHERE doc_id % 97 = 0),
+        |a1 AS (SELECT 'current_delta' AS which, lang,
+        |         count(*) AS n_docs,
+        |         CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        |         min(doc_id) AS min_id, max(doc_id) AS max_id
+        |       FROM cur GROUP BY lang),
+        |a0 AS (SELECT 'pinned_base' AS which, lang,
+        |         count(*) AS n_docs,
+        |         CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        |         min(doc_id) AS min_id, max(doc_id) AS max_id
+        |       FROM d GROUP BY lang)
+        |SELECT * FROM a1 UNION ALL SELECT * FROM a0""".stripMargin,
     "lake_stream_publish" ->
       """WITH d AS (SELECT doc_id, text, lang FROM documents),
         |a0 AS (SELECT 'drop0_pinned' AS which, lang,

@@ -123,6 +123,53 @@ object Lake {
   private val CurrentPointer = "_CURRENT"
   private val HighPointer = "_HIGH"
   private val BatchMarker = "_BATCH"
+  private val RefsManifest = "_REFS"
+
+  /** A delta generation's inheritance manifest: one `relLeafDir\towner`
+    * line per partition dir inherited (by reference, no copy) from an
+    * older generation. References are FLATTENED at publish — the owner
+    * is always the generation that physically holds the dir — so
+    * resolution is one level and retention reachability is one pass.
+    */
+  private def readRefs(fs: org.apache.hadoop.fs.FileSystem,
+      genPath: org.apache.hadoop.fs.Path): Map[String, Long] = {
+    val p = new org.apache.hadoop.fs.Path(genPath, RefsManifest)
+    try {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      s.linesIterator.filter(_.nonEmpty).map { l =>
+        val i = l.lastIndexOf('\t')
+        l.substring(0, i) -> l.substring(i + 1).toLong
+      }.toMap
+    } catch { case _: java.io.FileNotFoundException => Map.empty }
+  }
+
+  private def writeRefs(fs: org.apache.hadoop.fs.FileSystem,
+      genPath: org.apache.hadoop.fs.Path, refs: Map[String, Long]): Unit = {
+    val os = fs.create(
+      new org.apache.hadoop.fs.Path(genPath, RefsManifest), true)
+    try os.write(refs.toSeq.sortBy(_._1)
+      .map { case (rel, o) => s"$rel\t$o" }.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+  }
+
+  /** Retention with reference reachability: prune a generation at or
+    * below the horizon ONLY if no retained generation's manifest
+    * references it — a delta keeps its physical ancestors alive for as
+    * long as it is itself retained (the storage bill of a long delta
+    * chain; a periodic FULL publish breaks the chain, exactly like
+    * snapshot compaction in a log-structured table format).
+    */
+  private def pruneRetained(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, next: Long, keep: Int): Unit = {
+    val gens = genDirs(fs, root)
+    val referenced = gens.filter(_._1 > next - keep)
+      .flatMap { case (_, p) => readRefs(fs, p).values }.toSet
+    for ((v, p) <- gens if v <= next - keep && !referenced(v))
+      fs.delete(p, true)
+  }
 
   private def fsOf(spark: SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -269,8 +316,64 @@ object Lake {
     // current — the next publish allocates above it)
     flipPointer(fs, root, HighPointer, next)
     flipPointer(fs, root, CurrentPointer, next)
-    for ((v, p) <- genDirs(fs, root) if v <= next - keep)
+    pruneRetained(fs, root, next, keep)
+    next
+  }
+
+  /** Publish the next generation as a DELTA: `df`'s partitions are
+    * physically rewritten in `v=<next>`, every other partition of the
+    * CURRENT generation is inherited by reference — no copy, no scan of
+    * the unchanged corpus. Semantics = dynamic partition overwrite,
+    * versioned: the new version reads as the current version with
+    * `df`'s partitions replaced (or added). Publish cost drops from
+    * O(corpus) to O(changed partitions) — the difference between a
+    * daily publish being viable and not at 100 TB — while keeping the
+    * full contract: immutable generations, pinned time travel, O(1)
+    * rollback, loud pruned reads.
+    *
+    * References are flattened (each names the dir's physical owner), so
+    * a read resolves in one level and retention keeps exactly the
+    * ancestors still reachable from retained generations
+    * ([[pruneRetained]]). Partition REMOVAL is not expressible as a
+    * delta (an absent partition means "inherit") — publish a full
+    * version to drop partitions. Crash windows are publishVersion's:
+    * the manifest lands inside the generation before the high-water
+    * flip, so an interrupted delta is an unpublished orphan.
+    */
+  def publishDelta(
+      df: DataFrame, rootDir: String,
+      partitionCols: Seq[String], sortCols: Seq[String],
+      maxRecordsPerFile: Long, keep: Int = 3): Long = {
+    require(keep >= 1, "keep must retain at least the current generation")
+    require(partitionCols.nonEmpty,
+      "publishDelta's replacement unit is the partition dir — " +
+        "partitionCols must be non-empty")
+    val spark = df.sparkSession
+    val (fs, root) = fsOf(spark, rootDir)
+    recoverPointers(fs, root)
+    val high = highWater(fs, root)
+    val cur = readPointer(fs, root, CurrentPointer).getOrElse(
+      throw new IllegalStateException(
+        s"Lake: publishDelta needs a published base in $rootDir — " +
+          "publish a full version first"))
+    for ((v, p) <- genDirs(fs, root) if v > high.getOrElse(-1L))
       fs.delete(p, true)
+    val next = high.getOrElse(-1L) + 1
+    val nextPath = new org.apache.hadoop.fs.Path(root, s"v=$next")
+    writeLayout(df, s"$rootDir/v=$next", partitionCols, sortCols,
+      maxRecordsPerFile)
+    val changed = graft.GenSwap.leaves(fs, nextPath)
+      .collect { case (rel, true) => rel }.toSet
+    // the base's resolved partition map: its own physical leaves plus
+    // what it already inherited — minus what this delta rewrites
+    val curPath = new org.apache.hadoop.fs.Path(root, s"v=$cur")
+    val baseMap = graft.GenSwap.leaves(fs, curPath)
+      .collect { case (rel, true) => rel -> cur }.toMap ++
+      readRefs(fs, curPath)
+    writeRefs(fs, nextPath, baseMap -- changed)
+    flipPointer(fs, root, HighPointer, next)
+    flipPointer(fs, root, CurrentPointer, next)
+    pruneRetained(fs, root, next, keep)
     next
   }
 
@@ -298,7 +401,25 @@ object Lake {
     if (!fs.exists(dir)) throw new IllegalStateException(
       s"Lake: version $v of $rootDir was never published or has been " +
         s"pruned (current=${currentVersion(spark, rootDir).orNull})")
-    spark.read.parquet(dir.toString)
+    val refs = readRefs(fs, dir)
+    if (refs.isEmpty) spark.read.parquet(dir.toString)
+    else {
+      // delta generation: one pruning-intact parquet branch per physical
+      // owner (its explicit leaf dirs + basePath recover the partition
+      // columns), unioned — ≤ keep branches, additive schema drift
+      // across the chain fills with NULL like the state reader
+      val own = graft.GenSwap.leaves(fs, dir)
+        .collect { case (rel, true) => rel }
+      val branches =
+        (if (own.nonEmpty) Seq(v -> own) else Nil) ++
+          refs.groupBy(_._2).map { case (o, m) => o -> m.keys.toSeq }
+      branches.map { case (o, rels) =>
+        val base = new org.apache.hadoop.fs.Path(root, s"v=$o")
+        spark.read.option("basePath", base.toString)
+          .parquet(rels.sorted.map(r =>
+            new org.apache.hadoop.fs.Path(base, r).toString): _*)
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
   }
 
   /** [[snapshotDiff]] between two published generations of a versioned
@@ -335,14 +456,17 @@ object Lake {
   }
 
   /** The lake's version ledger — one row per on-disk generation:
-    * `(v, published, current, batch_id, n_rows, n_files, bytes)`.
-    * The audit surface a DESCRIBE HISTORY gives a table format: what
-    * shipped, what is current, what a rollback would return to, which
-    * stream batch produced it. `published=false` marks a crashed
-    * publish's orphan awaiting cleanup. Files/bytes come from the
-    * listing (metadata only); `n_rows` is one count per generation —
-    * parquet footer arithmetic, no column read — bounded by the
-    * retention horizon, so the op is O(keep), not O(corpus).
+    * `(v, published, current, batch_id, n_rows, n_files, bytes,
+    * n_refs)`. The audit surface a DESCRIBE HISTORY gives a table
+    * format: what shipped, what is current, what a rollback would
+    * return to, which stream batch produced it. `published=false` marks
+    * a crashed publish's orphan awaiting cleanup. Accounting is the
+    * generation's OWN physical payload (a delta generation shows its
+    * changed partitions; `n_refs` counts the partition dirs it inherits
+    * — resolve logical content with [[readVersion]]). Files/bytes come
+    * from the listing (metadata only); `n_rows` is one count per
+    * generation — parquet footer arithmetic, no column read — bounded
+    * by the retention horizon, so the op is O(keep), not O(corpus).
     */
   def history(spark: SparkSession, rootDir: String): DataFrame = {
     val (fs, root) = fsOf(spark, rootDir)
@@ -364,7 +488,8 @@ object Lake {
         // a crashed orphan can be an empty dir — don't schema-infer nothing
         val nRows = if (nf == 0) 0L
           else spark.read.parquet(p.toString).count()
-        Some((v, high.exists(v <= _), cur.contains(v), batchId, nRows, nf, nb))
+        Some((v, high.exists(v <= _), cur.contains(v), batchId, nRows, nf,
+          nb, readRefs(fs, p).size.toLong))
       } catch {
         // a generation pruned (or a crashed orphan cleaned) between the
         // root listing and this walk simply drops out of the ledger —
@@ -374,7 +499,7 @@ object Lake {
     }
     import spark.implicits._
     rows.toDF("v", "published", "current", "batch_id", "n_rows",
-      "n_files", "bytes")
+      "n_files", "bytes", "n_refs")
   }
 
   /** Continuous publishing: every non-empty micro-batch of `df` (a
