@@ -415,6 +415,13 @@ object Lake {
           refs.groupBy(_._2).map { case (o, m) => o -> m.keys.toSeq }
       branches.map { case (o, rels) =>
         val base = new org.apache.hadoop.fs.Path(root, s"v=$o")
+        // a delta surviving the horizon only as a physical-dir donor can
+        // have lost its OWN ancestors — fail with the retention
+        // contract's words, not a raw path error from the scan
+        if (!fs.exists(base)) throw new IllegalStateException(
+          s"Lake: version $v of $rootDir inherits partitions from " +
+            s"v=$o, which has been pruned — v=$v is outside the " +
+            "retention horizon")
         spark.read.option("basePath", base.toString)
           .parquet(rels.sorted.map(r =>
             new org.apache.hadoop.fs.Path(base, r).toString): _*)

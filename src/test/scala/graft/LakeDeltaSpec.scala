@@ -121,6 +121,12 @@ class LakeDeltaSpec extends SparkSuite {
         .map(_.getPath.getName).sorted.toSeq
       assert(dirs === Seq("v=3", "v=4"), dirs.toString)
       assert(readAll(root).forall(_._3.startsWith("full2")))
+      // a delta that outlived the horizon only as a donor (or was
+      // pruned outright) fails a pinned read in the contract's words
+      val e = intercept[IllegalStateException] {
+        Lake.readVersion(spark, root, Some(1L)).count()
+      }
+      assert(e.getMessage.contains("pruned"), e.getMessage)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(root).getParentFile)
   }
