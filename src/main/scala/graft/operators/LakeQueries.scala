@@ -36,6 +36,22 @@ object LakeQueries extends QueryRegistry {
       (s"graft_lsh_diff_$tag", s"$tmp/index")
     })
 
+  /** Stage `df` as ONE named file under `srcDir` — the file-source drop
+    * unit of the streaming-publisher gate queries (path-ordered names =
+    * deterministic micro-batch order under maxFilesPerTrigger=1).
+    */
+  private def writeFlat(df: DataFrame, srcDir: String, name: String): Unit = {
+    val tmp = s"$srcDir/_tmp_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file under $tmp"))
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$srcDir/$name"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   /** The deterministic v2 corpus both engines derive from the fixture:
     * every 70th doc removed, every 40th survivor edited, every 50th
     * re-published under a new id — shared by the diff ledger query and
@@ -240,20 +256,8 @@ object LakeQueries extends QueryRegistry {
         val d = docs(s, dir).select("doc_id", "text", "lang")
         // two single-file drops in path order: the file source (ordered
         // by mtime then path, one file per trigger) delivers b0 then b1
-        def writeFlat(df: DataFrame, name: String): Unit = {
-          val tmp = s"$src/_tmp_$name"
-          df.coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .find(f => f.getName.startsWith("part-") &&
-              f.getName.endsWith(".parquet"))
-            .getOrElse(sys.error(s"no part file under $tmp"))
-          java.nio.file.Files.move(part.toPath,
-            java.nio.file.Paths.get(s"$src/$name"))
-          org.apache.commons.io.FileUtils
-            .deleteDirectory(new java.io.File(tmp))
-        }
-        writeFlat(d.filter(col("doc_id") % 2 === 0), "b0.parquet")
-        writeFlat(d.filter(col("doc_id") % 2 =!= 0), "b1.parquet")
+        writeFlat(d.filter(col("doc_id") % 2 === 0), src, "b0.parquet")
+        writeFlat(d.filter(col("doc_id") % 2 =!= 0), src, "b1.parquet")
         val q = Lake.publishStream(
           s.readStream.schema(d.schema).option("maxFilesPerTrigger", 1)
             .parquet(src),
@@ -271,6 +275,57 @@ object LakeQueries extends QueryRegistry {
         import graft.Materialize.Ops
         agg(Lake.readVersion(s, root, Some(0L)), "drop0_pinned")
           .unionAll(agg(Lake.readVersion(s, root), "drop1_current"))
+          .materializeForced()
+      } finally {
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(work))
+      }
+    }),
+    // [EXT] the two axes composed — CONTINUOUS DELTA publishing: the
+    // full base ships once, then each micro-batch of the stream ships as
+    // a delta generation touching only its partitions (the production
+    // curation loop at O(changed) per drop, exactly-once on the batch
+    // id). The output reads the INTERMEDIATE version pinned (base +
+    // drop 0 only — proving each drop is its own reproducible
+    // generation) and the current resolution (both drops applied).
+    "lake_stream_delta" -> ((s, dir) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_lake_sdelta").toString
+      val src = s"$work/src"; val root = s"$work/lake"
+      new java.io.File(src).mkdirs()
+      try {
+        val d = docs(s, dir).select("doc_id", "text", "lang")
+        Lake.publishVersion(d, root, Seq("lang"), Seq("doc_id"),
+          maxRecordsPerFile = 1000000L) // the full base, v0
+        // drop 0: min(lang)'s docs re-curated; drop 1: a new partition
+        val drop0 = d
+          .crossJoin(broadcast(d.agg(min("lang").as("_ml"))))
+          .filter(col("lang") === col("_ml"))
+          .select(col("doc_id"),
+            concat(col("text"), lit(" [s0]")).as("text"), col("lang"))
+        val drop1 = d.filter(col("doc_id") % 97 === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"), col("text"),
+            lit("zz").as("lang"))
+        writeFlat(drop0, src, "b0.parquet")
+        writeFlat(drop1, src, "b1.parquet")
+        val q = Lake.publishStream(
+          s.readStream.schema(d.schema).option("maxFilesPerTrigger", 1)
+            .parquet(src),
+          root, s"$work/ckpt", Seq("lang"), Seq("doc_id"),
+          maxRecordsPerFile = 1000000L,
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+          delta = true)
+        q.awaitTermination()
+        def agg3(df: DataFrame, which: String): DataFrame = df
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("sum_len"),
+            min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+          .select(lit(which).as("which"), col("lang"), col("n_docs"),
+            col("sum_len"), col("min_id"), col("max_id"))
+        import graft.Materialize.Ops
+        agg3(Lake.readVersion(s, root, Some(1L)), "after_drop0")
+          .unionAll(agg3(Lake.readVersion(s, root), "current"))
           .materializeForced()
       } finally {
         org.apache.commons.io.FileUtils
@@ -364,6 +419,29 @@ object LakeQueries extends QueryRegistry {
         |UNION ALL
         |SELECT CAST(1 AS BIGINT), TRUE, TRUE,
         |  CAST((SELECT count(*) FROM v2) AS BIGINT)""".stripMargin,
+    "lake_stream_delta" ->
+      """WITH d AS (SELECT doc_id, text, lang FROM documents),
+        |c0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN lang = (SELECT min(lang) FROM d)
+        |         THEN text || ' [s0]' ELSE text END AS text, lang
+        |  FROM d),
+        |c1 AS (
+        |  SELECT * FROM c0
+        |  UNION ALL
+        |  SELECT doc_id + 5000000 AS doc_id, text, 'zz' AS lang
+        |  FROM d WHERE doc_id % 97 = 0),
+        |a0 AS (SELECT 'after_drop0' AS which, lang,
+        |         count(*) AS n_docs,
+        |         CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        |         min(doc_id) AS min_id, max(doc_id) AS max_id
+        |       FROM c0 GROUP BY lang),
+        |a1 AS (SELECT 'current' AS which, lang,
+        |         count(*) AS n_docs,
+        |         CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        |         min(doc_id) AS min_id, max(doc_id) AS max_id
+        |       FROM c1 GROUP BY lang)
+        |SELECT * FROM a0 UNION ALL SELECT * FROM a1""".stripMargin,
     "lake_publish_delta" ->
       """WITH d AS (SELECT doc_id, text, lang FROM documents),
         |cur AS (

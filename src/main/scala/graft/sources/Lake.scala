@@ -343,7 +343,8 @@ object Lake {
   def publishDelta(
       df: DataFrame, rootDir: String,
       partitionCols: Seq[String], sortCols: Seq[String],
-      maxRecordsPerFile: Long, keep: Int = 3): Long = {
+      maxRecordsPerFile: Long, keep: Int = 3,
+      genMarker: Option[Long] = None): Long = {
     require(keep >= 1, "keep must retain at least the current generation")
     require(partitionCols.nonEmpty,
       "publishDelta's replacement unit is the partition dir — " +
@@ -371,6 +372,14 @@ object Lake {
       .collect { case (rel, true) => rel -> cur }.toMap ++
       readRefs(fs, curPath)
     writeRefs(fs, nextPath, baseMap -- changed)
+    // provenance marker before the high-water flip — see publishVersion
+    for (m <- genMarker) {
+      val os = fs.create(
+        new org.apache.hadoop.fs.Path(nextPath, BatchMarker), true)
+      try os.write(m.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally os.close()
+    }
     flipPointer(fs, root, HighPointer, next)
     flipPointer(fs, root, CurrentPointer, next)
     pruneRetained(fs, root, next, keep)
@@ -539,7 +548,8 @@ object Lake {
       partitionCols: Seq[String], sortCols: Seq[String],
       maxRecordsPerFile: Long, keep: Int = 3,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      delta: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .outputMode("append")
@@ -547,17 +557,23 @@ object Lake {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         publishBatch(batch, rootDir, partitionCols, sortCols,
-          maxRecordsPerFile, keep, batchId)
+          maxRecordsPerFile, keep, batchId, delta)
       }
       .start()
 
   /** One micro-batch of [[publishStream]] — also the direct entry for a
     * caller replaying a committed batch by hand. Idempotent on
-    * `batchId`: see publishStream's exactly-once note.
+    * `batchId`: see publishStream's exactly-once note. With
+    * `delta = true` each batch ships as a DELTA generation (only its
+    * partitions written, the rest inherited from the then-current
+    * generation — the continuous-curation production shape: publish the
+    * full base once, then stream partition-scoped drops at O(changed)
+    * each); the base must exist before the stream's first batch.
     */
   private[graft] def publishBatch(batch: DataFrame, rootDir: String,
       partitionCols: Seq[String], sortCols: Seq[String],
-      maxRecordsPerFile: Long, keep: Int, batchId: Long): Unit = {
+      maxRecordsPerFile: Long, keep: Int, batchId: Long,
+      delta: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val (fs, root) = fsOf(spark, rootDir)
     recoverPointers(fs, root)
@@ -577,8 +593,12 @@ object Lake {
     // not a dataset version, skip it (the marker is untouched, so a
     // replayed empty batch skips again)
     if (batch.isEmpty) return
-    publishVersion(batch, rootDir, partitionCols, sortCols,
-      maxRecordsPerFile, keep, genMarker = Some(batchId)): Unit
+    if (delta)
+      publishDelta(batch, rootDir, partitionCols, sortCols,
+        maxRecordsPerFile, keep, genMarker = Some(batchId)): Unit
+    else
+      publishVersion(batch, rootDir, partitionCols, sortCols,
+        maxRecordsPerFile, keep, genMarker = Some(batchId)): Unit
   }
 
   /** Per-partition accounting of what landed: file/row/byte counts from

@@ -161,6 +161,39 @@ class LakeDeltaSpec extends SparkSuite {
       new java.io.File(root).getParentFile)
   }
 
+  test("delta-mode publishBatch is exactly-once on batch id across " +
+      "replay crash windows") {
+    val root = tmp()
+    try {
+      Lake.publishVersion(corpus("base", Seq("g0", "g1")), root,
+        Seq("k"), Seq("id"), 1000L) // v0
+      def pub(tag: String, part: String, batchId: Long): Unit =
+        Lake.publishBatch(corpus(tag, Seq(part)), root, Seq("k"),
+          Seq("id"), 1000L, keep = 10, batchId = batchId, delta = true)
+      pub("d0", "g1", batchId = 0L) // v1: g1 rewritten, g0 inherited
+      assert(readAll(root).filter(_._2 == "g1").forall(_._3.startsWith("d0")))
+      assert(readAll(root).filter(_._2 == "g0").forall(_._3.startsWith("base")))
+      // plain replay: publishes nothing new, even with different data
+      pub("dX", "g0", batchId = 0L)
+      assert(Lake.publishedHighWater(spark, root).contains(1L))
+      assert(readAll(root).filter(_._2 == "g0").forall(_._3.startsWith("base")))
+      // between-flips crash: stamp landed at the high-water, pointer
+      // didn't — the replay only re-points
+      val fs = fsOf(root)
+      val os = fs.create(new Path(root, "_CURRENT"), true)
+      os.write("0".getBytes("UTF-8")); os.close()
+      pub("dX", "g0", batchId = 0L)
+      assert(Lake.currentVersion(spark, root).contains(1L))
+      assert(Lake.publishedHighWater(spark, root).contains(1L))
+      // the next batch deltas on top of the healed current
+      pub("d1", "g0", batchId = 1L) // v2
+      val cur = readAll(root)
+      assert(cur.filter(_._2 == "g0").forall(_._3.startsWith("d1")))
+      assert(cur.filter(_._2 == "g1").forall(_._3.startsWith("d0")))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root).getParentFile)
+  }
+
   test("additive schema drift across a delta chain reads with NULL fill " +
       "and keeps partition pruning on every branch") {
     val root = tmp()
