@@ -345,7 +345,7 @@ object ScaleSmoke {
     // Bench's); no args = the full target set
     val all = Targets ++ DimsTargets ++
       Seq("sim_recall@scaledC", "sim_recall@probes", "cdc_evolving@state",
-        "lake_compact@touched", "lake_versions@pub")
+        "lake_compact@touched", "lake_versions@pub", "lake_merge@touched")
     val targets =
       if (args.isEmpty) all
       else all.filter(t => args.exists(t.contains))
@@ -708,10 +708,70 @@ object ScaleSmoke {
           .deleteDirectory(new java.io.File(root))
       }
     }
+    // CDC merge into the versioned lake: the changelog touches ONE lang
+    // partition (edits + deletes + inserts); the merge must track the
+    // touched partition + changelog, never the corpus — compare tMerge
+    // against tPub (the full-corpus write) at both scales. Correctness
+    // rides along: the merged row count must equal base − deletes +
+    // inserts at every scale.
+    val mergeTargets = targets.filter(_ == "lake_merge@touched")
+    for (_ <- mergeTargets.headOption) {
+      import graft.sources.Lake
+      for ((dir, lbl) <- Seq((base, "sf0.1"), (sf1, s"${nReps}x"))) {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_mergesm").toString
+        val lake = s"$root/lake"
+        import graft.Materialize.Ops
+        val d = spark.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text", "lang")
+        def timed[A](body: => A): (A, Double) = {
+          val t0 = System.nanoTime()
+          val a = body
+          (a, (System.nanoTime() - t0) / 1e9)
+        }
+        val (_, tPub) = timed(Lake.publishVersion(d, lake, Seq("lang"),
+          Seq("doc_id"), maxRecordsPerFile = 2000000L))
+        val n0 = d.count()
+        val scoped = d
+          .crossJoin(broadcast(d.agg(min("lang").as("_ml"))))
+          .filter(col("lang") === col("_ml"))
+        // derive the changelog OUTSIDE the timer — the row measures the
+        // MERGE (pruned read + anti-join + delta publish), not the
+        // caller's changelog derivation
+        val changes = scoped
+          .filter(col("doc_id") % 3 === 0 && col("doc_id") % 10 =!= 7)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" mX")).as("text"), col("lang"),
+            lit("upsert").as("op"))
+          .union(scoped.filter(col("doc_id") % 10 === 7)
+            .select(col("doc_id"), lit(null).cast("string").as("text"),
+              col("lang"), lit("delete").as("op")))
+          .union(scoped.filter(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + 900000000L).as("doc_id"), col("text"),
+              col("lang"), lit("upsert").as("op")))
+          .materialize()
+        val nCh = changes.count()
+        val nDel = changes.filter(col("op") === "delete").count()
+        val nIns = changes.filter(col("doc_id") >= 900000000L).count()
+        val (_, tMerge) = timed(Lake.mergeDelta(changes, lake,
+          Seq("doc_id"), Seq("lang"), Seq("doc_id"),
+          maxRecordsPerFile = 2000000L))
+        val (nM, tRead) = timed(Lake.readVersion(spark, lake).count())
+        require(nM == n0 - nDel + nIns,
+          s"merge row accounting broke: $nM != $n0 - $nDel + $nIns")
+        System.err.println(f"[scale] lake_merge@touched $lbl%5s " +
+          f"pubFull ${tPub}%6.2f s  MERGE(1 lang, $nCh%7d changes) " +
+          f"${tMerge}%6.2f s  read ${tRead}%5.2f s ($nM%8d rows)")
+        Materialize.release(spark)
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(root))
+      }
+    }
     val rows = targets
       .filterNot(t => qualityTargets.contains(t) ||
         versionTargets.contains(t) ||
         probeTargets.contains(t) ||
+        mergeTargets.contains(t) ||
         evolvingTargets.contains(t) || compactTargets.contains(t))
       .map { q =>
       val dims = q.endsWith("@dims")

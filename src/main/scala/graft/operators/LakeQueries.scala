@@ -376,6 +376,112 @@ object LakeQueries extends QueryRegistry {
         org.apache.commons.io.FileUtils
           .deleteDirectory(new java.io.File(work))
       }
+    }),
+    // [EXT] CDC MERGE into the versioned lake: a keyed changelog
+    // (upsert/delete, deliberately containing SUPERSEDED rows so the
+    // seq-netting is gated end-to-end) applies to the published base as
+    // one delta generation — only the changelog's two langs are read,
+    // anti-joined, and rewritten; the other three are inherited by
+    // reference. The output aggregates the merged current AND the
+    // pinned pre-merge base, so the hash pins replace/delete/insert
+    // semantics, netting, inheritance, and base immutability at once.
+    // At 100 TB this is applying a binlog hour at O(touched), not
+    // rewriting the lake.
+    "lake_merge_cdc" -> ((s, dir) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_lake_merge").toString
+      val root = s"$work/lake"
+      try {
+        val d = docs(s, dir).select("doc_id", "text", "lang")
+        Lake.publishVersion(d, root, Seq("lang"), Seq("doc_id"),
+          maxRecordsPerFile = 1000000L)
+        val scoped = d.filter(col("lang").isin("de", "es"))
+        val edited = scoped
+          .filter(col("doc_id") % 4 === 0 && col("doc_id") % 10 =!= 7)
+        def ch(df: DataFrame, text: org.apache.spark.sql.Column,
+            op: String, seq: Long): DataFrame =
+          df.select(col("doc_id"), text.as("text"), col("lang"),
+            lit(op).as("op"), lit(seq).as("seq"))
+        val changes =
+          // an edit superseded by the real edit (netting must keep seq=2)
+          ch(edited, concat(col("text"), lit(" [stale]")), "upsert", 1L)
+            .union(ch(edited, concat(col("text"), lit(" [m]")), "upsert", 2L))
+            // an upsert superseded by a delete (net action: delete)
+            .union(ch(scoped.filter(col("doc_id") % 10 === 7),
+              col("text"), "upsert", 1L))
+            .union(ch(scoped.filter(col("doc_id") % 10 === 7),
+              lit(null).cast("string"), "delete", 2L))
+            // inserts under new keys
+            .union(scoped.filter(col("doc_id") % 9 === 0)
+              .select((col("doc_id") + 7000000L).as("doc_id"),
+                col("text"), col("lang"), lit("upsert").as("op"),
+                lit(1L).as("seq")))
+        Lake.mergeDelta(changes, root, Seq("doc_id"), Seq("lang"),
+          Seq("doc_id"), maxRecordsPerFile = 1000000L,
+          seqCol = Some("seq"))
+        def aggM(df: DataFrame, which: String): DataFrame = df
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("sum_len"),
+            min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+          .select(lit(which).as("which"), col("lang"), col("n_docs"),
+            col("sum_len"), col("min_id"), col("max_id"))
+        import graft.Materialize.Ops
+        aggM(Lake.readVersion(s, root), "current")
+          .unionAll(aggM(Lake.readVersion(s, root, Some(0L)), "pinned_base"))
+          .materializeForced()
+      } finally {
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(work))
+      }
+    }),
+    // [EXT] continuous CDC MERGE: the changelog STREAMS through
+    // mergeStream — drop 0 edits one lang, drop 1 deletes another lang
+    // ENTIRELY (the merged generation must drop that partition, not
+    // inherit it back). Reads the intermediate version pinned and the
+    // current resolution: the hash pins per-batch atomic visibility,
+    // exactly-once application, and delete-to-empty partition removal
+    // under the streaming path.
+    "lake_merge_stream" -> ((s, dir) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_lake_mstream").toString
+      val src = s"$work/src"; val root = s"$work/lake"
+      new java.io.File(src).mkdirs()
+      try {
+        val d = docs(s, dir).select("doc_id", "text", "lang")
+        Lake.publishVersion(d, root, Seq("lang"), Seq("doc_id"),
+          maxRecordsPerFile = 1000000L) // the full base, v0
+        val drop0 = d.filter(col("lang") === "de" && col("doc_id") % 3 === 0)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" [s0]")).as("text"), col("lang"),
+            lit("upsert").as("op"))
+        val drop1 = d.filter(col("lang") === "es")
+          .select(col("doc_id"), lit(null).cast("string").as("text"),
+            col("lang"), lit("delete").as("op"))
+        writeFlat(drop0, src, "b0.parquet")
+        writeFlat(drop1, src, "b1.parquet")
+        val q = Lake.mergeStream(
+          s.readStream.schema(drop0.schema).option("maxFilesPerTrigger", 1)
+            .parquet(src),
+          root, s"$work/ckpt", Seq("doc_id"), Seq("lang"), Seq("doc_id"),
+          maxRecordsPerFile = 1000000L,
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        q.awaitTermination()
+        def aggS(df: DataFrame, which: String): DataFrame = df
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("sum_len"),
+            min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+          .select(lit(which).as("which"), col("lang"), col("n_docs"),
+            col("sum_len"), col("min_id"), col("max_id"))
+        import graft.Materialize.Ops
+        aggS(Lake.readVersion(s, root, Some(1L)), "after_drop0")
+          .unionAll(aggS(Lake.readVersion(s, root), "current"))
+          .materializeForced()
+      } finally {
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(work))
+      }
     }))
 
   // shared by lake_snapshot_diff and lake_version_diff: the versioned
@@ -463,6 +569,45 @@ object LakeQueries extends QueryRegistry {
         |         min(doc_id) AS min_id, max(doc_id) AS max_id
         |       FROM d GROUP BY lang)
         |SELECT * FROM a1 UNION ALL SELECT * FROM a0""".stripMargin,
+    "lake_merge_cdc" ->
+      """WITH d AS (SELECT doc_id, text, lang FROM documents),
+        |sc AS (SELECT * FROM d WHERE lang IN ('de','es')),
+        |m AS (
+        |  SELECT doc_id, text, lang FROM sc
+        |  WHERE doc_id % 10 <> 7 AND doc_id % 4 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, text || ' [m]' AS text, lang FROM sc
+        |  WHERE doc_id % 4 = 0 AND doc_id % 10 <> 7
+        |  UNION ALL
+        |  SELECT doc_id + 7000000 AS doc_id, text, lang FROM sc
+        |  WHERE doc_id % 9 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text, lang FROM d WHERE lang NOT IN ('de','es')),
+        |cur AS (SELECT 'current' AS which, lang, count(*) AS n_docs,
+        |         CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        |         min(doc_id) AS min_id, max(doc_id) AS max_id
+        |       FROM m GROUP BY lang),
+        |b AS (SELECT 'pinned_base' AS which, lang, count(*) AS n_docs,
+        |         CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        |         min(doc_id) AS min_id, max(doc_id) AS max_id
+        |       FROM d GROUP BY lang)
+        |SELECT * FROM cur UNION ALL SELECT * FROM b""".stripMargin,
+    "lake_merge_stream" ->
+      """WITH d AS (SELECT doc_id, text, lang FROM documents),
+        |m1 AS (SELECT doc_id,
+        |         CASE WHEN lang = 'de' AND doc_id % 3 = 0
+        |              THEN text || ' [s0]' ELSE text END AS text, lang
+        |       FROM d),
+        |m2 AS (SELECT * FROM m1 WHERE lang <> 'es'),
+        |a0 AS (SELECT 'after_drop0' AS which, lang, count(*) AS n_docs,
+        |         CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        |         min(doc_id) AS min_id, max(doc_id) AS max_id
+        |       FROM m1 GROUP BY lang),
+        |a1 AS (SELECT 'current' AS which, lang, count(*) AS n_docs,
+        |         CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        |         min(doc_id) AS min_id, max(doc_id) AS max_id
+        |       FROM m2 GROUP BY lang)
+        |SELECT * FROM a0 UNION ALL SELECT * FROM a1""".stripMargin,
     "lake_stream_publish" ->
       """WITH d AS (SELECT doc_id, text, lang FROM documents),
         |a0 AS (SELECT 'drop0_pinned' AS which, lang,

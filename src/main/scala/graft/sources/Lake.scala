@@ -334,17 +334,21 @@ object Lake {
     * References are flattened (each names the dir's physical owner), so
     * a read resolves in one level and retention keeps exactly the
     * ancestors still reachable from retained generations
-    * ([[pruneRetained]]). Partition REMOVAL is not expressible as a
-    * delta (an absent partition means "inherit") — publish a full
-    * version to drop partitions. Crash windows are publishVersion's:
-    * the manifest lands inside the generation before the high-water
-    * flip, so an interrupted delta is an unpublished orphan.
+    * ([[pruneRetained]]). An absent partition means "inherit", so plain
+    * deltas cannot REMOVE a partition; `replaced` lists base partition
+    * dirs (relative paths) whose old content must NOT be inherited even
+    * if this delta wrote nothing there — the replacement semantics
+    * [[mergeDelta]] needs for delete-to-empty partitions. Crash windows
+    * are publishVersion's: the manifest lands inside the generation
+    * before the high-water flip, so an interrupted delta is an
+    * unpublished orphan.
     */
   def publishDelta(
       df: DataFrame, rootDir: String,
       partitionCols: Seq[String], sortCols: Seq[String],
       maxRecordsPerFile: Long, keep: Int = 3,
-      genMarker: Option[Long] = None): Long = {
+      genMarker: Option[Long] = None,
+      replaced: Set[String] = Set.empty): Long = {
     require(keep >= 1, "keep must retain at least the current generation")
     require(partitionCols.nonEmpty,
       "publishDelta's replacement unit is the partition dir — " +
@@ -371,7 +375,7 @@ object Lake {
     val baseMap = graft.GenSwap.leaves(fs, curPath)
       .collect { case (rel, true) => rel -> cur }.toMap ++
       readRefs(fs, curPath)
-    writeRefs(fs, nextPath, baseMap -- changed)
+    writeRefs(fs, nextPath, baseMap -- changed -- replaced)
     // provenance marker before the high-water flip — see publishVersion
     for (m <- genMarker) {
       val os = fs.create(
@@ -384,6 +388,149 @@ object Lake {
     flipPointer(fs, root, CurrentPointer, next)
     pruneRetained(fs, root, next, keep)
     next
+  }
+
+  /** MERGE a keyed changelog into the versioned lake — the CDC-to-lake
+    * bridge: `changes` carries one row per affected key (`op` =
+    * `upsert` | `delete`, plus the row's payload and its partition
+    * value), and the result publishes as a DELTA generation in which
+    * every key named by the changelog is replaced/removed and every
+    * untouched partition is inherited by reference. Cost is
+    * O(touched partitions + changelog), never O(corpus): the base read
+    * is partition-pruned to the changelog's partitions, the anti-join
+    * shuffles only their rows, and the write lands only them — at
+    * 100 TB this is the difference between applying a binlog hour in
+    * minutes and rewriting the lake nightly. The full versioned
+    * contract holds: the merge is one immutable generation behind the
+    * atomic pointer (readers see pre-merge or post-merge, never a torn
+    * middle), pinned time travel reproduces any pre-merge state, and a
+    * bad merge un-ships with an O(1) [[rollbackTo]].
+    *
+    * Netting: with `seqCol` set, only the LATEST change per key (max
+    * seq) survives — the CDC compaction rule ([[graft.Merge]]'s
+    * semantics at the lake surface); without it the caller asserts the
+    * changelog is already netted (at most one row per key). A key
+    * absent from the changelog is untouched; `upsert` inserts or fully
+    * replaces the row; `delete` removes it (a delete for an absent key
+    * is a no-op, matching the CDC state machine). A partition whose
+    * every row is deleted is REMOVED from the new generation (the
+    * `replaced` discipline of [[publishDelta]]), not inherited back.
+    * Additive schema drift rides the delta reader: upserts may carry
+    * new columns; inherited/surviving rows read them as NULL.
+    *
+    * Partition-stability contract: a change row's partition value names
+    * the partition the key LIVES in. With the default
+    * `probeMovers=false`, a key whose partition value changed would
+    * leave its old copy behind — the caller guarantees partition values
+    * are immutable per key (the overwhelmingly common layout: partition
+    * by a key-derived or write-once column). `probeMovers=true` lifts
+    * the contract at a declared cost: one column-pruned scan of the
+    * base's (key, partition) projection finds every partition currently
+    * holding a changed key and widens the touched set — O(corpus) in
+    * rows but only the key+partition columns in bytes.
+    */
+  def mergeDelta(
+      changes: DataFrame, rootDir: String,
+      pkCols: Seq[String], partitionCols: Seq[String], sortCols: Seq[String],
+      maxRecordsPerFile: Long, keep: Int = 3,
+      opCol: String = "op", seqCol: Option[String] = None,
+      probeMovers: Boolean = false,
+      genMarker: Option[Long] = None): Long = {
+    require(pkCols.nonEmpty, "mergeDelta needs the changelog's key columns")
+    require(partitionCols.nonEmpty,
+      "mergeDelta's replacement unit is the partition dir — " +
+        "partitionCols must be non-empty")
+    val spark = changes.sparkSession
+    val (fs, root) = fsOf(spark, rootDir)
+    recoverPointers(fs, root)
+    val cur = readPointer(fs, root, CurrentPointer).getOrElse(
+      throw new IllegalStateException(
+        s"Lake: mergeDelta needs a published base in $rootDir — " +
+          "publish a full version first"))
+    // net the changelog to one action per key, then materialize: the net
+    // set feeds three consumers (touched-partition collect, anti-join,
+    // upsert rows) and must not recompute per consumer
+    val keyed = pkCols.map(col)
+    val netted = seqCol match {
+      case Some(sc) =>
+        // latest-per-key via rank-limit window — the WindowToTopK rule
+        // rewrites this to a per-key heap when registered, so netting a
+        // large changelog never buffers whole key groups
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyed: _*).orderBy(col(sc).desc)
+        changes.withColumn("_graft_rn",
+            org.apache.spark.sql.functions.row_number().over(w))
+          .filter(col("_graft_rn") === 1).drop("_graft_rn", sc)
+      case None => changes
+    }
+    // a changelog row with an op outside the vocabulary must fail the
+    // job loudly, not silently upsert — raise_error stays codegen'd
+    val net = graft.Materialize(netted.withColumn(opCol,
+      when(col(opCol).isin("upsert", "delete"), col(opCol))
+        .otherwise(raise_error(concat(
+          lit(s"Lake.mergeDelta: $opCol must be upsert|delete, got: "),
+          coalesce(col(opCol), lit("NULL")))))))
+    // the touched partition set: bounded by the changelog's distinct
+    // partition values (partitions are coarse — lang, date — so this
+    // driver-side list is small at any corpus scale)
+    def tuples(df: DataFrame): Seq[Seq[Option[String]]] =
+      df.select(partitionCols.map(c => col(c).cast("string")): _*)
+        .distinct().collect().toSeq
+        .map(r => partitionCols.indices.map(i =>
+          Option(r.getString(i))).toSeq)
+    val baseAll = readVersion(spark, rootDir, Some(cur))
+    val touched: Seq[Seq[Option[String]]] =
+      if (!probeMovers) tuples(net)
+      else {
+        // key+partition projection of the whole base — column-pruned, so
+        // the probe reads two thin columns, not the corpus — semi-joined
+        // with the changed keys: every partition still holding one
+        val holders = baseAll
+          .select((pkCols ++ partitionCols).map(col): _*)
+          .join(net.select(keyed: _*).distinct(), pkCols, "left_semi")
+        (tuples(net) ++ tuples(holders)).distinct
+      }
+    // partition predicate from literals (no cast on the column side, so
+    // partition pruning drops untouched dirs before any task runs)
+    val pred = touched.map { vals =>
+      partitionCols.zip(vals).map { case (c, v) =>
+        v.map(s => col(c) === lit(s)).getOrElse(col(c).isNull)
+      }.reduce(_ && _)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    // survivors: touched partitions minus every changed key; upserts
+    // bring the replacement rows (and any brand-new keys/partitions)
+    val survivors = baseAll.filter(pred)
+      .join(net.select(keyed: _*), pkCols, "left_anti")
+    val upserts = net.filter(col(opCol) === "upsert").drop(opCol)
+    val merged = survivors.unionByName(upserts, allowMissingColumns = true)
+    // every base partition dir matching a touched tuple is REPLACED by
+    // whatever the merge wrote there (possibly nothing — all-deleted
+    // partitions vanish instead of being inherited back)
+    val curPath = new org.apache.hadoop.fs.Path(root, s"v=$cur")
+    val baseMap = graft.GenSwap.leaves(fs, curPath)
+      .collect { case (rel, true) => rel -> cur }.toMap ++
+      readRefs(fs, curPath)
+    val touchedSet = touched.toSet
+    val replaced = baseMap.keySet.filter(rel =>
+      relPartitionValues(rel, partitionCols).exists(touchedSet.contains))
+    publishDelta(merged, rootDir, partitionCols, sortCols,
+      maxRecordsPerFile, keep, genMarker, replaced)
+  }
+
+  /** Parse a partition dir's relative path (`a=1/b=2`) into the declared
+    * columns' values (unescaped; None = the Hive null sentinel). None if
+    * the path does not carry every declared column.
+    */
+  private def relPartitionValues(rel: String,
+      partitionCols: Seq[String]): Option[Seq[Option[String]]] = {
+    val m = rel.split('/').flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i < 0) None
+      else Some(seg.substring(0, i) ->
+        unescapePartitionValue(seg.substring(i + 1)))
+    }.toMap
+    if (partitionCols.forall(m.contains)) Some(partitionCols.map(m(_)))
+    else None
   }
 
   /** Read one immutable generation: the pointer's (default) or a pinned
@@ -577,18 +724,7 @@ object Lake {
     val spark = batch.sparkSession
     val (fs, root) = fsOf(spark, rootDir)
     recoverPointers(fs, root)
-    val high = highWater(fs, root)
-    val highStamp = high.flatMap(v => readLong(fs,
-      new org.apache.hadoop.fs.Path(root, s"v=$v/$BatchMarker")))
-    if (highStamp.exists(_ >= batchId)) {
-      // this batch's generation landed before a crash (or this is an
-      // older batch's replay): publish nothing — at most finish the
-      // interrupted _CURRENT flip so the drop is actually current
-      if (highStamp.contains(batchId) &&
-          readPointer(fs, root, CurrentPointer) != high)
-        flipPointer(fs, root, CurrentPointer, high.get)
-      return
-    }
+    if (replayedBatch(fs, root, batchId)) return
     // AvailableNow ends with a trailing empty batch — an empty drop is
     // not a dataset version, skip it (the marker is untouched, so a
     // replayed empty batch skips again)
@@ -599,6 +735,73 @@ object Lake {
     else
       publishVersion(batch, rootDir, partitionCols, sortCols,
         maxRecordsPerFile, keep, genMarker = Some(batchId)): Unit
+  }
+
+  /** Replay guard shared by every streaming lake writer: true iff this
+    * batch's generation already committed before a crash (or this is an
+    * older batch's replay) — in which case nothing republishes and at
+    * most the interrupted `_CURRENT` flip completes so the committed
+    * drop is actually current.
+    */
+  private def replayedBatch(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, batchId: Long): Boolean = {
+    val high = highWater(fs, root)
+    val highStamp = high.flatMap(v => readLong(fs,
+      new org.apache.hadoop.fs.Path(root, s"v=$v/$BatchMarker")))
+    if (highStamp.exists(_ >= batchId)) {
+      if (highStamp.contains(batchId) &&
+          readPointer(fs, root, CurrentPointer) != high)
+        flipPointer(fs, root, CurrentPointer, high.get)
+      true
+    } else false
+  }
+
+  /** Continuous MERGE: every non-empty micro-batch of `changes` (a
+    * STREAMING changelog — the CDC pipeline's netted actions) applies
+    * via [[mergeDelta]] as one immutable delta generation. This is the
+    * reference's end-to-end loop (binlog → maintained queryable
+    * replica) at the lake surface: O(touched partitions) per batch,
+    * atomic batch visibility (a reader sees whole batches only), pinned
+    * time travel to the replica as-of any batch within retention, and
+    * O(1) rollback of a bad batch. Exactly-once under crash/replay by
+    * the same batch-stamp protocol as [[publishStream]]; the stream
+    * OWNS the root (single-writer contract). The base must be published
+    * before the stream's first batch.
+    */
+  def mergeStream(changes: DataFrame, rootDir: String, checkpointDir: String,
+      pkCols: Seq[String], partitionCols: Seq[String], sortCols: Seq[String],
+      maxRecordsPerFile: Long, keep: Int = 3,
+      opCol: String = "op", seqCol: Option[String] = None,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatch(batch, rootDir, pkCols, partitionCols, sortCols,
+          maxRecordsPerFile, keep, opCol, seqCol, batchId)
+      }
+      .start()
+
+  /** One micro-batch of [[mergeStream]] — also the direct entry for a
+    * caller replaying a committed batch by hand. Idempotent on
+    * `batchId`: a replay of a committed merge only re-points currency;
+    * a crash before the high-water flip left an unpublished orphan the
+    * re-merge cleans and recomputes against the unchanged base.
+    */
+  private[graft] def mergeBatch(batch: DataFrame, rootDir: String,
+      pkCols: Seq[String], partitionCols: Seq[String], sortCols: Seq[String],
+      maxRecordsPerFile: Long, keep: Int, opCol: String,
+      seqCol: Option[String], batchId: Long): Unit = {
+    val (fs, root) = fsOf(batch.sparkSession, rootDir)
+    recoverPointers(fs, root)
+    if (replayedBatch(fs, root, batchId)) return
+    if (batch.isEmpty) return
+    mergeDelta(batch, rootDir, pkCols, partitionCols, sortCols,
+      maxRecordsPerFile, keep, opCol, seqCol, probeMovers = false,
+      genMarker = Some(batchId)): Unit
   }
 
   /** Per-partition accounting of what landed: file/row/byte counts from
