@@ -435,6 +435,67 @@ object LakeQueries extends QueryRegistry {
           .deleteDirectory(new java.io.File(work))
       }
     }),
+    // [EXT] the reference's whole pipeline at the lake surface,
+    // composed end-to-end and hash-gated: the event stream's FIRST half
+    // folds to a keyed state (last-write-wins per user, deletes drop the
+    // row) that publishes as the replica's base generation, partitioned
+    // by a key-derived bucket (so the partition-stability contract holds
+    // by construction); the SECOND half replays as a RAW changelog —
+    // superseded rows and all — through mergeDelta, which nets it and
+    // applies it at O(touched). The oracle reconstructs the same
+    // two-phase fold in SQL, so the hash proves split-fold ≡ direct fold
+    // — the associativity a CDC replica needs to bootstrap from a
+    // snapshot and then tail the log.
+    "cdc_replica_lake" -> ((s, dir) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_cdc_replake").toString
+      val root = s"$work/lake"
+      try {
+        val ev = graft.CdcBatch.readEvents(s, dir)
+          .select("event_id", "user_id", "event_type", "value")
+        val thr = ev.agg(
+          floor(max("event_id") / 2.0).cast("long").as("_thr"))
+        val e = ev.crossJoin(broadcast(thr))
+        def latest(half: DataFrame): DataFrame = {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy(col("event_id").desc)
+          half.withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1)
+            .select(col("user_id"), (col("user_id") % 8).as("bucket"),
+              col("event_id"), col("event_type"), col("value"))
+        }
+        val base = latest(e.filter(col("event_id") <= col("_thr")))
+          .filter(col("event_type") =!= "error")
+        Lake.publishVersion(base, root, Seq("bucket"), Seq("user_id"),
+          maxRecordsPerFile = 1000000L)
+        // the raw second-half changelog: one row per EVENT (mergeDelta
+        // nets it), op from the binlog action, seq = binlog position
+        val changes = e.filter(col("event_id") > col("_thr"))
+          .select(col("user_id"), (col("user_id") % 8).as("bucket"),
+            col("event_id"), col("event_type"), col("value"),
+            when(col("event_type") === "error", lit("delete"))
+              .otherwise(lit("upsert")).as("op"),
+            col("event_id").as("seq"))
+        Lake.mergeDelta(changes, root, Seq("user_id"), Seq("bucket"),
+          Seq("user_id"), maxRecordsPerFile = 1000000L,
+          seqCol = Some("seq"))
+        def aggR(df: DataFrame, which: String): DataFrame = df
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_users"),
+            sum("event_id").cast("long").as("sum_eid"),
+            max("event_id").as("max_eid"),
+            min("user_id").as("min_uid"), max("user_id").as("max_uid"))
+          .select(lit(which).as("which"), col("bucket"), col("n_users"),
+            col("sum_eid"), col("max_eid"), col("min_uid"), col("max_uid"))
+        import graft.Materialize.Ops
+        aggR(Lake.readVersion(s, root), "replica")
+          .unionAll(aggR(Lake.readVersion(s, root, Some(0L)), "pinned_base"))
+          .materializeForced()
+      } finally {
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(work))
+      }
+    }),
     // [EXT] continuous CDC MERGE: the changelog STREAMS through
     // mergeStream — drop 0 edits one lang, drop 1 deletes another lang
     // ENTIRELY (the merged generation must drop that partition, not
@@ -592,6 +653,39 @@ object LakeQueries extends QueryRegistry {
         |         min(doc_id) AS min_id, max(doc_id) AS max_id
         |       FROM d GROUP BY lang)
         |SELECT * FROM cur UNION ALL SELECT * FROM b""".stripMargin,
+    "cdc_replica_lake" ->
+      """WITH t AS (SELECT CAST(floor(max(event_id) / 2.0) AS BIGINT) AS thr
+        |           FROM events),
+        |l1 AS (SELECT user_id, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY event_id DESC) AS rn
+        |       FROM events, t WHERE event_id <= thr),
+        |base AS (SELECT user_id, user_id % 8 AS bucket, event_id,
+        |                event_type, value
+        |         FROM l1 WHERE rn = 1 AND event_type <> 'error'),
+        |l2 AS (SELECT user_id, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY event_id DESC) AS rn
+        |       FROM events, t WHERE event_id > thr),
+        |net AS (SELECT user_id, user_id % 8 AS bucket, event_id,
+        |               event_type, value
+        |        FROM l2 WHERE rn = 1),
+        |cur AS (
+        |  SELECT * FROM base
+        |  WHERE user_id NOT IN (SELECT user_id FROM net)
+        |  UNION ALL
+        |  SELECT * FROM net WHERE event_type <> 'error'),
+        |a1 AS (SELECT 'replica' AS which, bucket, count(*) AS n_users,
+        |         CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        |         max(event_id) AS max_eid,
+        |         min(user_id) AS min_uid, max(user_id) AS max_uid
+        |       FROM cur GROUP BY bucket),
+        |a0 AS (SELECT 'pinned_base' AS which, bucket, count(*) AS n_users,
+        |         CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        |         max(event_id) AS max_eid,
+        |         min(user_id) AS min_uid, max(user_id) AS max_uid
+        |       FROM base GROUP BY bucket)
+        |SELECT * FROM a1 UNION ALL SELECT * FROM a0""".stripMargin,
     "lake_merge_stream" ->
       """WITH d AS (SELECT doc_id, text, lang FROM documents),
         |m1 AS (SELECT doc_id,
