@@ -747,12 +747,15 @@ object ScaleSmoke {
             .select(col("doc_id"), lit(null).cast("string").as("text"),
               col("lang"), lit("delete").as("op")))
           .union(scoped.filter(col("doc_id") % 11 === 0)
-            .select((col("doc_id") + 900000000L).as("doc_id"), col("text"),
-              col("lang"), lit("upsert").as("op")))
+            // insert ids far above any derived corpus key (derive() re-keys
+            // at +rep*1e7, so +9e8 collided with rep>=90 ids at 100x and
+            // turned inserts into updates — the offset must clear 100x)
+            .select((col("doc_id") + 1000000000000L).as("doc_id"),
+              col("text"), col("lang"), lit("upsert").as("op")))
           .materialize()
         val nCh = changes.count()
         val nDel = changes.filter(col("op") === "delete").count()
-        val nIns = changes.filter(col("doc_id") >= 900000000L).count()
+        val nIns = changes.filter(col("doc_id") >= 1000000000000L).count()
         val (_, tMerge) = timed(Lake.mergeDelta(changes, lake,
           Seq("doc_id"), Seq("lang"), Seq("doc_id"),
           maxRecordsPerFile = 2000000L))

@@ -198,6 +198,43 @@ class LakeMergeSpec extends SparkSuite {
       new java.io.File(root).getParentFile)
   }
 
+  test("the merge's base read is partition-pruned: bytes read track the " +
+      "touched partition, not the corpus") {
+    val root = tmp()
+    try {
+      // g0 tiny (20 rows), g1 deliberately heavy (20k rows of long text)
+      val heavy = (0 until 20000).map(j =>
+        (s"g1-$j", "g1", ("lorem ipsum " * 40) + j)).toDF("id", "k", "text")
+      Lake.publishVersion(
+        corpus("base", Seq("g0")).unionByName(heavy), root,
+        Seq("k"), Seq("id"), 1000000L)
+      val g1Bytes = files(s"$root/v=0/k=g1").keys.map(p =>
+        fsOf(root).getFileStatus(new Path(p)).getLen).sum
+      val read = new java.util.concurrent.atomic.AtomicLong()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit =
+          read.addAndGet(s.stageInfo.taskMetrics.inputMetrics.bytesRead): Unit
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val ch = Seq(("g0-0", "g0", "edit", "upsert"))
+          .toDF("id", "k", "text", "op")
+        Lake.mergeDelta(ch, root, Seq("id"), Seq("k"), Seq("id"), 1000000L)
+        Thread.sleep(500) // listener bus is async — let stage events drain
+        // the merge touched g0 only: its scans must not have read the
+        // heavy partition (half its bytes is already far more than every
+        // g0 file + changelog + metadata read together)
+        assert(read.get() < g1Bytes / 2,
+          s"merge read ${read.get()} bytes; untouched g1 holds $g1Bytes")
+      } finally spark.sparkContext.removeSparkListener(l)
+      assert(readAll(root).count(_._2 == "g1") === 20000)
+      assert(readAll(root).contains(("g0-0", "g0", "edit")))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root).getParentFile)
+  }
+
   test("additive schema drift: an upsert carrying a new column merges; " +
       "survivors and inherited partitions read it as NULL") {
     val root = tmp()
