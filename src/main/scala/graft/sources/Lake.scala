@@ -490,11 +490,15 @@ object Lake {
           .join(net.select(keyed: _*).distinct(), pkCols, "left_semi")
         (tuples(net) ++ tuples(holders)).distinct
       }
-    // partition predicate from literals (no cast on the column side, so
-    // partition pruning drops untouched dirs before any task runs)
+    // partition predicate from literals — the literal is cast to the
+    // column's NATIVE type (never the column to string), so the filter
+    // stays the pure `attr = literal` shape static partition pruning
+    // needs, for string and non-string partition columns alike
+    val baseSchema = baseAll.schema
     val pred = touched.map { vals =>
       partitionCols.zip(vals).map { case (c, v) =>
-        v.map(s => col(c) === lit(s)).getOrElse(col(c).isNull)
+        v.map(s => col(c) === lit(s).cast(baseSchema(c).dataType))
+          .getOrElse(col(c).isNull)
       }.reduce(_ && _)
     }.reduceOption(_ || _).getOrElse(lit(false))
     // survivors: touched partitions minus every changed key; upserts

@@ -235,6 +235,42 @@ class LakeMergeSpec extends SparkSuite {
       new java.io.File(root).getParentFile)
   }
 
+  test("pruning holds for a NON-STRING partition column (the literal is " +
+      "cast to the column type, keeping the attr = literal shape)") {
+    val root = tmp()
+    try {
+      // bucket 0 tiny, bucket 1 heavy — long-typed partition column
+      val tiny = (0 until 10).map(j => (s"a-$j", 0L, s"t $j"))
+      val heavy = (0 until 20000).map(j =>
+        (s"b-$j", 1L, ("lorem ipsum " * 40) + j))
+      Lake.publishVersion((tiny ++ heavy).toDF("id", "bucket", "text"),
+        root, Seq("bucket"), Seq("id"), 1000000L)
+      val b1Bytes = files(s"$root/v=0/bucket=1").keys.map(p =>
+        fsOf(root).getFileStatus(new Path(p)).getLen).sum
+      val read = new java.util.concurrent.atomic.AtomicLong()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit =
+          read.addAndGet(s.stageInfo.taskMetrics.inputMetrics.bytesRead): Unit
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        Lake.mergeDelta(
+          Seq(("a-0", 0L, "edit", "upsert")).toDF("id", "bucket", "text", "op"),
+          root, Seq("id"), Seq("bucket"), Seq("id"), 1000000L)
+        Thread.sleep(500)
+        assert(read.get() < b1Bytes / 2,
+          s"merge read ${read.get()} bytes; untouched bucket=1 holds $b1Bytes")
+      } finally spark.sparkContext.removeSparkListener(l)
+      val out = Lake.readVersion(spark, root)
+      assert(out.filter(col("bucket") === 0L && col("id") === "a-0")
+        .select("text").collect().map(_.getString(0)).toSeq === Seq("edit"))
+      assert(out.count() === 20010L)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root).getParentFile)
+  }
+
   test("additive schema drift: an upsert carrying a new column merges; " +
       "survivors and inherited partitions read it as NULL") {
     val root = tmp()
