@@ -137,6 +137,27 @@ object DedupQueries extends QueryRegistry {
     "dedup_clusters_star" -> ((s, dir) =>
       TextDedup.connectedComponentsStar(
         sharedLshPairs(s, dir), "doc_a", "doc_b")),
+    // [EXT] leak-free train/val/test split: the assignment hashes the
+    // near-dup CLUSTER id (singletons are their own cluster), so two
+    // near-duplicate documents can never straddle train and test — the
+    // eval-contamination guard a dedup pipeline exists to provide,
+    // composed here end-to-end (LSH pairs → connected components →
+    // grouped split). The oracle recomputes clusters recursively and
+    // applies the same salted md5 bucket arithmetic.
+    "dedup_split_leakfree" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val cl = TextDedup.connectedComponents(
+        sharedLshPairs(s, dir), "doc_a", "doc_b")
+      val withCl = d.join(cl, Seq("doc_id"), "left")
+        .withColumn("cluster_id",
+          coalesce(col("cluster_id"), col("doc_id")))
+      Split.byGroup(withCl, "cluster_id", 80, 10, salt = "leakfree")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("cluster_id").as("n_clusters"),
+          sum(length(col("text"))).cast("long").as("sum_len"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+    }),
     // X2: ASYMMETRIC containment dedup — C(A,B) = |shingles(A) ∩
     // shingles(B)| / |shingles(A)|, the doc-in-doc signal symmetric
     // Jaccard misses (a 12-token excerpt of a 200-token doc has Jaccard
@@ -548,6 +569,31 @@ object DedupQueries extends QueryRegistry {
          |FROM sp GROUP BY 1, 2""".stripMargin,
     "dedup_clusters" -> clustersOracle,
     "dedup_clusters_star" -> clustersOracle,
+    "dedup_split_leakfree" ->
+      s"""WITH RECURSIVE $lshPairCtes,
+         |e AS (SELECT doc_a AS s, doc_b AS d FROM p
+         |  UNION SELECT doc_b, doc_a FROM p),
+         |reach(doc, label) AS (
+         |  SELECT DISTINCT s, s FROM e
+         |  UNION
+         |  SELECT e.d, r.label FROM reach r JOIN e ON e.s = r.doc),
+         |cl AS (SELECT doc AS doc_id, min(label) AS cluster_id
+         |  FROM reach GROUP BY 1),
+         |w AS (SELECT d.doc_id, d.text,
+         |    coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN cl USING (doc_id)),
+         |a AS (SELECT *,
+         |  ('0x' || substr(md5('leakfree:' || cluster_id::VARCHAR), 1, 15))
+         |    ::BIGINT % 100 AS b FROM w),
+         |sp AS (SELECT doc_id, text, cluster_id,
+         |  CASE WHEN b < 80 THEN 'train'
+         |       WHEN b < 90 THEN 'val'
+         |       ELSE 'test' END AS split FROM a)
+         |SELECT split, count(*) AS n_docs,
+         |  count(DISTINCT cluster_id) AS n_clusters,
+         |  CAST(sum(length(text)) AS BIGINT) AS sum_len,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM sp GROUP BY 1""".stripMargin,
     // keep-best: clusters + quality, argmax via the lpad-encoded max the
     // emb_cluster_stats oracle uses (quality ties break to min doc_id)
     "dedup_keep_best" ->

@@ -49,6 +49,22 @@ object PackingQueries extends QueryRegistry {
           min(col("k")).as("head_key"))
         .select(col("shard"), col("n_docs"), col("n_tokens"),
           col("head_doc"), col("head_key"))
+    },
+    // [EXT] exact-quota stratified train/val/test split: within each
+    // lang, docs in salted-hash order fill train to ceil(0.8·n) then
+    // val to ceil(0.9·n) — reproducible without coordination (the
+    // assignment is a pure function of doc_id) and audit-exact per
+    // stratum. The oracle reruns the identical rank-and-ceil
+    // arithmetic, so the hash pins quota edges, not just proportions.
+    "train_split_stratified" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      Split.stratified(
+        docs(s, dir).select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok")),
+        Seq("lang"), col("doc_id"), 0.8, 0.1)
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -64,6 +80,26 @@ object PackingQueries extends QueryRegistry {
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
         |  arg_min(doc_id, k) AS head_doc, min(k) AS head_key
         |FROM sh GROUP BY 1""".stripMargin,
+    // the fraction arithmetic is forced to DOUBLE on the oracle side:
+    // DuckDB's bare 0.8 literal is DECIMAL, whose exact 0.9·n differs
+    // from the binary double 0.9000…01·n Spark computes at quota edges
+    "train_split_stratified" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |    AS k FROM documents),
+        |r AS (SELECT *,
+        |  row_number() OVER (PARTITION BY lang ORDER BY k) AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS n FROM d),
+        |a AS (SELECT lang, n_tok, doc_id,
+        |  CASE WHEN rn <= ceil(n * CAST(0.8 AS DOUBLE)) THEN 'train'
+        |       WHEN rn <= ceil(n * (CAST(0.8 AS DOUBLE)
+        |                            + CAST(0.1 AS DOUBLE))) THEN 'val'
+        |       ELSE 'test' END AS split FROM r)
+        |SELECT lang, split, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM a GROUP BY 1, 2""".stripMargin,
     "text_pack" ->
       """WITH d AS (SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.Split
+import org.apache.spark.sql.functions._
+
+/** Deterministic-split contracts: assignments are pure functions of the
+  * key (reproducible without coordination, stable under corpus growth),
+  * stratified quotas are ceil-exact per stratum, grouped splits are
+  * leak-free by construction, and salts decorrelate.
+  */
+class SplitSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def corpus(n: Int) =
+    (0 until n).map(j => (j.toLong, s"l${j % 3}", s"text $j"))
+      .toDF("id", "lang", "text")
+
+  test("threshold split is a pure function of the key: stable under " +
+      "corpus growth, reproducible across invocations, zero shuffles") {
+    val small = Split.threshold(corpus(500), col("id"), 80, 10)
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val big = Split.threshold(corpus(1000), col("id"), 80, 10)
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every original row keeps its assignment when the corpus doubles —
+    // the anti-reshuffle property ORDER BY rand() splits lack
+    assert(small.forall { case (k, v) => big(k) == v })
+    // proportions land near the buckets (hash is uniform-ish)
+    val frac = big.values.count(_ == "train").toDouble / big.size
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
+    // pure projection: no exchange in the plan
+    val plan = Split.threshold(corpus(100), col("id"), 80, 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(500))
+  }
+
+  test("stratified split hits ceil-exact quotas inside every stratum") {
+    val out = Split.stratified(corpus(1000), Seq("lang"), col("id"), 0.8, 0.1)
+    val counts = out.groupBy("lang", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    for (l <- Seq("l0", "l1", "l2")) {
+      val n = Seq("train", "val", "test")
+        .map(s => counts.getOrElse((l, s), 0L)).sum
+      val train = counts((l, "train"))
+      val vl = counts.getOrElse((l, "val"), 0L)
+      assert(train === math.ceil(n * 0.8).toLong, s"$l train")
+      assert(train + vl === math.ceil(n * (0.8 + 0.1)).toLong, s"$l val")
+    }
+    // deterministic: a second run is row-identical
+    val a = out.select("id", "split").collect().toSet
+    val b = Split.stratified(corpus(1000), Seq("lang"), col("id"), 0.8, 0.1)
+      .select("id", "split").collect().toSet
+    assert(a === b)
+  }
+
+  test("byGroup never splits a group across splits; salts decorrelate " +
+      "assignments") {
+    val df = corpus(900).withColumn("grp", col("id") % 100)
+    val out = Split.byGroup(df, "grp", 80, 10)
+    val perGroup = out.groupBy("grp")
+      .agg(countDistinct("split").as("k")).collect()
+    assert(perGroup.forall(_.getLong(1) == 1L),
+      "a group straddled two splits")
+    // a different salt must reassign a nontrivial share of groups
+    val s1 = Split.byGroup(df, "grp", 80, 10, salt = "a")
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s2 = Split.byGroup(df, "grp", 80, 10, salt = "b")
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val moved = s1.count { case (k, v) => s2(k) != v }
+    assert(moved > 0, "salt had no effect")
+    // validation guards
+    intercept[IllegalArgumentException] {
+      Split.threshold(df, col("id"), 0, 10)
+    }
+    intercept[IllegalArgumentException] {
+      Split.stratified(df, Seq("lang"), col("id"), 0.9, 0.2)
+    }
+  }
+}
