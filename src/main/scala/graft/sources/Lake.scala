@@ -47,13 +47,27 @@ object Lake {
       outDir: String,
       partitionCols: Seq[String],
       sortCols: Seq[String],
-      maxRecordsPerFile: Long): Unit =
-    df.repartition(partitionCols.map(col): _*)
-      .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      maxRecordsPerFile: Long,
+      zOrderCols: Seq[String] = Nil): Unit = {
+    // z-clustering rides the same single write pass: the z-value is a
+    // pure projection (quantile buckets from one approx pass, bits
+    // interleaved), the in-file sort uses it, and the projection after
+    // the sort drops it — ordering is preserved (the optimizer cannot
+    // push a projection that removes a sort key below its Sort), so the
+    // persisted files carry no layout column, only the row-group
+    // min/max selectivity the sort created
+    val (d, sort) =
+      if (zOrderCols.isEmpty) (df, partitionCols ++ sortCols)
+      else (graft.operators.ZOrder.withZ(df, zOrderCols),
+        (partitionCols ++ sortCols) :+ "_graft_z")
+    val sorted = d.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions(sort.map(col): _*)
+    (if (zOrderCols.isEmpty) sorted else sorted.drop("_graft_z"))
       .write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*)
       .parquet(outDir)
+  }
 
   // ------------------------------------------------------------------
   // Versioned publishing (MVCC-lite): immutable generations + an atomic
@@ -281,7 +295,8 @@ object Lake {
       df: DataFrame, rootDir: String,
       partitionCols: Seq[String], sortCols: Seq[String],
       maxRecordsPerFile: Long, keep: Int = 3,
-      genMarker: Option[Long] = None): Long = {
+      genMarker: Option[Long] = None,
+      zOrderCols: Seq[String] = Nil): Long = {
     require(keep >= 1, "keep must retain at least the current generation")
     val spark = df.sparkSession
     val (fs, root) = fsOf(spark, rootDir)
@@ -299,7 +314,7 @@ object Lake {
     // layout write only — no manifest read-back; a publisher wanting the
     // per-partition accounting calls manifest(s"$root/v=$next") after
     writeLayout(df, s"$rootDir/v=$next", partitionCols, sortCols,
-      maxRecordsPerFile)
+      maxRecordsPerFile, zOrderCols)
     // the caller's provenance marker (e.g. [[publishStream]]'s batch id)
     // lands INSIDE the generation before the high-water flip, so a
     // generation counted published always carries it — the replay-dedup
