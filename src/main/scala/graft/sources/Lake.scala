@@ -48,7 +48,8 @@ object Lake {
       partitionCols: Seq[String],
       sortCols: Seq[String],
       maxRecordsPerFile: Long,
-      zOrderCols: Seq[String] = Nil): Unit = {
+      zOrderCols: Seq[String] = Nil,
+      bloomFilterCols: Seq[String] = Nil): Unit = {
     // z-clustering rides the same single write pass: the z-value is a
     // pure projection (quantile buckets from one approx pass, bits
     // interleaved), the in-file sort uses it, and the projection after
@@ -62,11 +63,22 @@ object Lake {
         (partitionCols ++ sortCols) :+ "_graft_z")
     val sorted = d.repartition(partitionCols.map(col): _*)
       .sortWithinPartitions(sort.map(col): _*)
-    (if (zOrderCols.isEmpty) sorted else sorted.drop("_graft_z"))
+    val w0 = (if (zOrderCols.isEmpty) sorted else sorted.drop("_graft_z"))
       .write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
-      .partitionBy(partitionCols: _*)
-      .parquet(outDir)
+    // parquet bloom filters give point lookups row-group skipping on
+    // columns min/max stats can't help with (high-cardinality ids in
+    // hash order): the reader consults the bloom before decoding the
+    // group. A per-column writer option — storage cost is the filter
+    // bitset per (column, row group), paid only where asked for. The
+    // expected NDV is sized from the writer's own per-file row cap:
+    // unset, parquet-mr allocates its MAXIMUM bitset (1 MB per chunk),
+    // which at small file sizes costs more bytes than the data it skips
+    val w = bloomFilterCols.foldLeft(w0)((acc, c) =>
+      acc.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c",
+          maxRecordsPerFile.toString))
+    w.partitionBy(partitionCols: _*).parquet(outDir)
   }
 
   // ------------------------------------------------------------------
@@ -296,7 +308,8 @@ object Lake {
       partitionCols: Seq[String], sortCols: Seq[String],
       maxRecordsPerFile: Long, keep: Int = 3,
       genMarker: Option[Long] = None,
-      zOrderCols: Seq[String] = Nil): Long = {
+      zOrderCols: Seq[String] = Nil,
+      bloomFilterCols: Seq[String] = Nil): Long = {
     require(keep >= 1, "keep must retain at least the current generation")
     val spark = df.sparkSession
     val (fs, root) = fsOf(spark, rootDir)
@@ -314,7 +327,7 @@ object Lake {
     // layout write only — no manifest read-back; a publisher wanting the
     // per-partition accounting calls manifest(s"$root/v=$next") after
     writeLayout(df, s"$rootDir/v=$next", partitionCols, sortCols,
-      maxRecordsPerFile, zOrderCols)
+      maxRecordsPerFile, zOrderCols, bloomFilterCols)
     // the caller's provenance marker (e.g. [[publishStream]]'s batch id)
     // lands INSIDE the generation before the high-water flip, so a
     // generation counted published always carries it — the replay-dedup
@@ -932,7 +945,8 @@ object Lake {
       partitionCols: Seq[String],
       sortCols: Seq[String],
       targetBytes: Long,
-      slackPct: Double = 0.25): DataFrame = {
+      slackPct: Double = 0.25,
+      zOrderCols: Seq[String] = Nil): DataFrame = {
     require(targetBytes > 0, "targetBytes must be positive")
     require(partitionCols.nonEmpty || sortCols.nonEmpty,
       "compact needs at least one partition or sort column")
@@ -998,16 +1012,28 @@ object Lake {
         }.reduce(_ || _)
       val touchedBytes = touched.valuesIterator.map(_._2).sum
       val nTasks = math.max(1L, ideal(touchedBytes)).toInt
-      val keys = (partitionCols ++ sortCols).map(col)
+      // OPTIMIZE ZORDER: the maintenance pass is where re-clustering
+      // belongs (the ingest path wrote arrival order; the compactor is
+      // already rewriting the touched bytes) — with zOrderCols the
+      // touched rows sort by the interleaved z-value instead of the
+      // plain sort keys; the boundaries pass reads only the z columns
+      // of the touched partitions
+      val touchedRows =
+        if (zOrderCols.isEmpty) all.filter(pred)
+        else graft.operators.ZOrder.withZ(all.filter(pred), zOrderCols)
+      val keys =
+        if (zOrderCols.isEmpty) (partitionCols ++ sortCols).map(col)
+        else partitionCols.map(col) :+ col("_graft_z")
       // stage the compacted generation in a hidden sibling, then swap:
       // the source files stay on disk untouched for the whole write, so
       // the plan is pure lineage over stable files — no checkpoint, no
       // dependency on executor-pinned blocks while the corpus mutates
       val g = graft.GenSwap.begin(spark, dir)
       try {
-        val writer = all.filter(pred)
+        val writer = touchedRows
           .repartitionByRange(nTasks, keys: _*)
           .sortWithinPartitions(keys: _*)
+          .drop("_graft_z")
           .write.mode(SaveMode.Overwrite)
         (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
          else writer).parquet(g.genDir)
