@@ -435,6 +435,67 @@ object LakeQueries extends QueryRegistry {
           .deleteDirectory(new java.io.File(work))
       }
     }),
+    // [EXT] z-ordered publish under the driver hash: the generation is
+    // clustered on (doc_id, n_chars) — quantile-bucketed, bit-
+    // interleaved, sorted, layout column dropped — and the aggregate
+    // must equal the plain corpus exactly: layout moved, content
+    // didn't. (The skipping win is measured in ZOrderSpec; a hash gate
+    // can only pin the content-neutrality half of the contract.)
+    "lake_zorder_publish" -> ((s, dir) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_lake_zpub").toString
+      val root = s"$work/lake"
+      try {
+        val d = s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text", "lang", "n_chars")
+        Lake.publishVersion(d, root, Seq("lang"), Nil,
+          maxRecordsPerFile = 1000000L,
+          zOrderCols = Seq("doc_id", "n_chars"),
+          bloomFilterCols = Seq("doc_id"))
+        import graft.Materialize.Ops
+        Lake.readVersion(s, root)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").cast("long").as("sum_chars"),
+            sum(length(col("text"))).cast("long").as("sum_len"),
+            min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+          .materializeForced()
+      } finally {
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(work))
+      }
+    }),
+    // [EXT] the mover path under the driver hash: an upsert that CHANGES
+    // a key's partition value (every 30th de-doc re-curated into lang
+    // 'xx') with probeMovers=true — the column-pruned holder probe must
+    // find the old partition and merge the stale copy away, leaving
+    // exactly one row per moved key.
+    "lake_merge_movers" -> ((s, dir) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_lake_movers").toString
+      val root = s"$work/lake"
+      try {
+        val d = docs(s, dir).select("doc_id", "text", "lang")
+        Lake.publishVersion(d, root, Seq("lang"), Seq("doc_id"),
+          maxRecordsPerFile = 1000000L)
+        val moves = d.filter(col("lang") === "de" && col("doc_id") % 30 === 0)
+          .select(col("doc_id"), col("text"), lit("xx").as("lang"),
+            lit("upsert").as("op"))
+        Lake.mergeDelta(moves, root, Seq("doc_id"), Seq("lang"),
+          Seq("doc_id"), maxRecordsPerFile = 1000000L,
+          probeMovers = true)
+        import graft.Materialize.Ops
+        Lake.readVersion(s, root)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).cast("long").as("sum_len"),
+            min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+          .materializeForced()
+      } finally {
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(work))
+      }
+    }),
     // [EXT] the reference's whole pipeline at the lake surface,
     // composed end-to-end and hash-gated: the event stream's FIRST half
     // folds to a keyed state (last-write-wins per user, deletes drop the
@@ -653,6 +714,23 @@ object LakeQueries extends QueryRegistry {
         |         min(doc_id) AS min_id, max(doc_id) AS max_id
         |       FROM d GROUP BY lang)
         |SELECT * FROM cur UNION ALL SELECT * FROM b""".stripMargin,
+    "lake_zorder_publish" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY lang""".stripMargin,
+    "lake_merge_movers" ->
+      """WITH d AS (SELECT doc_id, text, lang FROM documents),
+        |m AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN lang = 'de' AND doc_id % 30 = 0 THEN 'xx'
+        |         ELSE lang END AS lang
+        |  FROM d)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM m GROUP BY lang""".stripMargin,
     "cdc_replica_lake" ->
       """WITH t AS (SELECT CAST(floor(max(event_id) / 2.0) AS BIGINT) AS thr
         |           FROM events),

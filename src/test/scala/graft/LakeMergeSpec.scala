@@ -271,6 +271,36 @@ class LakeMergeSpec extends SparkSuite {
       new java.io.File(root).getParentFile)
   }
 
+  test("composite keys: the merge anti-joins and nets on ALL key columns") {
+    val root = tmp()
+    try {
+      val base = Seq(
+        ("u1", 1L, "g0", "a"), ("u1", 2L, "g0", "b"),
+        ("u2", 1L, "g0", "c"), ("u2", 1L, "g1", "d"))
+        .toDF("user", "slot", "k", "text")
+      Lake.publishVersion(base, root, Seq("k"), Seq("user"), 1000L)
+      // (u1,1) replaced; (u2,1) in g0 deleted — the SAME (user,slot) in
+      // g1 must survive (partition is not part of the key, but the
+      // changelog row names its partition); netting orders by seq on the
+      // composite key
+      val log = Seq(
+        ("u1", 1L, "g0", "stale", "upsert", 1L),
+        ("u1", 1L, "g0", "A2", "upsert", 2L),
+        ("u2", 1L, "g0", null, "delete", 1L))
+        .toDF("user", "slot", "k", "text", "op", "seq")
+      Lake.mergeDelta(log, root, Seq("user", "slot"), Seq("k"),
+        Seq("user"), 1000L, seqCol = Some("seq"))
+      val cur = Lake.readVersion(spark, root)
+        .select("user", "slot", "k", "text").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          r.getString(3))).toSet
+      assert(cur === Set(
+        ("u1", 1L, "g0", "A2"), ("u1", 2L, "g0", "b"),
+        ("u2", 1L, "g1", "d")))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root).getParentFile)
+  }
+
   test("additive schema drift: an upsert carrying a new column merges; " +
       "survivors and inherited partitions read it as NULL") {
     val root = tmp()
