@@ -309,11 +309,13 @@ object Lake {
       maxRecordsPerFile: Long, keep: Int = 3,
       genMarker: Option[Long] = None,
       zOrderCols: Seq[String] = Nil,
-      bloomFilterCols: Seq[String] = Nil): Long = {
+      bloomFilterCols: Seq[String] = Nil,
+      schemaPolicy: String = "additive"): Long = {
     require(keep >= 1, "keep must retain at least the current generation")
     val spark = df.sparkSession
     val (fs, root) = fsOf(spark, rootDir)
     recoverPointers(fs, root)
+    checkSchemaPolicy(spark, rootDir, df, schemaPolicy, partitionCols)
     val high = highWater(fs, root)
     // a generation above the high-water is a crashed publish that never
     // committed — its files were never readable (pinned reads are capped
@@ -376,7 +378,8 @@ object Lake {
       partitionCols: Seq[String], sortCols: Seq[String],
       maxRecordsPerFile: Long, keep: Int = 3,
       genMarker: Option[Long] = None,
-      replaced: Set[String] = Set.empty): Long = {
+      replaced: Set[String] = Set.empty,
+      schemaPolicy: String = "additive"): Long = {
     require(keep >= 1, "keep must retain at least the current generation")
     require(partitionCols.nonEmpty,
       "publishDelta's replacement unit is the partition dir — " +
@@ -384,6 +387,7 @@ object Lake {
     val spark = df.sparkSession
     val (fs, root) = fsOf(spark, rootDir)
     recoverPointers(fs, root)
+    checkSchemaPolicy(spark, rootDir, df, schemaPolicy, partitionCols)
     val high = highWater(fs, root)
     val cur = readPointer(fs, root, CurrentPointer).getOrElse(
       throw new IllegalStateException(
@@ -563,6 +567,100 @@ object Lake {
     }.toMap
     if (partitionCols.forall(m.contains)) Some(partitionCols.map(m(_)))
     else None
+  }
+
+  /** Enforce the single-writer contract instead of only documenting it:
+    * `guarded(spark, root) { body }` holds an exclusive `_LOCK` file for
+    * the body (created with create-no-overwrite — atomic on HDFS and
+    * local FS alike) and releases it after. A second writer fails LOUDLY
+    * instead of corrupting a concurrent publish; the accident class this
+    * exists for is a human maintenance pass (compact, manual publish)
+    * colliding with a live streaming publisher — wrap both.
+    *
+    * Deliberately NO TTL auto-takeover: a lock left by a crashed writer
+    * must be removed by an operator who confirmed the writer is dead
+    * (clock-skew/GC-pause takeovers are how split-brain happens). The
+    * failure message says exactly that. The guard is reentrant per
+    * thread, so a guarded body may call guarded lake ops.
+    */
+  def guarded[A](spark: SparkSession, rootDir: String)(body: => A): A = {
+    val (fs, root) = fsOf(spark, rootDir)
+    fs.mkdirs(root)
+    val key = fs.makeQualified(root).toString
+    if (heldLocks.get().contains(key)) return body // reentrant
+    val lock = new org.apache.hadoop.fs.Path(root, LockFile)
+    val os =
+      try fs.create(lock, /* overwrite = */ false)
+      catch {
+        case e: java.io.IOException => throw new IllegalStateException(
+          s"Lake: $rootDir is locked by another writer ($LockFile " +
+            "exists). If that writer crashed, confirm it is dead and " +
+            s"delete $LockFile by hand — the guard never auto-expires " +
+            "a lock (split-brain risk).", e)
+      }
+    try {
+      os.write(s"${java.lang.ProcessHandle.current().pid()}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally os.close()
+    heldLocks.get().add(key)
+    try body
+    finally {
+      heldLocks.get().remove(key)
+      fs.delete(lock, false): Unit
+    }
+  }
+
+  private val LockFile = "_LOCK"
+  private val heldLocks = ThreadLocal.withInitial[
+    scala.collection.mutable.Set[String]](() =>
+    scala.collection.mutable.Set.empty[String])
+
+  /** Schema-evolution policy for [[publishVersion]]/[[publishDelta]]
+    * against the CURRENT generation's resolved schema:
+    *  - `additive` (default): existing columns must keep name and type;
+    *    new columns may appear — the drift class every reader here
+    *    already fills with NULL;
+    *  - `enforce`: exact column set (still name/type-checked);
+    *  - `any`: no check (the caller owns compatibility).
+    * Publishing a type change or a dropped column fails NAMING the
+    * column, before any data is written.
+    */
+  private def checkSchemaPolicy(spark: SparkSession, rootDir: String,
+      df: DataFrame, policy: String,
+      partitionCols: Seq[String]): Unit = policy match {
+    case "any" => ()
+    case p @ ("additive" | "enforce") =>
+      val (fs, root) = fsOf(spark, rootDir)
+      for (cur <- readPointer(fs, root, CurrentPointer)) {
+        val old = readVersion(spark, rootDir, Some(cur)).schema
+        val nw = df.schema.map(f => f.name -> f.dataType).toMap
+        for (f <- old) nw.get(f.name) match {
+          case None => throw new IllegalArgumentException(
+            s"Lake: schema policy '$p' — column '${f.name}' exists in " +
+              s"the current generation but not in the publish; dropping " +
+              "columns needs schemaPolicy=\"any\"")
+          // partition columns are presence-checked only: their on-disk
+          // representation is the directory STRING, re-inferred on read
+          // (a long published as bucket=5 reads back int) — their
+          // resolved type is an inference artifact, not a contract
+          case Some(t) if t != f.dataType &&
+              !partitionCols.contains(f.name) =>
+            throw new IllegalArgumentException(
+              s"Lake: schema policy '$p' — column '${f.name}' changes " +
+                s"type ${f.dataType.simpleString} -> ${t.simpleString}; " +
+                "type changes need schemaPolicy=\"any\"")
+          case _ => ()
+        }
+        if (p == "enforce") {
+          val oldNames = old.map(_.name).toSet
+          for (n <- df.schema.map(_.name) if !oldNames.contains(n))
+            throw new IllegalArgumentException(
+              s"Lake: schema policy 'enforce' — new column '$n'; " +
+                "additions need schemaPolicy=\"additive\"")
+        }
+      }
+    case other => throw new IllegalArgumentException(
+      s"Lake: schemaPolicy must be additive|enforce|any, got '$other'")
   }
 
   /** Read one immutable generation: the pointer's (default) or a pinned

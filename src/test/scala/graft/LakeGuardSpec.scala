@@ -1,0 +1,111 @@
+package graft
+
+import graft.sources.Lake
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** Writer-guard and schema-policy contracts: the single-writer contract
+  * is enforced (exclusive `_LOCK`, loud second-writer failure, no TTL
+  * takeover, thread reentrancy), and a publish that changes a column's
+  * type or drops a column fails NAMING the column before any data lands.
+  */
+class LakeGuardSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def corpus(tag: String) =
+    (0 until 10).map(j => (j.toLong, "g0", s"$tag $j")).toDF("id", "k", "text")
+
+  private def tmp() = java.nio.file.Files
+    .createTempDirectory("graft_lakeguard").toString + "/lake"
+
+  private def fsOf(dir: String) = new Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("guarded: exclusive, loud on contention, reentrant, released; a " +
+      "stale lock fails with the remediation text, never auto-expires") {
+    val root = tmp()
+    try {
+      // reentrancy: a guarded body can run guarded lake ops
+      Lake.guarded(spark, root) {
+        Lake.guarded(spark, root) {
+          Lake.publishVersion(corpus("base"), root, Seq("k"), Seq("id"), 1000L)
+        }
+        // a CONCURRENT writer (different thread = no reentrancy) fails
+        val other = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+        val t = new Thread(() =>
+          try Lake.guarded(spark, root) { fail("second writer entered") }
+          catch { case e: Throwable => other.set(e) })
+        t.start(); t.join()
+        assert(other.get().isInstanceOf[IllegalStateException])
+        assert(other.get().getMessage.contains("locked by another writer"))
+      }
+      // released: the lock is gone and a new writer proceeds
+      assert(!fsOf(root).exists(new Path(root, "_LOCK")))
+      Lake.guarded(spark, root) {
+        Lake.rollbackTo(spark, root, 0L)
+      }
+      // a stale lock (crashed writer) fails loudly with remediation —
+      // and is NOT auto-removed
+      val os = fsOf(root).create(new Path(root, "_LOCK"), false)
+      os.write("999999\n".getBytes("UTF-8")); os.close()
+      val e = intercept[IllegalStateException] {
+        Lake.guarded(spark, root) { fail("entered under a stale lock") }
+      }
+      assert(e.getMessage.contains("delete _LOCK by hand"), e.getMessage)
+      assert(fsOf(root).exists(new Path(root, "_LOCK")))
+      fsOf(root).delete(new Path(root, "_LOCK"), false)
+      Lake.guarded(spark, root) { () } // usable again after manual unlock
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root).getParentFile)
+  }
+
+  test("schema policy: additive allows new columns and rejects type " +
+      "changes and drops by name; enforce rejects additions; any skips") {
+    val root = tmp()
+    try {
+      Lake.publishVersion(corpus("base"), root, Seq("k"), Seq("id"), 1000L)
+      // additive: a new column publishes
+      Lake.publishVersion(corpus("v1").withColumn("score", lit(0.5)),
+        root, Seq("k"), Seq("id"), 1000L)
+      // type change fails naming the column (score: double -> string)
+      val e1 = intercept[IllegalArgumentException] {
+        Lake.publishVersion(
+          corpus("v2").withColumn("score", lit("high")),
+          root, Seq("k"), Seq("id"), 1000L)
+      }
+      assert(e1.getMessage.contains("'score'") &&
+        e1.getMessage.contains("changes type"), e1.getMessage)
+      // dropped column fails naming it
+      val e2 = intercept[IllegalArgumentException] {
+        Lake.publishVersion(corpus("v2"), root, Seq("k"), Seq("id"), 1000L)
+      }
+      assert(e2.getMessage.contains("'score'"), e2.getMessage)
+      // enforce rejects an addition
+      val e3 = intercept[IllegalArgumentException] {
+        Lake.publishVersion(
+          corpus("v2").withColumn("score", lit(0.9))
+            .withColumn("extra", lit(1L)),
+          root, Seq("k"), Seq("id"), 1000L, schemaPolicy = "enforce")
+      }
+      assert(e3.getMessage.contains("'extra'"), e3.getMessage)
+      // any: the caller owns compatibility — the drop publishes
+      Lake.publishVersion(corpus("v3"), root, Seq("k"), Seq("id"), 1000L,
+        schemaPolicy = "any")
+      assert(Lake.readVersion(spark, root).columns.toSet ===
+        Set("id", "k", "text"))
+      // a typo'd policy fails loudly
+      intercept[IllegalArgumentException] {
+        Lake.publishVersion(corpus("v4"), root, Seq("k"), Seq("id"), 1000L,
+          schemaPolicy = "strict")
+      }
+      // the delta path carries the same policy
+      val e4 = intercept[IllegalArgumentException] {
+        Lake.publishDelta(
+          corpus("d").withColumn("text", lit(1L)),
+          root, Seq("k"), Seq("id"), 1000L)
+      }
+      assert(e4.getMessage.contains("'text'"), e4.getMessage)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root).getParentFile)
+  }
+}
