@@ -525,14 +525,50 @@ object Lake {
     // partition predicate from literals — the literal is cast to the
     // column's NATIVE type (never the column to string), so the filter
     // stays the pure `attr = literal` shape static partition pruning
-    // needs, for string and non-string partition columns alike
+    // needs, for string and non-string partition columns alike. The
+    // single-column case (the common layout) uses isin: it plans as
+    // In/InSet — still statically prunable, and O(1)-lookup at high
+    // touched counts instead of an OR tree that grows the predicate
+    // per partition; multi-column layouts keep the OR of conjunctions
+    // (partitions are coarse — the tuple count stays small)
     val baseSchema = baseAll.schema
-    val pred = touched.map { vals =>
+    def parseNative(s: String,
+        dt: org.apache.spark.sql.types.DataType): Option[Any] = {
+      import org.apache.spark.sql.types._
+      try dt match {
+        case StringType => Some(s)
+        case LongType => Some(s.toLong)
+        case IntegerType => Some(s.toInt)
+        case ShortType => Some(s.toShort)
+        case ByteType => Some(s.toByte)
+        case DoubleType => Some(s.toDouble)
+        case FloatType => Some(s.toFloat)
+        case BooleanType => Some(s.toBoolean)
+        case DateType => Some(java.sql.Date.valueOf(s))
+        case TimestampType => Some(java.sql.Timestamp.valueOf(s))
+        case _: DecimalType => Some(new java.math.BigDecimal(s))
+        case _ => None
+      } catch { case _: IllegalArgumentException => None }
+    }
+    lazy val orPred = touched.map { vals =>
       partitionCols.zip(vals).map { case (c, v) =>
         v.map(s => col(c) === lit(s).cast(baseSchema(c).dataType))
           .getOrElse(col(c).isNull)
       }.reduce(_ && _)
     }.reduceOption(_ || _).getOrElse(lit(false))
+    val pred = partitionCols match {
+      case Seq(c) if touched.nonEmpty =>
+        val (nulls, vals) = touched.map(_.head).partition(_.isEmpty)
+        val native = vals.flatten.map(parseNative(_, baseSchema(c).dataType))
+        if (native.exists(_.isEmpty)) orPred // unparseable type: OR form
+        else {
+          val inSet =
+            if (native.isEmpty) lit(false)
+            else col(c).isin(native.flatten: _*)
+          if (nulls.nonEmpty) inSet || col(c).isNull else inSet
+        }
+      case _ => orPred
+    }
     // survivors: touched partitions minus every changed key; upserts
     // bring the replacement rows (and any brand-new keys/partitions)
     val survivors = baseAll.filter(pred)
