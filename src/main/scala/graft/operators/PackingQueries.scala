@@ -65,6 +65,24 @@ object PackingQueries extends QueryRegistry {
         .groupBy("lang", "split")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
           min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+    },
+    // [EXT] deterministic mixture resampling (the data-mixing step): de
+    // halved, en quartered, zh upweighted to 2.5 EPOCHS (two full
+    // copies + a deterministic half), fr/es untouched — all from one
+    // pure map + explode. The rates are chosen with exact binary
+    // fractions so both engines' floor/remainder arithmetic agrees
+    // bit-for-bit; max_copy pins that upsampling really emitted
+    // repetition indices, not just weights.
+    "train_mixture" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      Split.mixture(
+        docs(s, dir).select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok")),
+        "lang", Map("de" -> 0.5, "en" -> 0.25, "zh" -> 2.5), col("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("doc_id").as("n_docs"),
+          sum("n_tok").as("n_tokens"), max("mix_copy").as("max_copy"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -100,6 +118,23 @@ object PackingQueries extends QueryRegistry {
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM a GROUP BY 1, 2""".stripMargin,
+    "train_mixture" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  (('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |     % 1000000) / 1000000.0 AS b FROM documents),
+        |r AS (SELECT *, CASE lang WHEN 'de' THEN 0.5 WHEN 'en' THEN 0.25
+        |                 WHEN 'zh' THEN 2.5 ELSE 1.0 END AS rate FROM d),
+        |c AS (SELECT *, CAST(floor(rate) AS BIGINT)
+        |  + CASE WHEN b < rate - floor(rate) THEN 1 ELSE 0 END AS copies
+        |  FROM r),
+        |e AS (SELECT doc_id, lang, n_tok,
+        |  unnest(generate_series(0, copies - 1)) AS mix_copy
+        |  FROM c WHERE copies > 0)
+        |SELECT lang, count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  max(mix_copy) AS max_copy
+        |FROM e GROUP BY 1""".stripMargin,
     "text_pack" ->
       """WITH d AS (SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),

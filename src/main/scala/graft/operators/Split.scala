@@ -83,4 +83,40 @@ object Split {
   def byGroup(df: DataFrame, groupCol: String, pctTrain: Int, pctVal: Int,
       salt: String = "split"): DataFrame =
     threshold(df, col(groupCol), pctTrain, pctVal, salt)
+
+  /** Deterministic mixture resampling — re-weight strata (domains,
+    * languages, sources) to target rates, the data-mixing step every
+    * LLM pretraining pipeline runs after curation. `rates` maps a
+    * stratum to its sampling rate: `0.25` keeps a deterministic quarter
+    * of the stratum; `2.5` emits every row twice plus a deterministic
+    * half again (fractional EPOCHS — upweighting without materializing
+    * copies upstream). Rows of unlisted strata pass at `defaultRate`.
+    * Output rows carry `mix_copy` (0-based repetition index, for
+    * downstream shuffling/packing to decorrelate the copies).
+    *
+    * Pure map + explode — no shuffle, no state: the decision for a row
+    * is a function of (salt, key, stratum rate), so the same corpus and
+    * rates reproduce the same mixture on any cluster, and growing the
+    * corpus never flips earlier keep/drop decisions (stable mixtures
+    * across incremental re-curations).
+    */
+  def mixture(df: DataFrame, strataCol: String, rates: Map[String, Double],
+      key: Column, defaultRate: Double = 1.0,
+      salt: String = "mix"): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0),
+      "sampling rates must be non-negative")
+    val rate = coalesce(
+      element_at(typedLit(rates), col(strataCol)), lit(defaultRate))
+    // copies = floor(rate) + one more iff the row's hash bucket falls
+    // under the fractional remainder — exact in expectation per stratum,
+    // deterministic per row
+    val b = pmod(hashKey(salt, key), lit(1000000L)).cast("double") / 1000000.0
+    val copies = floor(rate).cast("long") +
+      when(b < (rate - floor(rate)), 1L).otherwise(0L)
+    df.withColumn("_graft_copies", copies)
+      .filter(col("_graft_copies") > 0)
+      .withColumn("mix_copy",
+        explode(sequence(lit(0L), col("_graft_copies") - 1)))
+      .drop("_graft_copies")
+  }
 }

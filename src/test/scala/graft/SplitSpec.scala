@@ -75,4 +75,39 @@ class SplitSpec extends SparkSuite {
       Split.stratified(df, Seq("lang"), col("id"), 0.9, 0.2)
     }
   }
+
+  test("mixture: downsampling tracks the rate, upsampling emits " +
+      "fractional epochs with copy indices, unlisted strata pass; " +
+      "pure map (no Exchange)") {
+    val df = corpus(3000)
+    val out = Split.mixture(df, "lang",
+      Map("l0" -> 0.5, "l1" -> 2.5), col("id"))
+    val by = out.groupBy("lang")
+      .agg(count(lit(1)).as("n"), max("mix_copy").as("mc"),
+        countDistinct("id").as("d"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val per = 1000L // rows per lang in corpus(3000)
+    // l0 halved (hash-exact in expectation: within ±10%)
+    assert(math.abs(by("l0")._1 - per / 2) < per / 10, by("l0").toString)
+    assert(by("l0")._2 === 0L)
+    // l1 at 2.5 epochs: every doc kept (distinct = per), 2 or 3 copies
+    assert(by("l1")._3 === per)
+    assert(by("l1")._2 === 2L)
+    assert(math.abs(by("l1")._1 - (per * 5) / 2) < per / 4, by("l1").toString)
+    // l2 unlisted: every row exactly once
+    assert(by("l2") === ((per, 0L, per)))
+    // determinism + stability: same call, same rows; rate 0 empties
+    assert(Split.mixture(df, "lang", Map("l0" -> 0.5, "l1" -> 2.5),
+      col("id")).groupBy("lang").count().collect().toSet ===
+      out.groupBy("lang").count().collect().toSet)
+    assert(Split.mixture(df, "lang", Map("l2" -> 0.0), col("id"))
+      .filter(col("lang") === "l2").count() === 0L)
+    val plan = Split.mixture(df, "lang", Map("l0" -> 0.5), col("id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(400))
+    intercept[IllegalArgumentException] {
+      Split.mixture(df, "lang", Map("l0" -> -0.1), col("id"))
+    }
+  }
 }
