@@ -52,10 +52,17 @@ object ZOrder {
     * bucketed to `bits` bits (boundaries from one approxQuantile pass at
     * `relErr`), bits interleaved. Sort the write by `_graft_z` (the lake
     * writer does this and drops the column — see
-    * `Lake.publishVersion(zOrderCols=...)`). Columns must be castable to
-    * double (numeric/date/timestamp); for strings, bucket a numeric
-    * surrogate first (e.g. `Split.hashKey` for uniform spread, or a
-    * dictionary rank when range locality matters).
+    * `Lake.publishVersion(zOrderCols=...)`). Numeric, timestamp, and
+    * date columns bucket directly (dates go through an intermediate
+    * timestamp cast — Spark has no direct date→double cast); for
+    * strings, bucket a numeric surrogate first (e.g. `Split.hashKey`
+    * for uniform spread, or a dictionary rank when range locality
+    * matters).
+    *
+    * The input is MATERIALIZED (the house multi-consumer rule): the
+    * boundaries pass and the caller's write both consume it, and pure
+    * lineage would run the producing pipeline twice — at publish scale,
+    * twice the corpus compute.
     */
   def withZ(df: DataFrame, cols: Seq[String], bits: Int = 6,
       relErr: Double = 0.01): DataFrame = {
@@ -63,17 +70,23 @@ object ZOrder {
       "z-ordering one column is a plain sort — pass it as a sort column")
     require(bits >= 1 && bits * cols.size <= 62,
       s"bits=$bits over ${cols.size} columns must fit a long")
+    val m = graft.Materialize(df)
+    def numeric(c: String): org.apache.spark.sql.Column =
+      m.schema(c).dataType match {
+        case org.apache.spark.sql.types.DateType =>
+          col(c).cast("timestamp").cast("double")
+        case _ => col(c).cast("double")
+      }
     val nb = (1 << bits) - 1
     // one pass computes every column's boundary set; boundaries are
     // deduplicated so constant/low-cardinality columns degrade to fewer
     // (even zero) boundaries instead of a degenerate all-equal fold
     val probs = (1 to nb).map(_.toDouble / (nb + 1)).toArray
-    val num = cols.map(c => col(c).cast("double").as(c))
-    val bounds = df.select(num: _*).na.fill(0.0)
+    val bounds = m.select(cols.map(c => numeric(c).as(c)): _*).na.fill(0.0)
       .stat.approxQuantile(cols.toArray, probs, relErr)
     val buckets = cols.zip(bounds).map { case (c, bs) =>
-      bucket(col(c), bs.toSeq.distinct.sorted)
+      bucket(numeric(c), bs.toSeq.distinct.sorted)
     }
-    df.withColumn("_graft_z", interleave(buckets, bits))
+    m.withColumn("_graft_z", interleave(buckets, bits))
   }
 }

@@ -315,7 +315,7 @@ object Lake {
     val spark = df.sparkSession
     val (fs, root) = fsOf(spark, rootDir)
     recoverPointers(fs, root)
-    checkSchemaPolicy(spark, rootDir, df, schemaPolicy, partitionCols)
+    checkSchemaPolicy(spark, rootDir, df, schemaPolicy, partitionCols): Unit
     val high = highWater(fs, root)
     // a generation above the high-water is a crashed publish that never
     // committed — its files were never readable (pinned reads are capped
@@ -330,6 +330,9 @@ object Lake {
     // per-partition accounting calls manifest(s"$root/v=$next") after
     writeLayout(df, s"$rootDir/v=$next", partitionCols, sortCols,
       maxRecordsPerFile, zOrderCols, bloomFilterCols)
+    // a full generation's resolved schema is exactly its input's
+    writeSchemaFile(fs,
+      new org.apache.hadoop.fs.Path(root, s"v=$next"), df.schema)
     // the caller's provenance marker (e.g. [[publishStream]]'s batch id)
     // lands INSIDE the generation before the high-water flip, so a
     // generation counted published always carries it — the replay-dedup
@@ -379,7 +382,8 @@ object Lake {
       maxRecordsPerFile: Long, keep: Int = 3,
       genMarker: Option[Long] = None,
       replaced: Set[String] = Set.empty,
-      schemaPolicy: String = "additive"): Long = {
+      schemaPolicy: String = "additive",
+      baseMapHint: Option[(Long, Map[String, Long])] = None): Long = {
     require(keep >= 1, "keep must retain at least the current generation")
     require(partitionCols.nonEmpty,
       "publishDelta's replacement unit is the partition dir — " +
@@ -387,7 +391,8 @@ object Lake {
     val spark = df.sparkSession
     val (fs, root) = fsOf(spark, rootDir)
     recoverPointers(fs, root)
-    checkSchemaPolicy(spark, rootDir, df, schemaPolicy, partitionCols)
+    val oldSchema =
+      checkSchemaPolicy(spark, rootDir, df, schemaPolicy, partitionCols)
     val high = highWater(fs, root)
     val cur = readPointer(fs, root, CurrentPointer).getOrElse(
       throw new IllegalStateException(
@@ -404,10 +409,29 @@ object Lake {
     // the base's resolved partition map: its own physical leaves plus
     // what it already inherited — minus what this delta rewrites
     val curPath = new org.apache.hadoop.fs.Path(root, s"v=$cur")
-    val baseMap = graft.GenSwap.leaves(fs, curPath)
-      .collect { case (rel, true) => rel -> cur }.toMap ++
-      readRefs(fs, curPath)
+    // the caller (mergeDelta) may have just walked the same generation
+    // to plan its replacements — reuse that listing instead of a second
+    // recursive walk, but only if it names THIS base version (defensive
+    // under the single-writer contract, free to check)
+    val baseMap = baseMapHint match {
+      case Some((v, m)) if v == cur => m
+      case _ => graft.GenSwap.leaves(fs, curPath)
+        .collect { case (rel, true) => rel -> cur }.toMap ++
+        readRefs(fs, curPath)
+    }
     writeRefs(fs, nextPath, baseMap -- changed -- replaced)
+    // the delta's RESOLVED schema = its own columns plus what it still
+    // inherits (the policy check proved compatibility); recordable only
+    // when the old schema was consulted — under policy "any" the
+    // resolution is the reader's business and later checks fall back to
+    // readVersion
+    for (old <- oldSchema) {
+      val ownNames = df.schema.fieldNames.toSet
+      writeSchemaFile(fs, nextPath,
+        org.apache.spark.sql.types.StructType(
+          df.schema.fields ++ old.fields.filterNot(f =>
+            ownNames.contains(f.name))))
+    }
     // provenance marker before the high-water flip — see publishVersion
     for (m <- genMarker) {
       val os = fs.create(
@@ -467,7 +491,8 @@ object Lake {
       maxRecordsPerFile: Long, keep: Int = 3,
       opCol: String = "op", seqCol: Option[String] = None,
       probeMovers: Boolean = false,
-      genMarker: Option[Long] = None): Long = {
+      genMarker: Option[Long] = None,
+      fillMissing: Boolean = false): Long = {
     require(pkCols.nonEmpty, "mergeDelta needs the changelog's key columns")
     require(partitionCols.nonEmpty,
       "mergeDelta's replacement unit is the partition dir — " +
@@ -483,6 +508,16 @@ object Lake {
     // set feeds three consumers (touched-partition collect, anti-join,
     // upsert rows) and must not recompute per consumer
     val keyed = pkCols.map(col)
+    // ANY changelog row with an op outside the vocabulary must fail the
+    // job loudly, not silently upsert — and the check runs BEFORE
+    // netting, so a malformed superseded row (evidence of a broken CDC
+    // producer) cannot be silently discarded by the latest-wins fold.
+    // raise_error stays codegen'd
+    val checked = changes.withColumn(opCol,
+      when(col(opCol).isin("upsert", "delete"), col(opCol))
+        .otherwise(raise_error(concat(
+          lit(s"Lake.mergeDelta: $opCol must be upsert|delete, got: "),
+          coalesce(col(opCol), lit("NULL"))))))
     val netted = seqCol match {
       case Some(sc) =>
         // latest-per-key via rank-limit window — the WindowToTopK rule
@@ -490,18 +525,15 @@ object Lake {
         // large changelog never buffers whole key groups
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(keyed: _*).orderBy(col(sc).desc)
-        changes.withColumn("_graft_rn",
+        checked.withColumn("_graft_rn",
             org.apache.spark.sql.functions.row_number().over(w))
           .filter(col("_graft_rn") === 1).drop("_graft_rn", sc)
-      case None => changes
+      case None => checked
     }
-    // a changelog row with an op outside the vocabulary must fail the
-    // job loudly, not silently upsert — raise_error stays codegen'd
-    val net = graft.Materialize(netted.withColumn(opCol,
-      when(col(opCol).isin("upsert", "delete"), col(opCol))
-        .otherwise(raise_error(concat(
-          lit(s"Lake.mergeDelta: $opCol must be upsert|delete, got: "),
-          coalesce(col(opCol), lit("NULL")))))))
+    // materialize the netted set: it feeds three consumers (touched-
+    // partition collect, anti-join, upsert rows) and must not recompute
+    // per consumer
+    val net = graft.Materialize(netted)
     // the touched partition set: bounded by the changelog's distinct
     // partition values (partitions are coarse — lang, date — so this
     // driver-side list is small at any corpus scale)
@@ -569,6 +601,26 @@ object Lake {
         }
       case _ => orPred
     }
+    // an upsert REPLACES the whole row, so the changelog must carry
+    // every base column — a projected changelog (a binlog missing a
+    // column the base has) would otherwise silently NULL that column on
+    // every merged key, and the schema policy could not catch it
+    // (survivors still carry the column). Loud by default; NULL-fill is
+    // an explicit opt-in.
+    if (!fillMissing) {
+      val carried = net.columns.toSet -- Set(opCol)
+      val missing = baseSchema.map(_.name).filterNot(carried.contains)
+      // deletes don't write payloads — only complain when an upsert
+      // would actually null the column (cheap limit-1 probe on the
+      // already-materialized net)
+      if (missing.nonEmpty && !net.filter(col(opCol) === "upsert").isEmpty)
+        throw new IllegalArgumentException(
+          s"Lake.mergeDelta: changelog lacks base column(s) " +
+            s"${missing.mkString("'", "', '", "'")} — an upsert replaces " +
+            "the WHOLE row, so merging would silently null them on every " +
+            "changed key; project them into the changelog, or pass " +
+            "fillMissing=true to null-fill deliberately")
+    }
     // survivors: touched partitions minus every changed key; upserts
     // bring the replacement rows (and any brand-new keys/partitions)
     val survivors = baseAll.filter(pred)
@@ -586,7 +638,8 @@ object Lake {
     val replaced = baseMap.keySet.filter(rel =>
       relPartitionValues(rel, partitionCols).exists(touchedSet.contains))
     publishDelta(merged, rootDir, partitionCols, sortCols,
-      maxRecordsPerFile, keep, genMarker, replaced)
+      maxRecordsPerFile, keep, genMarker, replaced,
+      baseMapHint = Some(cur -> baseMap))
   }
 
   /** Parse a partition dir's relative path (`a=1/b=2`) into the declared
@@ -607,11 +660,18 @@ object Lake {
 
   /** Enforce the single-writer contract instead of only documenting it:
     * `guarded(spark, root) { body }` holds an exclusive `_LOCK` file for
-    * the body (created with create-no-overwrite — atomic on HDFS and
-    * local FS alike) and releases it after. A second writer fails LOUDLY
-    * instead of corrupting a concurrent publish; the accident class this
-    * exists for is a human maintenance pass (compact, manual publish)
-    * colliding with a live streaming publisher — wrap both.
+    * the body and releases it after. Acquisition is atomic per scheme:
+    * on `file:` the lock is taken with NIO `Files.createFile` (O_EXCL —
+    * Hadoop's RawLocalFileSystem `create(overwrite=false)` is an
+    * exists-then-open TOCTOU, not a mutex); on HDFS,
+    * `create(overwrite=false)` is atomic at the NameNode. Object stores
+    * without atomic create (plain S3) cannot host this lock — use a
+    * real lock service there; the guard is still a correct mutex on the
+    * HDFS-semantics stores (HDFS, ABFS, GCS preconditions). A second
+    * writer fails LOUDLY instead of corrupting a concurrent publish;
+    * the accident class this exists for is a human maintenance pass
+    * (compact, manual publish) colliding with a live streaming
+    * publisher — wrap both.
     *
     * Deliberately NO TTL auto-takeover: a lock left by a crashed writer
     * must be removed by an operator who confirmed the writer is dead
@@ -625,19 +685,30 @@ object Lake {
     val key = fs.makeQualified(root).toString
     if (heldLocks.get().contains(key)) return body // reentrant
     val lock = new org.apache.hadoop.fs.Path(root, LockFile)
-    val os =
-      try fs.create(lock, /* overwrite = */ false)
+    def contended(e: Exception) = new IllegalStateException(
+      s"Lake: $rootDir is locked by another writer ($LockFile " +
+        "exists). If that writer crashed, confirm it is dead and " +
+        s"delete $LockFile by hand — the guard never auto-expires " +
+        "a lock (split-brain risk).", e)
+    val owner = s"${java.lang.ProcessHandle.current().pid()}\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val qualified = fs.makeQualified(lock).toUri
+    if (qualified.getScheme == "file") {
+      // local FS: NIO createFile is O_EXCL-atomic; Hadoop's
+      // RawLocalFileSystem create(overwrite=false) is exists-then-open
+      try java.nio.file.Files.write(
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(qualified.getPath)), owner): Unit
       catch {
-        case e: java.io.IOException => throw new IllegalStateException(
-          s"Lake: $rootDir is locked by another writer ($LockFile " +
-            "exists). If that writer crashed, confirm it is dead and " +
-            s"delete $LockFile by hand — the guard never auto-expires " +
-            "a lock (split-brain risk).", e)
+        case e: java.nio.file.FileAlreadyExistsException =>
+          throw contended(e)
       }
-    try {
-      os.write(s"${java.lang.ProcessHandle.current().pid()}\n"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } finally os.close()
+    } else {
+      val os =
+        try fs.create(lock, /* overwrite = */ false)
+        catch { case e: java.io.IOException => throw contended(e) }
+      try os.write(owner) finally os.close()
+    }
     heldLocks.get().add(key)
     try body
     finally {
@@ -659,16 +730,25 @@ object Lake {
     *  - `enforce`: exact column set (still name/type-checked);
     *  - `any`: no check (the caller owns compatibility).
     * Publishing a type change or a dropped column fails NAMING the
-    * column, before any data is written.
+    * column, before any data is written. Returns the current resolved
+    * schema when one was consulted (the publisher records the next
+    * generation's `_SCHEMA` from it). The old schema comes from the
+    * current generation's `_SCHEMA` file when present — one small read,
+    * not a per-publish footer/partition resolution, which matters on
+    * the streaming merge path where this runs per micro-batch —
+    * falling back to readVersion resolution for pre-`_SCHEMA`
+    * generations.
     */
   private def checkSchemaPolicy(spark: SparkSession, rootDir: String,
-      df: DataFrame, policy: String,
-      partitionCols: Seq[String]): Unit = policy match {
-    case "any" => ()
+      df: DataFrame, policy: String, partitionCols: Seq[String])
+      : Option[org.apache.spark.sql.types.StructType] = policy match {
+    case "any" => None
     case p @ ("additive" | "enforce") =>
       val (fs, root) = fsOf(spark, rootDir)
-      for (cur <- readPointer(fs, root, CurrentPointer)) {
-        val old = readVersion(spark, rootDir, Some(cur)).schema
+      readPointer(fs, root, CurrentPointer).map { cur =>
+        val old = readSchemaFile(fs,
+            new org.apache.hadoop.fs.Path(root, s"v=$cur"))
+          .getOrElse(readVersion(spark, rootDir, Some(cur)).schema)
         val nw = df.schema.map(f => f.name -> f.dataType).toMap
         for (f <- old) nw.get(f.name) match {
           case None => throw new IllegalArgumentException(
@@ -694,10 +774,38 @@ object Lake {
               s"Lake: schema policy 'enforce' — new column '$n'; " +
                 "additions need schemaPolicy=\"additive\"")
         }
+        old
       }
     case other => throw new IllegalArgumentException(
       s"Lake: schemaPolicy must be additive|enforce|any, got '$other'")
   }
+
+  private val SchemaFile = "_SCHEMA"
+
+  /** Record a generation's RESOLVED schema (json) inside it — written
+    * before the high-water flip, so a published generation always
+    * carries it; crashed orphans' copies die with them.
+    */
+  private def writeSchemaFile(fs: org.apache.hadoop.fs.FileSystem,
+      genPath: org.apache.hadoop.fs.Path,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val os = fs.create(
+      new org.apache.hadoop.fs.Path(genPath, SchemaFile), true)
+    try os.write(schema.json
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+  }
+
+  private def readSchemaFile(fs: org.apache.hadoop.fs.FileSystem,
+      genPath: org.apache.hadoop.fs.Path)
+      : Option[org.apache.spark.sql.types.StructType] =
+    try {
+      val in = fs.open(new org.apache.hadoop.fs.Path(genPath, SchemaFile))
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(s)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    } catch { case _: java.io.FileNotFoundException => None }
 
   /** Read one immutable generation: the pointer's (default) or a pinned
     * `version` (time travel — reproduce exactly what a past training run

@@ -210,25 +210,16 @@ class LakeMergeSpec extends SparkSuite {
         Seq("k"), Seq("id"), 1000000L)
       val g1Bytes = files(s"$root/v=0/k=g1").keys.map(p =>
         fsOf(root).getFileStatus(new Path(p)).getLen).sum
-      val read = new java.util.concurrent.atomic.AtomicLong()
-      val l = new org.apache.spark.scheduler.SparkListener {
-        override def onStageCompleted(
-            s: org.apache.spark.scheduler.SparkListenerStageCompleted)
-            : Unit =
-          read.addAndGet(s.stageInfo.taskMetrics.inputMetrics.bytesRead): Unit
-      }
-      spark.sparkContext.addSparkListener(l)
-      try {
+      val read = bytesReadDuring {
         val ch = Seq(("g0-0", "g0", "edit", "upsert"))
           .toDF("id", "k", "text", "op")
         Lake.mergeDelta(ch, root, Seq("id"), Seq("k"), Seq("id"), 1000000L)
-        Thread.sleep(500) // listener bus is async — let stage events drain
-        // the merge touched g0 only: its scans must not have read the
-        // heavy partition (half its bytes is already far more than every
-        // g0 file + changelog + metadata read together)
-        assert(read.get() < g1Bytes / 2,
-          s"merge read ${read.get()} bytes; untouched g1 holds $g1Bytes")
-      } finally spark.sparkContext.removeSparkListener(l)
+      }
+      // the merge touched g0 only: its scans must not have read the
+      // heavy partition (half its bytes is already far more than every
+      // g0 file + changelog + metadata read together)
+      assert(read < g1Bytes / 2,
+        s"merge read $read bytes; untouched g1 holds $g1Bytes")
       assert(readAll(root).count(_._2 == "g1") === 20000)
       assert(readAll(root).contains(("g0-0", "g0", "edit")))
     } finally org.apache.commons.io.FileUtils.deleteDirectory(
@@ -247,26 +238,49 @@ class LakeMergeSpec extends SparkSuite {
         root, Seq("bucket"), Seq("id"), 1000000L)
       val b1Bytes = files(s"$root/v=0/bucket=1").keys.map(p =>
         fsOf(root).getFileStatus(new Path(p)).getLen).sum
-      val read = new java.util.concurrent.atomic.AtomicLong()
-      val l = new org.apache.spark.scheduler.SparkListener {
-        override def onStageCompleted(
-            s: org.apache.spark.scheduler.SparkListenerStageCompleted)
-            : Unit =
-          read.addAndGet(s.stageInfo.taskMetrics.inputMetrics.bytesRead): Unit
-      }
-      spark.sparkContext.addSparkListener(l)
-      try {
+      val read = bytesReadDuring {
         Lake.mergeDelta(
           Seq(("a-0", 0L, "edit", "upsert")).toDF("id", "bucket", "text", "op"),
           root, Seq("id"), Seq("bucket"), Seq("id"), 1000000L)
-        Thread.sleep(500)
-        assert(read.get() < b1Bytes / 2,
-          s"merge read ${read.get()} bytes; untouched bucket=1 holds $b1Bytes")
-      } finally spark.sparkContext.removeSparkListener(l)
+      }
+      assert(read < b1Bytes / 2,
+        s"merge read $read bytes; untouched bucket=1 holds $b1Bytes")
       val out = Lake.readVersion(spark, root)
       assert(out.filter(col("bucket") === 0L && col("id") === "a-0")
         .select("text").collect().map(_.getString(0)).toSeq === Seq("edit"))
       assert(out.count() === 20010L)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root).getParentFile)
+  }
+
+  test("a changelog missing a base column fails loudly (an upsert " +
+      "replaces the WHOLE row); fillMissing opts into null-fill; " +
+      "delete-only changelogs are exempt") {
+    val root = tmp()
+    try {
+      Lake.publishVersion(
+        corpus("base", Seq("g0"), rows = 2).withColumn("score", lit(0.5)),
+        root, Seq("k"), Seq("id"), 1000L)
+      // upsert lacking `score` would silently null it — loud by default
+      val ch = Seq(("g0-0", "g0", "edit", "upsert"))
+        .toDF("id", "k", "text", "op")
+      val e = intercept[IllegalArgumentException] {
+        Lake.mergeDelta(ch, root, Seq("id"), Seq("k"), Seq("id"), 1000L)
+      }
+      assert(e.getMessage.contains("'score'"), e.getMessage)
+      // a delete-only changelog writes no payload: exempt
+      Lake.mergeDelta(
+        Seq(("g0-1", "g0", "x", "delete")).toDF("id", "k", "text", "op"),
+        root, Seq("id"), Seq("k"), Seq("id"), 1000L)
+      assert(readAll(root) === Set(("g0-0", "g0", "base g0 0")))
+      // explicit opt-in null-fills
+      Lake.mergeDelta(ch, root, Seq("id"), Seq("k"), Seq("id"), 1000L,
+        fillMissing = true)
+      val out = Lake.readVersion(spark, root)
+        .select("id", "text", "score").collect()
+        .map(r => (r.getString(0), r.getString(1),
+          Option(r.get(2)))).toSet
+      assert(out === Set(("g0-0", "edit", None)))
     } finally org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(root).getParentFile)
   }

@@ -13,4 +13,22 @@ trait SparkSuite extends AnyFunSuite {
     .getOrCreate()
 
   val sf0001 = "/root/testdata/sf0.001"
+
+  /** Sum of stage input bytes (taskMetrics) while `body` runs — the
+    * shared harness of the layout/pruning measurement specs. The
+    * listener bus is async; the fixed drain sleep is the one flake
+    * point, kept in ONE place.
+    */
+  def bytesReadDuring(body: => Unit): Long = {
+    val read = new java.util.concurrent.atomic.AtomicLong()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        read.addAndGet(s.stageInfo.taskMetrics.inputMetrics.bytesRead): Unit
+    }
+    spark.sparkContext.addSparkListener(l)
+    try { body; Thread.sleep(500) }
+    finally spark.sparkContext.removeSparkListener(l)
+    read.get()
+  }
 }

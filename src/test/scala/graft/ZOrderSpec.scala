@@ -60,25 +60,11 @@ class ZOrderSpec extends SparkSuite {
       assert(zed.agg(count(lit(1)), sum("id"), sum("y")).collect().toSeq ===
         plain.agg(count(lit(1)), sum("id"), sum("y")).collect().toSeq)
 
-      val read = new java.util.concurrent.atomic.AtomicLong()
-      val l = new org.apache.spark.scheduler.SparkListener {
-        override def onStageCompleted(
-            s: org.apache.spark.scheduler.SparkListenerStageCompleted)
-            : Unit =
-          read.addAndGet(s.stageInfo.taskMetrics.inputMetrics.bytesRead): Unit
-      }
-      def bytesFor(df: DataFrame): Long = {
-        read.set(0L)
-        spark.sparkContext.addSparkListener(l)
-        // the aggregate touches the HEAVY payload column, so bytes read
-        // measure what skipping saves at scale: groups failing the
-        // pushed y-filter never decode their text chunks
-        try {
-          df.filter(col("y") < 10L).agg(sum(length(col("text")))).collect()
-          Thread.sleep(500)
-        }
-        finally spark.sparkContext.removeSparkListener(l)
-        read.get()
+      // the aggregate touches the HEAVY payload column, so bytes read
+      // measure what skipping saves at scale: groups failing the
+      // pushed y-filter never decode their text chunks
+      def bytesFor(df: DataFrame): Long = bytesReadDuring {
+        df.filter(col("y") < 10L).agg(sum(length(col("text")))).collect(): Unit
       }
       // same 1% filter on y: the x-sorted layout has y uniform in every
       // row group (reads ~everything); the z layout confines y ranges
