@@ -110,4 +110,34 @@ class SplitSpec extends SparkSuite {
       Split.mixture(df, "lang", Map("l0" -> -0.1), col("id"))
     }
   }
+
+  test("threshold and mixture are stateless projections: they run on a " +
+      "STREAMING frame and agree with the batch assignment") {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_splitstream").toString
+    try {
+      val d = corpus(300)
+      d.coalesce(1).write.mode("overwrite").parquet(s"$work/src")
+      val stream = spark.readStream.schema(d.schema).parquet(s"$work/src")
+      val out = Split.mixture(
+        Split.threshold(stream, col("id"), 80, 10),
+        "lang", Map("l1" -> 2.0), col("id"))
+      val q = out.writeStream.format("memory").queryName("split_stream")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val streamed = spark.table("split_stream")
+        .select("id", "split", "mix_copy").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val batch = Split.mixture(
+        Split.threshold(d, col("id"), 80, 10),
+        "lang", Map("l1" -> 2.0), col("id"))
+        .select("id", "split", "mix_copy").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(work))
+  }
 }
