@@ -108,4 +108,29 @@ class LakeGuardSpec extends SparkSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(root).getParentFile)
   }
+
+  test("policy checks fall back to readVersion resolution for a " +
+      "generation without a _SCHEMA file (pre-upgrade lakes)") {
+    val root = tmp()
+    try {
+      Lake.publishVersion(
+        corpus("base").withColumn("score", lit(0.5)),
+        root, Seq("k"), Seq("id"), 1000L)
+      // simulate a generation published before _SCHEMA existed
+      val fs = fsOf(root)
+      assert(fs.delete(new Path(root, "v=0/_SCHEMA"), false))
+      // the fallback still catches the type change by name
+      val e = intercept[IllegalArgumentException] {
+        Lake.publishVersion(
+          corpus("v1").withColumn("score", lit("high")),
+          root, Seq("k"), Seq("id"), 1000L)
+      }
+      assert(e.getMessage.contains("'score'"), e.getMessage)
+      // and a compatible publish proceeds, re-establishing _SCHEMA
+      Lake.publishVersion(corpus("v1").withColumn("score", lit(0.7)),
+        root, Seq("k"), Seq("id"), 1000L)
+      assert(fs.exists(new Path(root, "v=1/_SCHEMA")))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root).getParentFile)
+  }
 }
