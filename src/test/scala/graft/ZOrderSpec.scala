@@ -26,6 +26,27 @@ class ZOrderSpec extends SparkSuite {
     assert(z === (1L | (1L << 1) | (1L << 2)))
   }
 
+  test("date columns bucket through the timestamp cast (date->double " +
+      "is not a legal Spark cast) and order by calendar position") {
+    val df = spark.range(300).select(
+      col("id"),
+      date_add(lit(java.sql.Date.valueOf("2026-01-01")),
+        (col("id") % 300).cast("int")).as("d"),
+      (col("id") % 7L).as("x"))
+    val z = ZOrder.withZ(df, Seq("d", "x"), bits = 4)
+    // the z-value exists, is non-constant, and the date dimension's
+    // bucket grows with the calendar (spot-check the extremes)
+    val zs = z.select(col("d"), col("_graft_z")).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(zs.values.toSet.size > 1)
+    val early = zs("2026-01-01")
+    val late = zs(df.agg(max("d")).head().getDate(0).toString)
+    // mask out x's interleaved bits (x bits sit at odd positions)
+    def dBits(v: Long) = (0 until 4).map(i => (v >> (2 * i)) & 1L)
+      .zipWithIndex.map { case (b, i) => b << i }.sum
+    assert(dBits(early) < dBits(late), s"$early vs $late")
+  }
+
   test("a z-published generation is content-identical, carries no " +
       "layout column, and skips row groups on the second dimension") {
     val work = java.nio.file.Files
