@@ -345,7 +345,8 @@ object ScaleSmoke {
     // Bench's); no args = the full target set
     val all = Targets ++ DimsTargets ++
       Seq("sim_recall@scaledC", "sim_recall@probes", "cdc_evolving@state",
-        "lake_compact@touched", "lake_versions@pub", "lake_merge@touched")
+        "lake_compact@touched", "lake_versions@pub", "lake_merge@touched",
+        "lake_cdf@touched")
     val targets =
       if (args.isEmpty) all
       else all.filter(t => args.exists(t.contains))
@@ -770,10 +771,74 @@ object ScaleSmoke {
           .deleteDirectory(new java.io.File(root))
       }
     }
+    // change-data-feed row: after a one-partition merge, tailing the feed
+    // (changesBetween — reads only the partitions whose physical owner
+    // differs) must track the TOUCHED partition while the full snapshot
+    // diff (diffVersions — reads both whole generations) grows with the
+    // corpus; both must emit the identical ledger (checksum-compared, so
+    // the O(changed) plan is proven equal to the O(corpus) one, not just
+    // faster)
+    val cdfTargets = targets.filter(_ == "lake_cdf@touched")
+    for (_ <- cdfTargets.headOption) {
+      import graft.sources.Lake
+      for ((dir, lbl) <- Seq((base, "sf0.1"), (sf1, s"${nReps}x"))) {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_cdfsm").toString
+        val lake = s"$root/lake"
+        import graft.Materialize.Ops
+        val d = spark.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text", "lang")
+        def timed[A](body: => A): (A, Double) = {
+          val t0 = System.nanoTime()
+          val a = body
+          (a, (System.nanoTime() - t0) / 1e9)
+        }
+        Lake.publishVersion(d, lake, Seq("lang"),
+          Seq("doc_id"), maxRecordsPerFile = 2000000L): Unit
+        val scoped = d
+          .crossJoin(broadcast(d.agg(min("lang").as("_ml"))))
+          .filter(col("lang") === col("_ml"))
+        val changes = scoped
+          .filter(col("doc_id") % 3 === 0 && col("doc_id") % 10 =!= 7)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" mX")).as("text"), col("lang"),
+            lit("upsert").as("op"))
+          .union(scoped.filter(col("doc_id") % 10 === 7)
+            .select(col("doc_id"), lit(null).cast("string").as("text"),
+              col("lang"), lit("delete").as("op")))
+          .materialize()
+        val nCh = changes.count()
+        Lake.mergeDelta(changes, lake, Seq("doc_id"), Seq("lang"),
+          Seq("doc_id"), maxRecordsPerFile = 2000000L): Unit
+        def checksum(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+          // bit_xor, not sum: xxhash64 values are uniform 64-bit, and a
+          // long SUM over them overflows (an error under ANSI mode)
+          val r = df.withColumn("_h", xxhash64(
+              col("v"), col("doc_id"), col("change"),
+              col("old_hash"), col("new_hash")))
+            .agg(count(lit(1)), expr("bit_xor(_h)")).collect()(0)
+          (r.getLong(0), r.getLong(1))
+        }
+        val (feedSum, tFeed) = timed(checksum(
+          Lake.changesBetween(spark, lake, 0L, 1L, "doc_id", "text")))
+        val (diffSum, tFull) = timed(checksum(
+          Lake.diffVersions(spark, lake, 0L, 1L, "doc_id", "text")
+            .withColumn("v", lit(1L))))
+        require(feedSum == diffSum,
+          s"feed != full diff: $feedSum vs $diffSum")
+        System.err.println(f"[scale] lake_cdf@touched $lbl%5s " +
+          f"FEED(1 lang, $nCh%7d changes) ${tFeed}%6.2f s  " +
+          f"full diff ${tFull}%6.2f s  (${feedSum._1}%7d ledger rows)")
+        Materialize.release(spark)
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(root))
+      }
+    }
     val rows = targets
       .filterNot(t => qualityTargets.contains(t) ||
         versionTargets.contains(t) ||
         probeTargets.contains(t) ||
+        cdfTargets.contains(t) ||
         mergeTargets.contains(t) ||
         evolvingTargets.contains(t) || compactTargets.contains(t))
       .map { q =>

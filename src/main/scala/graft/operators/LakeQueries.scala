@@ -214,6 +214,58 @@ object LakeQueries extends QueryRegistry {
           .deleteDirectory(new java.io.File(work))
       }
     }),
+    // [EXT] change data feed: v0 = full corpus, v1 = a DELTA touching
+    // only the 'fr' partition (+ a brand-new 'zz' partition), v2 = a
+    // CDC MERGE into de/es (deletes, edits, inserts). The feed stacks
+    // one (v, key, change) ledger per step, and the oracle recomputes
+    // both steps from the fixture — so the hash pins the per-version
+    // semantics (change attributed to the version that introduced it)
+    // AND the owner-map pruning (a wrong dir-diff plan would emit
+    // phantom adds/removes for inherited partitions). The O(changed)
+    // read-side claim is measured in LakeChangeFeedSpec; at 100 TB the
+    // feed is how downstream dedup/decontam tails a merge-maintained
+    // lake without re-reading the settled corpus.
+    "lake_change_feed" -> ((s, dir) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_lake_cdf").toString
+      val root = s"$work/lake"
+      try {
+        val d = docs(s, dir).select("doc_id", "text", "lang")
+        Lake.publishVersion(d, root, Seq("lang"), Seq("doc_id"),
+          maxRecordsPerFile = 1000000L)
+        // v1: delta rewriting 'fr' (every text edited) and adding 'zz'
+        val delta1 = d.filter(col("lang") === "fr")
+          .select(col("doc_id"),
+            concat(col("text"), lit(" [d1]")).as("text"), col("lang"))
+          .union(d.filter(col("doc_id") % 97 === 0)
+            .select((col("doc_id") + 5000000L).as("doc_id"), col("text"),
+              lit("zz").as("lang")))
+        Lake.publishDelta(delta1, root, Seq("lang"), Seq("doc_id"),
+          maxRecordsPerFile = 1000000L)
+        // v2: merge a netted changelog into de/es (disjoint from v1's
+        // partitions, so each oracle step derives from the base alone)
+        val sc = d.filter(col("lang").isin("de", "es"))
+        val changes = sc
+          .filter(col("doc_id") % 4 === 0 && col("doc_id") % 10 =!= 7)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" [m]")).as("text"), col("lang"),
+            lit("upsert").as("op"))
+          .union(sc.filter(col("doc_id") % 10 === 7)
+            .select(col("doc_id"), lit(null).cast("string").as("text"),
+              col("lang"), lit("delete").as("op")))
+          .union(sc.filter(col("doc_id") % 9 === 0)
+            .select((col("doc_id") + 7000000L).as("doc_id"), col("text"),
+              col("lang"), lit("upsert").as("op")))
+        Lake.mergeDelta(changes, root, Seq("doc_id"), Seq("lang"),
+          Seq("doc_id"), maxRecordsPerFile = 1000000L)
+        import graft.Materialize.Ops
+        Lake.changesBetween(s, root, 0L, 2L, "doc_id", "text")
+          .materializeForced()
+      } finally {
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(work))
+      }
+    }),
     // [EXT] the version ledger (DESCRIBE HISTORY): after publishing v1
     // and the derived v2, the history must name both generations
     // published, exactly one current, with the exact fixture row counts
@@ -633,6 +685,32 @@ object LakeQueries extends QueryRegistry {
   def oracles: Map[String, String] = Map(
     "lake_snapshot_diff" -> snapshotDiffSql,
     "lake_version_diff" -> snapshotDiffSql,
+    "lake_change_feed" ->
+      """WITH d AS (SELECT doc_id, text, lang FROM documents),
+        |s1 AS (
+        |  SELECT CAST(1 AS BIGINT) AS v, doc_id, 'changed' AS change,
+        |    md5(text) AS old_hash, md5(text || ' [d1]') AS new_hash
+        |  FROM d WHERE lang = 'fr'
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT), doc_id + 5000000, 'added',
+        |    CAST(NULL AS VARCHAR), md5(text)
+        |  FROM d WHERE doc_id % 97 = 0),
+        |sc AS (SELECT * FROM d WHERE lang IN ('de','es')),
+        |s2 AS (
+        |  SELECT CAST(2 AS BIGINT) AS v, doc_id, 'removed' AS change,
+        |    md5(text) AS old_hash, CAST(NULL AS VARCHAR) AS new_hash
+        |  FROM sc WHERE doc_id % 10 = 7
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), doc_id, 'changed',
+        |    md5(text), md5(text || ' [m]')
+        |  FROM sc WHERE doc_id % 4 = 0 AND doc_id % 10 <> 7
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), doc_id + 7000000, 'added',
+        |    CAST(NULL AS VARCHAR), md5(text)
+        |  FROM sc WHERE doc_id % 9 = 0)
+        |SELECT v, doc_id, change, old_hash, new_hash FROM s1
+        |UNION ALL
+        |SELECT v, doc_id, change, old_hash, new_hash FROM s2""".stripMargin,
     "lake_history" ->
       """WITH v1 AS (SELECT doc_id, text FROM documents),
         |v2 AS (

@@ -872,6 +872,147 @@ object Lake {
       readVersion(spark, rootDir, Some(oldVersion)),
       readVersion(spark, rootDir, Some(newVersion)), idCol, contentCol)
 
+  /** Change data feed: every change a version range introduced, one row
+    * per (version, key) — `(v, <idCol>, change, old_hash, new_hash)`
+    * where `change` ∈ added|removed|changed and row `v` means "version v
+    * changed this key vs its predecessor v−1". This is the incremental-
+    * consumption surface a downstream pipeline polls instead of
+    * re-diffing snapshots: the dedup/decontam/index stages re-process
+    * exactly the keys the feed names ([[graft.operators.TextDedup]]'s
+    * incremental ingest, [[graft.operators.LshIndex]].remove for the
+    * removed keys) and never re-read the settled corpus.
+    *
+    * Cost is O(physically changed partitions), not O(corpus × steps):
+    * each step diffs ONLY the partition dirs whose physical owner
+    * differs between the two generations' resolved maps (own leaves +
+    * `_REFS`). A dir inherited by reference on both sides is the same
+    * frozen files — zero rows of it are read. Delta/merge generations
+    * therefore pay their changed partitions; a FULL republish owns every
+    * dir, so its step is a full diff (the publish rewrote everything —
+    * the feed cannot know rows survived without hashing them). At
+    * 100 TB: tailing a merge-maintained lake costs each batch's touched
+    * partitions twice (old + new side of the hash), document bodies
+    * reduce to md5 map-side before the one id-keyed shuffle
+    * ([[snapshotDiff]]'s shape).
+    *
+    * Every generation in `[fromVersion, toVersion]` must be published
+    * and within the retention horizon — a pruned step fails loudly in
+    * the retention contract's words (size `keep` to the slowest
+    * consumer, same rule as pinned reads). Key uniqueness per version is
+    * the caller's contract, as in [[snapshotDiff]]. Unpartitioned
+    * generations (no partition dirs) fall back to a full per-step diff.
+    */
+  def changesBetween(spark: SparkSession, rootDir: String,
+      fromVersion: Long, toVersion: Long,
+      idCol: String, contentCol: String): DataFrame = {
+    require(fromVersion >= 0 && fromVersion <= toVersion,
+      s"changesBetween needs 0 <= from <= to, got $fromVersion..$toVersion")
+    val (fs, root) = fsOf(spark, rootDir)
+    if (highWater(fs, root).forall(_ < toVersion))
+      throw new IllegalStateException(
+        s"Lake: version $toVersion of $rootDir was never published " +
+          s"(high-water=${highWater(fs, root).orNull})")
+    for (v <- fromVersion to toVersion
+         if !fs.exists(new org.apache.hadoop.fs.Path(root, s"v=$v")))
+      throw new IllegalStateException(
+        s"Lake: change feed $fromVersion..$toVersion of $rootDir needs " +
+          s"v=$v, which has been pruned — the range is outside the " +
+          "retention horizon")
+    if (fromVersion == toVersion) {
+      // empty feed with the feed's schema (the poller's no-news result)
+      val side = readVersion(spark, rootDir, Some(toVersion))
+        .select(col(idCol), col(contentCol)).limit(0)
+      return snapshotDiff(side, side, idCol, contentCol)
+        .withColumn("v", lit(toVersion))
+        .select(col("v"), col(idCol), col("change"),
+          col("old_hash"), col("new_hash"))
+    }
+    (fromVersion + 1 to toVersion).map { v =>
+      stepChanges(spark, fs, root, rootDir, v - 1, v, idCol, contentCol)
+        .withColumn("v", lit(v))
+        .select(col("v"), col(idCol), col("change"),
+          col("old_hash"), col("new_hash"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** One feed step: diff generation `a` → `b` reading only the partition
+    * dirs whose physical owner differs between the two resolved maps.
+    */
+  private def stepChanges(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      rootDir: String, a: Long, b: Long,
+      idCol: String, contentCol: String): DataFrame = {
+    // resolved partition map: rel dir -> physical owner version. A
+    // generation with root-level data files is unpartitioned — no dir
+    // granularity to prune on; fall back to the full diff
+    def resolved(v: Long): Option[Map[String, Long]] = {
+      val p = new org.apache.hadoop.fs.Path(root, s"v=$v")
+      val ls = graft.GenSwap.leaves(fs, p)
+      if (ls.exists(!_._2)) None
+      else Some(ls.collect { case (rel, true) => rel -> v }.toMap ++
+        readRefs(fs, p))
+    }
+    (resolved(a), resolved(b)) match {
+      case (Some(ma), Some(mb)) =>
+        val dirs = (ma.keySet ++ mb.keySet)
+          .filter(d => ma.get(d) != mb.get(d))
+        def side(m: Map[String, Long]): Option[DataFrame] = {
+          val mine = dirs.toSeq.flatMap(d => m.get(d).map(d -> _)).sorted
+          if (mine.isEmpty) None
+          else Some(mine.groupBy(_._2).toSeq.map { case (owner, rels) =>
+            val base = new org.apache.hadoop.fs.Path(root, s"v=$owner")
+            spark.read.option("basePath", base.toString)
+              .parquet(rels.map(r =>
+                new org.apache.hadoop.fs.Path(base, r._1).toString): _*)
+          }.reduce(_.unionByName(_, allowMissingColumns = true))
+            .select(col(idCol), col(contentCol)))
+        }
+        (side(ma), side(mb)) match {
+          case (None, None) =>
+            // physically identical generations (e.g. a re-pointed or
+            // pure-metadata step): no changes by construction
+            val e = readVersion(spark, rootDir, Some(b))
+              .select(col(idCol), col(contentCol)).limit(0)
+            snapshotDiff(e, e, idCol, contentCol)
+          case (sa, sb) =>
+            val template = sa.orElse(sb).get.limit(0)
+            snapshotDiff(sa.getOrElse(template), sb.getOrElse(template),
+              idCol, contentCol)
+        }
+      case _ =>
+        snapshotDiff(
+          readVersion(spark, rootDir, Some(a)),
+          readVersion(spark, rootDir, Some(b)), idCol, contentCol)
+    }
+  }
+
+  /** Cursor form of the change feed — what a polling consumer calls with
+    * the last version it processed: returns `(changes, newCursor)` where
+    * `changes` is [[changesBetween]]`(lastSeen, current)` and the cursor
+    * to persist is the current version. After a ROLLBACK the pointer is
+    * BELOW the consumer's cursor: the feed then returns one catch-down
+    * step — the direct diff from the consumer's version to the current
+    * one, labeled with the current version — so the consumer un-applies
+    * the rolled-back-over content the same way it applies forward
+    * changes, and its cursor moves to the rolled-back-to version.
+    */
+  def changesSince(spark: SparkSession, rootDir: String, lastSeen: Long,
+      idCol: String, contentCol: String): (DataFrame, Long) = {
+    val cur = currentVersion(spark, rootDir).getOrElse(
+      throw new IllegalStateException(
+        s"Lake: $rootDir has no published version"))
+    if (cur >= lastSeen)
+      (changesBetween(spark, rootDir, lastSeen, cur, idCol, contentCol), cur)
+    else {
+      val catchDown =
+        diffVersions(spark, rootDir, lastSeen, cur, idCol, contentCol)
+          .withColumn("v", lit(cur))
+          .select(col("v"), col(idCol), col("change"),
+            col("old_hash"), col("new_hash"))
+      (catchDown, cur)
+    }
+  }
+
   /** Point the lake back at an already-published generation — one atomic
     * pointer flip, no data movement. The rolled-back-over generations
     * stay on disk and remain pinned-readable (they are below the

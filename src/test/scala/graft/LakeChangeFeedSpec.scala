@@ -1,0 +1,171 @@
+package graft
+
+import graft.sources.Lake
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Change-data-feed contract ([[Lake.changesBetween]] /
+  * [[Lake.changesSince]]): the feed emits one (v, key, change) row per
+  * change a version introduced vs its predecessor; each step equals the
+  * full snapshot diff of its two generations; the read side prices
+  * O(physically changed partitions), not O(corpus); range validation
+  * fails loudly above the high-water and across pruned generations; the
+  * cursor API advances, reports no-news, and catches DOWN across a
+  * rollback.
+  */
+class LakeChangeFeedSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def fsOf(dir: String) = new Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def corpus(tag: String, parts: Seq[String], rows: Int = 20) =
+    parts.flatMap(p => (0 until rows)
+      .map(j => (s"$p-$j", p, s"$tag $p $j")))
+      .toDF("id", "k", "text")
+
+  private def tmp() = java.nio.file.Files
+    .createTempDirectory("graft_lakecdf").toString + "/lake"
+
+  private def rows(df: DataFrame): Set[(Long, String, String,
+      Option[String], Option[String])] =
+    df.collect().map(r => (r.getLong(r.fieldIndex("v")),
+      r.getString(r.fieldIndex("id")),
+      r.getString(r.fieldIndex("change")),
+      Option(r.getString(r.fieldIndex("old_hash"))),
+      Option(r.getString(r.fieldIndex("new_hash"))))).toSet
+
+  private def cleanup(root: String): Unit =
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root).getParentFile)
+
+  test("each feed step equals the full snapshot diff of its two " +
+      "generations, labeled with the version that introduced it") {
+    val root = tmp()
+    try {
+      Lake.publishVersion(corpus("base", Seq("g0", "g1", "g2")), root,
+        Seq("k"), Seq("id"), 1000L) // v0
+      // v1: delta rewriting g1 (one edit, one add) — g0/g2 inherited
+      Lake.publishDelta(
+        Seq(("g1-0", "g1", "edited"), ("g1-99", "g1", "born"))
+          .toDF("id", "k", "text")
+          .unionByName(corpus("base", Seq("g1")).filter(
+            !col("id").isin("g1-0", "g1-99"))),
+        root, Seq("k"), Seq("id"), 1000L) // v1
+      // v2: merge deleting one g0 key and inserting a g3 partition
+      Lake.mergeDelta(
+        Seq(("g0-3", "g0", null, "delete"), ("g3-0", "g3", "new", "upsert"))
+          .toDF("id", "k", "text", "op"),
+        root, Seq("id"), Seq("k"), Seq("id"), 1000L) // v2
+
+      val feed = rows(
+        Lake.changesBetween(spark, root, 0L, 2L, "id", "text"))
+      val expected =
+        rows(Lake.diffVersions(spark, root, 0L, 1L, "id", "text")
+          .withColumn("v", lit(1L))) ++
+        rows(Lake.diffVersions(spark, root, 1L, 2L, "id", "text")
+          .withColumn("v", lit(2L)))
+      assert(feed === expected)
+      // and the changes are the ones the edits imply
+      assert(feed.map(t => (t._1, t._2, t._3)) === Set(
+        (1L, "g1-0", "changed"), (1L, "g1-99", "added"),
+        (2L, "g0-3", "removed"), (2L, "g3-0", "added")))
+    } finally cleanup(root)
+  }
+
+  test("feed reads only the physically changed partitions: a heavy " +
+      "inherited partition contributes zero bytes") {
+    val root = tmp()
+    try {
+      val heavy = (0 until 20000).map(j =>
+        (s"g1-$j", "g1", ("lorem ipsum " * 40) + j)).toDF("id", "k", "text")
+      Lake.publishVersion(
+        corpus("base", Seq("g0")).unionByName(heavy), root,
+        Seq("k"), Seq("id"), 1000000L) // v0
+      Lake.publishDelta(
+        Seq(("g0-0", "g0", "edited")).toDF("id", "k", "text")
+          .unionByName(corpus("base", Seq("g0"))
+            .filter(col("id") =!= "g0-0")),
+        root, Seq("k"), Seq("id"), 1000000L) // v1: touches g0 only
+      val fs = fsOf(root)
+      val g1Bytes = {
+        val it = fs.listFiles(new Path(s"$root/v=0/k=g1"), true)
+        var n = 0L
+        while (it.hasNext) { val st = it.next(); n += st.getLen }
+        n
+      }
+      val read = bytesReadDuring {
+        Lake.changesBetween(spark, root, 0L, 1L, "id", "text")
+          .collect(): Unit
+      }
+      assert(read < g1Bytes / 2,
+        s"feed read $read bytes; inherited g1 holds $g1Bytes")
+    } finally cleanup(root)
+  }
+
+  test("from == to is the empty feed; a to above the high-water and a " +
+      "pruned step both fail in the contract's words") {
+    val root = tmp()
+    try {
+      Lake.publishVersion(corpus("a", Seq("g0")), root,
+        Seq("k"), Seq("id"), 1000L, keep = 2) // v0
+      Lake.publishVersion(corpus("b", Seq("g0")), root,
+        Seq("k"), Seq("id"), 1000L, keep = 2) // v1
+      assert(Lake.changesBetween(spark, root, 1L, 1L, "id", "text")
+        .count() === 0L)
+      val over = intercept[IllegalStateException] {
+        Lake.changesBetween(spark, root, 0L, 9L, "id", "text")
+      }
+      assert(over.getMessage.contains("never published"))
+      Lake.publishVersion(corpus("c", Seq("g0")), root,
+        Seq("k"), Seq("id"), 1000L, keep = 2) // v2 — prunes v0
+      val pruned = intercept[IllegalStateException] {
+        Lake.changesBetween(spark, root, 0L, 2L, "id", "text")
+      }
+      assert(pruned.getMessage.contains("retention"))
+    } finally cleanup(root)
+  }
+
+  test("changesSince: advances the cursor, reports no-news as empty, and " +
+      "catches DOWN across a rollback with one reverse step") {
+    val root = tmp()
+    try {
+      Lake.publishVersion(corpus("a", Seq("g0")), root,
+        Seq("k"), Seq("id"), 1000L) // v0
+      Lake.publishDelta(
+        Seq(("g0-0", "g0", "edited")).toDF("id", "k", "text")
+          .unionByName(corpus("a", Seq("g0"))
+            .filter(col("id") =!= "g0-0")),
+        root, Seq("k"), Seq("id"), 1000L) // v1
+      val (adv, c1) = Lake.changesSince(spark, root, 0L, "id", "text")
+      assert(c1 === 1L)
+      assert(rows(adv).map(t => (t._1, t._2, t._3)) ===
+        Set((1L, "g0-0", "changed")))
+      val (none, c2) = Lake.changesSince(spark, root, 1L, "id", "text")
+      assert(c2 === 1L && none.count() === 0L)
+      Lake.rollbackTo(spark, root, 0L)
+      val (down, c3) = Lake.changesSince(spark, root, 1L, "id", "text")
+      assert(c3 === 0L)
+      // the reverse step un-applies v1's edit, labeled with the
+      // rolled-back-to version the cursor lands on
+      assert(rows(down).map(t => (t._1, t._2, t._3)) ===
+        Set((0L, "g0-0", "changed")))
+    } finally cleanup(root)
+  }
+
+  test("physically identical consecutive generations (a re-publish of " +
+      "nothing new via delta) yield an empty step, zero phantom changes") {
+    val root = tmp()
+    try {
+      Lake.publishVersion(corpus("a", Seq("g0", "g1")), root,
+        Seq("k"), Seq("id"), 1000L) // v0
+      // a delta that rewrites g0 with IDENTICAL content: the dir differs
+      // physically, so the step reads it — but emits no changes
+      Lake.publishDelta(corpus("a", Seq("g0")), root,
+        Seq("k"), Seq("id"), 1000L) // v1
+      val feed = Lake.changesBetween(spark, root, 0L, 1L, "id", "text")
+      assert(feed.count() === 0L)
+    } finally cleanup(root)
+  }
+}
