@@ -266,6 +266,45 @@ object LakeQueries extends QueryRegistry {
           .deleteDirectory(new java.io.File(work))
       }
     }),
+    // [EXT] explicit retention GC under the driver hash: three full
+    // publishes (publish-time pruning disabled via keep=10), a rollback
+    // to v1, then vacuum(keep=1) — the horizon covers only v2, so the
+    // decision ledger must prune v0, retain v2 as horizon, and retain
+    // the rolled-back-to v1 as CURRENT (the never-prune-the-pointer
+    // rule). Each retained generation's n_rows comes back through
+    // readVersion AFTER the vacuum, so the hash also pins that pruning
+    // deleted nothing a survivor needs. The oracle recomputes the
+    // decision constants and both corpus counts from the fixture.
+    "lake_vacuum" -> ((s, dir) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_lake_vac").toString
+      val root = s"$work/lake"
+      try {
+        val v1 = docs(s, dir).select("doc_id", "text", "lang")
+        val v2 = derivedV2Lang(v1)
+        for (df <- Seq(v1, v2, v2))
+          Lake.publishVersion(df, root, Seq("lang"), Seq("doc_id"),
+            maxRecordsPerFile = 1000000L, keep = 10): Unit
+        Lake.rollbackTo(s, root, 1L)
+        val rep = Lake.vacuum(s, root, keep = 1)
+          .select("v", "action", "reason").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+          .sortBy(_._1)
+        // bounded driver loop (O(on-disk generations), the history
+        // pattern): count retained generations through the versioned
+        // reader post-vacuum
+        val rows = rep.map { case (v, action, reason) =>
+          val n = if (action == "retained")
+            Lake.readVersion(s, root, Some(v)).count() else 0L
+          (v, action, reason, n)
+        }.toSeq
+        import s.implicits._
+        rows.toDF("v", "action", "reason", "n_rows")
+      } finally {
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(work))
+      }
+    }),
     // [EXT] the version ledger (DESCRIBE HISTORY): after publishing v1
     // and the derived v2, the history must name both generations
     // published, exactly one current, with the exact fixture row counts
@@ -711,6 +750,20 @@ object LakeQueries extends QueryRegistry {
         |SELECT v, doc_id, change, old_hash, new_hash FROM s1
         |UNION ALL
         |SELECT v, doc_id, change, old_hash, new_hash FROM s2""".stripMargin,
+    "lake_vacuum" ->
+      """WITH v1 AS (SELECT doc_id, text, lang FROM documents),
+        |v2 AS (
+        |  SELECT doc_id FROM v1 WHERE doc_id % 70 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id FROM v1 WHERE doc_id % 50 = 0)
+        |SELECT CAST(0 AS BIGINT) AS v, 'pruned' AS action,
+        |  'outside_horizon' AS reason, CAST(0 AS BIGINT) AS n_rows
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), 'retained', 'current',
+        |  CAST((SELECT count(*) FROM v2) AS BIGINT)
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'retained', 'horizon',
+        |  CAST((SELECT count(*) FROM v2) AS BIGINT)""".stripMargin,
     "lake_history" ->
       """WITH v1 AS (SELECT doc_id, text FROM documents),
         |v2 AS (

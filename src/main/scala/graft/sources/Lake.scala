@@ -1033,6 +1033,82 @@ object Lake {
     flipPointer(fs, root, CurrentPointer, version)
   }
 
+  /** Explicit retention GC — the VACUUM an operator runs to reclaim
+    * space without publishing (publish-time pruning only fires when new
+    * data ships; shrinking the retention window, or cleaning up after a
+    * rollback or a crashed publish, should not require a fake publish).
+    * Deletes every on-disk generation that is not protected and returns
+    * the decision ledger — one row per generation:
+    * `(v, action, reason, n_files, bytes)` with `action` ∈
+    * retained|pruned|orphan_removed and `reason` naming WHY a retained
+    * generation survives: `horizon` (within the last `keep` published),
+    * `current` (the pointer's target — NEVER pruned, even when a
+    * rollback left it below the horizon), or `referenced` (a physical
+    * donor some retained delta inherits partition dirs from — flattened
+    * refs, so one level resolves reachability, same rule as
+    * publish-time pruning). Generations above the published high-water
+    * are crashed publishes' orphans and are removed (they were never
+    * readable). File/byte accounting is the listing walk (metadata
+    * only, O(on-disk generations)).
+    *
+    * Writer op under the single-writer contract: do not run while a
+    * publisher is live (its in-flight generation is indistinguishable
+    * from a crashed orphan) — wrap both in [[guarded]].
+    */
+  def vacuum(spark: SparkSession, rootDir: String, keep: Int): DataFrame = {
+    require(keep >= 1, "vacuum must retain at least the current generation")
+    val (fs, root) = fsOf(spark, rootDir)
+    recoverPointers(fs, root)
+    val cur = readPointer(fs, root, CurrentPointer)
+    val high = highWater(fs, root)
+    val gens = genDirs(fs, root).sortBy(_._1)
+    def sizeOf(p: org.apache.hadoop.fs.Path): (Long, Long) = {
+      var nf = 0L; var nb = 0L
+      def walk(d: org.apache.hadoop.fs.Path): Unit =
+        for (st <- fs.listStatus(d)) {
+          val n = st.getPath.getName
+          if (st.isDirectory) { if (graft.GenSwap.isDataName(n)) walk(st.getPath) }
+          else if (graft.GenSwap.isDataName(n)) { nf += 1; nb += st.getLen }
+        }
+      walk(d = p)
+      (nf, nb)
+    }
+    val hw = high.getOrElse(-1L)
+    val protectedWhy = scala.collection.mutable.Map.empty[Long, String]
+    for ((v, _) <- gens if v <= hw && v > hw - keep)
+      protectedWhy(v) = "horizon"
+    for (c <- cur if !protectedWhy.contains(c)) protectedWhy(c) = "current"
+    // flattened refs: one pass over the protected generations names every
+    // physical donor they reach
+    for ((v, p) <- gens if protectedWhy.contains(v);
+         o <- readRefs(fs, p).values if !protectedWhy.contains(o))
+      protectedWhy(o) = "referenced"
+    val rows = gens.map { case (v, p) =>
+      val (nf, nb) = sizeOf(p)
+      val (action, reason) =
+        if (v > hw) ("orphan_removed", "above_high_water")
+        else protectedWhy.get(v) match {
+          case Some(why) => ("retained", why)
+          case None => ("pruned", "outside_horizon")
+        }
+      if (action != "retained") fs.delete(p, true): Unit
+      org.apache.spark.sql.Row(v, action, reason, nf, nb)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("action",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("reason",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_files",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("bytes",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   /** The lake's version ledger — one row per on-disk generation:
     * `(v, published, current, batch_id, n_rows, n_files, bytes,
     * n_refs)`. The audit surface a DESCRIBE HISTORY gives a table
