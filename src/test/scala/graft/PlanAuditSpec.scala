@@ -211,6 +211,42 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("change feed scans read only (id, content) — wide payload columns " +
+      "never leave the parquet footer") {
+    val tmp = java.nio.file.Files.createTempDirectory("plan_cdf").toString
+    try {
+      import spark.implicits._
+      // a wide row: the feed must not drag `extra`/`blob` through its
+      // hash-join even though the generations store them
+      val df = (0 until 200).map(j =>
+        (s"d-$j", s"g${j % 3}", s"doc $j", j.toLong, s"blob $j"))
+        .toDF("id", "k", "text", "extra", "blob")
+      graft.sources.Lake.publishVersion(df, s"$tmp/lake", Seq("k"),
+        Seq("id"), 1000L)
+      graft.sources.Lake.publishDelta(
+        df.filter(col("k") === "g0")
+          .withColumn("text", concat(col("text"), lit("!"))),
+        s"$tmp/lake", Seq("k"), Seq("id"), 1000L)
+      val feed = graft.sources.Lake.changesBetween(spark, s"$tmp/lake",
+        0L, 1L, "id", "text")
+      val plan = feed.queryExecution.executedPlan.toString
+      val schemas = plan.linesIterator
+        .filter(_.contains("ReadSchema")).toSeq
+      assert(schemas.nonEmpty, plan.take(1500))
+      for (s <- schemas) {
+        assert(s.contains("id") && s.contains("text"), s)
+        assert(!s.contains("extra") && !s.contains("blob"), s)
+      }
+      // md5 reduces map-side: the hash appears below the join (in a
+      // Project on the scan side), not above it
+      assert(plan.contains("md5"), plan.take(2000))
+      assert(feed.count() === df.filter(col("k") === "g0").count())
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("state partitioned by table prunes to one partition on filter") {
     val tmp = java.nio.file.Files.createTempDirectory("plan_state").toString
     try {
