@@ -793,8 +793,8 @@ object ScaleSmoke {
           val a = body
           (a, (System.nanoTime() - t0) / 1e9)
         }
-        Lake.publishVersion(d, lake, Seq("lang"),
-          Seq("doc_id"), maxRecordsPerFile = 2000000L): Unit
+        val (_, tPub) = timed(Lake.publishVersion(d, lake, Seq("lang"),
+          Seq("doc_id"), maxRecordsPerFile = 2000000L))
         val scoped = d
           .crossJoin(broadcast(d.agg(min("lang").as("_ml"))))
           .filter(col("lang") === col("_ml"))
@@ -817,7 +817,7 @@ object ScaleSmoke {
               col("v"), col("doc_id"), col("change"),
               col("old_hash"), col("new_hash")))
             .agg(count(lit(1)), expr("bit_xor(_h)")).collect()(0)
-          (r.getLong(0), r.getLong(1))
+          (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
         }
         val (feedSum, tFeed) = timed(checksum(
           Lake.changesBetween(spark, lake, 0L, 1L, "doc_id", "text")))
@@ -829,6 +829,23 @@ object ScaleSmoke {
         System.err.println(f"[scale] lake_cdf@touched $lbl%5s " +
           f"FEED(1 lang, $nCh%7d changes) ${tFeed}%6.2f s  " +
           f"full diff ${tFull}%6.2f s  (${feedSum._1}%7d ledger rows)")
+        // digest leg: two identical FULL publishes — every dir's owner
+        // differs, so owner pruning cannot help; the content digests
+        // must hold the feed flat (zero corpus read) while the full
+        // diff grows with the corpus. Also prices the digest's write
+        // overhead against the undigested publish above.
+        val lakeD = s"$root/lakeD"
+        val (_, tPubD) = timed(Lake.publishVersion(d, lakeD, Seq("lang"),
+          Seq("doc_id"), maxRecordsPerFile = 2000000L, digest = true))
+        Lake.publishVersion(d, lakeD, Seq("lang"), Seq("doc_id"),
+          maxRecordsPerFile = 2000000L, digest = true): Unit
+        val (dSum, tFeedD) = timed(checksum(
+          Lake.changesBetween(spark, lakeD, 0L, 1L, "doc_id", "text")))
+        require(dSum._1 == 0L,
+          s"identical republish fed ${dSum._1} phantom rows")
+        System.err.println(f"[scale] lake_cdf@digest  $lbl%5s " +
+          f"FEED(identical full republish) ${tFeedD}%6.2f s  " +
+          f"publish ${tPub}%6.2f -> ${tPubD}%6.2f s with digest")
         Materialize.release(spark)
         org.apache.commons.io.FileUtils
           .deleteDirectory(new java.io.File(root))

@@ -221,10 +221,14 @@ object LakeQueries extends QueryRegistry {
     // both steps from the fixture — so the hash pins the per-version
     // semantics (change attributed to the version that introduced it)
     // AND the owner-map pruning (a wrong dir-diff plan would emit
-    // phantom adds/removes for inherited partitions). The O(changed)
-    // read-side claim is measured in LakeChangeFeedSpec; at 100 TB the
-    // feed is how downstream dedup/decontam tails a merge-maintained
-    // lake without re-reading the settled corpus.
+    // phantom adds/removes for inherited partitions). Digests are ON
+    // for every publish and the delta REWRITES 'zh' with byte-identical
+    // content — its digest-equal skip must contribute zero ledger rows
+    // (the oracle has none for zh), so a false skip OR a phantom change
+    // both fail the hash. The O(changed) read-side claim is measured in
+    // LakeChangeFeedSpec/LakeDigestSpec; at 100 TB the feed is how
+    // downstream dedup/decontam tails a maintained lake without
+    // re-reading the settled corpus.
     "lake_change_feed" -> ((s, dir) => {
       val work = java.nio.file.Files
         .createTempDirectory("graft_lake_cdf").toString
@@ -232,16 +236,19 @@ object LakeQueries extends QueryRegistry {
       try {
         val d = docs(s, dir).select("doc_id", "text", "lang")
         Lake.publishVersion(d, root, Seq("lang"), Seq("doc_id"),
-          maxRecordsPerFile = 1000000L)
-        // v1: delta rewriting 'fr' (every text edited) and adding 'zz'
+          maxRecordsPerFile = 1000000L, digest = true)
+        // v1: delta rewriting 'fr' (every text edited), adding 'zz',
+        // and re-landing 'zh' unchanged (the digest-skip probe)
         val delta1 = d.filter(col("lang") === "fr")
           .select(col("doc_id"),
             concat(col("text"), lit(" [d1]")).as("text"), col("lang"))
           .union(d.filter(col("doc_id") % 97 === 0)
             .select((col("doc_id") + 5000000L).as("doc_id"), col("text"),
               lit("zz").as("lang")))
+          .union(d.filter(col("lang") === "zh")
+            .select(col("doc_id"), col("text"), col("lang")))
         Lake.publishDelta(delta1, root, Seq("lang"), Seq("doc_id"),
-          maxRecordsPerFile = 1000000L)
+          maxRecordsPerFile = 1000000L, digest = true)
         // v2: merge a netted changelog into de/es (disjoint from v1's
         // partitions, so each oracle step derives from the base alone)
         val sc = d.filter(col("lang").isin("de", "es"))
@@ -257,7 +264,7 @@ object LakeQueries extends QueryRegistry {
             .select((col("doc_id") + 7000000L).as("doc_id"), col("text"),
               col("lang"), lit("upsert").as("op")))
         Lake.mergeDelta(changes, root, Seq("doc_id"), Seq("lang"),
-          Seq("doc_id"), maxRecordsPerFile = 1000000L)
+          Seq("doc_id"), maxRecordsPerFile = 1000000L, digest = true)
         import graft.Materialize.Ops
         Lake.changesBetween(s, root, 0L, 2L, "doc_id", "text")
           .materializeForced()

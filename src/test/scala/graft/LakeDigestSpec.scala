@@ -1,0 +1,144 @@
+package graft
+
+import graft.sources.Lake
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Content-digest contract (opt-in `digest = true` at publish): the
+  * change feed skips partitions whose (count, xor-of-row-hashes) agree
+  * across a step — the FULL-republish case owner-map pruning cannot see
+  * through — while staying exactly equal to the undigested diff on
+  * every changed partition; deltas inherit donor digest entries at
+  * O(changed); schema drift disables cross-generation skipping
+  * conservatively; a side without digests falls back to the full diff.
+  */
+class LakeDigestSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp() = java.nio.file.Files
+    .createTempDirectory("graft_lakedig").toString + "/lake"
+
+  private def cleanup(root: String): Unit =
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root).getParentFile)
+
+  private def heavyCorpus(edit: String => String = identity): DataFrame = {
+    val light = (0 until 20).map(j => (s"g0-$j", "g0", edit(s"light $j")))
+    val heavy = (0 until 20000).map(j =>
+      (s"g1-$j", "g1", ("lorem ipsum " * 40) + j))
+    (light ++ heavy).toDF("id", "k", "text")
+  }
+
+  private def heavyBytes(root: String, dir: String): Long = {
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new Path(dir), true)
+    var n = 0L
+    while (it.hasNext) n += it.next().getLen
+    n
+  }
+
+  private def feedRows(root: String, from: Long, to: Long)
+      : Set[(Long, String, String)] =
+    Lake.changesBetween(spark, root, from, to, "id", "text")
+      .select("v", "id", "change").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+  test("identical full republish with digests: the feed emits nothing " +
+      "and reads no partition data") {
+    val root = tmp()
+    try {
+      Lake.publishVersion(heavyCorpus(), root, Seq("k"), Seq("id"),
+        1000000L, keep = 10, digest = true)
+      Lake.publishVersion(heavyCorpus(), root, Seq("k"), Seq("id"),
+        1000000L, keep = 10, digest = true)
+      val g1 = heavyBytes(root, s"$root/v=0/k=g1")
+      val read = bytesReadDuring {
+        assert(feedRows(root, 0L, 1L) === Set.empty)
+      }
+      // only the two tiny _DIGEST parquets are read — nothing from the
+      // corpus, although every dir's physical owner differs
+      assert(read < g1 / 10, s"digested feed read $read bytes of $g1")
+    } finally cleanup(root)
+  }
+
+  test("one changed partition between full publishes: the feed reads " +
+      "that partition only and equals the undigested diff") {
+    val root = tmp()
+    try {
+      Lake.publishVersion(heavyCorpus(), root, Seq("k"), Seq("id"),
+        1000000L, keep = 10, digest = true)
+      Lake.publishVersion(heavyCorpus(t => t + " edited"), root,
+        Seq("k"), Seq("id"), 1000000L, keep = 10, digest = true)
+      val g1 = heavyBytes(root, s"$root/v=0/k=g1")
+      var got: Set[(Long, String, String)] = Set.empty
+      val read = bytesReadDuring { got = feedRows(root, 0L, 1L) }
+      assert(got === (0 until 20)
+        .map(j => (1L, s"g0-$j", "changed")).toSet)
+      assert(read < g1 / 2,
+        s"feed read $read bytes; unchanged g1 holds $g1")
+      // and the skip changed nothing vs the ground-truth full diff
+      assert(got === Lake.diffVersions(spark, root, 0L, 1L, "id", "text")
+        .select("id", "change").collect()
+        .map(r => (1L, r.getString(0), r.getString(1))).toSet)
+    } finally cleanup(root)
+  }
+
+  test("a side without digests falls back to the full diff with " +
+      "identical rows") {
+    val root = tmp()
+    try {
+      Lake.publishVersion(heavyCorpus(), root, Seq("k"), Seq("id"),
+        1000000L, keep = 10, digest = true)
+      Lake.publishVersion(heavyCorpus(t => t + " e"), root,
+        Seq("k"), Seq("id"), 1000000L, keep = 10) // no digest
+      assert(feedRows(root, 0L, 1L) ===
+        (0 until 20).map(j => (1L, s"g0-$j", "changed")).toSet)
+    } finally cleanup(root)
+  }
+
+  test("deltas inherit donor digest entries: a full republish of the " +
+      "delta's exact content feeds as empty without reading the corpus") {
+    val root = tmp()
+    try {
+      Lake.publishVersion(heavyCorpus(), root, Seq("k"), Seq("id"),
+        1000000L, keep = 10, digest = true) // v0
+      val editedG0 = (0 until 20)
+        .map(j => (s"g0-$j", "g0", s"light $j [d]")).toDF("id", "k", "text")
+      Lake.publishDelta(editedG0, root, Seq("k"), Seq("id"),
+        1000000L, keep = 10, digest = true) // v1: own g0, inherits g1
+      // v2: a FULL republish of exactly v1's resolved content
+      Lake.publishVersion(
+        heavyCorpus().filter(col("k") =!= "g0").unionByName(editedG0),
+        root, Seq("k"), Seq("id"), 1000000L, keep = 10, digest = true)
+      val g1 = heavyBytes(root, s"$root/v=0/k=g1")
+      val read = bytesReadDuring {
+        assert(feedRows(root, 1L, 2L) === Set.empty)
+      }
+      // g0 skips via v1's OWN digest row; g1 skips via the entry v1
+      // INHERITED from v0's digest — both without touching the corpus
+      assert(read < g1 / 10, s"delta-digest feed read $read of $g1")
+    } finally cleanup(root)
+  }
+
+  test("additive schema drift disables cross-generation skipping " +
+      "conservatively — the feed stays correct") {
+    val root = tmp()
+    try {
+      val base = (0 until 40).map(j => (s"d-$j", s"g${j % 2}", s"t $j"))
+        .toDF("id", "k", "text")
+      Lake.publishVersion(base, root, Seq("k"), Seq("id"), 1000000L,
+        keep = 10, digest = true)
+      // delta adds a column (fingerprint changes): donor entries are
+      // dropped, its own dirs digest under the new fingerprint
+      Lake.publishDelta(
+        base.filter(col("k") === "g0")
+          .withColumn("text", concat(col("text"), lit("!")))
+          .withColumn("score", lit(1.0)),
+        root, Seq("k"), Seq("id"), 1000000L, keep = 10, digest = true)
+      assert(feedRows(root, 0L, 1L) === (0 until 40).filter(_ % 2 == 0)
+        .map(j => (1L, s"d-$j", "changed")).toSet)
+    } finally cleanup(root)
+  }
+}

@@ -67,9 +67,11 @@ class LakeProtocolFuzzSpec extends SparkSuite {
       var high = -1L
       var current = -1L
 
+      // digests flip per publish: mixed digest/no-digest chains must
+      // never change any result (the skip is a read-cost optimization)
       def fullPublish(c: Content): Unit = {
         val v = Lake.publishVersion(toDf(c), root, Seq("k"), Seq("id"),
-          1000000L, keep = 100)
+          1000000L, keep = 100, digest = rng.nextBoolean())
         assert(v === high + 1)
         contents(v) = c
         owners(v) = c.keySet.map(partOf).map(_ -> v).toMap
@@ -98,7 +100,7 @@ class LakeProtocolFuzzSpec extends SparkSuite {
               .filter { case (id, _) => partOf(id) == part }
             if (rewritten.nonEmpty) {
               val v = Lake.publishDelta(toDf(rewritten), root, Seq("k"),
-                Seq("id"), 1000000L, keep = 100)
+                Seq("id"), 1000000L, keep = 100, digest = rng.nextBoolean())
               assert(v === high + 1)
               contents(v) = (cur -- mine.keySet) ++ rewritten
               owners(v) = owners(current) + (part -> v)
@@ -122,7 +124,7 @@ class LakeProtocolFuzzSpec extends SparkSuite {
               val df = ch.map { case (id, t, op) => (id, partOf(id), t, op) }
                 .toDF("id", "k", "text", "op")
               val v = Lake.mergeDelta(df, root, Seq("id"), Seq("k"),
-                Seq("id"), 1000000L, keep = 100)
+                Seq("id"), 1000000L, keep = 100, digest = rng.nextBoolean())
               assert(v === high + 1)
               contents(v) = cur -- dels.map(_._1) ++
                 (ups ++ ins).map(t => t._1 -> t._2)
