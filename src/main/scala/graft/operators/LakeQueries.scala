@@ -273,6 +273,50 @@ object LakeQueries extends QueryRegistry {
           .deleteDirectory(new java.io.File(work))
       }
     }),
+    // [EXT] publish-time data-quality expectations under the driver
+    // hash: malformed rows are injected deterministically (empty text,
+    // unknown lang), the publish runs in drop mode, and the output is
+    // the published per-lang aggregate UNION the quarantine ledger
+    // grouped by WHICH expectations failed. The oracle recomputes both
+    // sides from the predicates themselves (not the injection rule), so
+    // the hash pins that exactly the violating rows — and ALL of them —
+    // were quarantined with the right names, and that the published
+    // generation is exactly the clean subset.
+    "lake_publish_expect" -> ((s, dir) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_lake_exp").toString
+      val root = s"$work/lake"
+      try {
+        val d = docs(s, dir).select("doc_id", "text", "lang")
+        val m = d.select(col("doc_id"),
+          when(col("doc_id") % 53 === 0, lit("")).otherwise(col("text"))
+            .as("text"),
+          when(col("doc_id") % 67 === 0, lit("xx")).otherwise(col("lang"))
+            .as("lang"))
+        Lake.publishVersion(m, root, Seq("lang"), Seq("doc_id"),
+          maxRecordsPerFile = 1000000L,
+          expect = Seq(
+            "text_nonempty" -> (length(col("text")) > 0),
+            "lang_known" -> col("lang").isin("de", "en", "es", "fr", "zh")),
+          onViolation = "drop")
+        val pub = Lake.readVersion(s, root).groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).cast("long").as("sum_len"))
+          .select(lit("published").as("which"), col("lang"),
+            col("n_docs"), col("sum_len"))
+        val qr = Lake.readQuarantine(s, root)
+          .groupBy(col("_graft_violated"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).cast("long").as("sum_len"))
+          .select(concat(lit("quarantined:"), col("_graft_violated"))
+            .as("which"), col("lang"), col("n_docs"), col("sum_len"))
+        import graft.Materialize.Ops
+        pub.unionByName(qr).materializeForced()
+      } finally {
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(work))
+      }
+    }),
     // [EXT] explicit retention GC under the driver hash: three full
     // publishes (publish-time pruning disabled via keep=10), a rollback
     // to v1, then vacuum(keep=1) — the horizon covers only v2, so the
@@ -757,6 +801,37 @@ object LakeQueries extends QueryRegistry {
         |SELECT v, doc_id, change, old_hash, new_hash FROM s1
         |UNION ALL
         |SELECT v, doc_id, change, old_hash, new_hash FROM s2""".stripMargin,
+    "lake_publish_expect" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 53 = 0 THEN '' ELSE text END AS text,
+        |    CASE WHEN doc_id % 67 = 0 THEN 'xx' ELSE lang END AS lang
+        |  FROM documents),
+        |pub AS (
+        |  SELECT 'published' AS which, lang,
+        |    count(*) AS n_docs,
+        |    CAST(sum(length(text)) AS BIGINT) AS sum_len
+        |  FROM m
+        |  WHERE length(text) > 0
+        |    AND lang IN ('de','en','es','fr','zh')
+        |  GROUP BY lang),
+        |qr AS (
+        |  SELECT 'quarantined:' ||
+        |    CASE
+        |      WHEN length(text) = 0
+        |        AND lang NOT IN ('de','en','es','fr','zh')
+        |        THEN 'text_nonempty,lang_known'
+        |      WHEN length(text) = 0 THEN 'text_nonempty'
+        |      ELSE 'lang_known' END AS which,
+        |    lang, count(*) AS n_docs,
+        |    CAST(sum(length(text)) AS BIGINT) AS sum_len
+        |  FROM m
+        |  WHERE length(text) = 0
+        |    OR lang NOT IN ('de','en','es','fr','zh')
+        |  GROUP BY 1, 2)
+        |SELECT which, lang, n_docs, sum_len FROM pub
+        |UNION ALL
+        |SELECT which, lang, n_docs, sum_len FROM qr""".stripMargin,
     "lake_vacuum" ->
       """WITH v1 AS (SELECT doc_id, text, lang FROM documents),
         |v2 AS (

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Curated-corpus publishing — the write-side discipline of a 100 TB
@@ -311,7 +311,9 @@ object Lake {
       zOrderCols: Seq[String] = Nil,
       bloomFilterCols: Seq[String] = Nil,
       schemaPolicy: String = "additive",
-      digest: Boolean = false): Long = {
+      digest: Boolean = false,
+      expect: Seq[(String, Column)] = Nil,
+      onViolation: String = "fail"): Long = {
     require(keep >= 1, "keep must retain at least the current generation")
     val spark = df.sparkSession
     val (fs, root) = fsOf(spark, rootDir)
@@ -329,8 +331,14 @@ object Lake {
     val next = high.getOrElse(-1L) + 1
     // layout write only — no manifest read-back; a publisher wanting the
     // per-partition accounting calls manifest(s"$root/v=$next") after
-    writeLayout(df, s"$rootDir/v=$next", partitionCols, sortCols,
+    val (toWrite, expectObs, quarantine) =
+      expectationGate(df, expect, onViolation)
+    writeLayout(toWrite, s"$rootDir/v=$next", partitionCols, sortCols,
       maxRecordsPerFile, zOrderCols, bloomFilterCols)
+    for (o <- expectObs) enforceExpectations(fs,
+      new org.apache.hadoop.fs.Path(root, s"v=$next"), o)
+    for (q <- quarantine) q.write.mode(SaveMode.Overwrite)
+      .parquet(s"$rootDir/v=$next/$QuarantineDir")
     // a full generation's resolved schema is exactly its input's
     writeSchemaFile(fs,
       new org.apache.hadoop.fs.Path(root, s"v=$next"), df.schema)
@@ -388,7 +396,9 @@ object Lake {
       replaced: Set[String] = Set.empty,
       schemaPolicy: String = "additive",
       baseMapHint: Option[(Long, Map[String, Long])] = None,
-      digest: Boolean = false): Long = {
+      digest: Boolean = false,
+      expect: Seq[(String, Column)] = Nil,
+      onViolation: String = "fail"): Long = {
     require(keep >= 1, "keep must retain at least the current generation")
     require(partitionCols.nonEmpty,
       "publishDelta's replacement unit is the partition dir — " +
@@ -407,8 +417,16 @@ object Lake {
       fs.delete(p, true)
     val next = high.getOrElse(-1L) + 1
     val nextPath = new org.apache.hadoop.fs.Path(root, s"v=$next")
-    writeLayout(df, s"$rootDir/v=$next", partitionCols, sortCols,
+    // expectations see the delta's own rows; note drop mode publishes
+    // the clean subset — a partition whose EVERY delta row was
+    // quarantined is not rewritten and keeps inheriting its old content
+    val (toWrite, expectObs, quarantine) =
+      expectationGate(df, expect, onViolation)
+    writeLayout(toWrite, s"$rootDir/v=$next", partitionCols, sortCols,
       maxRecordsPerFile)
+    for (o <- expectObs) enforceExpectations(fs, nextPath, o)
+    for (q <- quarantine) q.write.mode(SaveMode.Overwrite)
+      .parquet(s"$rootDir/v=$next/$QuarantineDir")
     val changed = graft.GenSwap.leaves(fs, nextPath)
       .collect { case (rel, true) => rel }.toSet
     // the base's resolved partition map: its own physical leaves plus
@@ -501,7 +519,9 @@ object Lake {
       probeMovers: Boolean = false,
       genMarker: Option[Long] = None,
       fillMissing: Boolean = false,
-      digest: Boolean = false): Long = {
+      digest: Boolean = false,
+      expect: Seq[(String, Column)] = Nil,
+      onViolation: String = "fail"): Long = {
     require(pkCols.nonEmpty, "mergeDelta needs the changelog's key columns")
     require(partitionCols.nonEmpty,
       "mergeDelta's replacement unit is the partition dir — " +
@@ -648,7 +668,8 @@ object Lake {
       relPartitionValues(rel, partitionCols).exists(touchedSet.contains))
     publishDelta(merged, rootDir, partitionCols, sortCols,
       maxRecordsPerFile, keep, genMarker, replaced,
-      baseMapHint = Some(cur -> baseMap), digest = digest)
+      baseMapHint = Some(cur -> baseMap), digest = digest,
+      expect = expect, onViolation = onViolation)
   }
 
   /** Parse a partition dir's relative path (`a=1/b=2`) into the declared
@@ -791,6 +812,98 @@ object Lake {
 
   private val SchemaFile = "_SCHEMA"
   private val DigestFile = "_DIGEST"
+  private val QuarantineDir = "_QUARANTINE"
+
+  /** Publish-time data-quality expectations — the CHECK-constraint /
+    * expectation gate a curated corpus needs at its write boundary
+    * (malformed rows caught where they try to ship, not three stages
+    * downstream): `expect` is a list of named row predicates; a row
+    * VIOLATES when its predicate is not true (null counts as a
+    * violation — a quality rule that cannot evaluate has not passed).
+    *
+    *  - `onViolation = "fail"`: violation counts are observed ON the
+    *    layout write itself (one `CollectMetrics` node — zero extra
+    *    pass, the house Observation discipline); any violation deletes
+    *    the just-written generation (still an orphan — the high-water
+    *    never moved) and throws naming every violated expectation and
+    *    its count. The pointer is untouched: readers keep the previous
+    *    version, the failed publish leaves NOTHING behind.
+    *  - `onViolation = "drop"`: clean rows publish; violating rows land
+    *    in a `_QUARANTINE` parquet INSIDE the generation (hidden from
+    *    every data reader, visible to [[readQuarantine]]) carrying a
+    *    `_graft_violated` column naming the failed expectations — the
+    *    audit trail a quality pipeline re-processes. Drop mode
+    *    evaluates the input lineage twice (kept write + quarantine
+    *    write); the standard deterministic-lineage assumption applies.
+    *
+    * On [[publishDelta]]/[[mergeDelta]] the expectations see the
+    * generation's OWN rows only — inherited partitions were checked
+    * when they originally published.
+    */
+  private def expectationGate(df: DataFrame, expect: Seq[(String, Column)],
+      onViolation: String): (DataFrame,
+      Option[org.apache.spark.sql.Observation], Option[DataFrame]) = {
+    if (expect.isEmpty) return (df, None, None)
+    def pass(c: Column): Column = coalesce(c, lit(false))
+    onViolation match {
+      case "fail" =>
+        val obs = new org.apache.spark.sql.Observation(
+          "graft_expect_" + java.util.UUID.randomUUID())
+        val exprs = expect.map { case (n, c) =>
+          sum(when(pass(c), 0L).otherwise(1L)).as(n)
+        }
+        (df.observe(obs, exprs.head, exprs.tail: _*), Some(obs), None)
+      case "drop" =>
+        val allPass = expect.map(e => pass(e._2)).reduce(_ && _)
+        val quarantined = df.filter(!allPass)
+          .withColumn("_graft_violated", concat_ws(",",
+            expect.map { case (n, c) =>
+              when(!pass(c), lit(n))
+            }: _*))
+        (df.filter(allPass), None, Some(quarantined))
+      case other => throw new IllegalArgumentException(
+        s"Lake: onViolation must be fail|drop, got '$other'")
+    }
+  }
+
+  /** Enforce a fail-mode expectation result: any violation deletes the
+    * orphan generation and throws with every violated expectation named.
+    */
+  private def enforceExpectations(fs: org.apache.hadoop.fs.FileSystem,
+      genPath: org.apache.hadoop.fs.Path,
+      obs: org.apache.spark.sql.Observation): Unit = {
+    val counts = obs.get.map { case (k, v) =>
+      k -> (v match { case null => 0L; case n: Number => n.longValue() })
+    }
+    val bad = counts.filter(_._2 > 0)
+    if (bad.nonEmpty) {
+      fs.delete(genPath, true): Unit
+      throw new IllegalArgumentException(
+        "Lake: publish rejected by expectation(s) " +
+          bad.toSeq.sortBy(_._1)
+            .map { case (n, c) => s"$n ($c rows)" }.mkString(", ") +
+          " — the generation was discarded, the pointer is unchanged")
+    }
+  }
+
+  /** The quarantined rows of a drop-mode publish (the generation's own
+    * `_QUARANTINE`): original columns plus `_graft_violated` naming the
+    * failed expectations. Fails loudly when the generation carries no
+    * quarantine (nothing was dropped, or the publish ran without
+    * expectations).
+    */
+  def readQuarantine(spark: SparkSession, rootDir: String,
+      version: Option[Long] = None): DataFrame = {
+    val (fs, root) = fsOf(spark, rootDir)
+    val v = version.orElse(readPointer(fs, root, CurrentPointer)).getOrElse(
+      throw new IllegalStateException(
+        s"Lake: $rootDir has no published version"))
+    val p = new org.apache.hadoop.fs.Path(root, s"v=$v/$QuarantineDir")
+    if (!fs.exists(p)) throw new IllegalStateException(
+      s"Lake: version $v of $rootDir has no quarantine — nothing was " +
+        "dropped, or it was published without expectations")
+    spark.read.parquet(p.toString)
+  }
 
   /** Per-partition content fingerprints (opt-in `digest = true` at
     * publish): one row per partition dir — row count plus an

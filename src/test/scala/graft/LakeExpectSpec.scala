@@ -1,0 +1,129 @@
+package graft
+
+import graft.sources.Lake
+import org.apache.spark.sql.functions._
+
+/** Publish-time expectation contract: `fail` mode rejects the whole
+  * publish atomically (counts observed on the write job, generation
+  * discarded, pointer untouched, version number reusable); `drop` mode
+  * publishes the clean subset and quarantines violators inside the
+  * generation with the failed expectation names; a predicate that
+  * evaluates to null is a violation; delta expectations see the
+  * delta's own rows only.
+  */
+class LakeExpectSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp() = java.nio.file.Files
+    .createTempDirectory("graft_lakeexp").toString + "/lake"
+
+  private def cleanup(root: String): Unit =
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root).getParentFile)
+
+  private val corpus = Seq(
+    ("a-1", "g0", "fine one", 1.0),
+    ("a-2", "g0", "", 2.0), // violates text_nonempty
+    ("a-3", "g1", "fine three", -1.0), // violates score_positive
+    ("a-4", "g1", "", -2.0), // violates both
+    ("a-5", "g1", "fine five", 5.0))
+
+  private val expectations = Seq(
+    "text_nonempty" -> (length(col("text")) > 0),
+    "score_positive" -> (col("score") > 0))
+
+  test("fail mode: the publish is rejected naming every violated " +
+      "expectation, nothing lands, and the version number is reusable") {
+    val root = tmp()
+    try {
+      Lake.publishVersion(
+        corpus.filter(t => t._3.nonEmpty && t._4 > 0)
+          .toDF("id", "k", "text", "score"),
+        root, Seq("k"), Seq("id"), 1000L) // v0: clean
+      val e = intercept[IllegalArgumentException] {
+        Lake.publishVersion(corpus.toDF("id", "k", "text", "score"),
+          root, Seq("k"), Seq("id"), 1000L,
+          expect = expectations, onViolation = "fail")
+      }
+      assert(e.getMessage.contains("text_nonempty (2 rows)"), e.getMessage)
+      assert(e.getMessage.contains("score_positive (2 rows)"), e.getMessage)
+      // pointer untouched, generation discarded, number reusable
+      assert(Lake.currentVersion(spark, root) === Some(0L))
+      assert(!new java.io.File(s"$root/v=1").exists())
+      val v = Lake.publishVersion(
+        corpus.filter(t => t._3.nonEmpty && t._4 > 0)
+          .toDF("id", "k", "text", "score"),
+        root, Seq("k"), Seq("id"), 1000L,
+        expect = expectations, onViolation = "fail")
+      assert(v === 1L)
+    } finally cleanup(root)
+  }
+
+  test("drop mode: clean rows publish; the quarantine holds exactly the " +
+      "violators, each naming its failed expectations in order") {
+    val root = tmp()
+    try {
+      Lake.publishVersion(corpus.toDF("id", "k", "text", "score"),
+        root, Seq("k"), Seq("id"), 1000L,
+        expect = expectations, onViolation = "drop")
+      assert(Lake.readVersion(spark, root).select("id").collect()
+        .map(_.getString(0)).toSet === Set("a-1", "a-5"))
+      val q = Lake.readQuarantine(spark, root)
+        .select("id", "_graft_violated").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(q === Map(
+        "a-2" -> "text_nonempty",
+        "a-3" -> "score_positive",
+        "a-4" -> "text_nonempty,score_positive"))
+    } finally cleanup(root)
+  }
+
+  test("a predicate evaluating to NULL is a violation (a rule that " +
+      "cannot evaluate has not passed)") {
+    val root = tmp()
+    try {
+      Lake.publishVersion(
+        Seq(("a-1", "g0", "t", Some(1.0)), ("a-2", "g0", "t", None))
+          .toDF("id", "k", "text", "score"),
+        root, Seq("k"), Seq("id"), 1000L,
+        expect = Seq("score_positive" -> (col("score") > 0)),
+        onViolation = "drop")
+      assert(Lake.readQuarantine(spark, root).select("id").collect()
+        .map(_.getString(0)).toSeq === Seq("a-2"))
+    } finally cleanup(root)
+  }
+
+  test("delta expectations see the delta's own rows; a fully-quarantined " +
+      "partition keeps inheriting its old content") {
+    val root = tmp()
+    try {
+      Lake.publishVersion(corpus.toDF("id", "k", "text", "score"),
+        root, Seq("k"), Seq("id"), 1000L) // v0: unchecked
+      // the delta's g0 rows ALL violate -> g0 is not rewritten; its g1
+      // row is clean and publishes
+      Lake.publishDelta(
+        Seq(("a-1", "g0", "", 1.0), ("a-5", "g1", "edited five", 5.0))
+          .toDF("id", "k", "text", "score"),
+        root, Seq("k"), Seq("id"), 1000L,
+        expect = expectations, onViolation = "drop")
+      val cur = Lake.readVersion(spark, root)
+        .select("id", "text").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(cur("a-1") === "fine one") // inherited, not blanked
+      assert(cur("a-5") === "edited five")
+      assert(Lake.readQuarantine(spark, root).count() === 1L)
+    } finally cleanup(root)
+  }
+
+  test("readQuarantine fails loudly when nothing was quarantined") {
+    val root = tmp()
+    try {
+      Lake.publishVersion(corpus.toDF("id", "k", "text", "score"),
+        root, Seq("k"), Seq("id"), 1000L)
+      val e = intercept[IllegalStateException] {
+        Lake.readQuarantine(spark, root)
+      }
+      assert(e.getMessage.contains("no quarantine"))
+    } finally cleanup(root)
+  }
+}
