@@ -1490,7 +1490,9 @@ object Lake {
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
       delta: Boolean = false,
-      digest: Boolean = false)
+      digest: Boolean = false,
+      expect: Seq[(String, Column)] = Nil,
+      onViolation: String = "fail")
       : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .outputMode("append")
@@ -1498,7 +1500,8 @@ object Lake {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         publishBatch(batch, rootDir, partitionCols, sortCols,
-          maxRecordsPerFile, keep, batchId, delta, digest)
+          maxRecordsPerFile, keep, batchId, delta, digest,
+          expect, onViolation)
       }
       .start()
 
@@ -1514,7 +1517,9 @@ object Lake {
   private[graft] def publishBatch(batch: DataFrame, rootDir: String,
       partitionCols: Seq[String], sortCols: Seq[String],
       maxRecordsPerFile: Long, keep: Int, batchId: Long,
-      delta: Boolean = false, digest: Boolean = false): Unit = {
+      delta: Boolean = false, digest: Boolean = false,
+      expect: Seq[(String, Column)] = Nil,
+      onViolation: String = "fail"): Unit = {
     val spark = batch.sparkSession
     val (fs, root) = fsOf(spark, rootDir)
     recoverPointers(fs, root)
@@ -1523,14 +1528,18 @@ object Lake {
     // not a dataset version, skip it (the marker is untouched, so a
     // replayed empty batch skips again)
     if (batch.isEmpty) return
+    // expectation note for streams: fail-mode rejection throws inside
+    // foreachBatch and FAILS THE QUERY (a poison batch must not be
+    // silently skipped — the checkpoint keeps the offset, so the fixed
+    // producer replays the same batch); drop-mode quarantines per drop
     if (delta)
       publishDelta(batch, rootDir, partitionCols, sortCols,
         maxRecordsPerFile, keep, genMarker = Some(batchId),
-        digest = digest): Unit
+        digest = digest, expect = expect, onViolation = onViolation): Unit
     else
       publishVersion(batch, rootDir, partitionCols, sortCols,
         maxRecordsPerFile, keep, genMarker = Some(batchId),
-        digest = digest): Unit
+        digest = digest, expect = expect, onViolation = onViolation): Unit
   }
 
   /** Replay guard shared by every streaming lake writer: true iff this
@@ -1570,7 +1579,9 @@ object Lake {
       opCol: String = "op", seqCol: Option[String] = None,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
-      digest: Boolean = false)
+      digest: Boolean = false,
+      expect: Seq[(String, Column)] = Nil,
+      onViolation: String = "fail")
       : org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .outputMode("append")
@@ -1578,7 +1589,8 @@ object Lake {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         mergeBatch(batch, rootDir, pkCols, partitionCols, sortCols,
-          maxRecordsPerFile, keep, opCol, seqCol, batchId, digest)
+          maxRecordsPerFile, keep, opCol, seqCol, batchId, digest,
+          expect, onViolation)
       }
       .start()
 
@@ -1592,14 +1604,17 @@ object Lake {
       pkCols: Seq[String], partitionCols: Seq[String], sortCols: Seq[String],
       maxRecordsPerFile: Long, keep: Int, opCol: String,
       seqCol: Option[String], batchId: Long,
-      digest: Boolean = false): Unit = {
+      digest: Boolean = false,
+      expect: Seq[(String, Column)] = Nil,
+      onViolation: String = "fail"): Unit = {
     val (fs, root) = fsOf(batch.sparkSession, rootDir)
     recoverPointers(fs, root)
     if (replayedBatch(fs, root, batchId)) return
     if (batch.isEmpty) return
     mergeDelta(batch, rootDir, pkCols, partitionCols, sortCols,
       maxRecordsPerFile, keep, opCol, seqCol, probeMovers = false,
-      genMarker = Some(batchId), digest = digest): Unit
+      genMarker = Some(batchId), digest = digest,
+      expect = expect, onViolation = onViolation): Unit
   }
 
   /** Per-partition accounting of what landed: file/row/byte counts from

@@ -115,6 +115,25 @@ class LakeExpectSpec extends SparkSuite {
     } finally cleanup(root)
   }
 
+  test("streaming wiring: a drop-mode publishBatch quarantines inside " +
+      "its drop; a fail-mode batch throws (poison batch fails the query)") {
+    val root = tmp()
+    try {
+      Lake.publishBatch(corpus.toDF("id", "k", "text", "score"),
+        root, Seq("k"), Seq("id"), 1000L, keep = 3, batchId = 0L,
+        expect = expectations, onViolation = "drop")
+      assert(Lake.readVersion(spark, root).count() === 2L)
+      assert(Lake.readQuarantine(spark, root, Some(0L)).count() === 3L)
+      intercept[IllegalArgumentException] {
+        Lake.publishBatch(corpus.toDF("id", "k", "text", "score"),
+          root, Seq("k"), Seq("id"), 1000L, keep = 3, batchId = 1L,
+          expect = expectations, onViolation = "fail")
+      }
+      // the rejected batch shipped nothing: currency still the drop's
+      assert(Lake.currentVersion(spark, root) === Some(0L))
+    } finally cleanup(root)
+  }
+
   test("readQuarantine fails loudly when nothing was quarantined") {
     val root = tmp()
     try {
