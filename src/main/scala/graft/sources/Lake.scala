@@ -315,6 +315,7 @@ object Lake {
       expect: Seq[(String, Column)] = Nil,
       onViolation: String = "fail"): Long = {
     require(keep >= 1, "keep must retain at least the current generation")
+    if (digest) validateDigestArgs(partitionCols) // before any write
     val spark = df.sparkSession
     val (fs, root) = fsOf(spark, rootDir)
     recoverPointers(fs, root)
@@ -337,8 +338,26 @@ object Lake {
       maxRecordsPerFile, zOrderCols, bloomFilterCols)
     for (o <- expectObs) enforceExpectations(fs,
       new org.apache.hadoop.fs.Path(root, s"v=$next"), o)
-    for (q <- quarantine) q.write.mode(SaveMode.Overwrite)
-      .parquet(s"$rootDir/v=$next/$QuarantineDir")
+    for (q <- quarantine) {
+      val qDir = new org.apache.hadoop.fs.Path(root,
+        s"v=$next/$QuarantineDir")
+      q.write.mode(SaveMode.Overwrite).parquet(qDir.toString)
+      // a clean publish carries NO quarantine (readQuarantine's loud
+      // "nothing was dropped" contract) — footer count, no column read
+      if (spark.read.parquet(qDir.toString).count() == 0L)
+        fs.delete(qDir, true): Unit
+      // refuse to ship a generation drop mode emptied entirely: the
+      // pointer would serve an unreadable zero-file dir to every reader
+      if (graft.GenSwap.leaves(fs,
+          new org.apache.hadoop.fs.Path(root, s"v=$next")).isEmpty) {
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$next"), true): Unit
+        throw new IllegalArgumentException(
+          "Lake: drop-mode publish produced no publishable rows (every " +
+            "input row was quarantined or the input was empty) — " +
+            "refusing to publish an empty generation; the pointer is " +
+            "unchanged")
+      }
+    }
     // a full generation's resolved schema is exactly its input's
     writeSchemaFile(fs,
       new org.apache.hadoop.fs.Path(root, s"v=$next"), df.schema)
@@ -403,6 +422,7 @@ object Lake {
     require(partitionCols.nonEmpty,
       "publishDelta's replacement unit is the partition dir — " +
         "partitionCols must be non-empty")
+    if (digest) validateDigestArgs(partitionCols) // before any write
     val spark = df.sparkSession
     val (fs, root) = fsOf(spark, rootDir)
     recoverPointers(fs, root)
@@ -425,8 +445,12 @@ object Lake {
     writeLayout(toWrite, s"$rootDir/v=$next", partitionCols, sortCols,
       maxRecordsPerFile)
     for (o <- expectObs) enforceExpectations(fs, nextPath, o)
-    for (q <- quarantine) q.write.mode(SaveMode.Overwrite)
-      .parquet(s"$rootDir/v=$next/$QuarantineDir")
+    for (q <- quarantine) {
+      val qDir = new org.apache.hadoop.fs.Path(nextPath, QuarantineDir)
+      q.write.mode(SaveMode.Overwrite).parquet(qDir.toString)
+      if (spark.read.parquet(qDir.toString).count() == 0L)
+        fs.delete(qDir, true): Unit
+    }
     val changed = graft.GenSwap.leaves(fs, nextPath)
       .collect { case (rel, true) => rel }.toSet
     // the base's resolved partition map: its own physical leaves plus
@@ -526,6 +550,7 @@ object Lake {
     require(partitionCols.nonEmpty,
       "mergeDelta's replacement unit is the partition dir — " +
         "partitionCols must be non-empty")
+    if (digest) validateDigestArgs(partitionCols) // before any write
     val spark = changes.sparkSession
     val (fs, root) = fsOf(spark, rootDir)
     recoverPointers(fs, root)
@@ -906,133 +931,106 @@ object Lake {
   }
 
   /** Per-partition content fingerprints (opt-in `digest = true` at
-    * publish): one row per partition dir — row count plus an
-    * order-independent `bit_xor` of per-row `xxhash64` over the
-    * canonical row json (sorted column names; json, not bare hash args,
-    * because Spark's hash functions SKIP null inputs and would conflate
-    * a null in column A with a null in column B) — written as a small
-    * `_DIGEST` text file inside the generation before the high-water flip. The
-    * change feed uses them to SKIP partitions whose content is
-    * byte-for-byte-value identical across a step even when both sides
-    * physically rewrote them — the FULL-republish case the owner-map
-    * pruning cannot see through (a nightly full publish of a mostly
-    * unchanged corpus feeds at O(truly changed) instead of O(corpus)).
+    * publish): one entry per partition dir, KEYED BY THE DIR’S RELATIVE
+    * PATH (the one form both generations and the feed’s dir plan share
+    * exactly — partition VALUES are deliberately never parsed or
+    * re-inferred, so no type-inference or escaping form can desync the
+    * keys). Each entry is a row count plus an order-independent
+    * `bit_xor` of per-row `xxhash64` over the DATA columns (the dir
+    * path already pins the partition values; atomic schemas hash
+    * columns directly with an explicit null-mask — Spark’s hash
+    * functions SKIP null inputs, which would conflate a null in column
+    * A with a null in column B and with the empty string — while
+    * nested array/map/struct schemas take a canonical-json slow path,
+    * because the skip problem recurs INSIDE such values where a mask
+    * cannot reach; measured ~3.7× publish read-back at 100× for json
+    * vs near-free for the atomic path). Written as a small `_DIGEST`
+    * text file inside the generation before the high-water flip — a
+    * text file, not a parquet, because Spark’s hidden-path filtering
+    * ignores parquet files under an underscore-named dir on some read
+    * paths, and a metadata read this small should not cost a Spark job.
     *
-    * Cost model: one read-back aggregate of the generation's OWN dirs
-    * per publish (page-cache warm, column-complete by necessity — the
-    * digest must cover every column to be sound for any (id, content)
-    * the feed is later asked about). Deltas copy donor entries for
+    * The change feed uses digests to SKIP partitions whose content is
+    * value-identical across a step even when both sides physically
+    * rewrote them — the FULL-republish case owner-map pruning cannot
+    * see through. Cost model: one read-back aggregate of the
+    * generation’s OWN dirs per publish (one scan branch per dir —
+    * partition dirs are coarse by the layout’s design, the same
+    * O(dirs) bound as manifest/vacuum). Deltas copy donor entries for
     * inherited dirs instead of reading them — O(changed) preserved —
-    * dropping entries whose column fingerprint differs (additive drift
-    * makes the skip ineligible, conservatively). Equality is a 64-bit
-    * fingerprint: a false "identical" needs an xxhash64 xor collision
-    * (~2⁻⁶⁴ per dir pair) — the standard content-addressing trade,
-    * stated rather than hidden. Partition values are keyed as STRINGS
-    * (the dir-path form), so digests compare uniformly across
-    * generations regardless of partition-type re-inference.
+    * dropping entries whose column fingerprint differs (schema drift
+    * disables cross-generation skipping, conservatively). Equality is
+    * a 64-bit fingerprint: a false "identical" needs an xxhash64 xor
+    * collision (~2⁻⁶⁴ per dir pair) — the standard
+    * content-addressing trade, stated rather than hidden.
     */
   private def writeDigest(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
       genPath: org.apache.hadoop.fs.Path, partitionCols: Seq[String],
       refs: Map[String, Long]): Unit = {
-    require(partitionCols.nonEmpty,
-      "Lake: digest=true needs partitioned generations (the skip unit " +
-        "is the partition dir)")
-    val reserved = partitionCols.toSet.intersect(Set("n", "x", "cols", "_h"))
-    require(reserved.isEmpty,
-      s"Lake: digest=true reserves column names n/x/cols/_h; partition " +
-        s"column(s) ${reserved.mkString(", ")} clash")
+    validateDigestArgs(partitionCols)
     val ownRels = graft.GenSwap.leaves(fs, genPath)
       .collect { case (rel, true) => rel }
-    val ownRows: Seq[org.apache.spark.sql.Row] =
+    val ownEntries: Seq[(String, (Long, Long), String)] =
       if (ownRels.isEmpty) Nil
       else {
-        val own = spark.read.option("basePath", genPath.toString)
-          .parquet(ownRels.sorted.map(r =>
-            new org.apache.hadoop.fs.Path(genPath, r).toString): _*)
-        val sortedCols = own.columns.sorted.toSeq
-        val fp = sortedCols.map(c =>
+        // one scan branch per dir, tagged with its rel path — partition
+        // columns never enter the read, so the key is exactly the dir
+        val own = ownRels.sorted.map { rel =>
+          spark.read.parquet(
+              new org.apache.hadoop.fs.Path(genPath, rel).toString)
+            .withColumn("_rel", lit(rel))
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
+        val dataCols = own.columns.filterNot(_ == "_rel").sorted.toSeq
+        val fp = dataCols.map(c =>
           s"$c:${own.schema(c).dataType.simpleString}").mkString(",")
-        // row hash: direct column hashing with an explicit null-mask —
-        // Spark's hash functions SKIP null (and empty-collection-like)
-        // inputs, so without the mask a null in column A would collide
-        // with a null in column B and with the empty string. Nested
-        // types (array/map/struct) have the same skip problem INSIDE
-        // the value where a mask can't reach — they take the canonical-
-        // json slow path instead (measured ~3.7× publish read-back at
-        // 100×, vs near-free for the atomic fast path).
-        val nested = sortedCols.exists { c =>
+        val nested = dataCols.exists { c =>
           val t = own.schema(c).dataType.catalogString
           t.contains("array<") || t.contains("map<") || t.contains("struct<")
         }
         val rowHash =
-          if (nested) xxhash64(to_json(struct(sortedCols.map(col): _*)))
+          if (nested) xxhash64(to_json(struct(dataCols.map(col): _*)))
           else {
-            val masks = sortedCols.grouped(63).zipWithIndex.map {
-              case (g, i) => g.zipWithIndex.map { case (c, j) =>
+            val masks = dataCols.grouped(63).map { g =>
+              g.zipWithIndex.map { case (c, j) =>
                 when(col(c).isNull, lit(1L << j)).otherwise(lit(0L))
               }.reduce(_ + _)
             }.toSeq
-            xxhash64(sortedCols.map(col) ++ masks: _*)
+            xxhash64(dataCols.map(col) ++ masks: _*)
           }
         own.withColumn("_h", rowHash)
-          .groupBy(partitionCols.map(c => col(c).cast("string").as(c)): _*)
+          .groupBy(col("_rel"))
           .agg(count(lit(1)).as("n"), expr("bit_xor(_h)").as("x"))
-          .withColumn("cols", lit(fp))
           .collect().toSeq
+          .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)), fp))
       }
-    val ownFp = ownRows.headOption
-      .map(_.getAs[String]("cols"))
     // donors: same frozen files, same digest — copy entries for the
-    // inherited dirs instead of re-reading them (keeps deltas O(changed));
-    // drop entries whose column fingerprint differs from this
-    // generation's (schema drift: the dirs read differently through the
-    // two generations, so cross-generation skipping is ineligible)
-    // one fingerprint per digest table: own rows set it; with no own rows
-    // (an all-delete delta) the first donor's fp becomes the table's, and
-    // donors disagreeing with the effective fp are dropped
-    var effFp = ownFp
-    val donorRows = refs.groupBy(_._2).toSeq.sortBy(_._1).flatMap {
+    // inherited dirs instead of re-reading them (keeps deltas
+    // O(changed)). One fingerprint per digest table: own rows set it;
+    // with no own rows (an all-delete delta) the first donor’s fp
+    // becomes the table’s; donors disagreeing with the effective fp
+    // are dropped (drift = no cross-generation skipping)
+    var effFp = ownEntries.headOption.map(_._3)
+    val donorEntries = refs.groupBy(_._2).toSeq.sortBy(_._1).flatMap {
       case (o, m) =>
         readDigest(fs,
           new org.apache.hadoop.fs.Path(root, s"v=$o")) match {
-          case Some((fp, partCols, entries))
-              if partCols == partitionCols && effFp.forall(_ == fp) =>
+          case Some((fp, entries)) if effFp.forall(_ == fp) =>
             if (effFp.isEmpty) effFp = Some(fp)
-            val wanted = m.keys
-              .flatMap(rel => relPartitionValues(rel, partitionCols)).toSet
-            entries.filter { case (vals, _) => wanted(vals) }
-              .map { case (vals, (n, x)) =>
-                org.apache.spark.sql.Row.fromSeq(
-                  vals.map(_.orNull) ++ Seq(n, x, fp))
-              }
+            val wanted = m.keySet
+            entries.filter { case (rel, _) => wanted(rel) }
+              .map { case (rel, nx) => (rel, nx, fp) }
           case _ => Nil
         }
     }
-    val all = ownRows ++ donorRows
-    if (all.nonEmpty) {
-      // plain text file (the _REFS/_SCHEMA pattern): line 1 = the column
-      // fingerprint, line 2 = the partition column names, then one
-      // `n \t x \t values...` row per dir — values URL-encoded ('~' =
-      // null) so any partition value round-trips. A text file, not a
-      // parquet: Spark's hidden-path filtering ignores parquet files
-      // under an underscore-named dir on some read paths, and a metadata
-      // read this small should not cost a Spark job anyway.
-      def enc(v: Option[String]): String = v match {
-        case None => "~"
-        case Some(s) => "=" + java.net.URLEncoder.encode(s, "UTF-8")
-      }
-      val fp = effFp.getOrElse(ownRows.head.getAs[String]("cols"))
-      val body = (Seq(java.net.URLEncoder.encode(fp, "UTF-8"),
-        partitionCols.map(c =>
-          java.net.URLEncoder.encode(c, "UTF-8")).mkString("\t")) ++
-        all.map { r =>
-          val vals = partitionCols.indices
-            .map(i => enc(Option(r.getString(i))))
-          s"${r.getLong(partitionCols.length)}\t" +
-            s"${r.getLong(partitionCols.length + 1)}\t" +
-            vals.mkString("\t")
-        }).mkString("\n")
+    val all = ownEntries ++ donorEntries
+    for (fp <- effFp if all.nonEmpty) {
+      // line 1 = the column fingerprint; then one `n \t x \t rel` row per
+      // dir, rel URL-encoded so any dir path round-trips through the file
+      val body = (java.net.URLEncoder.encode(fp, "UTF-8") +: all.map {
+        case (rel, (n, x), _) =>
+          s"$n\t$x\t${java.net.URLEncoder.encode(rel, "UTF-8")}"
+      }).mkString("\n")
       val os = fs.create(
         new org.apache.hadoop.fs.Path(genPath, DigestFile), true)
       try os.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -1040,30 +1038,39 @@ object Lake {
     }
   }
 
-  /** A generation's digest table, if it carries one: (column
-    * fingerprint, partition column names, values → (count, xor)).
+  /** Argument errors a digest-enabled publish can detect before writing
+    * anything — checked at the publish entry points so a bad call fails
+    * instantly instead of after the corpus write.
+    */
+  private def validateDigestArgs(partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty,
+      "Lake: digest=true needs partitioned generations (the skip unit " +
+        "is the partition dir)")
+    require(!partitionCols.contains("_rel") && !partitionCols.contains("_h"),
+      "Lake: digest=true reserves column names _rel/_h; rename the " +
+        "clashing partition column")
+  }
+
+  /** A generation’s digest table, if it carries one: (column
+    * fingerprint, rel dir → (count, xor)).
     */
   private def readDigest(fs: org.apache.hadoop.fs.FileSystem,
       genPath: org.apache.hadoop.fs.Path)
-      : Option[(String, Seq[String], Map[Seq[Option[String]], (Long, Long)])] =
+      : Option[(String, Map[String, (Long, Long)])] =
     try {
       val in = fs.open(new org.apache.hadoop.fs.Path(genPath, DigestFile))
       val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
       val lines = s.linesIterator.toSeq
-      if (lines.length < 3) None
+      if (lines.length < 2) None
       else {
         val fp = java.net.URLDecoder.decode(lines(0), "UTF-8")
-        val partCols = lines(1).split('\t').toSeq
-          .map(java.net.URLDecoder.decode(_, "UTF-8"))
-        def dec(v: String): Option[String] =
-          if (v == "~") None
-          else Some(java.net.URLDecoder.decode(v.substring(1), "UTF-8"))
-        val entries = lines.drop(2).filter(_.nonEmpty).map { l =>
+        val entries = lines.drop(1).filter(_.nonEmpty).map { l =>
           val f = l.split('\t')
-          f.drop(2).toSeq.map(dec) -> (f(0).toLong, f(1).toLong)
+          java.net.URLDecoder.decode(f(2), "UTF-8") ->
+            (f(0).toLong, f(1).toLong)
         }.toMap
-        Some((fp, partCols, entries))
+        Some((fp, entries))
       }
     } catch { case _: java.io.FileNotFoundException => None }
 
@@ -1212,8 +1219,27 @@ object Lake {
         .select(col("v"), col(idCol), col("change"),
           col("old_hash"), col("new_hash"))
     }
+    // per-version metadata memoized across steps: each interior
+    // generation is side b of one step and side a of the next — without
+    // the memo its leaf walk and digest parse would run twice
+    val resolvedMemo =
+      scala.collection.mutable.Map.empty[Long, Option[Map[String, Long]]]
+    val digestMemo = scala.collection.mutable.Map
+      .empty[Long, Option[(String, Map[String, (Long, Long)])]]
+    def resolvedOf(v: Long): Option[Map[String, Long]] =
+      resolvedMemo.getOrElseUpdate(v, {
+        val p = new org.apache.hadoop.fs.Path(root, s"v=$v")
+        val ls = graft.GenSwap.leaves(fs, p)
+        if (ls.exists(!_._2)) None
+        else Some(ls.collect { case (rel, true) => rel -> v }.toMap ++
+          readRefs(fs, p))
+      })
+    def digestOf(v: Long): Option[(String, Map[String, (Long, Long)])] =
+      digestMemo.getOrElseUpdate(v,
+        readDigest(fs, new org.apache.hadoop.fs.Path(root, s"v=$v")))
     (fromVersion + 1 to toVersion).map { v =>
-      stepChanges(spark, fs, root, rootDir, v - 1, v, idCol, contentCol)
+      stepChanges(spark, root, rootDir, v - 1, v, idCol, contentCol,
+          resolvedOf, digestOf)
         .withColumn("v", lit(v))
         .select(col("v"), col(idCol), col("change"),
           col("old_hash"), col("new_hash"))
@@ -1224,20 +1250,17 @@ object Lake {
     * dirs whose physical owner differs between the two resolved maps.
     */
   private def stepChanges(spark: SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      root: org.apache.hadoop.fs.Path,
       rootDir: String, a: Long, b: Long,
-      idCol: String, contentCol: String): DataFrame = {
-    // resolved partition map: rel dir -> physical owner version. A
-    // generation with root-level data files is unpartitioned — no dir
-    // granularity to prune on; fall back to the full diff
-    def resolved(v: Long): Option[Map[String, Long]] = {
-      val p = new org.apache.hadoop.fs.Path(root, s"v=$v")
-      val ls = graft.GenSwap.leaves(fs, p)
-      if (ls.exists(!_._2)) None
-      else Some(ls.collect { case (rel, true) => rel -> v }.toMap ++
-        readRefs(fs, p))
-    }
-    (resolved(a), resolved(b)) match {
+      idCol: String, contentCol: String,
+      resolvedOf: Long => Option[Map[String, Long]],
+      digestOf: Long => Option[(String, Map[String, (Long, Long)])])
+      : DataFrame = {
+    // resolved partition map (rel dir -> physical owner version) comes
+    // memoized from changesBetween. A generation with root-level data
+    // files is unpartitioned — no dir granularity to prune on; fall
+    // back to the full diff
+    (resolvedOf(a), resolvedOf(b)) match {
       case (Some(ma), Some(mb)) =>
         val dirs0 = (ma.keySet ++ mb.keySet)
           .filter(d => ma.get(d) != mb.get(d))
@@ -1248,14 +1271,11 @@ object Lake {
         // republishes, where every dir's owner differs by construction.
         val dirs =
           if (dirs0.isEmpty) dirs0
-          else (readDigest(fs,
-              new org.apache.hadoop.fs.Path(root, s"v=$a")),
-            readDigest(fs,
-              new org.apache.hadoop.fs.Path(root, s"v=$b"))) match {
-            case (Some((fa, pa, da)), Some((fb, pb, db)))
-                if fa == fb && pa == pb =>
-              dirs0.filterNot(d => relPartitionValues(d, pa).exists(v =>
-                da.get(v).exists(x => db.get(v).contains(x))))
+          else (digestOf(a), digestOf(b)) match {
+            case (Some((fa, da)), Some((fb, db))) if fa == fb =>
+              // rel-dir keys on both sides — never a parsed or
+              // re-inferred value, so the forms cannot desync
+              dirs0.filterNot(d => da.get(d).exists(x => db.get(d).contains(x)))
             case _ => dirs0
           }
         def side(m: Map[String, Long]): Option[DataFrame] = {

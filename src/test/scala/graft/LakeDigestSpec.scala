@@ -122,6 +122,34 @@ class LakeDigestSpec extends SparkSuite {
     } finally cleanup(root)
   }
 
+  test("digest keys are dir paths, not re-inferred values: partitions " +
+      "'1' and '01' (which type inference would conflate) skip and diff " +
+      "independently") {
+    val root = tmp()
+    try {
+      // two dirs whose STRING values collapse to the same int under
+      // Spark's partition type inference — a value-keyed digest would
+      // merge them into one entry and could false-skip a content swap
+      def corpus(t1: String, t01: String) = Seq(
+        ("a-1", "1", t1), ("a-2", "01", t01)).toDF("id", "k", "text")
+      Lake.publishVersion(corpus("alpha", "beta"), root, Seq("k"),
+        Seq("id"), 1000L, keep = 10, digest = true)
+      // swap the contents between the dirs: the combined multiset is
+      // unchanged, so a conflated digest would skip both and miss it
+      Lake.publishVersion(corpus("beta", "alpha"), root, Seq("k"),
+        Seq("id"), 1000L, keep = 10, digest = true)
+      assert(feedRows(root, 0L, 1L) ===
+        Set((1L, "a-1", "changed"), (1L, "a-2", "changed")))
+      // and an identical republish still skips both dirs
+      Lake.publishVersion(corpus("beta", "alpha"), root, Seq("k"),
+        Seq("id"), 1000L, keep = 10, digest = true)
+      val read = bytesReadDuring {
+        assert(feedRows(root, 1L, 2L) === Set.empty)
+      }
+      assert(read === 0L, s"identical republish read $read bytes")
+    } finally cleanup(root)
+  }
+
   test("additive schema drift disables cross-generation skipping " +
       "conservatively — the feed stays correct") {
     val root = tmp()

@@ -134,7 +134,8 @@ class LakeExpectSpec extends SparkSuite {
     } finally cleanup(root)
   }
 
-  test("readQuarantine fails loudly when nothing was quarantined") {
+  test("readQuarantine fails loudly when nothing was quarantined — " +
+      "including after a CLEAN drop-mode publish") {
     val root = tmp()
     try {
       Lake.publishVersion(corpus.toDF("id", "k", "text", "score"),
@@ -143,6 +144,36 @@ class LakeExpectSpec extends SparkSuite {
         Lake.readQuarantine(spark, root)
       }
       assert(e.getMessage.contains("no quarantine"))
+      // drop mode with zero violations must not leave an empty
+      // quarantine behind — ran clean ≡ ran without expectations
+      Lake.publishVersion(
+        corpus.filter(t => t._3.nonEmpty && t._4 > 0)
+          .toDF("id", "k", "text", "score"),
+        root, Seq("k"), Seq("id"), 1000L,
+        expect = expectations, onViolation = "drop")
+      val e2 = intercept[IllegalStateException] {
+        Lake.readQuarantine(spark, root)
+      }
+      assert(e2.getMessage.contains("no quarantine"))
+    } finally cleanup(root)
+  }
+
+  test("a drop-mode publish that quarantines EVERY row refuses to ship " +
+      "an empty generation; the pointer is unchanged") {
+    val root = tmp()
+    try {
+      Lake.publishVersion(corpus.toDF("id", "k", "text", "score"),
+        root, Seq("k"), Seq("id"), 1000L) // v0
+      val e = intercept[IllegalArgumentException] {
+        Lake.publishVersion(
+          Seq(("b-1", "g0", "", -1.0)).toDF("id", "k", "text", "score"),
+          root, Seq("k"), Seq("id"), 1000L,
+          expect = expectations, onViolation = "drop")
+      }
+      assert(e.getMessage.contains("no publishable rows"))
+      assert(Lake.currentVersion(spark, root) === Some(0L))
+      assert(Lake.readVersion(spark, root).count() === corpus.size.toLong)
+      assert(!new java.io.File(s"$root/v=1").exists())
     } finally cleanup(root)
   }
 }
