@@ -154,6 +154,24 @@ class LakeChangeFeedSpec extends SparkSuite {
     } finally cleanup(root)
   }
 
+  test("a partition-layout change between generations (repartitioned " +
+      "full republish) feeds correctly — every dir differs, full diff") {
+    val root = tmp()
+    try {
+      val base = (0 until 40).map(j => (s"d-$j", s"g${j % 2}",
+        s"b${j % 4}", s"t $j")).toDF("id", "k", "bucket", "text")
+      Lake.publishVersion(base, root, Seq("k"), Seq("id"), 1000L,
+        keep = 10) // v0: partitioned by k
+      Lake.publishVersion(
+        base.withColumn("text",
+          when(col("id") === "d-0", lit("edited")).otherwise(col("text"))),
+        root, Seq("bucket"), Seq("id"), 1000L, keep = 10,
+        schemaPolicy = "any") // v1: REPARTITIONED by bucket
+      assert(rows(Lake.changesBetween(spark, root, 0L, 1L, "id", "text"))
+        .map(t => (t._1, t._2, t._3)) === Set((1L, "d-0", "changed")))
+    } finally cleanup(root)
+  }
+
   test("physically identical consecutive generations (a re-publish of " +
       "nothing new via delta) yield an empty step, zero phantom changes") {
     val root = tmp()

@@ -150,6 +150,37 @@ class LakeDigestSpec extends SparkSuite {
     } finally cleanup(root)
   }
 
+  test("digest keys survive hive-escaped partition values (spaces, " +
+      "percent, equals, slash, null-sentinel prefix): identical " +
+      "republish still skips at zero bytes") {
+    val root = tmp()
+    try {
+      // no raw-unicode value: the sandbox JVM's file.encoding cannot
+      // create such a dir on the local FS (Spark's own writer throws
+      // InvalidPathException before any lake code runs); the digest
+      // codec URL-encodes rel paths, so unicode is covered by the codec
+      val hostile = Seq("plain", "with space", "100%sure", "a=b",
+        "path/slash", "__HIVE_DEFAULT_PARTITION__x")
+      def corpus = hostile.zipWithIndex.map { case (k, i) =>
+        (s"d-$i", k, s"text $i") }.toDF("id", "k", "text")
+      Lake.publishVersion(corpus, root, Seq("k"), Seq("id"), 1000L,
+        keep = 10, digest = true)
+      Lake.publishVersion(corpus, root, Seq("k"), Seq("id"), 1000L,
+        keep = 10, digest = true)
+      val read = bytesReadDuring {
+        assert(feedRows(root, 0L, 1L) === Set.empty)
+      }
+      assert(read === 0L,
+        s"hostile-partition identical republish read $read bytes")
+      // and a real change in an escaped dir is still detected
+      Lake.publishVersion(
+        corpus.withColumn("text",
+          when(col("k") === "100%sure", lit("edited")).otherwise(col("text"))),
+        root, Seq("k"), Seq("id"), 1000L, keep = 10, digest = true)
+      assert(feedRows(root, 1L, 2L) === Set((2L, "d-2", "changed")))
+    } finally cleanup(root)
+  }
+
   test("additive schema drift disables cross-generation skipping " +
       "conservatively — the feed stays correct") {
     val root = tmp()

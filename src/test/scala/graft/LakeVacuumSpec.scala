@@ -95,6 +95,41 @@ class LakeVacuumSpec extends SparkSuite {
     } finally cleanup(root)
   }
 
+  test("a reader scanning the current generation is undisturbed by a " +
+      "concurrent vacuum pruning old generations") {
+    val root = tmp()
+    try {
+      for (i <- 0 to 3)
+        Lake.publishVersion(corpus(s"g$i"), root, Seq("k"), Seq("id"),
+          1000L, keep = 10)
+      // reader loop on the current generation races the vacuum: the
+      // current dir is protected, so every read must succeed with the
+      // full row count — pruning only ever touches non-current,
+      // non-horizon generations
+      val errors = new java.util.concurrent.atomic.AtomicReference[String]()
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val reader = new Thread(() => {
+        while (!stop.get()) {
+          try {
+            val n = Lake.readVersion(spark, root).count()
+            if (n != 20L) errors.compareAndSet(null, s"read $n rows"): Unit
+          } catch {
+            case t: Throwable =>
+              errors.compareAndSet(null, t.toString): Unit
+          }
+        }
+      })
+      reader.start()
+      try {
+        Thread.sleep(100)
+        val rep = actions(Lake.vacuum(spark, root, keep = 1))
+        assert(rep(0L)._1 === "pruned" && rep(3L)._1 === "retained")
+        Thread.sleep(200)
+      } finally { stop.set(true); reader.join(10000) }
+      assert(errors.get() === null, s"reader failed: ${errors.get()}")
+    } finally cleanup(root)
+  }
+
   test("a crashed publish's orphan above the high-water is removed and " +
       "reported as such") {
     val root = tmp()
