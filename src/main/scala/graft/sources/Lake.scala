@@ -315,7 +315,8 @@ object Lake {
       expect: Seq[(String, Column)] = Nil,
       onViolation: String = "fail"): Long = {
     require(keep >= 1, "keep must retain at least the current generation")
-    if (digest) validateDigestArgs(partitionCols) // before any write
+    if (digest) // before any write
+      validateDigestArgs(partitionCols, df.columns.toSeq)
     val spark = df.sparkSession
     val (fs, root) = fsOf(spark, rootDir)
     recoverPointers(fs, root)
@@ -346,24 +347,25 @@ object Lake {
       // "nothing was dropped" contract) — footer count, no column read
       if (spark.read.parquet(qDir.toString).count() == 0L)
         fs.delete(qDir, true): Unit
-      // refuse to ship a generation drop mode emptied entirely: the
-      // pointer would serve an unreadable zero-file dir to every reader
-      if (graft.GenSwap.leaves(fs,
-          new org.apache.hadoop.fs.Path(root, s"v=$next")).isEmpty) {
-        fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$next"), true): Unit
-        throw new IllegalArgumentException(
-          "Lake: drop-mode publish produced no publishable rows (every " +
-            "input row was quarantined or the input was empty) — " +
-            "refusing to publish an empty generation; the pointer is " +
-            "unchanged")
-      }
+    }
+    // refuse to ship a zero-data-file FULL generation — from an empty
+    // input OR a drop mode that quarantined every row: the pointer
+    // would serve an unreadable dir to every reader (deltas are exempt:
+    // an empty delta legitimately inherits everything through _REFS)
+    if (graft.GenSwap.leaves(fs,
+        new org.apache.hadoop.fs.Path(root, s"v=$next")).isEmpty) {
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$next"), true): Unit
+      throw new IllegalArgumentException(
+        "Lake: publish produced no data files (empty input, or every " +
+          "row quarantined by drop-mode expectations) — refusing to " +
+          "publish an unreadable empty generation; the pointer is " +
+          "unchanged")
     }
     // a full generation's resolved schema is exactly its input's
     writeSchemaFile(fs,
       new org.apache.hadoop.fs.Path(root, s"v=$next"), df.schema)
     if (digest) writeDigest(spark, fs, root,
-      new org.apache.hadoop.fs.Path(root, s"v=$next"), partitionCols,
-      Map.empty)
+      new org.apache.hadoop.fs.Path(root, s"v=$next"), Map.empty)
     // the caller's provenance marker (e.g. [[publishStream]]'s batch id)
     // lands INSIDE the generation before the high-water flip, so a
     // generation counted published always carries it — the replay-dedup
@@ -422,7 +424,8 @@ object Lake {
     require(partitionCols.nonEmpty,
       "publishDelta's replacement unit is the partition dir — " +
         "partitionCols must be non-empty")
-    if (digest) validateDigestArgs(partitionCols) // before any write
+    if (digest) // before any write
+      validateDigestArgs(partitionCols, df.columns.toSeq)
     val spark = df.sparkSession
     val (fs, root) = fsOf(spark, rootDir)
     recoverPointers(fs, root)
@@ -468,8 +471,7 @@ object Lake {
     }
     val inherited = baseMap -- changed -- replaced
     writeRefs(fs, nextPath, inherited)
-    if (digest) writeDigest(spark, fs, root, nextPath, partitionCols,
-      inherited)
+    if (digest) writeDigest(spark, fs, root, nextPath, inherited)
     // the delta's RESOLVED schema = its own columns plus what it still
     // inherits (the policy check proved compatibility); recordable only
     // when the old schema was consulted — under policy "any" the
@@ -550,7 +552,8 @@ object Lake {
     require(partitionCols.nonEmpty,
       "mergeDelta's replacement unit is the partition dir — " +
         "partitionCols must be non-empty")
-    if (digest) validateDigestArgs(partitionCols) // before any write
+    if (digest) // before any write (survivors carry the base's columns)
+      validateDigestArgs(partitionCols, changes.columns.toSeq)
     val spark = changes.sparkSession
     val (fs, root) = fsOf(spark, rootDir)
     recoverPointers(fs, root)
@@ -966,9 +969,8 @@ object Lake {
     */
   private def writeDigest(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
-      genPath: org.apache.hadoop.fs.Path, partitionCols: Seq[String],
+      genPath: org.apache.hadoop.fs.Path,
       refs: Map[String, Long]): Unit = {
-    validateDigestArgs(partitionCols)
     val ownRels = graft.GenSwap.leaves(fs, genPath)
       .collect { case (rel, true) => rel }
     val ownEntries: Seq[(String, (Long, Long), String)] =
@@ -976,11 +978,26 @@ object Lake {
       else {
         // one scan branch per dir, tagged with its rel path — partition
         // columns never enter the read, so the key is exactly the dir
-        val own = ownRels.sorted.map { rel =>
+        // one scan branch per dir, tagged with its rel path — partition
+        // columns never enter the read, so the key is exactly the dir.
+        // (input_file_name() could tag in one branch, but its URI form
+        // vs the raw dir-name form is ambiguous for escaped names —
+        // exactly the key-desync class the rel keying exists to kill.)
+        // Branch count = dir count, coarse by the layout's design; the
+        // union folds as a balanced tree so plan depth is O(log dirs),
+        // not O(dirs)
+        def unionAll(dfs: Seq[DataFrame]): DataFrame =
+          if (dfs.size == 1) dfs.head
+          else {
+            val (l, r) = dfs.splitAt(dfs.size / 2)
+            unionAll(l).unionByName(unionAll(r),
+              allowMissingColumns = true)
+          }
+        val own = unionAll(ownRels.sorted.map { rel =>
           spark.read.parquet(
               new org.apache.hadoop.fs.Path(genPath, rel).toString)
             .withColumn("_rel", lit(rel))
-        }.reduce(_.unionByName(_, allowMissingColumns = true))
+        })
         val dataCols = own.columns.filterNot(_ == "_rel").sorted.toSeq
         val fp = dataCols.map(c =>
           s"$c:${own.schema(c).dataType.simpleString}").mkString(",")
@@ -1042,13 +1059,16 @@ object Lake {
     * anything — checked at the publish entry points so a bad call fails
     * instantly instead of after the corpus write.
     */
-  private def validateDigestArgs(partitionCols: Seq[String]): Unit = {
+  private def validateDigestArgs(partitionCols: Seq[String],
+      dataCols: Seq[String]): Unit = {
     require(partitionCols.nonEmpty,
       "Lake: digest=true needs partitioned generations (the skip unit " +
         "is the partition dir)")
-    require(!partitionCols.contains("_rel") && !partitionCols.contains("_h"),
-      "Lake: digest=true reserves column names _rel/_h; rename the " +
-        "clashing partition column")
+    val clash = (partitionCols ++ dataCols)
+      .filter(c => c == "_rel" || c == "_h").distinct
+    require(clash.isEmpty,
+      s"Lake: digest=true reserves column names _rel/_h; rename the " +
+        s"clashing column(s) ${clash.mkString(", ")}")
   }
 
   /** A generation’s digest table, if it carries one: (column
@@ -1072,7 +1092,14 @@ object Lake {
         }.toMap
         Some((fp, entries))
       }
-    } catch { case _: java.io.FileNotFoundException => None }
+    } catch {
+      case _: java.io.FileNotFoundException => None
+      // an unparseable digest (pre-rel-format writer, corruption) must
+      // degrade to "no digest" — the skip is an optimization, never a
+      // correctness dependency
+      case _: NumberFormatException => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
 
   /** Record a generation's RESOLVED schema (json) inside it — written
     * before the high-water flip, so a published generation always

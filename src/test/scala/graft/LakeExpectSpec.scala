@@ -170,10 +170,33 @@ class LakeExpectSpec extends SparkSuite {
           root, Seq("k"), Seq("id"), 1000L,
           expect = expectations, onViolation = "drop")
       }
-      assert(e.getMessage.contains("no publishable rows"))
+      assert(e.getMessage.contains("no data files"))
       assert(Lake.currentVersion(spark, root) === Some(0L))
       assert(Lake.readVersion(spark, root).count() === corpus.size.toLong)
       assert(!new java.io.File(s"$root/v=1").exists())
+      // the same guard covers an empty input WITHOUT expectations — an
+      // unreadable zero-file generation must never become current
+      val e2 = intercept[IllegalArgumentException] {
+        Lake.publishVersion(
+          corpus.toDF("id", "k", "text", "score").limit(0),
+          root, Seq("k"), Seq("id"), 1000L)
+      }
+      assert(e2.getMessage.contains("no data files"))
+      assert(Lake.currentVersion(spark, root) === Some(0L))
+    } finally cleanup(root)
+  }
+
+  test("a data column named _rel or _h is rejected before any write " +
+      "when digests are on (it would silently corrupt the fingerprint)") {
+    val root = tmp()
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Lake.publishVersion(
+          Seq(("a-1", "g0", "x")).toDF("id", "k", "_rel"),
+          root, Seq("k"), Seq("id"), 1000L, digest = true)
+      }
+      assert(e.getMessage.contains("_rel"))
+      assert(!new java.io.File(s"$root/v=0").exists()) // nothing written
     } finally cleanup(root)
   }
 }
