@@ -296,12 +296,34 @@ object Similarity {
     */
   def ivfTopKWith(
       emb: DataFrame, cent: DataFrame, queryPred: Column, k: Int,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2): DataFrame =
+    ivfTopKImpl(emb, cent, queryPred, lit(true), k, nprobe)
+
+  /** FILTERED ANN — [[ivfTopKWith]] with a candidate-side metadata
+    * predicate: top-k nearest among ONLY the vectors satisfying
+    * `candPred` (the production shape "nearest English docs", "nearest
+    * within this snapshot's survivors"). The filter applies BEFORE the
+    * cell assignment/join, so it reaches the candidate scan (predicate
+    * pushdown, fewer rows shuffled into cells) rather than discarding
+    * candidates after the distance pass; per-vector nearest-centroid
+    * assignment is independent of other vectors, so pre-filter
+    * assignment ≡ post-filter assignment. Recall caveat at 100 TB: a
+    * highly selective filter empties probed cells — raise nprobe with
+    * filter selectivity (the standard filtered-ANN trade).
+    */
+  def ivfTopKFilteredWith(
+      emb: DataFrame, cent: DataFrame, queryPred: Column, candPred: Column,
+      k: Int, nprobe: Int = 2): DataFrame =
+    ivfTopKImpl(emb, cent, queryPred, candPred, k, nprobe)
+
+  private def ivfTopKImpl(
+      emb: DataFrame, cent: DataFrame, queryPred: Column, candPred: Column,
+      k: Int, nprobe: Int): DataFrame = {
     val v = vecs(emb)
-    // data side: hash-aggregate argmax (no sort); query side: the full
-    // centroid ranking, but only over the (tiny) filtered query set —
-    // multi-probe needs ranks 1..nprobe there
-    val asn = assignTo(v, cent)
+    // data side: hash-aggregate argmax (no sort) over the candidate
+    // subset; query side: the full centroid ranking, but only over the
+    // (tiny) filtered query set — multi-probe needs ranks 1..nprobe there
+    val asn = assignTo(v.filter(candPred), cent)
     val q = rankedAssign(v.filter(queryPred), cent)
       .filter(col("rk") <= nprobe)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("cid"))

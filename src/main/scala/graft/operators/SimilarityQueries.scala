@@ -325,6 +325,16 @@ object SimilarityQueries extends QueryRegistry {
     "sim_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopKWith(emb(s, dir), sharedCentroids(s, dir),
         col("vec_id") < 10, 3)),
+    // X3: FILTERED ANN — top-3 among only the even-id vectors (the
+    // "nearest within a metadata subset" production shape: nearest
+    // English docs, nearest snapshot survivors). The predicate applies
+    // BEFORE the cell join (candidate scan shrinks); the oracle filters
+    // the same assignment CTE, so the hash pins that pre-filter
+    // assignment ≡ post-filter assignment and that no out-of-subset
+    // candidate leaks into the top-k.
+    "sim_ivf_filtered" -> ((s, dir) =>
+      Similarity.ivfTopKFilteredWith(emb(s, dir), sharedCentroids(s, dir),
+        col("vec_id") < 10, col("vec_id") % 2 === 0, 3)),
     // X2/X3: embedding-cosine near-dup pairs within IVF cells
     "sim_neardup" -> ((s, dir) =>
       Similarity.nearDupPairsWith(emb(s, dir), sharedCentroids(s, dir), 0.4)),
@@ -1042,6 +1052,18 @@ object SimilarityQueries extends QueryRegistry {
          |      WHERE vec_id < 10 AND rk <= 2),
          |p AS (SELECT q.qid, a.vec_id, ${cos("q.qv", "a.v")} AS sim
          |      FROM q JOIN asn a USING (cid) WHERE q.qid <> a.vec_id)
+         |SELECT qid, vec_id, round(sim, 6) AS sim, rk FROM (
+         |  SELECT qid, vec_id, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+         |  FROM p)
+         |WHERE rk <= 3""".stripMargin,
+    "sim_ivf_filtered" ->
+      s"""WITH $ivfCtes,
+         |q AS (SELECT vec_id AS qid, v AS qv, cid FROM ranked
+         |      WHERE vec_id < 10 AND rk <= 2),
+         |p AS (SELECT q.qid, a.vec_id, ${cos("q.qv", "a.v")} AS sim
+         |      FROM q JOIN asn a USING (cid)
+         |      WHERE q.qid <> a.vec_id AND a.vec_id % 2 = 0)
          |SELECT qid, vec_id, round(sim, 6) AS sim, rk FROM (
          |  SELECT qid, vec_id, sim,
          |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk

@@ -33,6 +33,32 @@ class SimilaritySpec extends SparkSuite {
       assert(cv === reparted(cid), s"centroid $cid differs across partitionings")
   }
 
+  test("filtered ANN: only candidates satisfying the predicate appear; " +
+      "a true predicate degenerates to the unfiltered search; the " +
+      "filtered top-k equals filter-inside-cells, not filter-after-topk") {
+    import org.apache.spark.sql.functions._
+    val cent = Similarity.kmeansCentroids(emb, 16, 2)
+    val even = Similarity.ivfTopKFilteredWith(emb, cent,
+      col("vec_id") < 10, col("vec_id") % 2 === 0, 3).collect()
+    assert(even.nonEmpty)
+    assert(even.forall(_.getLong(1) % 2 == 0),
+      "an out-of-subset candidate leaked into the filtered top-k")
+    // filter-after-topk would LOSE rows (odd neighbors consume ranks);
+    // the filtered search must instead refill from even candidates:
+    // some query must have an even neighbor that the unfiltered top-3
+    // does not contain
+    val unf = Similarity.ivfTopKWith(emb, cent, col("vec_id") < 10, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(even.exists(r => !unf.contains((r.getLong(0), r.getLong(1)))),
+      "filtered result never refilled — it is just filter-after-topk")
+    // candPred = true delegates to the identical unfiltered plan
+    val viaTrue = Similarity.ivfTopKFilteredWith(emb, cent,
+      col("vec_id") < 10, lit(true), 3)
+      .collect().map(_.toSeq).toSet
+    assert(viaTrue === Similarity.ivfTopKWith(emb, cent,
+      col("vec_id") < 10, 3).collect().map(_.toSeq).toSet)
+  }
+
   test("hierarchical assignment + sampled training: the scaled-C path " +
       "keeps cell agreement and near-dup recall") {
     // force the hierarchy at C=16 (flatBelow=0) on the fixture corpus:
