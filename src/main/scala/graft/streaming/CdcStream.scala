@@ -37,7 +37,11 @@ object CdcStream {
     */
   private def rawEventStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val fileSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // one footer read per (JVM, fixture dir): the two-sided stream-stream
+    // entry points build two rawEventStreams per drain, and the fixture's
+    // schema is stable within a run
+    val fileSchema = eventSchemaCache.computeIfAbsent(sfDir,
+      d => spark.read.parquet(s"$d/events.parquet").schema)
     graft.CdcBatch.normalizeTs(
       spark.readStream
         .schema(fileSchema)
@@ -45,13 +49,16 @@ object CdcStream {
         .parquet(sfDir))
   }
 
+  private val eventSchemaCache = new java.util.concurrent
+    .ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   /** Streaming changelog from the fixture events parquet. */
   def changeLogStream(spark: SparkSession, sfDir: String): Dataset[Ch] = {
     import spark.implicits._
     rawEventStream(spark, sfDir)
       .select(
         lit("db_test.events").as("table"),
-        col("user_id").cast("string").as("rid"),
+        graft.Rid.rid(Seq("user_id")),
         when(col("event_type") === "signup", Types.Insert)
           .when(col("event_type") === "error", Types.Delete)
           .otherwise(Types.Update).as("cdc_action"),
@@ -88,10 +95,17 @@ object CdcStream {
               state.update(st)
               Iterator.single(st)
             case None =>
-              // annihilated: drop state, emit tombstone for the sink
+              // annihilated: KEEP a tombstone in state (not remove) — the
+              // tombstone's seq is the replay guard: an at-least-once
+              // re-delivery of the dead key's stale changes (seq ≤ seen)
+              // must not resurrect it, exactly as the untyped fold path
+              // persists tombstones until sweepTombstones ages them out.
+              // The memory cost is one row per annihilated key for the
+              // state's lifetime — the same trade the durable path makes,
+              // without its sweep (this path is the gate/demo surface).
               val tomb = Ch(table, rid, Types.None_, 0L, maxSeq, 0.0, null)
-              if (state.exists) state.remove()
-              if (maxSeq == seen) Iterator.empty else Iterator.single(tomb)
+              if (maxSeq == seen) Iterator.empty
+              else { state.update(tomb); Iterator.single(tomb) }
           }
       }
   }
@@ -282,8 +296,22 @@ object CdcStream {
       .select(col("user_id"), expr("ts div 1000").as("ts_us"))
     // the cutoff is data-derived (midpoint of the error time range) so
     // the oracle can state it in SQL
-    val cut = errs.agg(
-      ((min("ts_us") + max("ts_us")) / 2).cast("long")).head().getLong(0)
+    val cutRow = errs.agg(
+      ((min("ts_us") + max("ts_us")) / 2).cast("long")).head()
+    if (cutRow.isNullAt(0)) {
+      // no error events at all: zero alerts, not an NPE — keep the
+      // output schema of the streamed path
+      return s.createDataFrame(s.sparkContext.emptyRDD[
+          org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts_us",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_window",
+            org.apache.spark.sql.types.LongType))))
+    }
+    val cut = cutRow.getLong(0)
     // batch bootstrap: each user's in-window stamps as of their last
     // historical error — the exact state a full run would hold at cutoff
     val warm = errs.filter(col("ts_us") <= cut)
@@ -311,9 +339,10 @@ object CdcStream {
     * machine to completion with a persistent checkpoint, then read the
     * state store FILES directly through Spark 4's `statestore` data
     * source (no running query, no sink replay — the store itself is the
-    * table). The [[merged]] fold keeps exactly the live (table, rid)
-    * rows (annihilated keys are `state.remove()`d), so the offline read
-    * must equal the batch compact — which is what the
+    * table). The [[merged]] fold keeps every live (table, rid) row plus
+    * a `cdc_action='none'` tombstone per annihilated key (the replay
+    * guard); the inspector FILTERS the tombstones, so the offline read
+    * equals the batch compact — which is what the
     * `cdc_state_inspect` gate query hash-proves against the same oracle
     * `cdc_compact` uses. At 100 TB this read is a partitioned scan of
     * the store's files (one task per state partition), the same shape as
@@ -342,6 +371,8 @@ object CdcStream {
         st.getField("cdc_action").as("cdc_action"),
         st.getField("seq").as("seq"), st.getField("cdc_ts").as("cdc_ts"),
         st.getField("value").as("value"), st.getField("props").as("props"))
+      // annihilation tombstones are replay guards, not live rows
+      .filter(col("cdc_action") =!= Types.None_)
   }
 
   /** §2.8 ext: the APPEND-MODE twin of [[sessionStreamed]] — the standing
@@ -553,20 +584,27 @@ object CdcStream {
     val root = new Path(workDir.getOrElse(java.nio.file.Files
       .createTempDirectory("graft_ssj").toString))
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val q = result.writeStream.format("parquet")
-      .option("path", new Path(root, "out").toString)
-      .option("checkpointLocation", new Path(root, "ckpt").toString)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    val out = spark.read.parquet(new Path(root, "out").toString)
-    if (workDir.isDefined) out
+    def drained(): DataFrame = {
+      val q = result.writeStream.format("parquet")
+        .option("path", new Path(root, "out").toString)
+        .option("checkpointLocation", new Path(root, "ckpt").toString)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // read back with the stream's OWN schema: no footer inference, so
+      // a drain that committed zero rows (a legitimately empty join
+      // result) reads as an empty frame instead of crashing on
+      // "unable to infer schema"
+      spark.read.schema(result.schema)
+        .parquet(new Path(root, "out").toString)
+    }
+    if (workDir.isDefined) drained()
     else {
       // temp fallback: materializeForced severs lineage from the dir
       // before it is deleted — repeated gate invocations must not leak
-      // /tmp dirs holding the full join ledger
-      val res = out.materializeForced()
-      fs.delete(root, true)
-      res
+      // /tmp dirs holding the full join ledger, INCLUDING when the drain
+      // itself throws (hence the finally)
+      try drained().materializeForced()
+      finally { fs.delete(root, true): Unit }
     }
   }
 
@@ -768,6 +806,44 @@ object CdcStream {
     try f finally sc.setJobDescription(prev)
   }
 
+  /** Bucket-geometry guard: the durable state's layout is keyed by
+    * `pmod(hash(key), nBuckets)`, so REOPENING a state dir with a
+    * different nBuckets would read/write the wrong buckets — keys
+    * silently duplicate (the old-modulus row is never seen by the
+    * anti-join) and already-folded changes re-apply. The geometry is
+    * recorded in a `_GEOMETRY` file at state creation and validated on
+    * every open; a mismatch fails naming both values. A pre-upgrade
+    * state dir (no marker) adopts the caller's value — the caller was
+    * running it under that geometry already.
+    */
+  private def checkGeometry(fs: org.apache.hadoop.fs.FileSystem,
+      statePath: org.apache.hadoop.fs.Path, nBuckets: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(statePath, "_GEOMETRY")
+    val stored: Option[Int] =
+      try {
+        val in = fs.open(p)
+        val t = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim
+        finally in.close()
+        Some(t.toInt)
+      } catch { case _: java.io.FileNotFoundException => None }
+    stored match {
+      case Some(b) if b != nBuckets =>
+        throw new IllegalStateException(
+          s"CdcStream: state at $statePath was written with nBuckets=$b " +
+            s"but this run uses nBuckets=$nBuckets — reopening under a " +
+            "different bucket modulus would silently duplicate keys; " +
+            s"pass nBuckets=$b, or rebuild the state")
+      case Some(_) => ()
+      case None =>
+        fs.mkdirs(statePath): Unit
+        val os = fs.create(p, true)
+        try os.write(nBuckets.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally os.close()
+    }
+  }
+
   private[graft] def foldBatch(batchDf: DataFrame, stateDir: String,
       nBuckets: Int): Option[Long] = {
     val spark = batchDf.sparkSession
@@ -781,6 +857,7 @@ object CdcStream {
     // write) would restore it AFTER the plan was built without its rows,
     // silently dropping that bucket's untouched keys on the swap
     graft.GenSwap.recover(fs, statePath)
+    checkGeometry(fs, statePath, nBuckets)
     val hasState = fs.exists(statePath) &&
       fs.listStatus(statePath).exists(st =>
         st.isDirectory && st.getPath.getName.startsWith("bucket="))
@@ -1077,7 +1154,10 @@ object CdcStream {
     // .graft-old-* (its untouched keys would be dropped by the swap).
     // precomputedOld is exempt only because foldBatch (the sole supplier)
     // now recovers before ITS read of the same dir.
-    if (precomputedOld.isEmpty) graft.GenSwap.recover(fs, statePath)
+    if (precomputedOld.isEmpty) {
+      graft.GenSwap.recover(fs, statePath)
+      checkGeometry(fs, statePath, nBuckets)
+    }
     // precomputedOld: the caller already read the touched buckets' state
     // (foldBatch reads it for its seed anyway) — reuse it instead of a
     // second scan of the same buckets, and take the caller's touched set

@@ -117,13 +117,27 @@ class StateInspectSpec extends SparkSuite {
           col("key._2").as("rid"))
         .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
         .toSet
-      // the audit trail: both keys written in batch 0; batch 1 removes
-      // the annihilated key and rewrites the updated one
+      // the audit trail: both keys written in batch 0; batch 1 rewrites
+      // the updated key AND the annihilated one — annihilation is a PUT
+      // of a `none` tombstone, not a state delete: the tombstone's seq
+      // is the replay guard that keeps a re-delivered stale insert from
+      // resurrecting the dead key (streaming/batch parity under
+      // at-least-once tails)
       assert(feed.contains((0L, "update", "r1")), feed.toString)
       assert(feed.contains((0L, "update", "r2")), feed.toString)
-      assert(feed.contains((1L, "delete", "r1")), feed.toString)
+      assert(feed.contains((1L, "update", "r1")), feed.toString)
       assert(feed.contains((1L, "update", "r2")), feed.toString)
-      assert(!feed.contains((1L, "delete", "r2")), feed.toString)
+      assert(!feed.exists(_._2 == "delete"), feed.toString)
+      // and the batch-1 write for the annihilated key IS the tombstone
+      val st = s.read.format("statestore").option("path", ckpt).load()
+        .select(col("value.groupState.rid").as("rid"),
+          col("value.groupState.cdc_action").as("a"),
+          col("value.groupState.seq").as("seq"))
+        .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2)))
+        .toMap
+      assert(st("r1") === ("none", 3L), st.toString) // guard carries seq
+      // insert+update folds to insert-with-new-payload (the merge rule)
+      assert(st("r2")._1 === "insert", st.toString)
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(ckpt))
   }

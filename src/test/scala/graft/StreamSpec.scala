@@ -50,6 +50,35 @@ class StreamSpec extends SparkSuite {
     assert(streamFinal.toMap === batch)
   }
 
+  test("annihilation keeps a seen-seq tombstone: a re-delivered stale " +
+      "insert cannot resurrect the dead key; a genuinely NEW insert can") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ch]
+    val name = "stream_spec_replay"
+    val q = CdcStream.merged(mem.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("update")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData(ch("a", "insert", 5))
+    q.processAllAvailable()
+    mem.addData(ch("a", "delete", 6)) // annihilate
+    q.processAllAvailable()
+    // the at-least-once tail re-delivers the ORIGINAL insert: without
+    // the tombstone's seq guard this would fold as fresh and resurrect
+    // the dead key — the batch compact over the same log keeps it dead
+    mem.addData(ch("a", "insert", 5))
+    q.processAllAvailable()
+    def lastA() = spark.table(name).as[Ch].collect()
+      .filter(_.rid == "a").maxBy(_.seq)
+    assert(lastA().cdc_action === Types.None_,
+      s"stale replay resurrected the annihilated key: ${lastA()}")
+    // a NEW insert (seq above the tombstone) legitimately revives it
+    mem.addData(ch("a", "insert", 7, 3.5))
+    q.processAllAvailable()
+    assert(lastA().cdc_action === "insert" && lastA().value === 3.5)
+    q.stop()
+  }
+
   test("streaming dropDuplicates with watermark (A3 set semantics on stream)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
