@@ -72,42 +72,95 @@ object CdcStream {
     * into the carried state. Emits the new merged row per key per batch —
     * or a `cdc_action='none'` tombstone when the key annihilates.
     */
-  def merged(ch: Dataset[Ch]): Dataset[Ch] = {
-    import ch.sparkSession.implicits._
-    ch.groupByKey(e => (e.table, e.rid))
-      .flatMapGroupsWithState[Ch, Ch](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        case ((table, rid), it, state: GroupState[Ch]) =>
-          val sorted = it.toArray.sortBy(_.seq)
-          val seen = if (state.exists) state.get.seq else Long.MinValue
-          var acc: Option[Ch] =
-            if (state.exists && state.get.cdc_action != Types.None_)
-              Some(state.get)
-            else None
-          var maxSeq = seen
-          for (e <- sorted if e.seq > seen) {
-            maxSeq = e.seq
-            acc = Merge.mergeAction(acc.map(_.cdc_action), e.cdc_action)
-              .map(a => e.copy(cdc_action = a))
-          }
-          acc match {
-            case Some(st) =>
-              state.update(st)
-              Iterator.single(st)
-            case None =>
-              // annihilated: KEEP a tombstone in state (not remove) — the
-              // tombstone's seq is the replay guard: an at-least-once
-              // re-delivery of the dead key's stale changes (seq ≤ seen)
-              // must not resurrect it, exactly as the untyped fold path
-              // persists tombstones until sweepTombstones ages them out.
-              // The memory cost is one row per annihilated key for the
-              // state's lifetime — the same trade the durable path makes,
-              // without its sweep (this path is the gate/demo surface).
-              val tomb = Ch(table, rid, Types.None_, 0L, maxSeq, 0.0, null)
-              if (maxSeq == seen) Iterator.empty
-              else { state.update(tomb); Iterator.single(tomb) }
+  def merged(ch: Dataset[Ch]): Dataset[Ch] = merged(ch, tombstoneTtlMs = None)
+
+  /** The shared per-key fold. `state.hasTimedOut` can only be true on the
+    * TTL variant below — only tombstones arm a timeout (live keys never
+    * call setTimeoutDuration, and Spark clears any armed timeout on every
+    * data invocation for the key), so a fired timeout is always a
+    * tombstone past the replay horizon: drop it silently — downstream saw
+    * the tombstone row when the key annihilated.
+    */
+  private def mergeFold(arm: GroupState[Ch] => Unit)(
+      key: (String, String), it: Iterator[Ch],
+      state: GroupState[Ch]): Iterator[Ch] = {
+    val (table, rid) = key
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val sorted = it.toArray.sortBy(_.seq)
+      val seen = if (state.exists) state.get.seq else Long.MinValue
+      var acc: Option[Ch] =
+        if (state.exists && state.get.cdc_action != Types.None_)
+          Some(state.get)
+        else None
+      var maxSeq = seen
+      for (e <- sorted if e.seq > seen) {
+        maxSeq = e.seq
+        acc = Merge.mergeAction(acc.map(_.cdc_action), e.cdc_action)
+          .map(a => e.copy(cdc_action = a))
+      }
+      acc match {
+        case Some(st) =>
+          state.update(st)
+          Iterator.single(st)
+        case None =>
+          // annihilated: KEEP a tombstone in state (not remove) — the
+          // tombstone's seq is the replay guard: an at-least-once
+          // re-delivery of the dead key's stale changes (seq ≤ seen)
+          // must not resurrect it, exactly as the untyped fold path
+          // persists tombstones until sweepTombstones ages them out.
+          // Re-arm the TTL on EVERY invocation that leaves a tombstone
+          // in state — including the pure-stale-replay branch, where the
+          // data invocation just cleared the previous arm.
+          val stale = maxSeq == seen
+          if (stale && !state.exists) Iterator.empty // degenerate: no-op
+          else {
+            val tomb = Ch(table, rid, Types.None_, 0L, maxSeq, 0.0, null)
+            state.update(if (stale) state.get else tomb)
+            arm(state)
+            if (stale) Iterator.empty else Iterator.single(tomb)
           }
       }
+    }
+  }
+
+  /** Keyed merge with an optional tombstone replay horizon.
+    *
+    * `tombstoneTtlMs = None` (the plain [[merged]] overload): NoTimeout —
+    * tombstones live for the stream's lifetime. This is the gate/demo
+    * surface, whose drains are bounded (AvailableNow / a few test
+    * batches), so growth is bounded by the drain, and — decisive —
+    * a timeout conf makes FlatMapGroupsWithStateExec report
+    * `shouldRunAnotherBatch = true` on every batch, which keeps a
+    * ProcessingTime-trigger query running empty batches forever and hangs
+    * `processAllAvailable()` (measured: StreamSpec deadlocked when this
+    * path defaulted to ProcessingTimeTimeout).
+    *
+    * `tombstoneTtlMs = Some(ms)`: the standing-stream variant — ages
+    * annihilation tombstones out `ms` after their last touch, exactly as
+    * the durable path's [[sweepTombstones]] ages its tombstones out at the
+    * replayed batch's low-water seq. The at-least-once window the
+    * tombstone guards is bounded by the source checkpoint: once offsets
+    * past the delete commit, the stale changes that could resurrect the
+    * key can never be re-delivered — so a TTL comfortably above the
+    * micro-batch replay horizon (minutes, not days) keeps state ≈ live
+    * keys under delete churn with the guard intact while it matters.
+    * Under this variant the engine schedules batches even without new
+    * data, so expired tombstones are swept without a heartbeat.
+    */
+  def merged(ch: Dataset[Ch], tombstoneTtlMs: Option[Long]): Dataset[Ch] = {
+    import ch.sparkSession.implicits._
+    val grouped = ch.groupByKey(e => (e.table, e.rid))
+    tombstoneTtlMs match {
+      case None =>
+        grouped.flatMapGroupsWithState[Ch, Ch](
+          OutputMode.Update, GroupStateTimeout.NoTimeout)(
+          mergeFold(arm = _ => ()))
+      case Some(ttl) =>
+        grouped.flatMapGroupsWithState[Ch, Ch](
+          OutputMode.Update, GroupStateTimeout.ProcessingTimeTimeout)(
+          mergeFold(arm = _.setTimeoutDuration(ttl)))
+    }
   }
 
   /** Run the stream to completion (AvailableNow) into a memory sink and

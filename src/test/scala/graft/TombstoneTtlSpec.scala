@@ -1,0 +1,80 @@
+package graft
+
+import graft.streaming.CdcStream
+import graft.streaming.CdcStream.Ch
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+/** Standing-stream tombstone horizon (r15 verdict #2): the TTL variant of
+  * [[CdcStream.merged]] must keep state ≈ live keys under sustained
+  * insert+delete churn — annihilation tombstones age out once the replay
+  * horizon passes — while live keys are NEVER swept and the within-horizon
+  * replay guard stays exactly the shared-fold behavior the r15
+  * dead-stays-dead regression (StreamSpec) pins.
+  *
+  * Timing notes: the ProcessingTimeTimeout conf makes the engine schedule
+  * batches continuously (FlatMapGroupsWithStateExec.shouldRunAnotherBatch),
+  * which is precisely what fires timeouts without new data — but it also
+  * means `processAllAvailable()` can hang (no quiescent point), so this
+  * spec polls the memory sink / statestore with deadlines instead.
+  */
+class TombstoneTtlSpec extends SparkSuite {
+
+  private def ch(rid: String, act: String, seq: Long) =
+    Ch("db.t", rid, act, 1000L + seq, seq, 0.0, s"p$seq")
+
+  private def pollUntil(deadlineMs: Long = 30000L)(cond: => Boolean): Boolean = {
+    val end = System.nanoTime() + deadlineMs * 1000000L
+    var ok = cond
+    while (!ok && System.nanoTime() < end) { Thread.sleep(100); ok = cond }
+    ok
+  }
+
+  test("tombstones age out at the TTL horizon; live keys survive; a new " +
+      "insert after the sweep revives the key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ttlspec").toString
+    val name = "ttl_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val mem = MemoryStream[Ch]
+    val q = CdcStream.merged(mem.toDS(), tombstoneTtlMs = Some(500L))
+      .writeStream.format("memory").queryName(name).outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      // churn: 8 keys annihilated, 2 stay live
+      mem.addData((1 to 8).map(i => ch(s"c$i", "insert", i)) ++
+        Seq(ch("live1", "insert", 9), ch("live2", "insert", 10)): _*)
+      assert(pollUntil() { spark.table(name).count() >= 10 },
+        "insert batch never drained")
+      mem.addData((1 to 8).map(i => ch(s"c$i", "delete", 10L + i)): _*)
+      assert(pollUntil() {
+        spark.table(name).as[Ch].collect()
+          .count(_.cdc_action == Types.None_) >= 8
+      }, "annihilation tombstones never emitted")
+      // past the horizon the store must shrink to live keys only — the
+      // timeout conf keeps batches running, so the sweep needs no
+      // heartbeat data. The statestore read sees the last COMMITTED
+      // batch, hence the poll.
+      // with a timeout conf the store's value schema nests the user state
+      // under `groupState` beside `timeoutTimestamp`
+      def stateRows() = spark.read.format("statestore")
+        .option("path", ckpt).load()
+        .select("value.groupState.rid", "value.groupState.cdc_action")
+        .collect().map(r => r.getString(0) -> r.getString(1))
+      assert(pollUntil() { stateRows().length == 2 },
+        s"tombstones not swept: ${stateRows().toSeq.sorted.mkString(", ")}")
+      assert(stateRows().toMap.keySet === Set("live1", "live2"),
+        "sweep removed a LIVE key")
+      // post-sweep revival: a genuinely new insert re-creates the key
+      mem.addData(ch("c1", "insert", 30))
+      assert(pollUntil() { stateRows().toMap.get("c1").contains("insert") },
+        "post-sweep insert did not revive the key")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(ckpt))
+    }
+  }
+}
