@@ -318,6 +318,7 @@ object Lake {
     if (digest) // before any write
       validateDigestArgs(partitionCols, df.columns.toSeq)
     val spark = df.sparkSession
+    guarded(spark, rootDir) {
     val (fs, root) = fsOf(spark, rootDir)
     recoverPointers(fs, root)
     checkSchemaPolicy(spark, rootDir, df, schemaPolicy, partitionCols): Unit
@@ -384,6 +385,7 @@ object Lake {
     flipPointer(fs, root, CurrentPointer, next)
     pruneRetained(fs, root, next, keep)
     next
+    }
   }
 
   /** Publish the next generation as a DELTA: `df`'s partitions are
@@ -427,6 +429,7 @@ object Lake {
     if (digest) // before any write
       validateDigestArgs(partitionCols, df.columns.toSeq)
     val spark = df.sparkSession
+    guarded(spark, rootDir) {
     val (fs, root) = fsOf(spark, rootDir)
     recoverPointers(fs, root)
     val oldSchema =
@@ -496,6 +499,7 @@ object Lake {
     flipPointer(fs, root, CurrentPointer, next)
     pruneRetained(fs, root, next, keep)
     next
+    }
   }
 
   /** MERGE a keyed changelog into the versioned lake — the CDC-to-lake
@@ -555,6 +559,7 @@ object Lake {
     if (digest) // before any write (survivors carry the base's columns)
       validateDigestArgs(partitionCols, changes.columns.toSeq)
     val spark = changes.sparkSession
+    guarded(spark, rootDir) {
     val (fs, root) = fsOf(spark, rootDir)
     recoverPointers(fs, root)
     val cur = readPointer(fs, root, CurrentPointer).getOrElse(
@@ -698,6 +703,7 @@ object Lake {
       maxRecordsPerFile, keep, genMarker, replaced,
       baseMapHint = Some(cur -> baseMap), digest = digest,
       expect = expect, onViolation = onViolation)
+    }
   }
 
   /** Parse a partition dir's relative path (`a=1/b=2`) into the declared
@@ -729,7 +735,11 @@ object Lake {
     * writer fails LOUDLY instead of corrupting a concurrent publish;
     * the accident class this exists for is a human maintenance pass
     * (compact, manual publish) colliding with a live streaming
-    * publisher — wrap both.
+    * publisher. Since r16 every mutating entry point ([[publishVersion]],
+    * [[publishDelta]], [[mergeDelta]], [[rollbackTo]], [[vacuum]], the
+    * streaming publishers' batch bodies) acquires this guard ITSELF —
+    * callers no longer need to wrap anything; explicit `guarded` blocks
+    * remain useful only to hold the lock ACROSS a multi-op sequence.
     *
     * Deliberately NO TTL auto-takeover: a lock left by a crashed writer
     * must be removed by an operator who confirmed the writer is dead
@@ -1368,19 +1378,20 @@ object Lake {
     * high-water) until retention prunes them; the next publish allocates
     * above them, never reusing a number.
     */
-  def rollbackTo(spark: SparkSession, rootDir: String, version: Long): Unit = {
-    val (fs, root) = fsOf(spark, rootDir)
-    recoverPointers(fs, root)
-    if (highWater(fs, root).forall(_ < version))
-      throw new IllegalStateException(
-        s"Lake: cannot rollback $rootDir to v=$version — never published " +
-          s"(high-water=${highWater(fs, root).orNull})")
-    val dir = new org.apache.hadoop.fs.Path(root, s"v=$version")
-    if (!fs.exists(dir)) throw new IllegalStateException(
-      s"Lake: cannot rollback $rootDir to v=$version — not on disk " +
-        "(pruned or never published)")
-    flipPointer(fs, root, CurrentPointer, version)
-  }
+  def rollbackTo(spark: SparkSession, rootDir: String, version: Long): Unit =
+    guarded(spark, rootDir) {
+      val (fs, root) = fsOf(spark, rootDir)
+      recoverPointers(fs, root)
+      if (highWater(fs, root).forall(_ < version))
+        throw new IllegalStateException(
+          s"Lake: cannot rollback $rootDir to v=$version — never published " +
+            s"(high-water=${highWater(fs, root).orNull})")
+      val dir = new org.apache.hadoop.fs.Path(root, s"v=$version")
+      if (!fs.exists(dir)) throw new IllegalStateException(
+        s"Lake: cannot rollback $rootDir to v=$version — not on disk " +
+          "(pruned or never published)")
+      flipPointer(fs, root, CurrentPointer, version)
+    }
 
   /** Explicit retention GC — the VACUUM an operator runs to reclaim
     * space without publishing (publish-time pruning only fires when new
@@ -1400,12 +1411,16 @@ object Lake {
     * readable). File/byte accounting is the listing walk (metadata
     * only, O(on-disk generations)).
     *
-    * Writer op under the single-writer contract: do not run while a
-    * publisher is live (its in-flight generation is indistinguishable
-    * from a crashed orphan) — wrap both in [[guarded]].
+    * Writer op under the single-writer contract: a live publisher's
+    * in-flight generation is indistinguishable from a crashed orphan.
+    * ENFORCED, not conventional (r15 verdict #3): vacuum takes
+    * [[guarded]]'s `_LOCK` itself, as does every mutating publish — a
+    * vacuum beside a live publisher fails loudly instead of silently
+    * deleting its in-flight generation.
     */
   def vacuum(spark: SparkSession, rootDir: String, keep: Int): DataFrame = {
     require(keep >= 1, "vacuum must retain at least the current generation")
+    guarded(spark, rootDir) {
     val (fs, root) = fsOf(spark, rootDir)
     recoverPointers(fs, root)
     val cur = readPointer(fs, root, CurrentPointer)
@@ -1456,6 +1471,7 @@ object Lake {
         org.apache.spark.sql.types.LongType, nullable = false)))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema)
+    }
   }
 
   /** The lake's version ledger — one row per on-disk generation:
@@ -1568,25 +1584,29 @@ object Lake {
       expect: Seq[(String, Column)] = Nil,
       onViolation: String = "fail"): Unit = {
     val spark = batch.sparkSession
-    val (fs, root) = fsOf(spark, rootDir)
-    recoverPointers(fs, root)
-    if (replayedBatch(fs, root, batchId)) return
-    // AvailableNow ends with a trailing empty batch — an empty drop is
-    // not a dataset version, skip it (the marker is untouched, so a
-    // replayed empty batch skips again)
-    if (batch.isEmpty) return
-    // expectation note for streams: fail-mode rejection throws inside
-    // foreachBatch and FAILS THE QUERY (a poison batch must not be
-    // silently skipped — the checkpoint keeps the offset, so the fixed
-    // producer replays the same batch); drop-mode quarantines per drop
-    if (delta)
-      publishDelta(batch, rootDir, partitionCols, sortCols,
-        maxRecordsPerFile, keep, genMarker = Some(batchId),
-        digest = digest, expect = expect, onViolation = onViolation): Unit
-    else
-      publishVersion(batch, rootDir, partitionCols, sortCols,
-        maxRecordsPerFile, keep, genMarker = Some(batchId),
-        digest = digest, expect = expect, onViolation = onViolation): Unit
+    // the guard spans the replay check AND the publish (the replay check
+    // recovers/flips pointers); the inner acquire is reentrant
+    guarded(spark, rootDir) {
+      val (fs, root) = fsOf(spark, rootDir)
+      recoverPointers(fs, root)
+      // AvailableNow ends with a trailing empty batch — an empty drop is
+      // not a dataset version, skip it (the marker is untouched, so a
+      // replayed empty batch skips again)
+      if (!replayedBatch(fs, root, batchId) && !batch.isEmpty) {
+        // expectation note for streams: fail-mode rejection throws inside
+        // foreachBatch and FAILS THE QUERY (a poison batch must not be
+        // silently skipped — the checkpoint keeps the offset, so the fixed
+        // producer replays the same batch); drop-mode quarantines per drop
+        if (delta)
+          publishDelta(batch, rootDir, partitionCols, sortCols,
+            maxRecordsPerFile, keep, genMarker = Some(batchId),
+            digest = digest, expect = expect, onViolation = onViolation): Unit
+        else
+          publishVersion(batch, rootDir, partitionCols, sortCols,
+            maxRecordsPerFile, keep, genMarker = Some(batchId),
+            digest = digest, expect = expect, onViolation = onViolation): Unit
+      }
+    }
   }
 
   /** Replay guard shared by every streaming lake writer: true iff this
@@ -1653,16 +1673,19 @@ object Lake {
       seqCol: Option[String], batchId: Long,
       digest: Boolean = false,
       expect: Seq[(String, Column)] = Nil,
-      onViolation: String = "fail"): Unit = {
-    val (fs, root) = fsOf(batch.sparkSession, rootDir)
-    recoverPointers(fs, root)
-    if (replayedBatch(fs, root, batchId)) return
-    if (batch.isEmpty) return
-    mergeDelta(batch, rootDir, pkCols, partitionCols, sortCols,
-      maxRecordsPerFile, keep, opCol, seqCol, probeMovers = false,
-      genMarker = Some(batchId), digest = digest,
-      expect = expect, onViolation = onViolation): Unit
-  }
+      onViolation: String = "fail"): Unit =
+    // the guard spans the replay check AND the merge: the replay check
+    // itself recovers/flips pointers, and the reentrant inner acquire in
+    // mergeDelta is free
+    guarded(batch.sparkSession, rootDir) {
+      val (fs, root) = fsOf(batch.sparkSession, rootDir)
+      recoverPointers(fs, root)
+      if (!replayedBatch(fs, root, batchId) && !batch.isEmpty)
+        mergeDelta(batch, rootDir, pkCols, partitionCols, sortCols,
+          maxRecordsPerFile, keep, opCol, seqCol, probeMovers = false,
+          genMarker = Some(batchId), digest = digest,
+          expect = expect, onViolation = onViolation): Unit
+    }
 
   /** Per-partition accounting of what landed: file/row/byte counts from
     * the written files themselves (not the writer's intent). File listing

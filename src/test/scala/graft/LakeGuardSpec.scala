@@ -59,6 +59,45 @@ class LakeGuardSpec extends SparkSuite {
       new java.io.File(root).getParentFile)
   }
 
+  test("enforced single-writer (r15 verdict #3): every mutating entry " +
+      "point takes the lock ITSELF — vacuum/rollback/publish/merge beside " +
+      "a live publisher fail loudly with NO caller-side wrapping") {
+    val root = tmp()
+    try {
+      Lake.publishVersion(corpus("base"), root, Seq("k"), Seq("id"), 1000L)
+      // simulate a live publisher mid-publish: the guard held on another
+      // thread (reentrancy is per-thread, so this thread's direct calls
+      // below contend like a second process would)
+      val gate = new java.util.concurrent.SynchronousQueue[Unit]()
+      val publisher = new Thread(() => Lake.guarded(spark, root) {
+        gate.put(()); gate.take() // hold the lock until released
+      })
+      publisher.start(); gate.take()
+      try {
+        def contends(body: => Any): Unit = {
+          val e = intercept[IllegalStateException](body)
+          assert(e.getMessage.contains("locked by another writer"),
+            e.getMessage)
+        }
+        contends(Lake.vacuum(spark, root, keep = 1).collect())
+        contends(Lake.rollbackTo(spark, root, 0L))
+        contends(Lake.publishVersion(
+          corpus("v1"), root, Seq("k"), Seq("id"), 1000L))
+        contends(Lake.publishDelta(
+          corpus("v1"), root, Seq("k"), Seq("id"), 1000L))
+        contends(Lake.mergeDelta(
+          corpus("v1").withColumn("op", lit("upsert")),
+          root, Seq("id"), Seq("k"), Seq("id"), 1000L))
+      } finally { gate.put(()); publisher.join() }
+      // contention never wrote anything: the lake is still at v=0 and
+      // the released lock admits the next writer normally
+      assert(Lake.currentVersion(spark, root).contains(0L))
+      Lake.publishVersion(corpus("v1"), root, Seq("k"), Seq("id"), 1000L)
+      assert(Lake.currentVersion(spark, root).contains(1L))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root).getParentFile)
+  }
+
   test("schema policy: additive allows new columns and rejects type " +
       "changes and drops by name; enforce rejects additions; any skips") {
     val root = tmp()
