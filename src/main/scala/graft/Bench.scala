@@ -152,6 +152,24 @@ object Bench {
           }
         }
     }
+    // Fixed pure-CPU calibration row (r15 verdict #5): a seeded,
+    // constant-size in-memory aggregate — independent of SF, of the
+    // fixture files, and of every library code path — reported beside
+    // `total` as `calib`. Cross-window comparisons divide by it to
+    // normalize host drift (same binary's totals have spanned 96-136 s
+    // on this host) instead of re-litigating variance each round. Two
+    // passes, min — same steady-state rule as the battery.
+    val calib = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0L, 100000000L, 1L, 32)
+        .selectExpr("xxhash64(id) AS h")
+        .selectExpr("pmod(h, 1024) AS k", "h")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("h"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)))
+        .count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
     // optional args: query-name substrings to run (local iteration aid;
     // the driver passes none and gets the full battery)
     val selected =
@@ -227,7 +245,7 @@ object Bench {
         if (rest > 0) entries :+ ("_rest" -> rest) else entries
       val qs = withRest.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failedJson,"shared_builds":$sharedBuildsJson,"passes":$passJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calib)},"failed":$failedJson,"shared_builds":$sharedBuildsJson,"passes":$passJson,"queries":$qs,"sf":"$sfDir"}"""
     }
     var keep = sorted.length
     var out = line(sorted, 0.0)
