@@ -346,7 +346,7 @@ object ScaleSmoke {
     val all = Targets ++ DimsTargets ++
       Seq("sim_recall@scaledC", "sim_recall@probes", "cdc_evolving@state",
         "lake_compact@touched", "lake_versions@pub", "lake_merge@touched",
-        "lake_cdf@touched")
+        "lake_cdf@touched", "lake_cdf@catchup")
     val targets =
       if (args.isEmpty) all
       else all.filter(t => args.exists(t.contains))
@@ -851,11 +851,67 @@ object ScaleSmoke {
           .deleteDirectory(new java.io.File(root))
       }
     }
+    // 50-version catch-up (r15 verdict #4): per-step cost must stay flat
+    // across a long feed range — the windowed drain materializes every
+    // maxPlanSteps steps, so doubling the range doubles the time instead
+    // of superlinearly growing one analyzer pass over O(steps) branches.
+    val catchupTargets = targets.filter(_ == "lake_cdf@catchup")
+    for (_ <- catchupTargets.headOption) {
+      import graft.sources.Lake
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_cdfcu").toString
+      val lake = s"$root/lake"
+      val d = spark.read.parquet(s"$base/documents.parquet")
+        .select("doc_id", "text", "lang")
+      def timed[A](body: => A): (A, Double) = {
+        val t0 = System.nanoTime()
+        val a = body
+        (a, (System.nanoTime() - t0) / 1e9)
+      }
+      Lake.publishVersion(d, lake, Seq("lang"), Seq("doc_id"),
+        maxRecordsPerFile = 2000000L, keep = 60): Unit
+      val langs = d.select("lang").distinct()
+        .collect().map(_.getString(0)).sorted
+      val (_, tPubs) = timed {
+        for (v <- 1 to 50)
+          Lake.publishDelta(
+            d.filter(col("lang") === langs(v % langs.length) &&
+                col("doc_id") % 50 === v % 50)
+              .withColumn("text", concat(col("text"), lit(s" v$v"))),
+            lake, Seq("lang"), Seq("doc_id"),
+            maxRecordsPerFile = 2000000L, keep = 60): Unit
+      }
+      def drain(to: Long, planSteps: Int): (Long, Double, Int) = {
+        // one timer over build + count: the windowed drain does its
+        // materialization work during changesBetween itself
+        val ((n, leaves), t) = timed {
+          val df = Lake.changesBetween(
+            spark, lake, 0L, to, "doc_id", "text", maxPlanSteps = planSteps)
+          (df.count(),
+            df.queryExecution.optimizedPlan.collectLeaves().length)
+        }
+        Materialize.release(spark)
+        (n, t, leaves)
+      }
+      val (n25, t25, l25) = drain(25L, 16)
+      val (n50, t50, l50) = drain(50L, 16)
+      val (n50one, t50one, l50one) = drain(50L, 1000)
+      require(n50 == n50one,
+        s"windowed vs one-plan feed disagree: $n50 vs $n50one")
+      System.err.println(f"[scale] lake_cdf@catchup 50 deltas published " +
+        f"in ${tPubs}%6.2f s; drain 0->25 ${t25}%6.2f s ($l25 plan " +
+        f"leaves, $n25 rows), 0->50 ${t50}%6.2f s ($l50 leaves, $n50 " +
+        f"rows; flat-per-step ratio ${t50 / t25}%4.2f), one-plan 0->50 " +
+        f"${t50one}%6.2f s ($l50one leaves)")
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(root))
+    }
     val rows = targets
       .filterNot(t => qualityTargets.contains(t) ||
         versionTargets.contains(t) ||
         probeTargets.contains(t) ||
         cdfTargets.contains(t) ||
+        catchupTargets.contains(t) ||
         mergeTargets.contains(t) ||
         evolvingTargets.contains(t) || compactTargets.contains(t))
       .map { q =>

@@ -1230,10 +1230,23 @@ object Lake {
     * consumer, same rule as pinned reads). Key uniqueness per version is
     * the caller's contract, as in [[snapshotDiff]]. Unpartitioned
     * generations (no partition dirs) fall back to a full per-step diff.
+    *
+    * Plan size is BOUNDED (r15 verdict #4): a polling cursor takes one
+    * lazy plan of ≤ `maxPlanSteps` union branches, but a consumer
+    * catching up after long downtime (or a replayed DR consumer) must
+    * not hand the analyzer one plan with O(steps) diff branches — past
+    * `maxPlanSteps` the feed drains in windows of that width,
+    * materializing each window (localCheckpoint — cut lineage, keep
+    * distribution) and unioning the materialized results, so analyzer/
+    * optimizer cost per window is flat and the final plan is a union of
+    * trivial materialized scans. The step semantics are unchanged —
+    * windows partition the same per-step diffs.
     */
   def changesBetween(spark: SparkSession, rootDir: String,
       fromVersion: Long, toVersion: Long,
-      idCol: String, contentCol: String): DataFrame = {
+      idCol: String, contentCol: String,
+      maxPlanSteps: Int = 16): DataFrame = {
+    require(maxPlanSteps >= 1, "maxPlanSteps must be at least 1")
     require(fromVersion >= 0 && fromVersion <= toVersion,
       s"changesBetween needs 0 <= from <= to, got $fromVersion..$toVersion")
     val (fs, root) = fsOf(spark, rootDir)
@@ -1274,13 +1287,23 @@ object Lake {
     def digestOf(v: Long): Option[(String, Map[String, (Long, Long)])] =
       digestMemo.getOrElseUpdate(v,
         readDigest(fs, new org.apache.hadoop.fs.Path(root, s"v=$v")))
-    (fromVersion + 1 to toVersion).map { v =>
+    def step(v: Long): DataFrame =
       stepChanges(spark, root, rootDir, v - 1, v, idCol, contentCol,
           resolvedOf, digestOf)
         .withColumn("v", lit(v))
         .select(col("v"), col(idCol), col("change"),
           col("old_hash"), col("new_hash"))
-    }.reduce(_.unionByName(_))
+    val versions = (fromVersion + 1 to toVersion)
+    if (versions.length <= maxPlanSteps)
+      versions.map(step).reduce(_.unionByName(_))
+    else {
+      import graft.Materialize.Ops
+      // windows materialize independently (each a bounded plan); the
+      // result unions materialized scans, not live diff branches
+      versions.grouped(maxPlanSteps)
+        .map(w => w.map(step).reduce(_.unionByName(_)).materialize())
+        .reduce(_.unionByName(_))
+    }
   }
 
   /** One feed step: diff generation `a` → `b` reading only the partition

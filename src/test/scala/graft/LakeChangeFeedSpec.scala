@@ -186,4 +186,37 @@ class LakeChangeFeedSpec extends SparkSuite {
       assert(feed.count() === 0L)
     } finally cleanup(root)
   }
+
+  test("long-range catch-up drains in bounded plan windows: the windowed " +
+      "feed equals the one-plan feed, and its final plan holds only " +
+      "materialized scans — no O(steps) live diff branches") {
+    val root = tmp()
+    try {
+      Lake.publishVersion(corpus("base", Seq("g0"), rows = 4), root,
+        Seq("k"), Seq("id"), 1000L) // v0
+      // 18 delta steps, each touching its own key (keep = wide horizon)
+      for (v <- 1 to 18)
+        Lake.publishDelta(
+          Seq((s"g0-${v % 4}", "g0", s"edit v$v")).toDF("id", "k", "text"),
+          root, Seq("k"), Seq("id"), 1000L, keep = 30)
+      val onePlan = Lake.changesBetween(spark, root, 0L, 18L,
+        "id", "text", maxPlanSteps = 100)
+      val windowed = Lake.changesBetween(spark, root, 0L, 18L,
+        "id", "text", maxPlanSteps = 4)
+      assert(rows(windowed) === rows(onePlan))
+      assert(rows(windowed).nonEmpty)
+      // plan shape: ceil(18/4) = 5 materialized window scans, and no
+      // live file-scan branch survives into the returned plan
+      val leaves = windowed.queryExecution.optimizedPlan.collectLeaves()
+      assert(leaves.length === 5, windowed.queryExecution.optimizedPlan)
+      assert(leaves.forall(_.nodeName.contains("LogicalRDD")),
+        leaves.map(_.nodeName).mkString(", "))
+      // and the one-plan form (cursor polling) keeps lazy file scans
+      val lazyLeaves = onePlan.queryExecution.optimizedPlan.collectLeaves()
+      assert(lazyLeaves.exists(!_.nodeName.contains("LogicalRDD")))
+    } finally {
+      graft.Materialize.release(spark)
+      cleanup(root)
+    }
+  }
 }
