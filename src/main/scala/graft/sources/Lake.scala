@@ -355,12 +355,41 @@ object Lake {
     // an empty delta legitimately inherits everything through _REFS)
     if (graft.GenSwap.leaves(fs,
         new org.apache.hadoop.fs.Path(root, s"v=$next")).isEmpty) {
+      // the quarantine rows are the AUDIT of why the publish was
+      // refused — deleting them with the refused generation would
+      // destroy exactly the evidence drop mode exists to keep. Re-home
+      // them under the root's _QUARANTINE_REFUSED before the delete:
+      // keyed by the caller's genMarker when present (a streaming
+      // batch's replay overwrites its own copy — idempotent), else by
+      // a free attempt counter (v=next can repeat across refusals —
+      // a refused publish never bumps the high-water).
+      val qSrc = new org.apache.hadoop.fs.Path(root,
+        s"v=$next/$QuarantineDir")
+      val refusedAt = if (fs.exists(qSrc)) {
+        val home = new org.apache.hadoop.fs.Path(root, RefusedQuarantineDir)
+        fs.mkdirs(home)
+        val dst = genMarker match {
+          case Some(m) =>
+            val p = new org.apache.hadoop.fs.Path(home, s"m=$m")
+            if (fs.exists(p)) fs.delete(p, true): Unit
+            p
+          case None =>
+            Iterator.from(0).map(k =>
+              new org.apache.hadoop.fs.Path(home, s"v=${next}_a$k"))
+              .find(!fs.exists(_)).get
+        }
+        if (!fs.rename(qSrc, dst)) throw new java.io.IOException(
+          s"Lake: could not preserve the refused publish's quarantine " +
+            s"($qSrc -> $dst)")
+        Some(dst)
+      } else None
       fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$next"), true): Unit
       throw new IllegalArgumentException(
         "Lake: publish produced no data files (empty input, or every " +
           "row quarantined by drop-mode expectations) — refusing to " +
           "publish an unreadable empty generation; the pointer is " +
-          "unchanged")
+          "unchanged" + refusedAt.fold("")(p =>
+            s"; the quarantined rows are preserved at $p"))
     }
     // a full generation's resolved schema is exactly its input's
     writeSchemaFile(fs,
@@ -851,6 +880,28 @@ object Lake {
   private val SchemaFile = "_SCHEMA"
   private val DigestFile = "_DIGEST"
   private val QuarantineDir = "_QUARANTINE"
+  private val RefusedQuarantineDir = "_QUARANTINE_REFUSED"
+
+  /** The quarantines of REFUSED publishes (drop-mode expectations that
+    * quarantined every row — [[publishVersion]] re-homes them before
+    * deleting the refused generation). One subdir per refusal: `m=<id>`
+    * for marker-carrying publishes (streaming batches — replays
+    * overwrite their own copy), `v=<n>_a<k>` otherwise. Loud when no
+    * publish was ever refused, matching [[readQuarantine]]'s contract.
+    */
+  def readRefusedQuarantine(spark: SparkSession, rootDir: String): DataFrame = {
+    val (fs, root) = fsOf(spark, rootDir)
+    val home = new org.apache.hadoop.fs.Path(root, RefusedQuarantineDir)
+    if (!fs.exists(home) || fs.listStatus(home).isEmpty)
+      throw new IllegalStateException(
+        s"Lake: $rootDir has no refused-publish quarantine — no drop-mode " +
+          "publish was ever refused with every row quarantined")
+    fs.listStatus(home).toSeq.map(_.getPath)
+      .sortBy(_.getName)
+      .map(p => spark.read.parquet(p.toString)
+        .withColumn("_graft_refusal", lit(p.getName)))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   /** Publish-time data-quality expectations — the CHECK-constraint /
     * expectation gate a curated corpus needs at its write boundary
@@ -975,7 +1026,16 @@ object Lake {
     * disables cross-generation skipping, conservatively). Equality is
     * a 64-bit fingerprint: a false "identical" needs an xxhash64 xor
     * collision (~2⁻⁶⁴ per dir pair) — the standard
-    * content-addressing trade, stated rather than hidden.
+    * content-addressing trade, stated rather than hidden. Float zeros:
+    * Spark's hash normalizes -0.0 == 0.0, so the atomic path folds each
+    * float/double column's zero-sign into the mask words (the nested
+    * json path renders "-0.0" textually) — a dir differing only in zero
+    * sign digests as DIFFERENT, closing the one unsafe-skip hole; NaN
+    * stays canonicalized (any NaN == any NaN, deliberately). Timestamps
+    * in the json path render with a pinned UTC timeZone so digests
+    * agree across sessions. (Digests written before these pins hash
+    * differently — cross-upgrade steps fall back to full diffs, the
+    * safe direction.)
     */
   private def writeDigest(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
@@ -986,8 +1046,6 @@ object Lake {
     val ownEntries: Seq[(String, (Long, Long), String)] =
       if (ownRels.isEmpty) Nil
       else {
-        // one scan branch per dir, tagged with its rel path — partition
-        // columns never enter the read, so the key is exactly the dir
         // one scan branch per dir, tagged with its rel path — partition
         // columns never enter the read, so the key is exactly the dir.
         // (input_file_name() could tag in one branch, but its URI form
@@ -1016,11 +1074,37 @@ object Lake {
           t.contains("array<") || t.contains("map<") || t.contains("struct<")
         }
         val rowHash =
-          if (nested) xxhash64(to_json(struct(dataCols.map(col): _*)))
+          if (nested)
+            // fixed timeZone: to_json renders timestamps in the SESSION
+            // timezone by default, so cross-session digests of the same
+            // bytes would differ and silently defeat skipping (safe
+            // direction, but it negates the O(truly-changed) claim)
+            xxhash64(to_json(struct(dataCols.map(col): _*),
+              Map("timeZone" -> "UTC")))
           else {
-            val masks = dataCols.grouped(63).map { g =>
-              g.zipWithIndex.map { case (c, j) =>
-                when(col(c).isNull, lit(1L << j)).otherwise(lit(0L))
+            // Spark's hash functions normalize -0.0 == 0.0, so a dir
+            // differing only in a zero's sign would digest-skip as
+            // identical — an UNSAFE false skip. Fold the zero's sign
+            // into the null-mask words (the string cast renders "-0.0",
+            // the one ANSI-safe test that distinguishes the zeros —
+            // 1/-0.0 would throw DIVIDE_BY_ZERO under ANSI); NaN
+            // canonicalization is kept — any NaN equals any NaN.
+            // (to_json above renders "-0.0" textually, so the nested
+            // path already separates them.)
+            val isFloat = dataCols.map(c =>
+              own.schema(c).dataType match {
+                case org.apache.spark.sql.types.DoubleType |
+                     org.apache.spark.sql.types.FloatType => true
+                case _ => false
+              })
+            val masks = dataCols.zip(isFloat).grouped(32).map { g =>
+              g.zipWithIndex.map { case ((c, f), j) =>
+                val nullBit =
+                  when(col(c).isNull, lit(1L << (2 * j))).otherwise(lit(0L))
+                if (!f) nullBit
+                else nullBit + when(col(c) === 0.0 &&
+                    col(c).cast("string").startsWith("-"),
+                  lit(1L << (2 * j + 1))).otherwise(lit(0L))
               }.reduce(_ + _)
             }.toSeq
             xxhash64(dataCols.map(col) ++ masks: _*)
@@ -1625,9 +1709,30 @@ object Lake {
             maxRecordsPerFile, keep, genMarker = Some(batchId),
             digest = digest, expect = expect, onViolation = onViolation): Unit
         else
-          publishVersion(batch, rootDir, partitionCols, sortCols,
-            maxRecordsPerFile, keep, genMarker = Some(batchId),
-            digest = digest, expect = expect, onViolation = onViolation): Unit
+          try
+            publishVersion(batch, rootDir, partitionCols, sortCols,
+              maxRecordsPerFile, keep, genMarker = Some(batchId),
+              digest = digest, expect = expect, onViolation = onViolation): Unit
+          catch {
+            // drop mode's contract is PROGRESS past bad rows. A full
+            // publish whose EVERY row was quarantined is refused (an
+            // empty full generation is unreadable), and without this
+            // guard the refusal would fail the query and replay the
+            // same poison batch forever — despite drop mode being
+            // chosen precisely to keep going. The quarantine audit is
+            // preserved under _QUARANTINE_REFUSED/m=<batchId> (replay-
+            // idempotent) by publishVersion itself; skip the batch
+            // LOUDLY and let the stream advance. Fail mode keeps the
+            // poison-batch stop semantics.
+            case e: IllegalArgumentException
+                if onViolation == "drop" &&
+                  e.getMessage != null &&
+                  e.getMessage.contains("refusing to publish") =>
+              System.err.println(
+                s"[lake] publishStream batch $batchId: every row " +
+                  s"quarantined — batch skipped, audit preserved " +
+                  s"(${e.getMessage})")
+          }
       }
     }
   }

@@ -37,11 +37,20 @@ object CdcStream {
     */
   private def rawEventStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // one footer read per (JVM, fixture dir): the two-sided stream-stream
-    // entry points build two rawEventStreams per drain, and the fixture's
-    // schema is stable within a run
-    val fileSchema = eventSchemaCache.computeIfAbsent(sfDir,
-      d => spark.read.parquet(s"$d/events.parquet").schema)
+    // one footer read per (JVM, fixture dir, file mtime): the two-sided
+    // stream-stream entry points build two rawEventStreams per drain, and
+    // the fixture's schema is stable within a run. The mtime in the key
+    // invalidates the memo when events.parquet is REWRITTEN in the same
+    // JVM (fixture regeneration, tests) — a dir-only key would silently
+    // stream with the stale schema. One FS metadata call per stream
+    // build; stale (dir, oldMtime) entries are dropped so the map stays
+    // one live entry per dir.
+    val evPath = new org.apache.hadoop.fs.Path(s"$sfDir/events.parquet")
+    val fs = evPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mtime = fs.getFileStatus(evPath).getModificationTime
+    eventSchemaCache.keySet.removeIf(k => k._1 == sfDir && k._2 != mtime)
+    val fileSchema = eventSchemaCache.computeIfAbsent((sfDir, mtime),
+      _ => spark.read.parquet(s"$sfDir/events.parquet").schema)
     graft.CdcBatch.normalizeTs(
       spark.readStream
         .schema(fileSchema)
@@ -50,7 +59,7 @@ object CdcStream {
   }
 
   private val eventSchemaCache = new java.util.concurrent
-    .ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+    .ConcurrentHashMap[(String, Long), org.apache.spark.sql.types.StructType]()
 
   /** Streaming changelog from the fixture events parquet. */
   def changeLogStream(spark: SparkSession, sfDir: String): Dataset[Ch] = {

@@ -63,6 +63,40 @@ class LakeDigestSpec extends SparkSuite {
     } finally cleanup(root)
   }
 
+  test("a zero's sign is content: republishing with 0.0 flipped to -0.0 " +
+      "must NOT digest-skip (Spark's hash normalizes the zeros — the one " +
+      "unsafe-skip hole, closed by the sign mask)") {
+    val root = tmp()
+    // the flipped zero rides a non-content column, so the proof is in
+    // the BYTES: the digest must disagree and force the heavy dir to be
+    // read (the feed itself hashes only contentCol and rightly emits
+    // nothing — identical to what the undigested full diff would say)
+    def scored(z: Double): DataFrame = heavyCorpus()
+      .withColumn("score",
+        when(col("id") === "g1-0", lit(z)).otherwise(lit(1.5)))
+    try {
+      Lake.publishVersion(scored(0.0), root, Seq("k"), Seq("id"),
+        1000000L, keep = 10, digest = true)
+      Lake.publishVersion(scored(-0.0), root, Seq("k"), Seq("id"),
+        1000000L, keep = 10, digest = true)
+      // the read is COLUMN-PRUNED to (id, text) — text compresses ~50×
+      // here — so the bar is the skip CONTROL, not the raw file bytes:
+      // the flipped zero must force a real read of the g1 pair while a
+      // truly identical republish reads ~nothing
+      val read = bytesReadDuring {
+        assert(feedRows(root, 0L, 1L) === Set.empty)
+      }
+      Lake.publishVersion(scored(-0.0), root, Seq("k"), Seq("id"),
+        1000000L, keep = 10, digest = true)
+      val readSame = bytesReadDuring {
+        assert(feedRows(root, 1L, 2L) === Set.empty)
+      }
+      assert(read > 4 * math.max(readSame, 1L) && read > 4096,
+        s"zero-sign flip was digest-skipped: read $read bytes vs " +
+          s"$readSame for the identical-republish control")
+    } finally cleanup(root)
+  }
+
   test("one changed partition between full publishes: the feed reads " +
       "that partition only and equals the undigested diff") {
     val root = tmp()

@@ -183,6 +183,63 @@ class LakeExpectSpec extends SparkSuite {
       }
       assert(e2.getMessage.contains("no data files"))
       assert(Lake.currentVersion(spark, root) === Some(0L))
+      // the refusal PRESERVED the audit: the quarantined rows moved out
+      // of the discarded generation into _QUARANTINE_REFUSED, named in
+      // the refusal message, readable via readRefusedQuarantine
+      assert(e.getMessage.contains("_QUARANTINE_REFUSED"), e.getMessage)
+      val refused = Lake.readRefusedQuarantine(spark, root)
+      assert(refused.select("id").as[String].collect().toSeq === Seq("b-1"))
+      assert(refused.select("_graft_violated").as[String].head()
+        .split(",").toSet === Set("text_nonempty", "score_positive"))
+      // a SECOND refusal lands beside the first (v=1 repeats — attempt
+      // counter disambiguates), nothing overwritten
+      intercept[IllegalArgumentException] {
+        Lake.publishVersion(
+          Seq(("b-2", "g0", "", -9.0)).toDF("id", "k", "text", "score"),
+          root, Seq("k"), Seq("id"), 1000L,
+          expect = expectations, onViolation = "drop")
+      }
+      assert(Lake.readRefusedQuarantine(spark, root)
+        .select("id").as[String].collect().toSet === Set("b-1", "b-2"))
+    } finally cleanup(root)
+  }
+
+  test("streaming full-publish poison batch in drop mode: the batch is " +
+      "skipped with the audit preserved and the stream ADVANCES — replay " +
+      "of the refused batch stays idempotent; fail mode still stops") {
+    val root = tmp()
+    try {
+      def batchOf(rows: Seq[(String, String, String, Double)]) =
+        rows.toDF("id", "k", "text", "score")
+      // batch 0: clean publish; batch 1: poison (every row violates);
+      // batch 2: clean again — the stream must reach it
+      Lake.publishBatch(batchOf(corpus.filter(_._4 > 0).filter(_._3.nonEmpty)),
+        root, Seq("k"), Seq("id"), 1000L, keep = 3, batchId = 0L,
+        expect = expectations, onViolation = "drop")
+      assert(Lake.currentVersion(spark, root) === Some(0L))
+      Lake.publishBatch(batchOf(Seq(("p-1", "g0", "", -1.0))),
+        root, Seq("k"), Seq("id"), 1000L, keep = 3, batchId = 1L,
+        expect = expectations, onViolation = "drop") // must NOT throw
+      assert(Lake.currentVersion(spark, root) === Some(0L)) // unchanged
+      // crash-replay of the poison batch: same skip, same single audit
+      Lake.publishBatch(batchOf(Seq(("p-1", "g0", "", -1.0))),
+        root, Seq("k"), Seq("id"), 1000L, keep = 3, batchId = 1L,
+        expect = expectations, onViolation = "drop")
+      val refused = Lake.readRefusedQuarantine(spark, root)
+      assert(refused.select("id").as[String].collect().toSeq === Seq("p-1"))
+      assert(refused.select("_graft_refusal").as[String].head() === "m=1")
+      // the stream advances past the poison batch
+      Lake.publishBatch(batchOf(Seq(("c-1", "g1", "clean", 1.0))),
+        root, Seq("k"), Seq("id"), 1000L, keep = 3, batchId = 2L,
+        expect = expectations, onViolation = "drop")
+      assert(Lake.currentVersion(spark, root) === Some(1L))
+      // fail mode keeps poison-batch stop semantics (no skip, no audit
+      // rewrite)
+      intercept[IllegalArgumentException] {
+        Lake.publishBatch(batchOf(Seq(("p-2", "g0", "", -1.0))),
+          root, Seq("k"), Seq("id"), 1000L, keep = 3, batchId = 3L,
+          expect = expectations, onViolation = "fail")
+      }
     } finally cleanup(root)
   }
 
