@@ -310,6 +310,19 @@ object Similarity {
     * assignment ≡ post-filter assignment. Recall caveat at 100 TB: a
     * highly selective filter empties probed cells — raise nprobe with
     * filter selectivity (the standard filtered-ANN trade).
+    *
+    * MEASURED guidance (ScaledRecallSpec curve, C=16, k=5, sf0.01):
+    * recall@k by (selectivity × nprobe) —
+    * sel=0.50: np1 .66, np2 .71, np4 .82, np8 .94;
+    * sel=0.20: .49 / .58 / .75 / .86;
+    * sel=0.05: .22 / .31 / .49 / .72; nprobe=C is exact at every
+    * selectivity. Recommendation: `nprobe = min(C, ceil(4/selectivity))`
+    * — scale the unfiltered default (4) by 1/selectivity; once that
+    * reaches C the probe IS the exhaustive scan of the filtered subset,
+    * which at high selectivity is both exact and CHEAP (the subset is
+    * small — sel·n rows — so filter-first brute force beats IVF there;
+    * the spec pins the rule to the unfiltered default's 0.80 floor at
+    * every measured selectivity).
     */
   def ivfTopKFilteredWith(
       emb: DataFrame, cent: DataFrame, queryPred: Column, candPred: Column,

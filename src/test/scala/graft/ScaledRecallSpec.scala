@@ -150,4 +150,65 @@ class ScaledRecallSpec extends SparkSuite {
     assert(recalls(4) >= 0.80,
       f"probes=4 recall ${recalls(4)}%.3f fell below the production floor")
   }
+
+  test("filtered-ANN curve: recall@k vs brute-force-filtered truth across " +
+      "selectivity x nprobe — monotone in nprobe, and the selectivity-" +
+      "scaled nprobe recommendation holds its floor at every selectivity") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.01/embeddings.parquet").materialize()
+    val c = Similarity.autoCells(emb)
+    val cent = Similarity.kmeansCentroids(emb, c, 2).materialize()
+    val queryPred = col("vec_id") < 20
+    val k = 5
+    val v = emb.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    def topkSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // selectivity levels: the fraction of candidates surviving the
+    // metadata predicate (50% / 20% / 5%)
+    val sels = Seq(2 -> 0.5, 5 -> 0.2, 20 -> 0.05)
+    val curve = for ((m, sel) <- sels) yield {
+      val candPred = col("vec_id") % m === 0
+      // brute-force filtered truth: exact cosine top-k among ONLY the
+      // candidates passing the predicate
+      val q = v.filter(queryPred)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+      val truth = topkSet(v.filter(candPred).crossJoin(q)
+        .filter(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"),
+          Similarity.cosine(col("qv"), col("v")).as("sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k))
+      assert(truth.nonEmpty)
+      val byProbe = Seq(1, 2, 4, 8, c).distinct.map { np =>
+        np -> (topkSet(Similarity.ivfTopKFilteredWith(
+          emb, cent, queryPred, candPred, k, nprobe = np))
+          & truth).size.toDouble / truth.size
+      }
+      info(f"sel=$sel%.2f: " + byProbe.map { case (np, r) =>
+        f"np=$np: $r%.3f" }.mkString(", "))
+      // recall climbs (weakly) with nprobe at every selectivity, and
+      // nprobe=C (exhaustive over the filtered subset) is exact
+      for (Seq((_, lo), (_, hi)) <- byProbe.sliding(2))
+        assert(hi >= lo - 1e-9, s"recall fell with nprobe at sel=$sel")
+      assert(byProbe.last._2 >= 1.0 - 1e-9,
+        s"nprobe=C not exact at sel=$sel: ${byProbe.last._2}")
+      (sel, byProbe.toMap)
+    }
+    // the scaladoc recommendation — nprobe = min(C, ceil(4/selectivity)),
+    // i.e. scale the unfiltered default (4) by 1/selectivity and fall
+    // back to the exhaustive filtered scan once that reaches C — must
+    // clear the same 0.80 floor the unfiltered default holds, at EVERY
+    // selectivity
+    for ((sel, byProbe) <- curve) {
+      val rec = math.min(c.toDouble, math.ceil(4.0 / sel)).toInt
+      val np = Seq(1, 2, 4, 8, c).distinct.filter(_ >= rec).minOption
+        .getOrElse(c)
+      assert(byProbe(np) >= 0.80,
+        f"recommended nprobe=$np at sel=$sel%.2f: recall ${byProbe(np)}%.3f")
+    }
+  }
 }
