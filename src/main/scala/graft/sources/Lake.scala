@@ -1593,11 +1593,26 @@ object Lake {
     * from the listing (metadata only); `n_rows` is one count per
     * generation — parquet footer arithmetic, no column read — bounded
     * by the retention horizon, so the op is O(keep), not O(corpus).
+    *
+    * Digest visibility (r15 verdict #7): `digest_fp` is the
+    * generation's content-digest column fingerprint (null = published
+    * without digests) and `digest_skip_from_prev` says whether a feed
+    * step INTO this generation can digest-skip — both it and the
+    * previous on-disk generation carry digests with the SAME
+    * fingerprint. A schema change (or a digest-less publish) silently
+    * degrades cross-republish skipping to full diffs; this column is
+    * where an operator SEES that — a feed that got slower shows
+    * `false` at the version that broke the fingerprint chain.
     */
   def history(spark: SparkSession, rootDir: String): DataFrame = {
     val (fs, root) = fsOf(spark, rootDir)
     val cur = readPointer(fs, root, CurrentPointer)
     val high = highWater(fs, root)
+    val fpOf = scala.collection.mutable.Map.empty[Long, Option[String]]
+    def digestFp(v: Long): Option[String] =
+      fpOf.getOrElseUpdate(v, readDigest(fs,
+        new org.apache.hadoop.fs.Path(root, s"v=$v")).map(_._1))
+    val onDisk = genDirs(fs, root).map(_._1).toSet
     val rows = genDirs(fs, root).sortBy(_._1).flatMap { case (v, p) =>
       try {
         var nf = 0L; var nb = 0L
@@ -1614,8 +1629,12 @@ object Lake {
         // a crashed orphan can be an empty dir — don't schema-infer nothing
         val nRows = if (nf == 0) 0L
           else spark.read.parquet(p.toString).count()
+        val fp = digestFp(v)
+        val skipFromPrev: Option[Boolean] =
+          if (!onDisk.contains(v - 1)) None
+          else Some(fp.nonEmpty && fp == digestFp(v - 1))
         Some((v, high.exists(v <= _), cur.contains(v), batchId, nRows, nf,
-          nb, readRefs(fs, p).size.toLong))
+          nb, readRefs(fs, p).size.toLong, fp, skipFromPrev))
       } catch {
         // a generation pruned (or a crashed orphan cleaned) between the
         // root listing and this walk simply drops out of the ledger —
@@ -1625,7 +1644,7 @@ object Lake {
     }
     import spark.implicits._
     rows.toDF("v", "published", "current", "batch_id", "n_rows",
-      "n_files", "bytes", "n_refs")
+      "n_files", "bytes", "n_refs", "digest_fp", "digest_skip_from_prev")
   }
 
   /** Continuous publishing: every non-empty micro-batch of `df` (a

@@ -97,6 +97,33 @@ class LakeDigestSpec extends SparkSuite {
     } finally cleanup(root)
   }
 
+  test("history surfaces digest-skip health: digest_skip_from_prev flags " +
+      "the version where a schema change (or digest-less publish) broke " +
+      "the fingerprint chain — why a feed got slower, made visible") {
+    val root = tmp()
+    def corpus = Seq(("a", "g0", "t")).toDF("id", "k", "text")
+    try {
+      Lake.publishVersion(corpus, root, Seq("k"), Seq("id"),
+        1000L, keep = 10, digest = true) // v0
+      Lake.publishVersion(corpus, root, Seq("k"), Seq("id"),
+        1000L, keep = 10, digest = true) // v1: chain intact
+      Lake.publishVersion(corpus.withColumn("extra", lit(1L)), root,
+        Seq("k"), Seq("id"), 1000L, keep = 10, digest = true) // v2: drift
+      Lake.publishVersion(corpus.withColumn("extra", lit(1L)), root,
+        Seq("k"), Seq("id"), 1000L, keep = 10) // v3: digest off
+      val h = Lake.history(spark, root)
+        .select("v", "digest_fp", "digest_skip_from_prev")
+        .collect().map(r => r.getLong(0) ->
+          ((Option(r.getString(1)), if (r.isNullAt(2)) None
+            else Some(r.getBoolean(2))))).toMap
+      assert(h(0L)._1.nonEmpty && h(0L)._2.isEmpty) // no predecessor
+      assert(h(1L)._2 === Some(true), s"chain intact at v1: ${h(1L)}")
+      assert(h(2L)._2 === Some(false), s"drift visible at v2: ${h(2L)}")
+      assert(h(2L)._1.nonEmpty && h(2L)._1 != h(1L)._1)
+      assert(h(3L)._1.isEmpty && h(3L)._2 === Some(false))
+    } finally cleanup(root)
+  }
+
   test("one changed partition between full publishes: the feed reads " +
       "that partition only and equals the undigested diff") {
     val root = tmp()
