@@ -77,12 +77,38 @@ object GenSwap {
     def genDir: String = gen.toString
   }
 
+  /** Schemes whose Hadoop FileSystem lacks atomic
+    * `create(overwrite=false)` and/or atomic rename — the two primitives
+    * the per-leaf swap and the lake's `_LOCK` guard are built on. The
+    * plain S3 connectors do exists-then-PUT creates and copy+delete
+    * renames, so on them the guard is not a mutex and a swap is not
+    * atomic — a caveat that used to live only in scaladoc and would
+    * otherwise be DISCOVERED in production. Checked at entry:
+    * [[requireAtomicFs]] fails loudly with the remediation instead.
+    * (HDFS, local, ABFS, and GCS-preconditions semantics all qualify;
+    * unknown schemes pass under the caller's documented responsibility.)
+    */
+  private val NonAtomicSchemes = Set("s3", "s3a", "s3n")
+
+  def requireAtomicFs(fs: FileSystem, path: Path, what: String): Unit = {
+    val scheme = fs.makeQualified(path).toUri.getScheme
+    if (scheme != null && NonAtomicSchemes.contains(scheme.toLowerCase))
+      throw new UnsupportedOperationException(
+        s"$what needs atomic create/rename, which '$scheme://' does not " +
+          "provide (exists-then-PUT create, copy+delete rename). On " +
+          "object storage use a log-structured table format " +
+          "(Iceberg/Delta) or an external lock service; the swap/lock " +
+          "protocol is correct on HDFS-semantics stores (HDFS, file, " +
+          "ABFS, GCS preconditions).")
+  }
+
   /** Heal leftovers of any crashed prior run, then mint fresh staging
     * paths. The root need not exist yet (first write).
     */
   def begin(spark: SparkSession, dir: String): Gen = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireAtomicFs(fs, root, "GenSwap (per-leaf atomic rename swap)")
     recover(fs, root)
     val id = java.util.UUID.randomUUID().toString
     Gen(fs, root,

@@ -778,6 +778,9 @@ object Lake {
     */
   def guarded[A](spark: SparkSession, rootDir: String)(body: => A): A = {
     val (fs, root) = fsOf(spark, rootDir)
+    // loud at entry on schemes where create(overwrite=false) is not a
+    // mutex (plain S3) — the caveat below, enforced instead of documented
+    graft.GenSwap.requireAtomicFs(fs, root, "Lake.guarded (_LOCK mutex)")
     fs.mkdirs(root)
     val key = fs.makeQualified(root).toString
     if (heldLocks.get().contains(key)) return body // reentrant
