@@ -26,6 +26,15 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSmoke {
 
+  /** One wall-clock wrapper for every smoke leg — a timing tweak (e.g.
+    * min-of-passes) must land in exactly one place.
+    */
+  private def timed[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
   /** The top queries by r8/r9 bench cost, one per heavy family: LSH
     * dedup, ANN search, gram explosion, streaming state sink, composed
     * capstone — plus the two that lead the battery after round 9's
@@ -651,11 +660,6 @@ object ScaleSmoke {
         import graft.Materialize.Ops
         val d = spark.read.parquet(s"$dir/documents.parquet")
           .select("doc_id", "text", "lang")
-        def timed[A](body: => A): (A, Double) = {
-          val t0 = System.nanoTime()
-          val a = body
-          (a, (System.nanoTime() - t0) / 1e9)
-        }
         val (_, tPub0) = timed(Lake.publishVersion(d, lake, Seq("lang"),
           Seq("doc_id"), maxRecordsPerFile = 2000000L))
         val (_, tPub1) = timed(Lake.publishVersion(
@@ -725,11 +729,6 @@ object ScaleSmoke {
         import graft.Materialize.Ops
         val d = spark.read.parquet(s"$dir/documents.parquet")
           .select("doc_id", "text", "lang")
-        def timed[A](body: => A): (A, Double) = {
-          val t0 = System.nanoTime()
-          val a = body
-          (a, (System.nanoTime() - t0) / 1e9)
-        }
         val (_, tPub) = timed(Lake.publishVersion(d, lake, Seq("lang"),
           Seq("doc_id"), maxRecordsPerFile = 2000000L))
         val n0 = d.count()
@@ -788,11 +787,6 @@ object ScaleSmoke {
         import graft.Materialize.Ops
         val d = spark.read.parquet(s"$dir/documents.parquet")
           .select("doc_id", "text", "lang")
-        def timed[A](body: => A): (A, Double) = {
-          val t0 = System.nanoTime()
-          val a = body
-          (a, (System.nanoTime() - t0) / 1e9)
-        }
         val (_, tPub) = timed(Lake.publishVersion(d, lake, Seq("lang"),
           Seq("doc_id"), maxRecordsPerFile = 2000000L))
         val scoped = d
@@ -863,11 +857,6 @@ object ScaleSmoke {
       val lake = s"$root/lake"
       val d = spark.read.parquet(s"$base/documents.parquet")
         .select("doc_id", "text", "lang")
-      def timed[A](body: => A): (A, Double) = {
-        val t0 = System.nanoTime()
-        val a = body
-        (a, (System.nanoTime() - t0) / 1e9)
-      }
       Lake.publishVersion(d, lake, Seq("lang"), Seq("doc_id"),
         maxRecordsPerFile = 2000000L, keep = 60): Unit
       val langs = d.select("lang").distinct()

@@ -766,9 +766,14 @@ object Lake {
     * (compact, manual publish) colliding with a live streaming
     * publisher. Since r16 every mutating entry point ([[publishVersion]],
     * [[publishDelta]], [[mergeDelta]], [[rollbackTo]], [[vacuum]], the
-    * streaming publishers' batch bodies) acquires this guard ITSELF —
-    * callers no longer need to wrap anything; explicit `guarded` blocks
-    * remain useful only to hold the lock ACROSS a multi-op sequence.
+    * streaming publishers' batch bodies, and [[compact]] on its target
+    * dir) acquires this guard ITSELF — callers no longer need to wrap
+    * single ops. Explicit `guarded` blocks remain for holding the lock
+    * ACROSS a multi-op sequence, and for the one cross-domain case:
+    * compacting a generation dir inside a versioned lake locks that DIR,
+    * so excluding the lake-root writers (retention pruning the
+    * generation mid-compact) still takes `guarded(<lake root>)` around
+    * the compact call.
     *
     * Deliberately NO TTL auto-takeover: a lock left by a crashed writer
     * must be removed by an operator who confirmed the writer is dead
@@ -1323,11 +1328,18 @@ object Lake {
     * catching up after long downtime (or a replayed DR consumer) must
     * not hand the analyzer one plan with O(steps) diff branches — past
     * `maxPlanSteps` the feed drains in windows of that width,
-    * materializing each window (localCheckpoint — cut lineage, keep
-    * distribution) and unioning the materialized results, so analyzer/
-    * optimizer cost per window is flat and the final plan is a union of
-    * trivial materialized scans. The step semantics are unchanged —
-    * windows partition the same per-step diffs.
+    * materializing each window (forced — the bound must hold in every
+    * `spark.graft.materialize` mode) and unioning the materialized
+    * results, so analyzer/optimizer cost per window is flat and the
+    * final plan is a union of trivial materialized scans. The step
+    * semantics are unchanged — windows partition the same per-step
+    * diffs. Two costs of the windowed form, by design: construction
+    * EXECUTES the diffs eagerly (call with the range you actually want
+    * — a post-hoc `.filter(col("v") > …)` no longer prunes steps), and
+    * the window blocks stay pinned until [[graft.Materialize.release]].
+    * A long-lived or storage-sensitive consumer should drain
+    * [[changesBetweenPaged]] instead — lazy bounded plans, nothing
+    * pinned, cursor-friendly.
     */
   def changesBetween(spark: SparkSession, rootDir: String,
       fromVersion: Long, toVersion: Long,
@@ -1386,11 +1398,45 @@ object Lake {
     else {
       import graft.Materialize.Ops
       // windows materialize independently (each a bounded plan); the
-      // result unions materialized scans, not live diff branches
+      // result unions materialized scans, not live diff branches.
+      // FORCED: the materialization is the bounded-plan MECHANISM, not
+      // an optimization — under spark.graft.materialize=none a plain
+      // materialize() is a pass-through and the O(steps)-branch plan
+      // this exists to prevent would silently come back. Cost notes in
+      // the scaladoc: construction executes the diffs eagerly, and the
+      // window blocks stay pinned until Materialize.release — a
+      // long-lived consumer should drain [[changesBetweenPaged]]
+      // instead.
       versions.grouped(maxPlanSteps)
-        .map(w => w.map(step).reduce(_.unionByName(_)).materialize())
+        .map(w => w.map(step).reduce(_.unionByName(_)).materializeForced())
         .reduce(_.unionByName(_))
     }
+  }
+
+  /** The long-range drain as a LAZY page iterator: one DataFrame per
+    * `maxPlanSteps`-wide window of feed steps, each a bounded fresh plan
+    * over live files — no materialization, no pinned blocks, no eager
+    * compute at construction. This is the DR/catch-up shape: process a
+    * page, commit your cursor, next(). The concatenation of all pages
+    * equals `changesBetween(from, to)` row-for-row (pages partition the
+    * same per-step diffs). Metadata memoization is per page; the only
+    * repeat work is re-resolving each page-BOUNDARY generation (one
+    * listing + digest read per page), interior versions resolve once.
+    */
+  def changesBetweenPaged(spark: SparkSession, rootDir: String,
+      fromVersion: Long, toVersion: Long,
+      idCol: String, contentCol: String,
+      maxPlanSteps: Int = 16): Iterator[DataFrame] = {
+    require(maxPlanSteps >= 1, "maxPlanSteps must be at least 1")
+    if (fromVersion == toVersion)
+      Iterator.single(changesBetween(
+        spark, rootDir, fromVersion, toVersion, idCol, contentCol))
+    else (fromVersion until toVersion by maxPlanSteps.toLong).iterator
+      .map { lo =>
+        changesBetween(spark, rootDir, lo,
+          math.min(lo + maxPlanSteps, toVersion), idCol, contentCol,
+          maxPlanSteps)
+      }
   }
 
   /** One feed step: diff generation `a` → `b` reading only the partition
@@ -1519,7 +1565,11 @@ object Lake {
     * publish-time pruning). Generations above the published high-water
     * are crashed publishes' orphans and are removed (they were never
     * readable). File/byte accounting is the listing walk (metadata
-    * only, O(on-disk generations)).
+    * only, O(on-disk generations)). Refused-publish quarantines
+    * (under `_QUARANTINE_REFUSED`) ride the same horizon: the newest `keep`
+    * refusal audits are retained, older ones pruned, each with a
+    * `refused_retained`/`refused_pruned` ledger row — the only GC those
+    * audit dirs have.
     *
     * Writer op under the single-writer contract: a live publisher's
     * in-flight generation is indistinguishable from a crashed orphan.
@@ -1568,6 +1618,27 @@ object Lake {
       if (action != "retained") fs.delete(p, true): Unit
       org.apache.spark.sql.Row(v, action, reason, nf, nb)
     }
+    // refused-publish quarantines are audit, not data, and nothing else
+    // reclaims them — without this they grow one dir per refused poison
+    // batch forever. Same `keep` horizon, newest-first by the numeric id
+    // in the name (m=<batchId> / v=<n>_a<k>), one ledger row each so the
+    // decision is visible.
+    val refusedHome = new org.apache.hadoop.fs.Path(
+      root, RefusedQuarantineDir)
+    val refusedRows = if (!fs.exists(refusedHome)) Nil else {
+      def idOf(n: String): Long =
+        "\\d+".r.findFirstIn(n).map(_.toLong).getOrElse(-1L)
+      val all = fs.listStatus(refusedHome).toSeq
+        .sortBy(st => (idOf(st.getPath.getName), st.getPath.getName))
+        .reverse
+      all.zipWithIndex.map { case (st, i) =>
+        val (nf, nb) = sizeOf(st.getPath)
+        val action = if (i < keep) "refused_retained" else "refused_pruned"
+        if (action == "refused_pruned") fs.delete(st.getPath, true): Unit
+        org.apache.spark.sql.Row(
+          idOf(st.getPath.getName), action, "refusal_audit", nf, nb)
+      }
+    }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("v",
         org.apache.spark.sql.types.LongType, nullable = false),
@@ -1580,7 +1651,7 @@ object Lake {
       org.apache.spark.sql.types.StructField("bytes",
         org.apache.spark.sql.types.LongType, nullable = false)))
     spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), schema)
+      spark.sparkContext.parallelize(rows ++ refusedRows, 1), schema)
     }
   }
 
@@ -1615,8 +1686,14 @@ object Lake {
     def digestFp(v: Long): Option[String] =
       fpOf.getOrElseUpdate(v, readDigest(fs,
         new org.apache.hadoop.fs.Path(root, s"v=$v")).map(_._1))
-    val onDisk = genDirs(fs, root).map(_._1).toSet
-    val rows = genDirs(fs, root).sortBy(_._1).flatMap { case (v, p) =>
+    // ONE root listing: the row walk and the predecessor-existence set
+    // must come from the same snapshot, or a generation pruned between
+    // two listings would make digest_skip_from_prev claim Some(false)
+    // for a predecessor the walk no longer sees (contract: None when
+    // there is no predecessor on disk)
+    val listed = genDirs(fs, root).sortBy(_._1)
+    val onDisk = listed.map(_._1).toSet
+    val rows = listed.flatMap { case (v, p) =>
       try {
         var nf = 0L; var nb = 0L
         def walk(d: org.apache.hadoop.fs.Path): Unit =
@@ -1951,6 +2028,17 @@ object Lake {
     require(targetBytes > 0, "targetBytes must be positive")
     require(partitionCols.nonEmpty || sortCols.nonEmpty,
       "compact needs at least one partition or sort column")
+    // compact is a MUTATING maintenance pass — the original accident
+    // class the writer guard was built for — so it takes the guard on
+    // its target dir itself (reentrant for callers already holding it).
+    // Note the lock scope is `dir`: compacting a generation INSIDE a
+    // versioned lake (dir = <lake>/v=N) excludes other writers of that
+    // dir, but coordination with the lake-ROOT writers (retention could
+    // prune v=N mid-compact) needs `guarded(<lake root>)` around the
+    // call — the generation dir and the root are different lock
+    // domains by design (a root-level lock here would serialize
+    // compactions of sibling generations for no reason).
+    guarded(spark, dir) {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // heal any crashed prior pass BEFORE judging: a leftover generation
@@ -2065,6 +2153,7 @@ object Lake {
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema)
+    }
   }
 
   /** Hive path-escaping inverse: `%XX` percent-decode only ('+' stays

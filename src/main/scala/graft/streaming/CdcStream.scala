@@ -90,7 +90,7 @@ object CdcStream {
     * tombstone past the replay horizon: drop it silently — downstream saw
     * the tombstone row when the key annihilated.
     */
-  private def mergeFold(arm: GroupState[Ch] => Unit)(
+  private def mergeFold(arm: Option[GroupState[Ch] => Unit])(
       key: (String, String), it: Iterator[Ch],
       state: GroupState[Ch]): Iterator[Ch] = {
     val (table, rid) = key
@@ -118,16 +118,24 @@ object CdcStream {
           // re-delivery of the dead key's stale changes (seq ≤ seen)
           // must not resurrect it, exactly as the untyped fold path
           // persists tombstones until sweepTombstones ages them out.
-          // Re-arm the TTL on EVERY invocation that leaves a tombstone
-          // in state — including the pure-stale-replay branch, where the
-          // data invocation just cleared the previous arm.
+          // On the TTL variant, re-arm on EVERY invocation that leaves a
+          // tombstone in state — including the pure-stale-replay branch,
+          // where the data invocation just cleared the previous arm
+          // (re-arming requires a state write first: Spark rejects
+          // setTimeoutDuration without one). On the NoTimeout variant
+          // the stale branch stays a pure no-op — rewriting an unchanged
+          // tombstone row per replayed batch would be state-store commit
+          // churn for nothing.
           val stale = maxSeq == seen
           if (stale && !state.exists) Iterator.empty // degenerate: no-op
-          else {
+          else if (stale) {
+            arm.foreach { a => state.update(state.get); a(state) }
+            Iterator.empty
+          } else {
             val tomb = Ch(table, rid, Types.None_, 0L, maxSeq, 0.0, null)
-            state.update(if (stale) state.get else tomb)
-            arm(state)
-            if (stale) Iterator.empty else Iterator.single(tomb)
+            state.update(tomb)
+            arm.foreach(_(state))
+            Iterator.single(tomb)
           }
       }
     }
@@ -164,11 +172,11 @@ object CdcStream {
       case None =>
         grouped.flatMapGroupsWithState[Ch, Ch](
           OutputMode.Update, GroupStateTimeout.NoTimeout)(
-          mergeFold(arm = _ => ()))
+          mergeFold(arm = None))
       case Some(ttl) =>
         grouped.flatMapGroupsWithState[Ch, Ch](
           OutputMode.Update, GroupStateTimeout.ProcessingTimeTimeout)(
-          mergeFold(arm = _.setTimeoutDuration(ttl)))
+          mergeFold(arm = Some(_.setTimeoutDuration(ttl))))
     }
   }
 

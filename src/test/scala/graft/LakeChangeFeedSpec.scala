@@ -214,6 +214,34 @@ class LakeChangeFeedSpec extends SparkSuite {
       // and the one-plan form (cursor polling) keeps lazy file scans
       val lazyLeaves = onePlan.queryExecution.optimizedPlan.collectLeaves()
       assert(lazyLeaves.exists(!_.nodeName.contains("LogicalRDD")))
+      // the bound is the MECHANISM, so it must hold in materialize=none
+      // too (a pass-through there would silently bring the O(steps)
+      // plan back — the forced() distinction)
+      val mode = spark.conf.getOption("spark.graft.materialize")
+      spark.conf.set("spark.graft.materialize", "none")
+      try {
+        val noneLeaves = Lake.changesBetween(spark, root, 0L, 18L,
+            "id", "text", maxPlanSteps = 4)
+          .queryExecution.optimizedPlan.collectLeaves()
+        assert(noneLeaves.length === 5 &&
+          noneLeaves.forall(_.nodeName.contains("LogicalRDD")),
+          noneLeaves.map(_.nodeName).mkString(", "))
+      } finally mode.fold(
+        spark.conf.unset("spark.graft.materialize"))(
+        spark.conf.set("spark.graft.materialize", _))
+      // paged drain: lazy bounded plans, nothing pinned — the DR shape.
+      // Concatenated pages equal the one-plan feed; every page plan is
+      // live (no materialized scans) and bounded
+      val pages = Lake.changesBetweenPaged(spark, root, 0L, 18L,
+        "id", "text", maxPlanSteps = 4).toSeq
+      assert(pages.length === 5)
+      assert(pages.map(rows).reduce(_ ++ _) === rows(onePlan))
+      for (p <- pages) {
+        val ls = p.queryExecution.optimizedPlan.collectLeaves()
+        assert(ls.length <= 8 && ls.forall(
+          !_.nodeName.contains("LogicalRDD")),
+          ls.map(_.nodeName).mkString(", "))
+      }
     } finally {
       graft.Materialize.release(spark)
       cleanup(root)

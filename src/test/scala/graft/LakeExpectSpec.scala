@@ -240,6 +240,22 @@ class LakeExpectSpec extends SparkSuite {
           root, Seq("k"), Seq("id"), 1000L, keep = 3, batchId = 3L,
           expect = expectations, onViolation = "fail")
       }
+      // refusal audits have a GC: vacuum retains the newest `keep`
+      // refusals and prunes the rest, each with a visible ledger row
+      for (b <- 4L to 7L)
+        Lake.publishBatch(batchOf(Seq((s"p-$b", "g0", "", -1.0))),
+          root, Seq("k"), Seq("id"), 1000L, keep = 3, batchId = b,
+          expect = expectations, onViolation = "drop")
+      val led = Lake.vacuum(spark, root, keep = 2)
+        .filter(col("reason") === "refusal_audit")
+        .select("v", "action").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(led === Map(7L -> "refused_retained", 6L -> "refused_retained",
+        5L -> "refused_pruned", 4L -> "refused_pruned",
+        1L -> "refused_pruned"), led.toString)
+      assert(Lake.readRefusedQuarantine(spark, root)
+        .select("_graft_refusal").as[String].collect().toSet ===
+        Set("m=6", "m=7"))
     } finally cleanup(root)
   }
 
