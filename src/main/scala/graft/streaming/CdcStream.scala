@@ -180,6 +180,87 @@ object CdcStream {
     }
   }
 
+  /** The keyed merge on Spark 4's `transformWithState` — the THIRD
+    * standing-stream answer to tombstone growth, and the cleanest: state
+    * splits into two variables, `live` (no TTL — a live key must never
+    * be evicted for idleness) and `tomb` (native per-variable TTL —
+    * exactly the knob transformWithState adds over
+    * flatMapGroupsWithState), so annihilation tombstones age out at the
+    * replay horizon via the state store's OWN TTL machinery: expired
+    * values vanish on read and are reclaimed by store maintenance, with
+    * no timers registered and none of the timeout bookkeeping the fMGWS
+    * TTL variant needs (per-invocation re-arming, hasTimedOut plumbing).
+    * Fold semantics are IDENTICAL to [[merged]] — same emissions, same
+    * replay guard within the horizon (the spec pins parity batch by
+    * batch).
+    *
+    * TimeMode is ProcessingTime (TTL requires it), which — like the
+    * fMGWS timeout conf — makes the engine schedule batches
+    * continuously on a ProcessingTime trigger; bounded drains should
+    * keep using [[merged]]'s default NoTimeout form.
+    */
+  def mergedTws(ch: Dataset[Ch], tombstoneTtl: java.time.Duration)
+      : Dataset[Ch] = {
+    import ch.sparkSession.implicits._
+    ch.groupByKey(e => (e.table, e.rid))
+      .transformWithState(new MergeProcessor(tombstoneTtl),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Update())
+  }
+
+  class MergeProcessor(tombstoneTtl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (String, String), Ch, Ch] {
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var live:
+      org.apache.spark.sql.streaming.ValueState[Ch] = _
+    @transient private var tomb:
+      org.apache.spark.sql.streaming.ValueState[Ch] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      live = getHandle.getValueState[Ch]("live", E.product[Ch],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      tomb = getHandle.getValueState[Ch]("tomb", E.product[Ch],
+        org.apache.spark.sql.streaming.TTLConfig(tombstoneTtl))
+    }
+
+    override def handleInputRows(key: (String, String), rows: Iterator[Ch],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[Ch] = {
+      val (table, rid) = key
+      val sorted = rows.toArray.sortBy(_.seq)
+      // the guard seq comes from whichever variable holds the key: a
+      // live row, or a not-yet-expired tombstone (an EXPIRED tombstone
+      // reads as absent — precisely the aging-out semantics)
+      val prior = Option(live.get()).orElse(Option(tomb.get()))
+      val seen = prior.map(_.seq).getOrElse(Long.MinValue)
+      var acc: Option[Ch] = prior.filter(_.cdc_action != Types.None_)
+      var maxSeq = seen
+      for (e <- sorted if e.seq > seen) {
+        maxSeq = e.seq
+        acc = Merge.mergeAction(acc.map(_.cdc_action), e.cdc_action)
+          .map(a => e.copy(cdc_action = a))
+      }
+      acc match {
+        case Some(st) =>
+          live.update(st)
+          tomb.clear()
+          Iterator.single(st)
+        case None =>
+          val stale = maxSeq == seen
+          if (stale && prior.isEmpty) Iterator.empty // degenerate no-op
+          else {
+            val t = Ch(table, rid, Types.None_, 0L, maxSeq, 0.0, null)
+            live.clear()
+            // write (or refresh, on stale replays) the tombstone — each
+            // touch restarts its TTL, mirroring the fMGWS re-arm
+            tomb.update(if (stale) prior.get else t)
+            if (stale) Iterator.empty else Iterator.single(t)
+          }
+      }
+    }
+  }
+
   /** Run the stream to completion (AvailableNow) into a memory sink and
     * return the final compacted snapshot — streaming/batch parity surface
     * used by the `cdc_compact_stream` driver query.
