@@ -79,6 +79,87 @@ object LakeQueries extends QueryRegistry {
           col("lang")))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // [EXT] refused-publish audit (r16): a drop-mode streaming batch
+    // whose EVERY row violates the expectations is refused (an empty
+    // full generation is unreadable) but must make progress AND keep
+    // the evidence — the quarantine re-homes under _QUARANTINE_REFUSED
+    // keyed by the batch id, the stream advances, and the audit is the
+    // oracle-checked output here (the violating half of the corpus,
+    // named rule, replay-stable key).
+    "lake_refused_quarantine" -> ((s, dir) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_lake_refq").toString
+      val root = s"$work/lake"
+      try {
+        val d = docs(s, dir).select("doc_id", "text", "lang")
+        val expect = Seq("even_id" -> (col("doc_id") % 2 === 0))
+        Lake.publishBatch(d.filter(col("doc_id") % 2 === 0), root,
+          Seq("lang"), Seq("doc_id"), 1000000L, keep = 3, batchId = 0L,
+          expect = expect, onViolation = "drop")
+        // the poison batch: every row violates -> refused + skipped
+        Lake.publishBatch(d.filter(col("doc_id") % 2 === 1), root,
+          Seq("lang"), Seq("doc_id"), 1000000L, keep = 3, batchId = 1L,
+          expect = expect, onViolation = "drop")
+        // the stream advanced: the clean half is still current (v=0)
+        require(Lake.currentVersion(s, root).contains(0L),
+          "poison batch moved the pointer")
+        import graft.Materialize.Ops
+        Lake.readRefusedQuarantine(s, root)
+          .select(col("doc_id"), col("_graft_violated").as("violated"),
+            col("_graft_refusal").as("refusal"))
+          .materializeForced()
+      } finally {
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(work))
+      }
+    }),
+    // [EXT] paged long-range drain (r16): the DR/catch-up shape —
+    // changesBetweenPaged over the same three-generation lake the
+    // lake_change_feed query builds, page width 1, pages unioned. The
+    // oracle is IDENTICAL to lake_change_feed's, so the hash match
+    // proves paged ≡ one-shot ≡ the derived truth.
+    "lake_feed_paged" -> ((s, dir) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_lake_cdfp").toString
+      val root = s"$work/lake"
+      try {
+        val d = docs(s, dir).select("doc_id", "text", "lang")
+        Lake.publishVersion(d, root, Seq("lang"), Seq("doc_id"),
+          maxRecordsPerFile = 1000000L, digest = true)
+        val delta1 = d.filter(col("lang") === "fr")
+          .select(col("doc_id"),
+            concat(col("text"), lit(" [d1]")).as("text"), col("lang"))
+          .union(d.filter(col("doc_id") % 97 === 0)
+            .select((col("doc_id") + 5000000L).as("doc_id"), col("text"),
+              lit("zz").as("lang")))
+          .union(d.filter(col("lang") === "zh")
+            .select(col("doc_id"), col("text"), col("lang")))
+        Lake.publishDelta(delta1, root, Seq("lang"), Seq("doc_id"),
+          maxRecordsPerFile = 1000000L, digest = true)
+        val sc = d.filter(col("lang").isin("de", "es"))
+        val changes = sc
+          .filter(col("doc_id") % 4 === 0 && col("doc_id") % 10 =!= 7)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" [m]")).as("text"), col("lang"),
+            lit("upsert").as("op"))
+          .union(sc.filter(col("doc_id") % 10 === 7)
+            .select(col("doc_id"), lit(null).cast("string").as("text"),
+              col("lang"), lit("delete").as("op")))
+          .union(sc.filter(col("doc_id") % 9 === 0)
+            .select((col("doc_id") + 7000000L).as("doc_id"), col("text"),
+              col("lang"), lit("upsert").as("op")))
+        Lake.mergeDelta(changes, root, Seq("doc_id"), Seq("lang"),
+          Seq("doc_id"), maxRecordsPerFile = 1000000L, digest = true)
+        import graft.Materialize.Ops
+        Lake.changesBetweenPaged(s, root, 0L, 2L, "doc_id", "text",
+            maxPlanSteps = 1)
+          .map(_.materializeForced())
+          .reduce(_.unionByName(_))
+      } finally {
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(work))
+      }
+    }),
     // [EXT] snapshot diff: v2 is derived deterministically from the
     // fixture so both engines diff the same two versions. Output = the
     // added/removed/changed ledger only.
@@ -772,35 +853,41 @@ object LakeQueries extends QueryRegistry {
         |SELECT doc_id, change, old_hash, new_hash FROM c
         |WHERE change <> 'unchanged'""".stripMargin
 
+  private val changeFeedSql =
+    """WITH d AS (SELECT doc_id, text, lang FROM documents),
+      |s1 AS (
+      |  SELECT CAST(1 AS BIGINT) AS v, doc_id, 'changed' AS change,
+      |    md5(text) AS old_hash, md5(text || ' [d1]') AS new_hash
+      |  FROM d WHERE lang = 'fr'
+      |  UNION ALL
+      |  SELECT CAST(1 AS BIGINT), doc_id + 5000000, 'added',
+      |    CAST(NULL AS VARCHAR), md5(text)
+      |  FROM d WHERE doc_id % 97 = 0),
+      |sc AS (SELECT * FROM d WHERE lang IN ('de','es')),
+      |s2 AS (
+      |  SELECT CAST(2 AS BIGINT) AS v, doc_id, 'removed' AS change,
+      |    md5(text) AS old_hash, CAST(NULL AS VARCHAR) AS new_hash
+      |  FROM sc WHERE doc_id % 10 = 7
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), doc_id, 'changed',
+      |    md5(text), md5(text || ' [m]')
+      |  FROM sc WHERE doc_id % 4 = 0 AND doc_id % 10 <> 7
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), doc_id + 7000000, 'added',
+      |    CAST(NULL AS VARCHAR), md5(text)
+      |  FROM sc WHERE doc_id % 9 = 0)
+      |SELECT v, doc_id, change, old_hash, new_hash FROM s1
+      |UNION ALL
+      |SELECT v, doc_id, change, old_hash, new_hash FROM s2""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "lake_snapshot_diff" -> snapshotDiffSql,
     "lake_version_diff" -> snapshotDiffSql,
-    "lake_change_feed" ->
-      """WITH d AS (SELECT doc_id, text, lang FROM documents),
-        |s1 AS (
-        |  SELECT CAST(1 AS BIGINT) AS v, doc_id, 'changed' AS change,
-        |    md5(text) AS old_hash, md5(text || ' [d1]') AS new_hash
-        |  FROM d WHERE lang = 'fr'
-        |  UNION ALL
-        |  SELECT CAST(1 AS BIGINT), doc_id + 5000000, 'added',
-        |    CAST(NULL AS VARCHAR), md5(text)
-        |  FROM d WHERE doc_id % 97 = 0),
-        |sc AS (SELECT * FROM d WHERE lang IN ('de','es')),
-        |s2 AS (
-        |  SELECT CAST(2 AS BIGINT) AS v, doc_id, 'removed' AS change,
-        |    md5(text) AS old_hash, CAST(NULL AS VARCHAR) AS new_hash
-        |  FROM sc WHERE doc_id % 10 = 7
-        |  UNION ALL
-        |  SELECT CAST(2 AS BIGINT), doc_id, 'changed',
-        |    md5(text), md5(text || ' [m]')
-        |  FROM sc WHERE doc_id % 4 = 0 AND doc_id % 10 <> 7
-        |  UNION ALL
-        |  SELECT CAST(2 AS BIGINT), doc_id + 7000000, 'added',
-        |    CAST(NULL AS VARCHAR), md5(text)
-        |  FROM sc WHERE doc_id % 9 = 0)
-        |SELECT v, doc_id, change, old_hash, new_hash FROM s1
-        |UNION ALL
-        |SELECT v, doc_id, change, old_hash, new_hash FROM s2""".stripMargin,
+    "lake_refused_quarantine" ->
+      """SELECT doc_id, 'even_id' AS violated, 'm=1' AS refusal
+        |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
+    "lake_change_feed" -> changeFeedSql,
+    "lake_feed_paged" -> changeFeedSql,
     "lake_publish_expect" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -196,8 +196,11 @@ object CdcStream {
     *
     * TimeMode is ProcessingTime (TTL requires it), which — like the
     * fMGWS timeout conf — makes the engine schedule batches
-    * continuously on a ProcessingTime trigger; bounded drains should
-    * keep using [[merged]]'s default NoTimeout form.
+    * continuously; measured: an AvailableNow drain of this operator
+    * does NOT terminate (the engine keeps scheduling batches after the
+    * data is exhausted), so bounded drains must keep using [[merged]]'s
+    * default NoTimeout form — this variant is for genuinely standing
+    * streams stopped by their owner.
     */
   def mergedTws(ch: Dataset[Ch], tombstoneTtl: java.time.Duration)
       : Dataset[Ch] = {
