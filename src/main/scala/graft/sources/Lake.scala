@@ -1511,6 +1511,28 @@ object Lake {
     * the rolled-back-over content the same way it applies forward
     * changes, and its cursor moves to the rolled-back-to version.
     */
+  /** Cursor form of the paged drain — [[changesSince]] for a consumer
+    * that may be arbitrarily far behind: pages of at most `maxPlanSteps`
+    * steps plus the new cursor to persist AFTER draining every page.
+    * The rollback catch-down case is inherently one step and returns a
+    * single page. Lazy: nothing is read until a page is consumed.
+    */
+  def changesSincePaged(spark: SparkSession, rootDir: String,
+      lastSeen: Long, idCol: String, contentCol: String,
+      maxPlanSteps: Int = 16): (Iterator[DataFrame], Long) = {
+    val cur = currentVersion(spark, rootDir).getOrElse(
+      throw new IllegalStateException(
+        s"Lake: $rootDir has no published version"))
+    if (cur >= lastSeen)
+      (changesBetweenPaged(spark, rootDir, lastSeen, cur, idCol,
+        contentCol, maxPlanSteps), cur)
+    else {
+      val (catchDown, c) =
+        changesSince(spark, rootDir, lastSeen, idCol, contentCol)
+      (Iterator.single(catchDown), c)
+    }
+  }
+
   def changesSince(spark: SparkSession, rootDir: String, lastSeen: Long,
       idCol: String, contentCol: String): (DataFrame, Long) = {
     val cur = currentVersion(spark, rootDir).getOrElse(

@@ -229,6 +229,15 @@ class LakeChangeFeedSpec extends SparkSuite {
       } finally mode.fold(
         spark.conf.unset("spark.graft.materialize"))(
         spark.conf.set("spark.graft.materialize", _))
+      // cursor form of the paged drain: same pages, cursor = current;
+      // a caught-up consumer gets an empty single page and no cursor move
+      val (pagedSince, cursor) = Lake.changesSincePaged(
+        spark, root, 0L, "id", "text", maxPlanSteps = 4)
+      assert(cursor === 18L)
+      assert(pagedSince.map(rows).reduce(_ ++ _) === rows(onePlan))
+      val (noNews, same) = Lake.changesSincePaged(
+        spark, root, 18L, "id", "text")
+      assert(same === 18L && noNews.map(_.count()).sum === 0L)
       // paged drain: lazy bounded plans, nothing pinned — the DR shape.
       // Concatenated pages equal the one-plan feed; every page plan is
       // live (no materialized scans) and bounded
