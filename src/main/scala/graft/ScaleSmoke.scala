@@ -887,11 +887,19 @@ object ScaleSmoke {
       val (n50one, t50one, l50one) = drain(50L, 1000)
       require(n50 == n50one,
         s"windowed vs one-plan feed disagree: $n50 vs $n50one")
+      // paged leg: the lazy DR shape — process-and-discard per page,
+      // nothing materialized, nothing pinned
+      val (nPaged, tPaged) = timed {
+        Lake.changesBetweenPaged(spark, lake, 0L, 50L, "doc_id", "text")
+          .map(_.count()).sum
+      }
+      require(nPaged == n50,
+        s"paged vs windowed feed disagree: $nPaged vs $n50")
       System.err.println(f"[scale] lake_cdf@catchup 50 deltas published " +
         f"in ${tPubs}%6.2f s; drain 0->25 ${t25}%6.2f s ($l25 plan " +
         f"leaves, $n25 rows), 0->50 ${t50}%6.2f s ($l50 leaves, $n50 " +
         f"rows; flat-per-step ratio ${t50 / t25}%4.2f), one-plan 0->50 " +
-        f"${t50one}%6.2f s ($l50one leaves)")
+        f"${t50one}%6.2f s ($l50one leaves), paged 0->50 ${tPaged}%6.2f s")
       org.apache.commons.io.FileUtils
         .deleteDirectory(new java.io.File(root))
     }

@@ -1533,6 +1533,69 @@ object Lake {
     }
   }
 
+  /** Standing feed consumer with a crash-safe persisted cursor — the
+    * reference's cdc.py main loop (poll binlog → apply → commit offset)
+    * at the lake surface. One call = one catch-up to the current
+    * version: resume from `cursorFile`, drain the range in bounded
+    * pages, call `handler(page, pageEndVersion)` per page, and advance
+    * the cursor AFTER the handler returns — at-least-once delivery: a
+    * crash between handler and cursor write re-delivers exactly that
+    * page on the next call, never skips one. The cursor write is
+    * atomic (temp + rename — same store caveats as the lake's own
+    * pointers). A missing cursor file initializes at the CURRENT
+    * version and delivers nothing ("tail from now"); a consumer that
+    * needs history bootstraps from a snapshot read first, exactly like
+    * a CDC replica. After a rollback the single catch-down page is
+    * delivered and the cursor moves DOWN with it. Returns the number
+    * of pages delivered; the caller owns the polling schedule.
+    */
+  def followChanges(spark: SparkSession, rootDir: String,
+      cursorFile: String, idCol: String, contentCol: String,
+      maxPlanSteps: Int = 16)(
+      handler: (DataFrame, Long) => Unit): Int = {
+    val cPath = new org.apache.hadoop.fs.Path(cursorFile)
+    val cfs = cPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def writeCursor(v: Long): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(
+        cPath.getParent, cPath.getName + ".tmp")
+      val os = cfs.create(tmp, true)
+      try os.write(v.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally os.close()
+      if (cfs.exists(cPath)) cfs.delete(cPath, false): Unit
+      if (!cfs.rename(tmp, cPath)) throw new java.io.IOException(
+        s"Lake.followChanges: cursor rename failed ($tmp -> $cPath)")
+    }
+    val cur = currentVersion(spark, rootDir).getOrElse(
+      throw new IllegalStateException(
+        s"Lake: $rootDir has no published version"))
+    if (!cfs.exists(cPath)) { writeCursor(cur); return 0 }
+    val seen = {
+      val in = cfs.open(cPath)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+    if (cur == seen) 0
+    else if (cur < seen) {
+      // rollback catch-down: one reverse page, cursor moves DOWN
+      val (page, c) = changesSince(spark, rootDir, seen, idCol, contentCol)
+      handler(page, c)
+      writeCursor(c)
+      1
+    } else {
+      var pages = 0
+      for (lo <- seen until cur by maxPlanSteps.toLong) {
+        val hi = math.min(lo + maxPlanSteps, cur)
+        handler(changesBetween(spark, rootDir, lo, hi, idCol, contentCol,
+          maxPlanSteps), hi)
+        writeCursor(hi) // per PAGE: a crash re-delivers only this page
+        pages += 1
+      }
+      pages
+    }
+  }
+
   def changesSince(spark: SparkSession, rootDir: String, lastSeen: Long,
       idCol: String, contentCol: String): (DataFrame, Long) = {
     val cur = currentVersion(spark, rootDir).getOrElse(

@@ -187,6 +187,55 @@ class LakeChangeFeedSpec extends SparkSuite {
     } finally cleanup(root)
   }
 
+  test("followChanges: crash-safe standing consumer — tail-from-now " +
+      "init, per-page cursor advance (a handler crash re-delivers only " +
+      "that page), and a rollback catch-down moves the cursor DOWN") {
+    val root = tmp()
+    val cursor = s"${new java.io.File(root).getParent}/cursor"
+    try {
+      Lake.publishVersion(corpus("base", Seq("g0"), rows = 4), root,
+        Seq("k"), Seq("id"), 1000L, keep = 30) // v0
+      // first call with no cursor: tail from now, deliver nothing
+      assert(Lake.followChanges(spark, root, cursor, "id", "text") {
+        (_, _) => fail("tail-from-now delivered a page") } === 0)
+      // 5 deltas land; page width 2 -> pages end at v2, v4, v5
+      for (v <- 1 to 5)
+        Lake.publishDelta(
+          Seq((s"g0-${v % 4}", "g0", s"edit v$v")).toDF("id", "k", "text"),
+          root, Seq("k"), Seq("id"), 1000L, keep = 30)
+      // handler crashes on the SECOND page: cursor must sit at page 1's
+      // end, and the retry must re-deliver pages 2..3 only
+      val seenEnds = scala.collection.mutable.ArrayBuffer[Long]()
+      intercept[RuntimeException] {
+        Lake.followChanges(spark, root, cursor, "id", "text",
+            maxPlanSteps = 2) { (df, end) =>
+          if (end == 4L) throw new RuntimeException("consumer crash")
+          assert(df.count() > 0)
+          seenEnds += end
+        }
+      }
+      assert(seenEnds.toSeq === Seq(2L))
+      assert(Lake.followChanges(spark, root, cursor, "id", "text",
+          maxPlanSteps = 2) { (df, end) =>
+        assert(df.count() > 0); seenEnds += end } === 2)
+      assert(seenEnds.toSeq === Seq(2L, 4L, 5L))
+      // caught up: nothing more
+      assert(Lake.followChanges(spark, root, cursor, "id", "text") {
+        (_, _) => fail("caught-up consumer got a page") } === 0)
+      // rollback: one catch-down page, cursor moves DOWN with it
+      Lake.rollbackTo(spark, root, 3L)
+      var down = -1L
+      assert(Lake.followChanges(spark, root, cursor, "id", "text") {
+        (df, end) => down = end; assert(df.count() > 0) } === 1)
+      assert(down === 3L)
+      assert(Lake.followChanges(spark, root, cursor, "id", "text") {
+        (_, _) => fail("post-catch-down consumer got a page") } === 0)
+    } finally {
+      graft.Materialize.release(spark)
+      cleanup(root)
+    }
+  }
+
   test("long-range catch-up drains in bounded plan windows: the windowed " +
       "feed equals the one-plan feed, and its final plan holds only " +
       "materialized scans — no O(steps) live diff branches") {
