@@ -78,6 +78,45 @@ object LakeQueries extends QueryRegistry {
         .select((col("doc_id") + 3000000L).as("doc_id"), col("text"),
           col("lang")))
 
+  /** The shared full→delta→merge three-generation feed scenario
+    * (`lake_change_feed`, `lake_feed_paged`, `lake_follow_changes` —
+    * all oracle-checked against the SAME derived SQL).
+    */
+  private def buildFeedLake(s: SparkSession, dir: String,
+      root: String): Unit = {
+    val d = docs(s, dir).select("doc_id", "text", "lang")
+    Lake.publishVersion(d, root, Seq("lang"), Seq("doc_id"),
+      maxRecordsPerFile = 1000000L, digest = true)
+    // v1: delta rewriting 'fr' (every text edited), adding 'zz',
+    // and re-landing 'zh' unchanged (the digest-skip probe)
+    val delta1 = d.filter(col("lang") === "fr")
+      .select(col("doc_id"),
+        concat(col("text"), lit(" [d1]")).as("text"), col("lang"))
+      .union(d.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"),
+          lit("zz").as("lang")))
+      .union(d.filter(col("lang") === "zh")
+        .select(col("doc_id"), col("text"), col("lang")))
+    Lake.publishDelta(delta1, root, Seq("lang"), Seq("doc_id"),
+      maxRecordsPerFile = 1000000L, digest = true)
+    // v2: merge a netted changelog into de/es (disjoint from v1's
+    // partitions, so each oracle step derives from the base alone)
+    val sc = d.filter(col("lang").isin("de", "es"))
+    val changes = sc
+      .filter(col("doc_id") % 4 === 0 && col("doc_id") % 10 =!= 7)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" [m]")).as("text"), col("lang"),
+        lit("upsert").as("op"))
+      .union(sc.filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id"), lit(null).cast("string").as("text"),
+          col("lang"), lit("delete").as("op")))
+      .union(sc.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 7000000L).as("doc_id"), col("text"),
+          col("lang"), lit("upsert").as("op")))
+    Lake.mergeDelta(changes, root, Seq("doc_id"), Seq("lang"),
+      Seq("doc_id"), maxRecordsPerFile = 1000000L, digest = true)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // [EXT] refused-publish audit (r16): a drop-mode streaming batch
     // whose EVERY row violates the expectations is refused (an empty
@@ -123,38 +162,40 @@ object LakeQueries extends QueryRegistry {
         .createTempDirectory("graft_lake_cdfp").toString
       val root = s"$work/lake"
       try {
-        val d = docs(s, dir).select("doc_id", "text", "lang")
-        Lake.publishVersion(d, root, Seq("lang"), Seq("doc_id"),
-          maxRecordsPerFile = 1000000L, digest = true)
-        val delta1 = d.filter(col("lang") === "fr")
-          .select(col("doc_id"),
-            concat(col("text"), lit(" [d1]")).as("text"), col("lang"))
-          .union(d.filter(col("doc_id") % 97 === 0)
-            .select((col("doc_id") + 5000000L).as("doc_id"), col("text"),
-              lit("zz").as("lang")))
-          .union(d.filter(col("lang") === "zh")
-            .select(col("doc_id"), col("text"), col("lang")))
-        Lake.publishDelta(delta1, root, Seq("lang"), Seq("doc_id"),
-          maxRecordsPerFile = 1000000L, digest = true)
-        val sc = d.filter(col("lang").isin("de", "es"))
-        val changes = sc
-          .filter(col("doc_id") % 4 === 0 && col("doc_id") % 10 =!= 7)
-          .select(col("doc_id"),
-            concat(col("text"), lit(" [m]")).as("text"), col("lang"),
-            lit("upsert").as("op"))
-          .union(sc.filter(col("doc_id") % 10 === 7)
-            .select(col("doc_id"), lit(null).cast("string").as("text"),
-              col("lang"), lit("delete").as("op")))
-          .union(sc.filter(col("doc_id") % 9 === 0)
-            .select((col("doc_id") + 7000000L).as("doc_id"), col("text"),
-              col("lang"), lit("upsert").as("op")))
-        Lake.mergeDelta(changes, root, Seq("doc_id"), Seq("lang"),
-          Seq("doc_id"), maxRecordsPerFile = 1000000L, digest = true)
+        buildFeedLake(s, dir, root)
         import graft.Materialize.Ops
         Lake.changesBetweenPaged(s, root, 0L, 2L, "doc_id", "text",
             maxPlanSteps = 1)
           .map(_.materializeForced())
           .reduce(_.unionByName(_))
+      } finally {
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(work))
+      }
+    }),
+    // [EXT] standing consumer loop (r16): followChanges drives the
+    // crash-safe cursor protocol over the same three-generation lake —
+    // cursor seeded at 0, page width 1, every delivered page collected.
+    // Shares lake_change_feed's oracle, so the hash proves the standing
+    // loop delivers exactly the feed, no page lost or duplicated, with
+    // the cursor landing on the current version.
+    "lake_follow_changes" -> ((s, dir) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_lake_flw").toString
+      val root = s"$work/lake"
+      try {
+        buildFeedLake(s, dir, root)
+        val cursor = s"$work/cursor"
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(cursor), "0")
+        import graft.Materialize.Ops
+        val pages = scala.collection.mutable.ArrayBuffer[DataFrame]()
+        val n = Lake.followChanges(s, root, cursor, "doc_id", "text",
+          maxPlanSteps = 1) { (df, _) => pages += df.materializeForced() }
+        require(n == 2 && java.nio.file.Files
+            .readString(java.nio.file.Paths.get(cursor)).trim == "2",
+          s"standing loop delivered $n pages / cursor off")
+        pages.reduce(_.unionByName(_))
       } finally {
         org.apache.commons.io.FileUtils
           .deleteDirectory(new java.io.File(work))
@@ -315,37 +356,7 @@ object LakeQueries extends QueryRegistry {
         .createTempDirectory("graft_lake_cdf").toString
       val root = s"$work/lake"
       try {
-        val d = docs(s, dir).select("doc_id", "text", "lang")
-        Lake.publishVersion(d, root, Seq("lang"), Seq("doc_id"),
-          maxRecordsPerFile = 1000000L, digest = true)
-        // v1: delta rewriting 'fr' (every text edited), adding 'zz',
-        // and re-landing 'zh' unchanged (the digest-skip probe)
-        val delta1 = d.filter(col("lang") === "fr")
-          .select(col("doc_id"),
-            concat(col("text"), lit(" [d1]")).as("text"), col("lang"))
-          .union(d.filter(col("doc_id") % 97 === 0)
-            .select((col("doc_id") + 5000000L).as("doc_id"), col("text"),
-              lit("zz").as("lang")))
-          .union(d.filter(col("lang") === "zh")
-            .select(col("doc_id"), col("text"), col("lang")))
-        Lake.publishDelta(delta1, root, Seq("lang"), Seq("doc_id"),
-          maxRecordsPerFile = 1000000L, digest = true)
-        // v2: merge a netted changelog into de/es (disjoint from v1's
-        // partitions, so each oracle step derives from the base alone)
-        val sc = d.filter(col("lang").isin("de", "es"))
-        val changes = sc
-          .filter(col("doc_id") % 4 === 0 && col("doc_id") % 10 =!= 7)
-          .select(col("doc_id"),
-            concat(col("text"), lit(" [m]")).as("text"), col("lang"),
-            lit("upsert").as("op"))
-          .union(sc.filter(col("doc_id") % 10 === 7)
-            .select(col("doc_id"), lit(null).cast("string").as("text"),
-              col("lang"), lit("delete").as("op")))
-          .union(sc.filter(col("doc_id") % 9 === 0)
-            .select((col("doc_id") + 7000000L).as("doc_id"), col("text"),
-              col("lang"), lit("upsert").as("op")))
-        Lake.mergeDelta(changes, root, Seq("doc_id"), Seq("lang"),
-          Seq("doc_id"), maxRecordsPerFile = 1000000L, digest = true)
+        buildFeedLake(s, dir, root)
         import graft.Materialize.Ops
         Lake.changesBetween(s, root, 0L, 2L, "doc_id", "text")
           .materializeForced()
@@ -888,6 +899,7 @@ object LakeQueries extends QueryRegistry {
         |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
     "lake_change_feed" -> changeFeedSql,
     "lake_feed_paged" -> changeFeedSql,
+    "lake_follow_changes" -> changeFeedSql,
     "lake_publish_expect" ->
       """WITH m AS (
         |  SELECT doc_id,
