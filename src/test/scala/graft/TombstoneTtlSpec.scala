@@ -73,8 +73,25 @@ class TombstoneTtlSpec extends SparkSuite {
         "post-sweep insert did not revive the key")
     } finally {
       q.stop()
-      org.apache.commons.io.FileUtils
-        .deleteDirectory(new java.io.File(ckpt))
+      // the continuous-batch engine (timeout conf ⇒ shouldRunAnotherBatch)
+      // can still be flushing checkpoint files when stop() returns — a
+      // list-then-delete race throws DirectoryNotEmptyException. Retry
+      // briefly, then best-effort: leftover /tmp garbage must not fail
+      // a test whose assertions all passed.
+      val dir = new java.io.File(ckpt)
+      var tries = 0
+      while (tries >= 0) {
+        try {
+          org.apache.commons.io.FileUtils.deleteDirectory(dir)
+          tries = -1
+        } catch {
+          case _: java.io.IOException if tries < 20 =>
+            tries += 1; Thread.sleep(200)
+          case _: java.io.IOException =>
+            org.apache.commons.io.FileUtils.deleteQuietly(dir): Unit
+            tries = -1
+        }
+      }
     }
   }
 }
