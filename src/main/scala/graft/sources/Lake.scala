@@ -1554,28 +1554,41 @@ object Lake {
       maxPlanSteps: Int = 16)(
       handler: (DataFrame, Long) => Unit): Int = {
     val cPath = new org.apache.hadoop.fs.Path(cursorFile)
+    val tmpPath = new org.apache.hadoop.fs.Path(
+      cPath.getParent, cPath.getName + ".tmp")
     val cfs = cPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def writeCursor(v: Long): Unit = {
-      val tmp = new org.apache.hadoop.fs.Path(
-        cPath.getParent, cPath.getName + ".tmp")
-      val os = cfs.create(tmp, true)
+      val os = cfs.create(tmpPath, true)
       try os.write(v.toString.getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
       finally os.close()
       if (cfs.exists(cPath)) cfs.delete(cPath, false): Unit
-      if (!cfs.rename(tmp, cPath)) throw new java.io.IOException(
-        s"Lake.followChanges: cursor rename failed ($tmp -> $cPath)")
+      if (!cfs.rename(tmpPath, cPath)) throw new java.io.IOException(
+        s"Lake.followChanges: cursor rename failed ($tmpPath -> $cPath)")
     }
-    val cur = currentVersion(spark, rootDir).getOrElse(
-      throw new IllegalStateException(
-        s"Lake: $rootDir has no published version"))
-    if (!cfs.exists(cPath)) { writeCursor(cur); return 0 }
-    val seen = {
-      val in = cfs.open(cPath)
+    def readLongFile(p: org.apache.hadoop.fs.Path): Long = {
+      val in = cfs.open(p)
       try new String(org.apache.commons.io.IOUtils.toByteArray(in),
         java.nio.charset.StandardCharsets.UTF_8).trim.toLong
       finally in.close()
     }
+    val cur = currentVersion(spark, rootDir).getOrElse(
+      throw new IllegalStateException(
+        s"Lake: $rootDir has no published version"))
+    // crash recovery BEFORE the missing-cursor check: a crash between
+    // the delete and the rename leaves only the fully-written `.tmp` —
+    // treating that as a fresh consumer would silently SKIP the
+    // undelivered range under tail-from-now init. Adopt the tmp value
+    // (it is the post-page cursor the crashed call was committing).
+    // When BOTH exist (crash between tmp write and delete), the main
+    // file wins: it is the older value, and re-delivering one page is
+    // the at-least-once contract — skipping would not be.
+    if (!cfs.exists(cPath) && cfs.exists(tmpPath)) {
+      if (!cfs.rename(tmpPath, cPath)) throw new java.io.IOException(
+        s"Lake.followChanges: cursor recovery failed ($tmpPath -> $cPath)")
+    }
+    if (!cfs.exists(cPath)) { writeCursor(cur); return 0 }
+    val seen = readLongFile(cPath)
     if (cur == seen) 0
     else if (cur < seen) {
       // rollback catch-down: one reverse page, cursor moves DOWN

@@ -222,6 +222,19 @@ class LakeChangeFeedSpec extends SparkSuite {
       // caught up: nothing more
       assert(Lake.followChanges(spark, root, cursor, "id", "text") {
         (_, _) => fail("caught-up consumer got a page") } === 0)
+      // cursor crash window: a crash between the delete and the rename
+      // leaves only cursor.tmp — the next call must ADOPT it (resume),
+      // never re-init tail-from-now (which would skip the range)
+      java.nio.file.Files.move(java.nio.file.Paths.get(cursor),
+        java.nio.file.Paths.get(cursor + ".tmp"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Lake.publishDelta(
+        Seq(("g0-0", "g0", "edit v6")).toDF("id", "k", "text"),
+        root, Seq("k"), Seq("id"), 1000L, keep = 30) // v6
+      assert(Lake.followChanges(spark, root, cursor, "id", "text") {
+        (df, end) => assert(end === 6L && df.count() > 0)
+        seenEnds += end } === 1)
+      assert(seenEnds.last === 6L)
       // rollback: one catch-down page, cursor moves DOWN with it
       Lake.rollbackTo(spark, root, 3L)
       var down = -1L
