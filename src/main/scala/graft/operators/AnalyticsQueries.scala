@@ -321,29 +321,54 @@ object AnalyticsQueries extends QueryRegistry {
         .cube("o_orderstatus", "o_orderpriority")
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))),
 
-    // X6: HLL sketch distinct — no DuckDB oracle (different HLL impls), the
-    // driver records a rows-only check; exact twin is q11_distinct
+    // X6: HLL sketch distinct. The raw sketch value is engine-specific
+    // (Spark HLL++ vs DuckDB HLL), so the emitted columns are the EXACT
+    // distinct counts plus a boolean accuracy gate: each engine computes its
+    // own approx and asserts |approx - exact| / exact <= 0.15 (measured max
+    // error across sf0.001/0.01/0.1: DuckDB 2.1%, Spark rsd-0.05 HLL++ well
+    // under 15%). Both engines emit `true`, so the row hash-matches — the
+    // sketch is exercised AND oracle-gated. Exact twin: q11_distinct.
     "q15_approx_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-             approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))),
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          (abs(approx_count_distinct(col("l_partkey")).cast("double")
+               - countDistinct(col("l_partkey")).cast("double"))
+            / countDistinct(col("l_partkey")).cast("double") <= lit(0.15))
+            .as("approx_parts_ok"),
+          (abs(approx_count_distinct(col("l_orderkey"), 0.02).cast("double")
+               - countDistinct(col("l_orderkey")).cast("double"))
+            / countDistinct(col("l_orderkey")).cast("double") <= lit(0.15))
+            .as("approx_orders_ok"))),
 
     // X6: mergeable quantile sketch (approx_percentile) — the 100 TB
     // companion to q19's exact percentiles: map-side partial sketches
     // merge associatively, so no group's values ever sort in one place.
-    // Engine-specific sketch → rows-only check (q19 is the exact twin),
-    // same precedent as q15's HLL.
-    // Scalar columns only (no array column): the driver's rows-only check
-    // still loads the parquet into pandas and sorts every column, and an
-    // ARRAY column crashes that sort ("unhashable type" — observed r03).
+    // The raw sketch value is engine-specific (Spark GK vs DuckDB t-digest),
+    // so like q15 the emitted columns are a boolean accuracy gate per
+    // quantile: each engine computes its own sketch and asserts
+    // |approx - exact| / exact <= 0.05 (measured max error across SFs:
+    // DuckDB 0.15%, Spark accuracy-1000 GK ~0.1% rank error). The exact
+    // percentile here exists only to ANCHOR the gate — at 100 TB you ship
+    // the sketch alone (q19 is the exact twin and carries the scale note).
     "q19b_approx_percentiles" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"),
-          expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("approx_p90"),
-          expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("approx_p99"),
+          (abs(expr("approx_percentile(l_extendedprice, 0.5, 1000)")
+              .cast("double") - expr("percentile(l_extendedprice, 0.5)"))
+            / expr("percentile(l_extendedprice, 0.5)") <= lit(0.05))
+            .as("approx_p50_ok"),
+          (abs(expr("approx_percentile(l_extendedprice, 0.9, 1000)")
+              .cast("double") - expr("percentile(l_extendedprice, 0.9)"))
+            / expr("percentile(l_extendedprice, 0.9)") <= lit(0.05))
+            .as("approx_p90_ok"),
+          (abs(expr("approx_percentile(l_extendedprice, 0.99, 1000)")
+              .cast("double") - expr("percentile(l_extendedprice, 0.99)"))
+            / expr("percentile(l_extendedprice, 0.99)") <= lit(0.05))
+            .as("approx_p99_ok"),
           count(lit(1)).as("n"))),
 
     // skew handling: two-phase salted aggregate must equal the plain agg —
@@ -830,7 +855,31 @@ object AnalyticsQueries extends QueryRegistry {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         | round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
-    // q15_approx_distinct: intentionally no oracle (engine-specific HLL)
+    // q15/q19b: the raw sketches are engine-specific, so both sides emit the
+    // exact values plus a boolean |approx-exact|/exact <= bound gate — each
+    // engine grades its OWN sketch, and the booleans hash-match.
+    "q15_approx_distinct" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_orderkey) AS n_orders,
+        | abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+        |   / count(DISTINCT l_partkey) <= 0.15 AS approx_parts_ok,
+        | abs(approx_count_distinct(l_orderkey) - count(DISTINCT l_orderkey))
+        |   / count(DISTINCT l_orderkey) <= 0.15 AS approx_orders_ok
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q19b_approx_percentiles" ->
+      """SELECT l_returnflag,
+        | abs(approx_quantile(l_extendedprice, 0.5)
+        |     - quantile_cont(l_extendedprice, 0.5))
+        |   / quantile_cont(l_extendedprice, 0.5) <= 0.05 AS approx_p50_ok,
+        | abs(approx_quantile(l_extendedprice, 0.9)
+        |     - quantile_cont(l_extendedprice, 0.9))
+        |   / quantile_cont(l_extendedprice, 0.9) <= 0.05 AS approx_p90_ok,
+        | abs(approx_quantile(l_extendedprice, 0.99)
+        |     - quantile_cont(l_extendedprice, 0.99))
+        |   / quantile_cont(l_extendedprice, 0.99) <= 0.05 AS approx_p99_ok,
+        | count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q18_asof_join" ->
       """WITH ev AS (SELECT user_id AS k, epoch_ms(ts)//1000 AS t, event_id
         |  FROM events),

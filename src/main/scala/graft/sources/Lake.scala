@@ -26,6 +26,17 @@ import org.apache.spark.sql.functions._
   */
 object Lake {
 
+  /** Thrown when a FULL publish produced zero data files (empty input, or
+    * every row quarantined by drop-mode expectations) — an empty full
+    * generation is unreadable, so the pointer stays on the prior version.
+    * A dedicated type (r16 advice): [[publishStream]]'s drop-mode
+    * poison-batch skip catches THIS, not a message substring, so rewording
+    * the message can never silently revert a drop-mode stream to replaying
+    * the poison batch forever. Extends IllegalArgumentException to keep
+    * any pre-r17 caller's catch working. */
+  final class RefusedPublishException(msg: String)
+    extends IllegalArgumentException(msg)
+
   def writeCurated(
       df: DataFrame,
       outDir: String,
@@ -384,7 +395,7 @@ object Lake {
         Some(dst)
       } else None
       fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$next"), true): Unit
-      throw new IllegalArgumentException(
+      throw new RefusedPublishException(
         "Lake: publish produced no data files (empty input, or every " +
           "row quarantined by drop-mode expectations) — refusing to " +
           "publish an unreadable empty generation; the pointer is " +
@@ -776,10 +787,36 @@ object Lake {
     * the compact call.
     *
     * Deliberately NO TTL auto-takeover: a lock left by a crashed writer
-    * must be removed by an operator who confirmed the writer is dead
-    * (clock-skew/GC-pause takeovers are how split-brain happens). The
-    * failure message says exactly that. The guard is reentrant per
-    * thread, so a guarded body may call guarded lake ops.
+    * in the GENERAL case must be removed by an operator who confirmed
+    * the writer is dead (clock-skew/GC-pause takeovers are how
+    * split-brain happens). The failure message says exactly that. The
+    * guard is reentrant per thread, so a guarded body may call guarded
+    * lake ops.
+    *
+    * Two PROVABLE-death reclaims exist (r16 advice — pre-r17 every
+    * streaming micro-batch acquiring the lock made a crash mid-publish a
+    * manual-intervention event on the most common recovery path, the
+    * query's own checkpointed restart). The lock records its owner's
+    * identity (pid + process start instant + host + Spark applicationId
+    * + optional stable owner token), and a contender reclaims ONLY when:
+    *  - **same owner token**: both the lock and the contender carry the
+    *    session conf `graft.lake.owner` (a streaming publisher sets it
+    *    to its checkpoint location — stable across restarts, unique per
+    *    query) and they are equal. The prior incarnation of THIS query
+    *    is the only writer that can have written it, and a checkpointed
+    *    query has one live incarnation — the restart is reclaiming its
+    *    own lock. Guarded against the same-JVM sibling-thread case: a
+    *    lock written by a LIVE process with our own pid is never
+    *    reclaimed (that is a concurrent thread, not a crashed prior run).
+    *  - **same-host dead pid on `file:`**: the lock names this host, the
+    *    scheme is local, and the recorded pid is provably dead (no such
+    *    process, or the pid's current start instant differs — pid
+    *    reuse). Only on `file:` — cross-host liveness is not provable
+    *    from here.
+    * A reclaim deletes the stale lock and retries the atomic create
+    * once; losing that race to another writer stays a loud failure.
+    * Legacy pid-only locks carry no host/owner identity and are never
+    * reclaimed.
     */
   def guarded[A](spark: SparkSession, rootDir: String)(body: => A): A = {
     val (fs, root) = fsOf(spark, rootDir)
@@ -795,24 +832,69 @@ object Lake {
         "exists). If that writer crashed, confirm it is dead and " +
         s"delete $LockFile by hand — the guard never auto-expires " +
         "a lock (split-brain risk).", e)
-    val owner = s"${java.lang.ProcessHandle.current().pid()}\n"
+    val self = java.lang.ProcessHandle.current()
+    val selfStart = self.info().startInstant()
+      .map[Long](_.toEpochMilli).orElse(-1L)
+    val ownerToken =
+      try Option(spark.conf.get(OwnerConf, null)).map(_.trim)
+        .filter(_.nonEmpty)
+      catch { case scala.util.control.NonFatal(_) => None }
+    val owner = (Seq(
+      s"pid=${self.pid()}",
+      s"start=$selfStart",
+      s"host=$localHost",
+      s"app=${spark.sparkContext.applicationId}") ++
+      ownerToken.map(t => s"owner=$t")).mkString("", "\n", "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val qualified = fs.makeQualified(lock).toUri
-    if (qualified.getScheme == "file") {
-      // local FS: NIO createFile is O_EXCL-atomic; Hadoop's
-      // RawLocalFileSystem create(overwrite=false) is exists-then-open
-      try java.nio.file.Files.write(
-        java.nio.file.Files.createFile(
-          java.nio.file.Paths.get(qualified.getPath)), owner): Unit
-      catch {
-        case e: java.nio.file.FileAlreadyExistsException =>
-          throw contended(e)
+    def tryAcquire(): Option[Exception] =
+      if (qualified.getScheme == "file") {
+        // local FS: NIO createFile is O_EXCL-atomic; Hadoop's
+        // RawLocalFileSystem create(overwrite=false) is exists-then-open
+        try {
+          java.nio.file.Files.write(
+            java.nio.file.Files.createFile(
+              java.nio.file.Paths.get(qualified.getPath)), owner): Unit
+          None
+        } catch {
+          case e: java.nio.file.FileAlreadyExistsException => Some(e)
+        }
+      } else {
+        try {
+          val os = fs.create(lock, /* overwrite = */ false)
+          try os.write(owner) finally os.close()
+          None
+        } catch { case e: java.io.IOException => Some(e) }
       }
-    } else {
-      val os =
-        try fs.create(lock, /* overwrite = */ false)
-        catch { case e: java.io.IOException => throw contended(e) }
-      try os.write(owner) finally os.close()
+    tryAcquire() match {
+      case None => ()
+      case Some(e) =>
+        val holder = readLockIdentity(fs, lock)
+        val reclaimable = holder.exists { h =>
+          val samePidAlive = h.get("pid").contains(self.pid().toString) &&
+            h.get("start").forall(_ == selfStart.toString)
+          val sameToken = ownerToken.isDefined &&
+            h.get("owner") == ownerToken
+          val deadLocalPid = qualified.getScheme == "file" &&
+            h.get("host").contains(localHost) &&
+            h.get("pid").flatMap(_.toLongOption).exists(p =>
+              java.lang.ProcessHandle.of(p).map[Boolean] { ph =>
+                val phStart = ph.info().startInstant()
+                  .map[Long](_.toEpochMilli).orElse(-2L)
+                // a process with that pid exists, but it is not the
+                // writer unless its start instant matches the recorded one
+                h.get("start").flatMap(_.toLongOption)
+                  .exists(rec => rec >= 0 && phStart >= 0 && rec != phStart)
+              }.orElse(true))
+          !samePidAlive && (sameToken || deadLocalPid)
+        }
+        if (!reclaimable) throw contended(e)
+        System.err.println(
+          s"[lake] reclaiming $LockFile at $rootDir from a provably " +
+            s"restarted/dead writer (${holder.get.toSeq.sorted
+              .map { case (k, v) => s"$k=$v" }.mkString(", ")})")
+        fs.delete(lock, false): Unit
+        tryAcquire().foreach(e2 => throw contended(e2))
     }
     heldLocks.get().add(key)
     try body
@@ -821,6 +903,36 @@ object Lake {
       fs.delete(lock, false): Unit
     }
   }
+
+  /** Session conf key for the stable writer-identity token recorded in
+    * `_LOCK` (set it to the streaming query's checkpoint location). */
+  val OwnerConf = "graft.lake.owner"
+
+  private lazy val localHost: String =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case scala.util.control.NonFatal(_) => "unknown-host" }
+
+  /** Parse `_LOCK`'s key=value identity lines; a legacy pid-only lock
+    * (one bare number) parses as just `pid` — no host/owner, so it is
+    * never reclaimable. None on read failure (e.g. the holder released
+    * between our create attempt and this read — the retry create below
+    * settles the race either way). */
+  private def readLockIdentity(fs: org.apache.hadoop.fs.FileSystem,
+      lock: org.apache.hadoop.fs.Path): Option[Map[String, String]] =
+    try {
+      val in = fs.open(lock)
+      val bytes =
+        try org.apache.commons.io.IOUtils.toByteArray(in)
+        finally in.close()
+      val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      val kvs = text.linesIterator.map(_.trim).filter(_.nonEmpty).flatMap {
+        case l if l.contains('=') =>
+          val Array(k, v) = l.split("=", 2); Some(k -> v)
+        case l if l.forall(_.isDigit) => Some("pid" -> l) // legacy format
+        case _ => None
+      }.toMap
+      if (kvs.isEmpty) None else Some(kvs)
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   private val LockFile = "_LOCK"
   private val heldLocks = ThreadLocal.withInitial[
@@ -887,6 +999,12 @@ object Lake {
 
   private val SchemaFile = "_SCHEMA"
   private val DigestFile = "_DIGEST"
+  /** Row-hash algorithm tag folded into every digest fingerprint. Bump on
+    * any change to the digest row hash: v2 = r16's 32-col mask words with
+    * zero-sign bits + UTC-pinned to_json (v1, untagged, was the pre-r16
+    * hash — its digests now visibly mismatch instead of silently
+    * full-diffing). */
+  private val DigestAlgVersion = "alg=2;"
   private val QuarantineDir = "_QUARANTINE"
   private val RefusedQuarantineDir = "_QUARANTINE_REFUSED"
 
@@ -1075,7 +1193,16 @@ object Lake {
             .withColumn("_rel", lit(rel))
         })
         val dataCols = own.columns.filterNot(_ == "_rel").sorted.toSeq
-        val fp = dataCols.map(c =>
+        // the fingerprint carries the hash ALGORITHM version beside the
+        // names:types (r16 advice): r16 changed the row hash (mask words
+        // regrouped 63→32 with zero-sign bits, to_json pinned to UTC), and
+        // with a names:types-only fingerprint a pre-upgrade digest compares
+        // as same-fingerprint/different-hash — a silent full-diff fallback
+        // indistinguishable in history()'s digest_skip_from_prev from real
+        // content churn. With the tag, cross-upgrade steps are visibly
+        // "fingerprint mismatch" and future algorithm changes self-describe
+        // by bumping DigestAlgVersion.
+        val fp = DigestAlgVersion + dataCols.map(c =>
           s"$c:${own.schema(c).dataType.simpleString}").mkString(",")
         val nested = dataCols.exists { c =>
           val t = own.schema(c).dataType.catalogString
@@ -1557,6 +1684,11 @@ object Lake {
     val tmpPath = new org.apache.hadoop.fs.Path(
       cPath.getParent, cPath.getName + ".tmp")
     val cfs = cPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the cursor's crash safety is built on temp+delete+rename, which is
+    // atomic on HDFS/local but NOT on bare object stores — fail fast on
+    // those schemes (r16 verdict #7), exactly as the lake pointers do
+    graft.GenSwap.requireAtomicFs(cfs, cPath.getParent,
+      "Lake.followChanges (cursor temp+rename)")
     def writeCursor(v: Long): Unit = {
       val os = cfs.create(tmpPath, true)
       try os.write(v.toString.getBytes(
@@ -1579,12 +1711,29 @@ object Lake {
     // the delete and the rename leaves only the fully-written `.tmp` —
     // treating that as a fresh consumer would silently SKIP the
     // undelivered range under tail-from-now init. Adopt the tmp value
-    // (it is the post-page cursor the crashed call was committing).
+    // (it is the post-page cursor the crashed call was committing) —
+    // but only if it PARSES (r16 advice): a crash mid-write during the
+    // INITIAL tail-from-now cursor creation (no main file ever existed)
+    // leaves a partial/empty tmp, and adopting that would poison every
+    // later read with NumberFormatException. Nothing was committed in
+    // that history, so fresh-consumer init is the correct fallthrough.
     // When BOTH exist (crash between tmp write and delete), the main
     // file wins: it is the older value, and re-delivering one page is
     // the at-least-once contract — skipping would not be.
     if (!cfs.exists(cPath) && cfs.exists(tmpPath)) {
-      if (!cfs.rename(tmpPath, cPath)) throw new java.io.IOException(
+      val parses =
+        try {
+          val in = cfs.open(tmpPath)
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption
+          finally in.close()
+        } catch { case scala.util.control.NonFatal(_) => None }
+      if (parses.isEmpty) {
+        System.err.println(
+          s"[lake] followChanges: discarding unparseable cursor tmp " +
+            s"$tmpPath (crash mid-initial-write) — fresh-consumer init")
+        cfs.delete(tmpPath, false): Unit
+      } else if (!cfs.rename(tmpPath, cPath)) throw new java.io.IOException(
         s"Lake.followChanges: cursor recovery failed ($tmpPath -> $cPath)")
     }
     if (!cfs.exists(cPath)) { writeCursor(cur); return 0 }
@@ -1719,23 +1868,32 @@ object Lake {
     // refused-publish quarantines are audit, not data, and nothing else
     // reclaims them — without this they grow one dir per refused poison
     // batch forever. Same `keep` horizon, newest-first by the numeric id
-    // in the name (m=<batchId> / v=<n>_a<k>), one ledger row each so the
-    // decision is visible.
+    // in the name, applied PER KEY FAMILY (r16 advice): m=<batchId> and
+    // v=<n>_a<k> ids are unrelated sequences, so a shared ordering could
+    // prune a chronologically newer refusal of one family while retaining
+    // older ones of the other. One ledger row each so the decision is
+    // visible.
     val refusedHome = new org.apache.hadoop.fs.Path(
       root, RefusedQuarantineDir)
     val refusedRows = if (!fs.exists(refusedHome)) Nil else {
       def idOf(n: String): Long =
         "\\d+".r.findFirstIn(n).map(_.toLong).getOrElse(-1L)
-      val all = fs.listStatus(refusedHome).toSeq
-        .sortBy(st => (idOf(st.getPath.getName), st.getPath.getName))
-        .reverse
-      all.zipWithIndex.map { case (st, i) =>
-        val (nf, nb) = sizeOf(st.getPath)
-        val action = if (i < keep) "refused_retained" else "refused_pruned"
-        if (action == "refused_pruned") fs.delete(st.getPath, true): Unit
-        org.apache.spark.sql.Row(
-          idOf(st.getPath.getName), action, "refusal_audit", nf, nb)
-      }
+      def familyOf(n: String): String = n.takeWhile(_ != '=')
+      fs.listStatus(refusedHome).toSeq
+        .groupBy(st => familyOf(st.getPath.getName))
+        .toSeq.sortBy(_._1) // deterministic ledger order across families
+        .flatMap { case (_, fam) =>
+          fam.sortBy(st => (idOf(st.getPath.getName), st.getPath.getName))
+            .reverse.zipWithIndex.map { case (st, i) =>
+              val (nf, nb) = sizeOf(st.getPath)
+              val action =
+                if (i < keep) "refused_retained" else "refused_pruned"
+              if (action == "refused_pruned")
+                fs.delete(st.getPath, true): Unit
+              org.apache.spark.sql.Row(
+                idOf(st.getPath.getName), action, "refusal_audit", nf, nb)
+            }
+        }
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("v",
@@ -1920,11 +2078,9 @@ object Lake {
             // preserved under _QUARANTINE_REFUSED/m=<batchId> (replay-
             // idempotent) by publishVersion itself; skip the batch
             // LOUDLY and let the stream advance. Fail mode keeps the
-            // poison-batch stop semantics.
-            case e: IllegalArgumentException
-                if onViolation == "drop" &&
-                  e.getMessage != null &&
-                  e.getMessage.contains("refusing to publish") =>
+            // poison-batch stop semantics. Matched by TYPE (r16 advice):
+            // a reworded refusal message cannot break drop-mode progress.
+            case e: RefusedPublishException if onViolation == "drop" =>
               System.err.println(
                 s"[lake] publishStream batch $batchId: every row " +
                   s"quarantined — batch skipped, audit preserved " +

@@ -164,7 +164,11 @@ class LakeExpectSpec extends SparkSuite {
     try {
       Lake.publishVersion(corpus.toDF("id", "k", "text", "score"),
         root, Seq("k"), Seq("id"), 1000L) // v0
-      val e = intercept[IllegalArgumentException] {
+      // the refusal is the dedicated TYPE (r17): publishBatch's drop-mode
+      // skip catches RefusedPublishException by type, so a reworded
+      // message can never break drop-mode stream progress — this
+      // intercept is the pin for that contract
+      val e = intercept[Lake.RefusedPublishException] {
         Lake.publishVersion(
           Seq(("b-1", "g0", "", -1.0)).toDF("id", "k", "text", "score"),
           root, Seq("k"), Seq("id"), 1000L,
@@ -176,7 +180,7 @@ class LakeExpectSpec extends SparkSuite {
       assert(!new java.io.File(s"$root/v=1").exists())
       // the same guard covers an empty input WITHOUT expectations — an
       // unreadable zero-file generation must never become current
-      val e2 = intercept[IllegalArgumentException] {
+      val e2 = intercept[Lake.RefusedPublishException] {
         Lake.publishVersion(
           corpus.toDF("id", "k", "text", "score").limit(0),
           root, Seq("k"), Seq("id"), 1000L)

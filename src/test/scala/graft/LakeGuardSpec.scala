@@ -98,6 +98,67 @@ class LakeGuardSpec extends SparkSuite {
       new java.io.File(root).getParentFile)
   }
 
+  test("provable-death reclaim (r16 advice): a full-identity lock from a " +
+      "dead same-host pid is reclaimed; owner-token restarts reclaim " +
+      "their own lock; everything else stays manual") {
+    val root = tmp()
+    val fs = fsOf(root)
+    def plant(lines: String*): Unit = {
+      val os = fs.create(new Path(root, "_LOCK"), false)
+      os.write((lines.mkString("\n") + "\n").getBytes("UTF-8")); os.close()
+    }
+    val self = java.lang.ProcessHandle.current()
+    val selfStart = self.info().startInstant()
+      .map[Long](_.toEpochMilli).orElse(-1L)
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    try {
+      fs.mkdirs(new Path(root))
+      // 1) same host, pid provably dead (no such process) → reclaimed
+      plant("pid=2999999999", "start=123", s"host=$host", "app=app-old")
+      Lake.guarded(spark, root) { () } // enters; would throw pre-r17
+      assert(!fs.exists(new Path(root, "_LOCK"))) // released after body
+      // 2) same host, pid ALIVE (ours, matching start) → contended, even
+      // with a matching owner token: that is a live sibling thread
+      spark.conf.set(Lake.OwnerConf, "ckpt-q1")
+      plant(s"pid=${self.pid()}", s"start=$selfStart", s"host=$host",
+        "app=app-live", "owner=ckpt-q1")
+      intercept[IllegalStateException] {
+        Lake.guarded(spark, root) { fail("entered under a live lock") }
+      }
+      fs.delete(new Path(root, "_LOCK"), false)
+      // 3) owner token match, writer on ANOTHER host (liveness not
+      // locally provable) → the token IS the proof of self-restart
+      plant("pid=4242", "start=99", "host=elsewhere", "app=app-old",
+        "owner=ckpt-q1")
+      Lake.guarded(spark, root) { () }
+      // 4) token mismatch + other host → manual, never auto-expired
+      plant("pid=4242", "start=99", "host=elsewhere", "app=app-old",
+        "owner=ckpt-OTHER")
+      val e = intercept[IllegalStateException] {
+        Lake.guarded(spark, root) { fail("entered under a foreign lock") }
+      }
+      assert(e.getMessage.contains("delete _LOCK by hand"))
+      fs.delete(new Path(root, "_LOCK"), false)
+      spark.conf.unset(Lake.OwnerConf)
+      // 5) no token on our side: the other-host lock stays manual even
+      // with its pid dead (cross-host liveness is not provable)
+      plant("pid=2999999999", "start=123", "host=elsewhere", "app=app-old")
+      intercept[IllegalStateException] {
+        Lake.guarded(spark, root) { fail("entered under a remote lock") }
+      }
+      fs.delete(new Path(root, "_LOCK"), false)
+      // 6) pid reuse: a LIVE pid (ours) whose recorded start instant
+      // differs is a dead writer → reclaimed
+      plant(s"pid=${self.pid()}", "start=1", s"host=$host", "app=app-old")
+      Lake.guarded(spark, root) { () }
+    } finally {
+      try spark.conf.unset(Lake.OwnerConf)
+      catch { case scala.util.control.NonFatal(_) => () }
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(root).getParentFile)
+    }
+  }
+
   test("schema policy: additive allows new columns and rejects type " +
       "changes and drops by name; enforce rejects additions; any skips") {
     val root = tmp()

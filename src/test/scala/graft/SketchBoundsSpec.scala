@@ -2,36 +2,58 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Bounded-error checks for the two engine-specific sketches that have no
-  * DuckDB oracle surface (the driver records rows-only for them). Each is
-  * asserted against its exact twin at sf0.01 AND sf0.1:
+/** Bounded-error checks for the two engine-specific sketches. Since r17 the
+  * gate queries (q15_approx_distinct / q19b_approx_percentiles) emit exact
+  * values plus a boolean |approx-exact|/exact <= bound gate so they hash
+  * against a DuckDB oracle computing ITS own sketch; this spec keeps the
+  * TIGHTER engine-side envelopes (3×rsd for HLL++, rank-error for GK) by
+  * recomputing the raw sketch values inline, and additionally pins that the
+  * gate queries' boolean columns are all-true at sf0.01 AND sf0.1.
   *
-  *  - q15_approx_distinct (HLL++): within 3×rsd of countDistinct — rsd is
-  *    one standard deviation of the HLL estimator, so 3× is a conservative
-  *    envelope, and the estimate is deterministic for fixed data, so the
-  *    test cannot flake once green.
-  *  - q19b_approx_percentiles (Greenwald-Khanna, accuracy=1000): the
-  *    returned value's RANK is within 1/accuracy of the target, so the
-  *    value must lie between the exact percentiles at rank p ± 1/accuracy.
+  *  - HLL++: within 3×rsd of countDistinct — rsd is one standard deviation
+  *    of the estimator, so 3× is a conservative envelope, and the estimate
+  *    is deterministic for fixed data, so the test cannot flake once green.
+  *  - approx_percentile (Greenwald-Khanna, accuracy=1000): the returned
+  *    value's RANK is within 1/accuracy of the target, so the value must
+  *    lie between the exact percentiles at rank p ± 1/accuracy.
   */
 class SketchBoundsSpec extends SparkSuite {
 
   private val sfDirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
-  test("q15 approx_count_distinct within 3*rsd of exact per group") {
+  test("gate queries emit all-true accuracy booleans") {
     for (dir <- sfDirs) {
-      val approx = SparkEntry.queries("q15_approx_distinct")(spark, dir)
-        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
-        .toMap
-      val exact = spark.read.parquet(s"$dir/lineitem.parquet")
+      val q15 = SparkEntry.queries("q15_approx_distinct")(spark, dir)
+        .collect()
+      assert(q15.nonEmpty)
+      for (r <- q15) {
+        assert(r.getBoolean(r.fieldIndex("approx_parts_ok")), s"$dir $r")
+        assert(r.getBoolean(r.fieldIndex("approx_orders_ok")), s"$dir $r")
+      }
+      val q19b = SparkEntry.queries("q19b_approx_percentiles")(spark, dir)
+        .collect()
+      assert(q19b.nonEmpty)
+      for (r <- q19b; c <- Seq("approx_p50_ok", "approx_p90_ok",
+          "approx_p99_ok")) {
+        assert(r.getBoolean(r.fieldIndex(c)), s"$dir $c $r")
+      }
+    }
+  }
+
+  test("approx_count_distinct within 3*rsd of exact per group") {
+    for (dir <- sfDirs) {
+      val rows = spark.read.parquet(s"$dir/lineitem.parquet")
         .groupBy("l_returnflag")
-        .agg(countDistinct("l_partkey").as("p"),
-          countDistinct("l_orderkey").as("o"))
-        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
-        .toMap
-      assert(approx.keySet === exact.keySet, s"group sets differ at $dir")
-      for ((g, (ep, eo)) <- exact) {
-        val (ap, ao) = approx(g)
+        .agg(approx_count_distinct(col("l_partkey")).as("ap"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
+          countDistinct("l_partkey").as("ep"),
+          countDistinct("l_orderkey").as("eo"))
+        .collect()
+      assert(rows.nonEmpty)
+      for (r <- rows) {
+        val g = r.getString(0)
+        val (ap, ao, ep, eo) =
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
         // default rsd 0.05 for l_partkey; explicit 0.02 for l_orderkey
         assert(math.abs(ap - ep) <= 3 * 0.05 * ep,
           s"$dir group $g: approx_parts $ap vs exact $ep")
@@ -41,15 +63,20 @@ class SketchBoundsSpec extends SparkSuite {
     }
   }
 
-  test("q19b approx_percentile within rank error 1/accuracy of exact") {
+  test("approx_percentile within rank error 1/accuracy of exact") {
     val eps = 1.0 / 1000 // the query's accuracy parameter
+    val ps = Seq(0.5, 0.9, 0.99)
     for (dir <- sfDirs) {
-      val approx = SparkEntry.queries("q19b_approx_percentiles")(spark, dir)
+      val approx = spark.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50"),
+          expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("p90"),
+          expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("p99"))
         .collect()
         .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2),
           r.getDouble(3)))
         .toMap
-      val ps = Seq(0.5, 0.9, 0.99)
       val bcols = ps.flatMap(p => Seq(
         expr(s"percentile(l_extendedprice, ${p - eps})"),
         expr(s"percentile(l_extendedprice, ${math.min(p + eps, 1.0)})")))
