@@ -97,6 +97,12 @@ object CdcQueries extends QueryRegistry {
     // the same snapshot as the batch compact (same oracle SQL)
     "cdc_compact_stream" -> ((s, dir) =>
       streaming.CdcStream.compactStreamed(s, dir)),
+    // §3.1 streaming parity, transformWithState form: the third tombstone
+    // strategy (native per-variable TTL) drained to quiescence by progress
+    // polling (ProcessingTime TimeMode never terminates AvailableNow);
+    // same snapshot, same oracle as cdc_compact_stream
+    "cdc_compact_stream_tws" -> ((s, dir) =>
+      streaming.CdcStream.compactStreamedTws(s, dir)),
     // §2.8: watermarked tumbling windows run AS A STREAM to completion —
     // streaming/batch parity on the aggregation surface (oracle = batch)
     "cdc_stream_windowed" -> ((s, dir) =>
@@ -428,6 +434,7 @@ object CdcQueries extends QueryRegistry {
          |   AS is_current
          |FROM ch""".stripMargin,
     "cdc_compact_stream" -> compactSql,
+    "cdc_compact_stream_tws" -> compactSql,
     "cdc_state_sink" -> compactSql,
     "json_roundtrip" -> roundtripOracle,
     "orc_roundtrip" -> roundtripOracle,

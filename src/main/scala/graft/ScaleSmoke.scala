@@ -355,7 +355,7 @@ object ScaleSmoke {
     val all = Targets ++ DimsTargets ++
       Seq("sim_recall@scaledC", "sim_recall@probes", "cdc_evolving@state",
         "lake_compact@touched", "lake_versions@pub", "lake_merge@touched",
-        "lake_cdf@touched", "lake_cdf@catchup")
+        "lake_cdf@touched", "lake_cdf@catchup", "lake_follow@catchup")
     val targets =
       if (args.isEmpty) all
       else all.filter(t => args.exists(t.contains))
@@ -850,7 +850,8 @@ object ScaleSmoke {
     // maxPlanSteps steps, so doubling the range doubles the time instead
     // of superlinearly growing one analyzer pass over O(steps) branches.
     val catchupTargets = targets.filter(_ == "lake_cdf@catchup")
-    for (_ <- catchupTargets.headOption) {
+    val followTargets = targets.filter(_ == "lake_follow@catchup")
+    for (_ <- (catchupTargets ++ followTargets).headOption) {
       import graft.sources.Lake
       val root = java.nio.file.Files
         .createTempDirectory("graft_cdfcu").toString
@@ -870,36 +871,98 @@ object ScaleSmoke {
             lake, Seq("lang"), Seq("doc_id"),
             maxRecordsPerFile = 2000000L, keep = 60): Unit
       }
-      def drain(to: Long, planSteps: Int): (Long, Double, Int) = {
-        // one timer over build + count: the windowed drain does its
-        // materialization work during changesBetween itself
-        val ((n, leaves), t) = timed {
-          val df = Lake.changesBetween(
-            spark, lake, 0L, to, "doc_id", "text", maxPlanSteps = planSteps)
-          (df.count(),
-            df.queryExecution.optimizedPlan.collectLeaves().length)
+      var rows050 = -1L // windowed 0->50 count, shared with the follow leg
+      if (catchupTargets.nonEmpty) {
+        def drain(to: Long, planSteps: Int): (Long, Double, Int) = {
+          // one timer over build + count: the windowed drain does its
+          // materialization work during changesBetween itself
+          val ((n, leaves), t) = timed {
+            val df = Lake.changesBetween(
+              spark, lake, 0L, to, "doc_id", "text", maxPlanSteps = planSteps)
+            (df.count(),
+              df.queryExecution.optimizedPlan.collectLeaves().length)
+          }
+          Materialize.release(spark)
+          (n, t, leaves)
         }
+        val (n25, t25, l25) = drain(25L, 16)
+        val (n50, t50, l50) = drain(50L, 16)
+        val (n50one, t50one, l50one) = drain(50L, 1000)
+        require(n50 == n50one,
+          s"windowed vs one-plan feed disagree: $n50 vs $n50one")
+        // paged leg: the lazy DR shape — process-and-discard per page,
+        // nothing materialized, nothing pinned
+        val (nPaged, tPaged) = timed {
+          Lake.changesBetweenPaged(spark, lake, 0L, 50L, "doc_id", "text")
+            .map(_.count()).sum
+        }
+        require(nPaged == n50,
+          s"paged vs windowed feed disagree: $nPaged vs $n50")
+        rows050 = n50
+        System.err.println(f"[scale] lake_cdf@catchup 50 deltas published " +
+          f"in ${tPubs}%6.2f s; drain 0->25 ${t25}%6.2f s ($l25 plan " +
+          f"leaves, $n25 rows), 0->50 ${t50}%6.2f s ($l50 leaves, $n50 " +
+          f"rows; flat-per-step ratio ${t50 / t25}%4.2f), one-plan 0->50 " +
+          f"${t50one}%6.2f s ($l50one leaves), paged 0->50 ${tPaged}%6.2f s")
+      }
+      if (followTargets.nonEmpty) {
+        // standing-consumer DR shape (r16 verdict #5): a consumer
+        // bootstrapped at v0 catches up over the 50-delta lake in
+        // 10-step pages through [[Lake.followChanges]], its handler is
+        // KILLED mid-catch-up (injected crash on the third page), and
+        // the restarted consumer must redeliver EXACTLY the killed page
+        // — no earlier page repeats, none skipped — with flat per-page
+        // cost (each page is the same per-step diff work; a growing
+        // per-page cost here would be the O(history) catch-up bug).
+        val expected =
+          if (rows050 >= 0) rows050
+          else Lake.changesBetweenPaged(
+            spark, lake, 0L, 50L, "doc_id", "text").map(_.count()).sum
+        val cursor = s"$root/follow_cursor"
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(cursor), "0")
+        val ends = scala.collection.mutable.ArrayBuffer[Long]()
+        val pageSecs = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+        var delivered = 0L
+        var crashedAt = -1L
+        var mark = System.nanoTime()
+        def page(df: org.apache.spark.sql.DataFrame, end: Long): Unit = {
+          delivered += df.count()
+          pageSecs += ((end, (System.nanoTime() - mark) / 1e9))
+          mark = System.nanoTime()
+          ends += end
+        }
+        val crash = try {
+          Lake.followChanges(spark, lake, cursor, "doc_id", "text",
+              maxPlanSteps = 10) { (df, end) =>
+            if (ends.length == 2) {
+              crashedAt = end
+              throw new RuntimeException("injected consumer crash")
+            }
+            page(df, end)
+          }
+          None
+        } catch { case e: RuntimeException => Some(e) }
+        require(crash.exists(_.getMessage == "injected consumer crash"),
+          s"crash injection did not fire: $crash")
+        mark = System.nanoTime()
+        val resumed = Lake.followChanges(spark, lake, cursor,
+          "doc_id", "text", maxPlanSteps = 10)(page)
+        require(crashedAt == 30L, s"crash landed on page $crashedAt")
+        require(resumed == 3, s"resume delivered $resumed pages, wanted 3")
+        require(ends.toSeq == Seq(10L, 20L, 30L, 40L, 50L),
+          s"redelivery broke: $ends (crashed at $crashedAt)")
+        require(delivered == expected,
+          s"follow consumer rows $delivered != windowed feed $expected")
+        val secs = pageSecs.map(_._2)
+        System.err.println(f"[scale] lake_follow@catchup 5 pages x 10 " +
+          f"steps, handler killed on p3: redelivered exactly v=30; rows " +
+          f"$delivered = windowed $expected; per-page " +
+          pageSecs.map { case (v, t) => f"v$v ${t}%4.2f s" }
+            .mkString(", ") +
+          f"; max/min ${secs.max / secs.min}%4.2f")
         Materialize.release(spark)
-        (n, t, leaves)
       }
-      val (n25, t25, l25) = drain(25L, 16)
-      val (n50, t50, l50) = drain(50L, 16)
-      val (n50one, t50one, l50one) = drain(50L, 1000)
-      require(n50 == n50one,
-        s"windowed vs one-plan feed disagree: $n50 vs $n50one")
-      // paged leg: the lazy DR shape — process-and-discard per page,
-      // nothing materialized, nothing pinned
-      val (nPaged, tPaged) = timed {
-        Lake.changesBetweenPaged(spark, lake, 0L, 50L, "doc_id", "text")
-          .map(_.count()).sum
-      }
-      require(nPaged == n50,
-        s"paged vs windowed feed disagree: $nPaged vs $n50")
-      System.err.println(f"[scale] lake_cdf@catchup 50 deltas published " +
-        f"in ${tPubs}%6.2f s; drain 0->25 ${t25}%6.2f s ($l25 plan " +
-        f"leaves, $n25 rows), 0->50 ${t50}%6.2f s ($l50 leaves, $n50 " +
-        f"rows; flat-per-step ratio ${t50 / t25}%4.2f), one-plan 0->50 " +
-        f"${t50one}%6.2f s ($l50one leaves), paged 0->50 ${tPaged}%6.2f s")
       org.apache.commons.io.FileUtils
         .deleteDirectory(new java.io.File(root))
     }
@@ -909,6 +972,7 @@ object ScaleSmoke {
         probeTargets.contains(t) ||
         cdfTargets.contains(t) ||
         catchupTargets.contains(t) ||
+        followTargets.contains(t) ||
         mergeTargets.contains(t) ||
         evolvingTargets.contains(t) || compactTargets.contains(t))
       .map { q =>

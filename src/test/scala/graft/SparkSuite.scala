@@ -5,12 +5,28 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local session for specs (one per JVM via getOrCreate). */
 trait SparkSuite extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    // Per-JVM warehouse + Derby metastore scratch (r16 verdict #4): two
+    // test JVMs sharing the repo CWD collided on spark-warehouse/
+    // metastore_db (a driver running tests beside a bench, or a second
+    // sbt test in the same dir) — LshIndexSpec/StreamSimSpec failed only
+    // in that contaminated shape. The scratch dir is process-unique, so
+    // concurrent JVMs can never share catalog state.
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_test_jvm")
+    System.setProperty("derby.system.home", scratch.toString)
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        scratch.resolve("spark-warehouse").toUri.toString)
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=${scratch.resolve("metastore_db")}" +
+          ";create=true")
+      .getOrCreate()
+  }
 
   val sf0001 = "/root/testdata/sf0.001"
 

@@ -85,6 +85,25 @@ class TwsMergeSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("compactStreamedTws drains to quiescence and equals the fMGWS " +
+      "drain's snapshot on the same fixture (the r16 verdict #6 harness)") {
+    val dir = "/root/testdata/sf0.001"
+    val tws = CdcStream.compactStreamedTws(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getString(2), r.getLong(3))).toMap
+    val fmgws = CdcStream.compactStreamed(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getString(2), r.getLong(3))).toMap
+    assert(tws.nonEmpty)
+    assert(tws === fmgws)
+    // an impossible deadline fails LOUDLY, never hangs: the drain is
+    // bounded by construction
+    val e = intercept[IllegalStateException] {
+      CdcStream.compactStreamedTws(spark, dir, deadlineMs = 1L)
+    }
+    assert(e.getMessage.contains("did not quiesce"), e.getMessage)
+  }
+
   test("native TTL ages the tombstone out of the store: within the " +
       "horizon a stale insert stays dead; past it the guard is gone " +
       "(state forgets — the bounded-replay trade, made observable)") {
