@@ -52,6 +52,13 @@ class AtomicFsGuardSpec extends SparkSuite {
         Seq(("a", "g0", "t")).toDF("id", "k", "text"),
         root, Seq("k"), Seq("id"), 1000L))
       refuses(Lake.vacuum(spark, root, keep = 1))
+      // the standing consumer's CURSOR rides the same temp+rename
+      // machinery (r16 verdict #7): a cursor file on a non-atomic
+      // scheme refuses at entry too — crash safety there is built on
+      // rename atomicity the store does not have
+      refuses(Lake.followChanges(spark, root.replace("/lake", ""),
+        s"$root/cursor", "id", "text") { (_, _) =>
+        fail("followed on s3a") })
     }
   }
 

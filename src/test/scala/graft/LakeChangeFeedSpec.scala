@@ -249,6 +249,47 @@ class LakeChangeFeedSpec extends SparkSuite {
     }
   }
 
+  test("followChanges: a crash mid-INITIAL-cursor-write (unparseable " +
+      "lone .tmp, no main file ever committed) falls through to " +
+      "fresh-consumer init instead of poisoning every later call") {
+    val root = tmp()
+    val cursor = s"${new java.io.File(root).getParent}/cursor"
+    try {
+      Lake.publishVersion(corpus("base", Seq("g0"), rows = 4), root,
+        Seq("k"), Seq("id"), 1000L, keep = 30) // v0
+      // the crash artifact: a partial tmp that does not parse as a Long
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(cursor + ".tmp"), "")
+      // pre-r17 this adopted the empty tmp and every later call threw
+      // NumberFormatException; now: discard, tail-from-now init
+      assert(Lake.followChanges(spark, root, cursor, "id", "text") {
+        (_, _) => fail("fresh init delivered a page") } === 0)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(cursor + ".tmp")))
+      // the consumer is live: a new delta is delivered normally
+      Lake.publishDelta(
+        Seq(("g0-1", "g0", "edit v1")).toDF("id", "k", "text"),
+        root, Seq("k"), Seq("id"), 1000L, keep = 30)
+      assert(Lake.followChanges(spark, root, cursor, "id", "text") {
+        (df, end) => assert(end === 1L && df.count() > 0) } === 1)
+      // a PARSEABLE lone tmp still adopts (the resume contract is
+      // untouched): move the cursor aside as a tmp and expect no
+      // re-init skip — the pending v2 is delivered from it
+      java.nio.file.Files.move(java.nio.file.Paths.get(cursor),
+        java.nio.file.Paths.get(cursor + ".tmp"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Lake.publishDelta(
+        Seq(("g0-2", "g0", "edit v2")).toDF("id", "k", "text"),
+        root, Seq("k"), Seq("id"), 1000L, keep = 30)
+      assert(Lake.followChanges(spark, root, cursor, "id", "text") {
+        (df, end) => assert(end === 2L && df.count() > 0) } === 1)
+    } finally {
+      graft.Materialize.release(spark)
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(cursor))
+      cleanup(root)
+    }
+  }
+
   test("long-range catch-up drains in bounded plan windows: the windowed " +
       "feed equals the one-plan feed, and its final plan holds only " +
       "materialized scans — no O(steps) live diff branches") {

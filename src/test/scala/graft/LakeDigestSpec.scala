@@ -121,6 +121,12 @@ class LakeDigestSpec extends SparkSuite {
       assert(h(2L)._2 === Some(false), s"drift visible at v2: ${h(2L)}")
       assert(h(2L)._1.nonEmpty && h(2L)._1 != h(1L)._1)
       assert(h(3L)._1.isEmpty && h(3L)._2 === Some(false))
+      // the fingerprint self-describes its hash ALGORITHM (r16 advice):
+      // a digest written by a different algorithm version — e.g. the
+      // untagged pre-r17 format — compares as a visible fingerprint
+      // mismatch (skip disabled) instead of silently full-diffing as
+      // same-fingerprint/different-hash
+      assert(h(1L)._1.exists(_.startsWith("alg=")), h(1L)._1)
     } finally cleanup(root)
   }
 

@@ -134,6 +134,42 @@ class LakeExpectSpec extends SparkSuite {
     } finally cleanup(root)
   }
 
+  test("vacuum's refusal-audit horizon is per key family (r16 advice): " +
+      "batch (m=) and full-publish (v=) refusal ids are unrelated " +
+      "sequences — the newest of EACH family survives keep=1") {
+    val root = tmp()
+    try {
+      Lake.publishVersion(corpus.toDF("id", "k", "text", "score"),
+        root, Seq("k"), Seq("id"), 1000L) // v0
+      def poison(id: String) =
+        Seq((id, "g0", "", -1.0)).toDF("id", "k", "text", "score")
+      // two v-family refusals (full publishes; ids are small version
+      // numbers with attempt suffixes: v=1_a0, v=1_a1)
+      for (i <- 1 to 2)
+        intercept[Lake.RefusedPublishException] {
+          Lake.publishVersion(poison(s"v-$i"), root, Seq("k"), Seq("id"),
+            1000L, expect = expectations, onViolation = "drop")
+        }
+      // two m-family refusals with LARGE batch ids — pre-fix, the shared
+      // numeric ordering retained only these and pruned the
+      // chronologically NEWER v-family audits
+      for (b <- Seq(100L, 101L))
+        Lake.publishBatch(poison(s"m-$b"), root, Seq("k"), Seq("id"),
+          1000L, keep = 3, batchId = b,
+          expect = expectations, onViolation = "drop")
+      val led = Lake.vacuum(spark, root, keep = 1)
+        .filter(col("reason") === "refusal_audit")
+        .select("v", "action").collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      assert(led.count(_._2 == "refused_retained") === 2, led.toSeq)
+      assert(led.filter(_._2 == "refused_retained").map(_._1).toSet
+        === Set(1L, 101L), led.toSeq) // newest v-family AND newest m-family
+      val left = Lake.readRefusedQuarantine(spark, root)
+        .select("id").as[String].collect().toSet
+      assert(left === Set("v-2", "m-101"), left)
+    } finally cleanup(root)
+  }
+
   test("readQuarantine fails loudly when nothing was quarantined — " +
       "including after a CLEAN drop-mode publish") {
     val root = tmp()
