@@ -284,17 +284,23 @@ object Bench {
         else Map.empty[String, Double]
       outliers(mins, priorQs, scale).map { n =>
         Materialize.release(spark)
+        // the battery's rule holds here too: a CRASHED recheck must not
+        // be timed as a fast one (a near-zero "rechecked" value would
+        // read as 'isolated run fine' — the opposite of the truth).
+        // Emit -1 for a recheck any pass of which failed.
+        var ok = true
         val ts = (1 to passes).map { _ =>
           val t0 = System.nanoTime()
           try { selected(n)(spark, sfDir).count() } catch {
             case scala.util.control.NonFatal(e) =>
+              ok = false
               System.err.println(s"[bench] recheck $n FAILED: ${e.getMessage}")
           }
           val dt = (System.nanoTime() - t0) / 1e9
           Materialize.release(spark)
           dt
         }
-        n -> ts.min
+        n -> (if (ok) ts.min else -1.0)
       }
     }
     // The driver captures only the last ~2000 chars of output and parses the

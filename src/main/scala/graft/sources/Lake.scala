@@ -813,10 +813,16 @@ object Lake {
     *    process, or the pid's current start instant differs — pid
     *    reuse). Only on `file:` — cross-host liveness is not provable
     *    from here.
-    * A reclaim deletes the stale lock and retries the atomic create
-    * once; losing that race to another writer stays a loud failure.
-    * Legacy pid-only locks carry no host/owner identity and are never
-    * reclaimed.
+    * Reclaims are SERIALIZED through an atomically-created `_LOCK.claim`
+    * file: only the claim holder may delete and re-create `_LOCK`, and it
+    * re-reads the lock's identity under the claim before deleting — so
+    * two contenders that both observed the same dead writer cannot
+    * interleave delete/create and both enter (the TOCTOU split-brain).
+    * Losing the claim race, or losing the create race after the delete,
+    * stays a loud failure; a claim orphaned by a crash mid-reclaim needs
+    * the same hand removal as a legacy stale lock (narrow window, loud
+    * message). Legacy pid-only locks carry no host/owner identity and
+    * are never reclaimed.
     */
   def guarded[A](spark: SparkSession, rootDir: String)(body: => A): A = {
     val (fs, root) = fsOf(spark, rootDir)
@@ -835,9 +841,11 @@ object Lake {
     val self = java.lang.ProcessHandle.current()
     val selfStart = self.info().startInstant()
       .map[Long](_.toEpochMilli).orElse(-1L)
+    // root-scoped token first (two streams to different roots in one
+    // session must not cross-label each other's locks), global fallback
     val ownerToken =
-      try Option(spark.conf.get(OwnerConf, null)).map(_.trim)
-        .filter(_.nonEmpty)
+      try (spark.conf.getOption(OwnerConf + "." + key) orElse
+          spark.conf.getOption(OwnerConf)).map(_.trim).filter(_.nonEmpty)
       catch { case scala.util.control.NonFatal(_) => None }
     val owner = (Seq(
       s"pid=${self.pid()}",
@@ -846,27 +854,50 @@ object Lake {
       s"app=${spark.sparkContext.applicationId}") ++
       ownerToken.map(t => s"owner=$t")).mkString("", "\n", "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val qualified = fs.makeQualified(lock).toUri
-    def tryAcquire(): Option[Exception] =
-      if (qualified.getScheme == "file") {
+    // atomic exclusive create of `target` carrying our identity. A
+    // FAILED CREATE is contention (Some(e)); an IO failure AFTER winning
+    // the create is NOT — the half-written lock (no identity recorded,
+    // reclaimable by no one) is removed best-effort and the real error
+    // propagates, instead of being misdiagnosed as "locked by another
+    // writer" with an unremovable orphan left behind.
+    def atomicCreate(target: org.apache.hadoop.fs.Path): Option[Exception] = {
+      val uri = fs.makeQualified(target).toUri
+      if (uri.getScheme == "file") {
         // local FS: NIO createFile is O_EXCL-atomic; Hadoop's
         // RawLocalFileSystem create(overwrite=false) is exists-then-open
-        try {
-          java.nio.file.Files.write(
-            java.nio.file.Files.createFile(
-              java.nio.file.Paths.get(qualified.getPath)), owner): Unit
-          None
-        } catch {
-          case e: java.nio.file.FileAlreadyExistsException => Some(e)
-        }
+        val p = java.nio.file.Paths.get(uri.getPath)
+        val clash =
+          try { java.nio.file.Files.createFile(p): Unit; None }
+          catch { case e: java.nio.file.FileAlreadyExistsException => Some(e) }
+        if (clash.isEmpty)
+          try java.nio.file.Files.write(p, owner): Unit
+          catch {
+            case t: Throwable =>
+              try java.nio.file.Files.deleteIfExists(p): Unit
+              catch { case scala.util.control.NonFatal(_) => () }
+              throw t
+          }
+        clash
       } else {
-        try {
-          val os = fs.create(lock, /* overwrite = */ false)
-          try os.write(owner) finally os.close()
-          None
-        } catch { case e: java.io.IOException => Some(e) }
+        val created =
+          try Right(fs.create(target, /* overwrite = */ false))
+          catch { case e: java.io.IOException => Left(e) }
+        created match {
+          case Left(e) => Some(e)
+          case Right(os) =>
+            try { try os.write(owner) finally os.close() }
+            catch {
+              case t: Throwable =>
+                try fs.delete(target, false): Unit
+                catch { case scala.util.control.NonFatal(_) => () }
+                throw t
+            }
+            None
+        }
       }
-    tryAcquire() match {
+    }
+    val qualified = fs.makeQualified(lock).toUri
+    atomicCreate(lock) match {
       case None => ()
       case Some(e) =>
         val holder = readLockIdentity(fs, lock)
@@ -889,12 +920,36 @@ object Lake {
           !samePidAlive && (sameToken || deadLocalPid)
         }
         if (!reclaimable) throw contended(e)
-        System.err.println(
-          s"[lake] reclaiming $LockFile at $rootDir from a provably " +
-            s"restarted/dead writer (${holder.get.toSeq.sorted
-              .map { case (k, v) => s"$k=$v" }.mkString(", ")})")
-        fs.delete(lock, false): Unit
-        tryAcquire().foreach(e2 => throw contended(e2))
+        // serialize the reclaim through an atomically-created claim file:
+        // only the claim holder may delete/re-create _LOCK, and it
+        // re-reads the lock under the claim — two contenders that both
+        // observed the dead writer cannot interleave delete/create and
+        // both enter (the TOCTOU split-brain a bare delete+retry allows)
+        val claim = new org.apache.hadoop.fs.Path(root, LockFile + ".claim")
+        atomicCreate(claim).foreach(ce => throw new IllegalStateException(
+          s"Lake: $rootDir has a stale $LockFile AND an in-flight (or " +
+            s"crash-orphaned) reclaim ($LockFile.claim exists). If no " +
+            s"reclaimer is live, confirm and delete $LockFile.claim by " +
+            "hand.", ce))
+        try {
+          readLockIdentity(fs, lock) match {
+            case Some(h) if holder.contains(h) =>
+              // still exactly the identity we proved dead/restarted
+              System.err.println(
+                s"[lake] reclaiming $LockFile at $rootDir from a provably " +
+                  s"restarted/dead writer (${h.toSeq.sorted
+                    .map { case (k, v) => s"$k=$v" }.mkString(", ")})")
+              fs.delete(lock, false): Unit
+              atomicCreate(lock).foreach(e2 => throw contended(e2))
+            case Some(_) =>
+              // replaced by a DIFFERENT writer since our read — it is
+              // live (it just acquired); back off loudly
+              throw contended(e)
+            case None =>
+              // released/reclaimed-away in the window: take it normally
+              atomicCreate(lock).foreach(e2 => throw contended(e2))
+          }
+        } finally fs.delete(claim, false): Unit
     }
     heldLocks.get().add(key)
     try body
@@ -905,8 +960,26 @@ object Lake {
   }
 
   /** Session conf key for the stable writer-identity token recorded in
-    * `_LOCK` (set it to the streaming query's checkpoint location). */
+    * `_LOCK` (set it to the streaming query's checkpoint location).
+    * [[guarded]] reads the root-scoped form `graft.lake.owner.<qualified
+    * root>` first (see [[setLockOwner]]) and falls back to this global
+    * key. */
   val OwnerConf = "graft.lake.owner"
+
+  /** Record the stable writer-identity token for `rootDir`'s `_LOCK`,
+    * scoped to the root so two streams publishing to DIFFERENT roots in
+    * one session do not cross-label each other's locks (two writers to
+    * the SAME root violate the single-writer contract anyway).
+    * [[publishStream]] and [[mergeStream]] call this with their
+    * checkpoint location before starting — a checkpointed restart then
+    * reclaims its own crashed incarnation's lock without an operator
+    * hand-deleting `_LOCK` (the r16 self-healing regression). */
+  def setLockOwner(spark: SparkSession, rootDir: String,
+      token: String): Unit = {
+    val (fs, root) = fsOf(spark, rootDir)
+    spark.conf.set(
+      OwnerConf + "." + fs.makeQualified(root).toString, token)
+  }
 
   private lazy val localHost: String =
     try java.net.InetAddress.getLocalHost.getHostName
@@ -2018,7 +2091,13 @@ object Lake {
       digest: Boolean = false,
       expect: Seq[(String, Column)] = Nil,
       onViolation: String = "fail")
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // the lock-owner token is this query's checkpoint location — stable
+    // across restarts, unique per query — set BEFORE start so the
+    // stream's cloned session carries it into every batch's guarded
+    // acquire; the crashed incarnation's lock is then self-reclaimed on
+    // restart instead of demanding a hand-deleted _LOCK
+    setLockOwner(df.sparkSession, rootDir, checkpointDir)
     df.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -2029,6 +2108,7 @@ object Lake {
           expect, onViolation)
       }
       .start()
+  }
 
   /** One micro-batch of [[publishStream]] — also the direct entry for a
     * caller replaying a committed batch by hand. Idempotent on
@@ -2130,7 +2210,8 @@ object Lake {
       digest: Boolean = false,
       expect: Seq[(String, Column)] = Nil,
       onViolation: String = "fail")
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    setLockOwner(changes.sparkSession, rootDir, checkpointDir) // see publishStream
     changes.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -2141,6 +2222,7 @@ object Lake {
           expect, onViolation)
       }
       .start()
+  }
 
   /** One micro-batch of [[mergeStream]] — also the direct entry for a
     * caller replaying a committed batch by hand. Idempotent on

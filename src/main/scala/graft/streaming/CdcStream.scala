@@ -318,10 +318,15 @@ object CdcStream {
       val perBatch = scala.collection.mutable.Map.empty[Long, Long]
       var total = 0L
       while (total < expected && System.nanoTime() < end) {
+        // a FAILED query must surface its real error immediately, not
+        // spin the full deadline and report a misleading "did not
+        // quiesce" with the root cause discarded
+        q.exception.foreach(e => throw e)
         Thread.sleep(100)
         for (p <- q.recentProgress) perBatch(p.batchId) = p.numInputRows
         total = perBatch.values.sum
       }
+      q.exception.foreach(e => throw e)
       if (total < expected) throw new IllegalStateException(
         s"CdcStream.compactStreamedTws: drain did not quiesce — " +
           s"$total of $expected input rows processed in ${deadlineMs} ms")

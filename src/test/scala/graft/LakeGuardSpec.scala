@@ -151,11 +151,76 @@ class LakeGuardSpec extends SparkSuite {
       // differs is a dead writer → reclaimed
       plant(s"pid=${self.pid()}", "start=1", s"host=$host", "app=app-old")
       Lake.guarded(spark, root) { () }
+      // 7) reclaims serialize through _LOCK.claim: with a claim already
+      // present (an in-flight or crash-orphaned reclaim), a reclaimable
+      // lock is NOT touched — loud failure naming the claim; clearing
+      // the claim lets the reclaim proceed, and the claim is cleaned up
+      plant("pid=2999999999", "start=123", s"host=$host", "app=app-old")
+      val cl = fs.create(new Path(root, "_LOCK.claim"), false)
+      cl.write("pid=1\n".getBytes("UTF-8")); cl.close()
+      val e3 = intercept[IllegalStateException] {
+        Lake.guarded(spark, root) { fail("reclaimed under a live claim") }
+      }
+      assert(e3.getMessage.contains("_LOCK.claim"), e3.getMessage)
+      assert(fs.exists(new Path(root, "_LOCK"))) // untouched
+      fs.delete(new Path(root, "_LOCK.claim"), false)
+      Lake.guarded(spark, root) { () }
+      assert(!fs.exists(new Path(root, "_LOCK.claim")))
+      assert(!fs.exists(new Path(root, "_LOCK")))
     } finally {
       try spark.conf.unset(Lake.OwnerConf)
       catch { case scala.util.control.NonFatal(_) => () }
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(root).getParentFile)
+    }
+  }
+
+  test("streaming restart self-heals its crashed incarnation's lock: " +
+      "publishStream stamps its checkpoint location as the root-scoped " +
+      "owner token, so the restart reclaims a stale lock carrying the " +
+      "same token (no hand-deleted _LOCK on the recovery path)") {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_lockstream").toString
+    val root = s"$work/lake"; val ckpt = s"$work/ckpt"
+    val fs = fsOf(root)
+    try {
+      // the crashed incarnation's lock: another host, unknown pid, but
+      // the SAME checkpoint-derived owner token the restart will carry
+      fs.mkdirs(new Path(root))
+      val os = fs.create(new Path(root, "_LOCK"), false)
+      os.write(("pid=4242\nstart=99\nhost=elsewhere\napp=app-dead\n" +
+        s"owner=$ckpt\n").getBytes("UTF-8")); os.close()
+      implicit val sqlCtx = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String)]
+      mem.addData((1L, "g0", "hello"), (2L, "g0", "world"))
+      val q = Lake.publishStream(mem.toDF().toDF("id", "k", "text"),
+        root, ckpt, Seq("k"), Seq("id"), maxRecordsPerFile = 1000L,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination() // pre-fix: every batch died on "locked by..."
+      assert(Lake.currentVersion(spark, root) === Some(0L))
+      assert(Lake.readVersion(spark, root).count() === 2L)
+      assert(!fs.exists(new Path(root, "_LOCK"))) // released after batch
+      // a FOREIGN token in the stale lock stays manual: restart blocked
+      val os2 = fs.create(new Path(root, "_LOCK"), false)
+      os2.write(("pid=4242\nstart=99\nhost=elsewhere\napp=app-dead\n" +
+        "owner=/someone/elses/ckpt\n").getBytes("UTF-8")); os2.close()
+      mem.addData((3L, "g0", "again"))
+      val q2 = Lake.publishStream(mem.toDF().toDF("id", "k", "text"),
+        root, ckpt, Seq("k"), Seq("id"), maxRecordsPerFile = 1000L,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      val err = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] { q2.awaitTermination() }
+      assert(err.getMessage.contains("locked by another writer"),
+        err.getMessage)
+      fs.delete(new Path(root, "_LOCK"), false)
+    } finally {
+      // unset the root-scoped token this test's streams registered
+      spark.conf.getAll.keys.filter(_.startsWith(Lake.OwnerConf))
+        .foreach(k => try spark.conf.unset(k)
+          catch { case scala.util.control.NonFatal(_) => () })
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(work))
     }
   }
 

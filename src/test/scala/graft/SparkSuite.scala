@@ -3,18 +3,29 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Per-JVM warehouse + Derby metastore scratch (r16 verdict #4): two
+  * test JVMs sharing the repo CWD collided on spark-warehouse/
+  * metastore_db (a driver running tests beside a bench, or a second
+  * sbt test in the same dir) — LshIndexSpec/StreamSimSpec failed only
+  * in that contaminated shape. ONE process-unique dir per JVM (a
+  * per-suite dir would be litter: getOrCreate ignores every builder
+  * config after the first session exists), removed best-effort on JVM
+  * exit. */
+object SparkSuite {
+  lazy val scratch: java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_test_jvm")
+    System.setProperty("derby.system.home", dir.toString)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+      catch { case scala.util.control.NonFatal(_) => () }))
+    dir
+  }
+}
+
 /** Shared local session for specs (one per JVM via getOrCreate). */
 trait SparkSuite extends AnyFunSuite {
   lazy val spark: SparkSession = {
-    // Per-JVM warehouse + Derby metastore scratch (r16 verdict #4): two
-    // test JVMs sharing the repo CWD collided on spark-warehouse/
-    // metastore_db (a driver running tests beside a bench, or a second
-    // sbt test in the same dir) — LshIndexSpec/StreamSimSpec failed only
-    // in that contaminated shape. The scratch dir is process-unique, so
-    // concurrent JVMs can never share catalog state.
-    val scratch = java.nio.file.Files
-      .createTempDirectory("graft_test_jvm")
-    System.setProperty("derby.system.home", scratch.toString)
+    val scratch = SparkSuite.scratch
     SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
