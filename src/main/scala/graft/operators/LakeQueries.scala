@@ -117,6 +117,36 @@ object LakeQueries extends QueryRegistry {
       Seq("doc_id"), maxRecordsPerFile = 1000000L, digest = true)
   }
 
+  /** Session-shared three-generation feed lake (the sharedLshPairs
+    * precedent one surface over): [[buildFeedLake]] runs ONCE per
+    * (session, corpus fingerprint) into a shutdown-cleaned tmp, and the
+    * paged and standing-consumer gates read it READ-ONLY — the
+    * production cost model, where one published lake serves every
+    * downstream feed consumer rather than each consumer re-publishing
+    * the corpus. `lake_change_feed` still builds its own lake: it IS
+    * the producer-stage (publish + feed) measurement. Sharing is
+    * hash-invisible: the build is deterministic, so every consumer
+    * keeps its unchanged oracle. Consumers must not mutate the shared
+    * root (no vacuum/publish/rollback); cursor files live in the
+    * consumer's own work dir.
+    */
+  private val sharedFeedLakes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sharedFeedLake(s: SparkSession, dir: String): String =
+    sharedFeedLakes.computeIfAbsent(
+      s.sparkContext.applicationId + "|" +
+        TrainedCache.fingerprint(s"$dir/documents.parquet"),
+      _ => TrainedCache.recordBuild("feed_lake") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_feedlake_shared").toString
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          org.apache.commons.io.FileUtils
+            .deleteQuietly(new java.io.File(tmp)): Unit))
+        val root = s"$tmp/lake"
+        buildFeedLake(s, dir, root)
+        root
+      })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // [EXT] refused-publish audit (r16): a drop-mode streaming batch
     // whose EVERY row violates the expectations is refused (an empty
@@ -158,20 +188,14 @@ object LakeQueries extends QueryRegistry {
     // oracle is IDENTICAL to lake_change_feed's, so the hash match
     // proves paged ≡ one-shot ≡ the derived truth.
     "lake_feed_paged" -> ((s, dir) => {
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_lake_cdfp").toString
-      val root = s"$work/lake"
-      try {
-        buildFeedLake(s, dir, root)
-        import graft.Materialize.Ops
-        Lake.changesBetweenPaged(s, root, 0L, 2L, "doc_id", "text",
-            maxPlanSteps = 1)
-          .map(_.materializeForced())
-          .reduce(_.unionByName(_))
-      } finally {
-        org.apache.commons.io.FileUtils
-          .deleteDirectory(new java.io.File(work))
-      }
+      // consumes the session-shared feed lake READ-ONLY: this gate
+      // measures the paged CONSUMPTION shape, not the publish
+      val root = sharedFeedLake(s, dir)
+      import graft.Materialize.Ops
+      Lake.changesBetweenPaged(s, root, 0L, 2L, "doc_id", "text",
+          maxPlanSteps = 1)
+        .map(_.materializeForced())
+        .reduce(_.unionByName(_))
     }),
     // [EXT] standing consumer loop (r16): followChanges drives the
     // crash-safe cursor protocol over the same three-generation lake —
@@ -180,11 +204,12 @@ object LakeQueries extends QueryRegistry {
     // loop delivers exactly the feed, no page lost or duplicated, with
     // the cursor landing on the current version.
     "lake_follow_changes" -> ((s, dir) => {
+      // shared feed lake READ-ONLY (the standing CONSUMPTION shape);
+      // only the cursor is this gate's own state, in its own work dir
+      val root = sharedFeedLake(s, dir)
       val work = java.nio.file.Files
         .createTempDirectory("graft_lake_flw").toString
-      val root = s"$work/lake"
       try {
-        buildFeedLake(s, dir, root)
         val cursor = s"$work/cursor"
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(cursor), "0")
