@@ -12,6 +12,14 @@ class FakeS3AFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getUri: java.net.URI = java.net.URI.create("s3a:///")
 }
 
+/** Local storage masquerading as `hdfs://` — passes the scheme gate, so
+  * the lock takes the NON-file acquisition branch (Hadoop
+  * `create(overwrite=false)`), which is otherwise unreachable in a
+  * sandbox with no real HDFS. */
+class FakeHdfsFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("hdfs:///")
+}
+
 /** r15 verdict #8: the "guarded refuses nothing on plain S3" caveat is
   * ENFORCED — GenSwap.begin and Lake.guarded (and therefore every
   * mutating lake op) fail at entry on the S3-family schemes with the
@@ -59,6 +67,53 @@ class AtomicFsGuardSpec extends SparkSuite {
       refuses(Lake.followChanges(spark, root.replace("/lake", ""),
         s"$root/cursor", "id", "text") { (_, _) =>
         fail("followed on s3a") })
+    }
+  }
+
+  test("the NON-file lock branch (hdfs-style create(overwrite=false)): " +
+      "acquire/contend/release work, dead-pid reclaim is file-only, and " +
+      "the owner-token reclaim still applies") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val prior = conf.get("fs.hdfs.impl")
+    conf.set("fs.hdfs.impl", classOf[FakeHdfsFileSystem].getName)
+    conf.set("fs.hdfs.impl.disable.cache", "true")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_fakehdfs").toString
+    val root = s"hdfs://$tmp/lake"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(conf)
+    try {
+      // plain acquire + release through the Hadoop create branch
+      Lake.guarded(spark, root) {
+        assert(fs.exists(new org.apache.hadoop.fs.Path(root, "_LOCK")))
+      }
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_LOCK")))
+      def plant(lines: String*): Unit = {
+        val os = fs.create(
+          new org.apache.hadoop.fs.Path(root, "_LOCK"), false)
+        os.write((lines.mkString("\n") + "\n").getBytes("UTF-8")); os.close()
+      }
+      val host = java.net.InetAddress.getLocalHost.getHostName
+      // dead pid on THIS host is NOT reclaimable off the file: scheme
+      // (cross-store liveness claims are not provable from a local pid
+      // table when the lock may be shared by other hosts)
+      plant("pid=2999999999", "start=123", s"host=$host", "app=app-old")
+      intercept[IllegalStateException] {
+        Lake.guarded(spark, root) { fail("entered under a remote lock") }
+      }
+      // ... but the owner token is scheme-independent proof of self
+      spark.conf.set(Lake.OwnerConf, "ckpt-hdfs")
+      fs.delete(new org.apache.hadoop.fs.Path(root, "_LOCK"), false)
+      plant("pid=4242", "start=99", "host=elsewhere", "app=app-old",
+        "owner=ckpt-hdfs")
+      Lake.guarded(spark, root) { () }
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_LOCK.claim")))
+    } finally {
+      try spark.conf.unset(Lake.OwnerConf)
+      catch { case scala.util.control.NonFatal(_) => () }
+      if (prior == null) conf.unset("fs.hdfs.impl")
+      else conf.set("fs.hdfs.impl", prior)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
   }
 
