@@ -71,25 +71,14 @@ object DedupQueries extends QueryRegistry {
     * also stays self-contained — its claim is that the stages compose
     * in one lineage.
     */
-  private val sharedPairs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def sharedLshPairs(s: SparkSession, dir: String): DataFrame = {
-    val path = sharedPairs.computeIfAbsent(
-      s.sparkContext.applicationId + "|" +
-        TrainedCache.fingerprint(s"$dir/documents.parquet"),
-      _ => TrainedCache.recordBuild("lsh_pair_snapshot") {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_lshpairs_shared").toString
-        Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          org.apache.commons.io.FileUtils
-            .deleteQuietly(new java.io.File(tmp)): Unit))
-        val p = s"$tmp/pairs"
-        TextDedup.minhashLshPairs(docs(s, dir), "doc_id", "text")
-          .write.mode("overwrite").parquet(p)
-        p
-      })
-    s.read.parquet(path)
-  }
+  private def sharedLshPairs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(TrainedCache.sharedPath(s, "lsh_pair_snapshot",
+        Seq(s"$dir/documents.parquet")) { tmp =>
+      val p = s"$tmp/pairs"
+      TextDedup.minhashLshPairs(docs(s, dir), "doc_id", "text")
+        .write.mode("overwrite").parquet(p)
+      p
+    })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // X1: exact content dedup by hash groupBy. Fixture texts are unique, so

@@ -130,22 +130,13 @@ object LakeQueries extends QueryRegistry {
     * root (no vacuum/publish/rollback); cursor files live in the
     * consumer's own work dir.
     */
-  private val sharedFeedLakes =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def sharedFeedLake(s: SparkSession, dir: String): String =
-    sharedFeedLakes.computeIfAbsent(
-      s.sparkContext.applicationId + "|" +
-        TrainedCache.fingerprint(s"$dir/documents.parquet"),
-      _ => TrainedCache.recordBuild("feed_lake") {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_feedlake_shared").toString
-        Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          org.apache.commons.io.FileUtils
-            .deleteQuietly(new java.io.File(tmp)): Unit))
-        val root = s"$tmp/lake"
-        buildFeedLake(s, dir, root)
-        root
-      })
+    TrainedCache.sharedPath(s, "feed_lake",
+        Seq(s"$dir/documents.parquet")) { tmp =>
+      val root = s"$tmp/lake"
+      buildFeedLake(s, dir, root)
+      root
+    }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // [EXT] refused-publish audit (r16): a drop-mode streaming batch

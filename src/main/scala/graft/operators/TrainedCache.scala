@@ -125,8 +125,38 @@ object TrainedCache {
       .map("%02x".format(_)).mkString
   }
 
+  /** Session-shared ON-DISK artifact — the data-sized sibling of
+    * [[memoDf]] (pair snapshots, published lakes, persisted indexes are
+    * data-sized, so they land as files, never driver-held rows):
+    * `build` runs ONCE per (name, applicationId, corpus fingerprint of
+    * `fixturePaths`) into a fresh shutdown-cleaned temp dir and the
+    * path it returns is served to every later caller. For DETERMINISTIC
+    * builds only — sharing must be bitwise-invisible to the oracle.
+    * Consumers must treat the artifact as READ-ONLY. First-build wall
+    * time is attributed to `name` in [[buildTimes]] (Bench's
+    * `shared_builds`).
+    */
+  def sharedPath(spark: SparkSession, name: String,
+      fixturePaths: Seq[String])(build: String => String): String =
+    sharedPaths.computeIfAbsent(
+      name + "|" + spark.sparkContext.applicationId + "|" +
+        fingerprint(fixturePaths: _*),
+      _ => recordBuild(name) {
+        val tmp = java.nio.file.Files
+          .createTempDirectory(s"graft_${name}_shared").toString
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          org.apache.commons.io.FileUtils
+            .deleteQuietly(new java.io.File(tmp)): Unit))
+        build(tmp)
+      })
+
+  private val sharedPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Test seam: drop every memoized artifact (a spec that rewrites a
     * corpus in place needs the next call to retrain).
     */
-  private[graft] def clear(): Unit = { cache.clear(); buildSecs.clear() }
+  private[graft] def clear(): Unit = {
+    cache.clear(); buildSecs.clear(); sharedPaths.clear()
+  }
 }

@@ -841,10 +841,12 @@ object Lake {
     val self = java.lang.ProcessHandle.current()
     val selfStart = self.info().startInstant()
       .map[Long](_.toEpochMilli).orElse(-1L)
-    // root-scoped token first (two streams to different roots in one
-    // session must not cross-label each other's locks), global fallback
+    // JVM-level per-root token first (the streaming publishers register
+    // theirs via setLockOwner), then the root-scoped conf, then the
+    // global conf — two streams to different roots never cross-label
     val ownerToken =
-      try (spark.conf.getOption(OwnerConf + "." + key) orElse
+      try (Option(ownerTokens.get(key)) orElse
+          spark.conf.getOption(OwnerConf + "." + key) orElse
           spark.conf.getOption(OwnerConf)).map(_.trim).filter(_.nonEmpty)
       catch { case scala.util.control.NonFatal(_) => None }
     val owner = (Seq(
@@ -949,7 +951,21 @@ object Lake {
               // released/reclaimed-away in the window: take it normally
               atomicCreate(lock).foreach(e2 => throw contended(e2))
           }
-        } finally fs.delete(claim, false): Unit
+        } finally {
+          // BEST-EFFORT: a claim-delete IOException after the lock was
+          // successfully re-created must not propagate — it would mask
+          // the acquisition and leak a _LOCK stamped with this LIVE
+          // process's identity that no rule can ever reclaim. The
+          // orphaned claim only blocks future RECLAIMS (loudly, with
+          // its own remediation text), never normal acquisition.
+          try fs.delete(claim, false): Unit
+          catch {
+            case scala.util.control.NonFatal(t) => System.err.println(
+              s"[lake] WARNING: could not remove $LockFile.claim at " +
+                s"$rootDir ($t) — future reclaims on this root will " +
+                "fail loudly until it is removed by hand")
+          }
+        }
     }
     heldLocks.get().add(key)
     try body
@@ -973,13 +989,24 @@ object Lake {
     * [[publishStream]] and [[mergeStream]] call this with their
     * checkpoint location before starting — a checkpointed restart then
     * reclaims its own crashed incarnation's lock without an operator
-    * hand-deleting `_LOCK` (the r16 self-healing regression). */
+    * hand-deleting `_LOCK` (the r16 self-healing regression).
+    *
+    * Stored in a JVM-level map, NOT session conf: a long-lived driver
+    * publishing to many roots (or the bench's fresh temp root per pass)
+    * would grow the session conf monotonically, with every entry copied
+    * into each cloned streaming session. foreachBatch runs in the same
+    * JVM as the caller, so the map is visible to every batch; repeated
+    * publishes to one root overwrite their entry. The session-conf
+    * forms (root-scoped `graft.lake.owner.<qualified root>`, then the
+    * global [[OwnerConf]]) remain as user-controlled fallbacks. */
   def setLockOwner(spark: SparkSession, rootDir: String,
       token: String): Unit = {
     val (fs, root) = fsOf(spark, rootDir)
-    spark.conf.set(
-      OwnerConf + "." + fs.makeQualified(root).toString, token)
+    ownerTokens.put(fs.makeQualified(root).toString, token): Unit
   }
+
+  private val ownerTokens =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private lazy val localHost: String =
     try java.net.InetAddress.getLocalHost.getHostName

@@ -57,36 +57,48 @@ class LockStressSpec extends SparkSuite {
       })
     }
     // chaos: whenever the lock is free, plant a stale-but-reclaimable
-    // lock (dead pid, this host, full identity) — the atomic create can
-    // only win in a genuinely free gap, exactly the crash shape
+    // lock (dead pid, this host, full identity). MUST use the same
+    // O_EXCL NIO create the product's file: branch uses — Hadoop's
+    // RawLocalFileSystem create(overwrite=false) is exists-then-open,
+    // which could TRUNCATE a worker's freshly-won live lock and make
+    // the test itself manufacture a false mutual-exclusion violation.
     val host = java.net.InetAddress.getLocalHost.getHostName
+    val lockNio = java.nio.file.Paths.get(s"$root/_LOCK")
     val chaos = new Thread(() => {
       while (!stop.get()) {
         try {
-          val os = fs.create(new Path(root, "_LOCK"), false)
-          os.write((s"pid=2999999999\nstart=123\nhost=$host\n" +
-            "app=app-dead\n").getBytes("UTF-8"))
-          os.close()
+          java.nio.file.Files.write(lockNio,
+            (s"pid=2999999999\nstart=123\nhost=$host\n" +
+              "app=app-dead\n").getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW): Unit
           reclaims.incrementAndGet()
-        } catch { case _: java.io.IOException => () /* lock held */ }
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => () // held
+          case _: java.io.IOException => ()
+        }
         Thread.sleep(3L)
       }
     })
-    (workers :+ chaos).foreach(_.start())
-    Thread.sleep(4000L)
-    stop.set(true)
-    (workers :+ chaos).foreach(_.join(20000L))
-    if (unexpected.get() != null) throw unexpected.get()
-    assert(violations.get() === 0,
-      s"mutual exclusion violated ${violations.get()} times")
-    // the system made real progress THROUGH the injected stale locks:
-    // entries happened, stale locks were planted, and the final state is
-    // clean (the last plant, if unreclaimed at stop, is the one allowed
-    // residue — a mid-stress plant with no contender left to clear it)
-    assert(entries.get() > 50, s"only ${entries.get()} entries — no load")
-    assert(reclaims.get() > 0, "chaos never planted a stale lock")
-    assert(!fs.exists(new Path(root, "_LOCK.claim")),
-      "a reclaim claim leaked")
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
+    try {
+      (workers :+ chaos).foreach(_.start())
+      Thread.sleep(4000L)
+      stop.set(true)
+      (workers :+ chaos).foreach(_.join(20000L))
+      if (unexpected.get() != null) throw unexpected.get()
+      assert(violations.get() === 0,
+        s"mutual exclusion violated ${violations.get()} times")
+      // the system made real progress THROUGH the injected stale locks:
+      // entries happened, stale locks were planted, and the final state
+      // is clean (the last plant, if unreclaimed at stop, is the one
+      // allowed residue — a mid-stress plant with no contender left)
+      assert(entries.get() > 50, s"only ${entries.get()} entries — no load")
+      assert(reclaims.get() > 0, "chaos never planted a stale lock")
+      assert(!fs.exists(new Path(root, "_LOCK.claim")),
+        "a reclaim claim leaked")
+    } finally {
+      stop.set(true)
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(work))
+    }
   }
 }
