@@ -278,9 +278,13 @@ object Bench {
         } catch { case scala.util.control.NonFatal(_) => "" }
       val prior = parsePrior(priorSrc)
       val scale = prior.calib.filter(_ > 1e-3).map(calib / _).getOrElse(1.0)
-      // cross-SF priors are meaningless for the 3× trigger (see PriorBench)
+      // cross-SF priors are meaningless for the 3× trigger (see PriorBench).
+      // `contains`, not `forall`: an artifact with NO sf tag has unknown
+      // provenance (legacy/hand-edited) and must DISABLE the recheck pass,
+      // not re-enable exactly the cross-SF false-trigger this guard exists
+      // to prevent (r17 advice).
       val priorQs =
-        if (prior.sf.forall(_ == sfDir)) prior.queries
+        if (prior.sf.contains(sfDir)) prior.queries
         else Map.empty[String, Double]
       outliers(mins, priorQs, scale).map { n =>
         Materialize.release(spark)

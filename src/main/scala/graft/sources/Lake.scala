@@ -786,43 +786,79 @@ object Lake {
     * generation mid-compact) still takes `guarded(<lake root>)` around
     * the compact call.
     *
-    * Deliberately NO TTL auto-takeover: a lock left by a crashed writer
-    * in the GENERAL case must be removed by an operator who confirmed
-    * the writer is dead (clock-skew/GC-pause takeovers are how
-    * split-brain happens). The failure message says exactly that. The
-    * guard is reentrant per thread, so a guarded body may call guarded
-    * lake ops.
+    * No BLIND TTL auto-takeover: a lock left by a crashed writer with no
+    * better evidence must be removed by an operator who confirmed the
+    * writer is dead (clock-skew takeovers against a lock that never
+    * promised to heartbeat are how split-brain happens). The failure
+    * message says exactly that. The guard is reentrant per thread, so a
+    * guarded body may call guarded lake ops.
     *
-    * Two PROVABLE-death reclaims exist (r16 advice — pre-r17 every
-    * streaming micro-batch acquiring the lock made a crash mid-publish a
-    * manual-intervention event on the most common recovery path, the
-    * query's own checkpointed restart). The lock records its owner's
-    * identity (pid + process start instant + host + Spark applicationId
-    * + optional stable owner token), and a contender reclaims ONLY when:
+    * Three reclaim rules exist (r16 advice; r17 verdict #1 — the
+    * reference's lock self-expires, `rcache.py:36-54` `SET NX EX 60` +
+    * 50 s refresh, so a crashed holder never needs an operator there;
+    * pre-r18 ours did on any path the first two rules missed). The lock
+    * records its owner's identity (pid + process start instant + host +
+    * Linux boot id + Spark applicationId + heartbeat period + optional
+    * stable owner token), and a contender reclaims ONLY when:
     *  - **same owner token**: both the lock and the contender carry the
     *    session conf `graft.lake.owner` (a streaming publisher sets it
     *    to its checkpoint location — stable across restarts, unique per
     *    query) and they are equal. The prior incarnation of THIS query
     *    is the only writer that can have written it, and a checkpointed
     *    query has one live incarnation — the restart is reclaiming its
-    *    own lock. Guarded against the same-JVM sibling-thread case: a
-    *    lock written by a LIVE process with our own pid is never
-    *    reclaimed (that is a concurrent thread, not a crashed prior run).
-    *  - **same-host dead pid on `file:`**: the lock names this host, the
-    *    scheme is local, and the recorded pid is provably dead (no such
-    *    process, or the pid's current start instant differs — pid
-    *    reuse). Only on `file:` — cross-host liveness is not provable
-    *    from here.
+    *    own lock.
+    *  - **same-machine dead pid**: the lock provably names this machine
+    *    and the recorded pid is provably dead (no such process, or the
+    *    pid's current start instant differs — pid reuse). "This machine"
+    *    is proven by Linux boot-id equality when both sides recorded one
+    *    (scheme-independent — a dead local writer's HDFS lock reclaims
+    *    too); a legacy lock with no boot id falls back to hostname
+    *    equality ONLY on `file:` and only when the hostname is not a
+    *    known-generic value like `localhost` (r17 advice — container
+    *    default hostnames collide, and an NFS-mounted `file:` root is
+    *    visible from several hosts; NFS-shared roots with legacy locks
+    *    are outside the reclaim contract, documented in DEPLOY.md).
+    *  - **stale heartbeat**: the lock advertises a heartbeat period
+    *    (`beatms=N` — the holder promises to refresh the lock file's
+    *    mtime every N ms while alive; see [[BeatConf]]) and the mtime is
+    *    stale by more than [[StaleBeatFactor]]×N. Works on ANY scheme —
+    *    this is the reference-parity lease that makes a crashed one-shot
+    *    batch publisher on HDFS/S3-with-preconditions self-heal without
+    *    an operator. The 6× factor (vs the reference's 1.2×) absorbs GC
+    *    pauses and modest clock skew between the holder's beats and the
+    *    contender's staleness read; a holder paused longer than 6× its
+    *    own advertised period has broken its promise and may be fenced
+    *    out — same contract as any lease lock. Locks that never
+    *    advertised a heartbeat (legacy, or `setTimes`-unsupported
+    *    stores) are never TTL-reclaimed.
+    * ALL rules are overridden by provable LIVENESS (r17 advice): a lock
+    * whose recorded writer is visible RUNNING on this machine (boot-id /
+    * hostname match + pid alive with matching start instant) is never
+    * reclaimed — a hung prior incarnation with our token, or a live
+    * holder whose heartbeat thread died, must contend loudly, not be
+    * split-brained; Spark does not fence checkpoint dirs across driver
+    * processes. A lock written by a LIVE process with our own pid is
+    * likewise never reclaimed (that is a concurrent sibling thread).
+    * Cross-host residual risk remains where liveness is unprovable: a
+    * REMOTE holder paused beyond its advertised lease is
+    * indistinguishable from a dead one (inherent to lease locks).
+    *
     * Reclaims are SERIALIZED through an atomically-created `_LOCK.claim`
     * file: only the claim holder may delete and re-create `_LOCK`, and it
-    * re-reads the lock's identity under the claim before deleting — so
-    * two contenders that both observed the same dead writer cannot
-    * interleave delete/create and both enter (the TOCTOU split-brain).
-    * Losing the claim race, or losing the create race after the delete,
-    * stays a loud failure; a claim orphaned by a crash mid-reclaim needs
-    * the same hand removal as a legacy stale lock (narrow window, loud
-    * message). Legacy pid-only locks carry no host/owner identity and
-    * are never reclaimed.
+    * re-reads the lock's identity — AND re-evaluates heartbeat staleness,
+    * since a beat refreshes mtime without changing identity bytes —
+    * under the claim before deleting; two contenders that both observed
+    * the same dead writer cannot interleave delete/create and both enter
+    * (the TOCTOU split-brain). Losing the claim race, or losing the
+    * create race after the delete, stays a loud failure; a claim
+    * orphaned by a crash mid-reclaim needs the same hand removal as a
+    * legacy stale lock (narrow window, loud message). Legacy pid-only
+    * locks carry no host/owner identity and are never reclaimed.
+    *
+    * Release deletes the lock only while it still carries OUR identity:
+    * if a lease takeover fenced us out mid-body, release logs loudly and
+    * leaves the new holder's lock alone instead of unlocking a third
+    * writer into their publish.
     */
   def guarded[A](spark: SparkSession, rootDir: String)(body: => A): A = {
     val (fs, root) = fsOf(spark, rootDir)
@@ -836,8 +872,10 @@ object Lake {
     def contended(e: Exception) = new IllegalStateException(
       s"Lake: $rootDir is locked by another writer ($LockFile " +
         "exists). If that writer crashed, confirm it is dead and " +
-        s"delete $LockFile by hand — the guard never auto-expires " +
-        "a lock (split-brain risk).", e)
+        s"delete $LockFile by hand — the guard auto-expires only " +
+        "heartbeat leases (locks advertising beatms=N, reclaimed " +
+        "once their mtime is stale by >6N ms); everything else " +
+        "never self-expires (split-brain risk).", e)
     val self = java.lang.ProcessHandle.current()
     val selfStart = self.info().startInstant()
       .map[Long](_.toEpochMilli).orElse(-1L)
@@ -849,12 +887,27 @@ object Lake {
           spark.conf.getOption(OwnerConf + "." + key) orElse
           spark.conf.getOption(OwnerConf)).map(_.trim).filter(_.nonEmpty)
       catch { case scala.util.control.NonFatal(_) => None }
-    val owner = (Seq(
+    // heartbeat period this holder promises (0 = no promise): conf value,
+    // defaulted, and zeroed when the store cannot honor it (setTimes probe)
+    val beatMs: Long = {
+      val want =
+        try spark.conf.getOption(BeatConf).flatMap(_.toLongOption)
+          .getOrElse(DefaultBeatMs)
+        catch { case scala.util.control.NonFatal(_) => DefaultBeatMs }
+      if (want > 0 && setTimesWorks(fs, root)) want else 0L
+    }
+    val ownerLines = Seq(
       s"pid=${self.pid()}",
       s"start=$selfStart",
       s"host=$localHost",
       s"app=${spark.sparkContext.applicationId}") ++
-      ownerToken.map(t => s"owner=$t")).mkString("", "\n", "\n")
+      bootId.map(b => s"boot=$b") ++
+      (if (beatMs > 0) Seq(s"beatms=$beatMs") else Nil) ++
+      ownerToken.map(t => s"owner=$t")
+    val ownIdentity = ownerLines.map { l =>
+      val Array(k, v) = l.split("=", 2); k -> v
+    }.toMap
+    val owner = ownerLines.mkString("", "\n", "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     // atomic exclusive create of `target` carrying our identity. A
     // FAILED CREATE is contention (Some(e)); an IO failure AFTER winning
@@ -899,29 +952,61 @@ object Lake {
       }
     }
     val qualified = fs.makeQualified(lock).toUri
+    // evaluate the reclaim rules against an identity snapshot `h`; called
+    // once to decide to claim, and AGAIN under the claim (heartbeats
+    // refresh mtime without changing identity bytes, so identity equality
+    // alone cannot detect a beat that landed between read and claim)
+    def reclaimableNow(h: Map[String, String]): Boolean = {
+      val samePidAlive = h.get("pid").contains(self.pid().toString) &&
+        h.get("start").forall(_ == selfStart.toString)
+      // boot-id equality proves same machine on any scheme; a legacy lock
+      // with no boot id falls back to hostname equality, full-strength for
+      // the LIVENESS override (refusing a reclaim is the safe direction)
+      // but restricted to file: + non-generic hostnames for the DEATH rule
+      val bootMatch: Option[Boolean] =
+        for (a <- h.get("boot"); b <- bootId) yield a == b
+      val hostMatch = h.get("host").contains(localHost) &&
+        !GenericHosts(localHost.toLowerCase)
+      val sameMachineLive = bootMatch.getOrElse(hostMatch)
+      val sameMachineDead = bootMatch.getOrElse(
+        qualified.getScheme == "file" && hostMatch)
+      // pid evidence: provably dead = no such pid here, or pid reused
+      // (start instants both known and different); presumed live = pid
+      // exists and is not provably reused — unknowable starts count as
+      // live (conservative in both directions)
+      val recStart = h.get("start").flatMap(_.toLongOption).getOrElse(-1L)
+      def pidReused(ph: java.lang.ProcessHandle): Boolean = {
+        val cur = ph.info().startInstant()
+          .map[Long](_.toEpochMilli).orElse(-2L)
+        recStart >= 0 && cur >= 0 && recStart != cur
+      }
+      val pidHere = h.get("pid").flatMap(_.toLongOption)
+        .map(p => java.lang.ProcessHandle.of(p))
+      val pidProvablyDead =
+        pidHere.exists(o => o.map[Boolean](pidReused).orElse(true))
+      val pidPresumedLive =
+        pidHere.exists(o => o.map[Boolean](ph => !pidReused(ph)).orElse(false))
+      // LIVENESS override (r17 advice): a writer visible running on this
+      // machine is never reclaimed, whatever rule would otherwise fire
+      val provablyLiveHere = sameMachineLive && pidPresumedLive
+      val sameToken = ownerToken.isDefined && h.get("owner") == ownerToken
+      val deadPidHere = sameMachineDead && pidProvablyDead
+      // lease rule: the holder PROMISED to refresh mtime every beatms;
+      // stale by > StaleBeatFactor× its own promise ⇒ dead on any scheme
+      val staleBeat = h.get("beatms").flatMap(_.toLongOption)
+        .filter(_ > 0).exists { bm =>
+          val mt = try Some(fs.getFileStatus(lock).getModificationTime)
+          catch { case scala.util.control.NonFatal(_) => None }
+          mt.exists(m => System.currentTimeMillis() - m > bm * StaleBeatFactor)
+        }
+      !samePidAlive && !provablyLiveHere &&
+        (sameToken || deadPidHere || staleBeat)
+    }
     atomicCreate(lock) match {
       case None => ()
       case Some(e) =>
         val holder = readLockIdentity(fs, lock)
-        val reclaimable = holder.exists { h =>
-          val samePidAlive = h.get("pid").contains(self.pid().toString) &&
-            h.get("start").forall(_ == selfStart.toString)
-          val sameToken = ownerToken.isDefined &&
-            h.get("owner") == ownerToken
-          val deadLocalPid = qualified.getScheme == "file" &&
-            h.get("host").contains(localHost) &&
-            h.get("pid").flatMap(_.toLongOption).exists(p =>
-              java.lang.ProcessHandle.of(p).map[Boolean] { ph =>
-                val phStart = ph.info().startInstant()
-                  .map[Long](_.toEpochMilli).orElse(-2L)
-                // a process with that pid exists, but it is not the
-                // writer unless its start instant matches the recorded one
-                h.get("start").flatMap(_.toLongOption)
-                  .exists(rec => rec >= 0 && phStart >= 0 && rec != phStart)
-              }.orElse(true))
-          !samePidAlive && (sameToken || deadLocalPid)
-        }
-        if (!reclaimable) throw contended(e)
+        if (!holder.exists(reclaimableNow)) throw contended(e)
         // serialize the reclaim through an atomically-created claim file:
         // only the claim holder may delete/re-create _LOCK, and it
         // re-reads the lock under the claim — two contenders that both
@@ -935,8 +1020,11 @@ object Lake {
             "hand.", ce))
         try {
           readLockIdentity(fs, lock) match {
-            case Some(h) if holder.contains(h) =>
-              // still exactly the identity we proved dead/restarted
+            case Some(h) if holder.contains(h) && reclaimableNow(h) =>
+              // still exactly the identity we proved dead/restarted, and
+              // still reclaimable NOW (a heartbeat landing between the
+              // first read and the claim refreshes mtime only — the
+              // re-evaluation, not identity equality, catches it)
               System.err.println(
                 s"[lake] reclaiming $LockFile at $rootDir from a provably " +
                   s"restarted/dead writer (${h.toSeq.sorted
@@ -944,8 +1032,9 @@ object Lake {
               fs.delete(lock, false): Unit
               atomicCreate(lock).foreach(e2 => throw contended(e2))
             case Some(_) =>
-              // replaced by a DIFFERENT writer since our read — it is
-              // live (it just acquired); back off loudly
+              // replaced by a DIFFERENT writer since our read (it is
+              // live — it just acquired), or a heartbeat arrived: back
+              // off loudly
               throw contended(e)
             case None =>
               // released/reclaimed-away in the window: take it normally
@@ -968,12 +1057,119 @@ object Lake {
         }
     }
     heldLocks.get().add(key)
+    // lease heartbeat: refresh the lock file's mtime every beatMs while
+    // the body runs (the reference's 50 s refresh on a 60 s TTL,
+    // rcache.py:49-54, as a filesystem mtime). `stopped` suppresses the
+    // failure warning for a beat racing the release itself.
+    val beatStopped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val beat: Option[java.util.concurrent.ScheduledFuture[_]] =
+      if (beatMs <= 0) None
+      else Some(beatExec.scheduleWithFixedDelay(() => {
+        if (!beatStopped.get())
+          try fs.setTimes(lock, System.currentTimeMillis(), -1)
+          catch {
+            case scala.util.control.NonFatal(t) =>
+              if (!beatStopped.get()) System.err.println(
+                s"[lake] WARNING: _LOCK heartbeat failed at $rootDir " +
+                  s"($t) — if this persists past ${beatMs * StaleBeatFactor}" +
+                  " ms the lease may be reclaimed by a contender")
+          }
+      }, beatMs, beatMs, java.util.concurrent.TimeUnit.MILLISECONDS))
     try body
     finally {
       heldLocks.get().remove(key)
-      fs.delete(lock, false): Unit
+      beatStopped.set(true)
+      beat.foreach(_.cancel(false): Unit)
+      // release only a lock still carrying OUR identity: if a lease
+      // takeover fenced us out mid-body (a pause past our own advertised
+      // beat promise), deleting would unlock a THIRD writer into the new
+      // holder's publish — leave it and shout instead
+      readLockIdentity(fs, lock) match {
+        case Some(h) if h == ownIdentity => fs.delete(lock, false): Unit
+        case None => () // already gone (reclaimed and released)
+        case Some(_) => System.err.println(
+          s"[lake] WARNING: $LockFile at $rootDir no longer carries this " +
+            "writer's identity at release — a contender reclaimed the " +
+            "lease mid-body (this writer was paused past its heartbeat " +
+            "promise). Leaving the new holder's lock in place; THIS " +
+            "writer's work in the overlap window is suspect.")
+      }
     }
   }
+
+  /** Session conf: lock heartbeat period in ms (default
+    * [[DefaultBeatMs]]); `<= 0` disables the lease (the lock then never
+    * self-expires — pre-r18 behavior). The period is recorded in the
+    * lock (`beatms=N`) so contenders grade staleness against the
+    * holder's OWN promise, never a guessed global TTL. */
+  val BeatConf = "graft.lake.lock.beat.ms"
+
+  /** Default heartbeat period: 15 s → a 90 s lease at
+    * [[StaleBeatFactor]] 6×. The reference runs 50 s beats on a 60 s TTL
+    * (1.2×); 6× trades slower crash recovery for immunity to GC pauses
+    * and modest clock skew, the split-brain sources a blind TTL has. */
+  val DefaultBeatMs = 15000L
+
+  /** A lock whose mtime is stale by more than this multiple of its own
+    * advertised `beatms` is lease-expired (see [[BeatConf]]). */
+  val StaleBeatFactor = 6L
+
+  private lazy val beatExec = {
+    val ex = new java.util.concurrent.ScheduledThreadPoolExecutor(1,
+      (r: Runnable) => {
+        val t = new Thread(r, "lake-lock-heartbeat"); t.setDaemon(true); t
+      })
+    ex.setRemoveOnCancelPolicy(true)
+    ex
+  }
+
+  /** Hostnames that prove nothing about machine identity (r17 advice:
+    * container default hostnames collide across machines). */
+  private val GenericHosts =
+    Set("localhost", "localhost.localdomain", "unknown-host", "")
+
+  /** Linux boot id — unique per machine per boot, the machine-identity
+    * proof hostnames cannot give (r17 advice: NFS-mounted `file:` roots
+    * and cloned container hostnames). None off-Linux. */
+  private lazy val bootId: Option[String] =
+    try {
+      val p = java.nio.file.Paths.get("/proc/sys/kernel/random/boot_id")
+      if (java.nio.file.Files.isReadable(p))
+        Some(java.nio.file.Files.readString(p).trim).filter(_.nonEmpty)
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Does this store honor `FileSystem.setTimes` (verified, not assumed:
+    * some object-store connectors silently no-op it)? Probed once per
+    * filesystem URI with a scratch file whose mtime is set to a known
+    * past instant and read back. A store that fails the probe gets no
+    * `beatms` promise — its locks simply never lease-expire. */
+  private def setTimesWorks(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Boolean = {
+    val key = fs.getUri.toString
+    Option(setTimesOk.get(key)).map(_.booleanValue).getOrElse {
+      val probe = new org.apache.hadoop.fs.Path(root,
+        s"$LockFile.beatprobe-${java.lang.ProcessHandle.current().pid()}" +
+          s"-${System.nanoTime()}")
+      val ok =
+        try {
+          val os = fs.create(probe, true)
+          try os.write('b') finally os.close()
+          val target = (System.currentTimeMillis() / 1000L) * 1000L - 10000L
+          fs.setTimes(probe, target, -1)
+          math.abs(fs.getFileStatus(probe).getModificationTime - target) <=
+            1000L
+        } catch { case scala.util.control.NonFatal(_) => false }
+        finally {
+          try fs.delete(probe, false): Unit
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+      setTimesOk.put(key, ok)
+      ok
+    }
+  }
+  private val setTimesOk =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** Session conf key for the stable writer-identity token recorded in
     * `_LOCK` (set it to the streaming query's checkpoint location).
@@ -1791,7 +1987,11 @@ object Lake {
       "Lake.followChanges (cursor temp+rename)")
     def writeCursor(v: Long): Unit = {
       val os = cfs.create(tmpPath, true)
-      try os.write(v.toString.getBytes(
+      // trailing "\n" is the payload TERMINATOR: a crash mid-write can
+      // leave a truncated decimal prefix that still parses ("15" cut to
+      // "1"), and the lone-tmp recovery below must be able to tell a
+      // complete value from a prefix (r17 advice)
+      try os.write((v.toString + "\n").getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
       finally os.close()
       if (cfs.exists(cPath)) cfs.delete(cPath, false): Unit
@@ -1817,6 +2017,11 @@ object Lake {
     // leaves a partial/empty tmp, and adopting that would poison every
     // later read with NumberFormatException. Nothing was committed in
     // that history, so fresh-consumer init is the correct fallthrough.
+    // "Parses" requires the trailing "\n" TERMINATOR writeCursor appends
+    // (r17 advice): a truncated decimal PREFIX still parses as a Long
+    // (writing "15\n", crash after "1" → would adopt cursor 1 and
+    // silently convert tail-from-now init into a partial-history
+    // replay) — only a terminated payload is a committed value.
     // When BOTH exist (crash between tmp write and delete), the main
     // file wins: it is the older value, and re-delivering one page is
     // the at-least-once contract — skipping would not be.
@@ -1824,14 +2029,17 @@ object Lake {
       val parses =
         try {
           val in = cfs.open(tmpPath)
-          try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-            java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption
-          finally in.close()
+          val text =
+            try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+              java.nio.charset.StandardCharsets.UTF_8)
+            finally in.close()
+          if (text.endsWith("\n")) text.trim.toLongOption else None
         } catch { case scala.util.control.NonFatal(_) => None }
       if (parses.isEmpty) {
         System.err.println(
-          s"[lake] followChanges: discarding unparseable cursor tmp " +
-            s"$tmpPath (crash mid-initial-write) — fresh-consumer init")
+          s"[lake] followChanges: discarding unparseable/unterminated " +
+            s"cursor tmp $tmpPath (crash mid-initial-write) — " +
+            "fresh-consumer init")
         cfs.delete(tmpPath, false): Unit
       } else if (!cfs.rename(tmpPath, cPath)) throw new java.io.IOException(
         s"Lake.followChanges: cursor recovery failed ($tmpPath -> $cPath)")

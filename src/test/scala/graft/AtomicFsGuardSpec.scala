@@ -94,16 +94,40 @@ class AtomicFsGuardSpec extends SparkSuite {
         os.write((lines.mkString("\n") + "\n").getBytes("UTF-8")); os.close()
       }
       val host = java.net.InetAddress.getLocalHost.getHostName
-      // dead pid on THIS host is NOT reclaimable off the file: scheme
-      // (cross-store liveness claims are not provable from a local pid
-      // table when the lock may be shared by other hosts)
+      // a legacy lock (no boot id) naming this HOSTNAME is NOT dead-pid
+      // reclaimable off the file: scheme — hostname equality proves
+      // nothing about machine identity on a shared store (r17 advice)
       plant("pid=2999999999", "start=123", s"host=$host", "app=app-old")
       intercept[IllegalStateException] {
         Lake.guarded(spark, root) { fail("entered under a remote lock") }
       }
-      // ... but the owner token is scheme-independent proof of self
-      spark.conf.set(Lake.OwnerConf, "ckpt-hdfs")
       fs.delete(new org.apache.hadoop.fs.Path(root, "_LOCK"), false)
+      // ... but a BOOT-ID match is machine-proof on any scheme: the same
+      // dead pid with our boot id reclaims through the hdfs branch
+      val boot = java.nio.file.Files.readString(java.nio.file.Paths
+        .get("/proc/sys/kernel/random/boot_id")).trim
+      plant("pid=2999999999", "start=123", s"host=$host", s"boot=$boot",
+        "app=app-old")
+      Lake.guarded(spark, root) { () }
+      // lease expiry is scheme-independent too: a foreign killed
+      // heartbeat-holder (beats frozen past 6x its promise) self-heals
+      // here exactly as on file: (r17 verdict #1 — the crashed one-shot
+      // batch publisher on HDFS that used to need an operator)
+      plant("pid=4242", "start=99", "host=elsewhere",
+        "boot=00000000-dead-dead-dead-000000000000", "app=app-killed",
+        "beatms=100")
+      fs.setTimes(new org.apache.hadoop.fs.Path(root, "_LOCK"),
+        System.currentTimeMillis() - 10000L, -1)
+      Lake.guarded(spark, root) {
+        // and OUR lock through this branch advertises its own lease
+        val in = fs.open(new org.apache.hadoop.fs.Path(root, "_LOCK"))
+        val id = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+        assert(id.contains("beatms="), id)
+      }
+      // ... and the owner token is scheme-independent proof of self
+      spark.conf.set(Lake.OwnerConf, "ckpt-hdfs")
       plant("pid=4242", "start=99", "host=elsewhere", "app=app-old",
         "owner=ckpt-hdfs")
       Lake.guarded(spark, root) { () }

@@ -175,6 +175,52 @@ class LakeGuardSpec extends SparkSuite {
     }
   }
 
+  test("liveness override (r17 advice): a lock naming OUR machine (boot " +
+      "id) and a pid that is ALIVE here is never reclaimed — not by a " +
+      "matching owner token, not by a stale lease — while the same lock " +
+      "with a DEAD pid still is") {
+    val root = tmp()
+    val fs = fsOf(root)
+    def plant(lines: String*): Unit = {
+      val os = fs.create(new Path(root, "_LOCK"), false)
+      os.write((lines.mkString("\n") + "\n").getBytes("UTF-8")); os.close()
+      // freeze the mtime far past any lease so ONLY liveness can save it
+      new java.io.File(s"$root/_LOCK")
+        .setLastModified(System.currentTimeMillis() - 3600000L): Unit
+    }
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    val boot = java.nio.file.Files.readString(java.nio.file.Paths
+      .get("/proc/sys/kernel/random/boot_id")).trim
+    try {
+      fs.mkdirs(new Path(root))
+      // pid 1 is alive on this machine and is NOT this JVM. Pre-r18 the
+      // sameToken rule reclaimed this lock (a hung-but-live prior
+      // incarnation, or a supervisor restart overlapping a stuck driver
+      // — Spark does not fence checkpoint dirs across driver processes):
+      // exactly the split-brain the r17 advice flagged.
+      spark.conf.set(Lake.OwnerConf, "ckpt-hung")
+      plant("pid=1", "start=-1", s"host=$host", s"boot=$boot",
+        "app=app-hung", "beatms=100", "owner=ckpt-hung")
+      val e = intercept[IllegalStateException] {
+        Lake.guarded(spark, root) { fail("split-brained a live writer") }
+      }
+      assert(e.getMessage.contains("locked by another writer"), e.getMessage)
+      assert(fs.exists(new Path(root, "_LOCK"))) // untouched
+      fs.delete(new Path(root, "_LOCK"), false)
+      // control: the IDENTICAL lock with a provably-dead pid reclaims
+      // through the same token rule the override just blocked
+      plant("pid=2999999999", "start=123", s"host=$host", s"boot=$boot",
+        "app=app-dead", "beatms=100", "owner=ckpt-hung")
+      Lake.guarded(spark, root) { () }
+      assert(!fs.exists(new Path(root, "_LOCK")))
+    } finally {
+      try spark.conf.unset(Lake.OwnerConf)
+      catch { case scala.util.control.NonFatal(_) => () }
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(root).getParentFile)
+    }
+  }
+
   test("streaming restart self-heals its crashed incarnation's lock: " +
       "publishStream stamps its checkpoint location as the root-scoped " +
       "owner token, so the restart reclaims a stale lock carrying the " +

@@ -101,4 +101,118 @@ class LockStressSpec extends SparkSuite {
         .deleteDirectory(new java.io.File(work))
     }
   }
+
+  test("lease reclaim (r17 verdict #1): a killed heartbeat-holder's lock " +
+      "— remote host, no pid evidence, mtime frozen past 6x its own " +
+      "beatms promise — is reclaimed without manual removal") {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_lease_dead").toString
+    val root = s"$work/lake"
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      fs.mkdirs(new Path(root))
+      // the exact state a kill -9 leaves: full identity advertising a
+      // 100 ms heartbeat, written by ANOTHER machine (different boot id,
+      // foreign host — neither pid rule nor token can apply), beats
+      // stopped so the mtime freezes at plant time
+      val os = fs.create(new Path(root, "_LOCK"), false)
+      os.write(("pid=4242\nstart=99\nhost=elsewhere\n" +
+        "boot=00000000-dead-dead-dead-000000000000\napp=app-killed\n" +
+        "beatms=100\n").getBytes("UTF-8")); os.close()
+      // not yet stale: a contender inside the 600 ms lease must back off
+      intercept[IllegalStateException] {
+        Lake.guarded(spark, root) { fail("entered inside a live lease") }
+      }
+      Thread.sleep(1000L) // > 6 x 100 ms promise
+      Lake.guarded(spark, root) { () } // reclaims, enters, releases
+      assert(!fs.exists(new Path(root, "_LOCK")))
+      assert(!fs.exists(new Path(root, "_LOCK.claim")))
+      // control: the SAME stale state WITHOUT a beatms promise is the
+      // legacy no-TTL contract — never auto-expired, manual only
+      val os2 = fs.create(new Path(root, "_LOCK"), false)
+      os2.write(("pid=4242\nstart=99\nhost=elsewhere\n" +
+        "boot=00000000-dead-dead-dead-000000000000\n" +
+        "app=app-killed\n").getBytes("UTF-8")); os2.close()
+      new java.io.File(s"$root/_LOCK")
+        .setLastModified(System.currentTimeMillis() - 3600000L): Unit
+      val e = intercept[IllegalStateException] {
+        Lake.guarded(spark, root) { fail("TTL-reclaimed a no-lease lock") }
+      }
+      assert(e.getMessage.contains("delete _LOCK by hand"), e.getMessage)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(work))
+  }
+
+  test("lease liveness (r17 verdict #1): a LIVE slow holder heartbeating " +
+      "every 100 ms is NOT reclaimed even when its body far outlives the " +
+      "600 ms lease; the lock releases normally after") {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_lease_live").toString
+    val root = s"$work/lake"
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.conf.set(Lake.BeatConf, "100")
+    try {
+      val entered = new java.util.concurrent.CountDownLatch(1)
+      val holderErr =
+        new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val holder = new Thread(() =>
+        try Lake.guarded(spark, root) {
+          entered.countDown()
+          Thread.sleep(2000L) // 3.3x the lease, kept alive by beats
+        } catch { case t: Throwable => holderErr.set(t) })
+      holder.start()
+      assert(entered.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      Thread.sleep(900L) // well past 6 x 100 ms from CREATION mtime
+      // the heartbeat genuinely refreshed the mtime (the same-JVM holder
+      // would also be shielded by samePidAlive — assert the beat itself,
+      // not just the contention outcome, so the REMOTE-holder case is
+      // what this pins)
+      val age = System.currentTimeMillis() -
+        fs.getFileStatus(new Path(root, "_LOCK")).getModificationTime
+      assert(age < 600L, s"heartbeat never refreshed the lock (age $age ms)")
+      val e = intercept[IllegalStateException] {
+        Lake.guarded(spark, root) { fail("reclaimed a live lease") }
+      }
+      assert(e.getMessage.contains("locked by another writer"), e.getMessage)
+      holder.join(20000L)
+      assert(holderErr.get() == null, s"holder failed: ${holderErr.get()}")
+      // released cleanly; the next writer enters with no residue
+      assert(!fs.exists(new Path(root, "_LOCK")))
+      Lake.guarded(spark, root) { () }
+    } finally {
+      try spark.conf.unset(Lake.BeatConf)
+      catch { case scala.util.control.NonFatal(_) => () }
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(work))
+    }
+  }
+
+  test("release-ownership check: a holder whose lock was usurped " +
+      "mid-body leaves the new holder's _LOCK in place at release " +
+      "instead of unlocking a third writer into it") {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_lease_usurp").toString
+    val root = s"$work/lake"
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val lock = new Path(root, "_LOCK")
+      Lake.guarded(spark, root) {
+        // simulate a lease takeover: replace our lock with the
+        // usurper's identity while we are still inside the body
+        fs.delete(lock, false)
+        val os = fs.create(lock, false)
+        os.write(("pid=7777\nstart=7\nhost=usurper\n" +
+          "app=app-new\nbeatms=15000\n").getBytes("UTF-8")); os.close()
+      }
+      // release must NOT have deleted the usurper's lock
+      assert(fs.exists(lock), "release deleted a lock it no longer owned")
+      val id = new String(org.apache.commons.io.IOUtils.toByteArray(
+        fs.open(lock)), "UTF-8")
+      assert(id.contains("host=usurper"), id)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(work))
+  }
 }
