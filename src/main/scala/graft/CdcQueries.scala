@@ -275,6 +275,55 @@ object CdcQueries extends QueryRegistry {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
       res
     }),
+    // K1 end-to-end for the THIRD tombstone strategy (r17 verdict #4):
+    // the transformWithState merge wired through the SAME production
+    // foreachBatch bucket sink, across a real checkpoint kill/restart.
+    // The first half of the changelog streams through runTws, the query
+    // is stopped (the "kill"), the second half lands, and the job
+    // restarts on the SAME checkpoint — offsets AND the RocksDB state
+    // (live + TTL'd tomb column families) recover, the restarted half
+    // folds onto that recovered state, and the final bucketed state dir
+    // must equal the batch compact (same oracle as cdc_state_sink /
+    // cdc_compact). Drained by observable input-row count: TWS's
+    // TimeMode.ProcessingTime schedules batches forever, so
+    // processAllAvailable/AvailableNow cannot terminate it.
+    "cdc_state_sink_tws" -> ((s, dir) => {
+      val ss = streaming.CdcStream.stateScopedSession(s)
+      streaming.CdcStream.useRocksDBStateStore(ss)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_sink_tws").toString
+      val src = s"$tmp/src"
+      val ch = CdcBatch.changeLog(ss, dir)
+        .crossJoin(broadcast(CdcBatch.changeLog(ss, dir)
+          .agg((max("seq") / 2).cast("long").as("k"))))
+        .materialize() // one changelog scan feeds both halves
+      val cols =
+        Seq("table", "rid", "cdc_action", "cdc_ts", "seq", "value", "props")
+      val v1 = ch.filter(col("seq") <= col("k"))
+        .select(cols.head, cols.tail: _*)
+      val v2 = ch.filter(col("seq") > col("k"))
+        .select(cols.head, cols.tail: _*)
+      v1.coalesce(4).write.mode("overwrite").parquet(src)
+      val schema = ss.read.parquet(src).schema
+      val n1 = ss.read.parquet(src).count()
+      import ss.implicits._
+      def start() = streaming.CdcStream.runTws(ss,
+        ss.readStream.schema(schema).parquet(src)
+          .as[streaming.CdcStream.Ch],
+        s"$tmp/state", s"$tmp/ckpt", nBuckets = 16)
+      val q1 = start()
+      try streaming.CdcStream.drainTws(q1, n1, 120000L) finally q1.stop()
+      v2.coalesce(4).write.mode("append").parquet(src) // post-kill changes
+      val n2 = ss.read.parquet(src).count() - n1
+      val q2 = start() // restart on the same checkpoint
+      try streaming.CdcStream.drainTws(q2, n2, 120000L) finally q2.stop()
+      val res = ss.read.parquet(s"$tmp/state")
+        .select("table", "rid", "cdc_action", "seq", "cdc_ts", "value",
+          "props")
+        .materializeForced() // the temp state dir is deleted next
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      res
+    }),
     // K2 drift loop CLOSED (dump2csv.py:78-87 quarantines and stops; the
     // reference TODOs the ALTER): a rename-forked changelog quarantines
     // whole to .tmp, replays through Csv.replayQuarantine's supplied
@@ -436,6 +485,7 @@ object CdcQueries extends QueryRegistry {
     "cdc_compact_stream" -> compactSql,
     "cdc_compact_stream_tws" -> compactSql,
     "cdc_state_sink" -> compactSql,
+    "cdc_state_sink_tws" -> compactSql,
     "json_roundtrip" -> roundtripOracle,
     "orc_roundtrip" -> roundtripOracle,
     "cdc_stream_windowed" ->

@@ -313,27 +313,37 @@ object CdcStream {
       .outputMode("update")
       .trigger(Trigger.ProcessingTime(50))
       .start()
-    try {
-      val end = System.nanoTime() + deadlineMs * 1000000L
-      val perBatch = scala.collection.mutable.Map.empty[Long, Long]
-      var total = 0L
-      while (total < expected && System.nanoTime() < end) {
-        // a FAILED query must surface its real error immediately, not
-        // spin the full deadline and report a misleading "did not
-        // quiesce" with the root cause discarded
-        q.exception.foreach(e => throw e)
-        Thread.sleep(100)
-        for (p <- q.recentProgress) perBatch(p.batchId) = p.numInputRows
-        total = perBatch.values.sum
-      }
-      q.exception.foreach(e => throw e)
-      if (total < expected) throw new IllegalStateException(
-        s"CdcStream.compactStreamedTws: drain did not quiesce — " +
-          s"$total of $expected input rows processed in ${deadlineMs} ms")
-    } finally q.stop()
+    try drainTws(q, expected, deadlineMs) finally q.stop()
     Merge.latestPerKey(s.table(name), Seq("table", "rid"), "seq")
       .filter(col("cdc_action") =!= Types.None_)
       .select("table", "rid", "cdc_action", "seq", "cdc_ts", "value", "props")
+  }
+
+  /** Bounded observable drain for a TimeMode.ProcessingTime query (TWS
+    * schedules batches forever, so `Trigger.AvailableNow` never
+    * terminates and `processAllAvailable` hangs): poll cumulative
+    * `numInputRows` by batchId — immune to `recentProgress`'s bounded
+    * retention — until it reaches `expected` (all data is on disk before
+    * the stream starts, and a progress event fires only after its batch,
+    * sink commit included, so reaching the count IS quiescence). The
+    * caller owns `q.stop()`. A failed query surfaces its real error
+    * immediately instead of spinning the deadline. */
+  private[graft] def drainTws(
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      expected: Long, deadlineMs: Long): Unit = {
+    val end = System.nanoTime() + deadlineMs * 1000000L
+    val perBatch = scala.collection.mutable.Map.empty[Long, Long]
+    var total = 0L
+    while (total < expected && System.nanoTime() < end) {
+      q.exception.foreach(e => throw e)
+      Thread.sleep(100)
+      for (p <- q.recentProgress) perBatch(p.batchId) = p.numInputRows
+      total = perBatch.values.sum
+    }
+    q.exception.foreach(e => throw e)
+    if (total < expected) throw new IllegalStateException(
+      s"CdcStream.drainTws: drain did not quiesce — " +
+        s"$total of $expected input rows processed in ${deadlineMs} ms")
   }
 
   /** Tumbling-window aggregation run AS A STREAM to completion
@@ -912,6 +922,36 @@ object CdcStream {
       // ProcessingTime deployment — the default here; AvailableNow gives
       // the run-to-completion parity mode (StandingStreamSpec pins the
       // standing shape against live file drops)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Ch], _: Long) =>
+        upsertBatch(batch.toDF(), stateDir, nBuckets)
+      }
+      .start()
+
+  /** [[run]] on the transformWithState merge ([[mergedTws]]) — the THIRD
+    * tombstone strategy wired through the SAME production foreachBatch
+    * bucket sink (r17 verdict #4: sink+restart evidence, not just drain
+    * evidence). Per micro-batch the emitted updates upsert into the
+    * bucketed parquet state dir exactly as [[run]]'s fMGWS form does;
+    * `none` tombstones remove the stored row (the checkpointed RocksDB
+    * state — live + TTL'd tomb column families — carries the replay
+    * guard, so the sink holds live rows only, same contract as the typed
+    * path). The caller must have enabled the RocksDB provider
+    * ([[useRocksDBStateStore]]) and must drain with [[drainTws]]:
+    * TimeMode.ProcessingTime schedules batches forever, so AvailableNow
+    * never terminates. A checkpointed restart resumes offsets AND state —
+    * the `cdc_state_sink_tws` gate kills the query mid-changelog and
+    * proves the restarted half folds onto the recovered state to the
+    * batch-compact oracle.
+    */
+  def runTws(spark: SparkSession, source: Dataset[Ch], stateDir: String,
+      checkpointDir: String, nBuckets: Int = 64,
+      tombstoneTtl: java.time.Duration = java.time.Duration.ofDays(1),
+      trigger: Trigger = Trigger.ProcessingTime(50L))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    mergedTws(source, tombstoneTtl).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Ch], _: Long) =>
         upsertBatch(batch.toDF(), stateDir, nBuckets)
