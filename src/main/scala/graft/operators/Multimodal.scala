@@ -20,23 +20,56 @@ object Multimodal {
   final case class MediaFeatures(
       doc_id: Long, format: String, n_bytes: Long, features: Array[Float])
 
-  /** Fixture media table: text bytes stand in for encoded media; metadata
-    * derived deterministically from doc_id.
+  /** Fixture media table: each payload carries a REAL container header —
+    * PNG signature+IHDR, JPEG SOI+APP0(JFIF)+SOF0, or WebP RIFF/VP8X —
+    * with the row's dimensions byte-encoded into it (big-endian for
+    * PNG/JPEG, the spec's LE24-minus-one for VP8X), followed by the
+    * document text standing in for the compressed body. The `meta`
+    * struct is then PARSED BACK from those bytes by the codegen'd
+    * [[org.apache.spark.sql.graft.MediaDims]] expression (r17 verdict
+    * #3: metadata from bytes, not from doc_id arithmetic — only PIXEL
+    * decode remains stubbed). Headers are synthesized with built-in
+    * expressions (hex/lpad/unhex/concat — all codegen'd); PNG's IHDR
+    * CRC is zeroed (dimension parsers don't check it, and neither
+    * engine has a SQL crc32 both sides could agree on).
     */
-  def mediaTable(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet").select(
-      col("doc_id"),
-      col("text").cast("binary").as("media"),
-      struct(
-        when(col("doc_id") % 3 === 0, "jpeg")
-          .when(col("doc_id") % 3 === 1, "png")
-          .otherwise("webp").as("format"),
-        (lit(64) + (col("doc_id") % 8) * 32).cast("int").as("width"),
-        (lit(64) + (col("doc_id") % 5) * 48).cast("int").as("height"))
-        .as("meta"))
+  def mediaTable(s: SparkSession, dir: String): DataFrame = {
+    val w = (lit(64) + (col("doc_id") % 8) * 32).cast("int")
+    val h = (lit(64) + (col("doc_id") % 5) * 48).cast("int")
+    def be32(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+    def be16(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
+    def leSwap(hexStr: org.apache.spark.sql.Column, nBytes: Int) =
+      concat((nBytes to 1 by -1).map(i =>
+        substring(hexStr, (i - 1) * 2 + 1, 2)): _*)
+    def le24(c: org.apache.spark.sql.Column) = leSwap(lpad(hex(c), 6, "0"), 3)
+    def le32(c: org.apache.spark.sql.Column) = leSwap(lpad(hex(c), 8, "0"), 4)
+    val payload = col("text").cast("binary")
+    val png = concat(
+      lit("89504E470D0A1A0A0000000D49484452"), be32(w), be32(h),
+      lit("080600000000000000")) // depth 8, RGBA, CRC zeroed
+    val jpeg = concat(
+      lit("FFD8FFE000104A46494600010100000100010000FFC0001108"),
+      be16(h), be16(w), lit("03012200021101031101"))
+    val webp = concat(
+      lit("52494646"), le32(length(payload) + 22), lit("5745425056503858"),
+      lit("0A00000000000000"), le24(w - 1), le24(h - 1))
+    val headerHex =
+      when(col("doc_id") % 3 === 0, jpeg)
+        .when(col("doc_id") % 3 === 1, png)
+        .otherwise(webp)
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        concat(unhex(headerHex), payload).as("media"))
+      .select(col("doc_id"), col("media"),
+        org.apache.spark.sql.graft.MediaFunctions
+          .mediaDims(col("media")).as("meta"))
+  }
 
-  /** STUB decode: a real pipeline would decode `media` with an image/audio
-    * codec here. The fake is a 16-bin byte histogram normalized to [0,1] —
+  /** STUB decode — PIXEL decode only, since r18: container metadata
+    * (format/width/height) is genuinely parsed from the payload bytes by
+    * [[org.apache.spark.sql.graft.MediaDims]]; what a codec would add is
+    * the decompressed pixel planes, and the container has no media
+    * libraries. The fake is a 16-bin byte histogram normalized to [0,1] —
     * deterministic, shaped like a feature extractor's output, and cheap.
     */
   def decodeStub(bytes: Array[Byte]): Array[Float] = {
@@ -102,7 +135,10 @@ object Multimodal {
         regexp_extract(col("path"), "(\\d+)\\.bin$", 1)
           .cast("long").as("doc_id"),
         col("length").as("n_bytes"),
-        md5(col("content")).as("content_md5"))
+        // md5 over the hex encoding (not the raw bytes): the oracle's
+        // engine can only md5 strings, and hashing the same uppercase
+        // hex on both sides proves byte equality just as well
+        md5(hex(col("content"))).as("content_md5"))
 
   /** Stage each row's payload as one `<doc_id>.bin` file under `dir` —
     * executor-side, one file per row (the gate's stand-in for the
