@@ -316,15 +316,45 @@ object SimilarityQueries extends QueryRegistry {
         (0 until dims).map(i => asLit(vOpt(i)).as(s"v$i")): _*)
   }
 
+  /** Append the corpus-level recall gate (r17 verdict #5): recall@k of
+    * the approx result against the in-query brute-force exact top-k,
+    * emitted as one boolean column every row carries — the q15
+    * sketch-gate pattern, each engine grading its OWN result. A
+    * Spark-side recall regression (quantizer drift, a probe-count edit,
+    * an encode bug) flips the column false and fails the driver HASH
+    * gate, not just a spec. The exact side is the same broadcast
+    * brute-force pass `sim_topk` already prices (O(nQ·n) — at 100 TB
+    * the gate runs on a sampled query set, exactly like any online
+    * recall monitor). Floors are measured minima across
+    * sf0.001/0.01/0.1 minus margin — regression tripwires, not quality
+    * claims: ivf@3 0.87–0.97 → 0.80; pq@5 0.52–0.78 → 0.45;
+    * ivfpq@5 0.64–0.70 → 0.50.
+    */
+  private def withRecallGate(approxDf: DataFrame, e: DataFrame,
+      qPred: org.apache.spark.sql.Column, k: Int, floor: Double): DataFrame = {
+    val approx = approxDf.materialize() // feeds the hit count AND the output
+    val exact = Similarity.topK(e, qPred, k)
+      .select("qid", "vec_id").materialize()
+    val hits = approx.select("qid", "vec_id")
+      .join(exact, Seq("qid", "vec_id"), "left_semi")
+      .agg(count(lit(1)).cast("double").as("nh"))
+    val tot = exact.agg(count(lit(1)).cast("double").as("nt"))
+    approx.crossJoin(broadcast(hits.crossJoin(tot)
+      .select((col("nh") / col("nt") >= lit(floor)).as("recall_ok"))))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // X3 baseline: brute-force cosine top-5 for 10 query vectors
     "sim_topk" -> ((s, dir) =>
       Similarity.topK(emb(s, dir), col("vec_id") < 10, 5)),
     // X3 scale path: IVF-bucketed top-3 (search only the query's cell);
-    // quantizer from the session-shared training (see sharedCentroids)
+    // quantizer from the session-shared training (see sharedCentroids).
+    // recall_ok: in-query recall@3 vs exact, floor 0.80 (withRecallGate)
     "sim_ivf_topk" -> ((s, dir) =>
-      Similarity.ivfTopKWith(emb(s, dir), sharedCentroids(s, dir),
-        col("vec_id") < 10, 3)),
+      withRecallGate(
+        Similarity.ivfTopKWith(emb(s, dir), sharedCentroids(s, dir),
+          col("vec_id") < 10, 3),
+        emb(s, dir), col("vec_id") < 10, 3, 0.80)),
     // X3: FILTERED ANN — top-3 among only the even-id vectors (the
     // "nearest within a metadata subset" production shape: nearest
     // English docs, nearest snapshot survivors). The predicate applies
@@ -551,18 +581,24 @@ object SimilarityQueries extends QueryRegistry {
     // per subspace, asymmetric-distance top-5. The 16×-compressed codes
     // are searched via per-query LUT sums without reconstructing any
     // vector; recall@5 vs exact L2 is spec-pinned ≥ 0.6 (SimilaritySpec).
+    // recall_ok: in-query recall@5 vs exact, floor 0.45 (withRecallGate)
     "sim_pq_adc" -> ((s, dir) =>
-      Similarity.pqAdcTopK(emb(s, dir), 16, 256, col("vec_id") < 10, 5,
-        cbOpt = Some(sharedPqCodebook(s, dir)))),
+      withRecallGate(
+        Similarity.pqAdcTopK(emb(s, dir), 16, 256, col("vec_id") < 10, 5,
+          cbOpt = Some(sharedPqCodebook(s, dir))),
+        emb(s, dir), col("vec_id") < 10, 5, 0.45)),
     // X3 scale path: IVF-PQ (the IVFADC composition — coarse cells prune
     // the search to nprobe cells per query, PQ codes over RESIDUALS give
     // 16×-compressed in-cell distances via per-(query, cell) LUTs). The
     // production-ANN architecture, assembled from the same deterministic
     // spec-pinned pieces as sim_ivf_topk and sim_pq_adc.
+    // recall_ok: in-query recall@5 vs exact, floor 0.50 (withRecallGate)
     "sim_ivfpq" -> ((s, dir) =>
-      Similarity.ivfPqTopK(emb(s, dir), 16, 16, 256, col("vec_id") < 10, 5,
-        nprobe = 3, centOpt = Some(sharedCentroids(s, dir)),
-        cbOpt = Some(sharedIvfPqCodebook(s, dir)))),
+      withRecallGate(
+        Similarity.ivfPqTopK(emb(s, dir), 16, 16, 256, col("vec_id") < 10, 5,
+          nprobe = 3, centOpt = Some(sharedCentroids(s, dir)),
+          cbOpt = Some(sharedIvfPqCodebook(s, dir))),
+        emb(s, dir), col("vec_id") < 10, 5, 0.50)),
     // X3: the PERSISTED-index form of sim_ivfpq — the same IVFADC search
     // through the VecIndex build→probe lifecycle (train + encode once to
     // cell-partitioned storage, probe via broadcast ADC LUTs over pruned
@@ -957,9 +993,34 @@ object SimilarityQueries extends QueryRegistry {
        |FROM asn2 a JOIN asn2 b USING (cid)
        |WHERE a.vec_id < b.vec_id AND ${cos("a.v", "b.v")} >= 0.4""".stripMargin
 
+  /** Wrap an approx-top-k oracle with the recall gate (the SQL twin of
+    * [[withRecallGate]]): the exact top-k is the sim_topk brute-force
+    * chain (`rg_`-prefixed CTEs so the approx SQL's own CTE names never
+    * collide), recall = |approx ∩ exact| / |exact|, appended as one
+    * boolean every row carries. */
+  private def recallGateSql(approxSql: String, k: Int,
+      floor: Double): String =
+    s"""WITH approx AS ($approxSql),
+       |rg_v AS ($vSql),
+       |rg_q AS (SELECT vec_id AS qid, v AS qv FROM rg_v WHERE vec_id < 10),
+       |rg_p AS (SELECT qid, vec_id, ${cos("qv", "v")} AS sim
+       |         FROM rg_q, rg_v WHERE qid <> vec_id),
+       |rg_ex AS (SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY sim DESC, vec_id) AS rk
+       |    FROM rg_p) WHERE rk <= $k),
+       |rg_g AS (SELECT (
+       |    (SELECT count(*) FROM approx a
+       |       JOIN rg_ex e ON a.qid = e.qid AND a.vec_id = e.vec_id) * 1.0 /
+       |    (SELECT count(*) FROM rg_ex)) >= $floor AS recall_ok)
+       |SELECT approx.*, rg_g.recall_ok FROM approx, rg_g""".stripMargin
+
   def oracles: Map[String, String] = Map(
-    "sim_ivfpq" -> ivfPqSql,
-    // identical search through the persisted index — same oracle by design
+    "sim_ivfpq" -> recallGateSql(ivfPqSql, 5, 0.50),
+    // identical search through the persisted index — same oracle by
+    // design (but WITHOUT the recall gate: the indexed probe emits the
+    // raw top-k shape)
     "sim_ivfpq_indexed" -> ivfPqSql,
     // same training (full corpus), victims excluded from candidates only
     "sim_index_refresh" -> ivfPqSqlFiltered(
@@ -1035,7 +1096,7 @@ object SimilarityQueries extends QueryRegistry {
          |SELECT cid, n_vecs, mean_cohesion, top_label,
          |  floor(top_n * 1.0 / n_vecs * 1000000) / 1000000.0 AS purity
          |FROM stats JOIN dom USING (cid)""".stripMargin,
-    "sim_pq_adc" -> pqSql,
+    "sim_pq_adc" -> recallGateSql(pqSql, 5, 0.45),
     "sim_topk" ->
       s"""WITH v AS ($vSql),
          |q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
@@ -1046,7 +1107,7 @@ object SimilarityQueries extends QueryRegistry {
          |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
          |  FROM p)
          |WHERE rk <= 5""".stripMargin,
-    "sim_ivf_topk" ->
+    "sim_ivf_topk" -> recallGateSql(
       s"""WITH $ivfCtes,
          |q AS (SELECT vec_id AS qid, v AS qv, cid FROM ranked
          |      WHERE vec_id < 10 AND rk <= 2),
@@ -1056,7 +1117,7 @@ object SimilarityQueries extends QueryRegistry {
          |  SELECT qid, vec_id, sim,
          |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
          |  FROM p)
-         |WHERE rk <= 3""".stripMargin,
+         |WHERE rk <= 3""".stripMargin, 3, 0.80),
     "sim_ivf_filtered" ->
       s"""WITH $ivfCtes,
          |q AS (SELECT vec_id AS qid, v AS qv, cid FROM ranked
