@@ -355,14 +355,16 @@ object ScaleSmoke {
     val all = Targets ++ DimsTargets ++
       Seq("sim_recall@scaledC", "sim_recall@probes", "cdc_evolving@state",
         "lake_compact@touched", "lake_versions@pub", "lake_merge@touched",
-        "lake_cdf@touched", "lake_cdf@catchup", "lake_follow@catchup")
+        "lake_cdf@touched", "lake_cdf@catchup", "lake_follow@catchup",
+        "lake_gens@vacuum")
     val targets =
       if (args.isEmpty) all
       else all.filter(t => args.exists(t.contains))
 
     // row-scaled corpus: derive + warm ONLY if a row target was selected
-    // (a dims-only invocation must not pay the ~220M-char derivation)
-    if (targets.exists(t => !t.endsWith("@dims"))) {
+    // (a dims-only or generation-count-only invocation must not pay the
+    // ~220M-char derivation — lake_gens@vacuum synthesizes its own rows)
+    if (targets.exists(t => !t.endsWith("@dims") && t != "lake_gens@vacuum")) {
       if (!new java.io.File(s"$sf1/documents.parquet").exists()) {
         System.err.println(
           s"[scale] deriving ${nReps}x corpus at $sf1 from $base")
@@ -713,6 +715,92 @@ object ScaleSmoke {
           .deleteDirectory(new java.io.File(root))
       }
     }
+    // Lifecycle accounting at GENERATION scale (r17 verdict #2): a year
+    // of hourly micro-batch publishes is ~10⁴ generations on disk inside
+    // the retention window of a slow consumer — history() and vacuum()'s
+    // accounting must stay metadata-cheap per call as the generation
+    // count grows, or the ops surface becomes the bottleneck long before
+    // the data does. Pre-r18 both walked every file of every generation
+    // AND history ran one Spark count() job per generation per call; the
+    // publish-time _SIZE ledger makes both one tiny read per generation.
+    // This leg builds one lake incrementally (1-row deltas — the
+    // accounting cost under measurement is per GENERATION, not per row),
+    // measures history()/vacuum(accounting-only) at 250 and at 1,000
+    // generations, pins near-linear growth in the generation count and
+    // an absolute per-call bound, then measures the real prune of 950
+    // generations. The per-generation fallback cost (walk + footer
+    // count job) is measured on one generation and printed as the
+    // counterfactual the ledger replaces.
+    val genTargets = targets.filter(_ == "lake_gens@vacuum")
+    for (_ <- genTargets.headOption) {
+      import graft.sources.Lake
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_gensm").toString
+      val lake = s"$root/lake"
+      import spark.implicits._
+      val baseDf = (0 until 64).map(i => (i.toLong, s"doc $i", s"g${i % 4}"))
+        .toDF("doc_id", "text", "lang")
+      Lake.publishVersion(baseDf, lake, Seq("lang"), Seq("doc_id"),
+        maxRecordsPerFile = 1000000L, keep = 1000000)
+      var published = 1L
+      def publishTo(n: Int): Double = {
+        val (_, t) = timed {
+          while (published < n) {
+            Lake.publishDelta(
+              Seq((published, s"rev $published", "g0"))
+                .toDF("doc_id", "text", "lang"),
+              lake, Seq("lang"), Seq("doc_id"),
+              maxRecordsPerFile = 1000000L, keep = 1000000)
+            published += 1
+          }
+        }
+        t
+      }
+      val results = Seq(250, 1000).map { n =>
+        val tBuild = publishTo(n)
+        val (hRows, tHist) = timed(Lake.history(spark, lake).collect())
+        require(hRows.length == n, s"history saw ${hRows.length} of $n gens")
+        // keep = n retains everything: this measures ACCOUNTING only
+        val (vRows, tVac) = timed(
+          Lake.vacuum(spark, lake, keep = n).collect())
+        require(vRows.count(_.getString(1) == "retained") == n,
+          "accounting-only vacuum pruned something")
+        System.err.println(f"[scale] lake_gens@vacuum $n%5d gens  " +
+          f"build ${tBuild}%7.2f s (${tBuild / n * 1000}%6.1f ms/pub)  " +
+          f"history ${tHist * 1000}%8.1f ms  vacuum(acct) ${tVac * 1000}%8.1f ms")
+        (n, tHist, tVac)
+      }
+      // counterfactual: one generation's ledger-less accounting (walk +
+      // footer count job) × N is what each history() call paid pre-r18
+      val g1 = new org.apache.hadoop.fs.Path(s"$lake/v=1")
+      val fs = g1.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(g1, "_SIZE"), false)
+      val (_, tFall) = timed {
+        spark.read.parquet(g1.toString).count()
+      }
+      System.err.println(f"[scale] lake_gens@vacuum fallback count job " +
+        f"${tFall * 1000}%6.1f ms/gen -> ~${tFall * 1000}%4.0f s per " +
+        "history() call at 1000 gens pre-ledger")
+      // pinned bounds: near-linear growth (4x gens -> <= 8x wall) and an
+      // absolute ceiling generous enough for slow CI filesystems
+      val Seq((_, h250, v250), (_, h1000, v1000)) = results
+      require(h1000 < 30.0 && v1000 < 30.0,
+        f"accounting not metadata-cheap at 1000 gens: history $h1000%.1f s" +
+          f" vacuum $v1000%.1f s")
+      require(h1000 / math.max(h250, 1e-3) < 8.0 &&
+        v1000 / math.max(v250, 1e-3) < 8.0,
+        f"accounting grows super-linearly in generations: history " +
+          f"$h250%.2f->$h1000%.2f s, vacuum $v250%.2f->$v1000%.2f s")
+      // the real prune: 950 generations leave the horizon in one call
+      val (pruned, tPrune) = timed(
+        Lake.vacuum(spark, lake, keep = 50).collect())
+      val nPruned = pruned.count(_.getString(1) == "pruned")
+      System.err.println(f"[scale] lake_gens@vacuum prune(keep=50) " +
+        f"${tPrune}%6.2f s  ($nPruned gens removed)")
+      require(nPruned > 900, s"expected ~950 pruned, got $nPruned")
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(root))
+    }
     // CDC merge into the versioned lake: the changelog touches ONE lang
     // partition (edits + deletes + inserts); the merge must track the
     // touched partition + changelog, never the corpus — compare tMerge
@@ -974,6 +1062,7 @@ object ScaleSmoke {
         catchupTargets.contains(t) ||
         followTargets.contains(t) ||
         mergeTargets.contains(t) ||
+        genTargets.contains(t) ||
         evolvingTargets.contains(t) || compactTargets.contains(t))
       .map { q =>
       val dims = q.endsWith("@dims")

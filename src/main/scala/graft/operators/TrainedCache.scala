@@ -92,16 +92,154 @@ object TrainedCache {
     * results that are small by construction (trained artifacts) — never
     * for data-sized tables. `name` (optional) attributes the first-build
     * cost in [[buildTimes]].
+    *
+    * Backed by the cross-JVM [[artifact store|storeRoot]] (r17 verdict
+    * #6): a key first built in ANY JVM persists (schema.json + one
+    * parquet file), and later JVMs LOAD it in ~100 ms instead of
+    * retraining — loads are attributed in [[reuseTimes]] (Bench's
+    * "prebuilt"), never in [[buildTimes]].
     */
   def memoDf(spark: SparkSession, key: String, name: String = "")(
       f: => DataFrame): DataFrame = {
     val (schema, rows) = cache.computeIfAbsent(key, _ =>
-      recordBuild(name) {
+      loadRows(spark, key, name).getOrElse(recordBuild(name) {
         val df = f
-        (df.schema, df.collect())
-      })
+        val sr = (df.schema, df.collect())
+        saveRows(spark, key, sr)
+        sr
+      }))
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
+
+  // ------------------------------------------------ cross-JVM store
+
+  /** Cross-JVM artifact STORE (r17 verdict #6 — "cache at the
+    * corpus-fingerprint level"): every artifact this object memoizes is
+    * a deterministic function of (corpus bytes, hyperparameters, code),
+    * so it is reusable across JVMs, not just across queries in one
+    * session — the production cost model one level up from session
+    * memoization (a curation platform trains per corpus SNAPSHOT and
+    * serves every job from the artifact store, it does not retrain per
+    * driver). Default root /tmp/graft_trained_store; set
+    * GRAFT_TRAINED_STORE to relocate, or to "off" to disable.
+    *
+    * Invalidation is structural, never TTL:
+    *  - the disk key carries the caller's full memo key with the
+    *    session's applicationId stripped (the artifact does not depend
+    *    on the session) — that key embeds [[fingerprint]] of the corpus
+    *    files (length + mtime per file: a regenerated fixture re-keys)
+    *    and every hyperparameter;
+    *  - and [[codeDigest]], an md5 over the compiled graft class BYTES,
+    *    so ANY code change re-keys the whole store — an artifact trained
+    *    by older logic can never silently serve newer queries.
+    * Writes are atomic: build lands in a dot-temp sibling and a single
+    * rename publishes it; a lost race deletes its temp and serves the
+    * winner. Store growth is bounded by (code versions × corpus
+    * snapshots) actually exercised on the machine, a few MB each, under
+    * OS-reclaimed scratch.
+    */
+  private lazy val storeRoot: Option[java.io.File] =
+    sys.env.get("GRAFT_TRAINED_STORE").orElse(Some("/tmp/graft_trained_store"))
+      .filter(p => p.nonEmpty && p != "off")
+      .flatMap { p =>
+        if (codeDigest.isEmpty) None
+        else try {
+          val d = new java.io.File(p)
+          java.nio.file.Files.createDirectories(d.toPath)
+          Some(d)
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+
+  /** md5 over the compiled graft class bytes (classes dir or jar) —
+    * the code half of the store key. None (store disabled) when the
+    * code source is unresolvable. */
+  private lazy val codeDigest: Option[String] =
+    try {
+      val src = getClass.getProtectionDomain.getCodeSource
+      if (src == null || src.getLocation == null) None
+      else {
+        val root = new java.io.File(src.getLocation.toURI)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def feed(file: java.io.File, rel: String): Unit = {
+          md.update(rel.getBytes("UTF-8"))
+          md.update(java.nio.file.Files.readAllBytes(file.toPath))
+        }
+        if (root.isFile) feed(root, root.getName) // assembled jar
+        else {
+          def walk(d: java.io.File, rel: String): Unit =
+            Option(d.listFiles()).getOrElse(Array.empty)
+              .sortBy(_.getName).foreach { c =>
+                val r = if (rel.isEmpty) c.getName else rel + "/" + c.getName
+                if (c.isDirectory) walk(c, r)
+                else if (c.getName.endsWith(".class")) feed(c, r)
+              }
+          walk(root, "")
+        }
+        Some(md.digest().map("%02x".format(_)).mkString)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The store slot for a memo key — applicationId stripped, code digest
+    * folded in. None when the store is disabled. */
+  private def slotOf(appId: String, key: String): Option[java.io.File] =
+    storeRoot.map(r => new java.io.File(r,
+      md5hex(codeDigest.get + "|" + key.replace(appId, ""))))
+
+  /** Wall-seconds spent LOADING store-served artifacts this JVM, by name
+    * — the reuse twin of [[buildTimes]]; Bench emits it as "prebuilt" so
+    * a warm-store run is self-describing. */
+  private val reusedSecs =
+    new java.util.concurrent.ConcurrentHashMap[String, Double]()
+
+  def reuseTimes: Map[String, Double] = {
+    val b = Map.newBuilder[String, Double]
+    reusedSecs.forEach((k, v) => b += (k -> v))
+    b.result()
+  }
+
+  private def saveRows(spark: SparkSession, key: String,
+      sr: (StructType, Array[Row])): Unit =
+    for (home <- slotOf(spark.sparkContext.applicationId, key)) {
+      try {
+        val tmp = new java.io.File(home.getParentFile,
+          "." + home.getName + "-" + java.util.UUID.randomUUID.toString.take(8))
+        spark.createDataFrame(java.util.Arrays.asList(sr._2: _*), sr._1)
+          .coalesce(1) // one file: collect order == file order on load
+          .write.mode("overwrite").parquet(new java.io.File(tmp, "rows").getPath)
+        java.nio.file.Files.writeString(
+          new java.io.File(tmp, "schema.json").toPath, sr._1.json)
+        java.nio.file.Files.writeString(
+          new java.io.File(tmp, "_OK").toPath, "ok")
+        if (!tmp.renameTo(home)) // lost the publish race: winner serves
+          org.apache.commons.io.FileUtils.deleteQuietly(tmp): Unit
+      } catch { case scala.util.control.NonFatal(t) =>
+        System.err.println(s"[trained-store] WARNING: persist failed " +
+          s"($t) — artifact stays session-only")
+      }
+    }
+
+  private def loadRows(spark: SparkSession, key: String,
+      name: String): Option[(StructType, Array[Row])] =
+    slotOf(spark.sparkContext.applicationId, key)
+      .filter(d => new java.io.File(d, "_OK").exists)
+      .flatMap { d =>
+        try {
+          val t0 = System.nanoTime()
+          val schema = org.apache.spark.sql.types.DataType.fromJson(
+            java.nio.file.Files.readString(
+              new java.io.File(d, "schema.json").toPath))
+            .asInstanceOf[StructType]
+          val rows = spark.read.schema(schema)
+            .parquet(new java.io.File(d, "rows").getPath).collect()
+          if (name.nonEmpty)
+            reusedSecs.merge(name, (System.nanoTime() - t0) / 1e9, _ + _)
+          Some((schema, rows))
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
 
   /** Cheap corpus identity for cache keys: (path, length, mtime) of every
     * file under the given paths, digested. Catches the fixture-
@@ -141,22 +279,56 @@ object TrainedCache {
     sharedPaths.computeIfAbsent(
       name + "|" + spark.sparkContext.applicationId + "|" +
         fingerprint(fixturePaths: _*),
-      _ => recordBuild(name) {
-        val tmp = java.nio.file.Files
-          .createTempDirectory(s"graft_${name}_shared").toString
-        Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          org.apache.commons.io.FileUtils
-            .deleteQuietly(new java.io.File(tmp)): Unit))
-        build(tmp)
+      _ => slotOf("", s"path|$name|${fingerprint(fixturePaths: _*)}") match {
+        case Some(home) if new java.io.File(home, "_OK").exists =>
+          // served from the cross-JVM store — a path hand-off, ~0 cost;
+          // recorded so Bench's "prebuilt" names it
+          reusedSecs.merge(name, 0.0, _ + _)
+          new java.io.File(home, java.nio.file.Files.readString(
+            new java.io.File(home, "_PAYLOAD").toPath).trim).getPath
+        case Some(home) => recordBuild(name) {
+          val tmp = new java.io.File(home.getParentFile, "." + home.getName +
+            "-" + java.util.UUID.randomUUID.toString.take(8))
+          java.nio.file.Files.createDirectories(tmp.toPath)
+          val out = build(tmp.getPath)
+          require(out.startsWith(tmp.getPath),
+            s"sharedPath($name): builder must build inside its tmp dir")
+          val rel = out.substring(tmp.getPath.length).stripPrefix("/")
+          java.nio.file.Files.writeString(
+            new java.io.File(tmp, "_PAYLOAD").toPath, rel)
+          java.nio.file.Files.writeString(
+            new java.io.File(tmp, "_OK").toPath, "ok")
+          if (tmp.renameTo(home)) new java.io.File(home, rel).getPath
+          else {
+            // lost the publish race to a concurrent JVM: serve the winner
+            org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+            if (!new java.io.File(home, "_OK").exists)
+              throw new IllegalStateException(
+                s"sharedPath($name): could not publish to $home and no " +
+                  "winner present — remove the store dir and retry")
+            new java.io.File(home, java.nio.file.Files.readString(
+              new java.io.File(home, "_PAYLOAD").toPath).trim).getPath
+          }
+        }
+        case None => recordBuild(name) { // store disabled: session-only
+          val tmp = java.nio.file.Files
+            .createTempDirectory(s"graft_${name}_shared").toString
+          Runtime.getRuntime.addShutdownHook(new Thread(() =>
+            org.apache.commons.io.FileUtils
+              .deleteQuietly(new java.io.File(tmp)): Unit))
+          build(tmp)
+        }
       })
 
   private val sharedPaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Test seam: drop every memoized artifact (a spec that rewrites a
-    * corpus in place needs the next call to retrain).
+    * corpus in place needs the next call to retrain). In-memory only —
+    * the disk store self-invalidates by corpus fingerprint + code
+    * digest and needs no clearing.
     */
   private[graft] def clear(): Unit = {
-    cache.clear(); buildSecs.clear(); sharedPaths.clear()
+    cache.clear(); buildSecs.clear(); sharedPaths.clear(); reusedSecs.clear()
   }
 }

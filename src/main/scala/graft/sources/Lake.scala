@@ -418,6 +418,8 @@ object Lake {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally os.close()
     }
+    // size ledger inside the generation before it counts as published
+    writeSizeFile(spark, fs, new org.apache.hadoop.fs.Path(root, s"v=$next"))
     // high-water first: from here v=next is complete-and-published even
     // if the _CURRENT flip below never runs (it just never became
     // current — the next publish allocates above it)
@@ -535,6 +537,7 @@ object Lake {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally os.close()
     }
+    writeSizeFile(spark, fs, nextPath) // size ledger — see publishVersion
     flipPointer(fs, root, HighPointer, next)
     flipPointer(fs, root, CurrentPointer, next)
     pruneRetained(fs, root, next, keep)
@@ -1651,6 +1654,59 @@ object Lake {
         .asInstanceOf[org.apache.spark.sql.types.StructType])
     } catch { case _: java.io.FileNotFoundException => None }
 
+  private val SizeFile = "_SIZE"
+
+  /** A generation's OWN physical footprint (underscore/dot metadata and
+    * inherited partitions excluded — the latter live in donor
+    * generations): (n_files, n_bytes) by recursive listing. */
+  private def physicalSize(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): (Long, Long) = {
+    var nf = 0L; var nb = 0L
+    def walk(d: org.apache.hadoop.fs.Path): Unit =
+      for (st <- fs.listStatus(d)) {
+        val n = st.getPath.getName
+        if (st.isDirectory) { if (graft.GenSwap.isDataName(n)) walk(st.getPath) }
+        else if (graft.GenSwap.isDataName(n)) { nf += 1; nb += st.getLen }
+      }
+    walk(p)
+    (nf, nb)
+  }
+
+  /** Size ledger, written ONCE at publish (and refreshed by [[compact]]):
+    * `n_files n_bytes n_rows`. [[vacuum]] and [[history]] read this one
+    * small file per generation instead of re-walking every file of every
+    * generation driver-side per call — at a year of hourly publishes the
+    * accounting was O(generations × files) listings plus one Spark
+    * count() job per generation per history() call (r17 verdict #2); the
+    * ledger makes both O(generations) tiny reads. Generations without a
+    * ledger (pre-upgrade) fall back to the walk. The row count is a
+    * parquet footer-only count over the generation just written. */
+  private def writeSizeFile(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      genPath: org.apache.hadoop.fs.Path): Unit = {
+    val (nf, nb) = physicalSize(fs, genPath)
+    val nRows =
+      if (nf == 0) 0L else spark.read.parquet(genPath.toString).count()
+    val os = fs.create(new org.apache.hadoop.fs.Path(genPath, SizeFile), true)
+    try os.write(s"$nf $nb $nRows\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+  }
+
+  private def readSizeFile(fs: org.apache.hadoop.fs.FileSystem,
+      genPath: org.apache.hadoop.fs.Path): Option[(Long, Long, Long)] =
+    try {
+      val in = fs.open(new org.apache.hadoop.fs.Path(genPath, SizeFile))
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      s.trim.split("\\s+") match {
+        case Array(a, b, c) =>
+          for (x <- a.toLongOption; y <- b.toLongOption; z <- c.toLongOption)
+            yield (x, y, z)
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Read one immutable generation: the pointer's (default) or a pinned
     * `version` (time travel — reproduce exactly what a past training run
     * consumed, within the retention horizon). Fails loudly on a version
@@ -2141,17 +2197,11 @@ object Lake {
     val cur = readPointer(fs, root, CurrentPointer)
     val high = highWater(fs, root)
     val gens = genDirs(fs, root).sortBy(_._1)
-    def sizeOf(p: org.apache.hadoop.fs.Path): (Long, Long) = {
-      var nf = 0L; var nb = 0L
-      def walk(d: org.apache.hadoop.fs.Path): Unit =
-        for (st <- fs.listStatus(d)) {
-          val n = st.getPath.getName
-          if (st.isDirectory) { if (graft.GenSwap.isDataName(n)) walk(st.getPath) }
-          else if (graft.GenSwap.isDataName(n)) { nf += 1; nb += st.getLen }
-        }
-      walk(d = p)
-      (nf, nb)
-    }
+    // ledger first (one tiny read per generation — written at publish),
+    // walk only for pre-upgrade generations and the refusal-audit dirs
+    def sizeOf(p: org.apache.hadoop.fs.Path): (Long, Long) =
+      readSizeFile(fs, p).map { case (nf, nb, _) => (nf, nb) }
+        .getOrElse(physicalSize(fs, p))
     val hw = high.getOrElse(-1L)
     val protectedWhy = scala.collection.mutable.Map.empty[Long, String]
     for ((v, _) <- gens if v <= hw && v > hw - keep)
@@ -2259,20 +2309,18 @@ object Lake {
     val onDisk = listed.map(_._1).toSet
     val rows = listed.flatMap { case (v, p) =>
       try {
-        var nf = 0L; var nb = 0L
-        def walk(d: org.apache.hadoop.fs.Path): Unit =
-          for (st <- fs.listStatus(d)) {
-            val n = st.getPath.getName
-            if (st.isDirectory) {
-              if (graft.GenSwap.isDataName(n)) walk(st.getPath)
-            } else if (graft.GenSwap.isDataName(n)) { nf += 1; nb += st.getLen }
-          }
-        walk(p)
+        // the publish-time size ledger replaces both the per-generation
+        // file walk AND the per-generation Spark count() job (r17
+        // verdict #2 — at a year of hourly publishes history() was
+        // O(gens × files) listings + O(gens) count jobs per call);
+        // pre-upgrade generations fall back to exactly those
+        val (nf, nb, nRows) = readSizeFile(fs, p).getOrElse {
+          val (f, b) = physicalSize(fs, p)
+          // a crashed orphan can be an empty dir — don't schema-infer it
+          (f, b, if (f == 0) 0L else spark.read.parquet(p.toString).count())
+        }
         val batchId = readLong(fs,
           new org.apache.hadoop.fs.Path(p, BatchMarker))
-        // a crashed orphan can be an empty dir — don't schema-infer nothing
-        val nRows = if (nf == 0) 0L
-          else spark.read.parquet(p.toString).count()
         val fp = digestFp(v)
         val skipFromPrev: Option[Boolean] =
           if (!onDisk.contains(v - 1)) None
@@ -2702,6 +2750,12 @@ object Lake {
     }
 
     val after = stats()
+    // a compact changes the dir's physical footprint — refresh the size
+    // ledger so vacuum/history keep reading truth (only when one exists:
+    // compact's target may be any dir, not just a lake generation)
+    if (touched.nonEmpty && fs.exists(
+        new org.apache.hadoop.fs.Path(root, SizeFile)))
+      writeSizeFile(spark, fs, root)
     val schema = org.apache.spark.sql.types.StructType(
       partitionCols.map(c =>
         org.apache.spark.sql.types.StructField(c,

@@ -321,7 +321,13 @@ class Round4OperatorsSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))
     val d = spark.read.parquet(s"$sf0001/documents.parquet")
-    val total = d.select(sum(length(col("text").cast("binary")).cast("long")))
+    // media = container header (jpeg 39 B / png 33 B / webp 30 B since
+    // r18 — MediaDims parses real headers) + the text payload
+    val total = d.select(sum(
+      (length(col("text").cast("binary")) +
+        when(col("doc_id") % 3 === 0, 39)
+          .when(col("doc_id") % 3 === 1, 33)
+          .otherwise(30)).cast("long")))
       .head().getLong(0)
     assert(rows.map(_._1).toSeq === (0L until rows.length))
     assert(rows.map(_._2).sum === d.count())
