@@ -57,11 +57,19 @@ object MediaHeader {
       var pos = 2
       var guard = 0
       while (pos + 9 <= b.length && (b(pos) & 0xff) == 0xff && guard < 64) {
-        val m = b(pos + 1) & 0xff
-        if (m == 0xc0 || m == 0xc1 || m == 0xc2)
-          return row("jpeg", be16(pos + 7), be16(pos + 5))
-        if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) pos += 2
-        else pos += 2 + be16(pos + 2)
+        // fill bytes: any number of 0xFF padding bytes may precede a
+        // marker (ITU T.81 B.1.1.2) — skip to the last 0xFF of the run
+        if ((b(pos + 1) & 0xff) == 0xff) pos += 1
+        else {
+          val m = b(pos + 1) & 0xff
+          if (m == 0xc0 || m == 0xc1 || m == 0xc2)
+            return row("jpeg", be16(pos + 7), be16(pos + 5))
+          // SOS starts entropy-coded data — a frame header must precede
+          // it, so reaching SOS without one means no dims are findable
+          if (m == 0xda) return null
+          if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) pos += 2
+          else pos += 2 + be16(pos + 2)
+        }
         guard += 1
       }
       return null

@@ -139,7 +139,12 @@ object TrainedCache {
     * OS-reclaimed scratch.
     */
   private lazy val storeRoot: Option[java.io.File] =
-    sys.env.get("GRAFT_TRAINED_STORE").orElse(Some("/tmp/graft_trained_store"))
+    sys.env.get("GRAFT_TRAINED_STORE")
+      // default is USER-scoped: a shared /tmp path on a multi-user box
+      // would make every publish rename fail against the first user's
+      // dir AND serve artifacts from a directory others can write
+      .orElse(Some("/tmp/graft_trained_store-" +
+        scala.util.Properties.userName))
       .filter(p => p.nonEmpty && p != "off")
       .flatMap { p =>
         if (codeDigest.isEmpty) None

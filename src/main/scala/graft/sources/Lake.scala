@@ -905,6 +905,7 @@ object Lake {
       s"host=$localHost",
       s"app=${spark.sparkContext.applicationId}") ++
       bootId.map(b => s"boot=$b") ++
+      pidNs.map(n => s"pidns=$n") ++
       (if (beatMs > 0) Seq(s"beatms=$beatMs") else Nil) ++
       ownerToken.map(t => s"owner=$t")
     val ownIdentity = ownerLines.map { l =>
@@ -962,17 +963,26 @@ object Lake {
     def reclaimableNow(h: Map[String, String]): Boolean = {
       val samePidAlive = h.get("pid").contains(self.pid().toString) &&
         h.get("start").forall(_ == selfStart.toString)
-      // boot-id equality proves same machine on any scheme; a legacy lock
-      // with no boot id falls back to hostname equality, full-strength for
-      // the LIVENESS override (refusing a reclaim is the safe direction)
-      // but restricted to file: + non-generic hostnames for the DEATH rule
-      val bootMatch: Option[Boolean] =
-        for (a <- h.get("boot"); b <- bootId) yield a == b
-      val hostMatch = h.get("host").contains(localHost) &&
-        !GenericHosts(localHost.toLowerCase)
-      val sameMachineLive = bootMatch.getOrElse(hostMatch)
-      val sameMachineDead = bootMatch.getOrElse(
-        qualified.getScheme == "file" && hostMatch)
+      // pid-table visibility is what the pid-evidence rules actually
+      // need, and it is proven by boot-id AND pid-namespace equality
+      // together: boot_id is per-KERNEL (every container on a host
+      // shares it) while pid numbers live in namespaces — boot match
+      // alone would let a sibling container judge a live holder's pid
+      // "provably dead" because it cannot see it (r18 review #1). A
+      // legacy lock with neither field falls back to hostname equality:
+      // restricted to file: + non-generic hostnames for the DEATH rule;
+      // full-strength (any scheme, generic names included — a FALSE
+      // 'live' only refuses a reclaim, the safe direction) for the
+      // LIVENESS override (r18 review #4).
+      val samePidTable: Option[Boolean] =
+        for (a <- h.get("boot"); b <- bootId;
+             n <- h.get("pidns"); on <- pidNs) yield a == b && n == on
+      val sameMachineLive = samePidTable.getOrElse(
+        h.get("host").contains(localHost))
+      val sameMachineDead = samePidTable.getOrElse(
+        qualified.getScheme == "file" &&
+          h.get("host").contains(localHost) &&
+          !GenericHosts(localHost.toLowerCase))
       // pid evidence: provably dead = no such pid here, or pid reused
       // (start instants both known and different); presumed live = pid
       // exists and is not provably reused — unknowable starts count as
@@ -1086,11 +1096,30 @@ object Lake {
       // release only a lock still carrying OUR identity: if a lease
       // takeover fenced us out mid-body (a pause past our own advertised
       // beat promise), deleting would unlock a THIRD writer into the new
-      // holder's publish — leave it and shout instead
-      readLockIdentity(fs, lock) match {
-        case Some(h) if h == ownIdentity => fs.delete(lock, false): Unit
-        case None => () // already gone (reclaimed and released)
-        case Some(_) => System.err.println(
+      // holder's publish — leave it and shout instead. A TRANSIENT read
+      // error must NOT be read as "usurped": skipping the delete then
+      // orphans our own live-identity lock, unreclaimable on stores with
+      // no lease (r18 review #3) — an unreadable lock deletes like the
+      // pre-lease contract did (it is equally unreadable to any usurper
+      // check, and an unreadable usurper lock is garbage for everyone).
+      val atRelease =
+        try {
+          if (!fs.exists(lock)) Left(true) // already gone
+          else readLockIdentity(fs, lock) match {
+            case Some(h) => Right(h)
+            case None => Left(false) // present but unreadable
+          }
+        } catch { case scala.util.control.NonFatal(_) => Left(false) }
+      atRelease match {
+        case Right(h) if h == ownIdentity => fs.delete(lock, false): Unit
+        case Left(true) => () // released/reclaimed away already
+        case Left(false) =>
+          System.err.println(
+            s"[lake] WARNING: $LockFile at $rootDir was unreadable at " +
+              "release — deleting it as our own (identity could not be " +
+              "checked; leaving it would orphan a live-identity lock)")
+          fs.delete(lock, false): Unit
+        case Right(_) => System.err.println(
           s"[lake] WARNING: $LockFile at $rootDir no longer carries this " +
             "writer's identity at release — a contender reclaimed the " +
             "lease mid-body (this writer was paused past its heartbeat " +
@@ -1117,8 +1146,16 @@ object Lake {
     * advertised `beatms` is lease-expired (see [[BeatConf]]). */
   val StaleBeatFactor = 6L
 
+  /** Four threads, not one: heartbeats of ALL held locks share this
+    * pool, and `fs.setTimes` against a hung store (NameNode stall,
+    * throttled object store) blocks its thread for the RPC timeout — a
+    * single-thread pool would let one sick store starve every healthy
+    * lock's beats past their lease (r18 review #2). scheduleWithFixedDelay
+    * never runs one lock's task concurrently with itself, so four
+    * threads ride out four simultaneously-hung stores; beyond that the
+    * loud per-beat failure warning is the operator signal. */
   private lazy val beatExec = {
-    val ex = new java.util.concurrent.ScheduledThreadPoolExecutor(1,
+    val ex = new java.util.concurrent.ScheduledThreadPoolExecutor(4,
       (r: Runnable) => {
         val t = new Thread(r, "lake-lock-heartbeat"); t.setDaemon(true); t
       })
@@ -1141,6 +1178,18 @@ object Lake {
         Some(java.nio.file.Files.readString(p).trim).filter(_.nonEmpty)
       else None
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Linux pid-namespace identity (`/proc/self/ns/pid` target, e.g.
+    * `pid:[4026531836]`) — boot id alone proves same KERNEL, not same
+    * pid table: every container on a host shares the boot id while pids
+    * are namespaced, so pid-evidence rules require BOTH to match before
+    * trusting a ProcessHandle lookup about another writer. None
+    * off-Linux (pid rules then rely on the legacy hostname fallback). */
+  private lazy val pidNs: Option[String] =
+    try Some(java.nio.file.Files.readSymbolicLink(
+      java.nio.file.Paths.get("/proc/self/ns/pid")).toString)
+      .filter(_.nonEmpty)
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** Does this store honor `FileSystem.setTimes` (verified, not assumed:
     * some object-store connectors silently no-op it)? Probed once per
@@ -2073,29 +2122,37 @@ object Lake {
     // leaves a partial/empty tmp, and adopting that would poison every
     // later read with NumberFormatException. Nothing was committed in
     // that history, so fresh-consumer init is the correct fallthrough.
-    // "Parses" requires the trailing "\n" TERMINATOR writeCursor appends
-    // (r17 advice): a truncated decimal PREFIX still parses as a Long
-    // (writing "15\n", crash after "1" → would adopt cursor 1 and
-    // silently convert tail-from-now init into a partial-history
-    // replay) — only a terminated payload is a committed value.
+    // The trailing "\n" TERMINATOR writeCursor appends (r17 advice)
+    // distinguishes a committed value from a truncated decimal PREFIX
+    // ("15\n" cut to "1") — a terminated tmp adopts silently. An
+    // UNTERMINATED parsing tmp still adopts, LOUDLY: it may be a
+    // truncated prefix (over-delivery — the at-least-once direction) or
+    // a complete pre-terminator cursor from an older binary, and
+    // discarding the latter would SKIP its committed undelivered range
+    // — the one direction the delivery contract forbids (a truncated
+    // prefix only ever re-delivers pages, never skips one).
     // When BOTH exist (crash between tmp write and delete), the main
     // file wins: it is the older value, and re-delivering one page is
     // the at-least-once contract — skipping would not be.
     if (!cfs.exists(cPath) && cfs.exists(tmpPath)) {
-      val parses =
+      val text =
         try {
           val in = cfs.open(tmpPath)
-          val text =
-            try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-              java.nio.charset.StandardCharsets.UTF_8)
-            finally in.close()
-          if (text.endsWith("\n")) text.trim.toLongOption else None
+          try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8))
+          finally in.close()
         } catch { case scala.util.control.NonFatal(_) => None }
+      val parses = text.flatMap(_.trim.toLongOption)
+      if (parses.isDefined && text.exists(!_.endsWith("\n")))
+        System.err.println(
+          s"[lake] followChanges: adopting UNTERMINATED cursor tmp " +
+            s"$tmpPath (value ${parses.get}) — either a pre-upgrade " +
+            "cursor or a truncated prefix; deliveries resume from it " +
+            "(at-least-once: a prefix can only re-deliver, never skip)")
       if (parses.isEmpty) {
         System.err.println(
-          s"[lake] followChanges: discarding unparseable/unterminated " +
-            s"cursor tmp $tmpPath (crash mid-initial-write) — " +
-            "fresh-consumer init")
+          s"[lake] followChanges: discarding unparseable cursor tmp " +
+            s"$tmpPath (crash mid-initial-write) — fresh-consumer init")
         cfs.delete(tmpPath, false): Unit
       } else if (!cfs.rename(tmpPath, cPath)) throw new java.io.IOException(
         s"Lake.followChanges: cursor recovery failed ($tmpPath -> $cPath)")
@@ -2752,10 +2809,22 @@ object Lake {
     val after = stats()
     // a compact changes the dir's physical footprint — refresh the size
     // ledger so vacuum/history keep reading truth (only when one exists:
-    // compact's target may be any dir, not just a lake generation)
-    if (touched.nonEmpty && fs.exists(
-        new org.apache.hadoop.fs.Path(root, SizeFile)))
-      writeSizeFile(spark, fs, root)
+    // compact's target may be any dir, not just a lake generation).
+    // Keyed on LEDGER-vs-DISK disagreement, not on touched.nonEmpty: a
+    // crash between a committed swap and the refresh leaves a stale
+    // ledger that a re-run (which finds nothing left to compact) must
+    // still repair (r18 review #6). Rows are preserved — compact
+    // rewrites files, never row content — so the recheck is one listing,
+    // no Spark job.
+    for ((sf, sb, srows) <- readSizeFile(fs, root)) {
+      val (nf, nb) = physicalSize(fs, root)
+      if (nf != sf || nb != sb) {
+        val os = fs.create(new org.apache.hadoop.fs.Path(root, SizeFile), true)
+        try os.write(s"$nf $nb $srows\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally os.close()
+      }
+    }
     val schema = org.apache.spark.sql.types.StructType(
       partitionCols.map(c =>
         org.apache.spark.sql.types.StructField(c,

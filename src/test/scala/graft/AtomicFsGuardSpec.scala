@@ -102,13 +102,27 @@ class AtomicFsGuardSpec extends SparkSuite {
         Lake.guarded(spark, root) { fail("entered under a remote lock") }
       }
       fs.delete(new org.apache.hadoop.fs.Path(root, "_LOCK"), false)
-      // ... but a BOOT-ID match is machine-proof on any scheme: the same
-      // dead pid with our boot id reclaims through the hdfs branch
+      // ... but a BOOT-ID + PID-NAMESPACE match proves pid-table
+      // visibility on any scheme: the same dead pid with our boot id
+      // AND our pid namespace reclaims through the hdfs branch
       val boot = java.nio.file.Files.readString(java.nio.file.Paths
         .get("/proc/sys/kernel/random/boot_id")).trim
+      val ns = java.nio.file.Files.readSymbolicLink(
+        java.nio.file.Paths.get("/proc/self/ns/pid")).toString
       plant("pid=2999999999", "start=123", s"host=$host", s"boot=$boot",
-        "app=app-old")
+        s"pidns=$ns", "app=app-old")
       Lake.guarded(spark, root) { () }
+      // boot id WITHOUT a matching pid namespace proves only same
+      // KERNEL — a sibling container shares the boot id but cannot see
+      // this pid table, so "no such pid here" is not death evidence
+      // (r18 review: the sibling-container split-brain)
+      plant("pid=2999999999", "start=123", s"host=$host", s"boot=$boot",
+        "pidns=pid:[1111111111]", "app=app-old")
+      intercept[IllegalStateException] {
+        Lake.guarded(spark, root) { fail("entered on sibling-container " +
+          "pid evidence") }
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(root, "_LOCK"), false)
       // lease expiry is scheme-independent too: a foreign killed
       // heartbeat-holder (beats frozen past 6x its promise) self-heals
       // here exactly as on file: (r17 verdict #1 — the crashed one-shot

@@ -191,6 +191,8 @@ class LakeGuardSpec extends SparkSuite {
     val host = java.net.InetAddress.getLocalHost.getHostName
     val boot = java.nio.file.Files.readString(java.nio.file.Paths
       .get("/proc/sys/kernel/random/boot_id")).trim
+    val ns = java.nio.file.Files.readSymbolicLink(
+      java.nio.file.Paths.get("/proc/self/ns/pid")).toString
     try {
       fs.mkdirs(new Path(root))
       // pid 1 is alive on this machine and is NOT this JVM. Pre-r18 the
@@ -200,7 +202,7 @@ class LakeGuardSpec extends SparkSuite {
       // exactly the split-brain the r17 advice flagged.
       spark.conf.set(Lake.OwnerConf, "ckpt-hung")
       plant("pid=1", "start=-1", s"host=$host", s"boot=$boot",
-        "app=app-hung", "beatms=100", "owner=ckpt-hung")
+        s"pidns=$ns", "app=app-hung", "beatms=100", "owner=ckpt-hung")
       val e = intercept[IllegalStateException] {
         Lake.guarded(spark, root) { fail("split-brained a live writer") }
       }
@@ -210,9 +212,21 @@ class LakeGuardSpec extends SparkSuite {
       // control: the IDENTICAL lock with a provably-dead pid reclaims
       // through the same token rule the override just blocked
       plant("pid=2999999999", "start=123", s"host=$host", s"boot=$boot",
-        "app=app-dead", "beatms=100", "owner=ckpt-hung")
+        s"pidns=$ns", "app=app-dead", "beatms=100", "owner=ckpt-hung")
       Lake.guarded(spark, root) { () }
       assert(!fs.exists(new Path(root, "_LOCK")))
+      // sibling container (same boot id, DIFFERENT pid namespace): its
+      // pids are invisible here, so "no such pid" proves nothing — the
+      // dead-pid rule must not fire (r18 review #1); with no token and
+      // no lease this stays manual
+      spark.conf.unset(Lake.OwnerConf)
+      plant("pid=2999999999", "start=123", s"host=$host", s"boot=$boot",
+        "pidns=pid:[1111111111]", "app=app-sibling")
+      intercept[IllegalStateException] {
+        Lake.guarded(spark, root) { fail("split-brained a sibling " +
+          "container's writer") }
+      }
+      fs.delete(new Path(root, "_LOCK"), false)
     } finally {
       try spark.conf.unset(Lake.OwnerConf)
       catch { case scala.util.control.NonFatal(_) => () }

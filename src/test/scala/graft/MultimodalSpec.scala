@@ -79,6 +79,17 @@ class MultimodalSpec extends SparkSuite {
     val w = MediaHeader.parse(webp)
     assert(w != null && w.getUTF8String(0).toString == "webp" &&
       w.getInt(1) == 0x10000 && w.getInt(2) == 257)
+    // JPEG fill bytes: runs of 0xFF padding before a marker are legal
+    // (ITU T.81 B.1.1.2) — the walk must skip them, not desynchronize
+    val jpegFill = hex("FFD8" + "FFFF" + "FFFE0004ABCD" + "FFFFFF" +
+      "FFC0001108" + "0040" + "0060" + "03012200021101031101")
+    val jf = MediaHeader.parse(jpegFill)
+    assert(jf != null && jf.getUTF8String(0).toString == "jpeg" &&
+      jf.getInt(1) == 96 && jf.getInt(2) == 64)
+    // reaching SOS without a frame header yields null (dims must
+    // precede the entropy-coded data; scanning past SOS would read
+    // compressed bytes as markers)
+    assert(MediaHeader.parse(hex("FFD8" + "FFDA0008" + "0011223344")) == null)
     // truncated PNG (signature only), bare text, truncated JPEG scan,
     // and a JPEG whose segment lengths run past the buffer: all null
     assert(MediaHeader.parse(hex("89504E470D0A1A0A")) == null)
