@@ -55,11 +55,15 @@ object MediaHeader {
     // SOI) carry no length field.
     if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
       var pos = 2
-      var guard = 0
-      while (pos + 9 <= b.length && (b(pos) & 0xff) == 0xff && guard < 64) {
+      var segments = 0 // marker segments walked (bounds a hostile chain)
+      var fill = 0 // total fill bytes skipped (bounds a hostile 0xFF run)
+      while (pos + 9 <= b.length && (b(pos) & 0xff) == 0xff &&
+          segments < 64 && fill < 4096) {
         // fill bytes: any number of 0xFF padding bytes may precede a
-        // marker (ITU T.81 B.1.1.2) — skip to the last 0xFF of the run
-        if ((b(pos + 1) & 0xff) == 0xff) pos += 1
+        // marker (ITU T.81 B.1.1.2) — skip to the last 0xFF of the run.
+        // Counted separately from segments: a legal padding run must not
+        // consume the segment budget (r18 review-2 #8).
+        if ((b(pos + 1) & 0xff) == 0xff) { pos += 1; fill += 1 }
         else {
           val m = b(pos + 1) & 0xff
           if (m == 0xc0 || m == 0xc1 || m == 0xc2)
@@ -69,8 +73,8 @@ object MediaHeader {
           if (m == 0xda) return null
           if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) pos += 2
           else pos += 2 + be16(pos + 2)
+          segments += 1
         }
-        guard += 1
       }
       return null
     }

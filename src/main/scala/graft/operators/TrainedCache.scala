@@ -120,8 +120,9 @@ object TrainedCache {
     * session — the production cost model one level up from session
     * memoization (a curation platform trains per corpus SNAPSHOT and
     * serves every job from the artifact store, it does not retrain per
-    * driver). Default root /tmp/graft_trained_store; set
-    * GRAFT_TRAINED_STORE to relocate, or to "off" to disable.
+    * driver). Default root /tmp/graft_trained_store-<user> (0700,
+    * ownership-verified); set GRAFT_TRAINED_STORE to relocate, or to
+    * "off" to disable.
     *
     * Invalidation is structural, never TTL:
     *  - the disk key carries the caller's full memo key with the
@@ -150,8 +151,22 @@ object TrainedCache {
         if (codeDigest.isEmpty) None
         else try {
           val d = new java.io.File(p)
-          java.nio.file.Files.createDirectories(d.toPath)
-          Some(d)
+          try java.nio.file.Files.createDirectory(d.toPath,
+            java.nio.file.attribute.PosixFilePermissions.asFileAttribute(
+              java.nio.file.attribute.PosixFilePermissions
+                .fromString("rwx------"))): Unit
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+          // refuse a squatted root: a pre-created dir (or symlink target)
+          // owned by someone else would serve attacker-planted artifacts
+          // and fail every publish rename — trained data only loads from
+          // a root THIS user owns (r18 review-2 #4)
+          val owner = java.nio.file.Files.getOwner(d.toPath).getName
+          if (owner != scala.util.Properties.userName) {
+            System.err.println(s"[trained-store] WARNING: $p is owned by " +
+              s"'$owner', not '${scala.util.Properties.userName}' — store " +
+              "DISABLED (squatted or misconfigured root)")
+            None
+          } else Some(d)
         } catch { case scala.util.control.NonFatal(_) => None }
       }
 

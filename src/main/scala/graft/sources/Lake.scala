@@ -974,9 +974,21 @@ object Lake {
       // full-strength (any scheme, generic names included — a FALSE
       // 'live' only refuses a reclaim, the safe direction) for the
       // LIVENESS override (r18 review #4).
-      val samePidTable: Option[Boolean] =
-        for (a <- h.get("boot"); b <- bootId;
-             n <- h.get("pidns"); on <- pidNs) yield a == b && n == on
+      val bootMatch: Option[Boolean] =
+        for (a <- h.get("boot"); b <- bootId) yield a == b
+      val nsMatch: Option[Boolean] =
+        for (n <- h.get("pidns"); on <- pidNs) yield n == on
+      // a PROVEN boot mismatch is decisive on its own — different
+      // machine, so neither hostname fallback may fire (cloned-VM
+      // hostname collisions); a boot MATCH additionally needs the pid
+      // namespaces to agree before pid lookups mean anything (sibling
+      // containers share the boot id). Unknowable (legacy locks,
+      // off-Linux) falls to the hostname rules.
+      val samePidTable: Option[Boolean] = bootMatch match {
+        case Some(false) => Some(false)
+        case Some(true) => nsMatch
+        case None => None
+      }
       val sameMachineLive = samePidTable.getOrElse(
         h.get("host").contains(localHost))
       val sameMachineDead = samePidTable.getOrElse(
@@ -1099,17 +1111,27 @@ object Lake {
       // holder's publish — leave it and shout instead. A TRANSIENT read
       // error must NOT be read as "usurped": skipping the delete then
       // orphans our own live-identity lock, unreclaimable on stores with
-      // no lease (r18 review #3) — an unreadable lock deletes like the
-      // pre-lease contract did (it is equally unreadable to any usurper
-      // check, and an unreadable usurper lock is garbage for everyone).
-      val atRelease =
+      // no lease (r18 review #3). Nor may one transient blip be read as
+      // "unreadable garbage" and trigger the delete while a usurper IS
+      // live (r18 review-2 #2) — the read is retried briefly, and only a
+      // persistently unreadable lock deletes like the pre-lease contract
+      // did (persistently unreadable means no usurper check could ever
+      // pass on it either).
+      def identityAtRelease(attempt: Int): Either[Boolean, Map[String, String]] =
         try {
           if (!fs.exists(lock)) Left(true) // already gone
           else readLockIdentity(fs, lock) match {
             case Some(h) => Right(h)
-            case None => Left(false) // present but unreadable
+            case None if attempt < 3 =>
+              Thread.sleep(100L); identityAtRelease(attempt + 1)
+            case None => Left(false) // persistently unreadable
           }
-        } catch { case scala.util.control.NonFatal(_) => Left(false) }
+        } catch {
+          case scala.util.control.NonFatal(_) if attempt < 3 =>
+            Thread.sleep(100L); identityAtRelease(attempt + 1)
+          case scala.util.control.NonFatal(_) => Left(false)
+        }
+      val atRelease = identityAtRelease(0)
       atRelease match {
         case Right(h) if h == ownIdentity => fs.delete(lock, false): Unit
         case Left(true) => () // released/reclaimed away already
@@ -1736,6 +1758,12 @@ object Lake {
     val (nf, nb) = physicalSize(fs, genPath)
     val nRows =
       if (nf == 0) 0L else spark.read.parquet(genPath.toString).count()
+    writeSizeEntries(fs, genPath, nf, nb, nRows)
+  }
+
+  private def writeSizeEntries(fs: org.apache.hadoop.fs.FileSystem,
+      genPath: org.apache.hadoop.fs.Path,
+      nf: Long, nb: Long, nRows: Long): Unit = {
     val os = fs.create(new org.apache.hadoop.fs.Path(genPath, SizeFile), true)
     try os.write(s"$nf $nb $nRows\n"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -2076,6 +2104,14 @@ object Lake {
     * a CDC replica. After a rollback the single catch-down page is
     * delivered and the cursor moves DOWN with it. Returns the number
     * of pages delivered; the caller owns the polling schedule.
+    *
+    * Crash-during-INITIAL-cursor-creation caveat: a lone `.tmp` whose
+    * payload parses is adopted even without its terminator (discarding
+    * it could skip a pre-upgrade committed range — the forbidden
+    * direction), so a consumer whose very first `writeCursor` crashed
+    * mid-write may be handed pages of pre-subscription history before
+    * catching up. That is the at-least-once direction: handlers must be
+    * idempotent against re-delivery anyway, and the adoption is loud.
     */
   def followChanges(spark: SparkSession, rootDir: String,
       cursorFile: String, idCol: String, contentCol: String,
@@ -2135,13 +2171,19 @@ object Lake {
     // file wins: it is the older value, and re-delivering one page is
     // the at-least-once contract — skipping would not be.
     if (!cfs.exists(cPath) && cfs.exists(tmpPath)) {
-      val text =
+      // only a VANISHED tmp falls through (someone released the race);
+      // any other read error PROPAGATES — collapsing a transient I/O
+      // blip into "unparseable" would delete a committed cursor and
+      // silently skip its undelivered range, the one direction the
+      // delivery contract forbids (r18 review-2 #3). The caller's next
+      // poll retries against the still-present tmp.
+      val text: Option[String] =
         try {
           val in = cfs.open(tmpPath)
           try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
             java.nio.charset.StandardCharsets.UTF_8))
           finally in.close()
-        } catch { case scala.util.control.NonFatal(_) => None }
+        } catch { case _: java.io.FileNotFoundException => None }
       val parses = text.flatMap(_.trim.toLongOption)
       if (parses.isDefined && text.exists(!_.endsWith("\n")))
         System.err.println(
@@ -2815,15 +2857,17 @@ object Lake {
     // ledger that a re-run (which finds nothing left to compact) must
     // still repair (r18 review #6). Rows are preserved — compact
     // rewrites files, never row content — so the recheck is one listing,
-    // no Spark job.
-    for ((sf, sb, srows) <- readSizeFile(fs, root)) {
-      val (nf, nb) = physicalSize(fs, root)
-      if (nf != sf || nb != sb) {
-        val os = fs.create(new org.apache.hadoop.fs.Path(root, SizeFile), true)
-        try os.write(s"$nf $nb $srows\n"
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally os.close()
-      }
+    // no Spark job. A PRESENT-but-unparseable ledger (crash mid-_SIZE
+    // write) heals with a full rebuild including the row recount —
+    // leaving it would pin vacuum/history to the walk fallback forever
+    // (r18 review-2 #7).
+    val sizePath = new org.apache.hadoop.fs.Path(root, SizeFile)
+    readSizeFile(fs, root) match {
+      case Some((sf, sb, srows)) =>
+        val (nf, nb) = physicalSize(fs, root)
+        if (nf != sf || nb != sb) writeSizeEntries(fs, root, nf, nb, srows)
+      case None if fs.exists(sizePath) => writeSizeFile(spark, fs, root)
+      case None => () // not a lake generation — no ledger to maintain
     }
     val schema = org.apache.spark.sql.types.StructType(
       partitionCols.map(c =>
