@@ -102,6 +102,86 @@ class LockStressSpec extends SparkSuite {
     }
   }
 
+  test("mutual exclusion holds when the chaos plants LEASE-EXPIRED " +
+      "locks: the staleBeat rule + claim-serialized mtime re-check " +
+      "admit exactly one contender per reclaim under real interleaving") {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_lockstress_lease").toString
+    val root = s"$work/lake"
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(root))
+    val inBody = new java.util.concurrent.atomic.AtomicInteger(0)
+    val entries = new java.util.concurrent.atomic.AtomicInteger(0)
+    val planted = new java.util.concurrent.atomic.AtomicInteger(0)
+    val violations = new java.util.concurrent.atomic.AtomicInteger(0)
+    val unexpected =
+      new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val workers = (1 to 6).map { _ =>
+      new Thread(() => {
+        val rnd = new java.util.Random()
+        while (!stop.get()) {
+          try {
+            Lake.guarded(spark, root) {
+              if (inBody.incrementAndGet() != 1) violations.incrementAndGet()
+              Thread.sleep(rnd.nextInt(3).toLong)
+              inBody.decrementAndGet()
+              entries.incrementAndGet()
+            }
+          } catch {
+            case e: IllegalStateException
+                if e.getMessage.contains("locked by another writer") ||
+                  e.getMessage.contains("_LOCK.claim") => () // back off
+            case t: Throwable => unexpected.compareAndSet(null, t); stop.set(true)
+          }
+          Thread.sleep(rnd.nextInt(2).toLong)
+        }
+      })
+    }
+    // chaos: plant FOREIGN-machine heartbeat locks whose lease is
+    // already expired (beatms=50, mtime frozen 10 s in the past) — the
+    // ONLY applicable reclaim rule is staleBeat, so every entry above
+    // exercises the lease path and the under-claim mtime re-evaluation
+    val lockNio = java.nio.file.Paths.get(s"$root/_LOCK")
+    val chaos = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          java.nio.file.Files.write(lockNio,
+            ("pid=4242\nstart=99\nhost=elsewhere\n" +
+              "boot=00000000-dead-dead-dead-000000000000\n" +
+              "pidns=pid:[1111111111]\napp=app-killed\n" +
+              "beatms=50\n").getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW): Unit
+          new java.io.File(s"$root/_LOCK")
+            .setLastModified(System.currentTimeMillis() - 10000L): Unit
+          planted.incrementAndGet()
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => () // held
+          case _: java.io.IOException => ()
+        }
+        Thread.sleep(3L)
+      }
+    })
+    try {
+      (workers :+ chaos).foreach(_.start())
+      Thread.sleep(4000L)
+      stop.set(true)
+      (workers :+ chaos).foreach(_.join(20000L))
+      if (unexpected.get() != null) throw unexpected.get()
+      assert(violations.get() === 0,
+        s"mutual exclusion violated ${violations.get()} times")
+      assert(entries.get() > 50, s"only ${entries.get()} entries — no load")
+      assert(planted.get() > 0, "chaos never planted an expired lease")
+      assert(!fs.exists(new Path(root, "_LOCK.claim")),
+        "a reclaim claim leaked")
+    } finally {
+      stop.set(true)
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(work))
+    }
+  }
+
   test("lease reclaim (r17 verdict #1): a killed heartbeat-holder's lock " +
       "— remote host, no pid evidence, mtime frozen past 6x its own " +
       "beatms promise — is reclaimed without manual removal") {
