@@ -221,15 +221,42 @@ object TrainedCache {
     b.result()
   }
 
+  /** The store lives on DRIVER-LOCAL disk and moves rows through Spark
+    * parquet jobs, so it is only usable when the executors share the
+    * driver's filesystem — i.e. a local master (r18 review-3 #4: on a
+    * cluster the bare paths would resolve against fs.defaultFS /
+    * executor-local disks while the `_OK`/rename protocol runs on the
+    * driver's /tmp, publishing slots whose rows live elsewhere). On a
+    * non-local master the store disables itself with one warning and
+    * every artifact stays session-memoized — a cluster deployment
+    * serves trained artifacts from a shared filesystem one layer up
+    * (DEPLOY.md), not from this scratch cache. Spark-side reads/writes
+    * below use explicit `file:` URIs so a local master with a
+    * non-local fs.defaultFS still lands on the store root. */
+  private val warnedNonLocal =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def usableStore(spark: SparkSession): Option[java.io.File] =
+    storeRoot.filter { _ =>
+      val ok = spark.sparkContext.isLocal
+      if (!ok && warnedNonLocal.compareAndSet(false, true))
+        System.err.println("[trained-store] store disabled: non-local " +
+          "master — driver-local artifacts are invisible to executors; " +
+          "artifacts stay session-only (serve them from a shared " +
+          "filesystem instead on clusters)")
+      ok
+    }
+
   private def saveRows(spark: SparkSession, key: String,
       sr: (StructType, Array[Row])): Unit =
-    for (home <- slotOf(spark.sparkContext.applicationId, key)) {
+    for (_ <- usableStore(spark);
+        home <- slotOf(spark.sparkContext.applicationId, key)) {
+      val tmp = new java.io.File(home.getParentFile,
+        "." + home.getName + "-" + java.util.UUID.randomUUID.toString.take(8))
       try {
-        val tmp = new java.io.File(home.getParentFile,
-          "." + home.getName + "-" + java.util.UUID.randomUUID.toString.take(8))
         spark.createDataFrame(java.util.Arrays.asList(sr._2: _*), sr._1)
           .coalesce(1) // one file: collect order == file order on load
-          .write.mode("overwrite").parquet(new java.io.File(tmp, "rows").getPath)
+          .write.mode("overwrite")
+          .parquet(new java.io.File(tmp, "rows").toURI.toString)
         java.nio.file.Files.writeString(
           new java.io.File(tmp, "schema.json").toPath, sr._1.json)
         java.nio.file.Files.writeString(
@@ -237,6 +264,10 @@ object TrainedCache {
         if (!tmp.renameTo(home)) // lost the publish race: winner serves
           org.apache.commons.io.FileUtils.deleteQuietly(tmp): Unit
       } catch { case scala.util.control.NonFatal(t) =>
+        // the dot-temp is junk on ANY failure — without this delete a
+        // repeating persist failure (disk-full) would accumulate one
+        // orphan slot dir per attempt forever (r18 review-3 #5)
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp): Unit
         System.err.println(s"[trained-store] WARNING: persist failed " +
           s"($t) — artifact stays session-only")
       }
@@ -244,7 +275,8 @@ object TrainedCache {
 
   private def loadRows(spark: SparkSession, key: String,
       name: String): Option[(StructType, Array[Row])] =
-    slotOf(spark.sparkContext.applicationId, key)
+    usableStore(spark)
+      .flatMap(_ => slotOf(spark.sparkContext.applicationId, key))
       .filter(d => new java.io.File(d, "_OK").exists)
       .flatMap { d =>
         try {
@@ -254,7 +286,7 @@ object TrainedCache {
               new java.io.File(d, "schema.json").toPath))
             .asInstanceOf[StructType]
           val rows = spark.read.schema(schema)
-            .parquet(new java.io.File(d, "rows").getPath).collect()
+            .parquet(new java.io.File(d, "rows").toURI.toString).collect()
           if (name.nonEmpty)
             reusedSecs.merge(name, (System.nanoTime() - t0) / 1e9, _ + _)
           Some((schema, rows))
@@ -299,7 +331,8 @@ object TrainedCache {
     sharedPaths.computeIfAbsent(
       name + "|" + spark.sparkContext.applicationId + "|" +
         fingerprint(fixturePaths: _*),
-      _ => slotOf("", s"path|$name|${fingerprint(fixturePaths: _*)}") match {
+      _ => usableStore(spark).flatMap(_ =>
+        slotOf("", s"path|$name|${fingerprint(fixturePaths: _*)}")) match {
         case Some(home) if new java.io.File(home, "_OK").exists =>
           // served from the cross-JVM store — a path hand-off, ~0 cost;
           // recorded so Bench's "prebuilt" names it
@@ -309,25 +342,33 @@ object TrainedCache {
         case Some(home) => recordBuild(name) {
           val tmp = new java.io.File(home.getParentFile, "." + home.getName +
             "-" + java.util.UUID.randomUUID.toString.take(8))
-          java.nio.file.Files.createDirectories(tmp.toPath)
-          val out = build(tmp.getPath)
-          require(out.startsWith(tmp.getPath),
-            s"sharedPath($name): builder must build inside its tmp dir")
-          val rel = out.substring(tmp.getPath.length).stripPrefix("/")
-          java.nio.file.Files.writeString(
-            new java.io.File(tmp, "_PAYLOAD").toPath, rel)
-          java.nio.file.Files.writeString(
-            new java.io.File(tmp, "_OK").toPath, "ok")
-          if (tmp.renameTo(home)) new java.io.File(home, rel).getPath
-          else {
-            // lost the publish race to a concurrent JVM: serve the winner
-            org.apache.commons.io.FileUtils.deleteQuietly(tmp)
-            if (!new java.io.File(home, "_OK").exists)
-              throw new IllegalStateException(
-                s"sharedPath($name): could not publish to $home and no " +
-                  "winner present — remove the store dir and retry")
-            new java.io.File(home, java.nio.file.Files.readString(
-              new java.io.File(home, "_PAYLOAD").toPath).trim).getPath
+          try {
+            java.nio.file.Files.createDirectories(tmp.toPath)
+            val out = build(tmp.getPath)
+            require(out.startsWith(tmp.getPath),
+              s"sharedPath($name): builder must build inside its tmp dir")
+            val rel = out.substring(tmp.getPath.length).stripPrefix("/")
+            java.nio.file.Files.writeString(
+              new java.io.File(tmp, "_PAYLOAD").toPath, rel)
+            java.nio.file.Files.writeString(
+              new java.io.File(tmp, "_OK").toPath, "ok")
+            if (tmp.renameTo(home)) new java.io.File(home, rel).getPath
+            else {
+              // lost the publish race to a concurrent JVM: serve the winner
+              org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+              if (!new java.io.File(home, "_OK").exists)
+                throw new IllegalStateException(
+                  s"sharedPath($name): could not publish to $home and no " +
+                    "winner present — remove the store dir and retry")
+              new java.io.File(home, java.nio.file.Files.readString(
+                new java.io.File(home, "_PAYLOAD").toPath).trim).getPath
+            }
+          } catch { case t: Throwable =>
+            // a throwing builder (or a failed payload write) must not
+            // leave its dot-temp in the store forever (r18 review-3 #5);
+            // the caller still sees the real error
+            org.apache.commons.io.FileUtils.deleteQuietly(tmp): Unit
+            throw t
           }
         }
         case None => recordBuild(name) { // store disabled: session-only

@@ -813,14 +813,20 @@ object Lake {
     *  - **same-machine dead pid**: the lock provably names this machine
     *    and the recorded pid is provably dead (no such process, or the
     *    pid's current start instant differs — pid reuse). "This machine"
-    *    is proven by Linux boot-id equality when both sides recorded one
-    *    (scheme-independent — a dead local writer's HDFS lock reclaims
-    *    too); a legacy lock with no boot id falls back to hostname
-    *    equality ONLY on `file:` and only when the hostname is not a
-    *    known-generic value like `localhost` (r17 advice — container
-    *    default hostnames collide, and an NFS-mounted `file:` root is
-    *    visible from several hosts; NFS-shared roots with legacy locks
-    *    are outside the reclaim contract, documented in DEPLOY.md).
+    *    is proven by Linux boot-id + pid-namespace equality when both
+    *    sides recorded them (scheme-independent — a dead local writer's
+    *    HDFS lock reclaims too); a legacy lock with no boot id, and a
+    *    lock whose boot id DIFFERS (either a different machine or this
+    *    machine rebooted — and crash-plus-reboot is exactly the case
+    *    this rule self-heals, every pre-reboot pid being dead), falls
+    *    back to hostname equality ONLY on `file:` and only when the
+    *    hostname is not a known-generic value like `localhost` (r17
+    *    advice — container default hostnames collide, and an NFS-mounted
+    *    `file:` root is visible from several hosts; NFS-shared roots
+    *    are outside this rule's contract, documented in DEPLOY.md — the
+    *    heartbeat lease below is the rule that covers them). A matching
+    *    boot id with a DIFFERENT pid namespace never death-reclaims: the
+    *    sibling container's pids are invisible here, possibly live.
     *  - **stale heartbeat**: the lock advertises a heartbeat period
     *    (`beatms=N` — the holder promises to refresh the lock file's
     *    mtime every N ms while alive; see [[BeatConf]]) and the mtime is
@@ -978,23 +984,42 @@ object Lake {
         for (a <- h.get("boot"); b <- bootId) yield a == b
       val nsMatch: Option[Boolean] =
         for (n <- h.get("pidns"); on <- pidNs) yield n == on
-      // a PROVEN boot mismatch is decisive on its own — different
-      // machine, so neither hostname fallback may fire (cloned-VM
-      // hostname collisions); a boot MATCH additionally needs the pid
-      // namespaces to agree before pid lookups mean anything (sibling
-      // containers share the boot id). Unknowable (legacy locks,
-      // off-Linux) falls to the hostname rules.
-      val samePidTable: Option[Boolean] = bootMatch match {
-        case Some(false) => Some(false)
-        case Some(true) => nsMatch
-        case None => None
+      // Machine-identity evidence, graded separately for the LIVENESS
+      // override and the DEATH rule because a boot MISMATCH means two
+      // different things for them (r18 review-3 #3):
+      //  - LIVE: the recorded writer cannot be running here under a
+      //    different boot id — any local pid hit is reuse — so a boot
+      //    mismatch is decisively NOT-live. A boot match still needs the
+      //    pid namespaces to agree before a ProcessHandle lookup means
+      //    anything (sibling containers share the boot id but not the
+      //    pid table); unknowable falls back to hostname equality, broad
+      //    (any scheme, generic names included) because a FALSE 'live'
+      //    only refuses a reclaim — the safe direction (r18 review #4).
+      val legacyHostHere = h.get("host").contains(localHost)
+      val sameMachineLive = bootMatch match {
+        case Some(false) => false
+        case Some(true) => nsMatch.getOrElse(legacyHostHere)
+        case None if nsMatch.contains(false) => false
+        case None => legacyHostHere
       }
-      val sameMachineLive = samePidTable.getOrElse(
-        h.get("host").contains(localHost))
-      val sameMachineDead = samePidTable.getOrElse(
-        qualified.getScheme == "file" &&
-          h.get("host").contains(localHost) &&
-          !GenericHosts(localHost.toLowerCase))
+      //  - DEAD: a boot mismatch is EITHER a different machine OR this
+      //    machine rebooted — and a crash-plus-reboot is exactly the case
+      //    the same-host dead-pid rule existed to self-heal pre-r18, so
+      //    it must fall back to the legacy hostname rule (file: scheme +
+      //    non-generic hostname; every pid of the old boot is dead
+      //    here), not be blocked outright. The cloned-VM residual (same
+      //    non-generic hostname, file: root shared across machines = NFS)
+      //    is the pre-r18 documented out-of-contract case. A DIFFERENT
+      //    pid namespace under a MATCHING boot stays decisive-false: the
+      //    sibling container's pids are invisible, possibly live.
+      val legacyHostDead = qualified.getScheme == "file" &&
+        legacyHostHere && !GenericHosts(localHost.toLowerCase)
+      val sameMachineDead = bootMatch match {
+        case Some(false) => legacyHostDead
+        case Some(true) => nsMatch.getOrElse(legacyHostDead)
+        case None if nsMatch.contains(false) => false
+        case None => legacyHostDead
+      }
       // pid evidence: provably dead = no such pid here, or pid reused
       // (start instants both known and different); presumed live = pid
       // exists and is not provably reused — unknowable starts count as
@@ -1091,7 +1116,39 @@ object Lake {
       if (beatMs <= 0) None
       else Some(beatExec.scheduleWithFixedDelay(() => {
         if (!beatStopped.get())
-          try fs.setTimes(lock, System.currentTimeMillis(), -1)
+          try {
+            // beat ONLY a lock still carrying OUR identity: a zombie
+            // holder that was lease-fenced while paused must not refresh
+            // the usurper's (or any successor's) lock at this path —
+            // that would keep its mtime fresh for as long as the zombie
+            // body runs and defeat the lease self-heal for every holder
+            // after it (r18 review-3 #2). An UNREADABLE lock skips the
+            // beat rather than blind-refreshing an unverified file:
+            // missed beats are safe up to StaleBeatFactor× the period,
+            // and a lock no one can read cannot be reclaimed out from
+            // under us either (every reclaim rule needs the identity).
+            // The read-then-setTimes window can refresh a usurper's
+            // lock at most ONCE (its brand-new mtime makes the refresh
+            // a no-op in effect); the hazard was the PERSISTENT refresh.
+            readLockIdentity(fs, lock) match {
+              case Some(h) if h == ownIdentity =>
+                fs.setTimes(lock, System.currentTimeMillis(), -1)
+              case Some(_) =>
+                beatStopped.set(true)
+                System.err.println(
+                  s"[lake] WARNING: _LOCK at $rootDir no longer carries " +
+                    "this writer's identity — a contender reclaimed the " +
+                    "lease (this writer was paused past its heartbeat " +
+                    "promise). Stopping beats; release will leave the " +
+                    "new holder's lock in place.")
+              case None =>
+                if (!beatStopped.get()) System.err.println(
+                  s"[lake] WARNING: _LOCK heartbeat skipped at $rootDir " +
+                    "(lock unreadable) — if this persists past " +
+                    s"${beatMs * StaleBeatFactor} ms the lease may be " +
+                    "reclaimed by a contender")
+            }
+          }
           catch {
             case scala.util.control.NonFatal(t) =>
               if (!beatStopped.get()) System.err.println(
@@ -1113,33 +1170,50 @@ object Lake {
       // orphans our own live-identity lock, unreclaimable on stores with
       // no lease (r18 review #3). Nor may one transient blip be read as
       // "unreadable garbage" and trigger the delete while a usurper IS
-      // live (r18 review-2 #2) — the read is retried briefly, and only a
-      // persistently unreadable lock deletes like the pre-lease contract
-      // did (persistently unreadable means no usurper check could ever
-      // pass on it either).
+      // live (r18 review-2 #2) — the read is retried for several
+      // seconds (a store failover outlasts a 300 ms window, r18
+      // review-3 #1), and what a PERSISTENTLY unreadable lock means
+      // depends on the lease: with a heartbeat promise (beatMs > 0) the
+      // safe move is to LEAVE it — if it is our own orphan it
+      // self-expires by the stale-beat rule once we stop beating, and
+      // if it is a live usurper's lock it keeps beating and stays
+      // protected, so deleting is all downside. Only a no-lease lock
+      // (beatMs == 0: opted out, or a setTimes-refusing store) keeps
+      // the pre-lease delete — there an orphan would be permanent, and
+      // a live usurper cannot exist while we are alive on such a store
+      // (no rule reclaims a provably live holder, and no lease rule
+      // exists to misfire).
       def identityAtRelease(attempt: Int): Either[Boolean, Map[String, String]] =
         try {
           if (!fs.exists(lock)) Left(true) // already gone
           else readLockIdentity(fs, lock) match {
             case Some(h) => Right(h)
-            case None if attempt < 3 =>
-              Thread.sleep(100L); identityAtRelease(attempt + 1)
+            case None if attempt < 8 =>
+              Thread.sleep(500L); identityAtRelease(attempt + 1)
             case None => Left(false) // persistently unreadable
           }
         } catch {
-          case scala.util.control.NonFatal(_) if attempt < 3 =>
-            Thread.sleep(100L); identityAtRelease(attempt + 1)
+          case scala.util.control.NonFatal(_) if attempt < 8 =>
+            Thread.sleep(500L); identityAtRelease(attempt + 1)
           case scala.util.control.NonFatal(_) => Left(false)
         }
       val atRelease = identityAtRelease(0)
       atRelease match {
         case Right(h) if h == ownIdentity => fs.delete(lock, false): Unit
         case Left(true) => () // released/reclaimed away already
+        case Left(false) if beatMs > 0 =>
+          System.err.println(
+            s"[lake] WARNING: $LockFile at $rootDir was persistently " +
+              "unreadable at release — leaving it in place: if it is " +
+              "this writer's own lock its heartbeat lease expires in " +
+              s"<=${beatMs * StaleBeatFactor} ms; if a contender's, " +
+              "deleting it would split-brain their publish")
         case Left(false) =>
           System.err.println(
             s"[lake] WARNING: $LockFile at $rootDir was unreadable at " +
               "release — deleting it as our own (identity could not be " +
-              "checked; leaving it would orphan a live-identity lock)")
+              "checked; this lock carries no lease, so leaving it would " +
+              "orphan a live-identity lock forever)")
           fs.delete(lock, false): Unit
         case Right(_) => System.err.println(
           s"[lake] WARNING: $LockFile at $rootDir no longer carries this " +
@@ -1727,21 +1801,48 @@ object Lake {
 
   private val SizeFile = "_SIZE"
 
-  /** A generation's OWN physical footprint (underscore/dot metadata and
+  /** A generation's OWN physical data files (underscore/dot metadata and
     * inherited partitions excluded — the latter live in donor
-    * generations): (n_files, n_bytes) by recursive listing. */
-  private def physicalSize(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): (Long, Long) = {
-    var nf = 0L; var nb = 0L
+    * generations), by recursive listing. */
+  private def physicalFiles(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
     def walk(d: org.apache.hadoop.fs.Path): Unit =
       for (st <- fs.listStatus(d)) {
         val n = st.getPath.getName
         if (st.isDirectory) { if (graft.GenSwap.isDataName(n)) walk(st.getPath) }
-        else if (graft.GenSwap.isDataName(n)) { nf += 1; nb += st.getLen }
+        else if (graft.GenSwap.isDataName(n)) out += st
       }
     walk(p)
-    (nf, nb)
+    out.result()
   }
+
+  /** (n_files, n_bytes) of a generation's own footprint. */
+  private def physicalSize(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): (Long, Long) = {
+    val files = physicalFiles(fs, p)
+    (files.size.toLong, files.map(_.getLen).sum)
+  }
+
+  /** Total row count by driver-side parquet FOOTER reads — no Spark job.
+    * The ledger stamp runs inside the guarded publish critical section
+    * (per micro-batch on the streaming path), where a scheduled count()
+    * job's submission latency would lengthen every lock hold (r18
+    * review-3 #7); footers carry the exact record count, so this is the
+    * same number with pure metadata I/O. None on any unreadable footer —
+    * the caller falls back to the count() job. */
+  private def footerRowCount(fs: org.apache.hadoop.fs.FileSystem,
+      files: Seq[org.apache.hadoop.fs.FileStatus]): Option[Long] =
+    try {
+      val conf = fs.getConf
+      var n = 0L
+      for (st <- files) {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+        try n += r.getRecordCount finally r.close()
+      }
+      Some(n)
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Size ledger, written ONCE at publish (and refreshed by [[compact]]):
     * `n_files n_bytes n_rows`. [[vacuum]] and [[history]] read this one
@@ -1750,14 +1851,20 @@ object Lake {
     * accounting was O(generations × files) listings plus one Spark
     * count() job per generation per history() call (r17 verdict #2); the
     * ledger makes both O(generations) tiny reads. Generations without a
-    * ledger (pre-upgrade) fall back to the walk. The row count is a
-    * parquet footer-only count over the generation just written. */
+    * ledger (pre-upgrade) fall back to the walk. The row count comes
+    * from driver-side footer reads ([[footerRowCount]]) — the stamp adds
+    * zero Spark jobs to the publish critical section; a footer a parquet
+    * reader cannot open falls back to one footer-only count() job. */
   private def writeSizeFile(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
       genPath: org.apache.hadoop.fs.Path): Unit = {
-    val (nf, nb) = physicalSize(fs, genPath)
+    val files = physicalFiles(fs, genPath)
+    val nf = files.size.toLong
+    val nb = files.map(_.getLen).sum
     val nRows =
-      if (nf == 0) 0L else spark.read.parquet(genPath.toString).count()
+      if (nf == 0) 0L
+      else footerRowCount(fs, files).getOrElse(
+        spark.read.parquet(genPath.toString).count())
     writeSizeEntries(fs, genPath, nf, nb, nRows)
   }
 

@@ -235,6 +235,138 @@ class LakeGuardSpec extends SparkSuite {
     }
   }
 
+  test("reboot reclaim (r18 review-3 #3): a lock from THIS machine's " +
+      "previous boot (hostname matches, boot id differs, pid dead) " +
+      "reclaims on file: — crash-plus-reboot self-heals without a " +
+      "lease — while the same lock naming another host stays manual") {
+    val root = tmp()
+    val fs = fsOf(root)
+    def plant(lines: String*): Unit = {
+      val os = fs.create(new Path(root, "_LOCK"), false)
+      os.write((lines.mkString("\n") + "\n").getBytes("UTF-8")); os.close()
+    }
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    assume(!Set("localhost", "localhost.localdomain", "unknown-host", "")(
+      host.toLowerCase), s"hostname '$host' is generic — the fallback " +
+      "rule this test pins rightly refuses it")
+    try {
+      fs.mkdirs(new Path(root))
+      // our host, a FOREIGN boot id (this machine pre-reboot), dead pid,
+      // no lease: pre-fix the boot mismatch was read as 'different
+      // machine' and blocked the hostname fallback — a routine
+      // crash-plus-reboot then demanded manual _LOCK removal
+      plant("pid=2999999999", "start=123", s"host=$host",
+        "boot=00000000-dead-dead-dead-000000000000",
+        "pidns=pid:[1111111111]", "app=app-prereboot")
+      Lake.guarded(spark, root) { () }
+      assert(!fs.exists(new Path(root, "_LOCK")))
+      // control: the SAME pre-reboot-shaped lock naming another machine
+      // is exactly the cloned-VM hazard — hostname mismatch keeps it
+      // manual
+      plant("pid=2999999999", "start=123", "host=elsewhere",
+        "boot=00000000-dead-dead-dead-000000000000",
+        "pidns=pid:[1111111111]", "app=app-clone")
+      intercept[IllegalStateException] {
+        Lake.guarded(spark, root) { fail("entered under a foreign lock") }
+      }
+      fs.delete(new Path(root, "_LOCK"), false)
+      // control: a LIVE pid recorded under a foreign boot is still dead
+      // here if its start instant differs (any pid hit across boots is
+      // reuse) — OUR pid with a recorded start that cannot match reclaims
+      plant(s"pid=${java.lang.ProcessHandle.current().pid()}", "start=123",
+        s"host=$host", "boot=00000000-dead-dead-dead-000000000000",
+        "pidns=pid:[1111111111]", "app=app-prereboot")
+      Lake.guarded(spark, root) { () }
+      assert(!fs.exists(new Path(root, "_LOCK")))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(root).getParentFile)
+    }
+  }
+
+  test("zombie heartbeat fencing (r18 review-3 #2): a holder whose lock " +
+      "was usurped stops beating — the usurper's mtime is never " +
+      "refreshed — and release leaves the usurper's lock in place") {
+    val root = tmp()
+    val fs = fsOf(root)
+    spark.conf.set(Lake.BeatConf, "100")
+    val lockNio = java.nio.file.Paths.get(s"$root/_LOCK")
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      Lake.guarded(spark, root) {
+        entered.countDown()
+        release.await(15, java.util.concurrent.TimeUnit.SECONDS): Unit
+      })
+    try {
+      fs.mkdirs(new Path(root))
+      holder.start()
+      assert(entered.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      // usurp: replace the holder's lock with a foreign identity whose
+      // mtime is frozen in the past (a lease takeover while the holder
+      // was paused)
+      val frozen = System.currentTimeMillis() - 5000000L
+      java.nio.file.Files.delete(lockNio)
+      java.nio.file.Files.write(lockNio,
+        ("pid=4242\nstart=99\nhost=elsewhere\napp=app-usurper\n" +
+          "beatms=60000\n").getBytes("UTF-8"))
+      Thread.sleep(250L) // let any in-flight read-then-setTimes land
+      new java.io.File(s"$root/_LOCK").setLastModified(frozen): Unit
+      Thread.sleep(600L) // ≥5 further beat periods
+      val mt = fs.getFileStatus(new Path(root, "_LOCK")).getModificationTime
+      assert(math.abs(mt - frozen) < 2000L,
+        s"zombie holder refreshed the usurper's lock (mtime $mt, frozen " +
+          s"$frozen) — the lease self-heal is defeated for later holders")
+      release.countDown()
+      holder.join(15000L)
+      // release saw a foreign identity: the usurper's lock is untouched
+      val text = new String(java.nio.file.Files.readAllBytes(lockNio), "UTF-8")
+      assert(text.contains("app=app-usurper"), "release deleted the " +
+        "usurper's lock")
+    } finally {
+      release.countDown()
+      holder.join(15000L)
+      spark.conf.unset(Lake.BeatConf)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(root).getParentFile)
+    }
+  }
+
+  test("lease-aware unreadable release (r18 review-3 #1): a lock that " +
+      "is persistently unreadable at release is LEFT when it carried a " +
+      "heartbeat promise (a live usurper must not be split-brained; an " +
+      "own orphan lease-expires) and deleted only in no-lease mode") {
+    val lockName = "_LOCK"
+    def run(beatMs: String): (String, org.apache.hadoop.fs.FileSystem) = {
+      val root = tmp()
+      val fs = fsOf(root)
+      spark.conf.set(Lake.BeatConf, beatMs)
+      try {
+        fs.mkdirs(new Path(root))
+        Lake.guarded(spark, root) {
+          // corrupt the lock mid-body: an empty file parses to no
+          // identity at all — release's retried reads all fail
+          val p = java.nio.file.Paths.get(s"$root/$lockName")
+          java.nio.file.Files.delete(p)
+          java.nio.file.Files.createFile(p): Unit
+        }
+      } finally spark.conf.unset(Lake.BeatConf)
+      (root, fs)
+    }
+    val (leaseRoot, leaseFs) = run("100")
+    try assert(leaseFs.exists(new Path(leaseRoot, lockName)),
+      "lease-mode release deleted an unverifiable lock — a live " +
+        "usurper at this path would have been split-brained")
+    finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(leaseRoot).getParentFile)
+    val (bareRoot, bareFs) = run("0")
+    try assert(!bareFs.exists(new Path(bareRoot, lockName)),
+      "no-lease release left an unverifiable lock — with no lease to " +
+        "expire it, the orphan would demand manual removal forever")
+    finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(bareRoot).getParentFile)
+  }
+
   test("streaming restart self-heals its crashed incarnation's lock: " +
       "publishStream stamps its checkpoint location as the root-scoped " +
       "owner token, so the restart reclaims a stale lock carrying the " +

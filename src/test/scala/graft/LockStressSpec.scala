@@ -63,12 +63,35 @@ class LockStressSpec extends SparkSuite {
     // which could TRUNCATE a worker's freshly-won live lock and make
     // the test itself manufacture a false mutual-exclusion violation.
     val host = java.net.InetAddress.getLocalHost.getHostName
+    // machine identity exactly as the product records it: boot id +
+    // pid namespace when /proc exposes them (then the plant is
+    // reclaimable on ANY hostname — a CI box named `localhost` would
+    // otherwise wedge the test, since the hostname fallback rightly
+    // refuses generic names; r18 review-3 #6), hostname-only otherwise
+    // (then this host's name must be able to prove machine identity)
+    def procLine(path: String, key: String): Option[String] = {
+      val p = java.nio.file.Paths.get(path)
+      try {
+        if (key == "boot")
+          Some(s"$key=${java.nio.file.Files.readString(p).trim}")
+        else Some(s"$key=${java.nio.file.Files.readSymbolicLink(p)}")
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+    val machineLines = Seq(
+      procLine("/proc/sys/kernel/random/boot_id", "boot"),
+      procLine("/proc/self/ns/pid", "pidns")).flatten
+    if (machineLines.isEmpty) assume(
+      !Set("localhost", "localhost.localdomain", "unknown-host", "")(
+        host.toLowerCase),
+      s"no /proc machine identity and hostname '$host' is generic — " +
+        "the planted legacy lock would be reclaimable by no rule")
     val lockNio = java.nio.file.Paths.get(s"$root/_LOCK")
     val chaos = new Thread(() => {
       while (!stop.get()) {
         try {
           java.nio.file.Files.write(lockNio,
             (s"pid=2999999999\nstart=123\nhost=$host\n" +
+              machineLines.map(_ + "\n").mkString +
               "app=app-dead\n").getBytes("UTF-8"),
             java.nio.file.StandardOpenOption.CREATE_NEW): Unit
           reclaims.incrementAndGet()

@@ -66,4 +66,43 @@ class TrainedStoreSpec extends SparkSuite {
     assert(p3 !== p1)
     java.nio.file.Files.deleteIfExists(fixture): Unit
   }
+
+  test("a throwing builder leaves no dot-temp slot behind (r18 review-3 " +
+      "#5): a repeating failure must not grow the store unboundedly, " +
+      "and a later successful build still publishes") {
+    val fixture = java.nio.file.Files
+      .createTempFile("graft_store_leak", ".txt")
+    java.nio.file.Files.writeString(fixture, "leak corpus")
+    def dotTemps(): Seq[String] = {
+      // the store root is private; locate it from a sibling probe slot's
+      // parent via a successful publish below — until then, scan the
+      // default user-scoped root directly
+      val root = new java.io.File("/tmp/graft_trained_store-" +
+        scala.util.Properties.userName)
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("."))
+        .map(_.getName).toSeq
+    }
+    val before = dotTemps()
+    val boom = intercept[RuntimeException] {
+      TrainedCache.sharedPath(spark,
+        "store_spec_leak", Seq(fixture.toString)) { _ =>
+        throw new RuntimeException("builder died mid-train")
+      }
+    }
+    assert(boom.getMessage.contains("builder died"))
+    assert(dotTemps() === before,
+      "a failed build left its dot-temp slot in the store")
+    // the key is poisoned only in-memory; a fresh 'JVM' retries clean
+    TrainedCache.clear()
+    val ok = TrainedCache.sharedPath(spark,
+      "store_spec_leak", Seq(fixture.toString)) { tmp =>
+      val p = s"$tmp/payload"
+      Seq((1L, "z")).toDF("id", "v").write.parquet(p)
+      p
+    }
+    assert(spark.read.parquet(ok).count() === 1L)
+    assert(dotTemps() === before)
+    java.nio.file.Files.deleteIfExists(fixture): Unit
+  }
 }
