@@ -125,28 +125,21 @@ object ModelPrepQueries extends QueryRegistry {
     * loop is deterministic (argmax tie-break pinned) and (string, long,
     * string) round-trips exactly, so consumers keep unchanged oracles.
     */
-  private val sharedSeg =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def sharedBpeSeg(s: SparkSession, dir: String): DataFrame = {
-    val path = sharedSeg.computeIfAbsent(
-      s.sparkContext.applicationId + "|" +
-        TrainedCache.fingerprint(s"$dir/documents.parquet") +
-        s"|bpeseg|m=$bpeMerges",
-      _ => TrainedCache.recordBuild("bpe_segmentation") {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_bpeseg_shared").toString
-        Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          org.apache.commons.io.FileUtils
-            .deleteQuietly(new java.io.File(tmp)): Unit))
-        val p = s"$tmp/seg"
-        val wc = docs(s, dir)
-          .select(explode(TextDedup.tokens(col("text"))).as("w"))
-          .filter(length(col("w")) >= 1)
-          .groupBy("w").agg(count(lit(1)).as("c"))
-        bpeTrain(wc, applyLast = true)._2
-          .write.mode("overwrite").parquet(p)
-        p
-      })
+    // store-served: the trained segmentation is deterministic files
+    // derived from the documents corpus (bpeMerges is a compile-time
+    // constant, so the store's code digest re-keys a merge-count change)
+    val path = TrainedCache.sharedPath(s, "bpe_segmentation",
+      Seq(s"$dir/documents.parquet")) { tmp =>
+      val p = s"$tmp/seg"
+      val wc = docs(s, dir)
+        .select(explode(TextDedup.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 1)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      bpeTrain(wc, applyLast = true)._2
+        .write.mode("overwrite").parquet(p)
+      p
+    }
     s.read.parquet(path)
   }
 

@@ -74,22 +74,18 @@ object SimilarityQueries extends QueryRegistry {
     * deterministic graph + exact (long, long) round-trip keeps the
     * sharing bitwise-invisible to the unchanged oracle.
     */
-  private val sharedEdges =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def sharedKnnEdges(s: SparkSession, dir: String): DataFrame = {
-    val path = sharedEdges.computeIfAbsent(corpusKey(s, dir) + "|knn|k=3",
-      _ => TrainedCache.recordBuild("knn_edges") {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_knn_shared").toString
-        Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          org.apache.commons.io.FileUtils
-            .deleteQuietly(new java.io.File(tmp)): Unit))
-        val p = s"$tmp/edges"
-        Similarity.knnGraphWith(emb(s, dir), sharedCentroids(s, dir), 3)
-          .select(col("vec_id").as("src"), col("nbr").as("dst"))
-          .write.mode("overwrite").parquet(p)
-        p
-      })
+    // store-served like the codebooks (k=3 and the cell geometry are
+    // compile-time constants, so the store's code digest re-keys any
+    // hyperparameter change); consumers treat the artifact read-only
+    val path = TrainedCache.sharedPath(s, "knn_edges",
+      Seq(s"$dir/embeddings.parquet")) { tmp =>
+      val p = s"$tmp/edges"
+      Similarity.knnGraphWith(emb(s, dir), sharedCentroids(s, dir), 3)
+        .select(col("vec_id").as("src"), col("nbr").as("dst"))
+        .write.mode("overwrite").parquet(p)
+      p
+    }
     s.read.parquet(path)
   }
 
@@ -104,23 +100,22 @@ object SimilarityQueries extends QueryRegistry {
       pcaState(emb(s, dir))
     }
 
-  private val sharedIdx =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def sharedVecIndex(s: SparkSession, dir: String): String =
-    sharedIdx.computeIfAbsent(corpusKey(s, dir),
-      _ => TrainedCache.recordBuild("vec_index") {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_vecidx_shared").toString
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        org.apache.commons.io.FileUtils
-          .deleteQuietly(new java.io.File(tmp)): Unit))
+    // store-served: the index is pure deterministic files (centroids,
+    // codebooks, codes, meta) derived from the embeddings corpus — the
+    // production shape where an indexing batch job publishes once and
+    // every probe job mounts the artifact. Probes are read-only; the
+    // delete cycle copies its own replica below.
+    TrainedCache.sharedPath(s, "vec_index",
+      Seq(s"$dir/embeddings.parquet")) { tmp =>
+      val p = s"$tmp/index"
       // the index persists the SAME session-shared artifacts the in-query
       // paths probe — one training per session, everywhere
-      VecIndex.build(emb(s, dir), tmp, 16, 16, 256,
+      VecIndex.build(emb(s, dir), p, 16, 16, 256,
         centOpt = Some(sharedCentroids(s, dir)),
         cbOpt = Some(sharedIvfPqCodebook(s, dir)))
-      tmp
-    })
+      p
+    }
 
   /** The session's MUTABLE replica of [[sharedVecIndex]] for the delete
     * cycle (`sim_index_refresh`): copied ONCE per (session, corpus) —
