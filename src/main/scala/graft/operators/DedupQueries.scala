@@ -295,7 +295,8 @@ object DedupQueries extends QueryRegistry {
     "dedup_incremental" -> ((s, dir) =>
       TextDedup.minhashLshPairsIncrementalAmortized(
         docs(s, dir), col("doc_id") % 10 === 0, "doc_id", "text",
-        table = sharedLshTable(s, dir), path = sharedLshPath(s, dir))),
+        table = sharedLshTable(s, dir), path = sharedLshPath(s, dir),
+        storeFixtures = Seq(s"$dir/documents.parquet"))),
     // X2/X4: the keep-one-per-cluster POLICY — near-dedup's apply step:
     // every doc joins its LSH connected component (singletons form their
     // own), and the survivor is the member with the highest quality score

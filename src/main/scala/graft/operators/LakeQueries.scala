@@ -245,7 +245,8 @@ object LakeQueries extends QueryRegistry {
       val (table, path) = diffLshParts(s, dir)
       TextDedup.minhashLshPairsIncrementalAmortized(tagged,
         coalesce(col("_new"), lit(false)), "doc_id", "text",
-        table = table, path = path, buildLabel = "lsh_index_diff")
+        table = table, path = path, buildLabel = "lsh_index_diff",
+        storeFixtures = Seq(s"$dir/documents.parquet"))
     }),
     // [EXT] incremental compaction (the OPTIMIZE maintenance pass): the
     // corpus is staged deliberately fragmented (per-file row cap forces

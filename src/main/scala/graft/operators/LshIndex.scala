@@ -86,6 +86,44 @@ object LshIndex {
     spark.sql(s"DROP TABLE IF EXISTS ${tombstoneTable(table)}")
   }
 
+  /** [[build]] with the banded FILES served from the cross-JVM trained
+    * store when `storeFixtures` names the corpus files: the store keeps
+    * one immutable settled-index snapshot per (corpus fingerprint, code
+    * digest) — the settled split rule and every hyperparameter are
+    * compile-time code, which the digest covers — and each session
+    * COPIES it to its own `path` before mounting, because [[ingest]]
+    * appends in place and the store artifact must stay read-only. With
+    * no fixtures (or a disabled store) this is exactly a fresh [[build]].
+    */
+  def buildOrServe(
+      settled: DataFrame, idCol: String, textCol: String,
+      path: String, table: String,
+      k: Int = 16, bands: Int = 4, buckets: Int = 16,
+      buildLabel: String, storeFixtures: Seq[String] = Nil): Unit = {
+    val spark = settled.sparkSession
+    if (storeFixtures.isEmpty)
+      TrainedCache.recordBuild(buildLabel) {
+        build(settled, idCol, textCol, path, table, k, bands, buckets)
+      }
+    else {
+      val stored = TrainedCache.sharedPath(spark, buildLabel,
+        storeFixtures) { tmp =>
+        val p = s"$tmp/index"
+        // the bucketed writer only exists as saveAsTable: build through a
+        // throwaway catalog name and drop it (external table — the files
+        // stay; only the session catalog entry goes)
+        val tt = s"${table}_storebuild"
+        try build(settled, idCol, textCol, p, tt, k, bands, buckets)
+        finally spark.sql(s"DROP TABLE IF EXISTS $tt")
+        p
+      }
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(stored), new java.io.File(path))
+      TrainedCache.registerBucketedTable(spark, table, path, "ikey",
+        buckets, Map(KProp -> k.toString, BandsProp -> bands.toString))
+    }
+  }
+
   /** Delete docs from the index — LOGICAL deletes, the strategy the
     * layout dictates: the table is ikey-bucketed (a doc's `bands` rows
     * scatter across buckets), so a physical delete would rewrite the

@@ -559,13 +559,12 @@ object TextDedup {
       docs: DataFrame, isNew: Column, idCol: String, textCol: String,
       table: String, path: String,
       k: Int = 16, bands: Int = 4, threshold: Double = 0.5,
-      buckets: Int = 16, buildLabel: String = "lsh_index_base"): DataFrame = {
+      buckets: Int = 16, buildLabel: String = "lsh_index_base",
+      storeFixtures: Seq[String] = Nil): DataFrame = {
     val spark = docs.sparkSession
     if (!spark.catalog.tableExists(table))
-      TrainedCache.recordBuild(buildLabel) {
-        LshIndex.build(docs.filter(!isNew), idCol, textCol,
-          path, table, k, bands, buckets)
-      }
+      LshIndex.buildOrServe(docs.filter(!isNew), idCol, textCol,
+        path, table, k, bands, buckets, buildLabel, storeFixtures)
     LshIndex.ingest(spark, table, docs.filter(isNew), docs,
       idCol, textCol, threshold)
   }

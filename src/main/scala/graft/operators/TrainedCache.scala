@@ -384,6 +384,27 @@ object TrainedCache {
   private val sharedPaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Register `table` in THIS session's catalog over pre-written
+    * bucketed parquet files at `path` — the mount half of store-serving
+    * a bucketed artifact (`saveAsTable` writes files + catalog entry
+    * together; a later JVM has the files but not the entry). The files
+    * must come from a bucketBy writer with the SAME spec: the bucket id
+    * rides the file name (`..._NNNNN.c000...`), which copy/rename
+    * preserve, so the re-registered table keeps the zero-exchange join
+    * property the layout was built for. Idempotent per session. */
+  def registerBucketedTable(spark: SparkSession, table: String,
+      path: String, bucketCol: String, buckets: Int,
+      props: Map[String, String] = Map.empty): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      val ddl = spark.read.parquet(path).schema.toDDL
+      spark.sql(s"CREATE TABLE $table ($ddl) USING parquet " +
+        s"CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) " +
+        s"INTO $buckets BUCKETS LOCATION '$path'")
+      if (props.nonEmpty)
+        spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+          props.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ") + ")")
+    }
+
   /** Test seam: drop every memoized artifact (a spec that rewrites a
     * corpus in place needs the next call to retrain). In-memory only —
     * the disk store self-invalidates by corpus fingerprint + code

@@ -127,4 +127,45 @@ class IncrementalDedupSpec extends SparkSuite {
         .deleteDirectory(new java.io.File(wh))
     }
   }
+
+  test("a store-MOUNTED index — bucketed files copied, table re-created " +
+      "by DDL in a 'fresh JVM' — keeps the bucketed zero-exchange probe " +
+      "shape and the same contents") {
+    // the cross-JVM store serves the settled index FILES; each session
+    // re-registers its own catalog entry over a copy (the bucket id
+    // rides the file name, which the copy preserves). The mounted table
+    // must read bucket-aligned exactly like the saveAsTable original.
+    val wh = java.nio.file.Files.createTempDirectory("graft_lshmnt").toString
+    spark.sql("DROP TABLE IF EXISTS lsh_idx_mounted_spec")
+    try {
+      val bands = spark.range(0, 1000).select(
+        col("id").as("doc_id"),
+        md5(col("id").cast("string")).as("ikey"))
+      bands.write.bucketBy(16, "ikey").sortBy("ikey")
+        .option("path", s"$wh/idx").mode("overwrite")
+        .saveAsTable("lsh_idx_mount_build")
+      // 'crash' the building session: external table drop keeps files
+      spark.sql("DROP TABLE IF EXISTS lsh_idx_mount_build")
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(s"$wh/idx"), new java.io.File(s"$wh/mounted"))
+      graft.operators.TrainedCache.registerBucketedTable(spark,
+        "lsh_idx_mounted_spec", s"$wh/mounted", "ikey", 16)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = bands.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("nid"), col("ikey"))
+      val joined = spark.table("lsh_idx_mounted_spec").join(probe, "ikey")
+      val plan = joined.queryExecution.executedPlan.toString
+      val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges === 1,
+        s"mounted table lost its bucket spec — extra exchange in:\n$plan")
+      assert(plan.contains("Bucketed: true"), plan.take(3000))
+      assert(joined.count() === 100L)
+      assert(spark.table("lsh_idx_mounted_spec").count() === 1000L)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS lsh_idx_mounted_spec")
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(wh))
+    }
+  }
 }
