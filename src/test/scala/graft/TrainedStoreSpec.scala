@@ -3,14 +3,34 @@ package graft
 import graft.operators.TrainedCache
 import org.apache.spark.sql.functions._
 
-/** Cross-JVM trained-artifact store (r17 verdict #6): a key first built
+/** Cross-JVM trained-artifact store — OPT-IN (off by default so every
+  * bench/oracle run computes from the parquet inputs): a key first built
   * in any JVM persists under the store root and later JVMs LOAD it
   * instead of retraining. `TrainedCache.clear()` wipes only the
   * in-memory layer, so build → clear → rebuild is exactly the
-  * fresh-JVM-warm-store path, minus process spawn.
+  * fresh-JVM-warm-store path, minus process spawn. The suite enables the
+  * store through the `graft.trained.store` system-property seam into its
+  * own scratch root and restores the property (normally absent ⇒ store
+  * off) when done.
   */
-class TrainedStoreSpec extends SparkSuite {
+class TrainedStoreSpec extends SparkSuite
+    with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
+
+  private val storeScratch =
+    java.nio.file.Files.createTempDirectory("graft_store_spec").toString
+  private val priorProp = sys.props.get("graft.trained.store")
+  sys.props("graft.trained.store") = storeScratch
+
+  override def afterAll(): Unit = {
+    priorProp match {
+      case Some(v) => sys.props("graft.trained.store") = v
+      case None => sys.props -= "graft.trained.store"
+    }
+    org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(storeScratch)): Unit
+    super.afterAll()
+  }
 
   test("memoDf round-trips through the disk store bit-exactly: second " +
       "'JVM' loads instead of rebuilding, values and schema identical") {
@@ -74,11 +94,7 @@ class TrainedStoreSpec extends SparkSuite {
       .createTempFile("graft_store_leak", ".txt")
     java.nio.file.Files.writeString(fixture, "leak corpus")
     def dotTemps(): Seq[String] = {
-      // the store root is private; locate it from a sibling probe slot's
-      // parent via a successful publish below — until then, scan the
-      // default user-scoped root directly
-      val root = new java.io.File("/tmp/graft_trained_store-" +
-        scala.util.Properties.userName)
+      val root = new java.io.File(storeScratch)
       Option(root.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName.startsWith("."))
         .map(_.getName).toSeq
