@@ -112,6 +112,14 @@ object Materialize {
     spark.catalog.clearCache()
     spark.catalog.listTables().filter("isTemporary").collect()
       .foreach(t => spark.catalog.dropTempView(t.name))
+    // Dead state-store providers of finished streaming queries retain
+    // their state maps on heap (and RocksDB native handles) until the
+    // maintenance thread happens to evict them — in a one-JVM battery
+    // that residue GC-taxes every later query (see StateStoreJanitor).
+    // No active query is mid-batch when release() runs (gates stop their
+    // streams before returning), so unloading here is the documented
+    // executor-reassignment path, not a behavior change.
+    org.apache.spark.sql.graft.StateStoreJanitor.unloadAll()
     // NOT called here: System.gc() — A/B'd at sf0.1 (full battery 104 s
     // without vs 115 s with); the explicit unpersist above already
     // releases the storage pressure that inflated late queries in r7,

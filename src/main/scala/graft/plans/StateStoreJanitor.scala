@@ -1,0 +1,37 @@
+// Lives under org.apache.spark.sql for catalyst/execution internals,
+// like TopKPerKey.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.execution.streaming.state.StateStore
+
+/** Between-queries state-store hygiene (optimization guide §5: memory).
+  *
+  * Every stateful streaming query loads one `StateStoreProvider` per
+  * (operator, shuffle partition) into the executor-global
+  * `StateStore.loadedProviders` map, and the default
+  * `HDFSBackedStateStoreProvider` keeps its recent state-version maps ON
+  * HEAP after the query stops — providers are only evicted lazily by the
+  * maintenance thread when their checkpoint root disappears or the
+  * instance is re-assigned. A battery that runs dozens of stateful gates
+  * back-to-back in one JVM therefore accretes hundreds of dead providers
+  * whose retained maps GC-pressure every LATER query (measured r18, cold
+  * battery at -Xmx4g: `dedup_containment` 8.6 s in battery vs 2.2 s
+  * isolated, `events_stream_asof` 7.2 vs 3.8 — batch queries slowed by
+  * streaming residue). A production cluster never sees this shape — each
+  * job owns its executors — so the fix belongs to the measurement
+  * harness, not the operators: unload ALL providers between queries.
+  *
+  * Safe whenever no streaming query is mid-batch: an ACTIVE query whose
+  * provider is unloaded simply reloads it from the checkpoint on its
+  * next batch (the executor-reassignment path Structured Streaming is
+  * built around); a STOPPED query's provider is pure garbage. The gate
+  * battery stops every stream before returning, so the between-queries
+  * hook sits in exactly that window.
+  */
+object StateStoreJanitor {
+  /** Unload + close every loaded provider (frees retained state maps and
+    * RocksDB native handles). The maintenance pool itself is left
+    * running; the next stateful query reloads what it needs.
+    */
+  def unloadAll(): Unit = StateStore.unloadAll()
+}
