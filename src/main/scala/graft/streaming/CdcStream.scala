@@ -924,7 +924,14 @@ object CdcStream {
       // standing shape against live file drops)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Ch], _: Long) =>
-        upsertBatch(batch.toDF(), stateDir, nBuckets)
+        // preDeduped: flatMapGroupsWithState invokes the fold once per
+        // key per micro-batch and mergeFold emits ≤ 1 row from it, so
+        // the batch can never carry two rows of one (table, rid) — the
+        // latest-per-key window (a full exchange + per-key sort of the
+        // batch, every micro-batch) would re-derive what the operator
+        // already guarantees (MergeSpec pins the ≤1-row-per-key-per-
+        // batch invariant; optimization guide §2.4).
+        upsertBatch(batch.toDF(), stateDir, nBuckets, preDeduped = true)
       }
       .start()
 
@@ -954,7 +961,11 @@ object CdcStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Ch], _: Long) =>
-        upsertBatch(batch.toDF(), stateDir, nBuckets)
+        // preDeduped: transformWithState's handleInputRows runs once per
+        // key per micro-batch and emits ≤ 1 row (see MergeProcessor), so
+        // the per-batch latest-per-key window is redundant — same
+        // argument as [[run]]'s sink (guide §2.4: remove the exchange).
+        upsertBatch(batch.toDF(), stateDir, nBuckets, preDeduped = true)
       }
       .start()
 

@@ -50,6 +50,36 @@ class StreamSpec extends SparkSuite {
     assert(streamFinal.toMap === batch)
   }
 
+  test("update-mode merge emits at most ONE row per key per micro-batch " +
+      "— the invariant the bucket sink's preDeduped fast path rides on " +
+      "(no per-batch latest-per-key window)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ch]
+    val perBatch =
+      scala.collection.mutable.ArrayBuffer[Array[(String, Long)]]()
+    val q = CdcStream.merged(mem.toDS()).writeStream
+      .outputMode("update").trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Ch], _: Long) =>
+        perBatch += b.groupBy("table", "rid").count()
+          .collect().map(r => r.getString(1) -> r.getLong(2))
+        ()
+      }.start()
+    // several changes of ONE key inside a single batch must fold to one
+    // emitted row; annihilation emits exactly the one tombstone row
+    mem.addData(ch("a", "insert", 1), ch("a", "update", 2),
+      ch("a", "update", 3), ch("b", "insert", 4), ch("b", "delete", 5))
+    q.processAllAvailable()
+    mem.addData(ch("a", "delete", 6), ch("a", "insert", 7),
+      ch("b", "insert", 8))
+    q.processAllAvailable()
+    q.stop()
+    val flat = perBatch.flatten
+    assert(flat.nonEmpty)
+    assert(flat.forall(_._2 == 1L),
+      s"a key appeared more than once in one micro-batch: ${flat.toSeq}")
+  }
+
   test("annihilation keeps a seen-seq tombstone: a re-delivered stale " +
       "insert cannot resurrect the dead key; a genuinely NEW insert can") {
     import spark.implicits._
