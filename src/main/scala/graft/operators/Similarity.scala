@@ -45,16 +45,40 @@ object Similarity {
   private[operators] def vecs(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
+  /** Per-key top-k WITH the rank column — the heap form of
+    * `row_number().over(w).filter(rk <= k)` for call sites that KEEP the
+    * rank in their output (the WindowToTopK optimizer rule only rewrites
+    * drop-rank shapes, so these sites were paying a full exchange + sort
+    * of the whole candidate table; optimization guide §2.3/§2.4). The
+    * TopKPerKey partial pass prunes every map partition to ≤ keys × k
+    * rows BEFORE the exchange, the final pass keeps the true top-k, and
+    * the rank is recomputed by the SAME ordering over the ≤ k survivors
+    * per key — one in-partition sort of k-row groups, no second exchange
+    * (TopKPerKeyExec preserves the key-clustered distribution).
+    *
+    * REQUIRES a total per-key ordering (unique tiebreak column, which
+    * every caller has): under ties the heap keeps an arbitrary k-subset
+    * and the re-rank could disagree with the one-window form.
+    */
+  private[operators] def rankedTopKPerKey(df: DataFrame, keys: Seq[String],
+      orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val pruned = org.apache.spark.sql.graft.TopK.perKey(df, keys, orderBy, k)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderBy.map { case (n, desc) =>
+        if (desc) col(n).desc else col(n).asc }: _*)
+    pruned.withColumn("rk", row_number().over(w))
+  }
+
   /** Brute-force top-k cosine neighbors for each query vector. */
   def topK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val v = vecs(emb)
     val q = v.filter(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
-    v.join(broadcast(q), col("qid") =!= col("vec_id"))
+    val cand = v.join(broadcast(q), col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"), cosine(col("qv"), col("v")).as("sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    // heap top-k (ordering total: vec_id unique per qid) — the n × q
+    // similarity table is pruned map-side instead of fully sorted
+    rankedTopKPerKey(cand, Seq("qid"), Seq(("sim", true), ("vec_id", false)), k)
       .select(col("qid"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rk"))
   }
 
@@ -71,21 +95,31 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
   }
 
-  /** Nearest-centroid assignment against an explicit (cid, cv) table as a
-    * HASH AGGREGATE: `min(struct(-cosine, cid))` is argmax-with-tiebreak
-    * (identical output to the rank-1 window) but runs with map-side
-    * partial aggregation and no per-vector sort — at scale this is the
-    * difference between one hash agg and a full sort shuffle of the
-    * n × C similarity table. `first(v)` is deterministic here because v
-    * is functionally dependent on the group key.
+  /** Nearest-centroid assignment against an explicit (cid, cv) table as
+    * a k=1 BOUNDED HEAP (TopKPerKey): argmax-with-lowest-cid-tiebreak,
+    * identical output to the rank-1 window and to the historical
+    * `min(struct(-cosine, cid))` aggregate, but with a map-side partial
+    * pass that cuts each partition to one row per vec_id before the
+    * exchange and NO sort anywhere (r18: the struct-min form physically
+    * planned as SortAggregate — struct agg buffers cannot hash-aggregate
+    * — sorting the n × C similarity rows twice per assignment).
     */
   private[operators] def assignTo(v: DataFrame, cent: DataFrame): DataFrame =
-    v.join(broadcast(cent))
-      .select(col("vec_id"), col("v"),
-        struct((-cosine(col("v"), col("cv"))).as("nsim"), col("cid")).as("sc"))
-      .groupBy("vec_id")
-      .agg(min("sc").as("best"), first("v").as("v"))
-      .select(col("vec_id"), col("v"), col("best.cid").as("cid"))
+    // argmax-with-lowest-cid-tiebreak as a k=1 HEAP, not min(struct(-sim,
+    // cid)): Spark plans a struct-valued min as SortAggregate (struct agg
+    // buffers cannot hash-aggregate), which SORTS the n × C similarity
+    // rows in both the partial and final phases — the r18 plan audit
+    // caught the "hash aggregate" comment this code used to carry being
+    // physically false. The heap keeps the identical winner ((msim desc,
+    // cid asc), exactly min(-sim, cid)'s order) in one O(n·C) pass inside
+    // whole-stage codegen, and the partial pass cuts each map partition
+    // to one row per vec_id before the exchange (guide §2.3/§2.4).
+    org.apache.spark.sql.graft.TopK.perKey(
+      v.join(broadcast(cent))
+        .select(col("vec_id"), col("v"), col("cid"),
+          cosine(col("v"), col("cv")).as("msim")),
+      Seq("vec_id"), Seq(("msim", true), ("cid", false)), 1)
+      .select(col("vec_id"), col("v"), col("cid"))
 
   /** Deterministic training sample for a C-cell coarse quantizer: the
     * first `c` vectors (Lloyd's seeding contract) plus a hash-selected
@@ -130,14 +164,16 @@ object Similarity {
       flatBelow: Int = 128, superProbe: Int = 2): DataFrame = {
     val centRows = cent.count() // driver action — cent is C rows, tiny
     if (centRows < flatBelow) return assignTo(v, cent)
-    // hop 2: argmin over the probed supers' member centroids — the
-    // groupBy dedups across probes.
-    hierProbedMembers(v, cent, centRows, superProbe)
-      .select(col("vec_id"), col("v"),
-        struct((-cosine(col("v"), col("cv"))).as("nsim"), col("cid")).as("sc"))
-      .groupBy("vec_id")
-      .agg(min("sc").as("best"), first("v").as("v"))
-      .select(col("vec_id"), col("v"), col("best.cid").as("cid"))
+    // hop 2: argmin over the probed supers' member centroids, as the
+    // same k=1 heap as [[assignTo]] (duplicate (vec_id, cid) candidate
+    // rows across probes carry identical msim, so the heap's winner is
+    // the dedup'd argmin).
+    org.apache.spark.sql.graft.TopK.perKey(
+      hierProbedMembers(v, cent, centRows, superProbe)
+        .select(col("vec_id"), col("v"), col("cid"),
+          cosine(col("v"), col("cv")).as("msim")),
+      Seq("vec_id"), Seq(("msim", true), ("cid", false)), 1)
+      .select(col("vec_id"), col("v"), col("cid"))
   }
 
   /** Multi-probe twin of [[assignToHier]]: top-`probes` cells per vector
@@ -340,12 +376,13 @@ object Similarity {
     val q = rankedAssign(v.filter(queryPred), cent)
       .filter(col("rk") <= nprobe)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("cid"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
-    asn.join(q, Seq("cid"))
+    val cand = asn.join(q, Seq("cid"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"), cosine(col("qv"), col("v")).as("sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    // heap top-k (total ordering: a candidate lives in ONE cell, so each
+    // (qid, vec_id) appears once even under multi-probe) — prunes the
+    // Σ probed-cell candidate table map-side instead of sorting it
+    rankedTopKPerKey(cand, Seq("qid"), Seq(("sim", true), ("vec_id", false)), k)
       .select(col("qid"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rk"))
   }
 
@@ -481,14 +518,13 @@ object Similarity {
     val lut = qsub.join(broadcast(cb), Seq("m"))
       .select(col("qid"), col("m"), col("code"),
         round(l2sq(col("qv"), col("cv")) * 1e6, 0).cast("long").as("di"))
-    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id"))
-    codes.join(broadcast(lut), Seq("m", "code"))
+    val cand = codes.join(broadcast(lut), Seq("m", "code"))
       .filter(col("qid") =!= col("vec_id"))
       .groupBy("qid", "vec_id").agg(sum("di").as("adcl"))
       .select(col("qid"), col("vec_id"),
         (col("adcl").cast("double") / 1e6).as("adc"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    // heap top-k (total ordering: (qid, vec_id) unique after the agg)
+    rankedTopKPerKey(cand, Seq("qid"), Seq(("adc", false), ("vec_id", false)), k)
       .select(col("qid"), col("vec_id"), round(col("adc"), 6).as("adc_dist"),
         col("rk"))
   }
@@ -580,14 +616,13 @@ object Similarity {
     val lut = qrsub.join(broadcast(cb), Seq("m"))
       .select(col("qid"), col("cid"), col("m"), col("code"),
         round(l2sq(col("qv"), col("cv")) * 1e6, 0).cast("long").as("di"))
-    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id"))
-    codes.join(broadcast(lut), Seq("cid", "m", "code"))
+    val cand = codes.join(broadcast(lut), Seq("cid", "m", "code"))
       .filter(col("qid") =!= col("vec_id"))
       .groupBy("qid", "vec_id").agg(sum("di").as("adcl"))
       .select(col("qid"), col("vec_id"),
         (col("adcl").cast("double") / 1e6).as("adc"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    // heap top-k (total ordering: (qid, vec_id) unique after the agg)
+    rankedTopKPerKey(cand, Seq("qid"), Seq(("adc", false), ("vec_id", false)), k)
       .select(col("qid"), col("vec_id"), round(col("adc"), 6).as("adc_dist"),
         col("rk"))
   }
@@ -705,12 +740,12 @@ object Similarity {
     val asn = ivfAssignTo(emb, cent).materialize() // both join sides read it
     val nbr = asn.select(col("cid"), col("vec_id").as("nbr"),
       col("v").as("nv"))
-    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("nbr"))
-    asn.join(nbr, Seq("cid"))
+    val cand = asn.join(nbr, Seq("cid"))
       .filter(col("vec_id") =!= col("nbr"))
       .select(col("vec_id"), col("nbr"), cosine(col("v"), col("nv")).as("sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    // heap top-k over the Σ cell² candidate table (total ordering: nbr
+    // unique per vec_id) — map-side prune replaces the full sort
+    rankedTopKPerKey(cand, Seq("vec_id"), Seq(("sim", true), ("nbr", false)), k)
       .select(col("vec_id"), col("rk"), col("nbr"),
         round(col("sim"), 6).as("sim"))
   }

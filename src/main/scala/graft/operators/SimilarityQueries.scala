@@ -457,14 +457,14 @@ object SimilarityQueries extends QueryRegistry {
       val a = asn.join(lab, "vec_id")
       val n = a.select(col("cid"), col("vec_id").as("nbr"),
         col("v").as("nv"), col("label").as("nlabel"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("sim").desc, col("nbr"))
-      a.join(n, Seq("cid"))
+      val cand = a.join(n, Seq("cid"))
         .filter(col("vec_id") =!= col("nbr") && col("label") =!= col("nlabel"))
         .select(col("vec_id"), col("label"), col("nbr"), col("nlabel"),
           Similarity.cosine(col("v"), col("nv")).as("sim"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
+      // heap top-3 (total ordering: nbr unique per vec_id) — the Σ cell²
+      // candidate table is pruned map-side instead of fully sorted
+      Similarity.rankedTopKPerKey(cand, Seq("vec_id"),
+          Seq(("sim", true), ("nbr", false)), 3)
         .select(col("vec_id"), col("rk"), col("nbr"), col("label"),
           col("nlabel"), round(col("sim"), 6).as("sim"))
     }),

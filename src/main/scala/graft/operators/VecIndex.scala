@@ -209,14 +209,15 @@ object VecIndex {
         round(Similarity.l2sq(col("qv"), col("cv")) * 1e6, 0)
           .cast("long").as("di"))
     val codes = spark.read.parquet(s"$path/codes")
-    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id"))
-    codes.join(broadcast(lut), Seq("cid", "m", "code"))
+    val cand = codes.join(broadcast(lut), Seq("cid", "m", "code"))
       .filter(col("qid") =!= col("vec_id"))
       .groupBy("qid", "vec_id").agg(sum("di").as("adcl"))
       .select(col("qid"), col("vec_id"),
         (col("adcl").cast("double") / 1e6).as("adc"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    // heap top-k (total ordering: (qid, vec_id) unique after the agg) —
+    // same rewrite as Similarity.rankedTopKPerKey's call sites
+    Similarity.rankedTopKPerKey(cand, Seq("qid"),
+        Seq(("adc", false), ("vec_id", false)), k)
       .select(col("qid"), col("vec_id"), round(col("adc"), 6).as("adc_dist"),
         col("rk"))
   }
