@@ -290,6 +290,10 @@ object CdcQueries extends QueryRegistry {
     "cdc_state_sink_tws" -> ((s, dir) => {
       val ss = streaming.CdcStream.stateScopedSession(s)
       streaming.CdcStream.useRocksDBStateStore(ss)
+      // empty micro-batches cost a state commit each and fire a ~1.4 s
+      // replay batch on the checkpoint restart; the TWS tomb TTL never
+      // needs them (state-store TTL, not timer batches) — scoped here
+      ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_sink_tws").toString
       val src = s"$tmp/src"
