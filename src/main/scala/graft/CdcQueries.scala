@@ -214,13 +214,21 @@ object CdcQueries extends QueryRegistry {
     // compact (same oracle as cdc_compact). This puts the deploy-shape
     // pipeline, not just its operators, under the hash gate.
     "cdc_state_sink" -> ((s, dir) => {
+      // state geometry: the fMGWS merge's state is O(live keys) — size
+      // its shuffle to spark.graft.statePartitions via the scoped
+      // session (every other stateful gate's discipline), instead of
+      // inheriting the batch session's input-parallelism width. 16
+      // buckets for the sink dir, the evolving gate's measured geometry
+      // (64 buckets was ~2× file-op overhead at sf0.1; layout is
+      // invisible to the read-back).
+      val ss = streaming.CdcStream.stateScopedSession(s)
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_sink").toString
-      val q = streaming.CdcStream.run(s,
-        streaming.CdcStream.changeLogStream(s, dir),
-        s"$tmp/state", s"$tmp/ckpt")
+      val q = streaming.CdcStream.run(ss,
+        streaming.CdcStream.changeLogStream(ss, dir),
+        s"$tmp/state", s"$tmp/ckpt", nBuckets = 16)
       q.processAllAvailable(); q.stop()
-      val res = s.read.parquet(s"$tmp/state")
+      val res = ss.read.parquet(s"$tmp/state")
         .select("table", "rid", "cdc_action", "seq", "cdc_ts", "value",
           "props")
         .materializeForced() // the temp state dir is deleted next —

@@ -496,15 +496,10 @@ object TextQueries extends QueryRegistry {
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .select(col("source"), col("doc_id"), nt.as("n_tokens"))
         .as[graft.streaming.Quota.DocTokens]
-      val name = "quota_" +
-        java.util.UUID.randomUUID.toString.replace("-", "")
-      val q = graft.streaming.Quota.admit(src, 30000L)
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      sc.table(name)
+      // the admission ledger is one row per DOC — data-sized: parquet
+      // drain (guide §5), never a memory sink
+      graft.streaming.CdcStream.drainToParquet(sc,
+          graft.streaming.Quota.admit(src, 30000L).toDF())
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           count(when(col("admitted"), 1)).as("n_admitted"),

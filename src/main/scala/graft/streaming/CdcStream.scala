@@ -264,22 +264,18 @@ object CdcStream {
     }
   }
 
-  /** Run the stream to completion (AvailableNow) into a memory sink and
-    * return the final compacted snapshot — streaming/batch parity surface
-    * used by the `cdc_compact_stream` driver query.
+  /** Run the stream to completion (AvailableNow) through a parquet update
+    * ledger and return the final compacted snapshot — streaming/batch
+    * parity surface used by the `cdc_compact_stream` driver query.
     */
   def compactStreamed(spark: SparkSession, sfDir: String): DataFrame = {
     val s = stateScopedSession(spark)
-    val name = "cdc_state_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = merged(changeLogStream(s, sfDir)).writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("update")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // the update ledger is O(live keys × batches) — data-sized at scale:
+    // drain through the parquet ledger (update mode → per-batch append),
+    // never a memory sink (guide §5)
+    val updates = drainToParquet(s,
+      merged(changeLogStream(s, sfDir)).toDF(), mode = "update")
     // collapse multi-batch updates: last update per key wins, drop tombstones
-    val updates = s.table(name)
     Merge.latestPerKey(updates, Seq("table", "rid"), "seq")
       .filter(col("cdc_action") =!= Types.None_)
       .select("table", "rid", "cdc_action", "seq", "cdc_ts", "value", "props")
@@ -313,17 +309,37 @@ object CdcStream {
     // ProcessingTimeTimeout eviction DOES fire on no-data batches).
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val expected = s.read.parquet(s"$sfDir/events.parquet").count()
-    val name = "cdc_tws_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = mergedTws(changeLogStream(s, sfDir), tombstoneTtl).writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("update")
-      .trigger(Trigger.ProcessingTime(50))
-      .start()
-    try drainTws(q, expected, deadlineMs) finally q.stop()
-    Merge.latestPerKey(s.table(name), Seq("table", "rid"), "seq")
-      .filter(col("cdc_action") =!= Types.None_)
-      .select("table", "rid", "cdc_action", "seq", "cdc_ts", "value", "props")
+    // the update ledger is O(live keys × batches) — data-sized at scale:
+    // land each batch in a parquet ledger via foreachBatch (drainToParquet
+    // cannot serve here — its AvailableNow trigger never terminates under
+    // TimeMode.ProcessingTime, hence the polling drain), then reduce the
+    // read-back. The driver holds file paths, never rows (guide §5).
+    val root = java.nio.file.Files.createTempDirectory("graft_tws").toString
+    val outDir = s"$root/out"
+    val merged0 = mergedTws(changeLogStream(s, sfDir), tombstoneTtl).toDF()
+    // seed the out dir so a zero-row drain still reads back as empty
+    s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], merged0.schema)
+      .write.mode("overwrite").parquet(outDir)
+    try {
+      val q = merged0.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("append").parquet(outDir); ()
+        }
+        .trigger(Trigger.ProcessingTime(50))
+        .start()
+      try drainTws(q, expected, deadlineMs) finally q.stop()
+      Merge.latestPerKey(
+          s.read.schema(merged0.schema).parquet(outDir),
+          Seq("table", "rid"), "seq")
+        .filter(col("cdc_action") =!= Types.None_)
+        .select("table", "rid", "cdc_action", "seq", "cdc_ts", "value", "props")
+        .materializeForced() // the temp ledger is deleted in the finally
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
   }
 
   /** Bounded observable drain for a TimeMode.ProcessingTime query (TWS
@@ -425,14 +441,18 @@ object CdcStream {
     */
   def dedupStreamed(spark: SparkSession, sfDir: String): DataFrame = {
     val s = stateScopedSession(spark)
-    val name = "evt_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val src = rawEventStream(s, sfDir)
-    val q = src.union(rawEventStream(s, sfDir))
-      .dropDuplicates("event_id")
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    s.table(name)
+    // project BEFORE the stateful op (guide §2.3): the dedup state key is
+    // event_id and the downstream aggregate reads only these three
+    // columns — the other event fields would just fatten the state rows
+    // and the drained ledger. Both copies of a duplicated event_id are
+    // identical, so "first wins" is value-invariant.
+    def src(): DataFrame = rawEventStream(s, sfDir)
+      .select("event_type", "event_id", "value")
+    // the deduped ledger is O(distinct event_id) = data-sized: drain it
+    // through the parquet sink (guide §5 — the r12/r13 join-ledger
+    // discipline), never a memory sink, so the driver holds file paths
+    // instead of a data-sized result
+    drainToParquet(s, src().union(src()).dropDuplicates("event_id"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("event_id")).as("n_ids"),
@@ -451,19 +471,18 @@ object CdcStream {
     */
   def topkStreamed(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     val s = stateScopedSession(spark)
-    val name = "evt_topk_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = rawEventStream(s, sfDir)
-      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ets", "1 day")
-      .groupBy(window(col("ets"), "1 day").as("w"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // the windowed count is O(windows × users) — grows with the corpus:
+    // parquet drain, then the batch rank over the drained aggregate (§5)
+    val counts = drainToParquet(s,
+      rawEventStream(s, sfDir)
+        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ets", "1 day")
+        .groupBy(window(col("ets"), "1 day").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events")))
     val rk = org.apache.spark.sql.expressions.Window
       .partitionBy("day_start")
       .orderBy(col("n_events").desc, col("user_id"))
-    s.table(name)
+    counts
       .select(col("w.start").cast("long").as("day_start"),
         col("user_id"), col("n_events"))
       .withColumn("rk", row_number().over(rk))
@@ -481,15 +500,15 @@ object CdcStream {
     */
   def sessionStreamed(spark: SparkSession, sfDir: String): DataFrame = {
     val s = stateScopedSession(spark)
-    val name = "evt_sess_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = rawEventStream(s, sfDir)
-      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
-      .groupBy(session_window(col("ets"), "1 hour").as("w"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), sum("value").as("sv"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    s.table(name)
+    // the session table is O(users × sessions) — data-sized: drain via
+    // the parquet ledger (complete mode → per-batch snapshot overwrite),
+    // not a driver-memory sink (guide §5)
+    drainToParquet(s,
+      rawEventStream(s, sfDir)
+        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .groupBy(session_window(col("ets"), "1 hour").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum("value").as("sv")),
+      mode = "complete")
       .select(col("user_id"),
         unix_micros(col("w.start")).as("session_start"),
         unix_micros(col("w.end")).as("session_end"),
@@ -511,7 +530,6 @@ object CdcStream {
     val s = stateScopedSession(spark)
     useRocksDBStateStore(s)
     import s.implicits._
-    val name = "evt_burstw_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val W = 21600L * 1000000L
     val errs = graft.CdcBatch.readEvents(s, sfDir)
       .filter(col("event_type") === "error")
@@ -549,11 +567,10 @@ object CdcStream {
       .select(col("user_id"), expr("ts div 1000").as("ts_us"))
       .filter(col("ts_us") > cut)
       .as[BurstDetect.ErrEvent]
-    val q = BurstDetect.alertsWarmStarted(tail, warm, W, minCount = 2)
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    s.table(name).select("user_id", "ts_us", "n_window")
+    // O(alerts) ledger → parquet drain, not driver memory (§5)
+    drainToParquet(s,
+      BurstDetect.alertsWarmStarted(tail, warm, W, minCount = 2).toDF())
+      .select("user_id", "ts_us", "n_window")
   }
 
   /** OFFLINE state introspection — the state-store READER every standing
@@ -578,9 +595,12 @@ object CdcStream {
   def stateInspect(spark: SparkSession, sfDir: String,
       ckptDir: String): DataFrame = {
     val s = stateScopedSession(spark)
-    val name = "cdc_insp_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    // the sink output is never read — the RESULT is the state-store files
+    // below. A memory sink would accumulate every update row in driver
+    // memory just to discard it; the noop sink computes and drops them
+    // executor-side (guide §1.4/§5).
     val q = merged(changeLogStream(s, sfDir)).writeStream
-      .format("memory").queryName(name)
+      .format("noop")
       .outputMode("update")
       .option("checkpointLocation", ckptDir)
       .trigger(Trigger.AvailableNow())
@@ -612,16 +632,13 @@ object CdcStream {
     */
   def sessionAppendStreamed(spark: SparkSession, sfDir: String): DataFrame = {
     val s = stateScopedSession(spark)
-    val name = "evt_sessA_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = rawEventStream(s, sfDir)
-      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ets", "1 hour")
-      .groupBy(session_window(col("ets"), "1 hour").as("w"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), sum("value").as("sv"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    s.table(name)
+    // O(users × sessions) ledger → parquet drain, not driver memory (§5)
+    drainToParquet(s,
+      rawEventStream(s, sfDir)
+        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ets", "1 hour")
+        .groupBy(session_window(col("ets"), "1 hour").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum("value").as("sv")))
       .select(col("user_id"),
         unix_micros(col("w.start")).as("session_start"),
         unix_micros(col("w.end")).as("session_end"),
@@ -639,19 +656,19 @@ object CdcStream {
     * the equivalent batch left join.
     */
   def enrichStreamed(spark: SparkSession, sfDir: String): DataFrame = {
-    val name = "evt_enrich_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val dim = spark.read.parquet(s"$sfDir/customer.parquet")
       .filter(col("c_custkey") % 7 =!= 0)
       .select(col("c_custkey"), col("c_mktsegment"))
-    val q = rawEventStream(spark, sfDir)
-      .join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
-      .select(col("event_type"),
-        coalesce(col("c_mktsegment"), lit("(none)")).as("segment"),
-        col("value"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(name)
+    // the enriched ledger is one row per EVENT — O(data): drain through
+    // the parquet sink (guide §5), never a memory sink. Stateless gate,
+    // so the main session's shuffle width is fine (broadcast join, no
+    // exchange on the stream side).
+    drainToParquet(spark,
+      rawEventStream(spark, sfDir)
+        .join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
+        .select(col("event_type"),
+          coalesce(col("c_mktsegment"), lit("(none)")).as("segment"),
+          col("value")))
       .groupBy("segment")
       .agg(count(lit(1)).as("n_events"),
         round(sum("value"), 2).as("sum_value"))
@@ -673,16 +690,18 @@ object CdcStream {
   def dedupWithinWatermarkStreamed(
       spark: SparkSession, sfDir: String): DataFrame = {
     val scoped = stateScopedSession(spark)
-    val name = "evt_dwm_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    // project before the stateful op (§2.3): the watermark column plus
+    // exactly what the aggregate reads — then drop the scaffold `ets`
+    // before the drain so the ledger carries only consumed columns
     def src(): DataFrame = rawEventStream(scoped, sfDir)
-      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
-    val q = src().union(src())
+      .select(col("event_type"), col("event_id"), col("value"),
+        timestamp_micros(expr("ts div 1000")).as("ets"))
+    val deduped = src().union(src())
       .withWatermark("ets", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    scoped.table(name)
+      .select("event_type", "event_id", "value")
+    // O(distinct event_id) ledger → parquet drain, not driver memory
+    drainToParquet(scoped, deduped)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("event_id")).as("n_ids"),
@@ -806,7 +825,8 @@ object CdcStream {
     */
   private[graft] def drainToParquet(
       spark: SparkSession, result: DataFrame,
-      workDir: Option[String] = None): DataFrame = {
+      workDir: Option[String] = None,
+      mode: String = "append"): DataFrame = {
     import org.apache.hadoop.fs.Path
     require(workDir.isDefined || spark.sparkContext.isLocal,
       "drainToParquet: the default workDir puts the sink and checkpoint " +
@@ -817,17 +837,47 @@ object CdcStream {
       .createTempDirectory("graft_ssj").toString))
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def drained(): DataFrame = {
-      val q = result.writeStream.format("parquet")
-        .option("path", new Path(root, "out").toString)
+      val outPath = new Path(root, "out").toString
+      val base = result.writeStream
         .option("checkpointLocation", new Path(root, "ckpt").toString)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .outputMode(mode).trigger(Trigger.AvailableNow())
+      val q = mode match {
+        // append: the native parquet streaming sink (exactly-once via its
+        // own file-manifest log)
+        case "append" => base.format("parquet").option("path", outPath).start()
+        // update/complete: the parquet sink cannot express them — land
+        // each batch via foreachBatch (update appends the batch's update
+        // rows, exactly the rows a memory sink would accumulate; complete
+        // overwrites with the batch's full snapshot, the memory sink's
+        // replace semantics). These gate drains are bounded AvailableNow
+        // runs; a standing deployment keys on batchId for replay dedup.
+        case "update" =>
+          // seed the out dir so a drain whose batches all carried zero
+          // rows still reads back as an empty frame of the right schema
+          spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              result.schema)
+            .write.mode("overwrite").parquet(outPath)
+          base.foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+            b.write.mode("append").parquet(outPath); ()
+          }.start()
+        case "complete" =>
+          spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              result.schema)
+            .write.mode("overwrite").parquet(outPath)
+          base.foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+            b.write.mode("overwrite").parquet(outPath); ()
+          }.start()
+        case other => throw new IllegalArgumentException(
+          s"drainToParquet: unsupported output mode '$other'")
+      }
       q.awaitTermination()
       // read back with the stream's OWN schema: no footer inference, so
       // a drain that committed zero rows (a legitimately empty join
       // result) reads as an empty frame instead of crashing on
       // "unable to infer schema"
-      spark.read.schema(result.schema)
-        .parquet(new Path(root, "out").toString)
+      spark.read.schema(result.schema).parquet(outPath)
     }
     if (workDir.isDefined) drained()
     else {
@@ -893,17 +943,16 @@ object CdcStream {
     // single-family). Session-scoped: the clone's conf dies with it.
     useRocksDBStateStore(s)
     import s.implicits._
-    val name = "evt_burst_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val errors = rawEventStream(s, sfDir)
       .filter(col("event_type") === "error")
       .select(col("user_id"), expr("ts div 1000").as("ts_us"))
       .as[BurstDetect.ErrEvent]
-    val q = BurstDetect.alerts(errors, windowUs = 21600L * 1000000L,
-        minCount = 2)
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    s.table(name).select("user_id", "ts_us", "n_window")
+    // the alert ledger is O(bursting errors) — data-sized in the worst
+    // case: parquet drain, not driver memory (§5)
+    drainToParquet(s,
+      BurstDetect.alerts(errors, windowUs = 21600L * 1000000L,
+        minCount = 2).toDF())
+      .select("user_id", "ts_us", "n_window")
   }
 
   /** Keep streaming merge state in RocksDB instead of the default on-heap

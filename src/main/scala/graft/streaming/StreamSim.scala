@@ -284,10 +284,17 @@ object StreamSim {
     * both temp dirs are deleted before returning.
     */
   def nearDupStreamed(
-      spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      spark0: org.apache.spark.sql.SparkSession, sfDir: String,
       centOpt: Option[DataFrame] = None, probes: Int = 1,
       workDir: Option[String] = None): DataFrame = {
     import org.apache.hadoop.fs.Path
+    // the cell-state operator's state is O(ingested ids) — size its
+    // shuffle to spark.graft.statePartitions via the scoped session (the
+    // CdcStream discipline; r18 measured this gate ANTI-scaling with
+    // cores because the stateful stage inherited the batch session's
+    // input-parallelism width: more state partitions paying fixed commit
+    // cost on tiny per-cell state)
+    val spark = CdcStream.stateScopedSession(spark0)
     import spark.implicits._
     require(workDir.isDefined || spark.sparkContext.isLocal,
       "nearDupStreamed: the default workDir stages the stream source and " +
@@ -301,8 +308,16 @@ object StreamSim {
     val fs = root.getFileSystem(hconf)
     val path = s"$sfDir/embeddings.parquet"
     val embStatic = spark.read.parquet(path)
-    val cent = centOpt.getOrElse(
-      Similarity.kmeansCentroids(embStatic, 16, 2).materialize())
+    // a caller-supplied centroid frame may be bound to the ORIGINAL
+    // session — re-emit its (tiny, trained-artifact-sized) rows on the
+    // scoped session so the stream plan never mixes sessions
+    val cent = centOpt
+      .map(c =>
+        if (c.sparkSession eq spark) c
+        else spark.createDataFrame(
+          java.util.Arrays.asList(c.collect(): _*), c.schema))
+      .getOrElse(
+        Similarity.kmeansCentroids(embStatic, 16, 2).materialize())
     // the file stream source requires a DIRECTORY; the fixture is a single
     // parquet file — stage a copy of it under the work root (a production
     // lake is a directory already and skips this). Local fallback links
