@@ -52,6 +52,31 @@ object CdcQueries extends QueryRegistry {
        | round(sum(value), 2) AS sum_value
        |FROM ($changelogSql) GROUP BY 1, 2""".stripMargin
 
+  /** The SPLIT changelog — changeLog × broadcast midpoint k — that four
+    * gates (evolving sink, TWS sink, CSV quarantine replay, schema
+    * evolve) derive identically as their two-version input. Built ONCE
+    * per (session, corpus fingerprint) as a parquet artifact
+    * (TrainedCache.sharedPath: session-scoped, first-build seconds
+    * attributed in the bench's shared_builds, NEVER persisted across
+    * runs) instead of each gate re-scanning + re-materializing the same
+    * frame; each call reads the artifact back on ITS session, so the
+    * scoped-session gates share it too (the path registry keys on the
+    * shared SparkContext's applicationId). Deterministic projection of
+    * events.parquet; every consumer is row-order-insensitive.
+    */
+  private def changelogWithK(s: SparkSession, dir: String): DataFrame = {
+    val p = operators.TrainedCache.sharedPath(s, "cdc_split_changelog",
+      Seq(s"$dir/events.parquet")) { tmp =>
+      val out = s"$tmp/ch"
+      CdcBatch.changeLog(s, dir)
+        .crossJoin(broadcast(CdcBatch.changeLog(s, dir)
+          .agg((max("seq") / 2).cast("long").as("k"))))
+        .write.mode("overwrite").parquet(out)
+      out
+    }
+    s.read.parquet(p)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F1-F6: binlog row → change record projection
     "cdc_changelog" -> ((s, dir) => CdcBatch.changeLog(s, dir)),
@@ -251,10 +276,8 @@ object CdcQueries extends QueryRegistry {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_sink_ev").toString
       val src = s"$tmp/src"
-      val ch = CdcBatch.changeLog(s, dir)
-        .crossJoin(broadcast(CdcBatch.changeLog(s, dir)
-          .agg((max("seq") / 2).cast("long").as("k"))))
-        .materialize() // one changelog scan feeds both version branches
+      val ch = changelogWithK(s, dir) // session-shared split-changelog
+                                      // artifact (see its scaladoc)
       val v1 = ch.filter(col("seq") <= col("k"))
         .select("table", "rid", "cdc_action", "cdc_ts", "seq", "value")
       val v2 = ch.filter(col("seq") > col("k"))
@@ -305,10 +328,8 @@ object CdcQueries extends QueryRegistry {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_sink_tws").toString
       val src = s"$tmp/src"
-      val ch = CdcBatch.changeLog(ss, dir)
-        .crossJoin(broadcast(CdcBatch.changeLog(ss, dir)
-          .agg((max("seq") / 2).cast("long").as("k"))))
-        .materialize() // one changelog scan feeds both halves
+      val ch = changelogWithK(ss, dir) // session-shared split-changelog
+                                       // artifact (see its scaladoc)
       val cols =
         Seq("table", "rid", "cdc_action", "cdc_ts", "seq", "value", "props")
       val v1 = ch.filter(col("seq") <= col("k"))
@@ -347,10 +368,8 @@ object CdcQueries extends QueryRegistry {
       import org.apache.spark.sql.types._
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_qrgate").toString
-      val ch = CdcBatch.changeLog(s, dir)
-        .crossJoin(broadcast(CdcBatch.changeLog(s, dir)
-          .agg((max("seq") / 2).cast("long").as("k"))))
-        .materialize() // one changelog scan feeds fp + both value branches
+      val ch = changelogWithK(s, dir) // session-shared split-changelog
+                                      // artifact (see its scaladoc)
       val drifted = ch
         .withColumn("value2", when(col("seq") > col("k"), col("value")))
         .withColumn("value", when(col("seq") <= col("k"), col("value")))
@@ -446,10 +465,8 @@ object CdcQueries extends QueryRegistry {
     // merge compaction runs unchanged over the union — keys whose life
     // ended in v1 surface with NULL in the v2-only columns.
     "cdc_schema_evolve" -> ((s, dir) => {
-      val ch = CdcBatch.changeLog(s, dir)
-        .crossJoin(broadcast(CdcBatch.changeLog(s, dir)
-          .agg((max("seq") / 2).cast("long").as("k"))))
-        .materialize() // one changelog scan feeds both version branches
+      val ch = changelogWithK(s, dir) // session-shared split-changelog
+                                      // artifact (see its scaladoc)
       val v1 = ch.filter(col("seq") <= col("k")).drop("k", "props")
       val v2 = ch.filter(col("seq") > col("k")).drop("k")
         .withColumn("props_len", length(col("props")).cast("long"))

@@ -118,8 +118,15 @@ object Materialize {
     // that residue GC-taxes every later query (see StateStoreJanitor).
     // No active query is mid-batch when release() runs (gates stop their
     // streams before returning), so unloading here is the documented
-    // executor-reassignment path, not a behavior change.
-    org.apache.spark.sql.graft.StateStoreJanitor.unloadAll()
+    // executor-reassignment path, not a behavior change — but that is a
+    // CONVENTION, so degrade to a no-op instead of failing an in-flight
+    // batch against closed providers (fatal under local maxFailures=1)
+    // if a future gate ever leaves a standing query running (r18
+    // advice). The janitor consults the CROSS-SESSION active-query
+    // registry (SharedState), not this session's manager — gates start
+    // their streams on cloned sessions.
+    org.apache.spark.sql.graft.StateStoreJanitor
+      .unloadAllIfQuiescent(spark): Unit
     // NOT called here: System.gc() — A/B'd at sf0.1 (full battery 104 s
     // without vs 115 s with); the explicit unpersist above already
     // releases the storage pressure that inflated late queries in r7,

@@ -145,11 +145,21 @@ object TrainedCache {
     */
   private def storeRoot: Option[java.io.File] =
     // NO default root: unset ⇒ store off, session-only memoization.
-    // (A def, not a lazy val, so the test seam can flip it per suite.)
+    // (A def, not a lazy val, so the test seam can flip it per suite —
+    // but validation is memoized PER CONFIGURED PATH below, so the
+    // createDirectory/getOwner syscalls and the squatted-root WARNING
+    // run once per distinct root, not on every slotOf/memoDf access;
+    // r18 advice.)
     sys.props.get("graft.trained.store")
       .orElse(sys.env.get("GRAFT_TRAINED_STORE"))
       .filter(p => p.nonEmpty && p != "off")
-      .flatMap { p =>
+      .flatMap(p => validatedRoots.computeIfAbsent(p, validateRoot))
+
+  private val validatedRoots = new java.util.concurrent
+    .ConcurrentHashMap[String, Option[java.io.File]]()
+
+  private def validateRoot(p: String): Option[java.io.File] =
+    Some(p).flatMap { p =>
         if (codeDigest.isEmpty) None
         else try {
           val d = new java.io.File(p)

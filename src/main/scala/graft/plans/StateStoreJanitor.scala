@@ -34,4 +34,26 @@ object StateStoreJanitor {
     * running; the next stateful query reloads what it needs.
     */
   def unloadAll(): Unit = StateStore.unloadAll()
+
+  /** [[unloadAll]] only when NO streaming query is active anywhere in
+    * the application — checked against `SharedState.
+    * activeStreamingQueries`, the CROSS-SESSION registry every
+    * StreamingQueryManager records starts/stops in (a per-session
+    * `spark.streams.active` would miss queries started on cloned
+    * sessions, which is where every stateful gate runs its stream).
+    * The no-active-query convention the between-queries hook relies on
+    * thus degrades to a no-op instead of closing providers under an
+    * in-flight batch — fatal in local mode (task maxFailures = 1) —
+    * if a future gate ever leaves a standing query running (r18
+    * advice). Returns whether the unload ran.
+    */
+  def unloadAllIfQuiescent(spark: org.apache.spark.sql.SparkSession): Boolean = {
+    val quiescent = spark match {
+      case c: org.apache.spark.sql.classic.SparkSession =>
+        c.sharedState.activeStreamingQueries.isEmpty
+      case _ => true // non-classic session: no registry to consult
+    }
+    if (quiescent) StateStore.unloadAll()
+    quiescent
+  }
 }

@@ -965,17 +965,26 @@ object CdcStream {
   def useRocksDBStateStore(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    // Changelog checkpointing: commit uploads the batch's CHANGELOG and
-    // snapshots consolidate in the background, instead of a full RocksDB
-    // snapshot upload inside every commit — measured r18 on the TWS sink
-    // gate: state commitTimeMs 7.5 s (summed over partitions) for one
-    // 50k-row batch with full snapshots vs ~0.1 s with changelogs. At
-    // 100 TB state this is the difference between O(state) and O(batch)
-    // per-commit I/O. Format-compatible both ways across restarts
-    // (SPARK-45371); purely a durability format, never a results change.
+    // Changelog checkpointing (SPARK-45371): commit uploads the batch's
+    // CHANGELOG and snapshots consolidate in the background, instead of a
+    // full RocksDB snapshot upload inside every commit — at production
+    // state volumes that is O(batch) vs O(state) per-commit I/O, the
+    // difference between a standing sink that keeps up and one that
+    // doesn't. At SMALL state the trade inverts: the snapshot IS tiny, and
+    // the changelog path pays a second write stream plus changelog replay
+    // on every load — r19 same-window A/B at sf0.1: cdc_compact_stream_tws
+    // 3.38 s with changelogs vs 2.32 s with direct snapshots,
+    // cdc_state_sink_tws 6.05 vs 5.34 (r18 had shipped it unconditionally
+    // on an isolated −20% that the driver's battery then contradicted).
+    // So the knob is state-volume-scale-dependent and parameterised like
+    // spark.graft.statePartitions: default OFF (the measured local/bench
+    // geometry), set spark.graft.rocksdb.changelog=true in deployments
+    // whose per-partition state dwarfs a micro-batch (DEPLOY.md).
+    // Format-compatible both ways across restarts; never a results change.
     spark.conf.set(
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
-      "true")
+      spark.conf.getOption("spark.graft.rocksdb.changelog")
+        .getOrElse("false"))
   }
 
   /** Production sink shape: per micro-batch, upsert the merged updates into

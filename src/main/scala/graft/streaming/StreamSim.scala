@@ -44,27 +44,39 @@ object StreamSim {
   case class CandPair(va: Long, vb: Long)
 
   /** Per-row IVF cell assignment against an explicit (cid, cv) centroid
-    * table: broadcast the packed cid-sorted centroid array, fold for the
-    * argmax. No shuffle, no aggregate — one row in, one row out.
+    * table: broadcast the packed cid-sorted centroid table (ids +
+    * flattened vectors), argmax via the codegen'd [[org.apache.spark.sql
+    * .graft.NearestCell]] expression. No shuffle, no aggregate — one row
+    * in, one row out, one primitive loop per row (guide §4; the previous
+    * `aggregate()` HOF fold was interpreted per element and sat outside
+    * whole-stage codegen in the streaming assignment hot path — r18
+    * headroom item 3). NearestCell's cosine is CosineSim's exact IEEE
+    * loop and its strictly-greater/-1-zero semantics are the fold's, so
+    * assignments are bitwise identical (StreamSimSpec pins ≡ batch
+    * ivfAssignTo).
     */
   def cellRows(emb: DataFrame, cent: DataFrame): Dataset[CellRow] = {
     import emb.sparkSession.implicits._
-    val packed = cent.agg(
-      array_sort(collect_list(struct(col("cid"), col("cv")))).as("cents"))
-    val best = aggregate(
-      col("cents"),
-      struct(lit(Double.NegativeInfinity).as("sim"), lit(-1L).as("cid")),
-      (acc, e) => {
-        val s = Similarity.cosine(col("v"), e("cv"))
-        when(s > acc("sim"),
-          struct(s.as("sim"), e("cid").as("cid"))).otherwise(acc)
-      })
+    val best = org.apache.spark.sql.graft.VectorFunctions.nearestCell(
+      col("v"), col("cids"), col("flat"))
     emb.select(col("vec_id").cast("long").as("vec_id"),
         col("embedding").cast("array<double>").as("v"))
-      .crossJoin(broadcast(packed))
-      .select(best("cid").as("cid"), col("vec_id"))
+      .crossJoin(broadcast(packedFlat(cent)))
+      .select(best.as("cid"), col("vec_id"))
       .as[CellRow]
   }
+
+  /** The broadcast row shared by the flat folds: cid-sorted centroid ids
+    * + their vectors flattened into one doubles array (the NearestCode
+    * packing shape — ids and offsets align because both derive from the
+    * SAME sorted array).
+    */
+  private def packedFlat(cent: DataFrame): DataFrame =
+    cent.agg(
+      array_sort(collect_list(struct(col("cid"), col("cv")))).as("cents"))
+      .select(
+        expr("transform(cents, c -> CAST(c.cid AS BIGINT))").as("cids"),
+        flatten(expr("transform(cents, c -> c.cv)")).as("flat"))
 
   /** Hierarchical per-row assignment — the streaming twin of the batch
     * [[Similarity.assignToHier]], for the production C ∝ n geometry. The
@@ -132,14 +144,16 @@ object StreamSim {
     */
   def cellRowsMulti(emb: DataFrame, cent: DataFrame): Dataset[CellRow] = {
     import emb.sparkSession.implicits._
-    val packed = cent.agg(
-      array_sort(collect_list(struct(col("cid"), col("cv")))).as("cents"))
+    // codegen'd top-2 (guide §4) — emits exactly the running-pair HOF
+    // fold's finish lambda (rank order, strictly-greater tie-break,
+    // ≥0-filtered), one primitive loop per row instead of an interpreted
+    // per-element fold
+    val top2 = org.apache.spark.sql.graft.VectorFunctions.top2Cells(
+      col("v"), col("cids"), col("flat"))
     emb.select(col("vec_id").cast("long").as("vec_id"),
         col("embedding").cast("array<double>").as("v"))
-      .crossJoin(broadcast(packed))
-      .select(col("vec_id"),
-        explode(top2Cids(col("cents"), m => m("cv"), m => m("cid")))
-          .as("cid"))
+      .crossJoin(broadcast(packedFlat(cent)))
+      .select(col("vec_id"), explode(top2).as("cid"))
       .select(col("cid"), col("vec_id")).as[CellRow]
   }
 

@@ -19,8 +19,16 @@ class TrainedStoreSpec extends SparkSuite
 
   private val storeScratch =
     java.nio.file.Files.createTempDirectory("graft_store_spec").toString
-  private val priorProp = sys.props.get("graft.trained.store")
-  sys.props("graft.trained.store") = storeScratch
+  private var priorProp: Option[String] = None
+
+  // set in beforeAll, not the constructor: a suite instantiated but
+  // filtered/aborted before running would otherwise leave the global
+  // property mutated with afterAll never pairing it (r18 advice)
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    priorProp = sys.props.get("graft.trained.store")
+    sys.props("graft.trained.store") = storeScratch
+  }
 
   override def afterAll(): Unit = {
     priorProp match {
