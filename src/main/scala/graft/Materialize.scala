@@ -125,8 +125,13 @@ object Materialize {
     // advice). The janitor consults the CROSS-SESSION active-query
     // registry (SharedState), not this session's manager — gates start
     // their streams on cloned sessions.
-    org.apache.spark.sql.graft.StateStoreJanitor
-      .unloadAllIfQuiescent(spark): Unit
+    // a skip is anomalous in the battery (every gate stops its streams)
+    // and re-admits the dead-provider tax this hook removes — name it
+    // loudly so a recurrence is diagnosable from the run log
+    if (!org.apache.spark.sql.graft.StateStoreJanitor
+        .unloadAllIfQuiescent(spark))
+      System.err.println("[release] state-store unload SKIPPED: " +
+        "active streaming query registered — dead-provider residue stays")
     // NOT called here: System.gc() — A/B'd at sf0.1 (full battery 104 s
     // without vs 115 s with); the explicit unpersist above already
     // releases the storage pressure that inflated late queries in r7,

@@ -347,7 +347,14 @@ object Lake {
     // per-partition accounting calls manifest(s"$root/v=$next") after
     val (toWrite, expectObs, quarantine) =
       expectationGate(df, expect, onViolation)
-    writeLayout(toWrite, s"$rootDir/v=$next", partitionCols, sortCols,
+    // in-write digest rides the write job's metrics (zero extra jobs);
+    // zOrder publishes keep the read-back path — withZ's quantile pass
+    // is a second action over the observed plan, which would race the
+    // observation
+    val inw = if (digest && zOrderCols.isEmpty)
+      inWriteDigest(toWrite, partitionCols) else None
+    writeLayout(inw.map(_._2).getOrElse(toWrite), s"$rootDir/v=$next",
+      partitionCols, sortCols,
       maxRecordsPerFile, zOrderCols, bloomFilterCols)
     for (o <- expectObs) enforceExpectations(fs,
       new org.apache.hadoop.fs.Path(root, s"v=$next"), o)
@@ -406,7 +413,9 @@ object Lake {
     writeSchemaFile(fs,
       new org.apache.hadoop.fs.Path(root, s"v=$next"), df.schema)
     if (digest) writeDigest(spark, fs, root,
-      new org.apache.hadoop.fs.Path(root, s"v=$next"), Map.empty)
+      new org.apache.hadoop.fs.Path(root, s"v=$next"), Map.empty,
+      precomputedOwn = inw.map { case (obs, _, fp) =>
+        (fp, obsDigestEntries(obs)) })
     // the caller's provenance marker (e.g. [[publishStream]]'s batch id)
     // lands INSIDE the generation before the high-water flip, so a
     // generation counted published always carries it — the replay-dedup
@@ -490,8 +499,10 @@ object Lake {
     // quarantined is not rewritten and keeps inheriting its old content
     val (toWrite, expectObs, quarantine) =
       expectationGate(df, expect, onViolation)
-    writeLayout(toWrite, s"$rootDir/v=$next", partitionCols, sortCols,
-      maxRecordsPerFile)
+    // in-write digest rides the write job (see publishVersion)
+    val inw = if (digest) inWriteDigest(toWrite, partitionCols) else None
+    writeLayout(inw.map(_._2).getOrElse(toWrite), s"$rootDir/v=$next",
+      partitionCols, sortCols, maxRecordsPerFile)
     for (o <- expectObs) enforceExpectations(fs, nextPath, o)
     for (q <- quarantine) {
       val qDir = new org.apache.hadoop.fs.Path(nextPath, QuarantineDir)
@@ -516,7 +527,9 @@ object Lake {
     }
     val inherited = baseMap -- changed -- replaced
     writeRefs(fs, nextPath, inherited)
-    if (digest) writeDigest(spark, fs, root, nextPath, inherited)
+    if (digest) writeDigest(spark, fs, root, nextPath, inherited,
+      precomputedOwn = inw.map { case (obs, _, fp) =>
+        (fp, obsDigestEntries(obs)) })
     // the delta's RESOLVED schema = its own columns plus what it still
     // inherits (the policy check proved compatibility); recordable only
     // when the old schema was consulted — under policy "any" the
@@ -1607,14 +1620,128 @@ object Lake {
     * differently — cross-upgrade steps fall back to full diffs, the
     * safe direction.)
     */
+  /** The digest row hash + column fingerprint over `schema`'s data
+    * columns (everything except `exclude` — partition cols on the
+    * in-write path, the `_rel` tag on the read-back path): ONE shared
+    * construction so the two digest paths are bit-identical by
+    * construction. Returns (fp, rowHash).
+    */
+  private def digestHash(schema: org.apache.spark.sql.types.StructType,
+      exclude: Set[String]): (String, Column) = {
+    val dataCols = schema.fieldNames.filterNot(exclude).sorted.toSeq
+    val fp = DigestAlgVersion + dataCols.map(c =>
+      s"$c:${schema(c).dataType.simpleString}").mkString(",")
+    val nested = dataCols.exists { c =>
+      val t = schema(c).dataType.catalogString
+      t.contains("array<") || t.contains("map<") || t.contains("struct<")
+    }
+    val rowHash =
+      if (nested)
+        // fixed timeZone: to_json renders timestamps in the SESSION
+        // timezone by default, so cross-session digests of the same
+        // bytes would differ and silently defeat skipping (safe
+        // direction, but it negates the O(truly-changed) claim)
+        xxhash64(to_json(struct(dataCols.map(col): _*),
+          Map("timeZone" -> "UTC")))
+      else {
+        // Spark's hash functions normalize -0.0 == 0.0, so a dir
+        // differing only in a zero's sign would digest-skip as
+        // identical — an UNSAFE false skip. Fold the zero's sign
+        // into the null-mask words (the string cast renders "-0.0",
+        // the one ANSI-safe test that distinguishes the zeros —
+        // 1/-0.0 would throw DIVIDE_BY_ZERO under ANSI); NaN
+        // canonicalization is kept — any NaN equals any NaN.
+        // (to_json above renders "-0.0" textually, so the nested
+        // path already separates them.)
+        val isFloat = dataCols.map(c =>
+          schema(c).dataType match {
+            case org.apache.spark.sql.types.DoubleType |
+                 org.apache.spark.sql.types.FloatType => true
+            case _ => false
+          })
+        val masks = dataCols.zip(isFloat).grouped(32).map { g =>
+          g.zipWithIndex.map { case ((c, f), j) =>
+            val nullBit =
+              when(col(c).isNull, lit(1L << (2 * j))).otherwise(lit(0L))
+            if (!f) nullBit
+            else nullBit + when(col(c) === 0.0 &&
+                col(c).cast("string").startsWith("-"),
+              lit(1L << (2 * j + 1))).otherwise(lit(0L))
+          }.reduce(_ + _)
+        }.toSeq
+        xxhash64(dataCols.map(col) ++ masks: _*)
+      }
+    (fp, rowHash)
+  }
+
+  /** Test seam: forces the read-back digest path when false — the
+    * in-write/read-back parity spec flips it to prove both paths land
+    * identical `_DIGEST` entries on the same input.
+    */
+  private[graft] var inWriteDigestEnabled = true
+
+  /** IN-WRITE digest (guide §6/§2.4 — the write job carries the digest
+    * aggregate through an [[org.apache.spark.sql.Observation]], so a
+    * digest-enabled publish costs ZERO extra jobs and never re-reads the
+    * bytes it just wrote; the prior shape paid one full read-back scan
+    * of the generation per publish — O(written bytes) at scale). Only
+    * when every partition column's dir-name rendering is exact
+    * (DigestMapAgg.supportedPartType); anything else returns None and
+    * the caller falls back to the read-back scan. The returned frame
+    * REPLACES the written one (same rows, plus the metrics collector);
+    * the fp + observation map feed [[writeDigest]]'s `precomputedOwn`.
+    */
+  private def inWriteDigest(toWrite: DataFrame, partitionCols: Seq[String])
+      : Option[(org.apache.spark.sql.Observation, DataFrame, String)] = {
+    val schema = toWrite.schema
+    if (!inWriteDigestEnabled || !partitionCols.forall(c =>
+        org.apache.spark.sql.graft.DigestMapAgg
+          .supportedPartType(schema(c).dataType))) None
+    else {
+      val (fp, rowHash) = digestHash(schema, partitionCols.toSet)
+      val obs = new org.apache.spark.sql.Observation(
+        "graft_digest_" + java.util.UUID.randomUUID())
+      val wrapped = toWrite.observe(obs,
+        org.apache.spark.sql.graft.DigestMapAgg
+          .column(partitionCols.map(col), partitionCols, rowHash)
+          .as("digest"))
+      Some((obs, wrapped, fp))
+    }
+  }
+
+  /** The observed digest map, as writeDigest's own-entry list (sorted
+    * for a deterministic `_DIGEST` body). Blocks only until the write
+    * action that carried the observation completed — which it has, the
+    * caller reads this after writeLayout returned.
+    */
+  private def obsDigestEntries(obs: org.apache.spark.sql.Observation)
+      : Seq[(String, (Long, Long))] =
+    obs.get("digest") match {
+      case m: scala.collection.Map[_, _] =>
+        m.toSeq.map { case (k, v) =>
+          val r = v.asInstanceOf[org.apache.spark.sql.Row]
+          (k.toString, (r.getLong(0), r.getLong(1)))
+        }.sortBy(_._1)
+      case _ => Nil
+    }
+
   private def writeDigest(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
       genPath: org.apache.hadoop.fs.Path,
-      refs: Map[String, Long]): Unit = {
+      refs: Map[String, Long],
+      precomputedOwn: Option[(String, Seq[(String, (Long, Long))])] = None)
+      : Unit = {
     val ownRels = graft.GenSwap.leaves(fs, genPath)
       .collect { case (rel, true) => rel }
     val ownEntries: Seq[(String, (Long, Long), String)] =
-      if (ownRels.isEmpty) Nil
+      if (precomputedOwn.isDefined) {
+        // in-write path: entries observed ON the write job (zero extra
+        // jobs). Mirror the read-back path's empty-own semantics: with
+        // no own dirs the effective fp comes from the donors below.
+        val (fp, entries) = precomputedOwn.get
+        entries.map { case (rel, nx) => (rel, nx, fp) }
+      }
+      else if (ownRels.isEmpty) Nil
       else {
         // one scan branch per dir, tagged with its rel path — partition
         // columns never enter the read, so the key is exactly the dir.
@@ -1636,58 +1763,11 @@ object Lake {
               new org.apache.hadoop.fs.Path(genPath, rel).toString)
             .withColumn("_rel", lit(rel))
         })
-        val dataCols = own.columns.filterNot(_ == "_rel").sorted.toSeq
-        // the fingerprint carries the hash ALGORITHM version beside the
-        // names:types (r16 advice): r16 changed the row hash (mask words
-        // regrouped 63→32 with zero-sign bits, to_json pinned to UTC), and
-        // with a names:types-only fingerprint a pre-upgrade digest compares
-        // as same-fingerprint/different-hash — a silent full-diff fallback
-        // indistinguishable in history()'s digest_skip_from_prev from real
-        // content churn. With the tag, cross-upgrade steps are visibly
-        // "fingerprint mismatch" and future algorithm changes self-describe
-        // by bumping DigestAlgVersion.
-        val fp = DigestAlgVersion + dataCols.map(c =>
-          s"$c:${own.schema(c).dataType.simpleString}").mkString(",")
-        val nested = dataCols.exists { c =>
-          val t = own.schema(c).dataType.catalogString
-          t.contains("array<") || t.contains("map<") || t.contains("struct<")
-        }
-        val rowHash =
-          if (nested)
-            // fixed timeZone: to_json renders timestamps in the SESSION
-            // timezone by default, so cross-session digests of the same
-            // bytes would differ and silently defeat skipping (safe
-            // direction, but it negates the O(truly-changed) claim)
-            xxhash64(to_json(struct(dataCols.map(col): _*),
-              Map("timeZone" -> "UTC")))
-          else {
-            // Spark's hash functions normalize -0.0 == 0.0, so a dir
-            // differing only in a zero's sign would digest-skip as
-            // identical — an UNSAFE false skip. Fold the zero's sign
-            // into the null-mask words (the string cast renders "-0.0",
-            // the one ANSI-safe test that distinguishes the zeros —
-            // 1/-0.0 would throw DIVIDE_BY_ZERO under ANSI); NaN
-            // canonicalization is kept — any NaN equals any NaN.
-            // (to_json above renders "-0.0" textually, so the nested
-            // path already separates them.)
-            val isFloat = dataCols.map(c =>
-              own.schema(c).dataType match {
-                case org.apache.spark.sql.types.DoubleType |
-                     org.apache.spark.sql.types.FloatType => true
-                case _ => false
-              })
-            val masks = dataCols.zip(isFloat).grouped(32).map { g =>
-              g.zipWithIndex.map { case ((c, f), j) =>
-                val nullBit =
-                  when(col(c).isNull, lit(1L << (2 * j))).otherwise(lit(0L))
-                if (!f) nullBit
-                else nullBit + when(col(c) === 0.0 &&
-                    col(c).cast("string").startsWith("-"),
-                  lit(1L << (2 * j + 1))).otherwise(lit(0L))
-              }.reduce(_ + _)
-            }.toSeq
-            xxhash64(dataCols.map(col) ++ masks: _*)
-          }
+        // fp carries DigestAlgVersion beside the names:types (r16
+        // advice) so hash-algorithm changes self-describe; the hash
+        // itself is the ONE shared digestHash construction — identical
+        // to the in-write path's by construction
+        val (fp, rowHash) = digestHash(own.schema, Set("_rel"))
         own.withColumn("_h", rowHash)
           .groupBy(col("_rel"))
           .agg(count(lit(1)).as("n"), expr("bit_xor(_h)").as("x"))
@@ -1713,7 +1793,10 @@ object Lake {
           case _ => Nil
         }
     }
-    val all = ownEntries ++ donorEntries
+    // sorted: the _DIGEST body is deterministic regardless of which path
+    // produced the entries (consumers parse it into a map; the order is
+    // purely for reproducible artifacts and the parity spec)
+    val all = (ownEntries ++ donorEntries).sortBy(_._1)
     for (fp <- effFp if all.nonEmpty) {
       // line 1 = the column fingerprint; then one `n \t x \t rel` row per
       // dir, rel URL-encoded so any dir path round-trips through the file

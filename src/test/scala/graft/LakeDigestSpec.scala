@@ -248,6 +248,53 @@ class LakeDigestSpec extends SparkSuite {
     } finally cleanup(root)
   }
 
+  test("in-write digest ≡ read-back digest: same input publishes the " +
+      "same _DIGEST entries through both paths (escaped values, nulls, " +
+      "multi-level partitions, -0.0, nested column)") {
+    def digestBody(root: String, v: Long): (String, Set[String]) = {
+      val fs = new Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(new Path(root, s"v=$v/_DIGEST"))
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val lines = txt.linesIterator.toSeq
+      (lines.head, lines.tail.toSet)
+    }
+    // every escaping/typing hazard in one corpus: hostile string values,
+    // a null partition value, a second integral partition level, a
+    // -0.0/null double and a nested array column (json hash path)
+    val corpus = Seq(
+      ("a", "plain", 1L, Some(1.5), Seq("x")),
+      ("b", "with space", 1L, Some(-0.0), Seq("y", "z")),
+      ("c", "a=b/c%d", 2L, None, Seq.empty[String]),
+      ("d", null, 2L, Some(0.0), Seq("w")),
+      ("e", "", 3L, Some(2.5), null)
+    ).toDF("id", "k", "b", "score", "tags")
+    val rootA = tmp(); val rootB = tmp()
+    try {
+      Lake.publishVersion(corpus, rootA, Seq("k", "b"), Seq("id"), 1000L,
+        keep = 3, digest = true) // in-write (seam on)
+      assert(Lake.inWriteDigestEnabled)
+      Lake.inWriteDigestEnabled = false
+      try Lake.publishVersion(corpus, rootB, Seq("k", "b"), Seq("id"),
+        1000L, keep = 3, digest = true) // read-back
+      finally Lake.inWriteDigestEnabled = true
+      assert(digestBody(rootA, 0L) === digestBody(rootB, 0L),
+        "the two digest paths disagree")
+      // and deltas: own entries in-write, donors inherited — parity again
+      val delta = corpus.filter(col("k") === "plain")
+        .withColumn("score", lit(9.5))
+      Lake.publishDelta(delta, rootA, Seq("k", "b"), Seq("id"), 1000L,
+        keep = 3, digest = true)
+      Lake.inWriteDigestEnabled = false
+      try Lake.publishDelta(delta, rootB, Seq("k", "b"), Seq("id"), 1000L,
+        keep = 3, digest = true)
+      finally Lake.inWriteDigestEnabled = true
+      assert(digestBody(rootA, 1L) === digestBody(rootB, 1L),
+        "the two digest paths disagree on a delta")
+    } finally { cleanup(rootA); cleanup(rootB) }
+  }
+
   test("additive schema drift disables cross-generation skipping " +
       "conservatively — the feed stays correct") {
     val root = tmp()
